@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.metrics.{MetricCompiler => MC, MetricDef, MetricFilter}
+import graft.sources.Tables
+
+/** §2 items 1-12: the reference's metric semantics, executed.
+  *
+  * Each entry returns a DataFrame whose column names, float rounding
+  * (sums→2dp, avgs/ratios→4dp) and ORDER BY exactly match its DuckDB
+  * oracle in [[MetricQueries.oracle]].
+  */
+object MetricQueries {
+
+  private def ordersRevenue = MetricDef("total_revenue", "sum", "o_totalprice", Some("o_orderdate"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_simple_sum" -> ((s, dir) => {
+      MC.simple(Tables.orders(s, dir), ordersRevenue, Some("month"))
+        .select(col("period"), round(col("total_revenue"), 2).as("total_revenue"))
+        .orderBy("period")
+    }),
+
+    "m_simple_count" -> ((s, dir) => {
+      val m = MetricDef("n_items", "count", "l_orderkey", Some("l_shipdate"),
+        dimensions = Seq("l_returnflag"))
+      MC.simple(Tables.lineitem(s, dir), m, Some("day"))
+        .orderBy("period", "l_returnflag")
+    }),
+
+    "m_count_distinct" -> ((s, dir) => {
+      val m = MetricDef("customer_count", "count_distinct", "o_custkey", Some("o_orderdate"))
+      MC.simple(Tables.orders(s, dir), m, Some("month")).orderBy("period")
+    }),
+
+    "m_average_filtered" -> ((s, dir) => {
+      val m = MetricDef("avg_order_value", "average", "o_totalprice", Some("o_orderdate"),
+        filters = Seq(MetricFilter("o_totalprice", ">", "0"),
+                      MetricFilter("o_orderstatus", "=", "'F'")))
+      MC.simple(Tables.orders(s, dir), m, Some("month"))
+        .select(col("period"), round(col("avg_order_value"), 4).as("avg_order_value"))
+        .orderBy("period")
+    }),
+
+    "m_min_max" -> ((s, dir) => {
+      val shape = MetricDef("shape", "min", "o_totalprice", dimensions = Seq("o_orderpriority"))
+      MC.fused(Tables.orders(s, dir), shape, Seq(
+        MetricDef("min_order", "min", "o_totalprice"),
+        MetricDef("max_order", "max", "o_totalprice"),
+        MetricDef("n_orders", "count", "o_orderkey")), None)
+        .orderBy("o_orderpriority")
+    }),
+
+    "m_median" -> ((s, dir) => {
+      val shape = MetricDef("shape", "median", "l_quantity", dimensions = Seq("l_returnflag"))
+      MC.fused(Tables.lineitem(s, dir), shape, Seq(
+        MetricDef("med_qty", "median", "l_quantity"),
+        MetricDef("med_price", "median", "l_extendedprice")), None)
+        .select(col("l_returnflag"), round(col("med_qty"), 4).as("med_qty"),
+          round(col("med_price"), 4).as("med_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "m_ratio" -> ((s, dir) => {
+      val num = MetricDef("return_revenue", "sum", "l_extendedprice", Some("l_shipdate"),
+        filters = Seq(MetricFilter("l_returnflag", "=", "'R'")))
+      val den = MetricDef("gross_revenue", "sum", "l_extendedprice", Some("l_shipdate"))
+      MC.ratio(Tables.lineitem(s, dir), "return_rate", num, den, Some("month"))
+        .select(col("period"),
+          round(col("return_revenue"), 2).as("return_revenue"),
+          round(col("gross_revenue"), 2).as("gross_revenue"),
+          round(col("return_rate"), 4).as("return_rate"))
+        .orderBy("period")
+    }),
+
+    "m_derived" -> ((s, dir) => {
+      val gross = MetricDef("gross_revenue", "sum", "l_extendedprice * (1 - l_discount)", Some("l_shipdate"))
+      val charged = MetricDef("charged_revenue", "sum",
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax)", Some("l_shipdate"))
+      MC.derived(Tables.lineitem(s, dir), "tax_paid", "charged_revenue - gross_revenue",
+        Seq(gross, charged), Some("month"))
+        .select(col("period"),
+          round(col("gross_revenue"), 2).as("gross_revenue"),
+          round(col("tax_paid"), 2).as("tax_paid"))
+        .orderBy("period")
+    }),
+
+    "m_cumulative" -> ((s, dir) => {
+      val m = MetricDef("monthly_revenue", "sum", "o_totalprice", Some("o_orderdate"))
+      MC.cumulative(Tables.orders(s, dir), m, "month", None, Some("cumulative_revenue"))
+        .select(col("period"),
+          round(col("monthly_revenue"), 2).as("monthly_revenue"),
+          round(col("cumulative_revenue"), 2).as("cumulative_revenue"))
+        .orderBy("period")
+    }),
+
+    "m_cumulative_window" -> ((s, dir) => {
+      val m = MetricDef("monthly_revenue", "sum", "o_totalprice", Some("o_orderdate"),
+        dimensions = Seq("o_orderpriority"))
+      MC.cumulative(Tables.orders(s, dir), m, "month", trailing = Some(3),
+        cumName = Some("trailing3_avg"), cumAgg = "avg")
+        .select(col("period"), col("o_orderpriority"),
+          round(col("monthly_revenue"), 2).as("monthly_revenue"),
+          round(col("trailing3_avg"), 4).as("trailing3_avg"))
+        .orderBy("period", "o_orderpriority")
+    }),
+
+    "m_multi_grain" -> ((s, dir) => {
+      MC.multiGrain(Tables.orders(s, dir), ordersRevenue, Seq("week", "quarter"))
+        .select(col("grain"), col("period"), round(col("total_revenue"), 2).as("total_revenue"))
+        .orderBy("grain", "period")
+    }),
+
+    "m_dimensions" -> ((s, dir) => {
+      val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir); val r = Tables.region(s, dir)
+      // customer is a fact-sized table at 100 TB: shuffle join on the key,
+      // broadcast only the genuinely small dims (nation/region).
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), c("c_mktsegment"))
+        .agg(round(sum(o("o_totalprice")), 2).as("revenue"),
+             count(o("o_orderkey")).as("n_orders"))
+        .orderBy("r_name", "c_mktsegment")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m_simple_sum" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+        | round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders GROUP BY period ORDER BY period""".stripMargin,
+
+    "m_simple_count" ->
+      """SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS period, l_returnflag,
+        | count(l_orderkey) AS n_items
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "m_count_distinct" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+        | count(DISTINCT o_custkey) AS customer_count
+        |FROM orders GROUP BY period ORDER BY period""".stripMargin,
+
+    "m_average_filtered" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+        | round(avg(o_totalprice), 4) AS avg_order_value
+        |FROM orders WHERE (o_totalprice) > (0) AND (o_orderstatus) = ('F')
+        |GROUP BY period ORDER BY period""".stripMargin,
+
+    "m_min_max" ->
+      """SELECT o_orderpriority, min(o_totalprice) AS min_order,
+        | max(o_totalprice) AS max_order, count(o_orderkey) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "m_median" ->
+      """SELECT l_returnflag, round(median(l_quantity), 4) AS med_qty,
+        | round(median(l_extendedprice), 4) AS med_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "m_ratio" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+        | round(sum(CASE WHEN (l_returnflag) = ('R') THEN l_extendedprice END), 2) AS return_revenue,
+        | round(sum(l_extendedprice), 2) AS gross_revenue,
+        | round(sum(CASE WHEN (l_returnflag) = ('R') THEN l_extendedprice END)
+        |       / nullif(sum(l_extendedprice), 0), 4) AS return_rate
+        |FROM lineitem GROUP BY period ORDER BY period""".stripMargin,
+
+    "m_derived" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS gross_revenue,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+        |       - sum(l_extendedprice * (1 - l_discount)), 2) AS tax_paid
+        |FROM lineitem GROUP BY period ORDER BY period""".stripMargin,
+
+    "m_cumulative" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+        |         sum(o_totalprice) AS mr
+        |  FROM orders GROUP BY period)
+        |SELECT period, round(mr, 2) AS monthly_revenue,
+        | round(sum(mr) OVER (ORDER BY period
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cumulative_revenue
+        |FROM m ORDER BY period""".stripMargin,
+
+    "m_cumulative_window" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+        |         o_orderpriority, sum(o_totalprice) AS mr
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT period, o_orderpriority, round(mr, 2) AS monthly_revenue,
+        | round(avg(mr) OVER (PARTITION BY o_orderpriority ORDER BY period
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS trailing3_avg
+        |FROM m ORDER BY period, o_orderpriority""".stripMargin,
+
+    "m_multi_grain" ->
+      """SELECT 'week' AS grain, CAST(date_trunc('week', o_orderdate) AS DATE) AS period,
+        | round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'quarter' AS grain, CAST(date_trunc('quarter', o_orderdate) AS DATE) AS period,
+        | round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY grain, period""".stripMargin,
+
+    "m_dimensions" ->
+      """SELECT r_name, c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+        | count(o_orderkey) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class MetricsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every metric query runs and returns rows") {
+    for ((name, fn) <- queries.MetricQueries.queries) {
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("simple sum equals direct aggregation") {
+    val df  = SparkEntry.queries("m_simple_sum")(spark, sf)
+    val tot = df.agg(org.apache.spark.sql.functions.sum("total_revenue")).head.getDouble(0)
+    val raw = graft.sources.Tables.orders(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(tot - raw) < 1.0)
+  }
+
+  test("cumulative last row equals grand total") {
+    val rows = SparkEntry.queries("m_cumulative")(spark, sf).collect()
+    val last = rows.last.getAs[Double]("cumulative_revenue")
+    val sum  = rows.map(_.getAs[Double]("monthly_revenue")).sum
+    assert(math.abs(last - sum) < 1.0)
+  }
+
+  test("ratio is bounded in [0,1] where defined") {
+    val bad = SparkEntry.queries("m_ratio")(spark, sf)
+      .filter("return_rate < 0 OR return_rate > 1").count()
+    assert(bad == 0)
+  }
+
+  test("multi_grain has both grains") {
+    val grains = SparkEntry.queries("m_multi_grain")(spark, sf)
+      .select("grain").distinct().collect().map(_.getString(0)).toSet
+    assert(grains == Set("week", "quarter"))
+  }
+
+  test("oracle map keys are a subset of query keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Dev-only replica of the driver's correctness gate (not part of the
+engine). Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+SQL from oracle_sql.json in DuckDB with the sfDir tables registered as
+views, sorts columns by name and rows by value, and diffs."""
+import json, sys, math
+import duckdb
+import pyarrow.parquet as pq
+import pathlib
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in pathlib.Path(sf).glob('*.parquet'):
+    con.sql(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    d = pathlib.Path(out) / name
+    if not d.exists():
+        print(f'FAIL {name}: no spark output'); fails += 1; continue
+    got = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+    exp = con.sql(sql).df()
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f'FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}'); fails += 1; continue
+    if len(got) != len(exp):
+        print(f'FAIL {name}: rows {len(got)} vs {len(exp)}'); fails += 1; continue
+    gv = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    ev = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    bad = 0
+    for c in got.columns:
+        for i, (a, b) in enumerate(zip(gv[c], ev[c])):
+            if a is None and b is None: continue
+            try:
+                if a is None or b is None or (isinstance(a, float) and math.isnan(a) and math.isnan(b)):
+                    if not ((a is None and b is None) or (math.isnan(a) and math.isnan(b))):
+                        raise ValueError
+                    continue
+                eq = (a == b)
+            except Exception:
+                eq = str(a) == str(b)
+            if not eq:
+                if bad < 3:
+                    print(f'  {name}.{c}[{i}]: spark={a!r} oracle={b!r}')
+                bad += 1
+    if bad:
+        print(f'FAIL {name}: {bad} mismatched values'); fails += 1
+    else:
+        print(f'ok   {name} ({len(got)} rows)')
+print('FAILURES:', fails)
+sys.exit(1 if fails else 0)
