@@ -1,24 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR,
+  * emits ONE JSON line. A full warmup pass at sf0.001 first absorbs
+  * JVM/codegen/session startup so the timed numbers measure plans, not
+  * warmup (VERDICT r01: first-run queries absorbed ~16s of warmup).
+  * Failures are recorded per-query ("errors" map, elapsed -1) instead of
+  * being swallowed as fast successes. */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir  = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = graft.sources.Sessions.tune(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    var times  = Vector.empty[(String, Double)]
+    var errors = Vector.empty[(String, String)]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        times :+= name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        times  :+= name -> -1.0
+        errors :+= name -> e.getClass.getSimpleName
+      }
+    }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = times.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,10 +11,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MetricQueries.queries
+    MetricQueries.queries ++ MetaQueries.queries ++ OlapQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    MetricQueries.oracle
+    MetricQueries.oracle ++ OlapQueries.oracle ++ PipelineQueries.oracle
 }

@@ -18,21 +18,33 @@ import org.apache.spark.sql.functions._
   *    single aggregation pass (conditional aggregates), not N passes;
   *  - cumulative metrics pre-aggregate to the grain FIRST and run the
   *    running/rolling window over the tiny aggregated table — the window
-  *    never sees raw rows, so the plan survives a 100 TB fact table.
+  *    never sees raw rows, so the plan survives a 100 TB fact table;
+  *  - multi-grain metrics scan the fact table ONCE at day grain and
+  *    roll the tiny per-day table up to each coarser grain.
   */
 object MetricCompiler {
 
   /** Period column for a grain: DATE for day+ grains, TIMESTAMP below day. */
-  def periodCol(timestamp: String, grain: String): Column = {
-    val t = date_trunc(grain, col(timestamp))
+  def periodCol(timestamp: String, grain: String): Column = periodOf(col(timestamp), grain)
+
+  private def periodOf(t: Column, grain: String): Column = {
+    val tr = date_trunc(grain, t)
     grain.toLowerCase match {
-      case "hour" | "minute" | "second" => t
-      case _                            => t.cast("date")
+      case "hour" | "minute" | "second" => tr
+      case _                            => tr.cast("date")
     }
   }
 
   /** Aggregate expression for a calculation method, optionally gated by a
-    * predicate (used to fuse differently-filtered metrics in one pass). */
+    * predicate (used to fuse differently-filtered metrics in one pass).
+    *
+    * Scale note: `median` is Spark's exact median, which buffers every
+    * value of a group in executor memory — acceptable only when group
+    * cardinality is bounded (it is used here for the sf0.01 oracle,
+    * where DuckDB's exact median is the comparison target). For 100 TB
+    * groups use `median_approx`, which routes through
+    * `percentile_approx` (a fixed-size QuantileSummaries sketch with
+    * map-side partial merge — memory is O(accuracy), not O(rows)). */
   def aggExpr(calc: String, expression: String, gate: Option[Column] = None): Column = {
     val e    = expr(expression)
     val base = gate.map(g => when(g, e)).getOrElse(e)
@@ -44,12 +56,13 @@ object MetricCompiler {
       case "min"            => min(base)
       case "max"            => max(base)
       case "median"         => median(base)
+      case "median_approx"  => percentile_approx(base, lit(0.5), lit(10000))
       case other            => throw new IllegalArgumentException(s"unknown calculation_method: $other")
     }
   }
 
   private def applyFilters(base: DataFrame, filters: Seq[MetricFilter]): DataFrame =
-    filters.foldLeft(base)((df, f) => df.filter(expr(f.sql)))
+    filters.foldLeft(base)((df, f) => df.filter(f.toColumn))
 
   private def groupKeys(m: MetricDef, grain: Option[String]): Seq[Column] =
     grain.map(g => periodCol(m.timestamp.getOrElse(
@@ -68,8 +81,9 @@ object MetricCompiler {
     * pass. Per-metric filters become conditional aggregates, so N metrics
     * still cost one scan + one shuffle. Grain/dims come from `shape`. */
   def fused(base: DataFrame, shape: MetricDef, metrics: Seq[MetricDef], grain: Option[String]): DataFrame = {
+    require(metrics.nonEmpty, "fused() needs at least one metric")
     val aggs = metrics.map { m =>
-      val gate = m.filters.map(f => expr(f.sql)).reduceOption(_ && _)
+      val gate = m.filters.map(_.toColumn).reduceOption(_ && _)
       aggExpr(m.calculationMethod, m.expression, gate).as(m.name)
     }
     val keys = groupKeys(shape, grain)
@@ -77,23 +91,44 @@ object MetricCompiler {
     else base.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** All constituents of a fused ratio/derived metric must agree on the
+    * grouping shape, or the fused plan would silently group differently
+    * than one of them declared. */
+  private def assertSameShape(kind: String, shape: MetricDef, metrics: Seq[MetricDef]): Unit =
+    metrics.foreach { m =>
+      require(m.timestamp == shape.timestamp && m.dimensions == shape.dimensions,
+        s"$kind metric constituents must share timestamp/dimensions: " +
+          s"${m.name}(${m.timestamp},${m.dimensions}) vs ${shape.name}(${shape.timestamp},${shape.dimensions})")
+    }
+
   /** `ratio` metric: numerator metric / denominator metric, null-safe
     * (fused into a single pass — reference example_dbt_metrics.yml:26-41). */
   def ratio(base: DataFrame, name: String, numerator: MetricDef, denominator: MetricDef,
-            grain: Option[String]): DataFrame =
+            grain: Option[String]): DataFrame = {
+    assertSameShape("ratio", numerator, Seq(denominator))
     fused(base, numerator, Seq(numerator, denominator), grain)
       .withColumn(name, col(numerator.name) / nullif(col(denominator.name), lit(0)))
+  }
 
   /** `derived` metric: a SQL expression over already-aggregated measure
     * columns (reference metric type `derived`/`expression`). */
   def derived(base: DataFrame, name: String, expression: String,
-              measures: Seq[MetricDef], grain: Option[String]): DataFrame =
+              measures: Seq[MetricDef], grain: Option[String]): DataFrame = {
+    require(measures.nonEmpty, s"derived metric $name needs at least one measure")
+    assertSameShape("derived", measures.head, measures.tail)
     fused(base, measures.head, measures, grain).withColumn(name, expr(expression))
+  }
 
   /** `cumulative` metric: running (or trailing-N-period) aggregate of a
     * simple metric over its grain (reference example_dbt_metrics.yml:77-92).
     * Pre-aggregates to the grain, then windows over the aggregated rows.
-    * `trailing=None` → running total since the beginning. */
+    * `trailing=None` → running total since the beginning.
+    *
+    * Invariant: the window input is `simple(base, m, grain)`, i.e. at most
+    * one row per (period, dims) — O(periods) rows. The undimensioned case
+    * deliberately uses a single unpartitioned window task; that is safe
+    * *only* because of this pre-aggregation (a century of days is ~36k
+    * rows). Never point this window at raw fact rows. */
   def cumulative(base: DataFrame, m: MetricDef, grain: String,
                  trailing: Option[Int] = None, cumName: Option[String] = None,
                  cumAgg: String = "sum"): DataFrame = {
@@ -112,12 +147,53 @@ object MetricCompiler {
     perPeriod.withColumn(cumName.getOrElse(s"cumulative_${m.name}"), cum)
   }
 
+  /** Calculations whose per-day partials can be rolled up to any coarser
+    * grain. `average` decomposes into sum+count. `count_distinct` and
+    * `median` do NOT decompose and fall back to one scan per grain. */
+  private val reaggregatable = Set("sum", "count", "min", "max", "average")
+
   /** One metric evaluated at several grains, unioned with a `grain` label
     * column (reference `time_grains` list — test_manifest.json metrics
-    * declare day/week/month/quarter/year). */
-  def multiGrain(base: DataFrame, m: MetricDef, grains: Seq[String]): DataFrame =
-    grains.map { g =>
-      simple(base, m, Some(g)).select(
-        lit(g).as("grain") +: col("period") +: (m.dimensions.map(col) :+ col(m.name)): _*)
-    }.reduce(_ unionByName _)
+    * declare day/week/month/quarter/year).
+    *
+    * Scale path: every grain ≥ day is a union of whole days, and
+    * `date_trunc(g, day_date) == date_trunc(g, ts)`, so the fact table is
+    * scanned ONCE, aggregated to per-day partials, and each requested
+    * grain re-aggregates the tiny day table (explode of |grains| labels
+    * over O(days·dims) rows + one small shuffle) — not one 100 TB scan
+    * per grain as a naive per-grain union would cost. */
+  def multiGrain(base: DataFrame, m: MetricDef, grains: Seq[String]): DataFrame = {
+    val calc = m.calculationMethod.toLowerCase
+    val subDay = grains.exists(g => Set("hour", "minute", "second")(g.toLowerCase))
+    if (!reaggregatable(calc) || subDay || m.timestamp.isEmpty) {
+      // non-decomposable: per-grain scans (documented fallback)
+      return grains.map { g =>
+        simple(base, m, Some(g)).select(
+          lit(g).as("grain") +: col("period") +: (m.dimensions.map(col) :+ col(m.name)): _*)
+      }.reduce(_ unionByName _)
+    }
+    // one scan → per-day partials
+    val filtered = applyFilters(base, m.filters)
+    val dayKeys  = periodCol(m.timestamp.get, "day").as("period") +: m.dimensions.map(col)
+    val partials: Seq[Column] = calc match {
+      case "average" => Seq(sum(expr(m.expression)).as("_sum"), count(expr(m.expression)).as("_cnt"))
+      case "count"   => Seq(count(expr(m.expression)).as("_cnt"))
+      case c         => Seq(aggExpr(c, m.expression).as("_part"))
+    }
+    val day = filtered.groupBy(dayKeys: _*).agg(partials.head, partials.tail: _*)
+    // explode each day row to its (grain, period) labels, then roll up
+    val gp = explode(array(grains.map(g =>
+      struct(lit(g).as("grain"), periodOf(col("period"), g).as("period"))): _*)).as("gp")
+    val exploded = day.select(gp +: day.columns.filter(_ != "period").map(col): _*)
+      .select(col("gp.grain").as("grain") +: col("gp.period").as("period") +:
+        day.columns.filter(_ != "period").map(col): _*)
+    val finalAgg: Column = calc match {
+      case "average" => (sum(col("_sum")) / sum(col("_cnt"))).as(m.name)
+      case "count"   => sum(col("_cnt")).as(m.name)
+      case "sum"     => sum(col("_part")).as(m.name)
+      case "min"     => min(col("_part")).as(m.name)
+      case "max"     => max(col("_part")).as(m.name)
+    }
+    exploded.groupBy(col("grain") +: col("period") +: m.dimensions.map(col): _*).agg(finalAgg)
+  }
 }

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a `documents(doc_id, text, ...)` table.
+  *
+  * Scale contracts (the point of each design, per SURVEY §4):
+  *  - exact: ONE hash-shuffle on `sha2(normalized text)` — the group key
+  *    is fixed-width, never the raw text;
+  *  - n-gram Jaccard: exploded-shingle equi-join with a document-
+  *    frequency cap on the posting lists, so a stopword shingle can
+  *    never recreate the all-pairs cross join;
+  *  - MinHash/LSH: O(n·k) map-side signatures, banded buckets, pairs
+  *    generated only inside a bucket;
+  *  - SimHash: 64-bit signature, hamming pairing via 16-bit chunk
+  *    blocking (pigeonhole: distance ≤ 3 ⇒ one of 4 chunks equal);
+  *  - embedding: cosine pairs blocked by a coarse key (label) so the
+  *    pair space is per-block, never global.
+  */
+object Dedup {
+
+  /** Whitespace/caseless normalization shared by exact dedup. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Lowercase word tokens, empty-token filtered. The `[^a-z0-9]+` split
+    * is deliberately restricted to the Spark∩DuckDB common regex subset
+    * (SURVEY §5) so oracles match byte-for-byte. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles (space-joined). Documents shorter
+    * than n tokens contribute no shingles. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group on sha2 of normalized text, keep min doc_id.
+    * Output: keep_id, n_copies (one row per distinct text). */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), sha2(normText(col("text")), 256).as("key"))
+      .groupBy("key")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Exploded (doc_id, shingle) posting list with shingles whose document
+    * frequency exceeds `maxDF` removed — caps every equi-join bucket at
+    * maxDF docs (≤ maxDF² candidate pairs per shingle). */
+  private def cappedPostings(docs: DataFrame, n: Int, maxDF: Int): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+    val keep = ex.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDF).select("s")
+    ex.join(keep, "s")
+  }
+
+  /** n-gram Jaccard near-dup pairs with similarity ≥ `threshold`,
+    * computed over the DF-capped shingle space (both the intersection
+    * and the union use the capped space — a documented, symmetric
+    * semantic: ultra-common shingles carry no signal anyway).
+    * Output: id1, id2, shared, jaccard (4dp). */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                   maxDF: Int = 50): DataFrame = {
+    val cx    = cappedPostings(docs, n, maxDF)
+    val sizes = cx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // rename BOTH sides so the self-join can't resolve to a trivially
+    // true `s == s` predicate (Spark self-join ambiguity)
+    val a = cx.select(col("doc_id").as("id1"), col("s").as("s1"))
+    val b = cx.select(col("doc_id").as("id2"), col("s").as("s2"))
+    val pairs = a.join(b, col("s1") === col("s2") && col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+    val jac = col("shared") / (col("n1") + col("n2") - col("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
+      .filter(jac >= threshold)
+      .select(col("id1"), col("id2"), col("shared"), round(jac, 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: one row per doc, `sig` = array of k minima of
+    * seeded xxhash64 over the doc's shingles. ONE shuffle: k min-aggs
+    * fused in a single groupBy with map-side partials. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 128): DataFrame = {
+    val ex   = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    ex.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: candidate pairs share ≥1 of `bands` band
+    * hashes; candidates are then verified with true capped-space Jaccard
+    * ≥ `threshold`. Pair generation is per-bucket only — no cross join.
+    * Output: id1, id2, jaccard (4dp). */
+  def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 128, bands: Int = 16,
+                 threshold: Double = 0.8, maxDF: Int = 50): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val sig  = minhashSignatures(docs, n, k)
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")))).as(Seq("band", "bh")))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("id1"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("id2"))
+    val candidates = l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    // verify candidates with the true (capped-space) Jaccard
+    val exact = ngramJaccard(docs, n, threshold, maxDF)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    candidates.join(exact, Seq("id1", "id2"))
+  }
+
+  /** 64-bit SimHash per doc: tf-weighted sign-sum of token hash bits,
+    * assembled into a long. One explode + one groupBy(doc) shuffle. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$i")
+    }
+    val agg = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 16).
+    * Blocking: a signature splits into 4 16-bit chunks; distance ≤ 3
+    * implies at least one identical chunk (pigeonhole), so pairing is an
+    * equi-join on (chunk_idx, chunk_value) — never all-pairs.
+    * Output: id1, id2, hamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4 * 4, "chunk blocking assumes maxHamming < 16")
+    val sig = simhashSignatures(docs)
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("ci", "cv")))
+    val l = chunked.select(col("ci"), col("cv"), col("doc_id").as("id1"), col("simhash").as("s1"))
+    val r = chunked.select(col("ci"), col("cv"), col("doc_id").as("id2"), col("simhash").as("s2"))
+    l.join(r, Seq("ci", "cv"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Sequential-fold cosine similarity of two double arrays — the fold
+    * order matches an engine summing the list left-to-right, which keeps
+    * oracle doubles bit-identical. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ `threshold`, blocked by
+    * `blockCol` (label here; an LSH bucket at open scale) so the pair
+    * space is per-block. Output: id1, id2, label, cos (4dp). */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.35,
+                       blockCol: String = "label"): DataFrame = {
+    val e = emb.select(col("vec_id"), col(blockCol),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("id1"), col(blockCol), col("v").as("v1"))
+    val b = e.select(col("vec_id").as("id2"), col(blockCol), col("v").as("v2"))
+    val cos = cosine(col("v1"), col("v2"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id1") < col("id2"))
+      .filter(cos >= threshold)
+      .select(col("id1"), col("id2"), col(blockCol), round(cos, 4).as("cos"))
+  }
+}

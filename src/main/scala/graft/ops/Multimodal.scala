@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, chunk/frame sampling, and a decode
+  * stub.
+  *
+  * The testdata has no real media, so the payload is derived
+  * deterministically from `documents.text` (UTF-8 bytes) — documented
+  * in the oracle SQL. Everything Spark-side (binary schema, per-row
+  * metadata extraction, bounded frame explode, batch shape) is real;
+  * only the codec byte-decode is a clearly-marked deterministic fake
+  * ([[decodeStub]]), to be swapped for a real codec UDF where the
+  * image/audio libraries exist.
+  */
+object Multimodal {
+
+  /** Deterministic binary payload: UTF-8 bytes of `text`. */
+  def payload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Typed metadata per payload: byte length, leading-bytes magic (hex),
+    * sha-256 digest. Pure per-row map — no shuffle. */
+  def binaryMeta(docs: DataFrame): DataFrame =
+    payload(docs).select(
+      col("doc_id"),
+      length(col("payload")).as("n_bytes"),
+      hex(substring(col("payload"), 1, 4)).as("magic"),
+      sha2(col("payload"), 256).as("digest"))
+
+  /** Fixed-size frame decomposition + every-`stride`-th sampling:
+    * posexplode of bounded `frameSize`-byte chunks. The explode factor
+    * is len/frameSize — bounded and known, so the plan's row growth is
+    * predictable at 100 TB. Output: doc_id, frame_idx, frame_len,
+    * frame_hash. */
+  def frameSample(docs: DataFrame, frameSize: Int = 64, stride: Int = 4): DataFrame = {
+    val p = payload(docs)
+    val nFrames = ceil(length(col("payload")).cast("double") / frameSize).cast("int")
+    p.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nFrames - 1),
+          i => substring(col("payload"), (i * frameSize) + 1, lit(frameSize)))).as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("frame_len"),
+        xxhash64(col("frame")).as("frame_hash"))
+  }
+
+  /** STUB — deterministic fake media decode. A real deployment replaces
+    * this with a codec call (image decode / audio PCM / video frame
+    * extraction) in a vectorized UDF; the schema and batch shape here
+    * are the real contract. The fake derives fixed "dimensions" and a
+    * small feature vector from the payload bytes, so downstream plumbing
+    * is testable end-to-end. */
+  def decodeStub(payloadCol: Column, features: Int = 8): Column = {
+    val h = xxhash64(payloadCol)
+    struct(
+      (pmod(h, lit(1920L)) + 1).cast("int").as("width"),
+      (pmod(h / 1920L, lit(1080L)) + 1).cast("int").as("height"),
+      lit(3).as("channels"),
+      transform(sequence(lit(0), lit(features - 1)),
+        i => pmod(xxhash64(payloadCol, i), lit(1000L)).cast("double") / 1000.0).as("features"))
+  }
+
+  /** Decoded-metadata table via the stub: doc_id + decoded struct. */
+  def decoded(docs: DataFrame): DataFrame =
+    payload(docs).select(col("doc_id"), decodeStub(col("payload")).as("media"))
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over
+  * `embeddings(vec_id, embedding: array<float>, label)`.
+  *
+  * Two paths, per SURVEY §4:
+  *  - brute force: exact cosine top-k, valid ONLY when the probe set is
+  *    broadcast-able (it is joined with an explicit `broadcast()`, so
+  *    the corpus is scanned once with no shuffle of the big side);
+  *  - LSH: random-hyperplane signatures bucket both sides; probes and
+  *    corpus co-shuffle on the bucket id, so each bucket's candidate
+  *    set is tiny compared with the corpus. The scale path — recall is
+  *    tunable via planes/probes-per-bucket.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each probe (probe set must be small —
+    * broadcast). Output: probe_id, rank, neighbor_id, cos (4dp). */
+  def bruteForceTopK(emb: DataFrame, probeFilter: Column, k: Int = 5): DataFrame = {
+    val e      = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(probeFilter).select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val cos    = Dedup.cosine(col("pv"), col("v"))
+    val w      = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Deterministic random hyperplanes: `planes(seed)(p)(d)`. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit signature of `v` against the hyperplanes, as an int bucket id. */
+  def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(v, plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: probes and corpus are hashed to hyperplane
+    * sign buckets and equi-joined on the bucket id; top-k is computed
+    * inside the bucket. Output: probe_id, rank, neighbor_id, cos (4dp),
+    * bucket. Neighbors in other buckets are missed — that is the
+    * approximation; recall grows as `numPlanes` shrinks. */
+  def lshTopK(emb: DataFrame, probeFilter: Column, k: Int = 5,
+              numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim    = 64
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", bucketOf(col("v"), planes))
+    val probes = e.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
+    val cos = Dedup.cosine(col("pv"), col("v"))
+    val w   = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("bucket"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("bucket"))
+  }
+}

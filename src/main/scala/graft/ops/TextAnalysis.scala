@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash
+
+/** Text-analysis operators over `documents(doc_id, text, lang, ...)`.
+  *
+  * All of these are pure per-row maps — no shuffle, fully codegen'd —
+  * so they scale linearly with input splits. Token/regex semantics are
+  * restricted to the Spark∩DuckDB common subset (SURVEY §5) so the SQL
+  * oracles hash-match.
+  */
+object TextAnalysis {
+
+  private def toks: Column = Dedup.tokens(col("text"))
+
+  /** Token counting: totals, distinct count, mean token length. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        round(aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double") / size(col("toks")), 4).as("avg_len"))
+
+  /** Tiny per-language marker-word lists for the language-ID heuristic.
+    * (Real deployments plug in a larger lexicon or character-n-gram
+    * model; the operator shape — per-row array intersection counts +
+    * deterministic argmax — is the scalable part.) */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "un", "pour"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "zu", "ist"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "wo"),
+  )
+
+  private def hits(words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(col("toks"), t => array_contains(set, t)))
+  }
+
+  /** Language-ID heuristic: marker hits per language, deterministic
+    * priority-ordered argmax, compared against the labeled lang. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        markers.map { case (l, ws) => hits(ws).as(s"${l}_hits") }: _*)
+    // argmax with first-listed-language priority on ties
+    val pred = markers.map(_._1).tail.foldLeft((lit(markers.head._1), col(s"${markers.head._1}_hits"))) {
+      case ((bestLang, bestHits), l) =>
+        val h = col(s"${l}_hits")
+        (when(h > bestHits, lit(l)).otherwise(bestLang),
+         when(h > bestHits, h).otherwise(bestHits))
+    }._1
+    scored.withColumn("predicted", pred)
+      .withColumn("is_match", (col("predicted") === col("lang")).cast("int"))
+  }
+
+  /** Quality scoring: length, punctuation/whitespace ratio, stopword
+    * ratio, duplicate-token ratio, and a blended score in [0,1]. */
+  def quality(docs: DataFrame): DataFrame = {
+    val stop = array(markers.head._2.map(lit): _*) // EN stopwords
+    docs.select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        // chars that are neither alnum nor space, over all chars
+        round(length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+          .cast("double") / length(col("text")), 4).as("punct_ratio"),
+        round(size(filter(col("toks"), t => array_contains(stop, t)))
+          .cast("double") / size(col("toks")), 4).as("stopword_ratio"),
+        round(lit(1.0) - size(array_distinct(col("toks")))
+          .cast("double") / size(col("toks")), 4).as("dup_ratio"))
+      // dup weight is 0.4, not 0.5: a 4dp ratio × 0.4 never produces an
+      // exact trailing-5 decimal, so Spark (HALF_UP on the decimal) and
+      // DuckDB (round on the binary double) agree at 4dp
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), lit(1.0)
+          - col("punct_ratio") - col("dup_ratio") * 0.4
+          - when(col("n_tokens") < 10, 0.5).otherwise(0.0)), 4))
+  }
+
+  /** Winnowing fingerprint via the custom codegen expression
+    * [[graft.functions.RollingHash]] (window = 16 bytes), plus an exact
+    * full-text hash for exact-dup grouping at fixed width. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    RollingHash.register(docs.sparkSession)
+    docs.select(
+      col("doc_id"),
+      expr("rolling_hash(text, 16)").as("fp_min16"),
+      xxhash64(col("text")).as("fp_full"))
+  }
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2 items 16-21: OLAP bench headliners.
+  *
+  * Join discipline (same as m_dimensions): broadcast only the genuinely
+  * small dims (region 5 rows, nation 25 — still tiny at SF100k);
+  * customer/orders/lineitem/supplier grow with SF, so they shuffle-join
+  * on their keys and rely on AQE for skew. Every date / segment filter
+  * is a plain `Column` predicate applied at the scan, so it pushes into
+  * the parquet reader (PushedFilters non-empty — see BenchSpec's plan
+  * audit).
+  */
+object OlapQueries {
+
+  private val cutoff = "2000-03-15"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 style: one scan, one shuffle, 8 fused aggregates.
+    "q1_pricing" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3 style: filter-first 3-way join, agg, deterministic top-10.
+    "q3_topn" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey"), o("o_orderdate").cast("date").as("o_date"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 style: 6-way snowflake; region/nation broadcast, the
+    // SF-growing tables (customer/orders/lineitem/supplier) shuffle-join.
+    "q5_snowflake" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .join(o, o("o_custkey") === c("c_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") && su("s_nationkey") === c("c_nationkey"))
+        .groupBy(n("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // JSON property extraction + aggregation (pure per-row map → one shuffle).
+    "events_json" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"), col("value"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(avg(col("k")), 4).as("avg_k"),
+          count(when(col("k") >= 90, 1)).as("n_high_k"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Sessionization: 30-min inactivity gap on microsecond epochs
+    // (micros, not nanos: DuckDB truncates parquet TIMESTAMP(NANOS) to
+    // micros, so the oracle can only see micro precision). Windows are
+    // partitioned per-user, so state is distributed across the shuffle;
+    // the session id is a running sum of gap flags.
+    "events_sessionize" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val w     = Window.partitionBy("user_id").orderBy("ts_us")
+      val prev  = lag(col("ts_us"), 1).over(w)
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("is_new", when(prev.isNull || col("ts_us") - prev > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min("ts_us").as("start_us"),
+             (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Structured Streaming tumbling-window agg, batch-equivalent.
+    "stream_windowed_agg" -> ((s, dir) => graft.streaming.EventStreams.windowedAgg(s, dir)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_topn" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2000-03-15'
+        |  AND l_shipdate > TIMESTAMP '2000-03-15'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_snowflake" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+        | count(*) FILTER (WHERE CAST(props->>'$.k' AS INTEGER) >= 90) AS n_high_k,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |            > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM e)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_windowed_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** §2 items 22-34: the LLM-training-data-pipeline operator families
+  * (dedup, similarity search, text analysis, multimodal plumbing) over
+  * the `documents` / `embeddings` tables.
+  *
+  * SQL-oracled where the semantics are expressible in the Spark∩DuckDB
+  * subset; the sketch-based operators (minhash/simhash/LSH/fingerprint)
+  * are rows-only here and exactness-tested in ScalaTest instead.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), n = 3, threshold = 0.8, maxDF = 50)
+        .orderBy("id1", "id2")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), n = 3, k = 128, bands = 16,
+        threshold = 0.8, maxDF = 50).orderBy("id1", "id2")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3).orderBy("id1", "id2")),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.35)
+        .orderBy("id1", "id2")),
+
+    "ann_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .orderBy("probe_id", "rank")),
+
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .orderBy("probe_id", "rank")),
+
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir))
+        .withColumn("n_tokens", col("n_tokens").cast("bigint"))
+        .withColumn("n_uniq", col("n_uniq").cast("bigint"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir))
+        .withColumn("n_chars", col("n_chars").cast("bigint"))
+        .withColumn("n_tokens", col("n_tokens").cast("bigint"))
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"),
+          col("en_hits").cast("bigint"), col("es_hits").cast("bigint"),
+          col("fr_hits").cast("bigint"), col("de_hits").cast("bigint"),
+          col("zh_hits").cast("bigint"), col("predicted"), col("is_match").cast("bigint").as("is_match"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "mm_binary_meta" -> ((s, dir) =>
+      Multimodal.binaryMeta(Tables.documents(s, dir))
+        .withColumn("n_bytes", col("n_bytes").cast("bigint"))
+        .orderBy("doc_id")),
+
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Tables.documents(s, dir), frameSize = 64, stride = 4)
+        .orderBy("doc_id", "frame_idx")),
+  )
+
+  // Shared DuckDB fragments (SURVEY §5: Spark∩DuckDB regex/token subset).
+  private val toks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |      FROM documents)
+         |GROUP BY norm ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |cx AS (SELECT doc_id, ex.s FROM ex JOIN keep ON ex.s = keep.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM cx a JOIN cx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, shared,
+         |  round(shared*1.0/(s1.n + s2.n - shared), 4) AS jaccard
+         |FROM pairs
+         |JOIN sizes s1 ON id1 = s1.doc_id
+         |JOIN sizes s2 ON id2 = s2.doc_id
+         |WHERE shared*1.0/(s1.n + s2.n - shared) >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label,
+        |  round(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))
+        |    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+        |       * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))
+        |    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+        |       * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.35
+        |ORDER BY id1, id2""".stripMargin,
+
+    "ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT probe_id, e.vec_id,
+        |    list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))
+        |      / (sqrt(list_sum(list_transform(pv, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+        |  FROM e, p WHERE e.vec_id <> probe_id),
+        |r AS (SELECT probe_id, vec_id, cos,
+        |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "text_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq,
+         |  round(list_sum(list_transform(toks, x -> len(x)))*1.0/len(toks), 4) AS avg_len
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |r AS (
+         |  SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(len(list_filter(toks, x ->
+         |      list_contains(['the','a','of','and','to','in','is'], x)))*1.0
+         |      / len(toks), 4) AS stopword_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t)
+         |SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, dup_ratio,
+         |  round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |    - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) AS quality_score
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en_hits,
+         |    len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','un'], x))) AS es_hits,
+         |    len(list_filter(toks, x -> list_contains(['le','la','de','et','que','un','pour'], x))) AS fr_hits,
+         |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ein','zu','ist'], x))) AS de_hits,
+         |    len(list_filter(toks, x -> list_contains(['de','shi','bu','le','zai','you','wo'], x))) AS zh_hits
+         |  FROM t),
+         |p AS (
+         |  SELECT *, CASE
+         |    WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+         |    WHEN es_hits >= fr_hits AND es_hits >= de_hits AND es_hits >= zh_hits THEN 'es'
+         |    WHEN fr_hits >= de_hits AND fr_hits >= zh_hits THEN 'fr'
+         |    WHEN de_hits >= zh_hits THEN 'de'
+         |    ELSE 'zh' END AS predicted
+         |  FROM h)
+         |SELECT doc_id, lang, en_hits, es_hits, fr_hits, de_hits, zh_hits, predicted,
+         |  CASE WHEN predicted = lang THEN 1 ELSE 0 END AS is_match
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        | substring(hex(CAST(text AS BLOB)), 1, 8) AS magic,
+        | sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

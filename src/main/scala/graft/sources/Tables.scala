@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   * and expose BOTH the raw nanos (`ts_ns`, exact — for gap/session
   * arithmetic) and a truncated-to-micros TimestampType `ts` (matches
   * DuckDB's `CAST(ts AS TIMESTAMP)`).
+  *
+  * The nanosAsLong conf itself is set once at session build (see
+  * [[Sessions.tune]], used by Verify / Bench / the test session) — a
+  * loader must not mutate session-wide state as a side effect.
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -28,11 +32,27 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** events with `ts_ns: Long` (exact nanos) and `ts: Timestamp` (micros). */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** events with `ts_ns: Long` (exact nanos) and `ts: Timestamp` (micros).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` ([[Sessions.tune]]). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-  }
+}
+
+/** Session-level configuration shared by Verify, Bench and tests. */
+object Sessions {
+  /** Confs every graft session needs; applied at build time so no query
+    * or loader ever mutates a live session. */
+  val required: Map[String, String] = Map(
+    // events.parquet carries INT64 TIMESTAMP(NANOS); read as raw long
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone"           -> "UTC",
+    // AQE re-plans at runtime: coalesces tiny shuffle partitions locally,
+    // splits skewed ones on a real cluster
+    "spark.sql.adaptive.enabled"           -> "true",
+  )
+
+  def tune(b: SparkSession.Builder): SparkSession.Builder =
+    required.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 }
