@@ -44,6 +44,7 @@ object Manifest {
     StructField("database", StringType), StructField("schema", StringType),
     StructField("name", StringType), StructField("alias", StringType),
     StructField("resource_type", StringType), StructField("package_name", StringType),
+    StructField("depends_on", StructType(Seq(StructField("nodes", ArrayType(StringType))))),
   ))
 
   private val sourceType = StructType(Seq(

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+import graft.sources.Tables
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("exact dedup collapses whitespace/case variants to one keeper") {
+    val docs = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "HELLO  \t WORLD "),
+      (4L, "something else entirely")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("keep_id") == 1L && out.head.getAs[Long]("n_copies") == 3L)
+    assert(out(1).getAs[Long]("keep_id") == 4L && out(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("shingles are distinct in-order word 3-grams") {
+    val sh = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh")).head()
+      .getAs[scala.collection.Seq[String]]("sh")
+    assert(sh.toSeq == Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("ngram jaccard finds the known near-dup pairs at sf0.001") {
+    val pairs = Dedup.ngramJaccard(Tables.documents(spark, sf)).collect()
+    assert(pairs.nonEmpty, "expected near-dup pairs in testdata")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.8))
+  }
+
+  test("minhash LSH returns a verified subset with high recall of exact pairs") {
+    val exact = Dedup.ngramJaccard(Tables.documents(spark, sf))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(Tables.documents(spark, sf))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH output must be verified against true Jaccard")
+    assert(lsh.size >= (exact.size * 0.8).toInt,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: identical docs collide at hamming 0; disjoint docs don't pair") {
+    val docs = Seq(
+      (1L, "spark shuffles partition the keyspace across executors for joins"),
+      (2L, "spark shuffles partition the keyspace across executors for joins"),
+      (3L, "entirely different words about nothing in particular here today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("embedding near-dups stay within label blocks and above threshold") {
+    val out = Dedup.embeddingNearDup(Tables.embeddings(spark, sf)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("cos") >= 0.35))
+  }
+
+  test("brute-force ANN: k neighbors per probe, ranked by cosine desc") {
+    val out = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), col("vec_id") < 3, k = 5)
+      .collect()
+    assert(out.length == 15)
+    val byProbe = out.groupBy(_.getAs[Long]("probe_id"))
+    byProbe.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(sorted.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("probe_id")))
+    }
+  }
+
+  test("LSH ANN neighbors share the probe's bucket and rank correctly") {
+    val out = Similarity.lshTopK(Tables.embeddings(spark, sf), col("vec_id") < 3, k = 5)
+      .collect()
+    assert(out.nonEmpty)
+    // every returned neighbor must be a true same-bucket vector: recompute buckets
+    val planes = Similarity.hyperplanes(8, 64)
+    val buckets = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.bucketOf(
+        col("embedding").cast("array<double>"), planes).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(buckets(r.getAs[Long]("neighbor_id")) == r.getAs[Int]("bucket"))
+      assert(buckets(r.getAs[Long]("probe_id")) == r.getAs[Int]("bucket"))
+    }
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.model.Manifest
+import graft.meta.{Glossary, Lineage}
+import graft.sources.MetadataSink
+
+/** Asserts the manifest → glossary → lineage pipeline emits exactly the
+  * records the reference would for the fixture manifest (3 metrics,
+  * 2 models, 2 sources, nested Finance/Revenue-style categories). */
+class ManifestSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val parsed  = Manifest.parse(spark, Manifest.fixtureJson)
+  private lazy val metrics = Manifest.metrics(parsed)
+  private lazy val lineage =
+    Lineage.resolve(metrics, Manifest.nodes(parsed), Manifest.sources(parsed))
+  private lazy val glossary = Glossary.records(metrics, lineage)
+
+  test("parse_metrics finds all metrics with calc methods and grains") {
+    val rows = metrics.orderBy("unique_id").collect()
+    assert(rows.length == 3)
+    val byName = rows.map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("total_revenue").getAs[String]("calculation_method") == "sum")
+    assert(byName("customer_count").getAs[String]("calculation_method") == "count_distinct")
+    assert(byName("avg_order_value").getAs[String]("calculation_method") == "average")
+    assert(byName("total_revenue").getAs[scala.collection.Seq[String]]("time_grains").toSeq ==
+      Seq("day", "week", "month", "quarter", "year"))
+    assert(byName("avg_order_value").getAs[scala.collection.Seq[AnyRef]]("filters").length == 1)
+  }
+
+  test("semantic models parse dimensions/measures/entities") {
+    val sm = Manifest.semanticModels(parsed).collect()
+    assert(sm.length == 1)
+    assert(sm.head.getAs[String]("name") == "orders_sm")
+    assert(sm.head.getAs[scala.collection.Seq[AnyRef]]("measures").length == 2)
+  }
+
+  test("lineage resolves model deps to lowercased dataset URNs") {
+    val urns = lineage.filter(col("metric_id") === "metric.test_dbt_project.total_revenue")
+      .select("dataset_urn").collect().map(_.getString(0))
+    assert(urns.toSeq ==
+      Seq("urn:li:dataset:(urn:li:dataPlatform:dbt,analytics.public.orders,PROD)"))
+  }
+
+  test("lineage resolves source deps via identifier") {
+    // the customers model depends on a source; Lineage.resolve only needs
+    // (unique_id, depends_on), so it works over the nodes table too
+    val nodes = Manifest.nodes(parsed)
+    val resolved = Lineage.resolve(nodes, nodes, Manifest.sources(parsed))
+    val urn = resolved
+      .filter(col("metric_id") === "model.test_dbt_project.customers")
+      .select("dataset_urn").collect().map(_.getString(0))
+    assert(urn.toSeq ==
+      Seq("urn:li:dataset:(urn:li:dataPlatform:dbt,analytics.raw.raw_customers,PROD)"))
+  }
+
+  test("glossary hierarchy: root, category nodes with nested paths, terms") {
+    val recs = glossary.collect().map(r =>
+      (r.getAs[String]("entity_type"), r.getAs[String]("urn"),
+       r.getAs[String]("parent_urn"))).toSet
+    assert(recs.contains(("glossaryNode", "urn:li:glossaryNode:dbt_metrics", null)))
+    assert(recs.contains(("glossaryNode", "urn:li:glossaryNode:dbt_metrics.Finance.Revenue",
+      "urn:li:glossaryNode:dbt_metrics")))
+    assert(recs.contains(("glossaryTerm",
+      "urn:li:glossaryTerm:dbt_metrics.Finance.Revenue.total_revenue",
+      "urn:li:glossaryNode:dbt_metrics.Finance.Revenue")))
+    // 1 root + 3 categories + 3 terms
+    assert(glossary.count() == 7)
+  }
+
+  test("term custom properties flatten dbt fields, meta_* and upstreams") {
+    val props = glossary
+      .filter(col("urn") === "urn:li:glossaryTerm:dbt_metrics.Finance.Metrics.avg_order_value")
+      .select("custom_properties").head().getAs[Map[String, String]](0)
+    assert(props("dbt_unique_id") == "metric.test_dbt_project.avg_order_value")
+    assert(props("calculation_method") == "average")
+    assert(props("dimensions") == "customer_id")
+    assert(props("time_grains") == "week, month, quarter")
+    assert(props("tags") == "revenue, finance, kpi")
+    assert(props("meta_owner") == "finance_team")
+    assert(!props.contains("meta_datahub_glossary_category"))
+    assert(props("upstream_datasets") ==
+      "urn:li:dataset:(urn:li:dataPlatform:dbt,analytics.public.orders,PROD)")
+    assert(props("filters").contains("order_total"))
+  }
+
+  test("term display name prefers label; definition prefers description") {
+    val r = glossary
+      .filter(col("urn") === "urn:li:glossaryTerm:dbt_metrics.Finance.Metrics.avg_order_value")
+      .select("name", "definition").head()
+    assert(r.getString(0) == "Average Order Value (AOV)")
+    assert(r.getString(1) == "Average value per order")
+  }
+
+  test("MetadataSink dry-run counts without writing; real write round-trips") {
+    val dry = MetadataSink.emit(glossary, "/tmp/graft_sink_should_not_exist", dryRun = true)
+    assert(dry.records == 7 && dry.path.isEmpty)
+    assert(!new java.io.File("/tmp/graft_sink_should_not_exist").exists())
+    val out = MetadataSink.emit(glossary.drop("custom_properties"),
+      "/tmp/graft_sink_test", format = "json")
+    assert(out.records == 7 && out.path.contains("/tmp/graft_sink_test"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+/** Plan audits: asserts the physical plans keep the scale properties the
+  * operators promise (single scans, broadcasts only on dims, pushed
+  * filters, no cartesian products) — the properties that decide whether
+  * the same plan survives 100 TB, checked mechanically every build. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("m_multi_grain scans the fact table exactly once") {
+    val p = plan("m_multi_grain")
+    assert(countOccurrences(p, "orders.parquet") == 1,
+      s"expected a single orders scan:\n$p")
+  }
+
+  test("q1_pricing pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("q5_snowflake broadcasts only the tiny dims") {
+    val p = plan("q5_snowflake")
+    val broadcasts = countOccurrences(p, "BroadcastHashJoin")
+    assert(broadcasts >= 2, s"nation/region should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected product join:\n$p")
+  }
+
+  test("no query plan contains a cartesian product") {
+    // ann_bruteforce intentionally crosses a broadcast probe set with the
+    // corpus (bounded |probes|·|corpus| work, no shuffle of the big side)
+    val exempt = Set("ann_bruteforce")
+    for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+  }
+
+  test("text analysis plans are shuffle-free per-row maps") {
+    for (name <- Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      // drop the final presentation orderBy: audit the operator itself
+      val core = df.queryExecution.executedPlan.toString
+      val shuffles = countOccurrences(core, "Exchange")
+      // one range-partition exchange for the output ORDER BY is allowed
+      assert(shuffles <= 1, s"$name shuffles more than the output sort:\n$core")
+    }
+  }
+
+  test("dedup_exact groups on a fixed-width hash key, not raw text") {
+    val p = plan("dedup_exact")
+    assert(p.contains("sha2"), s"expected sha2 group key:\n$p")
+  }
+}
