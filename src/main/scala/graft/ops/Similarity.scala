@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact cosine top-k for each probe (probe set must be small —
-    * broadcast). Output: probe_id, rank, neighbor_id, cos (4dp). */
+    * broadcast). Per-vector norms are precomputed, so each
+    * probe×corpus cell costs one array fold.
+    * Output: probe_id, rank, neighbor_id, cos (4dp). */
   def bruteForceTopK(emb: DataFrame, probeFilter: Column, k: Int = 5): DataFrame = {
-    val e      = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val probes = e.filter(probeFilter).select(col("vec_id").as("probe_id"), col("v").as("pv"))
-    val cos    = Dedup.cosine(col("pv"), col("v"))
-    val w      = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+    val probes = e.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val cos = Dedup.dot(col("pv"), col("v")) / (col("pn") * col("nrm"))
+    val w   = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), cos.as("cos"))
       .withColumn("rank", row_number().over(w))
@@ -58,9 +62,10 @@ object Similarity {
     val planes = hyperplanes(numPlanes, dim, seed)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", bucketOf(col("v"), planes))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
     val probes = e.filter(probeFilter)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
-    val cos = Dedup.cosine(col("pv"), col("v"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"), col("bucket"))
+    val cos = Dedup.dot(col("pv"), col("v")) / (col("pn") * col("nrm"))
     val w   = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     e.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))

@@ -26,7 +26,7 @@ object PipelineQueries {
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), n = 3, k = 128, bands = 16,
-        threshold = 0.8, maxDF = 50).orderBy("id1", "id2")),
+        threshold = 0.8).orderBy("id1", "id2")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3).orderBy("id1", "id2")),
