@@ -40,7 +40,14 @@ for name, sql in sorted(oracle.items()):
                     if not ((a is None and b is None) or (math.isnan(a) and math.isnan(b))):
                         raise ValueError
                     continue
-                eq = (a == b)
+                # floats: tolerance-based compare — the engines round
+                # independently, so values rounded to Ndp may differ by one
+                # final-digit ulp when the unrounded sums straddle a .5
+                # boundary (parallel vs sequential double summation)
+                if isinstance(a, float) or isinstance(b, float):
+                    eq = math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-6)
+                else:
+                    eq = (a == b)
             except Exception:
                 eq = str(a) == str(b)
             if not eq:
