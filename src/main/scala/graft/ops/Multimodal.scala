@@ -66,4 +66,43 @@ object Multimodal {
   /** Decoded-metadata table via the stub: doc_id + decoded struct. */
   def decoded(docs: DataFrame): DataFrame =
     payload(docs).select(col("doc_id"), decodeStub(col("payload")).as("media"))
+
+  /** Typed decode-batch contract: doc_id + payload in, typed media out. */
+  final case class MediaIn(doc_id: Long, payload: Array[Byte])
+  final case class MediaOut(doc_id: Long, width: Int, height: Int,
+                            channels: Int, features: Array[Float])
+
+  /** Batched typed decode via `mapPartitions` — the Scala analog of a
+    * vectorized (pandas-style) decode UDF: the codec is invoked once
+    * per partition iterator, so per-call setup (codec init, native lib
+    * handles) amortizes across the batch, and the output is a typed
+    * `Dataset[MediaOut]` with a case-class Encoder.
+    *
+    * STUB: the per-record byte decode is [[fakeDecode]], a deterministic
+    * fake — swap it for a real codec; the partitioning, batch shape and
+    * schema contract stay as-is. */
+  def decodeBatch(docs: DataFrame): org.apache.spark.sql.Dataset[MediaOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    payload(docs).select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions { batch =>
+        // per-partition setup would init the real codec here, once
+        batch.map(m => fakeDecode(m))
+      }
+  }
+
+  /** STUB — deterministic fake byte decode (same arithmetic as
+    * [[decodeStub]]'s hash-derived fields, computed JVM-side). */
+  private def fakeDecode(m: MediaIn): MediaOut = {
+    // xxhash64-free deterministic fake: FNV-1a over the payload bytes
+    var h = 0xcbf29ce484222325L
+    m.payload.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+    def um(x: Long, mod: Long): Long = { val r = x % mod; if (r < 0) r + mod else r }
+    MediaOut(
+      m.doc_id,
+      (um(h, 1920L) + 1).toInt,
+      (um(h / 1920L, 1080L) + 1).toInt,
+      3,
+      Array.tabulate(8)(i => um(h ^ (i * 0x9e3779b97f4a7c15L), 1000L).toFloat / 1000f))
+  }
 }

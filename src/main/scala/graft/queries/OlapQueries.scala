@@ -108,6 +108,17 @@ object OlapQueries {
 
     // Structured Streaming tumbling-window agg, batch-equivalent.
     "stream_windowed_agg" -> ((s, dir) => graft.streaming.EventStreams.windowedAgg(s, dir)),
+
+    // Salt-and-explode skew join: identical results to the plain join,
+    // with hot o_custkey partitions fanned across 8 reducers.
+    "skew_salted_join" -> ((s, dir) => {
+      graft.ops.Skew.saltedJoin(
+          Tables.orders(s, dir), Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"),
+          key = "o_custkey", buckets = 8, saltBy = col("o_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,5 +188,12 @@ object OlapQueries {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the salted join must agree exactly with the plain join
+    "skew_salted_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

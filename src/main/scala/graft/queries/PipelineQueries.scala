@@ -43,6 +43,10 @@ object PipelineQueries {
       Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
 
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .orderBy("probe_id", "rank")),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir))
         .withColumn("n_tokens", col("n_tokens").cast("bigint"))
@@ -74,6 +78,12 @@ object PipelineQueries {
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir), frameSize = 64, stride = 4)
         .orderBy("doc_id", "frame_idx")),
+
+    "mm_decode_batch" -> ((s, dir) =>
+      Multimodal.decodeBatch(Tables.documents(s, dir)).toDF().orderBy("doc_id")),
+
+    "stream_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionize(s, dir)),
   )
 
   // Shared DuckDB fragments (SURVEY §5: Spark∩DuckDB regex/token subset).

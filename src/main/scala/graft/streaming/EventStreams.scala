@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the `events` table.
@@ -62,5 +62,75 @@ object EventStreams {
       .select(col("w.start").as("period"), col("event_type"),
         col("n_events"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy("period", "event_type")
+  }
+
+  /** Open sessions carried across micro-batches, keyed by user. */
+  final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              start_us: Long, dur_us: Long)
+
+  /** Arbitrary-stateful streaming sessionization:
+    * `flatMapGroupsWithState` over user_id with a 30-min inactivity
+    * gap. Each micro-batch's events are gap-split in event-time order;
+    * the OPEN (most recent) session persists in `GroupState` so it can
+    * merge with the next batch's events instead of being cut at the
+    * batch boundary — the custom-state pattern Spark's built-in
+    * windowed aggs can't express. Only gap-CLOSED sessions are emitted:
+    * a session is not final until its inactivity gap has passed (a
+    * continuous deployment would flush stragglers via a state timeout).
+    * StreamingSpec asserts the emitted sessions equal the batch
+    * sessionization minus each user's still-open last session.
+    */
+  def sessionize(spark: SparkSession, sfDir: String, gapUs: Long = 30L * 60 * 1000000L): DataFrame = {
+    import spark.implicits._
+
+    def split(state: Option[SessionState], sorted: Seq[Long]):
+        (Seq[(Long, Long, Long)], Option[SessionState]) = {
+      // fold events into (start, last, n) runs separated by > gap
+      var runs    = Vector.empty[(Long, Long, Long)]
+      var current = state.map(s => (s.startUs, s.lastUs, s.nEvents))
+      sorted.foreach { t =>
+        current match {
+          case Some((s0, l0, n0)) if t - l0 <= gapUs => current = Some((s0, t, n0 + 1))
+          case Some(run) => runs :+= run; current = Some((t, t, 1L))
+          case None      => current = Some((t, t, 1L))
+        }
+      }
+      (runs, current.map { case (s0, l0, n0) => SessionState(s0, l0, n0) })
+    }
+
+    val fn = (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) => {
+      val ts = rows.map(_._2).toArray.sorted.toSeq
+      val (closed, open) = split(state.getOption, ts)
+      open.foreach(state.update)
+      closed.iterator.map { case (s0, l0, n0) => SessionOut(user, -1L, n0, s0, l0 - s0) }
+    }
+
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+
+    val sink = s"graft_stream_sessions_${runId.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // session_id is assigned per user by start time after the fact (the
+    // stateful operator emits sessions unordered across batches)
+    spark.table(sink)
+      .withColumn("session_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("start_us")).cast("long"))
+      .select("user_id", "session_id", "n_events", "start_us", "dur_us")
+      .orderBy("user_id", "session_id")
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Similarity, Skew}
+import graft.sources.Tables
+
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("IVF ANN recalls most brute-force neighbors at nprobe=4/16") {
+    val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(Tables.embeddings(spark, sf), col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    assert(ivf.size == brute.size, "IVF should fill k slots per probe from its cells")
+  }
+
+  test("salted join returns exactly the plain join's aggregate") {
+    val salted = SparkEntry.queries("skew_salted_join")(spark, sf).collect()
+    val o = Tables.orders(spark, sf); val c = Tables.customer(spark, sf)
+    val plain = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment").collect()
+    assert(salted.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+  }
+
+  test("salted join fans the large side across all buckets") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf).withColumnRenamed("c_custkey", "o_custkey")
+    val joined = Skew.saltedJoin(o, c, "o_custkey", buckets = 8, saltBy = col("o_orderkey"))
+    // same row count as the plain join: replication did not duplicate matches
+    val plainCount = o.join(c, Seq("o_custkey")).count()
+    assert(joined.count() == plainCount)
+  }
+
+  test("typed batch decode is deterministic and fully typed") {
+    val out = Multimodal.decodeBatch(Tables.documents(spark, sf))
+    val rows = out.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(m => m.width >= 1 && m.width <= 1920 && m.channels == 3))
+    assert(rows.forall(_.features.length == 8))
+    val again = Multimodal.decodeBatch(Tables.documents(spark, sf)).collect()
+    assert(rows.map(_.doc_id).sameElements(again.map(_.doc_id)))
+    assert(rows.map(_.width).sameElements(again.map(_.width)))
+  }
+}

@@ -17,4 +17,15 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
     assert(streamed.length == batch.length && streamed.sameElements(batch))
   }
+
+  test("stateful sessionize emits exactly the gap-closed batch sessions") {
+    val streamed = graft.streaming.EventStreams.sessionize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // batch oracle: all sessions minus each user's last (still open) one
+    val all = SparkEntry.queries("events_sessionize")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_us")))
+    val closed = all.groupBy(_._1).values.flatMap(ss => ss.sortBy(_._2).dropRight(1)).toSet
+    assert(streamed.toSet == closed, s"${streamed.length} streamed vs ${closed.size} closed")
+  }
 }
