@@ -80,15 +80,22 @@ object Glossary {
       map_filter(coalesce(col("meta"), map()), (k, _) => k =!= "datahub_glossary_category"),
       (k, _) => concat(lit("meta_"), k))
 
+    // reference GlossaryTermInfo: name=label||name, definition=
+    // description||fallback (empty string also falls back, like
+    // Python's `or`), termSource="dbt" (:310-316)
     val catPath = regexp_replace(category, "/", ".")
     val terms = withUp.select(
       lit("glossaryTerm").as("entity_type"),
       termUrn(concat_ws(".", lit(root), catPath, col("name"))).as("urn"),
       coalesce(col("label"), col("name")).as("name"),
-      coalesce(col("description"), concat(lit("dbt metric: "), col("name"))).as("definition"),
+      when(col("description").isNotNull && col("description") =!= "", col("description"))
+        .otherwise(concat(lit("dbt metric: "), col("name"))).as("definition"),
       nodeUrn(concat(lit(s"$root."), catPath)).as("parent_urn"),
-      map_concat(fixedProps, metaProps).as("custom_properties"))
+      map_concat(fixedProps, metaProps).as("custom_properties"),
+      lit("dbt").as("term_source"))
 
-    rootDf.unionByName(cats).unionByName(terms)
+    rootDf.withColumn("term_source", lit(null).cast("string"))
+      .unionByName(cats.withColumn("term_source", lit(null).cast("string")))
+      .unionByName(terms)
   }
 }

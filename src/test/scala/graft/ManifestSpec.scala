@@ -89,9 +89,20 @@ class ManifestSpec extends AnyFunSuite {
   test("term display name prefers label; definition prefers description") {
     val r = glossary
       .filter(col("urn") === "urn:li:glossaryTerm:dbt_metrics.Finance.Metrics.avg_order_value")
-      .select("name", "definition").head()
+      .select("name", "definition", "term_source").head()
     assert(r.getString(0) == "Average Order Value (AOV)")
     assert(r.getString(1) == "Average value per order")
+    assert(r.getString(2) == "dbt")
+  }
+
+  test("end-to-end ingestion: parse → glossary → emit, with dry-run") {
+    val dry = graft.meta.Ingestion.run(spark, Manifest.fixtureJson,
+      "/tmp/graft_ingest_dry", dryRun = true)
+    assert(dry.metrics == 3 && dry.records == 7 && dry.outPath.isEmpty)
+    val real = graft.meta.Ingestion.run(spark, Manifest.fixtureJson, "/tmp/graft_ingest_out")
+    assert(real.records == 7 && real.outPath.contains("/tmp/graft_ingest_out"))
+    val readBack = spark.read.parquet("/tmp/graft_ingest_out")
+    assert(readBack.filter(col("entity_type") === "glossaryTerm").count() == 3)
   }
 
   test("MetadataSink dry-run counts without writing; real write round-trips") {

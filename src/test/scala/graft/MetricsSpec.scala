@@ -59,6 +59,33 @@ class MetricsSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("median_approx scale path tracks exact median") {
+    import graft.metrics.{MetricCompiler => MC, MetricDef}
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val exact = MC.simple(li, MetricDef("m", "median", "l_extendedprice"), None)
+      .head().getDouble(0)
+    val approx = MC.simple(li, MetricDef("m", "median_approx", "l_extendedprice"), None)
+      .head().getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.01,
+      s"approx=$approx vs exact=$exact")
+  }
+
+  test("multiGrain average path equals per-grain simple aggregation") {
+    import graft.metrics.{MetricCompiler => MC, MetricDef}
+    val o = graft.sources.Tables.orders(spark, sf)
+    val m = MetricDef("avg_price", "average", "o_totalprice", Some("o_orderdate"))
+    val rolled = MC.multiGrain(o, m, Seq("month", "quarter"))
+      .filter(org.apache.spark.sql.functions.col("grain") === "quarter")
+      .orderBy("period").collect()
+      .map(r => (r.getAs[java.sql.Date]("period"), r.getAs[Double]("avg_price")))
+    val direct = MC.simple(o, m, Some("quarter")).orderBy("period").collect()
+      .map(r => (r.getAs[java.sql.Date]("period"), r.getAs[Double]("avg_price")))
+    assert(rolled.length == direct.length)
+    rolled.zip(direct).foreach { case ((p1, v1), (p2, v2)) =>
+      assert(p1 == p2 && math.abs(v1 - v2) < 1e-9, s"$p1: $v1 vs $v2")
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
