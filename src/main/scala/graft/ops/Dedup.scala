@@ -106,22 +106,15 @@ object Dedup {
   }
 
   /** MinHash signatures: one row per doc, `sig` = array of k minima of
-    * k permutation hashes over the doc's shingles. ONE shuffle: k
-    * min-aggs fused in a single groupBy with map-side partials.
-    *
-    * The k permutations use the standard double-hashing construction
-    * h_i(s) = a(s) + i·b(s): two string hashes per shingle instead of k,
-    * with a/b reduced below 2^31 so i·b + a stays < 2^39 — no overflow
-    * under ANSI arithmetic. */
+    * k permutation hashes over the doc's shingles. ONE shuffle via the
+    * custom declarative aggregate [[graft.functions.MinHashAgg]]: the
+    * buffer is a single k-long array with map-side partial merge, so
+    * the shuffle carries one signature per (partition, doc). */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 128): DataFrame = {
-    val ex = postings(docs, n)
-      .select(col("doc_id"),
-        pmod(xxhash64(col("s")), lit(1L << 31)).as("ha"),
-        pmod(xxhash64(lit(1), col("s")), lit(1L << 31)).as("hb"))
-    val mins = (0 until k).map(i => min(col("ha") + lit(i.toLong) * col("hb")).as(s"h$i"))
-    ex.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    graft.functions.MinHashAgg.register(docs.sparkSession)
+    postings(docs, n)
+      .groupBy("doc_id")
+      .agg(expr(s"minhash_agg(s, $k)").as("sig"))
   }
 
   /** MinHash + LSH banding: candidate pairs share ≥1 of `bands` band

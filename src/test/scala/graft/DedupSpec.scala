@@ -34,6 +34,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.8))
   }
 
+  test("minhash_agg aggregate equals per-permutation min columns") {
+    val k = 16
+    val docs = Tables.documents(spark, sf).limit(50)
+    val viaAgg = Dedup.minhashSignatures(docs, n = 3, k = k)
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("sig").toSeq).toMap
+    // reference: the same double-hash permutations as k separate min aggs
+    val ex = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("s")), lit(1L << 31)).as("ha"),
+        pmod(xxhash64(lit(1), col("s")), lit(1L << 31)).as("hb"))
+    val mins = (0 until k).map(i => min(col("ha") + lit(i.toLong) * col("hb")).as(s"h$i"))
+    val viaCols = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong(_))).toMap
+    assert(viaAgg.keySet == viaCols.keySet)
+    viaAgg.keys.foreach(id => assert(viaAgg(id) == viaCols(id), s"doc $id"))
+  }
+
   test("minhash LSH returns a verified subset with high recall of exact pairs") {
     val exact = Dedup.ngramJaccard(Tables.documents(spark, sf))
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
