@@ -1,72 +1,97 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types._
+import java.nio.ByteBuffer
 
-/** MinHash signature as a native declarative aggregate.
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature as a native imperative aggregate.
   *
   * `minhash_agg(shingle, k)` folds a group's shingles into a k-element
-  * array of permutation minima — the MinHash signature — in ONE
-  * aggregate buffer. Being a `DeclarativeAggregate` (pure Catalyst
-  * expressions for init/update/merge), it:
+  * array of permutation minima — the MinHash signature — with a single
+  * mutable `Array[Long]` buffer, the `TypedImperativeAggregate` sketch
+  * pattern (same shape Spark uses for HLL/percentile sketches):
   *
-  *  - participates in hash aggregation with map-side partial merge, so
-  *    the shuffle carries one k-long array per (partition, doc), not
-  *    posting rows;
-  *  - needs no UDAF object serialization and stays codegen-compatible;
-  *  - uses the standard double-hashing construction
-  *    h_i(s) = a(s) + i·b(s), with a,b < 2^31 so the arithmetic cannot
-  *    overflow under ANSI mode (i ≤ k < 2^8 ⇒ h_i < 2^39).
+  *  - the per-row update is a tight JVM loop (2 string hashes + k
+  *    fused multiply-add-min), no expression interpretation and no
+  *    per-row allocation — measured faster than both a 128-column
+  *    min-agg and a declarative zip_with buffer (higher-order
+  *    functions are CodegenFallback, so a declarative array buffer
+  *    interprets per row);
+  *  - partial aggregation merges map-side, so the shuffle carries one
+  *    serialized signature per (partition, doc), not posting rows;
+  *  - permutations use the standard double-hashing construction
+  *    h_i(s) = a(s) + i·b(s), bit-identical to the SQL expression
+  *    `pmod(xxhash64(s),2^31) + i*pmod(xxhash64(1,s),2^31)`
+  *    (DedupSpec proves the equality).
   *
-  * This is the aggregate-side counterpart of the scalar
-  * [[RollingHash]] extension point (SURVEY §3: custom Catalyst
-  * expressions only where `functions._` can't express the op — here,
-  * an elementwise-min array fold as a first-class aggregate).
+  * Aggregate-side counterpart of the scalar [[RollingHash]] extension
+  * point (SURVEY §3).
   */
-final case class MinHashAgg(child: Expression, k: Int)
-    extends DeclarativeAggregate with UnaryLike[Expression] {
+final case class MinHashAgg(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
   require(k >= 1 && k <= 4096, s"signature length k out of range: $k")
 
-  private val arrType = ArrayType(LongType, containsNull = false)
-
-  override def dataType: DataType = arrType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "minhash_agg"
 
-  private lazy val minima =
-    AttributeReference("minima", arrType, nullable = false)()
+  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
 
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(minima)
+  // seed chain replicating SQL xxhash64(1, s): the first arg folds into
+  // the seed of the second (42L is functions.xxhash64's default seed)
+  private val seedB: Long = XxHash64Function.hash(1, IntegerType, 42L)
 
-  override lazy val initialValues: Seq[Expression] =
-    Seq(Literal.create(Array.fill(k)(Long.MaxValue), arrType))
-
-  /** a(s) + i·b(s) for i in [0, k). */
-  private def permHashes: Expression = {
-    // seed 42L is xxhash64's default seed in functions.xxhash64
-    val a = Pmod(XxHash64(Seq(child), 42L), Literal(1L << 31))
-    val b = Pmod(XxHash64(Seq(Literal(1), child), 42L), Literal(1L << 31))
-    CreateArray((0 until k).map(i => Add(a, Multiply(Literal(i.toLong), b))))
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s  = v.asInstanceOf[UTF8String]
+      val ha = java.lang.Math.floorMod(XxHash64Function.hash(s, StringType, 42L), 1L << 31)
+      val hb = java.lang.Math.floorMod(XxHash64Function.hash(s, StringType, seedB), 1L << 31)
+      var i = 0
+      var h = ha
+      while (i < k) {
+        if (h < buf(i)) buf(i) = h
+        h += hb
+        i += 1
+      }
+    }
+    buf
   }
 
-  private def zipMin(x: Expression, y: Expression): Expression = {
-    val l = NamedLambdaVariable("l", LongType, nullable = false)
-    val r = NamedLambdaVariable("r", LongType, nullable = false)
-    ZipWith(x, y, LambdaFunction(Least(Seq(l, r)), Seq(l, r)))
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (other(i) < buf(i)) buf(i) = other(i); i += 1 }
+    buf
   }
 
-  override lazy val updateExpressions: Seq[Expression] =
-    Seq(If(IsNull(child), minima, zipMin(minima, permHashes)))
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
-  override lazy val mergeExpressions: Seq[Expression] =
-    Seq(zipMin(minima.left, minima.right))
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(k * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
 
-  override lazy val evaluateExpression: Expression = minima
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong)
+  }
 
+  override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashAgg =
+    copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(newChild: Expression): MinHashAgg =
     copy(child = newChild)
 }

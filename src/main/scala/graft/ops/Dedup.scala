@@ -97,10 +97,16 @@ object Dedup {
     val sizes = buckets
       .select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val jac = col("shared") / (col("n1") + col("n2") - col("shared"))
-    pairs
-      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
+    // melt each pair to its two member ids so the per-doc sizes table
+    // joins ONCE (sum of the two sizes per pair), not once per side —
+    // without a cache, every join against `sizes` would re-execute its
+    // whole bucket chain
+    val melted = pairs.select(col("id1"), col("id2"), col("shared"),
+      explode(array(col("id1"), col("id2"))).as("doc_id"))
+    val summed = melted.join(sizes, "doc_id")
+      .groupBy("id1", "id2", "shared").agg(sum(col("n_sh")).as("s12"))
+    val jac = col("shared") / (col("s12") - col("shared"))
+    summed
       .filter(jac >= threshold)
       .select(col("id1"), col("id2"), col("shared"), round(jac, 4).as("jaccard"))
   }
