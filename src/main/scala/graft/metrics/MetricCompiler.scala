@@ -57,6 +57,9 @@ object MetricCompiler {
       case "max"            => max(base)
       case "median"         => median(base)
       case "median_approx"  => percentile_approx(base, lit(0.5), lit(10000))
+      // HLL sketch — the 100 TB path for distinct counts (exact
+      // count_distinct shuffles every distinct value per group)
+      case "count_distinct_approx" => approx_count_distinct(base, 0.01)
       case other            => throw new IllegalArgumentException(s"unknown calculation_method: $other")
     }
   }

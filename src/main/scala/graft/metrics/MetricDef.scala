@@ -58,8 +58,9 @@ object MetricFilter {
 final case class MetricDef(
     name: String,
     /** count | count_distinct | sum | average | min | max | median |
-      * median_approx (reference: test_manifest.json `calculation_method`;
-      * median_approx is graft's scale-safe extension — see
+      * median_approx | count_distinct_approx (reference:
+      * test_manifest.json `calculation_method`; the `_approx` forms are
+      * graft's sketch-based scale extensions — see
       * [[MetricCompiler.aggExpr]]). */
     calculationMethod: String,
     /** SQL expression over the base model's columns (the measure). */

@@ -101,4 +101,30 @@ object Manifest {
 
   /** semantic_models section (reference parse_semantic_models :152-170). */
   def semanticModels(parsed: DataFrame): DataFrame = section(parsed, "semantic_models")
+
+  /** Manifest metrics as executable [[graft.metrics.MetricDef]]s — the
+    * bridge the reference never crosses: it only catalogs these fields
+    * (dbt_metrics_to_datahub.py:125-150); graft compiles them to plans
+    * via [[graft.metrics.MetricCompiler]]. Driver-side collect is
+    * metadata-sized (one row per metric definition, not per data row). */
+  def toMetricDefs(metricsDf: DataFrame): Seq[graft.metrics.MetricDef] = {
+    import graft.metrics.{MetricDef, MetricFilter}
+    metricsDf.select("name", "calculation_method", "expression", "timestamp",
+        "filters", "dimensions", "time_grains")
+      .collect().toSeq.map { r =>
+        val filters = Option(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("filters"))
+          .getOrElse(Nil).map(f => MetricFilter(
+            f.getAs[String]("field"), f.getAs[String]("operator"), f.getAs[String]("value")))
+        def strs(col: String): Seq[String] =
+          Option(r.getAs[scala.collection.Seq[String]](col)).map(_.toSeq).getOrElse(Nil)
+        MetricDef(
+          name = r.getAs[String]("name"),
+          calculationMethod = r.getAs[String]("calculation_method"),
+          expression = r.getAs[String]("expression"),
+          timestamp = Option(r.getAs[String]("timestamp")),
+          filters = filters.toSeq,
+          dimensions = strs("dimensions"),
+          timeGrains = strs("time_grains"))
+      }
+  }
 }

@@ -95,6 +95,40 @@ class ManifestSpec extends AnyFunSuite {
     assert(r.getString(2) == "dbt")
   }
 
+  test("manifest metrics compile to executable plans that run") {
+    import graft.metrics.{MetricCompiler => MC}
+    val defs = Manifest.toMetricDefs(metrics)
+    assert(defs.map(_.name).toSet == Set("total_revenue", "customer_count", "avg_order_value"))
+    // the fixture's metrics are defined over an `orders` model with
+    // columns order_total/order_date/customer_id — present the testdata
+    // orders table under that contract and execute all three
+    val orders = graft.sources.Tables.orders(spark, sf).select(
+      col("o_totalprice").as("order_total"),
+      col("o_orderdate").as("order_date"),
+      col("o_custkey").as("customer_id"))
+    defs.foreach { d =>
+      val grain = d.timeGrains.lastOption  // coarsest declared grain
+      val out = MC.simple(orders, d, grain)
+      assert(out.count() > 0, s"${d.name} produced no rows")
+    }
+    // the filtered metric really applies its manifest filter
+    val aov = defs.find(_.name == "avg_order_value").get.copy(dimensions = Nil)
+    assert(aov.filters.nonEmpty)
+    val withF = MC.simple(orders, aov, None).head().getDouble(0)
+    val noF   = MC.simple(orders, aov.copy(filters = Nil), None).head().getDouble(0)
+    assert(withF == noF, "filter order_total>0 excludes nothing in testdata but must compile & run")
+  }
+
+  test("count_distinct_approx tracks exact distinct within HLL error") {
+    import graft.metrics.{MetricCompiler => MC, MetricDef}
+    val o = graft.sources.Tables.orders(spark, sf)
+    val exact = MC.simple(o, MetricDef("m", "count_distinct", "o_custkey"), None)
+      .head().getLong(0)
+    val approx = MC.simple(o, MetricDef("m", "count_distinct_approx", "o_custkey"), None)
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("end-to-end ingestion: parse → glossary → emit, with dry-run") {
     val dry = graft.meta.Ingestion.run(spark, Manifest.fixtureJson,
       "/tmp/graft_ingest_dry", dryRun = true)
