@@ -84,6 +84,9 @@ object PipelineQueries {
 
     "stream_sessionize" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionize(s, dir)),
+
+    "stream_dedup" -> ((s, dir) =>
+      graft.streaming.EventStreams.dedupedCounts(s, dir)),
   )
 
   // Shared DuckDB fragments (SURVEY §5: Spark∩DuckDB regex/token subset).
@@ -194,5 +197,12 @@ object PipelineQueries {
         | substring(hex(CAST(text AS BLOB)), 1, 8) AS magic,
         | sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the query doubles the stream then dedupes on event_id, so the
+    // result must equal the plain (unduplicated) per-type counts
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT event_id) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

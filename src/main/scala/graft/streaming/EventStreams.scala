@@ -64,6 +64,40 @@ object EventStreams {
       .orderBy("period", "event_type")
   }
 
+  /** Streaming deduplication: the events stream is doubled (unioned
+    * with itself — real duplicate records), then collapsed with
+    * `dropDuplicatesWithinWatermark` on event_id; state for a key is
+    * dropped once the watermark passes it, so dedup state is bounded
+    * by the watermark horizon instead of growing forever — the
+    * exactly-once-ingest pattern for at-least-once sources. The
+    * deduped stream lands in a memory sink; the per-type counts are
+    * aggregated batch-side and must equal the UNduplicated input
+    * (SQL oracle). */
+  def dedupedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    def src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val doubled = src.union(src)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val sink = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    val q = doubled.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), count_distinct(col("event_id")).as("n_distinct"))
+      .orderBy("event_type")
+  }
+
   /** Open sessions carried across micro-batches, keyed by user. */
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

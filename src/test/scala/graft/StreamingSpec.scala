@@ -28,4 +28,15 @@ class StreamingSpec extends AnyFunSuite {
     val closed = all.groupBy(_._1).values.flatMap(ss => ss.sortBy(_._2).dropRight(1)).toSet
     assert(streamed.toSet == closed, s"${streamed.length} streamed vs ${closed.size} closed")
   }
+
+  test("streaming dedup collapses the doubled stream to original counts") {
+    val deduped = graft.streaming.EventStreams.dedupedCounts(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count_distinct(col("event_id")).as("d"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(deduped.sameElements(batch))
+  }
 }
