@@ -109,6 +109,25 @@ object OlapQueries {
     // Structured Streaming tumbling-window agg, batch-equivalent.
     "stream_windowed_agg" -> ((s, dir) => graft.streaming.EventStreams.windowedAgg(s, dir)),
 
+    // As-of join: each event picks up the user's most recent order at
+    // event time (union-sort composition — one shuffle, no range join).
+    "events_asof" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"),
+          // parquet timestamps read as NTZ; cast in the UTC session
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ots"))
+        .agg(max("o_orderkey").as("o_orderkey"),
+             max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+        .withColumnRenamed("ots", "ts_us")
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      graft.ops.AsOf.joinAsOf(e, o, key = "user_id", time = "ts_us",
+          payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("event_id")
+    }),
+
     // Salt-and-explode skew join: identical results to the plain join,
     // with hot o_custkey partitions fanned across 8 reducers.
     "skew_salted_join" -> ((s, dir) => {
@@ -188,6 +207,18 @@ object OlapQueries {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) AS ots,
+        |         max(o_orderkey) AS o_orderkey,
+        |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT e.event_id, e.user_id, e.ts_us, o.o_orderkey,
+        |       round(o.o_totalprice, 2) AS o_totalprice
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts_us >= o.ots
+        |ORDER BY e.event_id""".stripMargin,
 
     // the salted join must agree exactly with the plain join
     "skew_salted_join" ->

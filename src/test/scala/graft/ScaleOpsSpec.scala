@@ -37,6 +37,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() == plainCount)
   }
 
+  test("as-of join picks the latest preceding payload, inclusive at ties") {
+    import spark.implicits._
+    val states = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "z"))
+      .toDF("k", "t", "v")
+    val lefts = Seq((100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 15L),
+      (103L, 1L, 25L), (104L, 2L, 4L), (105L, 3L, 50L))
+      .toDF("id", "k", "t")
+    val out = graft.ops.AsOf.joinAsOf(lefts, states, "k", "t", Seq("v"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getAs[String]("v"))
+    assert(out.toSeq == Seq(
+      100L -> null,  // before any state
+      101L -> "a",   // inclusive: state at exactly t=10 counts
+      102L -> "a",
+      103L -> "b",   // latest preceding wins
+      104L -> null,
+      105L -> null)) // key with no states at all
+  }
+
   test("typed batch decode is deterministic and fully typed") {
     val out = Multimodal.decodeBatch(Tables.documents(spark, sf))
     val rows = out.collect()
