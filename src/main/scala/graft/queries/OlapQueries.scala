@@ -72,6 +72,22 @@ object OlapQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q14 style: promo revenue share per month. part grows with
+    // SF (not broadcastable at 100 TB) → shuffle join on the part key.
+    "q14_promo" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("period"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev)), 2).as("promo_revenue"),
+          round(sum(rev), 2).as("total_revenue"),
+          round(sum(when(col("p_type") === "PROMO", rev)) * 100 /
+            nullif(sum(rev), lit(0)), 4).as("promo_pct"))
+        .orderBy("period")
+    }),
+
     // JSON property extraction + aggregation (pure per-row map → one shuffle).
     "events_json" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast("int")
@@ -178,6 +194,15 @@ object OlapQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+        | round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END), 2) AS promo_revenue,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+        | round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END) * 100
+        |   / nullif(sum(l_extendedprice * (1 - l_discount)), 0), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS n_events,
