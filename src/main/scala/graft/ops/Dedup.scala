@@ -91,7 +91,13 @@ object Dedup {
     * Output: id1, id2, shared, jaccard (4dp). */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    maxDF: Int = 50): DataFrame = {
-    val buckets = cappedBuckets(docs, n, maxDF)
+    // the bucket table feeds BOTH the pair counts and the per-doc sizes;
+    // localCheckpoint materializes it once (executor-local blocks, freed
+    // on GC) instead of re-executing the explode+groupBy chain per
+    // consumer — the standard staging move for a shared dedup
+    // intermediate; at open scale this is where the buckets would be
+    // written to storage between stages
+    val buckets = cappedBuckets(docs, n, maxDF).localCheckpoint(false)
     val pairs = bucketPairs(buckets)
       .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
     val sizes = buckets

@@ -88,6 +88,21 @@ object OlapQueries {
         .orderBy("period")
     }),
 
+    // ROLLUP: per-(flag,status) + per-flag + grand-total rows in one
+    // aggregation pass (grouping-sets partials, not one scan per level).
+    "q_rollup" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+             round(sum(rev), 2).as("sum_disc_price"),
+             count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("sum_disc_price"), col("n"))
+        .orderBy("rf", "ls")
+    }),
+
     // JSON property extraction + aggregation (pure per-row map → one shuffle).
     "events_json" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast("int")
@@ -203,6 +218,15 @@ object OlapQueries {
         |   / nullif(sum(l_extendedprice * (1 - l_discount)), 0), 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS n_events,

@@ -70,6 +70,19 @@ object PipelineQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // BPE-ish subword-style tokenization (contraction suffixes, letter
+    // runs, digit runs, punctuation runs) vs plain word tokens
+    "text_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
+          .cast("bigint").as("n_bpe"),
+        size(graft.ops.Dedup.tokens(col("text"))).cast("bigint").as("n_words"))
+        .withColumn("bpe_per_word",
+          round(col("n_bpe").cast("double") / nullif(col("n_words"), lit(0)), 4))
+        .orderBy("doc_id")),
+
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(Tables.documents(s, dir))
         .withColumn("n_bytes", col("n_bytes").cast("bigint"))
@@ -191,6 +204,17 @@ object PipelineQueries {
          |SELECT doc_id, lang, en_hits, es_hits, fr_hits, de_hits, zh_hits, predicted,
          |  CASE WHEN predicted = lang THEN 1 ELSE 0 END AS is_match
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    "text_bpe" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(lower(text),
+         |      '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9[:space:]]+')) AS n_bpe,
+         |    len($toks) AS n_words
+         |  FROM documents)
+         |SELECT doc_id, n_bpe, n_words,
+         |  round(n_bpe*1.0 / nullif(n_words, 0), 4) AS bpe_per_word
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
