@@ -61,4 +61,22 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("dedup_exact")
     assert(p.contains("sha2"), s"expected sha2 group key:\n$p")
   }
+
+  test("as-of join is one key shuffle + window, not a range join") {
+    val p = plan("events_asof")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not degenerate to a product join:\n$p")
+    assert(p.contains("Window"), s"expected the fill window:\n$p")
+    // events + orders scans, union, ONE hashpartitioning(user_id) for the
+    // window, one range partition for the output sort (+ AQE reads)
+    assert(countOccurrences(p, "hashpartitioning") <= 2,
+      s"too many key shuffles:\n$p")
+  }
+
+  test("rollup computes all grouping sets from a single scan") {
+    val p = plan("q_rollup")
+    assert(countOccurrences(p, "lineitem.parquet") == 1,
+      s"rollup must not rescan per level:\n$p")
+    assert(p.contains("Expand"), s"expected grouping-sets Expand:\n$p")
+  }
 }
