@@ -67,6 +67,19 @@ object Multimodal {
   def decoded(docs: DataFrame): DataFrame =
     payload(docs).select(col("doc_id"), decodeStub(col("payload")).as("media"))
 
+  /** STUB — deterministic fake resize: produces a fixed-size payload of
+    * exactly `outBytes` by cycling the source bytes (a real codec
+    * resamples pixels; the Spark-side contract — bounded output size
+    * per row, pure per-row map, binary-in/binary-out — is the real
+    * part). Implemented as hex → repeat-to-cover → truncate → unhex. */
+  def resizeStub(payloadCol: Column, outBytes: Int): Column = {
+    val hexStr = hex(payloadCol)
+    val times  = ceil(lit(outBytes * 2).cast("double") / length(hexStr)).cast("int")
+    when(length(payloadCol) > 0,
+      unhex(substring(repeat(hexStr, times), 1, outBytes * 2)))
+      .otherwise(payloadCol)
+  }
+
   /** Typed decode-batch contract: doc_id + payload in, typed media out. */
   final case class MediaIn(doc_id: Long, payload: Array[Byte])
   final case class MediaOut(doc_id: Long, width: Int, height: Int,

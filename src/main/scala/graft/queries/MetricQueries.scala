@@ -112,6 +112,14 @@ object MetricQueries {
         .orderBy("grain", "period")
     }),
 
+    // sub-day grain: periodCol keeps TIMESTAMP below day (no date cast)
+    "m_hourly_events" -> ((s, dir) => {
+      val m = MetricDef("n_events", "count", "event_id", Some("ts"),
+        dimensions = Seq("event_type"))
+      MC.simple(Tables.events(s, dir), m, Some("hour"))
+        .orderBy("period", "event_type")
+    }),
+
     "m_dimensions" -> ((s, dir) => {
       val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir); val r = Tables.region(s, dir)
@@ -203,6 +211,11 @@ object MetricQueries {
         | round(sum(o_totalprice), 2) AS total_revenue
         |FROM orders GROUP BY 1, 2
         |ORDER BY grain, period""".stripMargin,
+
+    "m_hourly_events" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS period, event_type,
+        | count(event_id) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "m_dimensions" ->
       """SELECT r_name, c_mktsegment, round(sum(o_totalprice), 2) AS revenue,

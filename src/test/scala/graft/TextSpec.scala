@@ -77,6 +77,16 @@ class TextSpec extends AnyFunSuite {
     assert(frames.last.getAs[Int]("frame_len") == 300 - 4 * 64)
   }
 
+  test("multimodal: resize stub emits exactly outBytes, cycling content") {
+    val docs = Seq((1L, "abcd"), (2L, "xyz")).toDF("doc_id", "text")
+    val out = Multimodal.payload(docs)
+      .select(col("doc_id"), Multimodal.resizeStub(col("payload"), 10).as("r"))
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[Array[Byte]]("r").length == 10))
+    assert(new String(out(0).getAs[Array[Byte]]("r"), "UTF-8") == "abcdabcdab")
+    assert(new String(out(1).getAs[Array[Byte]]("r"), "UTF-8") == "xyzxyzxyzx")
+  }
+
   test("multimodal: decode stub yields plausible deterministic metadata") {
     val docs = Seq((1L, "some payload"), (2L, "some payload")).toDF("doc_id", "text")
     val m = Multimodal.decoded(docs).select("media.*").collect()
