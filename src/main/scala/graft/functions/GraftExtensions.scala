@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session-extension packaging for graft's custom Catalyst functions.
+  *
+  * Two ways to get `rolling_hash` / `minhash_agg` into a session:
+  *
+  *  - at build time (idiomatic for deployments):
+  *    {{{ spark.sql.extensions=graft.functions.GraftExtensions }}}
+  *    or `SparkSession.builder().withExtensions(new GraftExtensions) `;
+  *  - on a live session: [[GraftExtensions.registerAll]] (what the
+  *    query layer does lazily).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => GraftExtensions.buildRollingHash(args)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (args: Seq[Expression]) => GraftExtensions.buildMinHashAgg(args)))
+  }
+}
+
+object GraftExtensions {
+
+  private[functions] def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private[functions] def buildRollingHash(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "rolling_hash(str, k) takes 2 arguments")
+    RollingHash(args.head, intLiteral(args(1), "k"))
+  }
+
+  private[functions] def buildMinHashAgg(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "minhash_agg(str, k) takes 2 arguments")
+    MinHashAgg(args.head, intLiteral(args(1), "k"))
+  }
+
+  /** Register both functions on an already-built session. */
+  def registerAll(spark: SparkSession): Unit = {
+    RollingHash.register(spark)
+    MinHashAgg.register(spark)
+  }
+}

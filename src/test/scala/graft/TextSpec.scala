@@ -10,6 +10,22 @@ class TextSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
+  test("GraftExtensions wires both custom functions") {
+    // builder-time path: applying the extension must register cleanly
+    new graft.functions.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    // live-session path: both functions resolve and run
+    graft.functions.GraftExtensions.registerAll(spark)
+    val r = Tables.documents(spark, sf).limit(5)
+      .selectExpr("rolling_hash(text, 8) AS rh")
+      .agg(count("rh")).head().getLong(0)
+    assert(r == 5)
+    val m = Tables.documents(spark, sf).limit(5)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS t")
+      .groupBy("doc_id").agg(expr("minhash_agg(t, 8)").as("sig"))
+      .count()
+    assert(m == 5)
+  }
+
   test("rolling hash: codegen result equals the plain Scala reference") {
     RollingHash.register(spark)
     val inputs = Seq("", "a", "abc", "the quick brown fox jumps over the lazy dog",
