@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print machine-read JSON on stdout; sbt's default logger
+// prefixes forked output with [info], which breaks the driver's JSON
+// parse (BENCH_r01/r02 both recorded parsed:null). StdoutOutput passes
+// the forked process's streams through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -87,7 +87,8 @@ object Glossary {
     val terms = withUp.select(
       lit("glossaryTerm").as("entity_type"),
       termUrn(concat_ws(".", lit(root), catPath, col("name"))).as("urn"),
-      coalesce(col("label"), col("name")).as("name"),
+      when(col("label").isNotNull && col("label") =!= "", col("label"))
+        .otherwise(col("name")).as("name"),
       when(col("description").isNotNull && col("description") =!= "", col("description"))
         .otherwise(concat(lit("dbt metric: "), col("name"))).as("definition"),
       nodeUrn(concat(lit(s"$root."), catPath)).as("parent_urn"),

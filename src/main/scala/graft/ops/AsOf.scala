@@ -32,26 +32,32 @@ object AsOf {
     val rSchema = right.schema
     val lCols   = left.columns.toSeq
 
-    val l = payload.foldLeft(left.withColumn("_side", lit(1))) { (df, p) =>
-      df.withColumn(p, lit(null).cast(rSchema(p).dataType))
-    }
+    // The payload travels as ONE struct so the forward fill picks every
+    // payload column from the SAME (latest) right row. Filling each
+    // column independently would let a NULL payload value resurrect a
+    // staler value from an older right row — a result no single right
+    // row ever contained, diverging from DuckDB/pandas ASOF semantics.
+    val plType = org.apache.spark.sql.types.StructType(
+      payload.map(p => rSchema(p)))
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_pl", lit(null).cast(plType))
     val r = lCols.filterNot(c => c == key || c == time)
       .foldLeft(right.select((Seq(key, time) ++ payload).map(col): _*)
-        .withColumn("_side", lit(0))) { (df, c) =>
+        .withColumn("_side", lit(0))
+        .withColumn("_pl", struct(payload.map(col): _*))) { (df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
 
-    val ordered = Seq(key, time, "_side") ++
-      lCols.filterNot(c => c == key || c == time) ++ payload
+    val ordered = Seq(key, time, "_side", "_pl") ++
+      lCols.filterNot(c => c == key || c == time)
     val unioned = l.select(ordered.map(col): _*)
       .unionByName(r.select(ordered.map(col): _*))
 
     val w = Window.partitionBy(key)
       .orderBy(col(time), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1).select(lCols.map(col) ++ payload.map(col): _*)
+    val filled = unioned.withColumn("_pl", last(col("_pl"), ignoreNulls = true).over(w))
+    filled.filter(col("_side") === 1)
+      .select(lCols.map(col) ++ payload.map(p => col(s"_pl.$p").as(p)): _*)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a `documents(doc_id, text, ...)` table.
@@ -30,11 +30,21 @@ object Dedup {
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
   /** Distinct word n-gram shingles (space-joined). Documents shorter
-    * than n tokens contribute no shingles. Written as one inline
-    * expression on purpose: whole-stage codegen CSEs the tokenization
-    * once per row, while materializing the token array in a separate
-    * projection was measured 2× slower (UnsafeRow array copies). */
+    * than n tokens contribute no shingles. Computed by the native
+    * [[graft.functions.Shingles]] expression — the declarative
+    * transform/slice/array_join chain interprets its lambdas per
+    * element (HOFs are CodegenFallback) and profiled at ~16 s for 5k
+    * docs at sf0.1; the native one-pass byte scan is <1 s with
+    * identical output (parity proven in DedupSpec against
+    * [[shinglesHof]]). */
   def shingles(c: Column, n: Int): Column = {
+    graft.functions.Shingles.register(SparkSession.active)
+    call_function("word_shingles", c, lit(n))
+  }
+
+  /** Declarative reference implementation of [[shingles]] — kept only
+    * as the parity oracle for DedupSpec. */
+  private[graft] def shinglesHof(c: Column, n: Int): Column = {
     val toks = tokens(c)
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
@@ -182,17 +192,29 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 16).
-    * Blocking: a signature splits into 4 16-bit chunks; distance ≤ 3
-    * implies at least one identical chunk (pigeonhole), so pairing is an
-    * equi-join on (chunk_idx, chunk_value) — never all-pairs.
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`.
+    * Blocking: the 64-bit signature splits into `maxHamming + 1`
+    * near-equal bit chunks; two signatures within `maxHamming` must
+    * share at least one identical chunk (pigeonhole — distance can
+    * touch at most `maxHamming` chunks), so pairing is an equi-join on
+    * (chunk_idx, chunk_value) — never all-pairs, and never incomplete:
+    * the chunk count is DERIVED from the radius rather than fixed
+    * (a fixed 4-chunk split silently misses pairs for maxHamming > 3).
     * Output: id1, id2, hamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4 * 4, "chunk blocking assumes maxHamming < 16")
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming out of range (1..31): $maxHamming")
+    val chunks = maxHamming + 1
+    // near-equal split of 64 bits: first (64 % chunks) chunks get one
+    // extra bit
+    val bounds = (0 to chunks).map(i => i * 64 / chunks)
     val sig = simhashSignatures(docs)
     val chunked = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("ci", "cv")))
+      posexplode(array((0 until chunks).map { i =>
+        val lo = bounds(i); val width = bounds(i + 1) - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        shiftright(col("simhash"), lo).bitwiseAND(mask)
+      }: _*)).as(Seq("ci", "cv")))
     val l = chunked.select(col("ci"), col("cv"), col("doc_id").as("id1"), col("simhash").as("s1"))
     val r = chunked.select(col("ci"), col("cv"), col("doc_id").as("id2"), col("simhash").as("s2"))
     l.join(r, Seq("ci", "cv"))
@@ -204,8 +226,17 @@ object Dedup {
 
   /** Sequential-fold dot product — the fold order matches an engine
     * summing the list left-to-right, which keeps oracle doubles
-    * bit-identical. */
-  def dot(x: Column, y: Column): Column =
+    * bit-identical. Native [[graft.functions.DotProduct]] expression:
+    * one generated-code call per row instead of per-element lambda
+    * interpretation (parity proven in DedupSpec against [[dotHof]]). */
+  def dot(x: Column, y: Column): Column = {
+    graft.functions.DotProduct.register(SparkSession.active)
+    call_function("dot_product", x, y)
+  }
+
+  /** Declarative reference implementation of [[dot]] — kept only as the
+    * parity oracle for DedupSpec. */
+  private[graft] def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity of two double arrays (3 folds — prefer

@@ -47,8 +47,7 @@ object Similarity {
   def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(v, plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1 << i)).otherwise(lit(0))
+      when(Dedup.dot(v, plane) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** IVF (inverted-file) ANN: the corpus is coarse-quantized into

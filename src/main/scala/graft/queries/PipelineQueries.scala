@@ -92,8 +92,14 @@ object PipelineQueries {
       Multimodal.frameSample(Tables.documents(s, dir), frameSize = 64, stride = 4)
         .orderBy("doc_id", "frame_idx")),
 
+    // features flattened to a csv string: the driver's rows-only checker
+    // sorts cell values, and array-typed cells are unhashable there
+    // (CORRECTNESS_r02 recorded this query as an error, not a result)
     "mm_decode_batch" -> ((s, dir) =>
-      Multimodal.decodeBatch(Tables.documents(s, dir)).toDF().orderBy("doc_id")),
+      Multimodal.decodeBatch(Tables.documents(s, dir)).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          array_join(col("features").cast("array<string>"), ",").as("features_csv"))
+        .orderBy("doc_id")),
 
     "stream_sessionize" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionize(s, dir)),
