@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: connected components over a near-dup
+  * pair graph, so a whole family of mutual near-duplicates collapses to
+  * ONE canonical keeper (the minimum doc id) — the step a training-data
+  * pipeline runs after pair generation, since near-dup pairs are not
+  * transitive on their own.
+  *
+  * Algorithm: iterative min-label propagation (the label of every node
+  * drops to the minimum label among itself and its neighbors until a
+  * fixpoint), the DataFrame rendering of the classic MapReduce
+  * connected-components loop. Each iteration is one equi-join + one
+  * groupBy — both co-shuffled on the node id — and the iterate is
+  * `localCheckpoint`ed to cut the exponentially-growing lineage (at
+  * open scale this is a write to storage between iterations).
+  * Convergence needs O(component diameter) rounds: near-dup clusters
+  * are near-cliques (diameter ≲ 2-3), so the loop exits after 3-4
+  * rounds; `maxIter` bounds pathological chains.
+  */
+object Cluster {
+
+  /** Connected components of the undirected graph (`nodes(id)`,
+    * `edges(id1, id2)`). Output: id, comp — comp is the component's
+    * minimum node id; isolated nodes are their own component. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    // both directions once, so one join per round sees every neighbor
+    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(false)
+
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(false)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy("src").agg(min("comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(false)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Per-document cluster assignment over the verified near-dup pairs:
+    * doc_id, cluster_id (min doc_id of the duplicate family; singletons
+    * map to themselves). */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      pairs.select(col("id1"), col("id2")))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+}

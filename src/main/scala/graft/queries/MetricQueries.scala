@@ -120,6 +120,44 @@ object MetricQueries {
         .orderBy("period", "event_type")
     }),
 
+    // cohort retention: cohort = month of a customer's first order;
+    // count distinct customers per (cohort, months-since). Two shuffles
+    // on o_custkey (first-order agg + join back, co-partitioned by AQE)
+    // then one small agg — never a window over raw orders.
+    "m_retention" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
+      val f = o.groupBy("o_custkey").agg(min("m").as("cohort"))
+      val r = o.join(f, "o_custkey")
+        .groupBy(col("cohort"),
+          months_between(col("m"), col("cohort")).cast("bigint").as("months_since"))
+        .agg(countDistinct("o_custkey").as("n_customers"))
+      // cohort size = the months_since=0 row (every member's first order
+      // is in the cohort month by construction); aliased join columns —
+      // a raw self-join of the same aggregate resolves trivially true
+      val sizes = r.filter(col("months_since") === 0)
+        .select(col("cohort").as("size_cohort"), col("n_customers").as("cohort_size"))
+      r.join(sizes, r("cohort") === sizes("size_cohort"))
+        .select(col("cohort").cast("date").as("cohort"), col("months_since"),
+          col("n_customers"),
+          round(col("n_customers").cast("double") / col("cohort_size"), 4).as("retention"))
+        .orderBy("cohort", "months_since")
+    }),
+
+    // mergeable-sketch distinct: per-day HLL sketches union to months
+    // WITHOUT rescanning the fact table — the pre-aggregation pattern
+    // an exact count_distinct can never use (it doesn't decompose).
+    // Rows-only: sketch estimates are engine-specific (spec bounds the
+    // error against the exact count instead).
+    "m_sketch_distinct" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      daily.groupBy(date_trunc("month", col("d")).cast("date").as("period"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_customers"))
+        .orderBy("period")
+    }),
+
     "m_dimensions" -> ((s, dir) => {
       val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir); val r = Tables.region(s, dir)
@@ -140,6 +178,17 @@ object MetricQueries {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
         | round(sum(o_totalprice), 2) AS total_revenue
         |FROM orders GROUP BY period ORDER BY period""".stripMargin,
+
+    "m_retention" ->
+      """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+        |r AS (SELECT cohort, date_diff('month', cohort, m) AS months_since,
+        |             count(DISTINCT o.o_custkey) AS n_customers
+        |      FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |s AS (SELECT cohort, n_customers AS cohort_size FROM r WHERE months_since = 0)
+        |SELECT CAST(r.cohort AS DATE) AS cohort, months_since, n_customers,
+        |  round(n_customers*1.0/cohort_size, 4) AS retention
+        |FROM r JOIN s USING (cohort) ORDER BY 1, 2""".stripMargin,
 
     "m_simple_count" ->
       """SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS period, l_returnflag,

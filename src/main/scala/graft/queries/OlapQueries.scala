@@ -159,6 +159,40 @@ object OlapQueries {
         .orderBy("event_id")
     }),
 
+    // Funnel analysis: strictly-ordered view→click→purchase per user,
+    // each step within 24 h of the previous. Three filtered scans of
+    // events — event_type pushes into the parquet reader so each scan
+    // reads only its step's rows — then per-user min-aggregates chained
+    // by co-shuffled equi-joins on user_id (never a window over raw
+    // events). The final 3-row result crosses the 1-row step counts.
+    "events_funnel" -> ((s, dir) => {
+      val winUs = 24L * 3600 * 1000000L
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + winUs)
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + winUs)
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      s1.agg(count(lit(1)).as("n1"))
+        .crossJoin(s2.agg(count(lit(1)).as("n2")))
+        .crossJoin(s3.agg(count(lit(1)).as("n3")))
+        .select(explode(array(
+          struct(lit("1_view").as("step"), col("n1").as("n_users"),
+            lit(1.0).as("conv")),
+          struct(lit("2_click").as("step"), col("n2").as("n_users"),
+            round(col("n2").cast("double") / nullif(col("n1"), lit(0)), 4).as("conv")),
+          struct(lit("3_purchase").as("step"), col("n3").as("n_users"),
+            round(col("n3").cast("double") / nullif(col("n2"), lit(0)), 4).as("conv"))))
+          .as("r"))
+        .select(col("r.step").as("step"), col("r.n_users").as("n_users"),
+          col("r.conv").as("conv"))
+        .orderBy("step")
+    }),
+
     // Salt-and-explode skew join: identical results to the plain join,
     // with hot o_custkey partitions fanned across 8 reducers.
     "skew_salted_join" -> ((s, dir) => {
@@ -268,6 +302,23 @@ object OlapQueries {
         |       round(o.o_totalprice, 2) AS o_totalprice
         |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts_us >= o.ots
         |ORDER BY e.event_id""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type='view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type='click' AND ts_us > t1 AND ts_us <= t1 + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type='purchase' AND ts_us > t2 AND ts_us <= t2 + 86400000000 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS step, count(*) AS n_users, 1.0 AS conv FROM s1
+        |  UNION ALL
+        |  SELECT '2_click', count(*),
+        |    round(count(*)*1.0/nullif((SELECT count(*) FROM s1), 0), 4) FROM s2
+        |  UNION ALL
+        |  SELECT '3_purchase', count(*),
+        |    round(count(*)*1.0/nullif((SELECT count(*) FROM s2), 0), 4) FROM s3
+        |) ORDER BY step""".stripMargin,
 
     // the salted join must agree exactly with the plain join
     "skew_salted_join" ->

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cluster, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** §2 items 22-34: the LLM-training-data-pipeline operator families
@@ -30,6 +30,23 @@ object PipelineQueries {
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3).orderBy("id1", "id2")),
+
+    // near-dup pairs are not transitive — collapse pair families to one
+    // canonical keeper via iterative connected components
+    "dedup_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Cluster.dedupClusters(docs, Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50))
+        .orderBy("doc_id")
+    }),
+
+    // corpus heavy hitters: document frequency of every distinct
+    // 3-gram shingle, deterministic top-20 (TakeOrderedAndProject —
+    // per-partition top-k partials, never a full sort)
+    "text_ngram_topk" -> ((s, dir) =>
+      Dedup.shingleSets(Tables.documents(s, dir), 3)
+        .select(explode(col("sh")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("s")).limit(20)),
 
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.35)
@@ -139,6 +156,44 @@ object PipelineQueries {
          |JOIN sizes s2 ON id2 = s2.doc_id
          |WHERE shared*1.0/(s1.n + s2.n - shared) >= 0.8
          |ORDER BY id1, id2""".stripMargin,
+
+    // same pair derivation as dedup_ngram_jaccard, then components via
+    // recursive CTE (transitive closure of the near-dup relation)
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |cx AS (SELECT doc_id, ex.s FROM ex JOIN keep ON ex.s = keep.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM cx a JOIN cx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |good AS (
+         |  SELECT id1, id2 FROM pairs
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE shared*1.0/(s1.n + s2.n - shared) >= 0.8),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM good
+         |          UNION ALL SELECT id2, id1 FROM good),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+
+    "text_ngram_topk" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs)
+         |SELECT s, count(*) AS df FROM ex GROUP BY 1
+         |ORDER BY df DESC, s LIMIT 20""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

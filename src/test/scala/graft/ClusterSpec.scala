@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Cluster, Dedup}
+import graft.sources.Tables
+
+class ClusterSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("connected components: chain, clique, and singleton resolve to min ids") {
+    // components: {1,2,3,4} (a path — needs propagation across hops),
+    // {10,11,12} (a triangle), {99} (isolated)
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id1", "id2")
+    val comp = Cluster.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("components ignore edge direction and duplicate edges") {
+    val nodes = Seq(5L, 6L, 7L).toDF("id")
+    val edges = Seq((7L, 6L), (6L, 7L), (6L, 5L)).toDF("id1", "id2")
+    val comp = Cluster.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet == Set(5L))
+  }
+
+  test("dedup clusters are the transitive closure of near-dup pairs at sf0.001") {
+    val docs  = Tables.documents(spark, sf)
+    val pairs = Dedup.ngramJaccard(docs)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = Cluster.dedupClusters(docs, Dedup.ngramJaccard(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc appears, every pair lands in one cluster, and the
+    // cluster id is the component minimum
+    assert(out.size == docs.count())
+    pairs.foreach { case (a, b) =>
+      assert(out(a) == out(b), s"pair ($a,$b) split across clusters")
+      assert(out(a) <= a && out(a) <= b)
+    }
+    // docs in no pair are their own cluster
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    out.foreach { case (id, c) => if (!inPairs.contains(id)) assert(c == id) }
+  }
+
+  test("hll sketch distinct estimates the exact count within 5%") {
+    val est = SparkEntry.queries("m_sketch_distinct")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("period"))
+      .agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (p, n) =>
+      assert(math.abs(est(p) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"period $p: est=${est(p)} exact=$n")
+    }
+  }
+
+  test("funnel steps are monotonically non-increasing and windows enforced") {
+    val rows = SparkEntry.queries("events_funnel")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val n = rows.map(_.getLong(1))
+    assert(n(0) >= n(1) && n(1) >= n(2), n.toSeq.toString)
+    assert(rows(0).getDouble(2) == 1.0)
+  }
+
+  test("retention: month zero is 1.0 and rates never exceed it") {
+    val rows = SparkEntry.queries("m_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("retention")
+      if (r.getAs[Long]("months_since") == 0L) assert(rate == 1.0)
+      assert(rate > 0 && rate <= 1.0)
+    }
+  }
+}
