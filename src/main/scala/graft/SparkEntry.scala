@@ -17,5 +17,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    MetricQueries.oracle ++ OlapQueries.oracle ++ PipelineQueries.oracle
+    MetricQueries.oracle ++ MetaQueries.oracle ++ OlapQueries.oracle ++
+      PipelineQueries.oracle
 }

@@ -34,7 +34,9 @@ object Multimodal {
     * posexplode of bounded `frameSize`-byte chunks. The explode factor
     * is len/frameSize — bounded and known, so the plan's row growth is
     * predictable at 100 TB. Output: doc_id, frame_idx, frame_len,
-    * frame_hash. */
+    * frame_hex (leading-bytes fingerprint as hex — engine-neutral, so
+    * the DuckDB oracle can re-derive it from the blob; xxhash64 would
+    * be Spark-only). */
   def frameSample(docs: DataFrame, frameSize: Int = 64, stride: Int = 4): DataFrame = {
     val p = payload(docs)
     val nFrames = ceil(length(col("payload")).cast("double") / frameSize).cast("int")
@@ -42,9 +44,9 @@ object Multimodal {
         posexplode(transform(sequence(lit(0), nFrames - 1),
           i => substring(col("payload"), (i * frameSize) + 1, lit(frameSize)))).as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % stride === 0)
-      .select(col("doc_id"), col("frame_idx"),
-        length(col("frame")).as("frame_len"),
-        xxhash64(col("frame")).as("frame_hash"))
+      .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        length(col("frame")).cast("bigint").as("frame_len"),
+        substring(hex(col("frame")), 1, 16).as("frame_hex"))
   }
 
   /** STUB — deterministic fake media decode. A real deployment replaces

@@ -10,11 +10,17 @@ import graft.meta.{Glossary, Lineage}
   * (same logical content as the reference's test manifest: 3 metrics,
   * 2 models, 2 sources, nested `Finance/Revenue`-style categories).
   *
-  * These are rows-only checked by the driver (no SQL oracle — the
-  * results are metadata records, not table aggregates); ManifestSpec
+  * meta_parse_metrics and meta_lineage are SQL-oracled: DuckDB reads
+  * the SAME fixture file (it ships in the repo at a stable path) with
+  * its JSON reader and re-derives the catalog/URNs independently.
+  * meta_glossary stays rows-only — its custom_properties column is a
+  * JSON-serialized map whose key order is engine-specific; ManifestSpec
   * asserts the exact URNs/properties the reference would emit.
   */
 object MetaQueries {
+
+  /** The fixture as a filesystem path, for the DuckDB oracle. */
+  val fixturePath = "/root/repo/src/main/resources/graft/fixture_manifest.json"
 
   private def parsed(s: SparkSession): DataFrame = Manifest.parse(s, Manifest.fixtureJson)
 
@@ -32,7 +38,7 @@ object MetaQueries {
           lit("Uncategorized")).as("category"),
         array_join(coalesce(col("tags"), array()), ", ").as("tags"),
         col("package_name"), col("path"),
-        size(coalesce(col("filters"), array())).as("n_filters"),
+        size(coalesce(col("filters"), array())).cast("bigint").as("n_filters"),
         array_join(coalesce(col("depends_on.nodes"), array()), ", ").as("depends_on"))
         .orderBy("unique_id")
     }),
@@ -50,7 +56,56 @@ object MetaQueries {
     "meta_lineage" -> ((s, _) => {
       val p = parsed(s)
       Lineage.resolve(Manifest.metrics(p), Manifest.nodes(p), Manifest.sources(p))
+        .withColumn("dep_pos", col("dep_pos").cast("bigint"))
         .orderBy("metric_id", "dep_pos")
     }),
+  )
+
+  // DuckDB re-derives the same catalog/lineage from the fixture FILE —
+  // an independent JSON parse, join and URN construction (the quoted
+  // '$."<key>"' paths are required: dbt unique_ids contain dots).
+  val oracle: Map[String, String] = Map(
+    "meta_parse_metrics" ->
+      s"""WITH raw AS (
+         |  SELECT metrics FROM read_json('$fixturePath', columns={metrics: 'JSON'})),
+         |m AS (SELECT unique_id, json_extract(metrics, '$$."' || unique_id || '"') AS v
+         |      FROM (SELECT unnest(json_keys(metrics)) AS unique_id, metrics FROM raw))
+         |SELECT unique_id,
+         |  v->>'$$.name' AS name,
+         |  v->>'$$.label' AS label,
+         |  v->>'$$.calculation_method' AS calculation_method,
+         |  v->>'$$.expression' AS expression,
+         |  v->>'$$.timestamp' AS timestamp_col,
+         |  coalesce(array_to_string(coalesce(CAST(v->'time_grains' AS VARCHAR[]), []), ', '), '') AS time_grains,
+         |  coalesce(array_to_string(coalesce(CAST(v->'dimensions' AS VARCHAR[]), []), ', '), '') AS dimensions,
+         |  coalesce(v->'meta'->>'datahub_glossary_category', 'Uncategorized') AS category,
+         |  coalesce(array_to_string(coalesce(CAST(v->'tags' AS VARCHAR[]), []), ', '), '') AS tags,
+         |  v->>'$$.package_name' AS package_name,
+         |  v->>'$$.path' AS path,
+         |  coalesce(json_array_length(v->'filters'), 0) AS n_filters,
+         |  coalesce(array_to_string(coalesce(CAST(v->'depends_on'->'nodes' AS VARCHAR[]), []), ', '), '') AS depends_on
+         |FROM m ORDER BY unique_id""".stripMargin,
+
+    "meta_lineage" ->
+      s"""WITH raw AS (
+         |  SELECT metrics, nodes, sources
+         |  FROM read_json('$fixturePath', columns={metrics:'JSON', nodes:'JSON', sources:'JSON'})),
+         |m AS (SELECT metric_id,
+         |             CAST(json_extract(metrics, '$$."' || metric_id || '"')->'depends_on'->'nodes' AS VARCHAR[]) AS deps
+         |      FROM (SELECT unnest(json_keys(metrics)) AS metric_id, metrics FROM raw)),
+         |d AS (SELECT metric_id, CAST(i - 1 AS BIGINT) AS dep_pos, deps[i] AS node_id
+         |      FROM m, unnest(range(1, len(deps)+1)) t(i)),
+         |n AS (SELECT id, lower((v->>'$$.database') || '.' || (v->>'$$.schema') || '.' ||
+         |                       coalesce(v->>'$$.alias', v->>'$$.name')) AS fqn
+         |      FROM (SELECT unnest(json_keys(nodes)) AS id,
+         |                   json_extract(nodes, '$$."' || unnest(json_keys(nodes)) || '"') AS v FROM raw)),
+         |s AS (SELECT id, lower((v->>'$$.database') || '.' || (v->>'$$.schema') || '.' || (v->>'$$.identifier')) AS fqn
+         |      FROM (SELECT unnest(json_keys(sources)) AS id,
+         |                   json_extract(sources, '$$."' || unnest(json_keys(sources)) || '"') AS v FROM raw)),
+         |u AS (SELECT id, fqn FROM n UNION ALL SELECT id, fqn FROM s)
+         |SELECT d.metric_id, d.dep_pos, d.node_id,
+         |  'urn:li:dataset:(urn:li:dataPlatform:dbt,' || u.fqn || ',PROD)' AS dataset_urn
+         |FROM d LEFT JOIN u ON d.node_id = u.id
+         |ORDER BY metric_id, dep_pos""".stripMargin,
   )
 }

@@ -128,10 +128,15 @@ object MetricQueries {
       val o = Tables.orders(s, dir)
         .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
       val f = o.groupBy("o_custkey").agg(min("m").as("cohort"))
+      // the aggregated cohort table is tiny (cohorts × months) and feeds
+      // BOTH the result and the sizes self-join — materialize it once or
+      // the whole two-shuffle chain above re-executes per consumer
+      // (plan audit: 4 fact scans without this, 2 with)
       val r = o.join(f, "o_custkey")
         .groupBy(col("cohort"),
           months_between(col("m"), col("cohort")).cast("bigint").as("months_since"))
         .agg(countDistinct("o_custkey").as("n_customers"))
+        .localCheckpoint(false)
       // cohort size = the months_since=0 row (every member's first order
       // is in the cohort month by construction); aliased join columns —
       // a raw self-join of the same aggregate resolves trivially true

@@ -169,14 +169,20 @@ object OlapQueries {
       val winUs = 24L * 3600 * 1000000L
       val e = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      // each step table (one row per qualifying user) feeds BOTH the
+      // next step's join and its own count — materialize each once, or
+      // every upstream events scan re-executes per consumer
       val s1 = e.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts_us").as("t1"))
+        .localCheckpoint(false)
       val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
         .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + winUs)
         .groupBy("user_id").agg(min("ts_us").as("t2"))
+        .localCheckpoint(false)
       val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
         .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + winUs)
         .groupBy("user_id").agg(min("ts_us").as("t3"))
+        .localCheckpoint(false)
       s1.agg(count(lit(1)).as("n1"))
         .crossJoin(s2.agg(count(lit(1)).as("n2")))
         .crossJoin(s3.agg(count(lit(1)).as("n3")))

@@ -283,6 +283,48 @@ object PipelineQueries {
         | sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the stateful operator emits only gap-CLOSED sessions (a session
+    // is not final until its inactivity gap passes), so the oracle is
+    // the batch sessionization MINUS each user's last (still-open)
+    // session — exactly expressible with QUALIFY
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |            > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |         min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, session_id, n_events, start_us, dur_us
+        |FROM g
+        |QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // every-4th 64-byte frame of the payload blob, re-derived from hex
+    // (DuckDB substring/sha256 don't accept BLOB)
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+        |         octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, h, n, CAST(i AS BIGINT) AS frame_idx
+        |  FROM f, unnest(range(0, CAST(ceil(n/64.0) AS BIGINT))) t(i)
+        |  WHERE i % 4 = 0)
+        |SELECT doc_id, frame_idx,
+        |  least(64, n - frame_idx*64) AS frame_len,
+        |  substring(h, frame_idx*128 + 1, 16) AS frame_hex
+        |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
+
     // the query doubles the stream then dedupes on event_id, so the
     // result must equal the plain (unduplicated) per-type counts
     "stream_dedup" ->

@@ -88,9 +88,11 @@ class TextSpec extends AnyFunSuite {
     val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
     val frames = Multimodal.frameSample(docs, frameSize = 64, stride = 4).collect()
     // 300 bytes → ceil(300/64)=5 frames → sampled idx 0 and 4
-    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 4))
-    assert(frames.head.getAs[Int]("frame_len") == 64)
-    assert(frames.last.getAs[Int]("frame_len") == 300 - 4 * 64)
+    assert(frames.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 4L))
+    assert(frames.head.getAs[Long]("frame_len") == 64L)
+    assert(frames.last.getAs[Long]("frame_len") == 300L - 4 * 64)
+    // 'x' = 0x78: the hex fingerprint of the leading 8 frame bytes
+    assert(frames.forall(_.getAs[String]("frame_hex") == "78" * 8))
   }
 
   test("multimodal: resize stub emits exactly outBytes, cycling content") {
