@@ -53,6 +53,18 @@ object MetaQueries {
     }),
 
     // reference resolve_node_to_dataset_urn over every metric dep
+    // reference parse_semantic_models (:152-170): dimensions/measures/
+    // entities flattened to name:type pairs
+    "meta_semantic_models" -> ((s, _) => {
+      def pairs(c: String, second: String) = array_join(
+        transform(coalesce(col(c), array()),
+          x => concat_ws(":", x.getField("name"), x.getField(second))), ", ").as(c)
+      Manifest.semanticModels(parsed(s)).select(
+        col("unique_id"), col("name"), col("description"), col("model"),
+        pairs("dimensions", "type"), pairs("measures", "agg"), pairs("entities", "type"))
+        .orderBy("unique_id")
+    }),
+
     "meta_lineage" -> ((s, _) => {
       val p = parsed(s)
       Lineage.resolve(Manifest.metrics(p), Manifest.nodes(p), Manifest.sources(p))
@@ -84,6 +96,26 @@ object MetaQueries {
          |  v->>'$$.path' AS path,
          |  coalesce(json_array_length(v->'filters'), 0) AS n_filters,
          |  coalesce(array_to_string(coalesce(CAST(v->'depends_on'->'nodes' AS VARCHAR[]), []), ', '), '') AS depends_on
+         |FROM m ORDER BY unique_id""".stripMargin,
+
+    "meta_semantic_models" ->
+      s"""WITH raw AS (
+         |  SELECT semantic_models FROM read_json('$fixturePath', columns={semantic_models: 'JSON'})),
+         |m AS (SELECT unique_id, json_extract(semantic_models, '$$."' || unique_id || '"') AS v
+         |      FROM (SELECT unnest(json_keys(semantic_models)) AS unique_id, semantic_models FROM raw))
+         |SELECT unique_id,
+         |  v->>'$$.name' AS name,
+         |  v->>'$$.description' AS description,
+         |  v->>'$$.model' AS model,
+         |  coalesce(array_to_string(list_transform(
+         |    coalesce(CAST(v->'dimensions' AS STRUCT(name VARCHAR, "type" VARCHAR)[]), []),
+         |    d -> d.name || ':' || d."type"), ', '), '') AS dimensions,
+         |  coalesce(array_to_string(list_transform(
+         |    coalesce(CAST(v->'measures' AS STRUCT(name VARCHAR, agg VARCHAR)[]), []),
+         |    m2 -> m2.name || ':' || m2.agg), ', '), '') AS measures,
+         |  coalesce(array_to_string(list_transform(
+         |    coalesce(CAST(v->'entities' AS STRUCT(name VARCHAR, "type" VARCHAR)[]), []),
+         |    e -> e.name || ':' || e."type"), ', '), '') AS entities
          |FROM m ORDER BY unique_id""".stripMargin,
 
     "meta_lineage" ->

@@ -73,6 +73,32 @@ class PlanSpec extends AnyFunSuite {
       s"too many key shuffles:\n$p")
   }
 
+  test("ngram top-k is a partial top-k, not a global sort") {
+    val p = plan("text_ngram_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k:\n$p")
+  }
+
+  test("funnel consumes each materialized step once — no events rescans") {
+    // the step tables are localCheckpointed; the final plan must read
+    // those RDDs, never re-scan events per consumer (the step scans
+    // themselves push EqualTo(event_type,...) — audited via Explain)
+    val p = plan("events_funnel")
+    assert(countOccurrences(p, "events.parquet") == 0,
+      s"step tables must be materialized once:\n$p")
+  }
+
+  test("retention reuses the cohort aggregate (2 fact scans, not 4)") {
+    val p = plan("m_retention")
+    assert(countOccurrences(p, "orders.parquet") <= 2,
+      s"cohort aggregate must be reused, not recomputed:\n$p")
+  }
+
+  test("sketch distinct pre-aggregates: one fact scan for day->month rollup") {
+    val p = plan("m_sketch_distinct")
+    assert(countOccurrences(p, "orders.parquet") == 1,
+      s"sketch rollup must not rescan the fact table:\n$p")
+  }
+
   test("rollup computes all grouping sets from a single scan") {
     val p = plan("q_rollup")
     assert(countOccurrences(p, "lineitem.parquet") == 1,
