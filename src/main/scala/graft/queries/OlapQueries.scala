@@ -199,6 +199,31 @@ object OlapQueries {
         .orderBy("step")
     }),
 
+    // Interval (range) join via bucketing: errors within 1 h after each
+    // signup. A naive range join is O(|signups|·|errors|) per user; here
+    // each signup explodes to its ≤2 covering hour buckets and joins
+    // errors on (user_id, hour_bucket) — an equi-join whose per-bucket
+    // work is bounded by the bucket population, then the exact range
+    // predicate filters in-bucket. The standard interval-bucketing
+    // rewrite for range joins at scale.
+    "events_range_join" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"))
+      val sg = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts_us").as("sts"))
+        .withColumn("b", explode(sequence(
+          expr(s"sts div ${hourUs}L"), expr(s"(sts + ${hourUs}L) div ${hourUs}L"))))
+      val er = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_us").as("ets"))
+        .withColumn("b", expr(s"ets div ${hourUs}L"))
+      sg.join(er, Seq("user_id", "b"))
+        .filter(col("ets") >= col("sts") && col("ets") < col("sts") + hourUs)
+        .groupBy("signup_id").agg(count(lit(1)).as("n_errors"))
+        .orderBy("signup_id")
+    }),
+
     // Salt-and-explode skew join: identical results to the plain join,
     // with hot o_custkey partitions fanned across 8 reducers.
     "skew_salted_join" -> ((s, dir) => {
@@ -325,6 +350,16 @@ object OlapQueries {
         |  SELECT '3_purchase', count(*),
         |    round(count(*)*1.0/nullif((SELECT count(*) FROM s2), 0), 4) FROM s3
         |) ORDER BY step""".stripMargin,
+
+    // the bucketed rewrite must agree exactly with the plain range join
+    "events_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s AS (SELECT user_id, event_id AS signup_id, ts_us AS sts FROM e WHERE event_type='signup'),
+        |x AS (SELECT user_id, ts_us AS ets FROM e WHERE event_type='error')
+        |SELECT signup_id, count(*) AS n_errors
+        |FROM s JOIN x ON s.user_id = x.user_id
+        |  AND x.ets >= s.sts AND x.ets < s.sts + 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the salted join must agree exactly with the plain join
     "skew_salted_join" ->

@@ -64,6 +64,20 @@ object PipelineQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
 
+    // deterministic stratified sample: k docs per language, picked by a
+    // stable order (doc_id) so every engine and every run selects the
+    // same rows — the per-stratum window never sees more than one
+    // partition's worth of rows per key
+    "sample_stratified" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 20)
+        .orderBy("lang", "rn")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir))
         .withColumn("n_tokens", col("n_tokens").cast("bigint"))
@@ -221,6 +235,13 @@ object PipelineQueries {
         |      FROM s)
         |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+        |FROM documents
+        |QUALIFY rn <= 20
+        |ORDER BY lang, rn""".stripMargin,
 
     "text_tokens" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)

@@ -18,6 +18,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ivf.size == brute.size, "IVF should fill k slots per probe from its cells")
   }
 
+  test("bucketed range join equals the naive range join") {
+    val hourUs = 3600L * 1000000L
+    val bucketed = SparkEntry.queries("events_range_join")(spark, sf).collect()
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("event_id").as("signup_id"), col("ts_us").as("sts"))
+    val er = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("ts_us").as("ets"))
+    val naive = sg.join(er, col("su") === col("eu") &&
+        col("ets") >= col("sts") && col("ets") < col("sts") + hourUs)
+      .groupBy("signup_id").agg(count(lit(1)).as("n_errors"))
+      .orderBy("signup_id").collect()
+    assert(bucketed.map(_.toString).toSeq == naive.map(_.toString).toSeq)
+    assert(bucketed.nonEmpty)
+  }
+
+  test("stratified sample takes at most k rows per stratum, deterministically") {
+    val rows = SparkEntry.queries("sample_stratified")(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.size >= 2)
+    byLang.values.foreach { g =>
+      assert(g.length <= 20)
+      // picked by stable doc_id order: the sample is the stratum's minima
+      val ids = g.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("doc_id"))
+      assert(ids.sorted.sameElements(ids))
+    }
+  }
+
   test("salted join returns exactly the plain join's aggregate") {
     val salted = SparkEntry.queries("skew_salted_join")(spark, sf).collect()
     val o = Tables.orders(spark, sf); val c = Tables.customer(spark, sf)
