@@ -103,6 +103,39 @@ object OlapQueries {
         .orderBy("rf", "ls")
     }),
 
+    // TPC-H Q18 style: big-order semi-filter (HAVING over a one-pass
+    // lineitem agg — the aggregate IS the filter input, no second scan)
+    // joined back to orders⋈customer; deterministic top-10.
+    "q18_bigorders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 180)
+      val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("sum_qty"), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Per-group top-N: rank inside each market segment (one shuffle on
+    // the segment via the window; never a per-group sort of the whole
+    // table beyond the windowed partition).
+    "q_topn_per_group" -> ((s, dir) => {
+      val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("c_mktsegment", "rnk")
+    }),
+
     // JSON property extraction + aggregation (pure per-row map → one shuffle).
     "events_json" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast("int")
@@ -292,6 +325,25 @@ object OlapQueries {
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q18_bigorders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180)
+        |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  round(o_totalprice, 2) AS o_totalprice, round(sum_qty, 2) AS sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT c_mktsegment,
+        |  CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+        |  o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |QUALIFY rnk <= 3
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS n_events,
