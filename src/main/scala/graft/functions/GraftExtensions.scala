@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 /** Session-extension packaging for graft's custom Catalyst functions.
   *
-  * Two ways to get `rolling_hash` / `minhash_agg` into a session:
+  * Two ways to get `rolling_hash` / `minhash_agg` / `word_shingles` /
+  * `dot_product` into a session:
   *
   *  - at build time (idiomatic for deployments):
   *    {{{ spark.sql.extensions=graft.functions.GraftExtensions }}}
@@ -25,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (args: Seq[Expression]) => GraftExtensions.buildMinHashAgg(args)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => GraftExtensions.buildShingles(args)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => GraftExtensions.buildDotProduct(args)))
   }
 }
 
@@ -45,9 +54,21 @@ object GraftExtensions {
     MinHashAgg(args.head, intLiteral(args(1), "k"))
   }
 
-  /** Register both functions on an already-built session. */
+  private[functions] def buildShingles(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "word_shingles(str, n) takes 2 arguments")
+    Shingles(args.head, intLiteral(args(1), "n"))
+  }
+
+  private[functions] def buildDotProduct(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "dot_product(a, b) takes 2 arguments")
+    DotProduct(args(0), args(1))
+  }
+
+  /** Register all four functions on an already-built session. */
   def registerAll(spark: SparkSession): Unit = {
     RollingHash.register(spark)
     MinHashAgg.register(spark)
+    Shingles.register(spark)
+    DotProduct.register(spark)
   }
 }

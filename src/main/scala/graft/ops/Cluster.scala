@@ -38,15 +38,16 @@ object Cluster {
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("comp").as("nbr_comp"))
+      // carry a per-row changed flag through the iterate so convergence
+      // is a filter on the ALREADY-materialized table, not an extra
+      // old-vs-new join per round
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (col("nbr_comp") < col("comp")).as("chg"))
         .localCheckpoint(false)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("chg")).limit(1).count() == 0
+      labels = next.select("id", "comp")
       iter += 1
     }
     labels

@@ -10,10 +10,10 @@ class TextSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
-  test("GraftExtensions wires both custom functions") {
+  test("GraftExtensions wires all four custom functions") {
     // builder-time path: applying the extension must register cleanly
     new graft.functions.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
-    // live-session path: both functions resolve and run
+    // live-session path: every function resolves and runs from SQL
     graft.functions.GraftExtensions.registerAll(spark)
     val r = Tables.documents(spark, sf).limit(5)
       .selectExpr("rolling_hash(text, 8) AS rh")
@@ -24,6 +24,12 @@ class TextSpec extends AnyFunSuite {
       .groupBy("doc_id").agg(expr("minhash_agg(t, 8)").as("sig"))
       .count()
     assert(m == 5)
+    val sh = Tables.documents(spark, sf).limit(5)
+      .selectExpr("size(word_shingles(text, 3)) AS n").agg(sum("n")).head().getLong(0)
+    assert(sh > 0)
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
+    assert(dp == 11.0)
   }
 
   test("rolling hash: codegen result equals the plain Scala reference") {
