@@ -28,9 +28,14 @@ object Profile {
     time("minhashSignatures")(Dedup.minhashSignatures(docs, 3, 128))
     time("minhashLsh_full")(Dedup.minhashLsh(docs, 3, 128, 16, 0.8))
     time("ngramJaccard")(Dedup.ngramJaccard(docs, 3, 0.8, 50))
+    time("simhashSignatures")(Dedup.simhashSignatures(docs))
+    time("simhashPairs")(Dedup.simhashPairs(docs, 3))
     val emb = Tables.embeddings(spark, sfDir)
     emb.count()
     time("embeddingNearDup")(Dedup.embeddingNearDup(emb, 0.35))
+    time("cluster_edges_only")(Dedup.ngramJaccard(docs, 3, 0.8, 50).select("id1", "id2"))
+    time("cluster_full")(graft.ops.Cluster.dedupClusters(docs,
+      Dedup.ngramJaccard(docs, 3, 0.8, 50)))
     spark.stop()
   }
 }

@@ -79,15 +79,17 @@ object Dedup {
       .groupBy("s").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= maxDF)
 
-  /** All in-bucket (id1 < id2) pairs, exploded map-side from each bucket. */
-  private def bucketPairs(buckets: DataFrame): DataFrame =
+  /** All in-bucket (id1 < id2) pairs, exploded map-side from each
+    * bucket via the native [[graft.functions.ArrayPairs]] expression
+    * (the nested transform/sequence form interprets two lambda layers
+    * per pair). */
+  private def bucketPairs(buckets: DataFrame): DataFrame = {
+    graft.functions.ArrayPairs.register(SparkSession.active)
     buckets
       .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
-        transform(sequence(i + 1, size(col("ids")) - 1), j =>
-          struct(element_at(col("ids"), i + 1).as("id1"),
-                 element_at(col("ids"), j + 1).as("id2")))))).as("p"))
+      .select(explode(call_function("array_pairs", col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
+  }
 
   /** n-gram Jaccard near-dup pairs with similarity ≥ `threshold`,
     * computed over the DF-capped shingle space (both the intersection
@@ -176,16 +178,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: tf-weighted sign-sum of token hash bits,
-    * assembled into a long. One explode + one groupBy(doc) shuffle. */
+    * assembled into a long. ONE explode + ONE groupBy(doc) shuffle —
+    * each token OCCURRENCE contributes ±1 per bit, which sums to
+    * exactly the tf-weighted form without the per-(doc,token)
+    * pre-aggregation shuffle the tf formulation needs (the map-side
+    * partial agg compresses occurrences to one 64-long buffer per
+    * (partition, doc) anyway). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"b$i")
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$i")
     }
-    val agg = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 64).map(i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
