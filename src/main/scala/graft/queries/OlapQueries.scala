@@ -232,6 +232,30 @@ object OlapQueries {
         .orderBy("step")
     }),
 
+    // SCD2 / CDC merge: a deterministic update batch (10% of orders,
+    // price +100.00 — additive so no ×-factor ever lands on a .005
+    // HALF_UP-vs-binary rounding boundary — effective 30 days after the
+    // order) applied to the versioned snapshot: updated keys get their
+    // open row closed at the effective date plus a new open version;
+    // untouched keys pass through. Open rows surface the standard SCD2
+    // far-future sentinel instead of NULL so both engines sort and
+    // hash the column identically. One key join + union (graft.ops.Scd2).
+    "scd2_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val current = o.select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderdate").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val updates = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") + 100.0, 2).as("price"),
+          date_add(col("o_orderdate"), 30).as("valid_from"))
+      graft.ops.Scd2.merge(current, updates, key = "o_orderkey")
+        .withColumn("valid_to",
+          coalesce(col("valid_to"), lit("9999-12-31").cast("date")))
+        .orderBy("o_orderkey", "valid_from")
+    }),
+
     // Interval (range) join via bucketing: errors within 1 h after each
     // signup. A naive range join is O(|signups|·|errors|) per user; here
     // each signup explodes to its ≤2 covering hour buckets and joins
@@ -402,6 +426,22 @@ object OlapQueries {
         |  SELECT '3_purchase', count(*),
         |    round(count(*)*1.0/nullif((SELECT count(*) FROM s2), 0), 4) FROM s3
         |) ORDER BY step""".stripMargin,
+
+    "scd2_merge" ->
+      """WITH cur AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |         CAST(o_orderdate AS DATE) AS valid_from
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, round(o_totalprice + 100.0, 2) AS price,
+        |         CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS valid_from
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT c.o_orderkey, c.price, c.valid_from,
+        |       coalesce(u.valid_from, DATE '9999-12-31') AS valid_to
+        |FROM cur c LEFT JOIN upd u ON c.o_orderkey = u.o_orderkey
+        |UNION ALL
+        |SELECT o_orderkey, price, valid_from, DATE '9999-12-31' FROM upd
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
 
     // the bucketed rewrite must agree exactly with the plain range join
     "events_range_join" ->

@@ -7,6 +7,7 @@ import graft.sources.Tables
 
 class ScaleOpsSpec extends AnyFunSuite {
   import SparkTestSession._
+  import spark.implicits._
 
   test("IVF ANN recalls most brute-force neighbors at nprobe=4/16") {
     val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), col("vec_id") < 10, k = 5)
@@ -16,6 +17,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
     assert(ivf.size == brute.size, "IVF should fill k slots per probe from its cells")
+  }
+
+  test("scd2 merge closes only open rows and appends new versions") {
+    import java.sql.Date
+    val current = Seq(
+      // key 1: one closed historic version + one open version
+      (1L, 10.0, Date.valueOf("2020-01-01"), Date.valueOf("2020-06-01")),
+      (1L, 12.0, Date.valueOf("2020-06-01"), null.asInstanceOf[Date]),
+      // key 2: open only, no update arrives
+      (2L, 20.0, Date.valueOf("2020-01-01"), null.asInstanceOf[Date]))
+      .toDF("k", "price", "valid_from", "valid_to")
+    val updates = Seq((1L, 15.0, Date.valueOf("2021-01-01")))
+      .toDF("k", "price", "valid_from")
+    val out = graft.ops.Scd2.merge(current, updates, key = "k")
+      .orderBy("k", "valid_from").collect()
+    assert(out.length == 4)
+    // historic closed row untouched
+    assert(out(0).getDate(3) == Date.valueOf("2020-06-01"))
+    // open row of key 1 closed at the update's effective date
+    assert(out(1).getDate(3) == Date.valueOf("2021-01-01"))
+    // new version is the open row
+    assert(out(2).getDouble(1) == 15.0 && out(2).getDate(3) == null)
+    // untouched key stays open
+    assert(out(3).getLong(0) == 2L && out(3).getDate(3) == null)
+    // chain integrity: each key's valid_to equals the next valid_from
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.sortBy(_.getDate(2).toString).sliding(2).foreach {
+        case Array(a, b) => assert(a.getDate(3) == b.getDate(2))
+        case _ =>
+      }
+    }
   }
 
   test("bucketed range join equals the naive range join") {

@@ -38,9 +38,15 @@ for name, sql in sorted(oracle.items()):
     gv = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     ev = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
     bad = 0
+    import pandas as pd
     for c in got.columns:
         for i, (a, b) in enumerate(zip(gv[c], ev[c])):
             if a is None and b is None: continue
+            # NaT/NaN-aware null equality (NaT == NaT is False in pandas)
+            try:
+                if pd.isna(a) and pd.isna(b): continue
+            except (TypeError, ValueError):
+                pass
             try:
                 if a is None or b is None or (isinstance(a, float) and math.isnan(a) and math.isnan(b)):
                     if not ((a is None and b is None) or (math.isnan(a) and math.isnan(b))):
