@@ -84,6 +84,25 @@ object TextAnalysis {
           - when(col("n_tokens") < 10, 0.5).otherwise(0.0)), 4))
   }
 
+  /** Quality-filter chain (the Gopher-style keep/reject gate a training
+    * pipeline runs after scoring): fixed rule order, every rejected doc
+    * carries its comma-joined reason list. Pure per-row map on top of
+    * [[quality]] — rules are Column predicates, so at 100 TB the whole
+    * chain stays one codegen'd projection over the scan. */
+  def filterChain(docs: DataFrame): DataFrame = {
+    val rules = Seq(
+      "too_short"      -> (col("n_tokens") < 20),
+      "too_repetitive" -> (col("dup_ratio") > 0.6),
+      "no_stopwords"   -> (col("stopword_ratio") === 0.0),
+      "low_score"      -> (col("quality_score") < 0.75))
+    val reasons = concat_ws(",",
+      rules.map { case (n, c) => when(c, lit(n)) }: _*)
+    quality(docs).select(
+      col("doc_id"),
+      (reasons === "").cast("bigint").as("keep"),
+      reasons.as("reasons"))
+  }
+
   /** Winnowing fingerprint via the custom codegen expression
     * [[graft.functions.RollingHash]] (window = 16 bytes), plus an exact
     * full-text hash for exact-dup grouping at fixed width. */

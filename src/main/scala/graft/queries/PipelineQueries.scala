@@ -101,6 +101,16 @@ object PipelineQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "text_filter_chain" -> ((s, dir) =>
+      TextAnalysis.filterChain(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // bin-level packing summary; the per-doc assignment is Pack.sequencePack
+    "seq_pack" -> ((s, dir) =>
+      graft.ops.Pack.sequencePack(Tables.documents(s, dir), maxTokens = 2048L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("bin")),
+
     // BPE-ish subword-style tokenization (contraction suffixes, letter
     // runs, digit runs, punctuation runs) vs plain word tokens
     "text_bpe" -> ((s, dir) =>
@@ -286,6 +296,48 @@ object PipelineQueries {
          |SELECT doc_id, lang, en_hits, es_hits, fr_hits, de_hits, zh_hits, predicted,
          |  CASE WHEN predicted = lang THEN 1 ELSE 0 END AS is_match
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    // same rule chain re-derived from the quality SQL; DuckDB
+    // array_to_string('') is NULL, hence the coalesce
+    "text_filter_chain" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |r AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(len(list_filter(toks, x ->
+         |      list_contains(['the','a','of','and','to','in','is'], x)))*1.0
+         |      / len(toks), 4) AS stopword_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, n_tokens, stopword_ratio, dup_ratio,
+         |    round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) AS quality_score
+         |  FROM r),
+         |f AS (
+         |  SELECT doc_id, coalesce(array_to_string(list_filter([
+         |    CASE WHEN n_tokens < 20 THEN 'too_short' END,
+         |    CASE WHEN dup_ratio > 0.6 THEN 'too_repetitive' END,
+         |    CASE WHEN stopword_ratio = 0.0 THEN 'no_stopwords' END,
+         |    CASE WHEN quality_score < 0.75 THEN 'low_score' END
+         |  ], x -> x IS NOT NULL), ','), '') AS reasons
+         |  FROM q)
+         |SELECT doc_id, CAST(reasons = '' AS BIGINT) AS keep, reasons
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the oracle computes the SAME packing with a single global cumsum
+    // window — the two-level prefix sum must be identical by construction
+    "seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, len($toks) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      - n_tokens AS cum_before
+         |  FROM t)
+         |SELECT CAST(cum_before // 2048 AS BIGINT) AS bin,
+         |  count(*) AS n_docs, sum(n_tokens) AS n_tokens
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_bpe" ->
       s"""WITH t AS (

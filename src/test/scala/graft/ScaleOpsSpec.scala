@@ -19,6 +19,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ivf.size == brute.size, "IVF should fill k slots per probe from its cells")
   }
 
+  test("two-level sequence packing equals the sequential running sum") {
+    val out = graft.ops.Pack.sequencePack(Tables.documents(spark, sf),
+        maxTokens = 512L, blockSize = 64L)
+      .orderBy("doc_id").collect()
+    var cum = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("cum_before") == cum, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("bin") == cum / 512L)
+      cum += r.getAs[Long]("n_tokens")
+    }
+  }
+
+  test("filter chain: keep iff no reason fires; reasons use the fixed order") {
+    val rows = SparkEntry.queries("text_filter_chain")(spark, sf).collect()
+    assert(rows.length == 500)
+    val order = Seq("too_short", "too_repetitive", "no_stopwords", "low_score")
+    rows.foreach { r =>
+      val keep = r.getAs[Long]("keep"); val reasons = r.getAs[String]("reasons")
+      assert((keep == 1L) == reasons.isEmpty)
+      if (reasons.nonEmpty) {
+        val rs = reasons.split(",").toSeq
+        assert(rs.forall(order.contains))
+        assert(rs == order.filter(rs.contains), s"rule order broken: $reasons")
+      }
+    }
+    assert(rows.exists(_.getAs[Long]("keep") == 0L), "expected some rejections")
+    assert(rows.exists(_.getAs[Long]("keep") == 1L), "expected some keeps")
+  }
+
   test("scd2 merge closes only open rows and appends new versions") {
     import java.sql.Date
     val current = Seq(
