@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => GraftExtensions.buildDotProduct(args)))
+    ext.injectFunction((
+      FunctionIdentifier("array_pairs"),
+      new ExpressionInfo(classOf[ArrayPairs].getName, "array_pairs"),
+      (args: Seq[Expression]) => GraftExtensions.buildArrayPairs(args)))
   }
 }
 
@@ -64,11 +68,17 @@ object GraftExtensions {
     DotProduct(args(0), args(1))
   }
 
-  /** Register all four functions on an already-built session. */
+  private[functions] def buildArrayPairs(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "array_pairs(arr) takes 1 argument")
+    ArrayPairs(args.head)
+  }
+
+  /** Register all five functions on an already-built session. */
   def registerAll(spark: SparkSession): Unit = {
     RollingHash.register(spark)
     MinHashAgg.register(spark)
     Shingles.register(spark)
     DotProduct.register(spark)
+    ArrayPairs.register(spark)
   }
 }

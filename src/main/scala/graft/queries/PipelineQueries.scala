@@ -147,6 +147,9 @@ object PipelineQueries {
 
     "stream_dedup" -> ((s, dir) =>
       graft.streaming.EventStreams.dedupedCounts(s, dir)),
+
+    "stream_enrich" -> ((s, dir) =>
+      graft.streaming.EventStreams.enriched(s, dir)),
   )
 
   // Shared DuckDB fragments (SURVEY §5: Spark∩DuckDB regex/token subset).
@@ -404,5 +407,15 @@ object PipelineQueries {
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stream-static join is batch-equivalent under AvailableNow
+    "stream_enrich" ->
+      """WITH u AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+        |           FROM orders GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(u.user_id IS NOT NULL AS BIGINT) AS has_orders,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events e LEFT JOIN u ON e.user_id = u.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

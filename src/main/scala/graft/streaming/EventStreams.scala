@@ -98,6 +98,38 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Stream-static join: the events STREAM enriches against a static
+    * per-user dimension (lifetime order count/value from orders) — the
+    * standard streaming-enrichment pattern; the static side re-plans
+    * per micro-batch, so at scale it's a broadcast (small dim) or
+    * shuffle (large dim) join chosen by the planner per batch, and the
+    * result is batch-equivalent under AvailableNow (the SQL oracle).
+    * Output: per event_type × has_orders flag, event count + value sum. */
+  def enriched(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("lifetime_value"))
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .join(users, Seq("user_id"), "left")
+
+    val sink = s"graft_stream_enrich_${runId.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(sink)
+      .groupBy(col("event_type"), col("n_orders").isNotNull.cast("bigint").as("has_orders"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type", "has_orders")
+  }
+
   /** Open sessions carried across micro-batches, keyed by user. */
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

@@ -39,4 +39,20 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(deduped.sameElements(batch))
   }
+
+  test("stream-static enrichment is batch-equivalent") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStreams.enriched(spark, sf)
+      .collect().map(_.toString)
+    val users = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .join(users, Seq("user_id"), "left")
+      .groupBy(col("event_type"), col("n_orders").isNotNull.cast("bigint").as("has_orders"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type", "has_orders")
+      .collect().map(_.toString)
+    assert(streamed.sameElements(batch))
+  }
 }
