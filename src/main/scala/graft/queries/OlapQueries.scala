@@ -232,6 +232,20 @@ object OlapQueries {
         .orderBy("step")
     }),
 
+    // Bloom-pruned semi-join: lineitems of 1996 orders. The bloom
+    // pre-filter prunes the probe side map-side (no false negatives;
+    // false positives die in the exact join), so the result equals the
+    // plain semi-join while only probable matches shuffle.
+    "bloom_semi_join" -> ((s, dir) => {
+      val o96 = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      graft.ops.Bloom.semiJoin(Tables.lineitem(s, dir), o96,
+          probeKey = "l_orderkey", buildKey = "o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
     // SCD2 / CDC merge: a deterministic update batch (10% of orders,
     // price +100.00 — additive so no ×-factor ever lands on a .005
     // HALF_UP-vs-binary rounding boundary — effective 30 days after the
@@ -426,6 +440,16 @@ object OlapQueries {
         |  SELECT '3_purchase', count(*),
         |    round(count(*)*1.0/nullif((SELECT count(*) FROM s2), 0), 4) FROM s3
         |) ORDER BY step""".stripMargin,
+
+    // bloom pruning must be invisible in the result
+    "bloom_semi_join" ->
+      """SELECT count(*) AS n_items,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')""".stripMargin,
 
     "scd2_merge" ->
       """WITH cur AS (

@@ -48,6 +48,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("keep") == 1L), "expected some keeps")
   }
 
+  test("bloom prefilter has no false negatives and genuinely prunes") {
+    val li = Tables.lineitem(spark, sf)
+    val o96 = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val truth = li.join(o96.select("o_orderkey").distinct(),
+      li("l_orderkey") === col("o_orderkey"), "leftsemi").count()
+    val pruned = graft.ops.Bloom.prefilter(li, o96, "l_orderkey", "o_orderkey")
+    // no false negatives: every true match survives the pre-filter
+    assert(pruned.count() >= truth)
+    // real pruning: far fewer than the full probe side passes
+    assert(pruned.count() < li.count() / 2,
+      s"bloom should prune most of the probe side: ${pruned.count()} of ${li.count()}")
+    // and the exact join removes the false positives
+    assert(graft.ops.Bloom.semiJoin(li, o96, "l_orderkey", "o_orderkey").count() == truth)
+  }
+
   test("scd2 merge closes only open rows and appends new versions") {
     import java.sql.Date
     val current = Seq(
