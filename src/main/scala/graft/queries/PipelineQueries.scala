@@ -104,6 +104,20 @@ object PipelineQueries {
     "text_filter_chain" -> ((s, dir) =>
       TextAnalysis.filterChain(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // systematic PPS (probability-proportional-to-size) sample: a doc is
+    // taken iff its [cum_before, cum_before + n_tokens) token interval
+    // contains a multiple of the stride — inclusion probability ∝ token
+    // count, fully deterministic, built on the same two-level prefix sum
+    // as seq_pack (no random state to reconcile across engines)
+    "sample_weighted" -> ((s, dir) => {
+      val stride = 512L
+      graft.ops.Pack.sequencePack(Tables.documents(s, dir))
+        .filter(expr(s"(cum_before + n_tokens) div ${stride}L") >
+                expr(s"cum_before div ${stride}L"))
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // bin-level packing summary; the per-doc assignment is Pack.sequencePack
     "seq_pack" -> ((s, dir) =>
       graft.ops.Pack.sequencePack(Tables.documents(s, dir), maxTokens = 2048L)
@@ -328,6 +342,17 @@ object PipelineQueries {
          |  FROM q)
          |SELECT doc_id, CAST(reasons = '' AS BIGINT) AS keep, reasons
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH t AS (SELECT doc_id, len($toks) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      - n_tokens AS cum_before
+         |  FROM t)
+         |SELECT doc_id, n_tokens FROM c
+         |WHERE (cum_before + n_tokens) // 512 > cum_before // 512
+         |ORDER BY doc_id""".stripMargin,
 
     // the oracle computes the SAME packing with a single global cumsum
     // window — the two-level prefix sum must be identical by construction
