@@ -49,7 +49,13 @@ object ArrayPairs {
     * and generated paths. */
   def compute(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    val count = n.toLong * (n - 1) / 2
+    // quadratic growth must fail loudly, not wrap Int negative — callers
+    // are expected to cap bucket sizes (maxDF / bucketCap) BEFORE
+    // pairing; an uncapped bucket reaching here is a bug upstream
+    require(count <= Int.MaxValue,
+      s"array_pairs: $n elements would emit $count pairs; cap the bucket first")
+    val out = new Array[Any](count.toInt)
     var k = 0
     var i = 0
     while (i < n) {

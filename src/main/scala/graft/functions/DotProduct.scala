@@ -57,7 +57,10 @@ final case class DotProduct(left: Expression, right: Expression)
 object DotProduct {
 
   /** Sequential-fold dot product; shared by interpreted and generated
-    * paths so they are identical by construction. */
+    * paths so they are identical by construction. Null elements throw —
+    * getDouble on a null slot would silently read 0.0 (or garbage),
+    * whereas the declarative fold this replaces null-poisons; an
+    * exception surfaces the bad data instead of a wrong similarity. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     if (b.numElements() != n)
@@ -65,7 +68,12 @@ object DotProduct {
         s"dot_product: length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"dot_product: null element at index $i")
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 

@@ -27,8 +27,8 @@ object Bloom {
   // BloomFilterAggregate / BloomFilterMightContain are internal-only in
   // this Spark build (not on the SQL search path) — register them as
   // session functions the same way graft's own expressions are.
-  private def registerBloomFns(): Unit = {
-    val reg = org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+  private def registerBloomFns(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_bloom_agg",
       { args =>
@@ -47,24 +47,19 @@ object Bloom {
   }
 
   /** `might_contain(bloomBytes, key)` over a driver-collected filter. */
-  private def mightContain(bloomBytes: Array[Byte], key: Column): Column = {
-    registerBloomFns()
+  private def mightContain(bloomBytes: Array[Byte], key: Column): Column =
     call_function("might_contain", lit(bloomBytes), key)
-  }
 
   /** Probe rows whose `probeKey` is (probably) in `build`'s `buildKey`
-    * set, pre-filtered by bloom then verified by the exact join. */
+    * set, pre-filtered by bloom then verified by the exact join. The
+    * build key is aliased to a reserved name so probeKey == buildKey
+    * (the common same-named-key case) never resolves ambiguously. */
   def semiJoin(probe: DataFrame, build: DataFrame,
                probeKey: String, buildKey: String,
                expectedItems: Long = 100000L, numBits: Long = 1L << 20): DataFrame = {
-    registerBloomFns()
-    val bf = build
-      .agg(call_function("graft_bloom_agg", col(buildKey),
-        lit(expectedItems), lit(numBits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    val pruned = probe.filter(mightContain(bf, col(probeKey)))
-    pruned.join(build.select(col(buildKey)).distinct(),
-      pruned(probeKey) === col(buildKey), "leftsemi")
+    val pruned = prefilter(probe, build, probeKey, buildKey, expectedItems, numBits)
+    val keys = build.select(col(buildKey).as("_bloom_build_key")).distinct()
+    pruned.join(keys, pruned(probeKey) === keys("_bloom_build_key"), "leftsemi")
   }
 
   /** The bloom pre-filter alone (false positives included) — exposed so
@@ -72,7 +67,7 @@ object Bloom {
   def prefilter(probe: DataFrame, build: DataFrame,
                 probeKey: String, buildKey: String,
                 expectedItems: Long = 100000L, numBits: Long = 1L << 20): DataFrame = {
-    registerBloomFns()
+    registerBloomFns(probe.sparkSession)
     val bf = build
       .agg(call_function("graft_bloom_agg", col(buildKey),
         lit(expectedItems), lit(numBits)).as("bf"))

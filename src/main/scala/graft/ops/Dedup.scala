@@ -52,9 +52,14 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Per-doc distinct shingle sets: doc_id, sh. */
-  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+  /** Per-doc distinct shingle sets: doc_id, sh. Registers the native
+    * functions on the DataFrame's OWN session (the `SparkSession.active`
+    * fallback inside the bare Column helpers is thread-local and only
+    * for direct Column-level use). */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
     docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+  }
 
   /** Exact dedup: group on sha2 of normalized text, keep min doc_id.
     * Output: keep_id, n_copies (one row per distinct text). */
@@ -84,7 +89,7 @@ object Dedup {
     * (the nested transform/sequence form interprets two lambda layers
     * per pair). */
   private def bucketPairs(buckets: DataFrame): DataFrame = {
-    graft.functions.ArrayPairs.register(SparkSession.active)
+    graft.functions.ArrayPairs.register(buckets.sparkSession)
     buckets
       .filter(size(col("ids")) >= 2)
       .select(explode(call_function("array_pairs", col("ids"))).as("p"))
@@ -257,6 +262,7 @@ object Dedup {
     * Output: id1, id2, label, cos (4dp). */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.35,
                        blockCol: String = "label"): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), col(blockCol),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))

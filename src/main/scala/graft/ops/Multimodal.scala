@@ -38,7 +38,11 @@ object Multimodal {
     * the DuckDB oracle can re-derive it from the blob; xxhash64 would
     * be Spark-only). */
   def frameSample(docs: DataFrame, frameSize: Int = 64, stride: Int = 4): DataFrame = {
-    val p = payload(docs)
+    // empty payloads contribute no frames — without this guard,
+    // sequence(0, -1) would produce the DESCENDING sequence [0, -1]
+    // (Spark's default step is -1 when stop < start) and emit a bogus
+    // zero-length frame row the oracle doesn't have
+    val p = payload(docs).filter(length(col("payload")) > 0)
     val nFrames = ceil(length(col("payload")).cast("double") / frameSize).cast("int")
     p.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nFrames - 1),

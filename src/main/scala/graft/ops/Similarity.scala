@@ -23,6 +23,7 @@ object Similarity {
     * probe×corpus cell costs one array fold.
     * Output: probe_id, rank, neighbor_id, cos (4dp). */
   def bruteForceTopK(emb: DataFrame, probeFilter: Column, k: Int = 5): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
     val probes = e.filter(probeFilter)
@@ -60,6 +61,7 @@ object Similarity {
     * Output: probe_id, rank, neighbor_id, cos (4dp), cell. */
   def ivfTopK(emb: DataFrame, probeFilter: Column, k: Int = 5,
               cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
 
@@ -123,6 +125,7 @@ object Similarity {
     * approximation; recall grows as `numPlanes` shrinks. */
   def lshTopK(emb: DataFrame, probeFilter: Column, k: Int = 5,
               numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
     val dim    = 64
     val planes = hyperplanes(numPlanes, dim, seed)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -19,8 +19,11 @@ import graft.meta.{Glossary, Lineage}
   */
 object MetaQueries {
 
-  /** The fixture as a filesystem path, for the DuckDB oracle. */
-  val fixturePath = "/root/repo/src/main/resources/graft/fixture_manifest.json"
+  /** The fixture as an ABSOLUTE filesystem path for the DuckDB oracle,
+    * resolved from the working directory at oracle-dump time (sbt runs
+    * from the repo root) so any checkout location works. */
+  val fixturePath: String = new java.io.File(
+    "src/main/resources/graft/fixture_manifest.json").getAbsolutePath
 
   private def parsed(s: SparkSession): DataFrame = Manifest.parse(s, Manifest.fixtureJson)
 

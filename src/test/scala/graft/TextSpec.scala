@@ -10,7 +10,7 @@ class TextSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
-  test("GraftExtensions wires all four custom functions") {
+  test("GraftExtensions wires all five custom functions") {
     // builder-time path: applying the extension must register cleanly
     new graft.functions.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
     // live-session path: every function resolves and runs from SQL
@@ -30,6 +30,11 @@ class TextSpec extends AnyFunSuite {
     val dp = spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
     assert(dp == 11.0)
+    val ap = spark.sql(
+      "SELECT array_pairs(array(1L, 2L, 3L)) AS p").head()
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("p")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ap.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
   test("rolling hash: codegen result equals the plain Scala reference") {
