@@ -103,6 +103,46 @@ object OlapQueries {
         .orderBy("rf", "ls")
     }),
 
+    // TPC-H Q7 style: trade volume between two nation pairs by year.
+    // Supplier and customer each broadcast-join their tiny nation dim;
+    // the nation-pair filter applies BEFORE the year aggregation, and
+    // the only big-table joins are co-keyed lineitem⋈orders⋈customer.
+    "q7_shipping" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val pairOk = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                   (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+      Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter(pairOk)
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q9 style (no partsupp table in this schema): profit proxy
+    // per supplier nation × year for PROMO-type parts — two fact-sized
+    // shuffle joins (part, orders) plus broadcast nation.
+    "q9_profit" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity") * 0.1), 2).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     // TPC-H Q18 style: big-order semi-filter (HAVING over a one-pass
     // lineitem agg — the aggregate IS the filter input, no second scan)
     // joined back to orders⋈customer; deterministic top-10.
@@ -363,6 +403,32 @@ object OlapQueries {
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q7_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * l_quantity * 0.1), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
 
     "q18_bigorders" ->
       """WITH big AS (
