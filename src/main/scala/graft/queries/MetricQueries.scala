@@ -163,6 +163,20 @@ object MetricQueries {
         .orderBy("period")
     }),
 
+    // percentile profile: exact interpolated p50/p90/p99 per group
+    // (Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    // interpolation definition). Exact percentile buffers per-group
+    // values — bounded groups only; the 100 TB path is percentile_approx
+    // (see MetricCompiler median_approx).
+    "m_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag")),
+
     "m_dimensions" -> ((s, dir) => {
       val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir); val r = Tables.region(s, dir)
@@ -183,6 +197,13 @@ object MetricQueries {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
         | round(sum(o_totalprice), 2) AS total_revenue
         |FROM orders GROUP BY period ORDER BY period""".stripMargin,
+
+    "m_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "m_retention" ->
       """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders),

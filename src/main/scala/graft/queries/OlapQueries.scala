@@ -176,6 +176,33 @@ object OlapQueries {
         .orderBy("c_mktsegment", "rnk")
     }),
 
+    // Pivot: per-day event counts with one column per event type. An
+    // EXPLICIT value list, so the plan is a single conditional-aggregate
+    // pass (an implicit pivot would need a values-discovery pass first).
+    "q_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    }),
+
+    // Anti-join: customers with no PRE-1996 orders (shuffle left_anti
+    // on the key, date filter pushed into the build side's scan — the
+    // reach-for pattern for "missing the other side" checks).
+    "q_antijoin" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("c_acctbal"), 2).as("sum_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // JSON property extraction + aggregation (pure per-row map → one shuffle).
     "events_json" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast("int")
@@ -448,6 +475,24 @@ object OlapQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |QUALIFY rnk <= 3
         |ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate < TIMESTAMP '1996-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS n_events,
