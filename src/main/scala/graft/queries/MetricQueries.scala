@@ -163,6 +163,39 @@ object MetricQueries {
         .orderBy("period")
     }),
 
+    // month-over-month growth: lag window over the ALREADY-aggregated
+    // monthly table (O(months) rows — same pre-agg-then-window rule as
+    // cumulative metrics; the window never sees raw orders)
+    "m_mom_growth" -> ((s, dir) => {
+      val monthly = MC.simple(Tables.orders(s, dir), ordersRevenue, Some("month"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("period")
+      val prev = lag(col("total_revenue"), 1).over(w)
+      monthly
+        .withColumn("prev_revenue", round(prev, 2))
+        .withColumn("mom_growth",
+          round((col("total_revenue") - prev) / nullif(prev, lit(0)), 4))
+        .select(col("period"), round(col("total_revenue"), 2).as("total_revenue"),
+          col("prev_revenue"), col("mom_growth"))
+        .orderBy("period")
+    }),
+
+    // inter-arrival gaps: per-(user, type) consecutive-event deltas —
+    // the lag window is partitioned by user so gap state distributes;
+    // the per-type rollup is a second tiny aggregation
+    "m_interarrival" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts_us")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg("gap_us"), 4).as("avg_gap_us"),
+          max("gap_us").as("max_gap_us"))
+        .orderBy("event_type")
+    }),
+
     // percentile profile: exact interpolated p50/p90/p99 per group
     // (Spark `percentile` and DuckDB `quantile_cont` share the linear-
     // interpolation definition). Exact percentile buffers per-group
@@ -197,6 +230,28 @@ object MetricQueries {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
         | round(sum(o_totalprice), 2) AS total_revenue
         |FROM orders GROUP BY period ORDER BY period""".stripMargin,
+
+    "m_mom_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+        |         sum(o_totalprice) AS total_revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT period, round(total_revenue, 2) AS total_revenue,
+        |  round(lag(total_revenue) OVER (ORDER BY period), 2) AS prev_revenue,
+        |  round((total_revenue - lag(total_revenue) OVER (ORDER BY period))
+        |    / nullif(lag(total_revenue) OVER (ORDER BY period), 0), 4) AS mom_growth
+        |FROM m ORDER BY period""".stripMargin,
+
+    "m_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(avg(gap_us), 4) AS avg_gap_us, max(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "m_percentiles" ->
       """SELECT l_returnflag,
