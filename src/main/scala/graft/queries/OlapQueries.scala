@@ -161,15 +161,23 @@ object OlapQueries {
         .limit(10)
     }),
 
-    // Per-group top-N: rank inside each market segment (one shuffle on
-    // the segment via the window; never a per-group sort of the whole
-    // table beyond the windowed partition).
+    // Per-group top-N, TWO-PHASE: a window over the raw join keyed only
+    // by segment is |segments| hot tasks at 100 TB; phase 1 ranks inside
+    // every (segment, input-partition) slice and keeps the local top-3
+    // (the global top-3 always survive their own slice), so the final
+    // per-segment window ranks ≤ 3·partitions survivors — identical
+    // result to the single-window form the oracle computes.
     "q_topn_per_group" -> ((s, dir) => {
       val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
-      val w = Window.partitionBy("c_mktsegment")
+      val wLocal = Window.partitionBy(col("c_mktsegment"), col("pid"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wFinal = Window.partitionBy("c_mktsegment")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       o.join(c, o("o_custkey") === c("c_custkey"))
-        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(wLocal))
+        .filter(col("lrn") <= 3)
+        .withColumn("rnk", row_number().over(wFinal).cast("bigint"))
         .filter(col("rnk") <= 3)
         .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))

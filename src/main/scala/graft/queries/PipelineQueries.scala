@@ -64,17 +64,28 @@ object PipelineQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
 
-    // deterministic stratified sample: k docs per language, picked by a
-    // stable order (doc_id) so every engine and every run selects the
-    // same rows — the per-stratum window never sees more than one
-    // partition's worth of rows per key
+    // deterministic stratified sample: the k smallest doc_ids per
+    // language. TWO-PHASE top-k — a per-stratum window alone would be
+    // |languages| hot tasks each sorting its whole stratum at 100 TB;
+    // phase 1 takes the local top-k inside every (lang, input-partition)
+    // slice (distributed), so the final per-lang window ranks at most
+    // k·partitions survivors. The k global minima always survive their
+    // own partition's local top-k, so the result is IDENTICAL to the
+    // single-window form (which is what the oracle computes).
     "sample_stratified" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val k = 20
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "pid").orderBy("doc_id")
+      val wFinal = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy("doc_id")
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"))
-        .withColumn("rn", row_number().over(w).cast("bigint"))
-        .filter(col("rn") <= 20)
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(wLocal))
+        .filter(col("lrn") <= k)
+        .withColumn("rn", row_number().over(wFinal).cast("bigint"))
+        .filter(col("rn") <= k)
+        .select("doc_id", "lang", "rn")
         .orderBy("lang", "rn")
     }),
 
