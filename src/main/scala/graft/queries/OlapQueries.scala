@@ -161,24 +161,15 @@ object OlapQueries {
         .limit(10)
     }),
 
-    // Per-group top-N, TWO-PHASE: a window over the raw join keyed only
-    // by segment is |segments| hot tasks at 100 TB; phase 1 ranks inside
-    // every (segment, input-partition) slice and keeps the local top-3
-    // (the global top-3 always survive their own slice), so the final
-    // per-segment window ranks ≤ 3·partitions survivors — identical
-    // result to the single-window form the oracle computes.
+    // Per-group top-N via the shared two-phase top-k (graft.ops.TopK —
+    // a segment-keyed single window is |segments| hot tasks at 100 TB).
     "q_topn_per_group" -> ((s, dir) => {
       val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
-      val wLocal = Window.partitionBy(col("c_mktsegment"), col("pid"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      val wFinal = Window.partitionBy("c_mktsegment")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      o.join(c, o("o_custkey") === c("c_custkey"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(wLocal))
-        .filter(col("lrn") <= 3)
-        .withColumn("rnk", row_number().over(wFinal).cast("bigint"))
-        .filter(col("rnk") <= 3)
+      graft.ops.TopK.perGroup(
+          o.join(c, o("o_custkey") === c("c_custkey")),
+          groupCols = Seq(col("c_mktsegment")),
+          orderCols = Seq(col("o_totalprice").desc, col("o_orderkey")),
+          k = 3, rankName = "rnk")
         .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy("c_mktsegment", "rnk")

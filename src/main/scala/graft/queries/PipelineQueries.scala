@@ -65,29 +65,14 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")),
 
     // deterministic stratified sample: the k smallest doc_ids per
-    // language. TWO-PHASE top-k — a per-stratum window alone would be
-    // |languages| hot tasks each sorting its whole stratum at 100 TB;
-    // phase 1 takes the local top-k inside every (lang, input-partition)
-    // slice (distributed), so the final per-lang window ranks at most
-    // k·partitions survivors. The k global minima always survive their
-    // own partition's local top-k, so the result is IDENTICAL to the
-    // single-window form (which is what the oracle computes).
-    "sample_stratified" -> ((s, dir) => {
-      val k = 20
-      val wLocal = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang", "pid").orderBy("doc_id")
-      val wFinal = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("doc_id")
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(wLocal))
-        .filter(col("lrn") <= k)
-        .withColumn("rn", row_number().over(wFinal).cast("bigint"))
-        .filter(col("rn") <= k)
+    // language, via the shared two-phase top-k (see graft.ops.TopK for
+    // the hot-partition rationale and the superset invariant)
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.TopK.perGroup(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          groupCols = Seq(col("lang")), orderCols = Seq(col("doc_id")), k = 20)
         .select("doc_id", "lang", "rn")
-        .orderBy("lang", "rn")
-    }),
+        .orderBy("lang", "rn")),
 
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir))
