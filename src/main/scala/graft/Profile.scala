@@ -27,6 +27,7 @@ object Profile {
     time("postings")(Dedup.shingleSets(docs, 3).select(col("doc_id"), explode(col("sh")).as("s")))
     time("minhashSignatures")(Dedup.minhashSignatures(docs, 3, 128))
     time("minhashLsh_full")(Dedup.minhashLsh(docs, 3, 128, 16, 0.8))
+    time("minhash_candidates")(Dedup.lshCandidates(docs, 3, 128, 16, 1000))
     time("ngramJaccard")(Dedup.ngramJaccard(docs, 3, 0.8, 50))
     time("simhashSignatures")(Dedup.simhashSignatures(docs))
     time("simhashPairs")(Dedup.simhashPairs(docs, 3))

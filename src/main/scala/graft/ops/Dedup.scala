@@ -159,8 +159,10 @@ object Dedup {
     * AQE broadcasts the candidate side at runtime). `bucketCap` bounds
     * pathological buckets (e.g. a corpus of thousands of identical
     * docs) to cap² pair growth. Output: id1, id2, jaccard (4dp). */
-  def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 128, bands: Int = 16,
-                 threshold: Double = 0.8, bucketCap: Int = 1000): DataFrame = {
+  /** LSH candidate pairs only (band-bucket collisions, deduplicated) —
+    * the pre-verification stage of [[minhashLsh]]. */
+  def lshCandidates(docs: DataFrame, n: Int = 3, k: Int = 128, bands: Int = 16,
+                    bucketCap: Int = 1000): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val sig  = minhashSignatures(docs, n, k)
@@ -170,7 +172,12 @@ object Dedup {
     val bandBuckets = banded
       .groupBy("band", "bh").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= bucketCap)
-    val candidates = bucketPairs(bandBuckets).distinct()
+    bucketPairs(bandBuckets).distinct()
+  }
+
+  def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 128, bands: Int = 16,
+                 threshold: Double = 0.8, bucketCap: Int = 1000): DataFrame = {
+    val candidates = lshCandidates(docs, n, k, bands, bucketCap)
     // full shingle sets: a per-row projection of the docs scan (no shuffle)
     val sets = shingleSets(docs, n)
     val jac = size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
