@@ -17,7 +17,12 @@ import graft.sources.MetadataSink
   */
 object Ingestion {
 
-  final case class Result(metrics: Long, records: Long, outPath: Option[String])
+  /** `malformed` counts metric entries skipped by the permissive parse
+    * (non-object JSON) — the reference logs each and continues
+    * (reference: dbt_metrics_to_datahub.py:355-359); one bad entry
+    * degrades to a flagged count here, never a failed run. */
+  final case class Result(metrics: Long, records: Long, outPath: Option[String],
+                          malformed: Long = 0)
 
   /** Run the full pipeline over a manifest JSON string. Returns counts
     * and (unless dryRun) the sink path with parquet records. */
@@ -31,7 +36,8 @@ object Ingestion {
       Manifest.sources(parsed), platform, env)
     val records = Glossary.records(metrics, lineage, glossaryRoot)
     val emitted = MetadataSink.emit(records, outPath, format, dryRun)
-    Result(metrics.count(), emitted.records, emitted.path)
+    Result(metrics.count(), emitted.records, emitted.path,
+      Manifest.malformed(parsed, "metrics").count())
   }
 
   /** All glossary records for a manifest, without emitting. */

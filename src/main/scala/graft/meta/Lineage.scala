@@ -20,6 +20,13 @@ object Lineage {
   def datasetUrn(name: org.apache.spark.sql.Column, platform: String, env: String) =
     concat(lit(s"urn:li:dataset:(urn:li:dataPlatform:$platform,"), name, lit(s",$env)"))
 
+  /** Python `a or b` falsiness: fall back on EMPTY STRING as well as
+    * null (reference :229 `node.get('alias') or node.get('name')`,
+    * :244 `identifier or name`) — `coalesce` alone would keep an
+    * `alias: ""` and emit a different URN than the reference. */
+  private def pyOr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    when(a.isNotNull && a =!= "", a).otherwise(b)
+
   /** One row per (metric, dep): metric_id, dep_pos, node_id, dataset_urn
     * (null where the dep resolves to neither a model nor a source —
     * the reference logs a warning and skips; we keep the row with a
@@ -33,12 +40,12 @@ object Lineage {
     val modelUrns = nodes.select(
       col("unique_id").as("node_id"),
       datasetUrn(lower(concat_ws(".", col("database"), col("schema"),
-        coalesce(col("alias"), col("name")))), platform, env).as("model_urn"))
+        pyOr(col("alias"), col("name")))), platform, env).as("model_urn"))
 
     val sourceUrns = sources.select(
       col("unique_id").as("node_id"),
       datasetUrn(lower(concat_ws(".", col("database"), col("schema"),
-        coalesce(col("identifier"), col("name")))), platform, env).as("source_urn"))
+        pyOr(col("identifier"), col("name")))), platform, env).as("source_urn"))
 
     deps
       .join(broadcast(modelUrns), Seq("node_id"), "left")

@@ -65,18 +65,23 @@ object Manifest {
       StructField("name", StringType), StructField("type", StringType))))),
   ))
 
-  private val manifestType = StructType(Seq(
-    StructField("metrics", MapType(StringType, metricType)),
-    StructField("nodes", MapType(StringType, nodeType)),
-    StructField("sources", MapType(StringType, sourceType)),
-    StructField("semantic_models", MapType(StringType, semanticModelType)),
-  ))
+  private val sectionSchemas: Map[String, StructType] = Map(
+    "metrics" -> metricType, "nodes" -> nodeType,
+    "sources" -> sourceType, "semantic_models" -> semanticModelType)
 
-  /** One-row DataFrame holding the parsed manifest struct. */
+  /** One-row DataFrame holding each manifest section as a RAW JSON
+    * string (`from_json` with string-typed map values passes object
+    * values through verbatim). Entities then parse INDIVIDUALLY in
+    * [[section]], so one mangled entry degrades to a skipped+flagged
+    * row instead of nullifying the whole section map — the Spark
+    * re-expression of the reference's per-metric try/except-and-
+    * continue (reference: dbt_metrics_to_datahub.py:355-359). A
+    * single-shot typed `from_json` would return NULL for the entire
+    * section when any one entry fails to conform. */
   def parse(spark: SparkSession, manifestJson: String): DataFrame = {
     import spark.implicits._
     Seq(manifestJson).toDF("raw")
-      .select(from_json(col("raw"), manifestType).as("m"))
+      .select(from_json(col("raw"), MapType(StringType, StringType)).as("sections"))
   }
 
   /** The built-in test fixture (same logical content the reference's own
@@ -86,9 +91,28 @@ object Manifest {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  /** unique_id, raw entity JSON, parsed struct. An entity that is not a
+    * JSON object (number, array, string, null) cannot carry the
+    * section's fields and is the malformed case; wrong-TYPED fields
+    * inside an object degrade to per-field nulls (PERMISSIVE). */
+  private def entities(parsed: DataFrame, field: String): DataFrame =
+    parsed
+      .select(explode(from_json(element_at(col("sections"), lit(field)),
+        MapType(StringType, StringType))).as(Seq("unique_id", "raw_entity")))
+      .withColumn("well_formed", col("raw_entity").rlike("^\\s*\\{"))
+      .withColumn("e", from_json(col("raw_entity"), sectionSchemas(field)))
+
   private def section(parsed: DataFrame, field: String): DataFrame =
-    parsed.select(explode(col(s"m.$field")).as(Seq("unique_id", "e")))
+    entities(parsed, field).where(col("well_formed"))
       .select(col("unique_id"), col("e.*"))
+
+  /** The entries [[section]] SKIPPED: unique_id + raw JSON of entities
+    * that are not JSON objects. The reference logs these and continues
+    * (:355-359); callers surface them for observability instead of the
+    * whole ingestion failing. */
+  def malformed(parsed: DataFrame, field: String): DataFrame =
+    entities(parsed, field).where(!col("well_formed"))
+      .select(col("unique_id"), col("raw_entity"))
 
   /** metrics section → one row per metric (reference parse_metrics :125-150). */
   def metrics(parsed: DataFrame): DataFrame = section(parsed, "metrics")

@@ -53,12 +53,21 @@ object Bloom {
   /** Probe rows whose `probeKey` is (probably) in `build`'s `buildKey`
     * set, pre-filtered by bloom then verified by the exact join. The
     * build key is aliased to a reserved name so probeKey == buildKey
-    * (the common same-named-key case) never resolves ambiguously. */
+    * (the common same-named-key case) never resolves ambiguously.
+    * The projected build keys are localCheckpointed ONCE so the build
+    * side is scanned a single time even though it feeds both the bloom
+    * aggregate and the exact verify join. */
   def semiJoin(probe: DataFrame, build: DataFrame,
                probeKey: String, buildKey: String,
                expectedItems: Long = 100000L, numBits: Long = 1L << 20): DataFrame = {
-    val pruned = prefilter(probe, build, probeKey, buildKey, expectedItems, numBits)
+    registerBloomFns(probe.sparkSession)
     val keys = build.select(col(buildKey).as("_bloom_build_key")).distinct()
+      .localCheckpoint(false)
+    val bf = keys
+      .agg(call_function("graft_bloom_agg", col("_bloom_build_key"),
+        lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val pruned = probe.filter(mightContain(bf, col(probeKey)))
     pruned.join(keys, pruned(probeKey) === keys("_bloom_build_key"), "leftsemi")
   }
 

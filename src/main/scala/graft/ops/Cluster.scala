@@ -50,6 +50,11 @@ object Cluster {
       labels = next.select("id", "comp")
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did NOT converge in $maxIter rounds — " +
+          "labels are an upper bound, not final components; a duplicate " +
+          "chain longer than maxIter needs a larger bound")
     labels
   }
 

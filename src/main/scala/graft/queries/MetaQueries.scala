@@ -20,10 +20,27 @@ import graft.meta.{Glossary, Lineage}
 object MetaQueries {
 
   /** The fixture as an ABSOLUTE filesystem path for the DuckDB oracle,
-    * resolved from the working directory at oracle-dump time (sbt runs
-    * from the repo root) so any checkout location works. */
-  val fixturePath: String = new java.io.File(
-    "src/main/resources/graft/fixture_manifest.json").getAbsolutePath
+    * resolved from the CLASSPATH resource URL (not the working
+    * directory), so IDE runners / packaged jars / CI workdirs all
+    * resolve the same file the Spark side loads. From a jar the
+    * resource is copied to a temp file DuckDB can read. */
+  val fixturePath: String = {
+    val url = getClass.getResource("/graft/fixture_manifest.json")
+    require(url != null, "graft/fixture_manifest.json missing from classpath")
+    if (url.getProtocol == "file") new java.io.File(url.toURI).getAbsolutePath
+    else {
+      // jar / wrapped classloader: copy to a STABLE temp path that
+      // outlives this JVM — the oracle SQL is executed by a separate
+      // DuckDB process after Verify exits
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_fixture_manifest.json")
+      val in = url.openStream()
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toString
+    }
+  }
 
   private def parsed(s: SparkSession): DataFrame = Manifest.parse(s, Manifest.fixtureJson)
 
@@ -131,10 +148,11 @@ object MetaQueries {
          |d AS (SELECT metric_id, CAST(i - 1 AS BIGINT) AS dep_pos, deps[i] AS node_id
          |      FROM m, unnest(range(1, len(deps)+1)) t(i)),
          |n AS (SELECT id, lower((v->>'$$.database') || '.' || (v->>'$$.schema') || '.' ||
-         |                       coalesce(v->>'$$.alias', v->>'$$.name')) AS fqn
+         |                       coalesce(nullif(v->>'$$.alias', ''), v->>'$$.name')) AS fqn
          |      FROM (SELECT unnest(json_keys(nodes)) AS id,
          |                   json_extract(nodes, '$$."' || unnest(json_keys(nodes)) || '"') AS v FROM raw)),
-         |s AS (SELECT id, lower((v->>'$$.database') || '.' || (v->>'$$.schema') || '.' || (v->>'$$.identifier')) AS fqn
+         |s AS (SELECT id, lower((v->>'$$.database') || '.' || (v->>'$$.schema') || '.' ||
+         |                       coalesce(nullif(v->>'$$.identifier', ''), v->>'$$.name')) AS fqn
          |      FROM (SELECT unnest(json_keys(sources)) AS id,
          |                   json_extract(sources, '$$."' || unnest(json_keys(sources)) || '"') AS v FROM raw)),
          |u AS (SELECT id, fqn FROM n UNION ALL SELECT id, fqn FROM s)

@@ -360,7 +360,8 @@ object PipelineQueries {
          |      - n_tokens AS cum_before
          |  FROM t)
          |SELECT CAST(cum_before // 2048 AS BIGINT) AS bin,
-         |  count(*) AS n_docs, sum(n_tokens) AS n_tokens
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_bpe" ->

@@ -69,10 +69,16 @@ object EventStreams {
     * `dropDuplicatesWithinWatermark` on event_id; state for a key is
     * dropped once the watermark passes it, so dedup state is bounded
     * by the watermark horizon instead of growing forever — the
-    * exactly-once-ingest pattern for at-least-once sources. The
-    * deduped stream lands in a memory sink; the per-type counts are
-    * aggregated batch-side and must equal the UNduplicated input
-    * (SQL oracle). */
+    * exactly-once-ingest pattern for at-least-once sources.
+    *
+    * The deduped EVENT-LEVEL stream goes to a distributed FILE sink
+    * (executor-side parquet writes — never driver memory; an in-stream
+    * append-mode aggregation after dedup would hold back the final
+    * windows under AvailableNow because the watermark never passes
+    * them). The per-type counts are then a normal distributed batch
+    * job over the sink files and must equal the UNduplicated input
+    * (SQL oracle) — count_distinct(event_id) independently re-checks
+    * that no duplicate survived. */
   def dedupedCounts(spark: SparkSession, sfDir: String): DataFrame = {
     def src = spark.readStream
       .schema(eventsSchema)
@@ -83,16 +89,18 @@ object EventStreams {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
 
-    val sink = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
+    out.toFile.deleteOnExit()
     val q = doubled.writeStream
-      .format("memory")
-      .queryName(sink)
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
 
-    spark.table(sink)
+    spark.read.parquet(s"$out/data")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), count_distinct(col("event_id")).as("n_distinct"))
       .orderBy("event_type")
@@ -104,6 +112,9 @@ object EventStreams {
     * per micro-batch, so at scale it's a broadcast (small dim) or
     * shuffle (large dim) join chosen by the planner per batch, and the
     * result is batch-equivalent under AvailableNow (the SQL oracle).
+    * The aggregation runs INSIDE the streaming query (complete mode),
+    * so the memory sink only ever holds the event_type × has_orders
+    * aggregate (≤ 2·|event types| rows) — never event-level rows.
     * Output: per event_type × has_orders flag, event count + value sum. */
   def enriched(spark: SparkSession, sfDir: String): DataFrame = {
     val users = graft.sources.Tables.orders(spark, sfDir)
@@ -114,19 +125,21 @@ object EventStreams {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .join(users, Seq("user_id"), "left")
+      .groupBy(col("event_type"), col("n_orders").isNotNull.cast("bigint").as("has_orders"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
 
     val sink = s"graft_stream_enrich_${runId.incrementAndGet()}"
     val q = stream.writeStream
       .format("memory")
       .queryName(sink)
-      .outputMode("append")
+      .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
 
     spark.table(sink)
-      .groupBy(col("event_type"), col("n_orders").isNotNull.cast("bigint").as("has_orders"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("event_type"), col("has_orders"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
       .orderBy("event_type", "has_orders")
   }
 

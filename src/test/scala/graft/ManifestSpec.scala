@@ -139,6 +139,48 @@ class ManifestSpec extends AnyFunSuite {
     assert(readBack.filter(col("entity_type") === "glossaryTerm").count() == 3)
   }
 
+  test("empty-string alias/identifier falls back to name like Python `or`") {
+    // reference :229 `alias or name` / :244 `identifier or name` treat ""
+    // as falsy — coalesce alone would emit `analytics.public.` URNs
+    val mJson =
+      """{"metrics": {"metric.p.m1": {"name": "m1",
+        |  "depends_on": {"nodes": ["model.p.t1", "source.p.s1"]}}},
+        |"nodes": {"model.p.t1": {"database": "DB", "schema": "SC",
+        |  "name": "Tbl1", "alias": ""}},
+        |"sources": {"source.p.s1": {"database": "DB", "schema": "SC",
+        |  "name": "Src1", "identifier": ""}}}""".stripMargin
+    val p = Manifest.parse(spark, mJson)
+    val urns = Lineage.resolve(Manifest.metrics(p), Manifest.nodes(p),
+        Manifest.sources(p))
+      .orderBy("dep_pos").select("dataset_urn").collect().map(_.getString(0))
+    assert(urns.toSeq == Seq(
+      "urn:li:dataset:(urn:li:dataPlatform:dbt,db.sc.tbl1,PROD)",
+      "urn:li:dataset:(urn:li:dataPlatform:dbt,db.sc.src1,PROD)"))
+  }
+
+  test("one malformed metric entry degrades to a flagged skip, not a failed run") {
+    // reference :355-359 try/excepts each metric and continues; a
+    // single-shot typed from_json would nullify the ENTIRE metrics map
+    val mJson =
+      """{"metrics": {
+        |  "metric.p.good": {"name": "good", "label": "Good",
+        |    "calculation_method": "sum", "expression": "x",
+        |    "depends_on": {"nodes": []}},
+        |  "metric.p.bad": 42,
+        |  "metric.p.also_good": {"name": "also_good", "label": "AG",
+        |    "calculation_method": "count", "expression": "y",
+        |    "depends_on": {"nodes": []}}},
+        |"nodes": {}, "sources": {}}""".stripMargin
+    val p = Manifest.parse(spark, mJson)
+    val names = Manifest.metrics(p).select("name").collect().map(_.getString(0)).toSet
+    assert(names == Set("good", "also_good"))
+    val bad = Manifest.malformed(p, "metrics").collect()
+    assert(bad.length == 1 && bad.head.getString(0) == "metric.p.bad")
+    val res = graft.meta.Ingestion.run(spark, mJson, "/tmp/graft_ingest_malformed",
+      dryRun = true)
+    assert(res.metrics == 2 && res.malformed == 1)
+  }
+
   test("MetadataSink dry-run counts without writing; real write round-trips") {
     val dry = MetadataSink.emit(glossary, "/tmp/graft_sink_should_not_exist", dryRun = true)
     assert(dry.records == 7 && dry.path.isEmpty)

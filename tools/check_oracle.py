@@ -39,7 +39,28 @@ for name, sql in sorted(oracle.items()):
     ev = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
     bad = 0
     import pandas as pd
+
+    def col_abs_tol(col):
+        # Precision-aware tolerance: infer the rounding each float column
+        # asserts from its shortest-repr decimal places (a double that is
+        # round(x, k) round-trips as a k-decimal string). One ulp of the
+        # final rounded digit (x1.5) is legitimate engine divergence:
+        # 2dp revenue sums -> 1.5e-2, 4dp ratios -> 1.5e-4. Integer-valued
+        # float columns (HUGEINT->float64) get 0.5 (off-by-one is real).
+        # Unrounded float columns defer to rel_tol with a tiny abs floor.
+        dp = 0
+        for series in (gv[col], ev[col]):
+            for v in series:
+                if isinstance(v, float) and math.isfinite(v):
+                    r = repr(v)
+                    if 'e' in r or 'E' in r or ('.' in r and len(r.split('.')[1]) > 6):
+                        return 1e-9  # unrounded column: rel_tol governs
+                    if '.' in r:
+                        dp = max(dp, len(r.split('.')[1]))
+        return 0.5 if dp == 0 else 1.5 * 10 ** -dp
+
     for c in got.columns:
+        tol = col_abs_tol(c)
         for i, (a, b) in enumerate(zip(gv[c], ev[c])):
             if a is None and b is None: continue
             # NaT/NaN-aware null equality (NaT == NaT is False in pandas)
@@ -52,15 +73,8 @@ for name, sql in sorted(oracle.items()):
                     if not ((a is None and b is None) or (math.isnan(a) and math.isnan(b))):
                         raise ValueError
                     continue
-                # floats: ABSOLUTE tolerance only, sized to the queries'
-                # loosest rounding precision (2dp): admits one
-                # final-rounded-digit ulp (engines rounding an unrounded
-                # sum that straddles a .005 boundary) at ANY magnitude,
-                # while a rel_tol would tolerate drift of ~10 on
-                # 1e10-scale aggregates — orders beyond the rounding the
-                # queries assert.
                 if isinstance(a, float) or isinstance(b, float):
-                    eq = abs(float(a) - float(b)) <= 1.5e-2
+                    eq = math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=tol)
                 else:
                     eq = (a == b)
             except Exception:
