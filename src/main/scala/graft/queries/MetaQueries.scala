@@ -10,12 +10,13 @@ import graft.meta.{Glossary, Lineage}
   * (same logical content as the reference's test manifest: 3 metrics,
   * 2 models, 2 sources, nested `Finance/Revenue`-style categories).
   *
-  * meta_parse_metrics and meta_lineage are SQL-oracled: DuckDB reads
-  * the SAME fixture file (it ships in the repo at a stable path) with
-  * its JSON reader and re-derives the catalog/URNs independently.
-  * meta_glossary stays rows-only — its custom_properties column is a
-  * JSON-serialized map whose key order is engine-specific; ManifestSpec
-  * asserts the exact URNs/properties the reference would emit.
+  * All four meta queries are SQL-oracled: DuckDB reads the SAME
+  * fixture file with its JSON reader and re-derives the catalog, URNs,
+  * glossary hierarchy and flattened custom-properties independently
+  * (custom_properties serializes as key-sorted `k=v; ` pairs on both
+  * sides — a deterministic rendering, unlike to_json map key order).
+  * ManifestSpec additionally asserts the exact URNs/properties the
+  * reference would emit.
   */
 object MetaQueries {
 
@@ -63,12 +64,17 @@ object MetaQueries {
         .orderBy("unique_id")
     }),
 
-    // reference create_glossary_hierarchy + emit_metric_as_glossary_term
+    // reference create_glossary_hierarchy + emit_metric_as_glossary_term.
+    // custom_properties serializes as KEY-SORTED `k=v; ` pairs (not
+    // to_json, whose map key order is engine-specific) so the DuckDB
+    // oracle can re-derive the exact string
     "meta_glossary" -> ((s, _) => {
       val p = parsed(s)
       val lin = Lineage.resolve(Manifest.metrics(p), Manifest.nodes(p), Manifest.sources(p))
       Glossary.records(Manifest.metrics(p), lin)
-        .withColumn("custom_properties", to_json(col("custom_properties")))
+        .withColumn("custom_properties",
+          array_join(transform(array_sort(map_entries(col("custom_properties"))),
+            e => concat(e.getField("key"), lit("="), e.getField("value"))), "; "))
         .orderBy("entity_type", "urn")
     }),
 
@@ -137,6 +143,89 @@ object MetaQueries {
          |    coalesce(CAST(v->'entities' AS STRUCT(name VARCHAR, "type" VARCHAR)[]), []),
          |    e -> e.name || ':' || e."type"), ', '), '') AS entities
          |FROM m ORDER BY unique_id""".stripMargin,
+
+    // full independent re-derivation of the glossary: root + category
+    // nodes + terms, lineage-fed upstream_datasets, and the flattened
+    // custom-properties string (key-sorted `k=v; ` pairs, null/empty
+    // entries dropped, meta_* passthrough minus the category key) —
+    // the same record set the reference emits for this manifest
+    "meta_glossary" ->
+      s"""WITH raw AS (
+         |  SELECT metrics, nodes, sources
+         |  FROM read_json('$fixturePath', columns={metrics:'JSON', nodes:'JSON', sources:'JSON'})),
+         |m AS (SELECT unique_id, json_extract(metrics, '$$."' || unique_id || '"') AS v
+         |      FROM (SELECT unnest(json_keys(metrics)) AS unique_id, metrics FROM raw)),
+         |dep AS (SELECT unique_id AS metric_id, CAST(i - 1 AS BIGINT) AS dep_pos, deps[i] AS node_id
+         |      FROM (SELECT unique_id, CAST(v->'depends_on'->'nodes' AS VARCHAR[]) AS deps FROM m) md,
+         |           unnest(range(1, len(deps)+1)) t(i)),
+         |n AS (SELECT id, lower((v->>'$$.database') || '.' || (v->>'$$.schema') || '.' ||
+         |                       coalesce(nullif(v->>'$$.alias', ''), v->>'$$.name')) AS fqn
+         |      FROM (SELECT unnest(json_keys(nodes)) AS id,
+         |                   json_extract(nodes, '$$."' || unnest(json_keys(nodes)) || '"') AS v FROM raw)),
+         |s2 AS (SELECT id, lower((v->>'$$.database') || '.' || (v->>'$$.schema') || '.' ||
+         |                       coalesce(nullif(v->>'$$.identifier', ''), v->>'$$.name')) AS fqn
+         |      FROM (SELECT unnest(json_keys(sources)) AS id,
+         |                   json_extract(sources, '$$."' || unnest(json_keys(sources)) || '"') AS v FROM raw)),
+         |u AS (SELECT id, fqn FROM n UNION ALL SELECT id, fqn FROM s2),
+         |up AS (SELECT dep.metric_id,
+         |         string_agg('urn:li:dataset:(urn:li:dataPlatform:dbt,' || u.fqn || ',PROD)',
+         |                    ', ' ORDER BY dep.dep_pos) AS upstream
+         |       FROM dep JOIN u ON dep.node_id = u.id GROUP BY dep.metric_id),
+         |mm AS (SELECT m.unique_id, m.v,
+         |         coalesce(m.v->'meta'->>'datahub_glossary_category', 'Uncategorized') AS cat,
+         |         up.upstream
+         |       FROM m LEFT JOIN up ON m.unique_id = up.metric_id),
+         |props AS (
+         |  SELECT unique_id, v, cat,
+         |    list_sort(list_filter([
+         |      'dbt_unique_id=' || unique_id,
+         |      CASE WHEN coalesce(v->>'$$.package_name', '') <> '' THEN 'dbt_package=' || (v->>'$$.package_name') END,
+         |      CASE WHEN coalesce(v->>'$$.path', '') <> '' THEN 'dbt_path=' || (v->>'$$.path') END,
+         |      CASE WHEN coalesce(v->>'$$.type', '') <> '' THEN 'metric_type=' || (v->>'$$.type') END,
+         |      CASE WHEN coalesce(v->>'$$.calculation_method', '') <> '' THEN 'calculation_method=' || (v->>'$$.calculation_method') END,
+         |      CASE WHEN coalesce(v->>'$$.expression', '') <> '' THEN 'expression=' || (v->>'$$.expression') END,
+         |      CASE WHEN coalesce(array_to_string(coalesce(CAST(v->'dimensions' AS VARCHAR[]), []), ', '), '') <> ''
+         |           THEN 'dimensions=' || array_to_string(CAST(v->'dimensions' AS VARCHAR[]), ', ') END,
+         |      CASE WHEN coalesce(array_to_string(coalesce(CAST(v->'time_grains' AS VARCHAR[]), []), ', '), '') <> ''
+         |           THEN 'time_grains=' || array_to_string(CAST(v->'time_grains' AS VARCHAR[]), ', ') END,
+         |      CASE WHEN coalesce(json_array_length(v->'filters'), 0) > 0
+         |           THEN 'filters=' || CAST(v->'filters' AS VARCHAR) END,
+         |      CASE WHEN coalesce(array_to_string(coalesce(CAST(v->'tags' AS VARCHAR[]), []), ', '), '') <> ''
+         |           THEN 'tags=' || array_to_string(CAST(v->'tags' AS VARCHAR[]), ', ') END,
+         |      CASE WHEN coalesce(upstream, '') <> '' THEN 'upstream_datasets=' || upstream END
+         |    ] || list_transform(
+         |           list_filter(coalesce(json_keys(v->'meta'), []), k -> k <> 'datahub_glossary_category'),
+         |           k -> 'meta_' || k || '=' || json_extract_string(v->'meta', '$$."' || k || '"')),
+         |    x -> x IS NOT NULL)) AS cp
+         |  FROM mm),
+         |terms AS (
+         |  SELECT 'glossaryTerm' AS entity_type,
+         |    'urn:li:glossaryTerm:dbt_metrics.' || replace(cat, '/', '.') || '.' || (v->>'$$.name') AS urn,
+         |    coalesce(nullif(v->>'$$.label', ''), v->>'$$.name') AS name,
+         |    coalesce(nullif(v->>'$$.description', ''), 'dbt metric: ' || (v->>'$$.name')) AS definition,
+         |    'urn:li:glossaryNode:dbt_metrics.' || replace(cat, '/', '.') AS parent_urn,
+         |    array_to_string(cp, '; ') AS custom_properties,
+         |    'dbt' AS term_source
+         |  FROM props),
+         |cats AS (
+         |  SELECT DISTINCT 'glossaryNode' AS entity_type,
+         |    'urn:li:glossaryNode:dbt_metrics.' || replace(cat, '/', '.') AS urn,
+         |    string_split(cat, '/')[-1] AS name,
+         |    'Metrics in category: ' || cat AS definition,
+         |    'urn:li:glossaryNode:dbt_metrics' AS parent_urn,
+         |    CAST(NULL AS VARCHAR) AS custom_properties,
+         |    CAST(NULL AS VARCHAR) AS term_source
+         |  FROM mm),
+         |root AS (
+         |  SELECT 'glossaryNode' AS entity_type,
+         |    'urn:li:glossaryNode:dbt_metrics' AS urn,
+         |    'dbt_metrics' AS name,
+         |    'dbt metrics ingested from dbt project' AS definition,
+         |    CAST(NULL AS VARCHAR) AS parent_urn,
+         |    CAST(NULL AS VARCHAR) AS custom_properties,
+         |    CAST(NULL AS VARCHAR) AS term_source)
+         |SELECT * FROM root UNION ALL SELECT * FROM cats UNION ALL SELECT * FROM terms
+         |ORDER BY entity_type, urn""".stripMargin,
 
     "meta_lineage" ->
       s"""WITH raw AS (

@@ -259,6 +259,34 @@ object PipelineQueries {
         |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
+    "ann_lsh" -> {
+      // the hyperplanes are seed-deterministic engine constants
+      // (Similarity.hyperplanes(8, 64, seed=42)); baked into the SQL as
+      // list literals, DuckDB re-derives the same sign-bit buckets and
+      // in-bucket top-k fully independently
+      val bucketExpr = Similarity.hyperplanes(8, 64, 42L).zipWithIndex.map {
+        case (p, i) =>
+          val lit = "[" + p.mkString(",") + "]"
+          s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n|    + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    $bucketExpr AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM e WHERE vec_id < 10),
+         |s AS (
+         |  SELECT probe_id, e.vec_id, e.bucket,
+         |    list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))
+         |      / (sqrt(list_sum(list_transform(pv, x -> x*x)))
+         |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+         |  FROM e JOIN p ON e.bucket = p.bucket AND e.vec_id <> probe_id),
+         |r AS (SELECT probe_id, vec_id, bucket, cos,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM s)
+         |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos, bucket
+         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
+
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
