@@ -65,15 +65,20 @@ object Similarity {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
 
-    // deterministic pseudo-random seed sample (hash-ordered), then one
-    // Lloyd step: assign → per-cell elementwise mean via posexplode
+    // deterministic pseudo-random seed sample (multiplicative-hash
+    // ordered — engine-neutral, so the DuckDB oracle re-derives the
+    // same seeds), then one Lloyd step: assign → per-cell elementwise
+    // mean via posexplode. The mean is quantized to 6dp so the refined
+    // centroids are identical across engines regardless of float
+    // summation order (fixed-point centroids — no quality impact at
+    // this precision, deterministic assignment everywhere).
     val seeds = centroidRows(
-      e.orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      e.orderBy(pmod(col("vec_id") * lit(2654435761L), lit(1000003L)), col("vec_id"))
         .limit(cells).select(col("v")).collect().map(_.getSeq[Double](0).toArray))
     val seeded  = e.withColumn("cell", nearestCell(col("v"), col("nrm"), seeds))
     val refined = centroidRows(
       seeded.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell", "pos").agg(round(avg("x"), 6).as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c"))

@@ -105,12 +105,14 @@ object TextAnalysis {
 
   /** Winnowing fingerprint via the custom codegen expression
     * [[graft.functions.RollingHash]] (window = 16 bytes), plus an exact
-    * full-text hash for exact-dup grouping at fixed width. */
+    * full-text md5 for exact-dup grouping at fixed width (md5 rather
+    * than xxhash64 so the fingerprint is engine-portable — any system
+    * downstream can recompute it). */
   def fingerprints(docs: DataFrame): DataFrame = {
     RollingHash.register(docs.sparkSession)
     docs.select(
       col("doc_id"),
       expr("rolling_hash(text, 16)").as("fp_min16"),
-      xxhash64(col("text")).as("fp_full"))
+      md5(col("text")).as("fp_full"))
   }
 }

@@ -143,13 +143,17 @@ object PipelineQueries {
       Multimodal.frameSample(Tables.documents(s, dir), frameSize = 64, stride = 4)
         .orderBy("doc_id", "frame_idx")),
 
-    // features flattened to a csv string: the driver's rows-only checker
-    // sorts cell values, and array-typed cells are unhashable there
-    // (CORRECTNESS_r02 recorded this query as an error, not a result)
+    // features flattened to a csv of exact milli-values (each feature
+    // is um/1000 by construction, so round(f*1000) recovers the integer
+    // um losslessly) — integer CSV sidesteps engine float-to-string
+    // rendering differences, and array-typed cells are unhashable in
+    // the rows-only checker anyway
     "mm_decode_batch" -> ((s, dir) =>
       Multimodal.decodeBatch(Tables.documents(s, dir)).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
-          array_join(col("features").cast("array<string>"), ",").as("features_csv"))
+          array_join(transform(col("features"),
+            f => round(f.cast("double") * 1000).cast("bigint").cast("string")), ",")
+            .as("features_csv"))
         .orderBy("doc_id")),
 
     "stream_sessionize" -> ((s, dir) =>
@@ -287,6 +291,56 @@ object PipelineQueries {
          |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
     },
 
+    // independent IVF re-derivation: same multiplicative-hash seed
+    // order, seeded argmax assignment (ties -> higher cell, matching
+    // array_max struct compare), 6dp-quantized Lloyd means with dense
+    // re-ranking of surviving cells (the engine collects refined
+    // centroids orderBy(cell), so indices re-pack), reassignment,
+    // nprobe=4 probing, in-cell top-5
+    "ann_ivf" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 16),
+        |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+        |a0 AS (
+        |  SELECT e.vec_id, e.v, e.nrm, sd.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*sd.c[i])) / (e.nrm*sd.cn) DESC,
+        |               sd.cell DESC) AS rk
+        |  FROM e CROSS JOIN sd QUALIFY rk = 1),
+        |r0 AS (
+        |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+        |  FROM a0, unnest(range(1, 65)) t(i)
+        |  GROUP BY cell, i),
+        |rc AS (
+        |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+        |         list(m ORDER BY pos) AS c
+        |  FROM r0 GROUP BY cell),
+        |rcn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
+        |corp AS (
+        |  SELECT e.vec_id, e.v, e.nrm, rcn.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rcn.c[i])) / (e.nrm*rcn.cn) DESC,
+        |               rcn.cell DESC) AS rk
+        |  FROM e CROSS JOIN rcn QUALIFY rk = 1),
+        |pr AS (
+        |  SELECT e.vec_id AS probe_id, e.v AS pv, e.nrm AS pn, rcn.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rcn.c[i])) / (e.nrm*rcn.cn) DESC,
+        |               rcn.cell DESC) AS rk
+        |  FROM e CROSS JOIN rcn WHERE e.vec_id < 10 QUALIFY rk <= 4),
+        |s AS (
+        |  SELECT pr.probe_id, corp.vec_id, corp.cell,
+        |    list_sum(list_transform(range(1,65), i -> pr.pv[i]*corp.v[i])) / (pr.pn*corp.nrm) AS cos
+        |  FROM corp JOIN pr ON corp.cell = pr.cell AND corp.vec_id <> pr.probe_id),
+        |r AS (SELECT probe_id, vec_id, cell, cos,
+        |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos, cell
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
@@ -340,6 +394,41 @@ object PipelineQueries {
 
     // same rule chain re-derived from the quality SQL; DuckDB
     // array_to_string('') is NULL, hence the coalesce
+    // independent re-derivation of the winnowing fingerprint: the
+    // polynomial rolling hash is mod 2^64 over UTF-8 bytes, emulated
+    // with HUGEINT arithmetic (DuckDB BIGINT traps overflow); bytes
+    // come from hex(encode(text)) via a hex-digit lookup, windows are
+    // a lateral unnest over start positions, and the signed-long MIN
+    // matches the engine's Long comparison
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, text, n,
+        |    list_transform(range(1, n + 1), i ->
+        |      CAST((strpos('0123456789ABCDEF', substring(h, 2*i - 1, 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1 AS HUGEINT)) AS bytes
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id, n, bytes, unnest(range(1, greatest(n - 16 + 1, 1) + 1)) AS s
+        |  FROM tb),
+        |hh AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT), bytes[s : s + least(16, n) - 1]),
+        |      (acc, b) -> (acc * 1000003 + b) % 18446744073709551616) AS hu
+        |  FROM w),
+        |f AS (
+        |  SELECT doc_id,
+        |    min(CAST(CASE WHEN hu >= 9223372036854775808
+        |             THEN hu - 18446744073709551616 ELSE hu END AS BIGINT)) AS fp_min16
+        |  FROM hh GROUP BY doc_id)
+        |SELECT f.doc_id, f.fp_min16, md5(t.text) AS fp_full
+        |FROM f JOIN t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "text_filter_chain" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
          |r AS (
@@ -450,6 +539,42 @@ object PipelineQueries {
         |  least(64, n - frame_idx*64) AS frame_len,
         |  substring(h, frame_idx*128 + 1, 16) AS frame_hex
         |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // independent re-derivation of the stub codec: FNV-1a over the
+    // payload bytes mod 2^64 (HUGEINT emulation; the xor only touches
+    // the low byte so it round-trips through BIGINT), then the same
+    // signed-long mod/div derivations the engine's fakeDecode applies
+    "mm_decode_batch" ->
+      """WITH t AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, list_transform(range(1, n + 1), i ->
+        |    CAST((strpos('0123456789ABCDEF', substring(h, 2*i - 1, 1)) - 1) * 16
+        |       + strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1 AS HUGEINT)) AS bytes
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bytes),
+        |      (acc, b) -> ((acc - (acc % 256)
+        |                    + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+        |                   * 1099511628211) % 18446744073709551616) AS hu
+        |  FROM tb),
+        |sgn AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hu >= 9223372036854775808
+        |         THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS s
+        |  FROM f)
+        |SELECT doc_id,
+        |  CAST(((s % 1920) + 1920) % 1920 + 1 AS INT) AS width,
+        |  CAST((((CASE WHEN s >= 0 THEN s // 1920 ELSE -((-s) // 1920) END) % 1080) + 1080) % 1080 + 1 AS INT) AS height,
+        |  3 AS channels,
+        |  array_to_string(list_transform(range(0, 8), i ->
+        |    CAST(((xor(s, CAST(CASE WHEN (CAST(i AS HUGEINT) * 11400714819323198485) % 18446744073709551616 >= 9223372036854775808
+        |         THEN (CAST(i AS HUGEINT) * 11400714819323198485) % 18446744073709551616 - 18446744073709551616
+        |         ELSE (CAST(i AS HUGEINT) * 11400714819323198485) % 18446744073709551616 END AS BIGINT))
+        |       % 1000) + 1000) % 1000 AS VARCHAR)), ',') AS features_csv
+        |FROM sgn ORDER BY doc_id""".stripMargin,
 
     // the query doubles the stream then dedupes on event_id, so the
     // result must equal the plain (unduplicated) per-type counts
