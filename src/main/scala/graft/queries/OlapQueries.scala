@@ -336,6 +336,31 @@ object OlapQueries {
         .orderBy("o_orderkey", "valid_from")
     }),
 
+    // SCD2 applied REPEATEDLY (real CDC applies batches forever): two
+    // update batches chain each twice-updated key's history into
+    // [d0,d1) [d1,d2) [d2,∞) — the second merge must close the row the
+    // first merge opened, not the original
+    "scd2_chain" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val current = o.select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderdate").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val u1 = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") + 100.0, 2).as("price"),
+          date_add(col("o_orderdate"), 30).as("valid_from"))
+      val u2 = o.filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") + 200.0, 2).as("price"),
+          date_add(col("o_orderdate"), 60).as("valid_from"))
+      val after1 = graft.ops.Scd2.merge(current, u1, key = "o_orderkey")
+      graft.ops.Scd2.merge(after1, u2, key = "o_orderkey")
+        .withColumn("valid_to",
+          coalesce(col("valid_to"), lit("9999-12-31").cast("date")))
+        .orderBy("o_orderkey", "valid_from")
+    }),
+
     // Interval (range) join via bucketing: errors within 1 h after each
     // signup. A naive range join is O(|signups|·|errors|) per user; here
     // each signup explodes to its ≤2 covering hour buckets and joins
@@ -575,6 +600,33 @@ object OlapQueries {
         |FROM cur c LEFT JOIN upd u ON c.o_orderkey = u.o_orderkey
         |UNION ALL
         |SELECT o_orderkey, price, valid_from, DATE '9999-12-31' FROM upd
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // two chained batches: the oracle constructs each key's interval
+    // chain directly (base row closes at u1, u1's row closes at u2,
+    // the latest version stays open)
+    "scd2_chain" ->
+      """WITH cur AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |         CAST(o_orderdate AS DATE) AS valid_from
+        |  FROM orders),
+        |u1 AS (
+        |  SELECT o_orderkey, round(o_totalprice + 100.0, 2) AS price,
+        |         CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS valid_from
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |u2 AS (
+        |  SELECT o_orderkey, round(o_totalprice + 200.0, 2) AS price,
+        |         CAST(o_orderdate + INTERVAL 60 DAY AS DATE) AS valid_from
+        |  FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT c.o_orderkey, c.price, c.valid_from,
+        |       coalesce(u1.valid_from, DATE '9999-12-31') AS valid_to
+        |FROM cur c LEFT JOIN u1 ON c.o_orderkey = u1.o_orderkey
+        |UNION ALL
+        |SELECT u1.o_orderkey, u1.price, u1.valid_from,
+        |       coalesce(u2.valid_from, DATE '9999-12-31') AS valid_to
+        |FROM u1 LEFT JOIN u2 ON u1.o_orderkey = u2.o_orderkey
+        |UNION ALL
+        |SELECT o_orderkey, price, valid_from, DATE '9999-12-31' AS valid_to FROM u2
         |ORDER BY o_orderkey, valid_from""".stripMargin,
 
     // the bucketed rewrite must agree exactly with the plain range join

@@ -104,6 +104,42 @@ class PlanSpec extends AnyFunSuite {
       s"sketch rollup must not rescan the fact table:\n$p")
   }
 
+  test("range join stays an equi-join on hour buckets: no BNLJ, one events scan per side") {
+    val p = plan("events_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed range join must not degenerate to a product join:\n$p")
+    // signup side + error side: exactly one pushed-filter scan each
+    assert(countOccurrences(p, "events.parquet") == 2,
+      s"expected one events scan per join side:\n$p")
+  }
+
+  test("per-group top-k prunes map-side via WindowGroupLimit, one key shuffle") {
+    for (name <- Seq("q_topn_per_group", "sample_stratified")) {
+      val p = plan(name)
+      // rank-limit pushdown: Partial WindowGroupLimit before the
+      // exchange (per-partition top-k prune), Final after — so the
+      // low-cardinality group window never sorts a whole group
+      assert(p.contains(", Partial") && p.contains(", Final"),
+        s"$name missing the Partial/Final WindowGroupLimit pair:\n$p")
+      assert(countOccurrences(p, "WindowGroupLimit") == 2,
+        s"$name should prune exactly twice (partial then final):\n$p")
+      assert(countOccurrences(p, "hashpartitioning") == 1,
+        s"$name should shuffle on the group key exactly once:\n$p")
+    }
+  }
+
+  test("bloom semi join scans its build side exactly once") {
+    // the projected build keys are localCheckpointed before feeding both
+    // the bloom aggregate and the exact verify join — the final plan
+    // reads the materialized RDD, never a fresh orders scan (the
+    // checkpoint's own build, outside this plan, costs the one scan)
+    val p = plan("bloom_semi_join")
+    assert(countOccurrences(p, "orders.parquet") == 0,
+      s"build side must come from the checkpoint:\n$p")
+    assert(countOccurrences(p, "lineitem.parquet") == 1,
+      s"probe side scans once:\n$p")
+  }
+
   test("rollup computes all grouping sets from a single scan") {
     val p = plan("q_rollup")
     assert(countOccurrences(p, "lineitem.parquet") == 1,

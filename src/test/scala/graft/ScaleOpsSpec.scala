@@ -96,6 +96,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 merge chains across repeated batches: [d0,d1)[d1,d2)[d2,inf)") {
+    import java.sql.Date
+    val current = Seq(
+      (1L, 10.0, Date.valueOf("2020-01-01"), null.asInstanceOf[Date]),
+      (2L, 20.0, Date.valueOf("2020-01-01"), null.asInstanceOf[Date]))
+      .toDF("k", "price", "valid_from", "valid_to")
+    val b1 = Seq((1L, 11.0, Date.valueOf("2020-02-01")),
+                 (2L, 21.0, Date.valueOf("2020-02-01"))).toDF("k", "price", "valid_from")
+    val b2 = Seq((1L, 12.0, Date.valueOf("2020-03-01"))).toDF("k", "price", "valid_from")
+    val out = graft.ops.Scd2.merge(
+      graft.ops.Scd2.merge(current, b1, key = "k"), b2, key = "k")
+      .orderBy("k", "valid_from").collect()
+    assert(out.length == 5)
+    // twice-updated key 1: the SECOND merge closes the row the FIRST
+    // merge opened, never the original
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(r => (Option(r.getDate(2)).map(_.toString).orNull,
+                        Option(r.getDate(3)).map(_.toString).orNull)).toSeq == Seq(
+      ("2020-01-01", "2020-02-01"),
+      ("2020-02-01", "2020-03-01"),
+      ("2020-03-01", null)))
+    assert(k1.map(_.getDouble(1)).toSeq == Seq(10.0, 11.0, 12.0))
+    // once-updated key 2 unaffected by batch 2
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.map(r => Option(r.getDate(3)).map(_.toString).orNull).toSeq ==
+      Seq("2020-02-01", null))
+  }
+
   test("bucketed range join equals the naive range join") {
     val hourUs = 3600L * 1000000L
     val bucketed = SparkEntry.queries("events_range_join")(spark, sf).collect()
