@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -27,9 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - partial aggregation merges map-side, so the shuffle carries one
   *    serialized signature per (partition, doc), not posting rows;
   *  - permutations use the standard double-hashing construction
-  *    h_i(s) = a(s) + i·b(s), bit-identical to the SQL expression
-  *    `pmod(xxhash64(s),2^31) + i*pmod(xxhash64(1,s),2^31)`
-  *    (DedupSpec proves the equality).
+  *    h_i(s) = a(s) + i·b(s) over the engine-portable [[GraftHash64]]
+  *    (seed 0 for a, golden-ratio seed for b) — bit-identical to the
+  *    SQL expression `pmod(graft_hash64(s,0),2^31) +
+  *    i*pmod(graft_hash64(s,golden),2^31)` (DedupSpec proves the
+  *    equality), and recomputable by the DuckDB oracle.
   *
   * Aggregate-side counterpart of the scalar [[RollingHash]] extension
   * point (SURVEY §3).
@@ -48,16 +50,13 @@ final case class MinHashAgg(
 
   override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
 
-  // seed chain replicating SQL xxhash64(1, s): the first arg folds into
-  // the seed of the second (42L is functions.xxhash64's default seed)
-  private val seedB: Long = XxHash64Function.hash(1, IntegerType, 42L)
-
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val s  = v.asInstanceOf[UTF8String]
-      val ha = java.lang.Math.floorMod(XxHash64Function.hash(s, StringType, 42L), 1L << 31)
-      val hb = java.lang.Math.floorMod(XxHash64Function.hash(s, StringType, seedB), 1L << 31)
+      val bs = s.getBytes
+      val ha = java.lang.Math.floorMod(GraftHash64.hash(bs, 0L), 1L << 31)
+      val hb = java.lang.Math.floorMod(GraftHash64.hash(bs, GraftHash64.Golden), 1L << 31)
       var i = 0
       var h = ha
       while (i < k) {

@@ -197,8 +197,9 @@ object Dedup {
     * partial agg compresses occurrences to one 64-long buffer per
     * (partition, doc) anyway). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftHash64.register(docs.sparkSession)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", call_function("graft_hash64", col("t"), lit(0L)))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"b$i")

@@ -170,6 +170,53 @@ object PipelineQueries {
   private val toks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  // --- DuckDB emulation of graft.functions.GraftHash64 ---------------
+  // FNV-1a + splitmix64, all mod-2^64 arithmetic emulated with HUGEINT
+  // (int128). Every helper references its argument ONCE (branchless
+  // signed/unsigned conversion), and the splitmix chain is a
+  // list_reduce fold over the three shift constants, so the expensive
+  // FNV byte fold is evaluated once per row even though DuckDB inlines
+  // CTE expressions (a naive nested form re-evaluated it ~100x).
+
+  /** unsigned(HUGEINT 0..2^64) → signed BIGINT, same bit pattern. */
+  private def sx(u: String) =
+    s"CAST(($u + 9223372036854775808) % 18446744073709551616 - 9223372036854775808 AS BIGINT)"
+
+  /** 64-bit xor of two unsigned-held values, result unsigned HUGEINT. */
+  private def xorU(a: String, b: String) =
+    s"(CAST(xor(${sx(a)}, ${sx(b)}) AS HUGEINT) + 18446744073709551616) % 18446744073709551616"
+
+  /** FNV-1a over the bytes of a string, given columns hx=hex(encode(s))
+    * and n=octet_length: the xor only touches the low byte, so it
+    * round-trips through BIGINT. */
+  private val fnvHx =
+    """list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |    list_transform(range(1, n + 1), i ->
+      |      CAST((strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+      |         + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1 AS HUGEINT))),
+      |    (acc, b) -> ((acc - (acc % 256)
+      |                  + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+      |                 * 1099511628211) % 18446744073709551616)""".stripMargin
+
+  /** splitmix64(u0 ^ seed): fold over the shift constants [30,27,31];
+    * the multiply decomposes hi/lo 32-bit halves so the 128-bit
+    * product never overflows int128 (full 2^64 x 2^64 would). */
+  private def ghashSql(u0: String, seedU: String): String = {
+    val z = xorU("acc",
+      "(acc // (CASE WHEN k = 30 THEN 1073741824 WHEN k = 27 THEN 134217728 ELSE 2147483648 END))")
+    val hi = "(CASE WHEN k = 30 THEN 3210233709 WHEN k = 27 THEN 2496678331 ELSE 0 END)"
+    val lo = "(CASE WHEN k = 30 THEN 484763065 WHEN k = 27 THEN 321982955 ELSE 1 END)"
+    val step = s"((($z) * $lo + ((($z) * $hi) % 4294967296) * 4294967296) % 18446744073709551616)"
+    val init = if (seedU == "0") u0 else xorU(u0, seedU)
+    s"list_reduce(list_prepend($init, [30, 27, 31]), (acc, k) -> $step)"
+  }
+
+  /** GraftHash64.Golden as unsigned decimal. */
+  private val goldenU = java.lang.Long.toUnsignedString(graft.functions.GraftHash64.Golden)
+
+  /** 2^0..2^63 as a HUGEINT list literal (bit probes). */
+  private val pow2List = (0 until 64).map(i => (BigInt(1) << i).toString).mkString(", ")
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -197,6 +244,73 @@ object PipelineQueries {
          |JOIN sizes s2 ON id2 = s2.doc_id
          |WHERE shared*1.0/(s1.n + s2.n - shared) >= 0.8
          |ORDER BY id1, id2""".stripMargin,
+
+    // independent minhash-LSH re-derivation: same shingles, the
+    // engine-portable double hash (GraftHash64 emulated above), 128
+    // permutation minima, 16 bands of 8 — the oracle buckets by the
+    // RAW band string where the engine compresses it with xxhash64
+    // (identical grouping modulo hash collisions, which the exact
+    // jaccard verification absorbs), then verifies candidates at 0.8
+    "dedup_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS s
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM sh)),
+         |h31 AS (SELECT s,
+         |  ((${sx(ghashSql(fnvHx, "0"))} % 2147483648) + 2147483648) % 2147483648 AS ha,
+         |  ((${sx(ghashSql(fnvHx, goldenU))} % 2147483648) + 2147483648) % 2147483648 AS hb
+         |  FROM tb),
+         |pm AS (
+         |  SELECT sh.doc_id, j, min(ha + j*hb) AS mh
+         |  FROM sh JOIN h31 USING (s), unnest(range(0, 128)) r(j)
+         |  GROUP BY sh.doc_id, j),
+         |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sg FROM pm GROUP BY doc_id),
+         |bd AS (
+         |  SELECT doc_id, b, array_to_string(sg[b*8+1 : b*8+8], ',') AS bs
+         |  FROM sig, unnest(range(0, 16)) r(b)),
+         |bk AS (SELECT b, bs, list_sort(list(doc_id)) AS ids
+         |       FROM bd GROUP BY b, bs HAVING count(*) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT ids[x] AS id1, ids[y] AS id2
+         |  FROM bk, unnest(range(1, len(ids)+1)) a(x), unnest(range(1, len(ids)+1)) c(y)
+         |  WHERE x < y),
+         |ssz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, count(*) AS shared
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id1
+         |              JOIN sh b2 ON b2.doc_id = c.id2 AND b2.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT i.id1, i.id2,
+         |  round(i.shared*1.0/(s1.n + s2.n - i.shared), 4) AS jaccard
+         |FROM inter i JOIN ssz s1 ON i.id1 = s1.doc_id JOIN ssz s2 ON i.id2 = s2.doc_id
+         |WHERE i.shared*1.0/(s1.n + s2.n - i.shared) >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+
+    // independent simhash re-derivation: per-token GraftHash64, the
+    // tf-weighted per-bit sign sums, then ALL-PAIRS hamming over the
+    // 64 per-bit signs (the engine's chunk blocking is pigeonhole-
+    // complete — DedupSpec proves it equals brute force — so the
+    // oracle skips the blocking and computes the exact pair set)
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS s FROM documents),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM tok)),
+         |th AS (SELECT s, ${ghashSql(fnvHx, "0")} AS hu FROM tb),
+         |bits AS (
+         |  SELECT doc_id, i,
+         |    sum(CASE WHEN (hu // (CAST([$pow2List] AS HUGEINT[])[i+1])) % 2 = 1
+         |        THEN 1 ELSE -1 END) AS b
+         |  FROM tok JOIN th USING (s), unnest(range(0, 64)) r(i)
+         |  GROUP BY doc_id, i),
+         |pb AS (SELECT doc_id, i, (b > 0) AS bit FROM bits),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b2.doc_id AS id2,
+         |         count(*) FILTER (WHERE a.bit <> b2.bit) AS hamming
+         |  FROM pb a JOIN pb b2 ON a.i = b2.i AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin,
 
     // same pair derivation as dedup_ngram_jaccard, then components via
     // recursive CTE (transitive closure of the near-dup relation)

@@ -86,11 +86,13 @@ class DedupSpec extends AnyFunSuite {
     val viaAgg = Dedup.minhashSignatures(docs, n = 3, k = k)
       .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("sig").toSeq).toMap
     // reference: the same double-hash permutations as k separate min aggs
+    graft.functions.GraftHash64.register(spark)
     val ex = docs
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
       .select(col("doc_id"),
-        pmod(xxhash64(col("s")), lit(1L << 31)).as("ha"),
-        pmod(xxhash64(lit(1), col("s")), lit(1L << 31)).as("hb"))
+        pmod(call_function("graft_hash64", col("s"), lit(0L)), lit(1L << 31)).as("ha"),
+        pmod(call_function("graft_hash64", col("s"), lit(graft.functions.GraftHash64.Golden)),
+          lit(1L << 31)).as("hb"))
     val mins = (0 until k).map(i => min(col("ha") + lit(i.toLong) * col("hb")).as(s"h$i"))
     val viaCols = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong(_))).toMap
