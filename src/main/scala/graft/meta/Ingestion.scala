@@ -35,7 +35,9 @@ object Ingestion {
     val lineage = Lineage.resolve(metrics, Manifest.nodes(parsed),
       Manifest.sources(parsed), platform, env)
     val records = Glossary.records(metrics, lineage, glossaryRoot)
-    val emitted = MetadataSink.emit(records, outPath, format, dryRun)
+    // ordered: parents-first partitions, mirroring the reference's
+    // nodes-before-terms emit sequence (:337-352)
+    val emitted = MetadataSink.emit(records, outPath, format, dryRun, ordered = true)
     Result(metrics.count(), emitted.records, emitted.path,
       Manifest.malformed(parsed, "metrics").count())
   }

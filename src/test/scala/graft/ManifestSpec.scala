@@ -137,6 +137,15 @@ class ManifestSpec extends AnyFunSuite {
     assert(real.records == 7 && real.outPath.contains("/tmp/graft_ingest_out"))
     val readBack = spark.read.parquet("/tmp/graft_ingest_out")
     assert(readBack.filter(col("entity_type") === "glossaryTerm").count() == 3)
+    // parents-first sink layout: a sequential replayer drains
+    // emit_order=0 (root) then 1 (categories) then 2 (terms), so every
+    // parent_urn exists before any child references it
+    val dirs = new java.io.File("/tmp/graft_ingest_out").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("emit_order=0", "emit_order=1", "emit_order=2"))
+    val byOrder = readBack.groupBy("emit_order").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byOrder == Map(0 -> 1L, 1 -> 3L, 2 -> 3L))
   }
 
   test("empty-string alias/identifier falls back to name like Python `or`") {
