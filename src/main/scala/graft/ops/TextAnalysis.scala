@@ -103,6 +103,26 @@ object TextAnalysis {
       reasons.as("reasons"))
   }
 
+  /** Within-document repetition: the fraction of word 3-gram
+    * OCCURRENCES that are repeats of an earlier 3-gram in the same doc
+    * (1 - distinct/total). Copy-paste loops and boilerplate stuffing
+    * push this toward 1; normal prose stays low. Pure per-row map —
+    * the native Shingles expression provides the distinct count, the
+    * occurrence count is just len(tokens)-2. */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        Dedup.tokens(col("text")).as("tk"),
+        Dedup.shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"),
+        greatest(size(col("tk")) - (n - 1), lit(0)).cast("bigint").as("n_ngrams"),
+        size(col("sh")).cast("bigint").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 4))
+          .otherwise(lit(0.0)))
+  }
+
   /** Winnowing fingerprint via the custom codegen expression
     * [[graft.functions.RollingHash]] (window = 16 bytes), plus an exact
     * full-text md5 for exact-dup grouping at fixed width (md5 rather

@@ -100,6 +100,20 @@ object PipelineQueries {
     "text_filter_chain" -> ((s, dir) =>
       TextAnalysis.filterChain(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // decontamination: docs >= 25 are the training corpus, docs < 25
+    // stand in for the benchmark/eval set (the testdata's planted
+    // near-dups cross that boundary, so real hits exist)
+    "contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.ops.Contamination.check(
+        d.filter(col("doc_id") >= 25), d.filter(col("doc_id") < 25),
+        n = 3, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // systematic PPS (probability-proportional-to-size) sample: a doc is
     // taken iff its [cum_before, cum_before + n_tokens) token interval
     // contains a multiple of the stride — inclusion probability ∝ token
@@ -164,6 +178,9 @@ object PipelineQueries {
 
     "stream_enrich" -> ((s, dir) =>
       graft.streaming.EventStreams.enriched(s, dir)),
+
+    "stream_range_join" -> ((s, dir) =>
+      graft.streaming.EventStreams.streamRangeJoin(s, dir)),
   )
 
   // Shared DuckDB fragments (SURVEY §5: Spark∩DuckDB regex/token subset).
@@ -508,6 +525,38 @@ object PipelineQueries {
 
     // same rule chain re-derived from the quality SQL; DuckDB
     // array_to_string('') is NULL, hence the coalesce
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    greatest(len(tk) - 2, 0) AS n_ngrams,
+         |    len(list_distinct([array_to_string(tk[i:i+2], ' ')
+         |                       for i in range(1, len(tk)-1)])) AS n_distinct
+         |  FROM t)
+         |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+         |  CAST(n_distinct AS BIGINT) AS n_distinct,
+         |  CASE WHEN n_ngrams > 0
+         |       THEN round(1.0 - n_distinct*1.0/n_ngrams, 4) ELSE 0.0 END AS rep_ratio
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "contamination" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |cp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d WHERE doc_id >= 25),
+         |bp AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE doc_id < 25),
+         |shared AS (
+         |  SELECT cp.doc_id, bp.bench_id, any_value(cp.n_sh) AS n_sh, count(*) AS shared
+         |  FROM cp JOIN bp USING (s) GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT doc_id, bench_id, shared*1.0/n_sh AS cont,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY shared*1.0/n_sh DESC, bench_id ASC) AS rk
+         |  FROM shared)
+         |SELECT doc_id, bench_id, round(cont, 4) AS containment,
+         |  CAST(cont >= 0.5 AS BIGINT) AS contaminated
+         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
     // independent re-derivation of the winnowing fingerprint: the
     // polynomial rolling hash is mod 2^64 over UTF-8 bytes, emulated
     // with HUGEINT arithmetic (DuckDB BIGINT traps overflow); bytes
@@ -696,6 +745,17 @@ object PipelineQueries {
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the watermarked stream-stream join must equal the batch range
+    // join (AvailableNow drains both sides before the query stops)
+    "stream_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s AS (SELECT user_id, event_id AS signup_id, ts_us AS sts FROM e WHERE event_type='signup'),
+        |x AS (SELECT user_id, ts_us AS ets FROM e WHERE event_type='error')
+        |SELECT signup_id, count(*) AS n_errors
+        |FROM s JOIN x ON s.user_id = x.user_id
+        |  AND x.ets >= s.sts AND x.ets < s.sts + 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // stream-static join is batch-equivalent under AvailableNow
     "stream_enrich" ->

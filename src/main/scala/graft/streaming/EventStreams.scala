@@ -143,6 +143,50 @@ object EventStreams {
       .orderBy("event_type", "has_orders")
   }
 
+  /** Stream-STREAM interval join: the error stream joins the signup
+    * stream within [signup_ts, signup_ts + 1h) per user. Both sides
+    * are unbounded, so Spark buffers each in watermarked join state;
+    * the time-range condition lets the engine evict a buffered signup
+    * once the watermark passes signup_ts + 1h — bounded state on an
+    * unbounded stream, the canonical stream-stream join discipline.
+    * Matched EVENT-LEVEL rows land in a distributed FILE sink (same
+    * rationale as [[dedupedCounts]]: executor-side parquet, never
+    * driver memory); the per-signup error counts are a batch job over
+    * the sink files and must equal the BATCH bucketed range join
+    * (`events_range_join`'s oracle — proven equal at any scale factor
+    * because AvailableNow drains everything before the final batch). */
+  def streamRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    def src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("sts"))
+      .withWatermark("sts", "1 hour")
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("user_id").as("euser"), col("ts").as("ets"))
+      .withWatermark("ets", "1 hour")
+    val joined = signups.join(errors,
+      expr("user_id = euser AND ets >= sts AND ets < sts + interval 1 hour"))
+
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_rjoin_")
+    out.toFile.deleteOnExit()
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(s"$out/data")
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n_errors"))
+      .orderBy("signup_id")
+  }
+
   /** Open sessions carried across micro-batches, keyed by user. */
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

@@ -55,4 +55,15 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString)
     assert(streamed.sameElements(batch))
   }
+
+  test("watermarked stream-stream interval join equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStreams.streamRangeJoin(spark, sf)
+      .collect().map(_.toString)
+    val batch = SparkEntry.queries("events_range_join")(spark, sf)
+      .select(col("signup_id"), col("n_errors"))
+      .orderBy("signup_id")
+      .collect().map(_.toString)
+    assert(streamed.sameElements(batch))
+  }
 }

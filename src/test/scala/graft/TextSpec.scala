@@ -95,6 +95,37 @@ class TextSpec extends AnyFunSuite {
     assert(fp.select("fp_full").distinct().count() == 500) // no exact dups in testdata
   }
 
+  test("repetition flags copy-paste loops, not normal prose") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"), // one distinct 3-gram
+      (2L, "every word here is completely different from the others"),
+      (3L, "ab")) // fewer than 3 tokens -> no ngrams, ratio 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("rep_ratio") > 0.8)   // 8 occurrences, 1 distinct
+    assert(out(1).getAs[Double]("rep_ratio") == 0.0)  // all distinct
+    assert(out(2).getAs[Long]("n_ngrams") == 0L && out(2).getAs[Double]("rep_ratio") == 0.0)
+  }
+
+  test("contamination: embedded benchmark item maxes containment, clean doc absent") {
+    val bench = Seq((1L, "the secret benchmark answer is forty two exactly")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // embeds the full benchmark text inside a slightly longer doc:
+      // 11 tokens -> 9 shingles, 6 shared -> containment 0.667
+      (100L, "filler then the secret benchmark answer is forty two exactly end"),
+      // shares zero 3-grams with the benchmark
+      (101L, "completely unrelated words about weather patterns today"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Contamination.check(corpus, bench, n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.contains(100L) && !out.contains(101L))
+    val hit = out(100L)
+    assert(hit.getAs[Long]("bench_id") == 1L)
+    assert(hit.getAs[Long]("contaminated") == 1L)
+    // 6 of the doc's 9 shingles come from the embedded benchmark item
+    assert(hit.getAs[Double]("containment") == 0.6667)
+  }
+
   test("multimodal: frame sampling covers every stride-th bounded chunk") {
     val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
     val frames = Multimodal.frameSample(docs, frameSize = 64, stride = 4).collect()
