@@ -152,14 +152,20 @@ object MetricQueries {
     // mergeable-sketch distinct: per-day HLL sketches union to months
     // WITHOUT rescanning the fact table — the pre-aggregation pattern
     // an exact count_distinct can never use (it doesn't decompose).
-    // Rows-only: sketch estimates are engine-specific (spec bounds the
-    // error against the exact count instead).
+    // The sketch is graft.ops.HllSketch — a from-scratch deterministic
+    // HLL whose (bucket, max rho) state is plain relational data, so
+    // the DuckDB oracle replays the whole estimate (an engine-specific
+    // binary sketch could only ever be rows-only).
     "m_sketch_distinct" -> ((s, dir) => {
+      val (b, r) = graft.ops.HllSketch.bucketRho(s, col("o_custkey"))
       val daily = Tables.orders(s, dir)
-        .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
-        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
-      daily.groupBy(date_trunc("month", col("d")).cast("date").as("period"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_customers"))
+        .select(date_trunc("day", col("o_orderdate")).as("d"), b, r)
+        .groupBy("d", "bucket").agg(max("rho").as("rho"))
+      val monthly = daily
+        .groupBy(date_trunc("month", col("d")).cast("date").as("period"), col("bucket"))
+        .agg(max("rho").as("rho"))
+      graft.ops.HllSketch.estimate(monthly, Seq("period"))
+        .withColumnRenamed("est", "est_customers")
         .orderBy("period")
     }),
 
@@ -225,7 +231,40 @@ object MetricQueries {
     })
   )
 
+  /** Unsigned-compare CASE chain for the HLL rho (leading-zero rank of
+    * the post-shift hash bits held in column w) — the same literal
+    * chain the engine's HllSketch generates, replayed over HUGEINT. */
+  private val rhoChainSql: String =
+    (1 to 52).map(r => s"WHEN w >= ${BigInt(1) << (64 - r)} THEN $r")
+      .mkString("CASE ", "\n|                ", "\n|                ELSE 53 END")
+
   val oracle: Map[String, String] = Map(
+
+    // full replay of the from-scratch HLL: same portable hash, same
+    // bucket/rho split, same max-rho merge and estimator arithmetic —
+    // an engine-specific binary sketch could never be hash-checked
+    "m_sketch_distinct" ->
+      s"""WITH o AS (SELECT date_trunc('month', o_orderdate) AS period,
+         |            CAST(o_custkey AS VARCHAR) AS s FROM orders),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM o)),
+         |h AS (SELECT s, ${DuckHash.ghashSql(DuckHash.fnvHx, "0")} AS hu FROM tb),
+         |br AS (SELECT s, hu // 4503599627370496 AS bucket,
+         |              (hu % 4503599627370496) * 4096 AS w FROM h),
+         |rr AS (SELECT s, bucket, $rhoChainSql AS rho FROM br),
+         |mb AS (SELECT o.period, rr.bucket, max(rr.rho) AS rho
+         |       FROM o JOIN rr USING (s) GROUP BY 1, 2),
+         |ag AS (SELECT period, count(*) AS nz, sum(power(0.5, rho)) AS sp
+         |       FROM mb GROUP BY 1),
+         |fin AS (SELECT period,
+         |          0.7213/(1 + 1.079/4096) * 4096 * 4096 / (sp + (4096 - nz)) AS raw,
+         |          4096 - nz AS zeros
+         |        FROM ag)
+         |SELECT CAST(period AS DATE) AS period,
+         |  CAST(round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+         |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT) AS est_customers
+         |FROM fin ORDER BY period""".stripMargin,
+
     "m_simple_sum" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
         | round(sum(o_totalprice), 2) AS total_revenue

@@ -187,52 +187,7 @@ object PipelineQueries {
   private val toks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
-  // --- DuckDB emulation of graft.functions.GraftHash64 ---------------
-  // FNV-1a + splitmix64, all mod-2^64 arithmetic emulated with HUGEINT
-  // (int128). Every helper references its argument ONCE (branchless
-  // signed/unsigned conversion), and the splitmix chain is a
-  // list_reduce fold over the three shift constants, so the expensive
-  // FNV byte fold is evaluated once per row even though DuckDB inlines
-  // CTE expressions (a naive nested form re-evaluated it ~100x).
-
-  /** unsigned(HUGEINT 0..2^64) → signed BIGINT, same bit pattern. */
-  private def sx(u: String) =
-    s"CAST(($u + 9223372036854775808) % 18446744073709551616 - 9223372036854775808 AS BIGINT)"
-
-  /** 64-bit xor of two unsigned-held values, result unsigned HUGEINT. */
-  private def xorU(a: String, b: String) =
-    s"(CAST(xor(${sx(a)}, ${sx(b)}) AS HUGEINT) + 18446744073709551616) % 18446744073709551616"
-
-  /** FNV-1a over the bytes of a string, given columns hx=hex(encode(s))
-    * and n=octet_length: the xor only touches the low byte, so it
-    * round-trips through BIGINT. */
-  private val fnvHx =
-    """list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-      |    list_transform(range(1, n + 1), i ->
-      |      CAST((strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
-      |         + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1 AS HUGEINT))),
-      |    (acc, b) -> ((acc - (acc % 256)
-      |                  + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-      |                 * 1099511628211) % 18446744073709551616)""".stripMargin
-
-  /** splitmix64(u0 ^ seed): fold over the shift constants [30,27,31];
-    * the multiply decomposes hi/lo 32-bit halves so the 128-bit
-    * product never overflows int128 (full 2^64 x 2^64 would). */
-  private def ghashSql(u0: String, seedU: String): String = {
-    val z = xorU("acc",
-      "(acc // (CASE WHEN k = 30 THEN 1073741824 WHEN k = 27 THEN 134217728 ELSE 2147483648 END))")
-    val hi = "(CASE WHEN k = 30 THEN 3210233709 WHEN k = 27 THEN 2496678331 ELSE 0 END)"
-    val lo = "(CASE WHEN k = 30 THEN 484763065 WHEN k = 27 THEN 321982955 ELSE 1 END)"
-    val step = s"((($z) * $lo + ((($z) * $hi) % 4294967296) * 4294967296) % 18446744073709551616)"
-    val init = if (seedU == "0") u0 else xorU(u0, seedU)
-    s"list_reduce(list_prepend($init, [30, 27, 31]), (acc, k) -> $step)"
-  }
-
-  /** GraftHash64.Golden as unsigned decimal. */
-  private val goldenU = java.lang.Long.toUnsignedString(graft.functions.GraftHash64.Golden)
-
-  /** 2^0..2^63 as a HUGEINT list literal (bit probes). */
-  private val pow2List = (0 until 64).map(i => (BigInt(1) << i).toString).mkString(", ")
+  import DuckHash.{sx, fnvHx, ghashSql, goldenU, pow2List}
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -767,4 +722,55 @@ object PipelineQueries {
         |FROM events e LEFT JOIN u ON e.user_id = u.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
+}
+
+/** DuckDB emulation of [[graft.functions.GraftHash64]] — FNV-1a +
+  * splitmix64, all mod-2^64 arithmetic emulated with HUGEINT (int128).
+  * Shared by the oracle SQL of dedup_minhash, dedup_simhash and
+  * m_sketch_distinct. Every helper references its argument ONCE
+  * (branchless signed/unsigned conversion), and the splitmix chain is
+  * a list_reduce fold over the three shift constants, so the expensive
+  * FNV byte fold evaluates once per row even though DuckDB inlines CTE
+  * expressions (a naive nested form re-evaluated it ~100x).
+  */
+private[queries] object DuckHash {
+
+  /** unsigned(HUGEINT 0..2^64) → signed BIGINT, same bit pattern. */
+  def sx(u: String): String =
+    s"CAST(($u + 9223372036854775808) % 18446744073709551616 - 9223372036854775808 AS BIGINT)"
+
+  /** 64-bit xor of two unsigned-held values, result unsigned HUGEINT. */
+  def xorU(a: String, b: String): String =
+    s"(CAST(xor(${sx(a)}, ${sx(b)}) AS HUGEINT) + 18446744073709551616) % 18446744073709551616"
+
+  /** FNV-1a over the bytes of a string, given columns hx=hex(encode(s))
+    * and n=octet_length: the xor only touches the low byte, so it
+    * round-trips through BIGINT. */
+  val fnvHx: String =
+    """list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |    list_transform(range(1, n + 1), i ->
+      |      CAST((strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+      |         + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1 AS HUGEINT))),
+      |    (acc, b) -> ((acc - (acc % 256)
+      |                  + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+      |                 * 1099511628211) % 18446744073709551616)""".stripMargin
+
+  /** splitmix64(u0 ^ seed): fold over the shift constants [30,27,31];
+    * the multiply decomposes hi/lo 32-bit halves so the 128-bit
+    * product never overflows int128 (full 2^64 x 2^64 would). */
+  def ghashSql(u0: String, seedU: String): String = {
+    val z = xorU("acc",
+      "(acc // (CASE WHEN k = 30 THEN 1073741824 WHEN k = 27 THEN 134217728 ELSE 2147483648 END))")
+    val hi = "(CASE WHEN k = 30 THEN 3210233709 WHEN k = 27 THEN 2496678331 ELSE 0 END)"
+    val lo = "(CASE WHEN k = 30 THEN 484763065 WHEN k = 27 THEN 321982955 ELSE 1 END)"
+    val step = s"((($z) * $lo + ((($z) * $hi) % 4294967296) * 4294967296) % 18446744073709551616)"
+    val init = if (seedU == "0") u0 else xorU(u0, seedU)
+    s"list_reduce(list_prepend($init, [30, 27, 31]), (acc, k) -> $step)"
+  }
+
+  /** GraftHash64.Golden as unsigned decimal. */
+  val goldenU: String = java.lang.Long.toUnsignedString(graft.functions.GraftHash64.Golden)
+
+  /** 2^0..2^63 as a HUGEINT list literal (bit probes). */
+  val pow2List: String = (0 until 64).map(i => (BigInt(1) << i).toString).mkString(", ")
 }
