@@ -154,7 +154,15 @@ object EventStreams {
     * driver memory); the per-signup error counts are a batch job over
     * the sink files and must equal the BATCH bucketed range join
     * (`events_range_join`'s oracle — proven equal at any scale factor
-    * because AvailableNow drains everything before the final batch). */
+    * because AvailableNow drains everything before the final batch).
+    *
+    * Deployment note: this operator is for CONTINUOUS pipelines, where
+    * watermark eviction keeps join state at one horizon's worth of
+    * events regardless of stream age. A single-batch historical replay
+    * (like this test harness) buffers the whole history in the state
+    * store first — for backfills over data at rest, the batch
+    * `events_range_join` computes the same result at a fraction of the
+    * cost. Same answer, different state regime; pick by workload. */
   def streamRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
     def src = spark.readStream
       .schema(eventsSchema)

@@ -140,6 +140,14 @@ class PlanSpec extends AnyFunSuite {
       s"probe side scans once:\n$p")
   }
 
+  test("contamination broadcasts the benchmark postings, equi-join on shingle") {
+    val p = plan("contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must stay a posting equi-join:\n$p")
+  }
+
   test("rollup computes all grouping sets from a single scan") {
     val p = plan("q_rollup")
     assert(countOccurrences(p, "lineitem.parquet") == 1,
