@@ -336,6 +336,11 @@ object OlapQueries {
         .orderBy("o_orderkey", "valid_from")
     }),
 
+    // shuffle-free co-located fact join: both sides pre-bucketed on the
+    // join key (write-once shuffle), SortMergeJoin with zero Exchange
+    "q_bucketed_join" -> ((s, dir) =>
+      graft.sources.Bucketed.revenueByPriority(s, dir)),
+
     // SCD2 applied REPEATEDLY (real CDC applies batches forever): two
     // update batches chain each twice-updated key's history into
     // [d0,d1) [d1,d2) [d2,∞) — the second merge must close the row the
@@ -601,6 +606,14 @@ object OlapQueries {
         |UNION ALL
         |SELECT o_orderkey, price, valid_from, DATE '9999-12-31' FROM upd
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // bucketing must be invisible in the result: same answer as the
+    // plain join on the raw parquet tables
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // two chained batches: the oracle constructs each key's interval
     // chain directly (base row closes at u1, u1's row closes at u2,

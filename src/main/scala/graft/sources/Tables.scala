@@ -51,6 +51,9 @@ object Sessions {
     // AQE re-plans at runtime: coalesces tiny shuffle partitions locally,
     // splits skewed ones on a real cluster
     "spark.sql.adaptive.enabled"           -> "true",
+    // managed-table location for the bucketed-join path ([[Bucketed]]);
+    // set at build time because the catalog pins it at first use
+    "spark.sql.warehouse.dir"              -> "/tmp/graft_warehouse",
   )
 
   def tune(b: SparkSession.Builder): SparkSession.Builder =

@@ -140,6 +140,24 @@ class PlanSpec extends AnyFunSuite {
       s"probe side scans once:\n$p")
   }
 
+  test("bucketed fact join runs with zero exchange on either join side") {
+    // at test scale the planner rightly broadcasts the tiny orders
+    // side; disable auto-broadcast to reveal the big-x-big shape the
+    // bucketing exists for (both sides fact-sized at 100 TB)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_bucketed_join")
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      // the ONLY exchanges allowed are the post-join aggregate's and
+      // the output sort's — never a hashpartitioning on the join key
+      assert(!p.contains("hashpartitioning(o_orderkey") &&
+             !p.contains("hashpartitioning(l_orderkey"),
+        s"join sides must be co-located by bucketing, not shuffled:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan should report bucketed reads:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("contamination broadcasts the benchmark postings, equi-join on shingle") {
     val p = plan("contamination")
     assert(p.contains("BroadcastHashJoin"),
