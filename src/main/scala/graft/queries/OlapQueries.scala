@@ -341,6 +341,11 @@ object OlapQueries {
     "q_bucketed_join" -> ((s, dir) =>
       graft.sources.Bucketed.revenueByPriority(s, dir)),
 
+    // partition pruning: date-partitioned layout + day filter = the
+    // scan opens ONE directory (PartitionCount: 1, PlanSpec-pinned)
+    "q_partition_pruned" -> ((s, dir) =>
+      graft.sources.Partitioned.lastDayCounts(s, dir)),
+
     // SCD2 applied REPEATEDLY (real CDC applies batches forever): two
     // update batches chain each twice-updated key's history into
     // [d0,d1) [d1,d2) [d2,∞) — the second merge must close the row the
@@ -606,6 +611,15 @@ object OlapQueries {
         |UNION ALL
         |SELECT o_orderkey, price, valid_from, DATE '9999-12-31' FROM upd
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // layout must be invisible in the result: same counts as filtering
+    // the flat events table on its max day
+    "q_partition_pruned" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS event_date FROM events),
+        |d AS (SELECT max(event_date) AS day FROM e)
+        |SELECT event_type, count(*) AS n_events, d.day AS event_date
+        |FROM e, d WHERE e.event_date = d.day
+        |GROUP BY 1, 3 ORDER BY 1""".stripMargin,
 
     // bucketing must be invisible in the result: same answer as the
     // plain join on the raw parquet tables

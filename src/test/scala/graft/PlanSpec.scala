@@ -158,6 +158,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partition-pruned scan opens exactly one date directory") {
+    val df = SparkEntry.queries("q_partition_pruned")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_date") &&
+           p.contains("(event_date#"),
+      s"day filter must resolve against partition values:\n$p")
+    // ask the scan node itself how many partition directories survived
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"exactly one partition directory should be read, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("contamination broadcasts the benchmark postings, equi-join on shingle") {
     val p = plan("contamination")
     assert(p.contains("BroadcastHashJoin"),
