@@ -346,6 +346,11 @@ object OlapQueries {
     "q_partition_pruned" -> ((s, dir) =>
       graft.sources.Partitioned.lastDayCounts(s, dir)),
 
+    // dynamic partition pruning: the predicate lives on the calendar
+    // dim; the fact scan prunes at runtime via the planted subquery
+    "q_dpp_join" -> ((s, dir) =>
+      graft.sources.Partitioned.dppWeekCounts(s, dir)),
+
     // SCD2 applied REPEATEDLY (real CDC applies batches forever): two
     // update batches chain each twice-updated key's history into
     // [d0,d1) [d1,d2) [d2,∞) — the second merge must close the row the
@@ -611,6 +616,17 @@ object OlapQueries {
         |UNION ALL
         |SELECT o_orderkey, price, valid_from, DATE '9999-12-31' FROM upd
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // runtime pruning must be invisible in the result: same counts as
+    // filtering the flat table to its latest ISO week
+    "q_dpp_join" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS event_date FROM events),
+        |c AS (SELECT DISTINCT event_date, year(event_date) AS yr,
+        |             weekofyear(event_date) AS wk FROM e),
+        |m AS (SELECT yr, wk FROM c ORDER BY yr DESC, wk DESC LIMIT 1)
+        |SELECT event_type, count(*) AS n_events
+        |FROM e JOIN c USING (event_date) JOIN m ON c.yr = m.yr AND c.wk = m.wk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // layout must be invisible in the result: same counts as filtering
     // the flat events table on its max day

@@ -18,7 +18,9 @@ object Partitioned {
 
   private def root = "/tmp/graft_partitioned"
 
-  /** Write events partitioned by event date (idempotent per sfDir). */
+  /** Write events partitioned by event date, plus a tiny calendar dim
+    * (event_date, yr, wk) for join-driven pruning (idempotent per
+    * sfDir). */
   def setup(spark: SparkSession, sfDir: String): String = {
     val out = s"$root/events_${new java.io.File(sfDir).getName}"
     if (!new java.io.File(s"$out/_SUCCESS").exists ||
@@ -26,9 +28,36 @@ object Partitioned {
       Tables.events(spark, sfDir)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      spark.read.parquet(out).select(col("event_date")).distinct()
+        .withColumn("yr", year(col("event_date")))
+        .withColumn("wk", weekofyear(col("event_date")))
+        .write.mode("overwrite").parquet(s"${out}_calendar")
       spark.conf.set("graft.partitioned.src", out)
     }
     out
+  }
+
+  /** DYNAMIC partition pruning: the days to read come from a FILTERED
+    * calendar dimension at runtime — the literal predicate sits on the
+    * tiny dim (latest ISO week), and Catalyst plants a
+    * dynamicpruningexpression on the fact scan's partition column, so
+    * only the dim-selected directories are opened even though the
+    * query text never names a date. The join-driven analog of
+    * [[lastDayCounts]]'s static pruning; PlanSpec pins the dynamic
+    * filter. */
+  def dppWeekCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = setup(spark, sfDir)
+    val cal = spark.read.parquet(s"${path}_calendar")
+    // bounded driver-side scalar off the day-count-sized dim: the
+    // latest (yr, wk) pair becomes the dim's literal filter
+    val last = cal.agg(max(struct(col("yr"), col("wk"))).as("m"))
+      .select(col("m.yr"), col("m.wk")).head()
+    val dim = cal.filter(col("yr") === last.getInt(0) && col("wk") === last.getInt(1))
+    spark.read.parquet(path)
+      .join(dim, "event_date")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type")
   }
 
   /** Per-type counts for the busiest single day, read through the

@@ -173,6 +173,12 @@ class PlanSpec extends AnyFunSuite {
         s"got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("dpp join prunes fact partitions through the dim's runtime filter") {
+    val p = plan("q_dpp_join")
+    assert(p.contains("dynamicpruningexpression"),
+      s"fact scan should carry a dynamic pruning subquery:\n$p")
+  }
+
   test("contamination broadcasts the benchmark postings, equi-join on shingle") {
     val p = plan("contamination")
     assert(p.contains("BroadcastHashJoin"),
