@@ -216,6 +216,40 @@ object MetricQueries {
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
         .orderBy("l_returnflag")),
 
+    // mergeable histogram quantiles: per-day fixed-bin counts roll up
+    // to months by SUMMING bins (decomposable, like the HLL sketch —
+    // the 100 TB quantile path when exact percentile can't buffer a
+    // group and percentile_approx's sketch is engine-opaque). Estimate
+    // = linear interpolation inside the bin where the cumulative count
+    // crosses q·total; deterministic, so the oracle replays it.
+    "m_histo_percentiles" -> ((s, dir) => {
+      val width = 1000.0
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("d"),
+          floor(col("o_totalprice") / width).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+      val monthly = daily
+        .groupBy(date_trunc("month", col("d")).cast("date").as("period"), col("bin"))
+        .agg(sum("n").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("period").orderBy("bin")
+      val cum = monthly
+        .withColumn("cum", sum("n").over(w))
+        .withColumn("total", sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("period")))
+      // only the FIRST crossing bin interpolates (later bins would
+      // extrapolate negative offsets below the true crossing)
+      def q(p: Double) = round(
+        min(when(col("cum") >= col("total") * p &&
+                 (col("cum") - col("n")) < col("total") * p,
+          (col("bin") * width) +
+            (lit(width) * (col("total") * p - (col("cum") - col("n"))) / col("n")))),
+        2)
+      cum.groupBy("period")
+        .agg(q(0.5).as("p50_est"), q(0.9).as("p90_est"), q(0.99).as("p99_est"))
+        .orderBy("period")
+    }),
+
     "m_dimensions" -> ((s, dir) => {
       val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir); val r = Tables.region(s, dir)
@@ -291,6 +325,31 @@ object MetricQueries {
         |  round(avg(gap_us), 4) AS avg_gap_us, max(gap_us) AS max_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle replays the identical binning, month merge, cumulative
+    // walk and first-crossing interpolation
+    "m_histo_percentiles" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS d,
+        |         CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |monthly AS (
+        |  SELECT CAST(date_trunc('month', d) AS DATE) AS period, bin, sum(n) AS n
+        |  FROM daily GROUP BY 1, 2),
+        |c AS (
+        |  SELECT period, bin, n,
+        |    sum(n) OVER (PARTITION BY period ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER (PARTITION BY period) AS total
+        |  FROM monthly)
+        |SELECT period,
+        |  round(min(CASE WHEN cum >= total*0.5 AND cum - n < total*0.5
+        |    THEN bin*1000.0 + 1000.0 * (total*0.5 - (cum - n)) / n END), 2) AS p50_est,
+        |  round(min(CASE WHEN cum >= total*0.9 AND cum - n < total*0.9
+        |    THEN bin*1000.0 + 1000.0 * (total*0.9 - (cum - n)) / n END), 2) AS p90_est,
+        |  round(min(CASE WHEN cum >= total*0.99 AND cum - n < total*0.99
+        |    THEN bin*1000.0 + 1000.0 * (total*0.99 - (cum - n)) / n END), 2) AS p99_est
+        |FROM c GROUP BY period ORDER BY period""".stripMargin,
 
     "m_percentiles" ->
       """SELECT l_returnflag,

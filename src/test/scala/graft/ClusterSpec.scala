@@ -61,6 +61,31 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram quantile estimate stays within one bin of the exact percentile") {
+    val est = SparkEntry.queries("m_histo_percentiles")(spark, sf)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // percentile_disc = the order statistic whose bin the histogram
+    // CDF crossing lands in, so the one-bin bound is exact by
+    // construction (interpolated percentile can sit an order-statistic
+    // gap away at sparse months)
+    val exact = Tables.orders(spark, sf)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("period"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").as("p99"))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(est.keySet == exact.keySet)
+    val binWidth = 1000.0
+    exact.foreach { case (p, (e50, e90, e99)) =>
+      val (h50, h90, h99) = est(p)
+      assert(math.abs(h50 - e50) <= binWidth, s"$p p50: $h50 vs $e50")
+      assert(math.abs(h90 - e90) <= binWidth, s"$p p90: $h90 vs $e90")
+      assert(math.abs(h99 - e99) <= binWidth, s"$p p99: $h99 vs $e99")
+    }
+  }
+
   test("funnel steps are monotonically non-increasing and windows enforced") {
     val rows = SparkEntry.queries("events_funnel")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("1_view", "2_click", "3_purchase"))
