@@ -336,6 +336,35 @@ object OlapQueries {
         .orderBy("o_orderkey", "valid_from")
     }),
 
+    // TPC-H Q21-style blame query (EXISTS + NOT EXISTS on the same
+    // fact), hand-decorrelated into ONE windowed pass: per-order
+    // supplier sets come from two collect_set windows over the single
+    // orderkey shuffle, so the correlated subqueries cost zero extra
+    // scans — the rewrite a subquery planner would have to discover.
+    // "Late" = shipped >90 days after the order date (the trimmed
+    // schema has no receipt/commit dates). The oracle keeps the
+    // textbook EXISTS/NOT EXISTS form — independent derivations.
+    "q21_blame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+      val l = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 90))
+        .withColumn("n_supps", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late_supps",
+          size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+      val blamed = l
+        .filter(col("late") && col("n_supps") > 1 && col("n_late_supps") === 1)
+        .groupBy("l_suppkey")
+        .agg(count_distinct(col("l_orderkey")).as("numwait"))
+      blamed
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
     // shuffle-free co-located fact join: both sides pre-bucketed on the
     // join key (write-once shuffle), SortMergeJoin with zero Exchange
     "q_bucketed_join" -> ((s, dir) =>
@@ -616,6 +645,24 @@ object OlapQueries {
         |UNION ALL
         |SELECT o_orderkey, price, valid_from, DATE '9999-12-31' FROM upd
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // textbook correlated form: the decorrelated window rewrite must
+    // produce exactly the EXISTS/NOT-EXISTS semantics
+    "q21_blame" ->
+      """WITH l AS (
+        |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |late AS (SELECT * FROM l WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
 
     // runtime pruning must be invisible in the result: same counts as
     // filtering the flat table to its latest ISO week
