@@ -262,6 +262,33 @@ object MetricQueries {
         .agg(round(sum(o("o_totalprice")), 2).as("revenue"),
              count(o("o_orderkey")).as("n_orders"))
         .orderBy("r_name", "c_mktsegment")
+    }),
+
+    // Date-spine gap filling: dbt metrics materialize onto a complete
+    // calendar spine so missing periods report 0, not a missing row.
+    // The spine is generated (sequence over the 1-row min/max bounds ×
+    // distinct priorities — tiny), the metric is ONE fact shuffle to
+    // (month, priority), and the spine LEFT-joins the already-tiny
+    // aggregate (broadcast) — the fact table never joins the spine.
+    "m_date_spine" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val bounds = o.agg(
+        date_trunc("month", min("o_orderdate")).cast("date").as("mn"),
+        date_trunc("month", max("o_orderdate")).cast("date").as("mx"))
+      val spine = bounds
+        .select(explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 MONTH"))).as("period"))
+        .crossJoin(o.select(col("o_orderpriority").as("prio")).distinct())
+      val m = o.filter(col("o_totalprice") > 480000)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("period"),
+          col("o_orderpriority").as("prio"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      spine.join(broadcast(m), Seq("period", "prio"), "left_outer")
+        .select(col("period"), col("prio"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("period", "prio")
     })
   )
 
@@ -452,6 +479,27 @@ object MetricQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "m_date_spine" ->
+      """WITH bounds AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS mn,
+        |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS mx
+        |  FROM orders),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE) AS period
+        |  FROM bounds),
+        |prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+        |m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+        |    o_orderpriority AS prio,
+        |    round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |  FROM orders WHERE o_totalprice > 480000 GROUP BY 1, 2)
+        |SELECT s.period, p.prio,
+        |  coalesce(m.revenue, 0.0) AS revenue,
+        |  CAST(coalesce(m.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM spine s CROSS JOIN prios p
+        |LEFT JOIN m ON m.period = s.period AND m.prio = p.prio
+        |ORDER BY 1, 2""".stripMargin
   )
 }

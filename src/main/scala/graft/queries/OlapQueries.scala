@@ -440,6 +440,97 @@ object OlapQueries {
         .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
     }),
+
+    // TPC-H Q4 style: EXISTS → left-semi join. Orders in a quarter
+    // with at least one late lineitem (shipped >30 days after order —
+    // the trimmed schema has no commit/receipt dates). The date filter
+    // pushes into the orders scan; the semi-join shuffles both sides
+    // on the order key once and emits each order at most once — the
+    // planner shape a correlated EXISTS must decorrelate into.
+    "q4_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q13 style: customer order-count distribution. LEFT OUTER
+    // join (the join predicate carries the priority filter — a WHERE
+    // would turn it inner and drop zero-order customers), then two
+    // aggregations: per-customer count, then the count-of-counts. Both
+    // shuffles are on the natural keys; the second input is already
+    // customer-sized, the third count-sized.
+    "q13_custdist" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderpriority")
+      c.join(o, col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 style: correlated per-part average decorrelated into
+    // an aggregate + co-keyed join — lineitems of PROMO parts that
+    // ordered under half the part's average quantity. The per-part
+    // avg table is fact-keyed (grows with SF: never broadcast), so it
+    // shuffle-joins lineitem on l_partkey; part's type filter pushes
+    // into its scan and PRUNES the avg build via the semi filter.
+    "q17_small_qty" -> ((s, dir) => {
+      val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val l = Tables.lineitem(s, dir).select("l_partkey", "l_quantity", "l_extendedprice")
+      val lp = l.join(promo, col("l_partkey") === col("p_partkey"))
+        .localCheckpoint(false)
+      val avgq = lp.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      lp.join(avgq, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q22 style: customers above the global positive-balance
+    // average with NO orders — a scalar subquery (1-row aggregate,
+    // broadcast cross join: never a driver collect) plus an anti-join
+    // on the customer key, grouped by nation.
+    "q22_idle" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("ab"))
+      val o = Tables.orders(s, dir).select("o_custkey")
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Event-sequence bigrams: per-user transition counts between
+    // consecutive event types (the Markov-chain view of a clickstream).
+    // ONE shuffle to user_id for the lag window — state is distributed
+    // per user, never a global sort — then the tiny 5×5 transition
+    // aggregate. Ties in ts break on event_id in both engines.
+    "events_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -735,5 +826,53 @@ object OlapQueries {
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle keeps the textbook correlated EXISTS — independent
+    // derivation of the semi-join decorrelation
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // textbook correlated scalar subquery; the engine decorrelates it
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_type = 'PROMO'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q22_idle" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        |lg AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM e)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |FROM lg WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

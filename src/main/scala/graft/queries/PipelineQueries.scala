@@ -181,6 +181,29 @@ object PipelineQueries {
 
     "stream_range_join" -> ((s, dir) =>
       graft.streaming.EventStreams.streamRangeJoin(s, dir)),
+
+    // token-window chunking: docs → fixed-size overlapping training
+    // sequences (32-token windows every 24) — zero-shuffle per-row map
+    "doc_chunk" -> ((s, dir) =>
+      graft.ops.Corpus.chunk(Tables.documents(s, dir), chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
+
+    // per-doc top-3 terms by tf·ln(N/df); ranked on the ROUNDED score
+    // so mathematically-tied pairs rank identically in both engines
+    "tfidf_topterms" -> ((s, dir) =>
+      graft.ops.Corpus.tfidfTop(Tables.documents(s, dir), k = 3)
+        .orderBy("doc_id", "rnk")),
+
+    // corpus-common n-gram fraction per doc (df ≥ 5 across the corpus)
+    "text_boilerplate" -> ((s, dir) =>
+      graft.ops.Corpus.boilerplate(Tables.documents(s, dir), n = 3, minDf = 5)
+        .orderBy("doc_id")),
+
+    // domain-mixture epoch oversampling: deterministic integer +
+    // fractional per-source weights realized as doc copies
+    "corpus_mix" -> ((s, dir) =>
+      graft.ops.Corpus.epochMix(Tables.documents(s, dir))
+        .orderBy("doc_id", "copy_id")),
   )
 
   // Shared DuckDB fragments (SURVEY §5: Spark∩DuckDB regex/token subset).
@@ -721,6 +744,61 @@ object PipelineQueries {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events e LEFT JOIN u ON e.user_id = u.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 32-token windows every 24; list slices are 1-based inclusive in
+    // DuckDB, so toks[i+1 : i+32] is the same 32-token window Spark's
+    // slice(toks, start+1, 32) takes
+    "doc_chunk" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id, CAST(r.i // 24 AS BIGINT) AS chunk_id,
+         |  CAST(least(len(toks) - r.i, 32) AS BIGINT) AS n_tokens,
+         |  array_to_string(toks[r.i+1 : r.i+32], ' ') AS chunk_text
+         |FROM d, unnest(range(0, greatest(len(toks), 1), 24)) r(i)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "tfidf_topterms" ->
+      s"""WITH ex AS (SELECT doc_id, unnest(toks) AS term
+         |            FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df,
+         |         round(tf * ln(n_docs * 1.0 / df), 4) AS score
+         |       FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS BIGINT) AS rnk,
+         |  term, tf, df, score
+         |FROM sc QUALIFY rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "text_boilerplate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS s
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |  round(sum(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         |    AS boilerplate_ratio
+         |FROM sh JOIN df ON sh.s = df.s
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    1 + CAST(substr(source, 4) AS INT) % 3 AS base,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 0.5 ELSE 0.0 END AS frac
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, CAST(base + frac AS DOUBLE) AS weight,
+        |    CAST(base + CASE WHEN frac > 0 AND doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS n_copies
+        |  FROM w)
+        |SELECT doc_id, source, weight, n_copies, CAST(r.i AS BIGINT) AS copy_id
+        |FROM c, unnest(range(1, n_copies + 1)) r(i)
+        |ORDER BY doc_id, copy_id""".stripMargin,
   )
 }
 
