@@ -20,7 +20,15 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A query that raises must still appear in the correctness
+        // artifact AS A FAILURE: write a 1-row sentinel whose schema
+        // can never match the oracle, so the driver records
+        // rows/schema/hash=false instead of silently dropping the key.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        import spark.implicits._
+        Seq(msg).toDF("verify_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -55,7 +55,10 @@ object Corpus {
       .localCheckpoint(false)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n  = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+    // degenerate-key broadcast hash join, not crossJoin: a 1-row build
+    // is cheap either way, but BNLJ is banned engine-wide (PlanSpec)
+    val scored = Scalars.withScalar(tf.join(df, "term"), col("doc_id"),
+      n, col("n_docs"))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
     TopK.perGroup(scored, groupCols = Seq(col("doc_id")),
@@ -99,7 +102,9 @@ object Corpus {
     * +0.5 when the id is even); a real pipeline feeds a weight table.
     */
   def epochMix(docs: DataFrame): DataFrame = {
-    val srcId = substring(col("source"), 4, 10).cast("int")
+    // 2-arg substring (to end of string) — a length cap would silently
+    // diverge from the oracle's substr(source, 4) on long ids.
+    val srcId = expr("substring(source, 4)").cast("int")
     val base  = lit(1) + srcId % 3
     val frac  = when(srcId % 2 === 0, lit(0.5)).otherwise(lit(0.0))
     val extra = when(col("doc_id") % 2 === 0 && frac > 0, 1).otherwise(0)
@@ -107,6 +112,8 @@ object Corpus {
         (base + frac).as("weight"),
         (base + extra).cast("bigint").as("n_copies"))
       .select(col("doc_id"), col("source"), col("weight"), col("n_copies"),
-        explode(sequence(lit(1), col("n_copies"))).cast("bigint").as("copy_id"))
+        // generator must be alias-only: n_copies is bigint so the
+        // sequence elements already are — no cast around the explode
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
   }
 }

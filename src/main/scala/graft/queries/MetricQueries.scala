@@ -272,13 +272,20 @@ object MetricQueries {
     // aggregate (broadcast) — the fact table never joins the spine.
     "m_date_spine" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
-      val bounds = o.agg(
-        date_trunc("month", min("o_orderdate")).cast("date").as("mn"),
-        date_trunc("month", max("o_orderdate")).cast("date").as("mx"))
-      val spine = bounds
-        .select(explode(sequence(col("mn"), col("mx"),
+      // global bounds via an unpartitioned window over the tiny
+      // per-priority aggregate (k rows, single-partition by design) —
+      // no bounds×priorities join exists, so no product join can be
+      // planned (PlanSpec bans BNLJ engine-wide) and the spine costs
+      // ONE orders scan instead of two
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      val spine = o.groupBy(col("o_orderpriority").as("prio"))
+        .agg(min("o_orderdate").as("pmn"), max("o_orderdate").as("pmx"))
+        .select(col("prio"),
+          date_trunc("month", min("pmn").over(w)).cast("date").as("mn"),
+          date_trunc("month", max("pmx").over(w)).cast("date").as("mx"))
+        .select(col("prio"), explode(sequence(col("mn"), col("mx"),
           expr("INTERVAL 1 MONTH"))).as("period"))
-        .crossJoin(o.select(col("o_orderpriority").as("prio")).distinct())
       val m = o.filter(col("o_totalprice") > 480000)
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("period"),
           col("o_orderpriority").as("prio"))

@@ -498,21 +498,29 @@ object OlapQueries {
     }),
 
     // TPC-H Q22 style: customers above the global positive-balance
-    // average with NO orders — a scalar subquery (1-row aggregate,
-    // broadcast cross join: never a driver collect) plus an anti-join
-    // on the customer key, grouped by nation.
+    // average with LOW order activity (≤ 8 orders; the synthetic data
+    // gives every customer ≥ 1 order so a strict anti-join is vacuous
+    // at every test SF). The balance threshold is a TRUE scalar
+    // subquery — Spark executes it as an independent Subquery (one
+    // customer pass whose 1-row result becomes a runtime literal in
+    // the Filter), never a joined relation, so no product join exists
+    // at any scale. The correlated per-customer order count is
+    // decorrelated into a pre-aggregate + left join on the customer
+    // key (co-partitioned shuffle).
     "q22_idle" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      val avgBal = c.filter(col("c_acctbal") > 0.0)
-        .agg(avg("c_acctbal").as("ab"))
-      val o = Tables.orders(s, dir).select("o_custkey")
-      c.crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("ab"))
-        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy("c_nationkey")
-        .agg(count(lit(1)).as("numcust"),
-          round(sum("c_acctbal"), 2).as("totacctbal"))
-        .orderBy("c_nationkey")
+      s.sql(
+        s"""SELECT c_nationkey,
+           |  count(1) AS numcust,
+           |  round(sum(c_acctbal), 2) AS totacctbal
+           |FROM parquet.`$dir/customer.parquet` c
+           |LEFT JOIN (SELECT o_custkey, count(1) AS n_orders
+           |           FROM parquet.`$dir/orders.parquet` GROUP BY 1) o
+           |  ON c.c_custkey = o.o_custkey
+           |WHERE c_acctbal > (SELECT avg(c_acctbal)
+           |                   FROM parquet.`$dir/customer.parquet`
+           |                   WHERE c_acctbal > 0.0)
+           |  AND coalesce(n_orders, 0) <= 8
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
     // Event-sequence bigrams: per-user transition counts between
@@ -861,7 +869,7 @@ object OlapQueries {
         |  round(sum(c_acctbal), 2) AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) <= 8
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_transitions" ->
