@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName...] — the optional name filter is
+    // a dev-loop convenience (spot-check one query); the driver always
+    // passes exactly two args and gets the full sweep.
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.sources.Sessions.tune(
       SparkSession.builder()
@@ -15,15 +19,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // coalesce(1) only compacts the tiny verify output; never in engine code
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         // A query that raises must still appear in the correctness
         // artifact AS A FAILURE: write a 1-row sentinel whose schema
         // can never match the oracle, so the driver records
         // rows/schema/hash=false instead of silently dropping the key.
+        // Fatal JVM errors (OOM, LinkageError) propagate and fail the
+        // run — continuing in a corrupted JVM would record misleading
+        // per-query failures for everything after the fatal one.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         import spark.implicits._
@@ -44,6 +53,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -56,7 +56,8 @@ object Corpus {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n  = docs.agg(count(lit(1)).as("n_docs"))
     // degenerate-key broadcast hash join, not crossJoin: a 1-row build
-    // is cheap either way, but BNLJ is banned engine-wide (PlanSpec)
+    // is cheap either way, but BNLJ is banned for every non-exempt
+    // query (PlanSpec)
     val scored = Scalars.withScalar(tf.join(df, "term"), col("doc_id"),
       n, col("n_docs"))
       .withColumn("score",

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.ops.Scalars
 
 /** §2 items 16-21: OLAP bench headliners.
   *
@@ -282,9 +283,14 @@ object OlapQueries {
         .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + winUs)
         .groupBy("user_id").agg(min("ts_us").as("t3"))
         .localCheckpoint(false)
-      s1.agg(count(lit(1)).as("n1"))
-        .crossJoin(s2.agg(count(lit(1)).as("n2")))
-        .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      // the three 1-row step counts combine via Scalars.withScalar
+      // (broadcast hash join on a degenerate key, 1-row contract
+      // enforced) — no product-join operator anywhere in the plan
+      val c12 = Scalars.withScalar(
+        s1.agg(count(lit(1)).as("n1")), col("n1"),
+        s2.agg(count(lit(1)).as("n2")), col("n2"))
+      Scalars.withScalar(c12, col("n1"),
+          s3.agg(count(lit(1)).as("n3")), col("n3"))
         .select(explode(array(
           struct(lit("1_view").as("step"), col("n1").as("n_users"),
             lit(1.0).as("conv")),
@@ -508,19 +514,24 @@ object OlapQueries {
     // decorrelated into a pre-aggregate + left join on the customer
     // key (co-partitioned shuffle).
     "q22_idle" -> ((s, dir) => {
+      // run the SQL over temp views of the Tables loaders — file-layout
+      // knowledge stays centralized in Tables.table, the SQL keeps the
+      // true scalar-subquery shape
+      Tables.customer(s, dir).createOrReplaceTempView("graft_q22_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_q22_orders")
       s.sql(
-        s"""SELECT c_nationkey,
-           |  count(1) AS numcust,
-           |  round(sum(c_acctbal), 2) AS totacctbal
-           |FROM parquet.`$dir/customer.parquet` c
-           |LEFT JOIN (SELECT o_custkey, count(1) AS n_orders
-           |           FROM parquet.`$dir/orders.parquet` GROUP BY 1) o
-           |  ON c.c_custkey = o.o_custkey
-           |WHERE c_acctbal > (SELECT avg(c_acctbal)
-           |                   FROM parquet.`$dir/customer.parquet`
-           |                   WHERE c_acctbal > 0.0)
-           |  AND coalesce(n_orders, 0) <= 8
-           |GROUP BY 1 ORDER BY 1""".stripMargin)
+        """SELECT c_nationkey,
+          |  count(1) AS numcust,
+          |  round(sum(c_acctbal), 2) AS totacctbal
+          |FROM graft_q22_customer c
+          |LEFT JOIN (SELECT o_custkey, count(1) AS n_orders
+          |           FROM graft_q22_orders GROUP BY 1) o
+          |  ON c.c_custkey = o.o_custkey
+          |WHERE c_acctbal > (SELECT avg(c_acctbal)
+          |                   FROM graft_q22_customer
+          |                   WHERE c_acctbal > 0.0)
+          |  AND coalesce(n_orders, 0) <= 8
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
     // Event-sequence bigrams: per-user transition counts between
