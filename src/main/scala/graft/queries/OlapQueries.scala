@@ -550,6 +550,102 @@ object OlapQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("from_type", "to_type")
     }),
+
+    // TPC-H Q6 style: the canonical zero-join scan-aggregate. All three
+    // range predicates (date window, discount band, quantity cap) push
+    // into the parquet reader — at 100 TB the scan reads only the
+    // row groups whose min/max stats overlap the bands, and the agg is
+    // a map-side partial + 1-row final. The cheapest possible plan.
+    "q6_forecast" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q10 style: revenue lost to returned items per customer, one
+    // quarter, top 20. The date filter prunes orders at the scan and the
+    // returnflag filter prunes lineitem; the two SF-growing joins are
+    // co-keyed shuffles, nation broadcasts, and the top-20 is a partial
+    // top-k (TakeOrderedAndProject), never a global sort.
+    "q10_returns" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val n = Tables.nation(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(c("c_custkey"), c("c_name"), c("c_acctbal"), n("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q12 style, adapted to this schema (no shipmode/commitdate):
+    // late shipments — lines shipped >60 days after their order date —
+    // split into high/low priority counts per order year. ONE co-keyed
+    // fact⋈fact shuffle on the order key; the lateness predicate can't
+    // prune either scan (it relates columns across the join) so it
+    // applies as the join filter, and the per-year counts are a tiny
+    // final aggregate.
+    "q12_late" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(year(o("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q19 style: disjunctive (OR-of-ANDs) bracket predicate over
+    // a lineitem⋈part join. Catalyst extracts the common equi-key as
+    // the join condition AND infers the per-side implied filters from
+    // the disjunction (brand ∈ {...} ∧ size ≤ 35 on part; quantity ≤ 40
+    // on lineitem), pushing both into the scans — the join only sees
+    // rows that can satisfy SOME bracket, and the exact bracket check
+    // runs as the join filter.
+    "q19_brackets" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val bracket =
+        (p("p_brand") === "Brand#1" && p("p_size").between(1, 15) &&
+          l("l_quantity").between(1, 20)) ||
+        (p("p_brand") === "Brand#2" && p("p_size").between(1, 25) &&
+          l("l_quantity").between(10, 30)) ||
+        (p("p_brand") === "Brand#3" && p("p_size").between(1, 35) &&
+          l("l_quantity").between(20, 40))
+      l.join(p, l("l_partkey") === p("p_partkey") && bracket)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1)).as("n_lines"))
+    }),
+
+    // CUBE: all four grouping sets — (flag,status), (flag), (status),
+    // () — in ONE aggregation pass over one scan (grouping-sets
+    // partials expand per-row; no per-level rescans). Complements
+    // q_rollup, which only covers the hierarchical prefix sets.
+    "q_cube" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(rev), 2).as("sum_disc_price"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_disc_price"), col("n"))
+        .orderBy("rf", "ls")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -893,5 +989,56 @@ object OlapQueries {
         |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
         |FROM lg WHERE prev IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_late" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_brackets" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
   )
 }
