@@ -646,6 +646,55 @@ object OlapQueries {
           col("sum_disc_price"), col("n"))
         .orderBy("rf", "ls")
     }),
+
+    // Last-touch attribution: each purchase credits its value to the
+    // most recent preceding non-purchase event by the same user within
+    // a 7-day lookback ('none' when nothing qualifies). Re-uses the
+    // as-of union-sort composition — ONE shuffle on user_id, no range
+    // join — with the touch timestamp carried in the payload so the
+    // lookback window applies as a post-filter. Touches pre-aggregate
+    // to one row per (user, ts) as the as-of contract requires.
+    "events_attribution" -> ((s, dir) => {
+      val winUs = 7L * 86400 * 1000000L
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts_ns div 1000").as("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(max_by(col("event_type"), col("event_id")).as("touch_type"))
+        .withColumn("touch_ts", col("ts_us"))
+      graft.ops.AsOf.joinAsOf(purchases, touches,
+          key = "user_id", time = "ts_us",
+          payload = Seq("touch_type", "touch_ts"))
+        .withColumn("channel",
+          when(col("touch_ts") >= col("ts_us") - winUs, col("touch_type"))
+            .otherwise(lit("none")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 2).as("attributed_value"))
+        .orderBy("channel")
+    }),
+
+    // Event-path mining: the 10 most frequent 3-step event-type paths.
+    // ONE shuffle to user_id for the two lag windows (per-user state,
+    // never a global sort over raw events), a tiny ≤5³-key aggregate,
+    // and a deterministic partial top-k. The path-frequency view of a
+    // clickstream that events_transitions' bigrams only approximate.
+    "events_path_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("p1", lag("event_type", 1).over(w))
+        .withColumn("p2", lag("event_type", 2).over(w))
+        .filter(col("p2").isNotNull)
+        .groupBy(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1040,5 +1089,36 @@ object OlapQueries {
         | count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+
+    // independently expressed with DuckDB's native ASOF join — ties at
+    // equal (user, ts) are removed by the same pre-aggregation
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |p AS (SELECT user_id, ts_us, value FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts_us AS touch_ts,
+        |        max_by(event_type, event_id) AS touch_type
+        |      FROM e WHERE event_type <> 'purchase' GROUP BY 1, 2),
+        |j AS (SELECT p.user_id, p.ts_us, p.value, t.touch_type, t.touch_ts
+        |      FROM p ASOF LEFT JOIN t
+        |        ON p.user_id = t.user_id AND t.touch_ts <= p.ts_us)
+        |SELECT CASE WHEN touch_ts >= ts_us - 604800000000 THEN touch_type
+        |            ELSE 'none' END AS channel,
+        |  count(*) AS n_purchases,
+        |  round(sum(value), 2) AS attributed_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_path_topk" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        |lg AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS p1,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS p2
+        |  FROM e)
+        |SELECT concat_ws('>', p2, p1, event_type) AS path, count(*) AS n
+        |FROM lg WHERE p2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
   )
 }
