@@ -282,4 +282,20 @@ object Dedup {
       .filter(cos >= threshold)
       .select(col("id1"), col("id2"), col(blockCol), round(cos, 4).as("cos"))
   }
+
+  /** Embedding near-dup at OPEN scale: the label block of
+    * [[embeddingNearDup]] swapped for a random-hyperplane LSH bucket —
+    * no label column required, and the bucket count (2^numPlanes)
+    * scales the per-block pair space down as the corpus grows. Pairs
+    * split across buckets are missed; that is the LSH approximation
+    * (recall rises as numPlanes shrinks, cost rises as it grows — the
+    * same dial every production near-dup pipeline exposes).
+    * Output: id1, id2, bucket, cos (4dp). */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double = 0.35,
+                          numPlanes: Int = 6, seed: Long = 42L): DataFrame = {
+    val planes = Similarity.hyperplanes(numPlanes, dim = 64, seed)
+    val bucketed = emb.withColumn("bucket",
+      Similarity.bucketOf(col("embedding").cast("array<double>"), planes))
+    embeddingNearDup(bucketed, threshold, blockCol = "bucket")
+  }
 }

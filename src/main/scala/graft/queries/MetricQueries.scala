@@ -296,6 +296,29 @@ object MetricQueries {
           coalesce(col("revenue"), lit(0.0)).as("revenue"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
         .orderBy("period", "prio")
+    }),
+
+    // Rolling 7-day active users per day. A sliding-window DISTINCT is
+    // not decomposable the way sums are; the scale pattern is bounded
+    // day-explode: dedup raw events to (user, day) FIRST (one shuffle —
+    // and the table shrinks from events to user-days), explode each
+    // user-day to the ≤7 window-END days it contributes to (a bounded
+    // ×7 blowup of the small deduped table, never of raw events), then
+    // count distinct users per window day. Window ends are kept to days
+    // that actually have events via a broadcast semi-join on the tiny
+    // day dim.
+    "m_active_users_7d" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint(false) // feeds both the explode and the day dim
+      val days = ud.select(col("day").as("wday")).distinct()
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+        .join(broadcast(days), Seq("wday"), "left_semi")
+        .groupBy("wday")
+        .agg(count_distinct(col("user_id")).as("active_users_7d"))
+        .orderBy("wday")
     })
   )
 
@@ -507,6 +530,18 @@ object MetricQueries {
         |  CAST(coalesce(m.n_orders, 0) AS BIGINT) AS n_orders
         |FROM spine s CROSS JOIN prios p
         |LEFT JOIN m ON m.period = s.period AND m.prio = p.prio
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // independent re-derivation as a range join over the deduped
+    // user-day table (DuckDB's optimizer handles the small range join;
+    // the engine uses the bounded day-explode instead — same result)
+    "m_active_users_7d" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day AS wday FROM ud)
+        |SELECT d.wday, count(DISTINCT u.user_id) AS active_users_7d
+        |FROM days d JOIN ud u ON u.day BETWEEN d.wday - 6 AND d.wday
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

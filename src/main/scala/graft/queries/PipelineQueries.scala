@@ -52,6 +52,13 @@ object PipelineQueries {
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.35)
         .orderBy("id1", "id2")),
 
+    // the open-scale variant: LSH sign-bit buckets replace the label
+    // block, so no label column is needed and the bucket count dials
+    // the per-block pair space as the corpus grows
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), threshold = 0.35)
+        .orderBy("id1", "id2")),
+
     "ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
@@ -181,6 +188,9 @@ object PipelineQueries {
 
     "stream_range_join" -> ((s, dir) =>
       graft.streaming.EventStreams.streamRangeJoin(s, dir)),
+
+    "stream_topk" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowTopK(s, dir)),
 
     // token-window chunking: docs → fixed-size overlapping training
     // sequences (32-token windows every 24) — zero-shuffle per-row map
@@ -356,6 +366,31 @@ object PipelineQueries {
         |    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
         |       * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embedding_lsh" -> {
+      // the 6 hyperplanes are seed-deterministic engine constants
+      // (Similarity.hyperplanes(6, 64, seed=42)); baked into the SQL as
+      // list literals so DuckDB re-derives the same sign-bit buckets
+      val bucketExpr = Similarity.hyperplanes(6, 64, 42L).zipWithIndex.map {
+        case (p, i) =>
+          val lit = "[" + p.mkString(",") + "]"
+          s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n|    + ")
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, v,
+         |    $bucketExpr AS bucket
+         |  FROM e0)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket,
+         |  round(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))
+         |    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+         |       * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS cos
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))
+         |    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+         |       * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.35
+         |ORDER BY id1, id2""".stripMargin
+    },
 
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -734,6 +769,21 @@ object PipelineQueries {
         |FROM s JOIN x ON s.user_id = x.user_id
         |  AND x.ets >= s.sts AND x.ets < s.sts + 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the stream maintains the per-day per-type counts; the top-k rank
+    // is batch-side presentation over that aggregate — so the oracle is
+    // the plain batch windowed count + rank
+    "stream_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+        |    event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT period, event_type, n_events,
+        |        CAST(row_number() OVER (PARTITION BY period
+        |          ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk
+        |      FROM c)
+        |SELECT period, event_type, n_events, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY period, rnk""".stripMargin,
 
     // stream-static join is batch-equivalent under AvailableNow
     "stream_enrich" ->

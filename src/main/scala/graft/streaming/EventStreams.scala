@@ -64,6 +64,41 @@ object EventStreams {
       .orderBy("period", "event_type")
   }
 
+  /** Streaming per-window top-k: the STREAM maintains the per-day
+    * per-type counts (watermark-bounded state, complete-mode memory
+    * sink — the sink only ever holds the days×types aggregate, never
+    * event rows), and the rank-and-keep-k runs batch-side on that tiny
+    * table. This is the continuous-dashboard pattern: the expensive
+    * distributed count is incremental in the stream; the top-k is a
+    * presentation step over the aggregate. */
+  def windowTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+    val sink = s"graft_stream_topk_${runId.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("period").orderBy(col("n_events").desc, col("event_type"))
+    spark.table(sink)
+      .select(col("w.start").as("period"), col("event_type"), col("n_events"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .orderBy("period", "rnk")
+  }
+
   /** Streaming deduplication: the events stream is doubled (unioned
     * with itself — real duplicate records), then collapsed with
     * `dropDuplicatesWithinWatermark` on event_id; state for a key is
