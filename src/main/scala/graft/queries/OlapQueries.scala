@@ -647,6 +647,59 @@ object OlapQueries {
         .orderBy("rf", "ls")
     }),
 
+    // TPC-H Q8 style: one supplier nation's share of a region's PROMO
+    // revenue per year. The tiny dims (nation ×2, region) broadcast;
+    // part grows with SF so it shuffle-joins on the part key, and the
+    // fact chain lineitem⋈orders⋈customer is co-keyed shuffles. The
+    // share is a conditional-sum ratio in the same single aggregation
+    // pass — never two scans.
+    "q8_market_share" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val r  = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val nc = Tables.nation(s, dir).select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+      val ns = Tables.nation(s, dir).select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val p  = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+      val l  = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(nc), c("c_nationkey") === col("cnk"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(ns), su("s_nationkey") === col("snk"))
+        .groupBy(year(o("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_1", rev).otherwise(lit(0.0)))
+            / sum(rev), 4).as("mkt_share"),
+          round(sum(rev), 2).as("total_revenue"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q15 style: the supplier(s) with the quarter's maximum
+    // revenue. The per-supplier revenue table materializes ONCE
+    // (localCheckpoint — it feeds both the 1-row max and the filter),
+    // the max attaches via Scalars.withScalar (broadcast hash join,
+    // 1-row contract enforced — the scalar-subquery shape without a
+    // product join), and only the surviving row(s) join supplier.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+        .localCheckpoint(false)
+      val mx = rev.agg(max("total_revenue").as("max_revenue"))
+      Scalars.withScalar(rev, col("l_suppkey"), mx, col("max_revenue"))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // Last-touch attribution: each purchase credits its value to the
     // most recent preceding non-purchase event by the same user within
     // a 7-day lookback ('none' when nothing qualifies). Re-uses the
@@ -1089,6 +1142,38 @@ object OlapQueries {
         | count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // textbook scalar-subquery form — the engine's withScalar rewrite
+    // must produce exactly these rows
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     // independently expressed with DuckDB's native ASOF join — ties at
     // equal (user, ts) are removed by the same pre-aggregation

@@ -192,6 +192,25 @@ object PipelineQueries {
     "stream_topk" -> ((s, dir) =>
       graft.streaming.EventStreams.windowTopK(s, dir)),
 
+    // Deterministic train/val/test split: assignment is a pure function
+    // of the stable doc_id through the engine-portable GraftHash64 —
+    // reproducible across runs, engines, partitionings and cluster
+    // sizes (no RNG state, no sampling-order dependence, and adding
+    // documents never reassigns existing ones). Zero-shuffle per-row
+    // map + one tiny 3-row aggregate.
+    "sample_hash_split" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val bucket = pmod(
+        call_function("graft_hash64", col("doc_id").cast("string"), lit(0L)),
+        lit(1000L))
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("split")
+    }),
+
     // token-window chunking: docs → fixed-size overlapping training
     // sequences (32-token windows every 24) — zero-shuffle per-row map
     "doc_chunk" -> ((s, dir) =>
@@ -769,6 +788,24 @@ object PipelineQueries {
         |FROM s JOIN x ON s.user_id = x.user_id
         |  AND x.ets >= s.sts AND x.ets < s.sts + 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full replay of the split assignment through the emulated
+    // GraftHash64 (FNV-1a + splitmix64 over the doc_id string)
+    "sample_hash_split" -> {
+      import DuckHash.{sx, fnvHx, ghashSql}
+      s"""WITH tb AS (
+         |  SELECT doc_id, n_chars,
+         |    hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
+         |    octet_length(encode(CAST(doc_id AS VARCHAR))) AS n
+         |  FROM documents),
+         |h AS (SELECT doc_id, n_chars,
+         |  ((${sx(ghashSql(fnvHx, "0"))} % 1000) + 1000) % 1000 AS b
+         |  FROM tb)
+         |SELECT CASE WHEN b < 800 THEN 'train'
+         |            WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // the stream maintains the per-day per-type counts; the top-k rank
     // is batch-side presentation over that aggregate — so the oracle is

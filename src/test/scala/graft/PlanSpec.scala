@@ -13,6 +13,12 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Formatted explain — unlike executedPlan.toString, scan details
+    * (PushedFilters, ReadSchema) are NOT truncated with "...". */
+  private def planFull(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 
@@ -193,5 +199,71 @@ class PlanSpec extends AnyFunSuite {
     assert(countOccurrences(p, "lineitem.parquet") == 1,
       s"rollup must not rescan per level:\n$p")
     assert(p.contains("Expand"), s"expected grouping-sets Expand:\n$p")
+  }
+
+  test("cube computes all four grouping sets from a single scan") {
+    val p = plan("q_cube")
+    assert(countOccurrences(p, "lineitem.parquet") == 1,
+      s"cube must not rescan per level:\n$p")
+    assert(p.contains("Expand"), s"expected grouping-sets Expand:\n$p")
+  }
+
+  test("q19 pushes the inferred disjunctive filters into BOTH scans") {
+    // Catalyst must extract the implied per-side predicates from the
+    // OR-of-ANDs bracket condition: a quantity disjunction on the
+    // lineitem scan AND a brand/size disjunction on the part scan —
+    // otherwise the join filters raw scans at 100 TB.
+    val p = planFull("q19_brackets")
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"lineitem scan missing inferred quantity pushdown:\n$p")
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"part scan missing inferred brand/size pushdown:\n$p")
+  }
+
+  test("q10 is a partial top-k with pushed quarter and returnflag filters") {
+    val p = planFull("q10_returns")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed to the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter window not pushed to the orders scan:\n$p")
+  }
+
+  test("q6 is a zero-join single-scan aggregate with pushed ranges") {
+    val p = planFull("q6_forecast")
+    // formatted explain names each scan once in the tree and once in
+    // the detail section — one scan == exactly two mentions
+    assert(countOccurrences(p, "Scan parquet") == 2, s"expected one scan:\n$p")
+    assert(!p.contains("Join"), s"q6 must not join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity,24.0)"),
+      s"range predicates not pushed:\n$p")
+  }
+
+  test("active-users day-explode never explodes raw events") {
+    // the ×7 explode must sit ABOVE the (user, day) dedup aggregate:
+    // plan order is scan → partial/final distinct agg → generate →
+    // final count-distinct. One events scan; the Generate's child chain
+    // must already contain the first HashAggregate pair.
+    val p = plan("m_active_users_7d")
+    assert(countOccurrences(p, "events.parquet") == 0,
+      s"deduped user-day table must be materialized once (checkpoint):\n$p")
+    assert(p.contains("Generate explode"), s"expected bounded day explode:\n$p")
+  }
+
+  test("q15 attaches the max via broadcast hash join, not a product join") {
+    val p = plan("q15_top_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scalar attach must not be a product join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected degenerate-key BHJ:\n$p")
+  }
+
+  test("hash split is a zero-shuffle per-row map + tiny aggregate") {
+    val p = plan("sample_hash_split")
+    // one exchange for the 3-key aggregate, one range partition for the
+    // output sort — nothing else
+    assert(countOccurrences(p, "Exchange") <= 2,
+      s"split assignment must not shuffle rows:\n$p")
+    assert(p.contains("graft_hash64"), s"expected portable hash expr:\n$p")
   }
 }

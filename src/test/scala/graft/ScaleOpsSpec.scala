@@ -9,6 +9,47 @@ class ScaleOpsSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
+  test("withScalar rejects a multi-row 'scalar' instead of multiplying rows") {
+    val df = Tables.nation(spark, sf)
+    // a grouped aggregate is NOT provably 1-row — must fail fast
+    val multi = df.groupBy("n_regionkey").count()
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Scalars.withScalar(df, col("n_nationkey"), multi, col("count"))
+    }
+    assert(e.getMessage.contains("1-row"))
+    // a global aggregate passes and attaches to every row
+    val one = df.agg(count(lit(1)).as("n_total"))
+    val out = graft.ops.Scalars.withScalar(df, col("n_nationkey"), one, col("n_total"))
+    assert(out.count() == df.count())
+    assert(out.select("n_total").distinct().count() == 1)
+  }
+
+  test("withScalar works with non-numeric key columns") {
+    val df = Tables.nation(spark, sf)
+    val one = df.agg(max("n_name").as("max_name"))
+    val out = graft.ops.Scalars.withScalar(df, col("n_name"), one, col("max_name"))
+    assert(out.count() == df.count())
+  }
+
+  test("LSH embedding dedup pairs are a subset of label-free exact pairs") {
+    // every LSH pair must be a true >=threshold pair (the bucket only
+    // PRUNES candidates; the cosine verify is exact)
+    val lsh = graft.ops.Dedup.embeddingNearDupLsh(
+        Tables.embeddings(spark, sf), threshold = 0.35)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = {
+      val e = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"))
+      a.crossJoin(b).filter(col("id1") < col("id2"))
+        .filter(graft.ops.Dedup.cosine(col("v1"), col("v2")) >= 0.35)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(lsh.subsetOf(all), s"LSH emitted a false pair: ${lsh.diff(all)}")
+    assert(lsh.nonEmpty, "LSH should keep same-bucket near-dups at sf0.001")
+  }
+
   test("IVF ANN recalls most brute-force neighbors at nprobe=4/16") {
     val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), col("vec_id") < 10, k = 5)
       .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
