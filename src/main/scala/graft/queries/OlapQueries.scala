@@ -748,6 +748,26 @@ object OlapQueries {
         .orderBy(col("n").desc, col("path"))
         .limit(10)
     }),
+
+    // Daily-volume anomaly detection: days whose event count deviates
+    // more than 2σ from that type's mean daily volume. ONE fact shuffle
+    // builds the (type, day) count table; the mean/σ window then runs
+    // over that TINY aggregate (types × days rows), never raw events —
+    // the monitoring query that backs ingestion alerting.
+    "events_anomaly" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+      daily
+        .withColumn("mu", avg("n").over(w))
+        .withColumn("sd", stddev_samp("n").over(w))
+        .filter(abs(col("n") - col("mu")) > lit(2) * col("sd"))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("mu"), 4).as("mu"),
+          round((col("n") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy("event_type", "day")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1141,6 +1161,21 @@ object OlapQueries {
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         | count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, day, n,
+        |    avg(n) OVER (PARTITION BY event_type) AS mu,
+        |    stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+        |  FROM daily)
+        |SELECT event_type, day, n, round(mu, 4) AS mu,
+        |  round((n - mu) / sd, 4) AS z
+        |FROM st WHERE abs(n - mu) > 2 * sd
         |ORDER BY 1, 2""".stripMargin,
 
     "q8_market_share" ->

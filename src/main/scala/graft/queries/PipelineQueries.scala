@@ -192,6 +192,46 @@ object PipelineQueries {
     "stream_topk" -> ((s, dir) =>
       graft.streaming.EventStreams.windowTopK(s, dir)),
 
+    // Binary-payload exact dedup: group on the fixed-width sha-256
+    // digest of the payload bytes — the multimodal analog of
+    // dedup_exact (raw media never shuffles; only the 32-byte digest
+    // is the shuffle key).
+    "mm_dedup" -> ((s, dir) =>
+      graft.ops.Multimodal.payload(Tables.documents(s, dir))
+        .select(col("doc_id"), sha2(col("payload"), 256).as("digest"))
+        .groupBy("digest")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
+    // One-pass relational profiler: count / min / max / mean / stddev /
+    // exact distinct for every profiled column, fused into a SINGLE
+    // scan+aggregate (the multi-distinct plans as one grouped Expand,
+    // still one pass over the data), then the 1-row result unpivots to
+    // a row per column. The schema-drift / data-quality monitor every
+    // ingest pipeline runs first.
+    "profile_stats" -> ((s, dir) => {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_cnt"),
+        round(min(col(c)), 4).as(s"${c}_min"),
+        round(max(col(c)), 4).as(s"${c}_max"),
+        round(avg(col(c)), 4).as(s"${c}_avg"),
+        round(stddev_samp(col(c)), 4).as(s"${c}_sd"),
+        count_distinct(col(c)).as(s"${c}_nd")))
+      Tables.lineitem(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+            lit(c).as("column"),
+            col(s"${c}_cnt").as("n"),
+            col(s"${c}_min").as("min_v"),
+            col(s"${c}_max").as("max_v"),
+            col(s"${c}_avg").as("avg_v"),
+            col(s"${c}_sd").as("sd_v"),
+            col(s"${c}_nd").as("n_distinct"))): _*)).as("r"))
+        .select("r.*")
+        .orderBy("column")
+    }),
+
     // Deterministic train/val/test split: assignment is a pure function
     // of the stable doc_id through the engine-portable GraftHash64 —
     // reproducible across runs, engines, partitionings and cluster
@@ -788,6 +828,23 @@ object PipelineQueries {
         |FROM s JOIN x ON s.user_id = x.user_id
         |  AND x.ets >= s.sts AND x.ets < s.sts + 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mm_dedup" ->
+      """SELECT sha256(text) AS digest, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // one UNION ALL branch per profiled column (DuckDB rescans per
+    // branch; the engine does it in one pass — same numbers)
+    "profile_stats" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS "column", count($c) AS n,
+           |  round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
+           |  round(avg($c), 4) AS avg_v, round(stddev_samp($c), 4) AS sd_v,
+           |  count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     // full replay of the split assignment through the emulated
     // GraftHash64 (FNV-1a + splitmix64 over the doc_id string)

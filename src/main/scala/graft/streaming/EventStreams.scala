@@ -281,10 +281,17 @@ object EventStreams {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
 
-    val sink = s"graft_stream_sessions_${runId.incrementAndGet()}"
+    // session-level output is O(users·sessions) — bounded, but still
+    // unbounded in users, so it goes to a distributed FILE sink
+    // (executor-side parquet writes), never driver memory; the
+    // session_id assignment is then a normal batch window over the
+    // sink files.
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sessions_")
+    out.toFile.deleteOnExit()
     val q = stream.writeStream
-      .format("memory")
-      .queryName(sink)
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -292,7 +299,7 @@ object EventStreams {
 
     // session_id is assigned per user by start time after the fact (the
     // stateful operator emits sessions unordered across batches)
-    spark.table(sink)
+    spark.read.parquet(s"$out/data")
       .withColumn("session_id",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("start_us")).cast("long"))
