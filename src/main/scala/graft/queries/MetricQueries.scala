@@ -319,6 +319,29 @@ object MetricQueries {
         .groupBy("wday")
         .agg(count_distinct(col("user_id")).as("active_users_7d"))
         .orderBy("wday")
+    }),
+
+    // Incremental aggregate maintenance: a materialized per-day partial
+    // state absorbs a new day of data WITHOUT rescanning history — the
+    // pattern that turns a 100 TB nightly recompute into a day-sized
+    // merge (decomposable partials: sum/count merge by summing). The
+    // "materialized" state is simulated by pre-aggregating the history
+    // split; both branches push disjoint date filters to their scans,
+    // and the merge cost is proportional to DAYS, not rows. Must equal
+    // the full recompute — which is exactly what the oracle computes.
+    "m_incremental" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      val cutoff = lit("2001-07-01").cast("date")
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy("day").agg(
+          sum("o_totalprice").as("s"), count(lit(1)).as("n"))
+      val state = partials(o.filter(col("day") < cutoff))  // yesterday's state
+      val delta = partials(o.filter(col("day") >= cutoff)) // new arrivals
+      state.unionByName(delta)
+        .groupBy(date_trunc("month", col("day")).cast("date").as("period"))
+        .agg(round(sum("s"), 2).as("revenue"), sum("n").as("n_orders"))
+        .orderBy("period")
     })
   )
 
@@ -542,6 +565,13 @@ object MetricQueries {
         |days AS (SELECT DISTINCT day AS wday FROM ud)
         |SELECT d.wday, count(DISTINCT u.user_id) AS active_users_7d
         |FROM days d JOIN ud u ON u.day BETWEEN d.wday - 6 AND d.wday
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the full recompute — the merge path must be indistinguishable
+    "m_incremental" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
