@@ -208,7 +208,9 @@ object PipelineQueries {
     // scan+aggregate (the multi-distinct plans as one grouped Expand,
     // still one pass over the data), then the 1-row result unpivots to
     // a row per column. The schema-drift / data-quality monitor every
-    // ingest pipeline runs first.
+    // ingest pipeline runs first. Exact distinct here because the
+    // oracle replays it; at open scale swap count_distinct for
+    // approx_count_distinct (HLL sketch, no Expand) per column.
     "profile_stats" -> ((s, dir) => {
       val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
       val aggs = cols.flatMap(c => Seq(

@@ -37,28 +37,38 @@ object EventStreams {
     * not accumulate unbounded windows. */
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    // The file stream source wants a directory; point it at sfDir and
-    // select just the events file with a glob filter.
-    val stream = spark.readStream
+  /** Shared stream head: the events file source (glob-filtered to the
+    * one parquet), micros timestamp, 1-day watermark, per-(day-window,
+    * type) grouping. Callers pick the aggregates. */
+  private def dailyTypeGroups(spark: SparkSession, sfDir: String) =
+    spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
 
-    val sink = s"graft_stream_windowed_${runId.incrementAndGet()}"
-    val q = stream.writeStream
+  /** Runs an aggregate-only stream to a complete-mode memory sink and
+    * returns the sink table — the sink never holds more than the
+    * aggregate itself. */
+  private def runToMemorySink(spark: SparkSession, agg: DataFrame,
+                              tag: String): DataFrame = {
+    val sink = s"graft_stream_${tag}_${runId.incrementAndGet()}"
+    val q = agg.writeStream
       .format("memory")
       .queryName(sink)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-
     spark.table(sink)
+  }
+
+  def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = dailyTypeGroups(spark, sfDir)
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    runToMemorySink(spark, stream, "windowed")
       .select(col("w.start").as("period"), col("event_type"),
         col("n_events"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy("period", "event_type")
@@ -72,27 +82,11 @@ object EventStreams {
     * distributed count is incremental in the stream; the top-k is a
     * presentation step over the aggregate. */
   def windowTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 day")
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+    val stream = dailyTypeGroups(spark, sfDir)
       .agg(count(lit(1)).as("n_events"))
-
-    val sink = s"graft_stream_topk_${runId.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("period").orderBy(col("n_events").desc, col("event_type"))
-    spark.table(sink)
+    runToMemorySink(spark, stream, "topk")
       .select(col("w.start").as("period"), col("event_type"), col("n_events"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
