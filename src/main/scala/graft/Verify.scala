@@ -10,6 +10,8 @@ object Verify {
     // passes exactly two args and gets the full sweep.
     val Array(sfDir, outDir) = args.take(2)
     val only: Set[String] = args.drop(2).toSet
+    only.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] WARNING: unknown query name '$n' ignored"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.sources.Sessions.tune(
       SparkSession.builder()

@@ -71,6 +71,25 @@ object PipelineQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
 
+    // ANN observability: per-probe recall of the LSH path against the
+    // exact brute-force top-k — the measure-don't-guess query a real
+    // deployment runs on a sampled probe set before trusting an index.
+    // Left join on (probe, neighbor): hits count non-null matches.
+    "ann_recall" -> ((s, dir) => {
+      val brute = Similarity.bruteForceTopK(
+          Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(
+          Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("probe_id").as("lp"), col("neighbor_id").as("ln"))
+      brute.join(lsh,
+          col("probe_id") === col("lp") && col("neighbor_id") === col("ln"),
+          "left_outer")
+        .groupBy("probe_id")
+        .agg(round(count(col("ln")) / 5.0, 4).as("recall"))
+        .orderBy("probe_id")
+    }),
+
     // deterministic stratified sample: the k smallest doc_ids per
     // language, via the shared two-phase top-k (see graft.ops.TopK for
     // the hot-partition rationale and the superset invariant)
@@ -494,6 +513,47 @@ object PipelineQueries {
          |      FROM s)
          |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos, bucket
          |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
+
+    // both paths re-derived independently (exact all-pairs top-5 and
+    // the baked-hyperplane LSH top-5), then per-probe overlap
+    "ann_recall" -> {
+      val bucketExpr = Similarity.hyperplanes(8, 64, 42L).zipWithIndex.map {
+        case (p, i) =>
+          val lit = "[" + p.mkString(",") + "]"
+          s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n|    + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+         |s AS (
+         |  SELECT probe_id, e.vec_id,
+         |    list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))
+         |      / (sqrt(list_sum(list_transform(pv, x -> x*x)))
+         |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+         |  FROM e, p WHERE e.vec_id <> probe_id),
+         |brute AS (SELECT probe_id, vec_id AS neighbor_id FROM (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM s) WHERE rank <= 5),
+         |eb AS (SELECT vec_id, v,
+         |    $bucketExpr AS bucket
+         |  FROM e),
+         |pb AS (SELECT vec_id AS probe_id, pv, bucket FROM (
+         |  SELECT vec_id, v AS pv, bucket FROM eb) WHERE vec_id < 10),
+         |sb AS (
+         |  SELECT pb.probe_id, eb.vec_id,
+         |    list_sum(list_transform(range(1,65), i -> pv[i]*eb.v[i]))
+         |      / (sqrt(list_sum(list_transform(pv, x -> x*x)))
+         |         * sqrt(list_sum(list_transform(eb.v, x -> x*x)))) AS cos
+         |  FROM eb JOIN pb ON eb.bucket = pb.bucket AND eb.vec_id <> pb.probe_id),
+         |lsh AS (SELECT probe_id, vec_id AS neighbor_id FROM (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM sb) WHERE rank <= 5)
+         |SELECT b.probe_id, round(count(l.neighbor_id) / 5.0, 4) AS recall
+         |FROM brute b LEFT JOIN lsh l
+         |  ON b.probe_id = l.probe_id AND b.neighbor_id = l.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // independent IVF re-derivation: same multiplicative-hash seed

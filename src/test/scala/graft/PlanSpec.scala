@@ -44,10 +44,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("no query plan contains a product join") {
     // ann_bruteforce intentionally crosses a broadcast probe set with the
-    // corpus (bounded |probes|·|corpus| work, no shuffle of the big side);
-    // everything else — including the funnel's 1-row step counts, which
-    // combine via Scalars.withScalar — must plan product-free
-    val exempt = Set("ann_bruteforce")
+    // corpus (bounded |probes|·|corpus| work, no shuffle of the big side),
+    // and ann_recall embeds that same brute-force pass as its ground
+    // truth; everything else — including the funnel's 1-row step counts,
+    // which combine via Scalars.withScalar — must plan product-free
+    val exempt = Set("ann_bruteforce", "ann_recall")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
