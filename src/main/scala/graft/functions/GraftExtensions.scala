@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_pairs"),
       new ExpressionInfo(classOf[ArrayPairs].getName, "array_pairs"),
       (args: Seq[Expression]) => GraftExtensions.buildArrayPairs(args)))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (args: Seq[Expression]) => GraftExtensions.buildCharEntropy(args)))
   }
 }
 
@@ -73,12 +77,18 @@ object GraftExtensions {
     ArrayPairs(args.head)
   }
 
-  /** Register all five functions on an already-built session. */
+  private[functions] def buildCharEntropy(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "char_entropy(str) takes 1 argument")
+    CharEntropy(args.head)
+  }
+
+  /** Register all custom functions on an already-built session. */
   def registerAll(spark: SparkSession): Unit = {
     RollingHash.register(spark)
     MinHashAgg.register(spark)
     Shingles.register(spark)
     DotProduct.register(spark)
     ArrayPairs.register(spark)
+    CharEntropy.register(spark)
   }
 }

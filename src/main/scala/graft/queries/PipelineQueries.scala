@@ -211,6 +211,17 @@ object PipelineQueries {
     "stream_topk" -> ((s, dir) =>
       graft.streaming.EventStreams.windowTopK(s, dir)),
 
+    // Byte-entropy quality signal via the native codegen'd CharEntropy
+    // expression — pure per-row map, no shuffle (the corpus filter that
+    // catches base64 blobs / padding / mono-character junk)
+    "text_entropy" -> ((s, dir) => {
+      graft.functions.CharEntropy.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(call_function("char_entropy", col("text")), 4).as("entropy_bits"))
+        .orderBy("doc_id")
+    }),
+
     // Binary-payload exact dedup: group on the fixed-width sha-256
     // digest of the payload bytes — the multimodal analog of
     // dedup_exact (raw media never shuffles; only the 32-byte digest
@@ -890,6 +901,18 @@ object PipelineQueries {
         |FROM s JOIN x ON s.user_id = x.user_id
         |  AND x.ets >= s.sts AND x.ets < s.sts + 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-character re-derivation: the docs are ASCII (verified), so
+    // per-char grouping equals the engine's per-byte histogram
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substring(text, r.i, 1) AS c
+        |  FROM documents, unnest(range(1, len(text) + 1)) r(i)),
+        |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1)
+        |SELECT doc_id, round(-sum((n / t) * log2(n / t)), 4) AS entropy_bits
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "mm_dedup" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id,

@@ -57,7 +57,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("text analysis plans are shuffle-free per-row maps") {
-    for (name <- Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint")) {
+    for (name <- Seq("text_tokens", "text_quality", "text_langid",
+        "text_fingerprint", "text_entropy")) {
       val df = SparkEntry.queries(name)(spark, sf)
       // drop the final presentation orderBy: audit the operator itself
       val core = df.queryExecution.executedPlan.toString

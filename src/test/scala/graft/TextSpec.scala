@@ -10,7 +10,18 @@ class TextSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
-  test("GraftExtensions wires all five custom functions") {
+  test("char_entropy matches hand-computed values and is order-stable") {
+    import graft.functions.CharEntropy.entropy
+    assert(entropy(Array.empty[Byte]) == 0.0)
+    assert(entropy("aaaa".getBytes("UTF-8")) == 0.0)
+    assert(entropy("abab".getBytes("UTF-8")) == 1.0) // two symbols, 50/50
+    assert(math.abs(entropy("abcd".getBytes("UTF-8")) - 2.0) < 1e-12)
+    // entropy is a bag-of-bytes property — permutation-invariant
+    assert(entropy("hello world".getBytes("UTF-8")) ==
+      entropy("world olleh".getBytes("UTF-8")))
+  }
+
+  test("GraftExtensions wires all custom functions") {
     // builder-time path: applying the extension must register cleanly
     new graft.functions.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
     // live-session path: every function resolves and runs from SQL
@@ -35,6 +46,8 @@ class TextSpec extends AnyFunSuite {
       .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("p")
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(ap.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val ce = spark.sql("SELECT char_entropy('abab') AS e").head().getDouble(0)
+    assert(ce == 1.0)
   }
 
   test("rolling hash: codegen result equals the plain Scala reference") {
