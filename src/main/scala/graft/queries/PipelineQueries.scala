@@ -211,6 +211,26 @@ object PipelineQueries {
     "stream_topk" -> ((s, dir) =>
       graft.streaming.EventStreams.windowTopK(s, dir)),
 
+    // Cross-modal agreement audit: for each embedding near-dup pair,
+    // the surface-text 3-gram Jaccard of the SAME two documents
+    // (vec_id ≡ doc_id in this corpus) — high cosine with near-zero
+    // text overlap is the signature of a broken embedding pipeline.
+    // The tiny pair table joins the shingle-set table co-keyed on each
+    // id; the Jaccard is two array ops per pair, never a text rescan.
+    "semantic_text_agree" -> ((s, dir) => {
+      val pairs = Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.35)
+        .select(col("id1"), col("id2"), col("cos"))
+      val sh = Dedup.shingleSets(Tables.documents(s, dir), 3)
+      val s1 = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      val s2 = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+      pairs.join(s1, "id1").join(s2, "id2")
+        .withColumn("jac",
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            nullif(size(array_union(col("sh1"), col("sh2"))), lit(0)), 4))
+        .select("id1", "id2", "cos", "jac")
+        .orderBy("id1", "id2")
+    }),
+
     // Byte-entropy quality signal via the native codegen'd CharEntropy
     // expression — pure per-row map, no shuffle (the corpus filter that
     // catches base64 blobs / padding / mono-character junk)
@@ -901,6 +921,30 @@ object PipelineQueries {
         |FROM s JOIN x ON s.user_id = x.user_id
         |  AND x.ets >= s.sts AND x.ets < s.sts + 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "semantic_text_agree" -> {
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    round(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))
+         |      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+         |         * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))
+         |      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+         |         * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.35),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents))
+         |SELECT p.id1, p.id2, p.cos,
+         |  round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         |    / nullif(len(list_distinct(list_concat(s1.sh, s2.sh))), 0), 4) AS jac
+         |FROM pairs p
+         |JOIN sh s1 ON s1.doc_id = p.id1
+         |JOIN sh s2 ON s2.doc_id = p.id2
+         |ORDER BY id1, id2""".stripMargin
+    },
 
     // per-character re-derivation: the docs are ASCII (verified), so
     // per-char grouping equals the engine's per-byte histogram
