@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an undirected pair graph (e.g. the verified near-dup
+  * pairs from [[Dedup.ngramJaccard]]) — "which documents sit at the
+  * center of a duplication family" is the ranking a curation pipeline
+  * uses to pick canonical keepers and to spot template explosions.
+  *
+  * Scale shape (the same discipline as [[Cluster.connectedComponents]]):
+  *
+  *   - the symmetrized adjacency is co-keyed with its out-degree and
+  *     materialized ONCE (`localCheckpoint`) — each iteration reuses it;
+  *   - one co-partitioned join (adjacency ⋈ ranks on the source key) and
+  *     one `groupBy(dst)` shuffle per iteration, both on the node key —
+  *     nothing ever collects beyond the single bounded node count;
+  *   - per-round `localCheckpoint` cuts the lineage so iteration depth
+  *     never compounds the plan (no exponential re-execution on retry).
+  *
+  * Because the graph is symmetric, every node in the edge set has
+  * out-degree ≥ 1 — there is no dangling-mass term, so the classic
+  * r' = (1−d)/N + d·Σ_in r/deg recurrence is exact here.
+  */
+object Graph {
+
+  /** Ranks after `iters` power iterations: (id, rank). `pairs` must
+    * have columns id1, id2 (one row per undirected edge). Nodes not in
+    * any pair are not ranked (they'd hold the uniform teleport mass). */
+  def pagerank(pairs: DataFrame, damping: Double = 0.85, iters: Int = 3): DataFrame = {
+    // the pair table is usually EXPENSIVE (a near-dup join); it is
+    // referenced once per union side and again through deg, so
+    // materialize it before fanning out
+    val p = pairs.localCheckpoint(false)
+    val sym = p.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(p.select(col("id2").as("src"), col("id1").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg, "src").localCheckpoint(false)
+    // bounded driver scalar: one long (the node count), same contract as
+    // the IVF centroid collect — NOT a data collect
+    val n = deg.count().toDouble
+    var ranks = deg.select(col("src").as("id"))
+      .withColumn("r", lit(1.0 / n)).localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, adj("src") === ranks("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+        .select(col("id"), (lit((1.0 - damping) / n) + lit(damping) * col("m")).as("r"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+}

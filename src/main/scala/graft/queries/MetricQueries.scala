@@ -216,6 +216,83 @@ object MetricQueries {
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
         .orderBy("l_returnflag")),
 
+    // winsorized robust mean: clip each order at its month's exact
+    // p05/p95 before averaging — the outlier-resistant metric variant.
+    // Two passes over the fact (quantiles, then clip+avg) with the
+    // tiny per-month bound table broadcast back; the clip boundary is
+    // the interpolated quantile both engines compute identically (and
+    // when (n−1)·q lands on a data point the interpolation degenerates
+    // to that exact stored value, so the comparisons stay exact).
+    "m_winsorize" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(MC.periodCol("o_orderdate", "month").as("period"),
+          col("o_totalprice"))
+      val bounds = o.groupBy("period").agg(
+        expr("percentile(o_totalprice, 0.05)").as("lo"),
+        expr("percentile(o_totalprice, 0.95)").as("hi"))
+      o.join(broadcast(bounds), "period")
+        .withColumn("clipped",
+          greatest(least(col("o_totalprice"), col("hi")), col("lo")))
+        .groupBy("period")
+        .agg(round(avg("o_totalprice"), 4).as("raw_avg"),
+          round(avg("clipped"), 4).as("winsorized_avg"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("period")
+    }),
+
+    // Gini coefficient of customer revenue concentration — the
+    // inequality measure over the per-customer aggregate. The sorted-
+    // rank formulation needs a GLOBAL ascending rank; it comes from
+    // Rank.globalRank's two-level block decomposition (never a
+    // single-partition window), and the ascending-rank sum folds out
+    // algebraically: Σ i_asc·x = (n+1)Σx − Σ rnk_desc·x, so one
+    // aggregate over the ranked table finishes the job. Ties in x
+    // contribute identically under any tie order (Σi over a tied block
+    // is fixed), so the tie-break never shows in the result.
+    "m_gini" -> ((s, dir) => {
+      val c = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("x"))
+        .localCheckpoint(false) // globalRank references its input twice
+      graft.ops.Rank.globalRank(c, "x", "o_custkey", blockWidth = 10000.0)
+        .agg(sum("x").as("sx"), sum(col("rnk") * col("x")).as("srx"),
+          count(lit(1)).as("n"))
+        .select(round(
+          (lit(2) * ((col("n") + 1) * col("sx") - col("srx"))) /
+            (col("n") * col("sx")) - (col("n") + 1).cast("double") / col("n"),
+          6).as("gini"), col("n").as("n_customers"))
+    }),
+
+    // RFM segmentation: per-customer recency/frequency/monetary
+    // quintiles (1 = top), each from a DESC global rank over the tiny
+    // per-customer aggregate via the same two-level decomposition.
+    // Quintile = ((rank−1)·5) div n + 1; explicit custkey tie-breaks
+    // make the cells exactly reproducible in any engine.
+    "m_rfm" -> ((s, dir) => {
+      val c = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(datediff(max(to_date(col("o_orderdate"))),
+            lit("1970-01-01").cast("date")).as("last_dn"),
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .localCheckpoint(false)
+      val n = c.agg(count(lit(1)).as("n_cust"))
+      // block width ~ value spread/32 so each dimension actually blocks
+      // each ranked intermediate is checkpointed: globalRank references
+      // its input twice, so an unchained plan would re-derive the
+      // upstream ranks 2× per link
+      def q(df: org.apache.spark.sql.DataFrame, v: String, w: Double, as: String) =
+        graft.ops.Rank.globalRank(df, v, "o_custkey", blockWidth = w)
+          .withColumn(as, expr("((rnk - 1) * 5) div n_cust + 1"))
+          .drop("rnk").localCheckpoint(false)
+      val ranked = q(q(q(graft.ops.Scalars.withScalar(
+          c, col("o_custkey"), n, col("n_cust")),
+        "last_dn", 64.0, "r_q"), "n_orders", 2.0, "f_q"), "revenue", 10000.0, "m_q")
+      ranked.groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    }),
+
     // mergeable histogram quantiles: per-day fixed-bin counts roll up
     // to months by SUMMING bins (decomposable, like the HLL sketch —
     // the 100 TB quantile path when exact percentile can't buffer a
@@ -437,6 +514,54 @@ object MetricQueries {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ascending-rank textbook form; the engine's desc-rank algebra
+    // (Σ i_asc·x = (n+1)Σx − Σ rnk_desc·x) is equivalent, and ties in
+    // x are order-insensitive in Σ i·x
+    "m_gini" ->
+      """WITH c AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey DESC) AS i
+        |      FROM c)
+        |SELECT round(2.0*sum(i*x)/(count(*)*sum(x))
+        |         - (count(*)+1.0)/count(*), 6) AS gini,
+        |  count(*) AS n_customers
+        |FROM r""".stripMargin,
+
+    "m_rfm" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', DATE '1970-01-01', max(CAST(o_orderdate AS DATE))) AS last_dn,
+        |    count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS n_cust FROM c),
+        |q AS (SELECT
+        |    ((row_number() OVER (ORDER BY last_dn DESC, o_custkey) - 1) * 5)
+        |      // n_cust + 1 AS r_q,
+        |    ((row_number() OVER (ORDER BY n_orders DESC, o_custkey) - 1) * 5)
+        |      // n_cust + 1 AS f_q,
+        |    ((row_number() OVER (ORDER BY revenue DESC, o_custkey) - 1) * 5)
+        |      // n_cust + 1 AS m_q
+        |  FROM c, n)
+        |SELECT r_q, f_q, m_q, count(*) AS n_customers
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "m_winsorize" ->
+      """WITH o AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+        |         o_totalprice
+        |  FROM orders),
+        |b AS (SELECT period,
+        |        quantile_cont(o_totalprice, 0.05) AS lo,
+        |        quantile_cont(o_totalprice, 0.95) AS hi
+        |      FROM o GROUP BY period)
+        |SELECT o.period,
+        |  round(avg(o_totalprice), 4) AS raw_avg,
+        |  round(avg(greatest(least(o_totalprice, hi), lo)), 4) AS winsorized_avg,
+        |  count(*) AS n_orders
+        |FROM o JOIN b ON o.period = b.period
+        |GROUP BY o.period ORDER BY o.period""".stripMargin,
 
     "m_retention" ->
       """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders),

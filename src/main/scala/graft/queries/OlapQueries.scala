@@ -700,6 +700,135 @@ object OlapQueries {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q2 adapted to this schema (no partsupp — lineitem is the
+    // supply catalog): per qualifying part, every EUROPE supplier
+    // achieving the part's minimum observed price. The per-(part,supp)
+    // min pre-aggregates the fact ONCE; the per-part min attaches as a
+    // window over the already-partkey-partitioned join output (the
+    // decorrelated form of the textbook correlated MIN subquery the
+    // oracle runs). min() is order-exact, so no float drift across
+    // engines. Dims chain broadcast; the supplier side is left to
+    // Catalyst/AQE (it is fact-count-scaled, just smaller).
+    "q2_min_cost" -> ((s, dir) => {
+      val cost = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min("l_extendedprice").as("min_price"))
+      val parts = Tables.part(s, dir)
+        .filter(col("p_size") <= 10 && col("p_type") === "PROMO")
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      val j = cost
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+      val w = Window.partitionBy("p_partkey")
+      j.withColumn("best", min("min_price").over(w))
+        .filter(col("min_price") === col("best"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          round(col("min_price"), 2).as("min_price"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 adapted (no partsupp): revenue concentration — parts
+    // whose revenue exceeds 1.5× the mean part revenue. Both scalars
+    // (total, part count) ride ONE 1-row aggregate attached via
+    // withScalar, so the threshold is scale-relative and the plan has
+    // no second fact scan (the per-part aggregate is checkpointed).
+    "q11_concentration" -> ((s, dir) => {
+      val pr = Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value"))
+        .localCheckpoint(false)
+      val tot = pr.agg(sum("value").as("total"), count(lit(1)).as("nparts"))
+      Scalars.withScalar(pr, col("l_partkey"), tot, col("total"))
+        .filter(col("value") * col("nparts") > lit(1.5) * col("total"))
+        .select(col("l_partkey"), round(col("value"), 2).as("part_value"),
+          round(col("value") / col("total"), 6).as("share"))
+        .orderBy("l_partkey")
+    }),
+
+    // Longest daily-activity streak per user — the gaps-and-islands
+    // pattern: distinct user-days, island id = day number − per-user
+    // row number (constant within a consecutive run). Every stage is
+    // user-key-partitioned: one (user, day) distinct shuffle, then the
+    // window and both aggregations reuse the user hash. n_active_days
+    // (= Σ streak lengths = distinct days) rides along as the
+    // self-consistency check.
+    "events_streak" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("dn", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy("user_id").orderBy("dn")
+      days.withColumn("grp", col("dn") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"), sum("len").as("n_active_days"))
+        .orderBy("user_id")
+    }),
+
+    // Event-type co-occurrence (market-basket view): which event types
+    // happen in the SAME user-day. The pair join runs on the deduped
+    // (user, day, type) table — bounded at |types| rows per key, so the
+    // self-join blowup is ≤ |types|² per user-day, never events² — and
+    // both sides share one co-keyed shuffle.
+    "events_cooccurrence" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .distinct()
+        .localCheckpoint(false) // both self-join sides read this once
+      val a = ud.select(col("user_id"), col("day"), col("event_type").as("t1"))
+      val b = ud.select(col("user_id"), col("day"), col("event_type").as("t2"))
+      a.join(b, Seq("user_id", "day")).filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_userdays"))
+        .orderBy("t1", "t2")
+    }),
+
+    // TPC-H Q16 adapted (no partsupp — lineitem is the supply
+    // relation): distinct-supplier breadth per (brand, size) for the
+    // non-PROMO small parts. The (part, supplier) pairs dedup BEFORE
+    // the dim join; the count-distinct then runs over the pre-shrunk
+    // pair table.
+    "q16_parts" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      pairs.join(
+          Tables.part(s, dir)
+            .filter(col("p_type") =!= "PROMO" && col("p_size") <= 15),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(50)
+    }),
+
+    // TPC-H Q20 adapted: OVERWEIGHT suppliers — suppliers shipping more
+    // than 2× the mean per-supplier share of a part's quantity (the
+    // scale-relative threshold stays meaningful as supplier counts
+    // grow with the data, unlike an absolute share cut). The per-part
+    // totals RE-AGGREGATE from the checkpointed (part, supplier)
+    // partials (decomposable sum+count — no second fact scan); the
+    // share filter is the decorrelated form of the textbook correlated
+    // subquery.
+    "q20_excess" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("qty"))
+        .localCheckpoint(false)
+      val pt = ps.groupBy("l_partkey")
+        .agg(sum("qty").as("total_qty"), count(lit(1)).as("n_supp"))
+      ps.join(pt, "l_partkey")
+        .filter(col("qty") * col("n_supp") > lit(2.0) * col("total_qty"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_overweight_parts"))
+        .orderBy("s_suppkey")
+    }),
+
     // Last-touch attribution: each purchase credits its value to the
     // most recent preceding non-purchase event by the same user within
     // a 7-day lookback ('none' when nothing qualifies). Re-uses the
@@ -1209,6 +1338,86 @@ object OlapQueries {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    // textbook correlated-MIN form of the decorrelated window the
+    // engine runs
+    "q2_min_cost" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+        |  FROM lineitem GROUP BY 1, 2),
+        |eligible AS (
+        |  SELECT c.min_price, s.s_name, s.s_acctbal, n.n_name,
+        |         p.p_partkey, p.p_brand
+        |  FROM cost c
+        |  JOIN part p ON c.l_partkey = p.p_partkey
+        |    AND p.p_size <= 10 AND p.p_type = 'PROMO'
+        |  JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |    AND r.r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  round(min_price, 2) AS min_price
+        |FROM eligible e
+        |WHERE min_price = (SELECT min(min_price) FROM eligible e2
+        |                   WHERE e2.p_partkey = e.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // correlated scalar-subquery form of the withScalar attachment
+    "q11_concentration" ->
+      """WITH pr AS (
+        |  SELECT l_partkey, sum(l_extendedprice*(1-l_discount)) AS value
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, round(value, 2) AS part_value,
+        |  round(value/(SELECT sum(value) FROM pr), 6) AS share
+        |FROM pr
+        |WHERE value*(SELECT count(*) FROM pr) > 1.5*(SELECT sum(value) FROM pr)
+        |ORDER BY l_partkey""".stripMargin,
+
+    "events_streak" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |n AS (SELECT user_id, day,
+        |        date_diff('day', DATE '1970-01-01', day) AS dn FROM d),
+        |g AS (SELECT user_id, dn,
+        |        dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+        |      FROM n),
+        |st AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_cooccurrence" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events)
+        |SELECT a.event_type AS t1, b.event_type AS t2,
+        |  count(*) AS n_userdays
+        |FROM ud a JOIN ud b
+        |  ON a.user_id = b.user_id AND a.day = b.day
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q16_parts" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size <= 15
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size
+        |LIMIT 50""".stripMargin,
+
+    // textbook correlated-share form of the decorrelated re-aggregation
+    "q20_excess" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, count(*) AS n_overweight_parts
+        |FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty * (SELECT count(*) FROM ps p3
+        |             WHERE p3.l_partkey = ps.l_partkey)
+        |      > 2.0 * (SELECT sum(qty) FROM ps p2
+        |               WHERE p2.l_partkey = ps.l_partkey)
+        |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
 
     // independently expressed with DuckDB's native ASOF join — ties at
     // equal (user, ts) are removed by the same pre-aggregation

@@ -242,6 +242,72 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PageRank over the verified near-dup graph: which documents sit at
+    // the CENTER of a duplication family (the canonical-keeper /
+    // template-explosion ranking). 3 power iterations, d = 0.85; one
+    // co-keyed join + one groupBy per round over the once-checkpointed
+    // adjacency (Graph.scala scale notes).
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(Tables.documents(s, dir), n = 3,
+        threshold = 0.8, maxDF = 50).select("id1", "id2")
+      graft.ops.Graph.pagerank(pairs, damping = 0.85, iters = 3)
+        .select(col("id").as("doc_id"), round(col("r"), 6).as("pr_rank"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-label embedding centroid outliers: the 3 most centroid-
+    // distant vectors per label — the mislabeled/corrupted-vector
+    // audit. Exploded relational centroid (bounded labels×dim result,
+    // broadcast back), two key-partitioned passes (Embeddings.scala).
+    "emb_centroid_outlier" -> ((s, dir) =>
+      graft.ops.Embeddings.centroidOutliers(Tables.embeddings(s, dir), k = 3)
+        .orderBy("label", "rnk")),
+
+    // Vocabulary construction: corpus token frequencies ≥ minCount with
+    // stable contiguous ids by (freq DESC, token ASC). The only
+    // unpartitioned window runs over the VOCABULARY (inherently
+    // bounded — distinct tokens, not corpus rows); the frequency count
+    // is the usual one-shuffle partial-agg groupBy.
+    "vocab_build" -> ((s, dir) => {
+      val tokens = Tables.documents(s, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+      tokens.groupBy("token").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 5)
+        .withColumn("token_id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("token").asc)).cast("bigint"))
+        .select("token_id", "token", "freq")
+        .orderBy("token_id")
+    }),
+
+    // Inference/training batch planning: docs bucket by token-length
+    // cap (next power-of-two band); per bucket the padding waste a
+    // pad-to-cap batcher would pay. One scan, tiny groupBy — the
+    // measurement that decides length-bucketed batching.
+    "seq_length_buckets" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(size(Dedup.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .withColumn("cap",
+          when(col("n_tokens") <= 16, 16L).when(col("n_tokens") <= 32, 32L)
+            .when(col("n_tokens") <= 64, 64L).when(col("n_tokens") <= 128, 128L)
+            .otherwise(256L))
+      t.groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          sum(col("cap") - col("n_tokens")).as("pad_waste"))
+        .withColumn("waste_pct",
+          round(col("pad_waste").cast("double") / (col("cap") * col("n_docs")), 4))
+        .orderBy("cap")
+    }),
+
+    // Global total-order rank of every document by size — via the
+    // two-level block-offset decomposition (Rank.scala), NEVER a
+    // single-partition window over the corpus.
+    "rank_global" -> ((s, dir) =>
+      graft.ops.Rank.globalRank(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        valueCol = "n_chars", tieCol = "doc_id", blockWidth = 64L)
+        .orderBy("rnk")),
+
     // Binary-payload exact dedup: group on the fixed-width sha-256
     // digest of the payload bytes — the multimodal analog of
     // dedup_exact (raw media never shuffles; only the 32-byte digest
@@ -333,6 +399,28 @@ object PipelineQueries {
 
   import DuckHash.{sx, fnvHx, ghashSql, goldenU, pow2List}
 
+  // Factored so graph_pagerank can re-derive the same edge set.
+  private val jaccardSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+       |cx AS (SELECT doc_id, ex.s FROM ex JOIN keep ON ex.s = keep.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+       |  FROM cx a JOIN cx b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, shared,
+       |  round(shared*1.0/(s1.n + s2.n - shared), 4) AS jaccard
+       |FROM pairs
+       |JOIN sizes s1 ON id1 = s1.doc_id
+       |JOIN sizes s2 ON id2 = s2.doc_id
+       |WHERE shared*1.0/(s1.n + s2.n - shared) >= 0.8
+       |ORDER BY id1, id2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -340,26 +428,79 @@ object PipelineQueries {
          |      FROM documents)
          |GROUP BY norm ORDER BY keep_id""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id,
-         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
-         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
-         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
-         |cx AS (SELECT doc_id, ex.s FROM ex JOIN keep ON ex.s = keep.s),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY 1),
-         |pairs AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
-         |  FROM cx a JOIN cx b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id1, id2, shared,
-         |  round(shared*1.0/(s1.n + s2.n - shared), 4) AS jaccard
-         |FROM pairs
-         |JOIN sizes s1 ON id1 = s1.doc_id
-         |JOIN sizes s2 ON id2 = s2.doc_id
-         |WHERE shared*1.0/(s1.n + s2.n - shared) >= 0.8
-         |ORDER BY id1, id2""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardSql,
+
+    // independent power-iteration replay over the same verified pair
+    // set (the jaccard SQL re-derives the edges; 3 rounds, d = 0.85)
+    "graph_pagerank" ->
+      s"""WITH pr AS (SELECT id1, id2 FROM ($jaccardSql)),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM pr
+         |      UNION ALL SELECT id2, id1 FROM pr),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT src AS id, 1.0/(SELECT count(*) FROM deg) AS r FROM deg),
+         |r1 AS (SELECT e.dst AS id,
+         |         CAST(0.15 AS DOUBLE)/(SELECT count(*) FROM deg)
+         |           + 0.85*sum(r0.r/deg.deg) AS r
+         |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+         |       GROUP BY e.dst),
+         |r2 AS (SELECT e.dst AS id,
+         |         CAST(0.15 AS DOUBLE)/(SELECT count(*) FROM deg)
+         |           + 0.85*sum(r1.r/deg.deg) AS r
+         |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+         |       GROUP BY e.dst),
+         |r3 AS (SELECT e.dst AS id,
+         |         CAST(0.15 AS DOUBLE)/(SELECT count(*) FROM deg)
+         |           + 0.85*sum(r2.r/deg.deg) AS r
+         |       FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src
+         |       GROUP BY e.dst)
+         |SELECT id AS doc_id, round(r, 6) AS pr_rank FROM r3
+         |ORDER BY doc_id""".stripMargin,
+
+    "emb_centroid_outlier" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label,
+        |    unnest([{'pos': i, 'v': CAST(embedding[i] AS DOUBLE)}
+        |            for i in range(1, len(embedding)+1)], recursive := true)
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
+        |sums AS (SELECT ex.vec_id, ex.label,
+        |           sum(ex.v*cent.c) AS vc, sum(ex.v*ex.v) AS vv,
+        |           sum(cent.c*cent.c) AS cc
+        |         FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+        |         GROUP BY 1, 2),
+        |sc AS (SELECT label, vec_id,
+        |         round(vc/(sqrt(vv)*sqrt(cc)), 4) AS cos FROM sums),
+        |r AS (SELECT label, vec_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY label
+        |          ORDER BY cos ASC, vec_id) AS BIGINT) AS rnk
+        |      FROM sc)
+        |SELECT label, vec_id, cos, rnk FROM r WHERE rnk <= 3
+        |ORDER BY label, rnk""".stripMargin,
+
+    "vocab_build" ->
+      s"""WITH tk AS (SELECT unnest($toks) AS token FROM documents),
+         |f AS (SELECT token, count(*) AS freq FROM tk
+         |      GROUP BY 1 HAVING count(*) >= 5)
+         |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+         |    AS token_id, token, freq
+         |FROM f ORDER BY token_id""".stripMargin,
+
+    "seq_length_buckets" ->
+      s"""WITH t AS (SELECT len($toks) AS n_tokens FROM documents),
+         |b AS (SELECT n_tokens,
+         |        CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+         |             WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+         |             ELSE 256 END AS cap FROM t)
+         |SELECT CAST(cap AS BIGINT) AS cap, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(cap - n_tokens) AS BIGINT) AS pad_waste,
+         |  round(sum(cap - n_tokens)*1.0/(cap*count(*)), 4) AS waste_pct
+         |FROM b GROUP BY cap ORDER BY cap""".stripMargin,
+
+    "rank_global" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+        |FROM documents ORDER BY rnk""".stripMargin,
 
     // independent minhash-LSH re-derivation: same shingles, the
     // engine-portable double hash (GraftHash64 emulated above), 128

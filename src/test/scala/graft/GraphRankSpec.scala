@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Embeddings, Graph, Rank}
+import graft.sources.Tables
+
+class GraphRankSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("pagerank on a 3-node path puts the center on top and conserves mass") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val r = Graph.pagerank(pairs, damping = 0.85, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    // symmetric path graph: ends are exchangeable, center dominates
+    assert(math.abs(r(1L) - r(3L)) < 1e-12)
+    assert(r(2L) > r(1L))
+    // with no dangling nodes total mass is conserved at 1
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // hand-computed iteration 1 for the center: 0.05 + 0.85*(1/3 + 1/3)
+    val r1 = Graph.pagerank(pairs, damping = 0.85, iters = 1)
+      .filter(col("id") === 2L).head().getDouble(1)
+    assert(math.abs(r1 - (0.15 / 3 + 0.85 * (1.0 / 3 + 1.0 / 3))) < 1e-12)
+  }
+
+  test("globalRank equals the single-window row_number at any block width") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val expected = docs
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_chars").desc, col("doc_id").asc)).cast("bigint"))
+      .select("doc_id", "rnk")
+    for (bw <- Seq(1L, 64L, 1000000000L)) {
+      val got = Rank.globalRank(docs, "n_chars", "doc_id", blockWidth = bw)
+        .select("doc_id", "rnk")
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"blockWidth=$bw diverges from the reference ranking")
+    }
+  }
+
+  test("globalRank refuses a reserved __blk column") {
+    val bad = Tables.documents(spark, sf).withColumn("__blk", lit(1))
+    intercept[IllegalArgumentException] {
+      Rank.globalRank(bad, "n_chars", "doc_id")
+    }
+  }
+
+  test("centroid outliers: k per label, cosine in [-1,1], ranks contiguous") {
+    val out = Embeddings.centroidOutliers(Tables.embeddings(spark, sf), k = 3)
+    val rows = out.collect()
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cos"); c >= -1.0001 && c <= 1.0001
+    })
+    val perLabel = rows.groupBy(_.getAs[Int]("label"))
+    assert(perLabel.values.forall(g =>
+      g.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to g.length)))
+    assert(perLabel.values.forall(_.length <= 3))
+  }
+}
