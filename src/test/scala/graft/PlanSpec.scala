@@ -268,4 +268,43 @@ class PlanSpec extends AnyFunSuite {
       s"split assignment must not shuffle rows:\n$p")
     assert(p.contains("graft_hash64"), s"expected portable hash expr:\n$p")
   }
+
+  test("global rank's only single-partition exchange is the block-offset table") {
+    // the raw rows rank inside value-range blocks; only the bounded
+    // one-row-per-block offset table may pass through SinglePartition
+    val p = plan("rank_global")
+    assert(countOccurrences(p, "Exchange SinglePartition") == 1,
+      s"expected exactly the bounded offsets single-partition window:\n$p")
+    assert(countOccurrences(p, "documents.parquet") == 2,
+      s"two source scans (blocks + offsets), never a materialization:\n$p")
+  }
+
+  test("q2 decorrelates to one fact scan + a partkey window, no rescan") {
+    val p = plan("q2_min_cost")
+    assert(countOccurrences(p, "lineitem.parquet") == 1,
+      s"the correlated-min decorrelation must not rescan the fact:\n$p")
+    assert(p.contains("Window"), s"expected the per-part window min:\n$p")
+  }
+
+  test("q16 deduplicates (part, supplier) pairs in one fact scan") {
+    val p = plan("q16_parts")
+    assert(countOccurrences(p, "lineitem.parquet") == 1,
+      s"pair dedup + distinct count must share one scan:\n$p")
+  }
+
+  test("q20 re-aggregates per-part totals from materialized partials") {
+    // ps is localCheckpointed; both the totals and the share filter must
+    // consume it — the executed plan may not touch the fact source again
+    val p = plan("q20_excess")
+    assert(countOccurrences(p, "lineitem.parquet") == 0,
+      s"per-part totals must come from the checkpointed partials:\n$p")
+  }
+
+  test("co-occurrence self-joins the materialized user-day dedup, not raw events") {
+    val p = plan("events_cooccurrence")
+    assert(countOccurrences(p, "events.parquet") == 0,
+      s"both join sides must read the checkpointed dedup table:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair expansion must stay a key equi-join:\n$p")
+  }
 }
