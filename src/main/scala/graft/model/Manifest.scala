@@ -91,6 +91,14 @@ object Manifest {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  /** A later "deploy" of the same project: total_revenue's expression
+    * and label changed, avg_order_value removed, order_count added —
+    * the drift fixture for catalog-diff ingestion. */
+  def fixtureJsonV2: String = {
+    val in = getClass.getResourceAsStream("/graft/fixture_manifest_v2.json")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   /** unique_id, raw entity JSON, parsed struct. An entity that is not a
     * JSON object (number, array, string, null) cannot carry the
     * section's fields and is the malformed case; wrong-TYPED fields

@@ -25,16 +25,16 @@ object MetaQueries {
     * directory), so IDE runners / packaged jars / CI workdirs all
     * resolve the same file the Spark side loads. From a jar the
     * resource is copied to a temp file DuckDB can read. */
-  val fixturePath: String = {
-    val url = getClass.getResource("/graft/fixture_manifest.json")
-    require(url != null, "graft/fixture_manifest.json missing from classpath")
+  private def resourcePath(name: String): String = {
+    val url = getClass.getResource(s"/graft/$name")
+    require(url != null, s"graft/$name missing from classpath")
     if (url.getProtocol == "file") new java.io.File(url.toURI).getAbsolutePath
     else {
       // jar / wrapped classloader: copy to a STABLE temp path that
       // outlives this JVM — the oracle SQL is executed by a separate
       // DuckDB process after Verify exits
       val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_fixture_manifest.json")
+        System.getProperty("java.io.tmpdir"), s"graft_$name")
       val in = url.openStream()
       try java.nio.file.Files.copy(in, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -42,6 +42,9 @@ object MetaQueries {
       tmp.toString
     }
   }
+
+  val fixturePath: String = resourcePath("fixture_manifest.json")
+  val fixturePathV2: String = resourcePath("fixture_manifest_v2.json")
 
   private def parsed(s: SparkSession): DataFrame = Manifest.parse(s, Manifest.fixtureJson)
 
@@ -97,12 +100,61 @@ object MetaQueries {
         .withColumn("dep_pos", col("dep_pos").cast("bigint"))
         .orderBy("metric_id", "dep_pos")
     }),
+
+    // Catalog drift between two manifest deploys — what a re-ingestion
+    // must upsert: added/removed/changed/unchanged per metric, from a
+    // full-outer join of the two parsed catalogs on unique_id. This is
+    // the idempotent-re-emit side of the reference flow (it re-emits
+    // everything; the diff is what an incremental emitter would send).
+    "meta_diff" -> ((s, _) => {
+      def cat(json: String, pfx: String) =
+        Manifest.metrics(Manifest.parse(s, json)).select(
+          col("unique_id"), col("label").as(s"${pfx}label"),
+          col("calculation_method").as(s"${pfx}calc"),
+          col("expression").as(s"${pfx}expr"))
+      cat(Manifest.fixtureJson, "old_")
+        .join(cat(Manifest.fixtureJsonV2, "new_"), Seq("unique_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_label").isNull, "added")
+            .when(col("new_label").isNull, "removed")
+            .when(col("old_label") =!= col("new_label") ||
+              col("old_calc") =!= col("new_calc") ||
+              col("old_expr") =!= col("new_expr"), "changed")
+            .otherwise("unchanged"))
+        .select("unique_id", "status", "old_expr", "new_expr")
+        .orderBy("unique_id")
+    }),
   )
 
   // DuckDB re-derives the same catalog/lineage from the fixture FILE —
   // an independent JSON parse, join and URN construction (the quoted
   // '$."<key>"' paths are required: dbt unique_ids contain dots).
   val oracle: Map[String, String] = Map(
+    "meta_diff" ->
+      s"""WITH r1 AS (
+         |  SELECT metrics FROM read_json('$fixturePath', columns={metrics: 'JSON'})),
+         |m1 AS (SELECT unique_id, json_extract(metrics, '$$."' || unique_id || '"') AS v
+         |       FROM (SELECT unnest(json_keys(metrics)) AS unique_id, metrics FROM r1)),
+         |c1 AS (SELECT unique_id, v->>'$$.label' AS old_label,
+         |         v->>'$$.calculation_method' AS old_calc,
+         |         v->>'$$.expression' AS old_expr FROM m1),
+         |r2 AS (
+         |  SELECT metrics FROM read_json('$fixturePathV2', columns={metrics: 'JSON'})),
+         |m2 AS (SELECT unique_id, json_extract(metrics, '$$."' || unique_id || '"') AS v
+         |       FROM (SELECT unnest(json_keys(metrics)) AS unique_id, metrics FROM r2)),
+         |c2 AS (SELECT unique_id, v->>'$$.label' AS new_label,
+         |         v->>'$$.calculation_method' AS new_calc,
+         |         v->>'$$.expression' AS new_expr FROM m2)
+         |SELECT coalesce(c1.unique_id, c2.unique_id) AS unique_id,
+         |  CASE WHEN c1.unique_id IS NULL THEN 'added'
+         |       WHEN c2.unique_id IS NULL THEN 'removed'
+         |       WHEN old_label <> new_label OR old_calc <> new_calc
+         |            OR old_expr <> new_expr THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  old_expr, new_expr
+         |FROM c1 FULL OUTER JOIN c2 ON c1.unique_id = c2.unique_id
+         |ORDER BY unique_id""".stripMargin,
+
     "meta_parse_metrics" ->
       s"""WITH raw AS (
          |  SELECT metrics FROM read_json('$fixturePath', columns={metrics: 'JSON'})),

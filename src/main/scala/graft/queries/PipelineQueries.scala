@@ -308,6 +308,24 @@ object PipelineQueries {
         valueCol = "n_chars", tieCol = "doc_id", blockWidth = 64L)
         .orderBy("rnk")),
 
+    // Deterministic corpus shuffle: training order = global rank of the
+    // engine-portable GraftHash64(doc_id, seed) — a reproducible
+    // pseudo-random permutation with NO RNG state, identical on any
+    // engine/cluster size/run (the property shuffle-before-epoch
+    // pipelines need for resumability). The rank itself is the same
+    // two-level block decomposition; hash blocks are uniform by
+    // construction, so block skew is impossible. Shards interleave by
+    // rank so every shard sees the same shuffled distribution.
+    "corpus_shuffle" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val h = Tables.documents(s, dir).select(col("doc_id"),
+        call_function("graft_hash64", col("doc_id").cast("string"), lit(7L)).as("h"))
+      graft.ops.Rank.globalRank(h, "h", "doc_id", blockWidth = 1.0e17)
+        .select(col("doc_id"), col("rnk").as("shuffle_rank"),
+          pmod(col("rnk") - 1, lit(8L)).as("shard"))
+        .orderBy("shuffle_rank")
+    }),
+
     // Binary-payload exact dedup: group on the fixed-width sha-256
     // digest of the payload bytes — the multimodal analog of
     // dedup_exact (raw media never shuffles; only the 32-byte digest
@@ -501,6 +519,19 @@ object PipelineQueries {
       """SELECT doc_id, n_chars,
         |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
         |FROM documents ORDER BY rnk""".stripMargin,
+
+    // full replay of the seeded portable hash, then the same rank
+    "corpus_shuffle" ->
+      s"""WITH tb AS (
+         |  SELECT doc_id, hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
+         |    octet_length(encode(CAST(doc_id AS VARCHAR))) AS n
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${sx(ghashSql(fnvHx, "7"))} AS h FROM tb),
+         |r AS (SELECT doc_id,
+         |        CAST(row_number() OVER (ORDER BY h DESC, doc_id) AS BIGINT) AS shuffle_rank
+         |      FROM h)
+         |SELECT doc_id, shuffle_rank, (shuffle_rank - 1) % 8 AS shard
+         |FROM r ORDER BY shuffle_rank""".stripMargin,
 
     // independent minhash-LSH re-derivation: same shingles, the
     // engine-portable double hash (GraftHash64 emulated above), 128

@@ -190,6 +190,16 @@ class ManifestSpec extends AnyFunSuite {
     assert(res.metrics == 2 && res.malformed == 1)
   }
 
+  test("meta_diff classifies drift between the two fixture deploys") {
+    val rows = SparkEntry.queries("meta_diff")(spark, sf)
+      .collect().map(r => r.getAs[String]("unique_id") -> r.getAs[String]("status")).toMap
+    assert(rows == Map(
+      "metric.test_dbt_project.total_revenue" -> "changed",
+      "metric.test_dbt_project.customer_count" -> "unchanged",
+      "metric.test_dbt_project.avg_order_value" -> "removed",
+      "metric.test_dbt_project.order_count" -> "added"))
+  }
+
   test("MetadataSink dry-run counts without writing; real write round-trips") {
     val dry = MetadataSink.emit(glossary, "/tmp/graft_sink_should_not_exist", dryRun = true)
     assert(dry.records == 7 && dry.path.isEmpty)
