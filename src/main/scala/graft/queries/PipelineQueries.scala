@@ -326,6 +326,44 @@ object PipelineQueries {
         .orderBy("shuffle_rank")
     }),
 
+    // Exact duplicated-SPAN analysis (substring-dedup lite): the
+    // fraction of each doc's distinct 8-token spans that appear in ≥2
+    // docs — the per-document signal substring-level dedup pipelines
+    // threshold on. One exploded span table (checkpointed), span-keyed
+    // document frequency, co-keyed join back, doc-keyed fold; raw text
+    // never joins anything.
+    "text_span_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ex = Dedup.shingleSets(docs, 8)
+        .select(col("doc_id"), explode(col("sh")).as("sp"))
+        .localCheckpoint(false) // feeds both the df count and the join back
+      val df = ex.groupBy("sp").agg(count(lit(1)).as("df"))
+      val per = ex.join(df, "sp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_frac", round(col("n_dup_spans") / col("n_spans"), 4))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          col("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Hash-min (bottom-k) sampling: the k docs with the smallest
+    // portable hash form a uniform RNG-free sample that is MERGEABLE
+    // (bottom-k of a union = bottom-k of each side's bottom-k) and
+    // plans as TakeOrderedAndProject — per-partition partial top-k,
+    // never a global sort.
+    "sample_bottomk" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          call_function("graft_hash64", col("doc_id").cast("string"), lit(13L)).as("h"))
+        .orderBy(col("h").asc, col("doc_id")).limit(100)
+    }),
+
     // Binary-payload exact dedup: group on the fixed-width sha-256
     // digest of the payload bytes — the multimodal analog of
     // dedup_exact (raw media never shuffles; only the 32-byte digest
@@ -519,6 +557,32 @@ object PipelineQueries {
       """SELECT doc_id, n_chars,
         |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
         |FROM documents ORDER BY rnk""".stripMargin,
+
+    "text_span_dedup" ->
+      s"""WITH docs8 AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS sp FROM docs8),
+         |dft AS (SELECT sp, count(*) AS df FROM ex GROUP BY 1),
+         |per AS (SELECT ex.doc_id, count(*) AS n_spans,
+         |          sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |        FROM ex JOIN dft ON ex.sp = dft.sp GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+         |  round(n_dup*1.0/n_spans, 4) AS dup_frac
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "sample_bottomk" ->
+      s"""WITH tb AS (
+         |  SELECT doc_id, n_chars, hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
+         |    octet_length(encode(CAST(doc_id AS VARCHAR))) AS n
+         |  FROM documents),
+         |h AS (SELECT doc_id, n_chars, ${sx(ghashSql(fnvHx, "13"))} AS h FROM tb)
+         |SELECT doc_id, n_chars, h FROM h
+         |ORDER BY h ASC, doc_id LIMIT 100""".stripMargin,
 
     // full replay of the seeded portable hash, then the same rank
     "corpus_shuffle" ->

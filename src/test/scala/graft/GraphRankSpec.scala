@@ -47,6 +47,30 @@ class GraphRankSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRank handles an all-equal value column (single block, tie order)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lit(7L).as("v"))
+    val got = Rank.globalRank(docs, "v", "doc_id")
+      .orderBy("rnk").collect().map(r => r.getAs[Long]("doc_id"))
+    // all values tie → rank order must be pure tie-break (doc_id asc)
+    assert(got.sameElements(got.sorted))
+    assert(got.length == docs.count())
+  }
+
+  test("bottom-k hash sample is mergeable: bottom-k(A ∪ B) == bottom-k(bk(A) ∪ bk(B))") {
+    graft.functions.GraftHash64.register(spark)
+    val k = 20
+    val hashed = Tables.documents(spark, sf).select(col("doc_id"),
+      call_function("graft_hash64", col("doc_id").cast("string"), lit(13L)).as("h"))
+    def bk(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("h").asc, col("doc_id")).limit(k)
+    val a = hashed.filter(col("doc_id") % 2 === 0)
+    val b = hashed.filter(col("doc_id") % 2 =!= 0)
+    val direct = bk(hashed).collect().map(_.getLong(0)).toSeq
+    val merged = bk(bk(a).unionByName(bk(b))).collect().map(_.getLong(0)).toSeq
+    assert(direct == merged)
+  }
+
   test("centroid outliers: k per label, cosine in [-1,1], ranks contiguous") {
     val out = Embeddings.centroidOutliers(Tables.embeddings(spark, sf), k = 3)
     val rows = out.collect()
