@@ -425,9 +425,7 @@ object MetricQueries {
   /** Unsigned-compare CASE chain for the HLL rho (leading-zero rank of
     * the post-shift hash bits held in column w) — the same literal
     * chain the engine's HllSketch generates, replayed over HUGEINT. */
-  private val rhoChainSql: String =
-    (1 to 52).map(r => s"WHEN w >= ${BigInt(1) << (64 - r)} THEN $r")
-      .mkString("CASE ", "\n|                ", "\n|                ELSE 53 END")
+  private def rhoChainSql: String = DuckHash.rhoChainSql
 
   val oracle: Map[String, String] = Map(
 

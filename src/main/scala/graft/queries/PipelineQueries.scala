@@ -211,6 +211,26 @@ object PipelineQueries {
     "stream_topk" -> ((s, dir) =>
       graft.streaming.EventStreams.windowTopK(s, dir)),
 
+    "stream_distinct" -> ((s, dir) =>
+      graft.streaming.EventStreams.distinctUsers(s, dir)),
+
+    // Join-key skew report: the diagnostic run BEFORE deciding to salt
+    // a join (Skew.saltedJoin) — top heavy keys with their skew factor
+    // (share of rows × number of keys; uniform ⇒ 1.0). One groupBy of
+    // the fact, both scalars ride a single withScalar aggregate over
+    // the checkpointed key counts.
+    "skew_report" -> ((s, dir) => {
+      val kc = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val tot = kc.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+      graft.ops.Scalars.withScalar(kc, col("user_id"), tot, col("total"))
+        .withColumn("skew_factor",
+          round(col("cnt") * col("n_keys") / col("total"), 4))
+        .select("user_id", "cnt", "skew_factor")
+        .orderBy(col("cnt").desc, col("user_id")).limit(10)
+    }),
+
     // Cross-modal agreement audit: for each embedding near-dup pair,
     // the surface-text 3-gram Jaccard of the SAME two documents
     // (vec_id ≡ doc_id in this corpus) — high cosine with near-zero
@@ -557,6 +577,38 @@ object PipelineQueries {
       """SELECT doc_id, n_chars,
         |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
         |FROM documents ORDER BY rnk""".stripMargin,
+
+    // full replay of the streaming HLL state + estimator at day grain
+    // (same portable hash, bucket/rho split, max-rho merge and float
+    // finish as the batch m_sketch_distinct oracle)
+    "stream_distinct" ->
+      s"""WITH o AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+         |            CAST(user_id AS VARCHAR) AS s FROM events),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM o)),
+         |h AS (SELECT s, ${ghashSql(fnvHx, "0")} AS hu FROM tb),
+         |br AS (SELECT s, hu // 4503599627370496 AS bucket,
+         |              (hu % 4503599627370496) * 4096 AS w FROM h),
+         |rr AS (SELECT s, bucket, ${DuckHash.rhoChainSql} AS rho FROM br),
+         |mb AS (SELECT o.period, rr.bucket, max(rr.rho) AS rho
+         |       FROM o JOIN rr USING (s) GROUP BY 1, 2),
+         |ag AS (SELECT period, count(*) AS nz, sum(power(0.5, rho)) AS sp
+         |       FROM mb GROUP BY 1),
+         |fin AS (SELECT period,
+         |          0.7213/(1 + 1.079/4096) * 4096 * 4096 / (sp + (4096 - nz)) AS raw,
+         |          4096 - nz AS zeros
+         |        FROM ag)
+         |SELECT period,
+         |  CAST(round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+         |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT) AS est_users
+         |FROM fin ORDER BY period""".stripMargin,
+
+    "skew_report" ->
+      """WITH kc AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT user_id, cnt,
+        |  round(cnt * (SELECT count(*) FROM kc) * 1.0
+        |        / (SELECT sum(cnt) FROM kc), 4) AS skew_factor
+        |FROM kc ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
 
     "text_span_dedup" ->
       s"""WITH docs8 AS (
@@ -1357,6 +1409,14 @@ private[queries] object DuckHash {
 
   /** GraftHash64.Golden as unsigned decimal. */
   val goldenU: String = java.lang.Long.toUnsignedString(graft.functions.GraftHash64.Golden)
+
+  /** HLL rho (1-based leading-zero rank) of the post-shift bits `w`,
+    * as the same literal unsigned-compare CASE chain the engine uses
+    * (HllSketch.rho) — float log2 would be off-by-one at power-of-two
+    * boundaries. */
+  val rhoChainSql: String =
+    (1 to 52).map(r => s"WHEN w >= ${BigInt(1) << (64 - r)} THEN $r")
+      .mkString("CASE ", "\n|                ", "\n|                ELSE 53 END")
 
   /** 2^0..2^63 as a HUGEINT list literal (bit probes). */
   val pow2List: String = (0 until 64).map(i => (BigInt(1) << i).toString).mkString(", ")

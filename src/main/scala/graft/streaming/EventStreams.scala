@@ -38,15 +38,19 @@ object EventStreams {
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Shared stream head: the events file source (glob-filtered to the
-    * one parquet), micros timestamp, 1-day watermark, per-(day-window,
-    * type) grouping. Callers pick the aggregates. */
-  private def dailyTypeGroups(spark: SparkSession, sfDir: String) =
+    * one parquet), micros timestamp, 1-day watermark. */
+  private def watermarkedEvents(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 day")
+
+  /** Per-(day-window, type) grouping over the shared head. Callers
+    * pick the aggregates. */
+  private def dailyTypeGroups(spark: SparkSession, sfDir: String) =
+    watermarkedEvents(spark, sfDir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
 
   /** Runs an aggregate-only stream to a complete-mode memory sink and
@@ -81,6 +85,30 @@ object EventStreams {
     * table. This is the continuous-dashboard pattern: the expensive
     * distributed count is incremental in the stream; the top-k is a
     * presentation step over the aggregate. */
+  /** Streaming approximate-distinct users per day: the stream maintains
+    * the mergeable HLL STATE — (day window, bucket) → max(rho), a
+    * BOUNDED aggregate of ≤ days × 4096 rows — in the complete-mode
+    * memory sink; the batch side only finishes the float estimate over
+    * that m-sized state. This is the streaming shape exact
+    * count_distinct cannot take (its state would be the full per-day
+    * user SET); max-rho is associative/commutative, so every new
+    * micro-batch folds in without replay. Same sketch, same estimator
+    * and same portable hash as the batch m_sketch_distinct, so the
+    * DuckDB oracle replays the estimate exactly. */
+  def distinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val (b, r) = graft.ops.HllSketch.bucketRho(spark, col("user_id"))
+    val state = watermarkedEvents(spark, sfDir)
+      .select(col("ts"), b, r)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("bucket"))
+      .agg(max("rho").as("rho"))
+    val sink = runToMemorySink(spark, state, "hll")
+    graft.ops.HllSketch.estimate(
+        sink.select(col("w.start").as("period"), col("bucket"), col("rho")),
+        Seq("period"))
+      .withColumnRenamed("est", "est_users")
+      .orderBy("period")
+  }
+
   def windowTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val stream = dailyTypeGroups(spark, sfDir)
       .agg(count(lit(1)).as("n_events"))
