@@ -346,6 +346,25 @@ object PipelineQueries {
         .orderBy("shuffle_rank")
     }),
 
+    // CSV sink → source round trip: the interchange-format path (audit
+    // extracts, spreadsheet handoffs). The WRITE is the distributed
+    // day-aggregate (small by construction — never raw events to CSV);
+    // the READ supplies an explicit schema, so no inference scan, and
+    // Spark's shortest-roundtrip double rendering makes the re-read
+    // bit-exact — which the oracle (the aggregate itself) checks.
+    "source_csv_roundtrip" -> ((s, dir) => {
+      val agg = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      val out = java.nio.file.Files.createTempDirectory("graft_csv_rt_")
+      out.toFile.deleteOnExit()
+      agg.write.mode("overwrite").option("header", "true").csv(out.toString)
+      s.read.option("header", "true")
+        .schema("day DATE, event_type STRING, n BIGINT, sum_value DOUBLE")
+        .csv(out.toString)
+        .orderBy("day", "event_type")
+    }),
+
     // Exact duplicated-SPAN analysis (substring-dedup lite): the
     // fraction of each doc's distinct 8-token spans that appear in ≥2
     // docs — the per-document signal substring-level dedup pipelines
@@ -609,6 +628,13 @@ object PipelineQueries {
         |  round(cnt * (SELECT count(*) FROM kc) * 1.0
         |        / (SELECT sum(cnt) FROM kc), 4) AS skew_factor
         |FROM kc ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+
+    // the oracle is the aggregate itself — a roundtrip that loses or
+    // mangles a value hash-mismatches
+    "source_csv_roundtrip" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_span_dedup" ->
       s"""WITH docs8 AS (
