@@ -18,6 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // plan-level safety net: scalar cross joins become auditable
+    // equi-joins (see RewriteScalarCrossJoin scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteScalarCrossJoin)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),

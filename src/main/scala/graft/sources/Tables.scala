@@ -45,6 +45,9 @@ object Sessions {
   /** Confs every graft session needs; applied at build time so no query
     * or loader ever mutates a live session. */
   val required: Map[String, String] = Map(
+    // custom functions + the scalar-cross-join rewrite rule, applied
+    // at build time (the extension cannot attach to a live session)
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions",
     // events.parquet carries INT64 TIMESTAMP(NANOS); read as raw long
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone"           -> "UTC",

@@ -300,6 +300,26 @@ class PlanSpec extends AnyFunSuite {
       s"per-part totals must come from the checkpointed partials:\n$p")
   }
 
+  test("injected rule rewrites a scalar crossJoin to an auditable hash join") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Tables.nation(spark, sf)
+    val one = df.agg(max("n_nationkey").as("mx"))
+    val joined = df.crossJoin(one)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"RewriteScalarCrossJoin did not fire:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join shape:\n$p")
+    // semantics: every row gets the scalar, none duplicated or dropped
+    assert(joined.count() == df.count())
+    assert(joined.select("mx").distinct().count() == 1)
+    // a >1-row build side must NOT be rewritten (it is a real product)
+    val two = df.limit(2)
+    val p2 = df.crossJoin(two).queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastNestedLoopJoin") || p2.contains("CartesianProduct"),
+      s"rule over-applied to a multi-row side:\n$p2")
+  }
+
   test("co-occurrence self-joins the materialized user-day dedup, not raw events") {
     val p = plan("events_cooccurrence")
     assert(countOccurrences(p, "events.parquet") == 0,
