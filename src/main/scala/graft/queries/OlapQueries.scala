@@ -189,6 +189,36 @@ object OlapQueries {
         .orderBy("day")
     }),
 
+    // Unpivot (inverse of q_pivot): wide per-flag measure columns back
+    // to long (measure, value) rows via stack() — a single Generate
+    // over the already-aggregated table, no shuffle beyond the agg.
+    "q_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("price"),
+          round(sum("l_tax"), 2).as("tax"))
+        .select(col("l_returnflag"),
+          expr("stack(3, 'price', price, 'qty', qty, 'tax', tax) AS (measure, value)"))
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // Per-month z-score outlier orders (the normalize-then-threshold
+    // feature-prep step): month mean/stddev on the pre-aggregated tiny
+    // table broadcast back, |z| ranked on the ROUNDED score. Two-pass
+    // like m_winsorize; the window never sees raw rows.
+    "m_zscore" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(date_trunc("month", col("o_orderdate")).cast("date").as("period"),
+          col("o_orderkey"), col("o_totalprice"))
+      val stats = o.groupBy("period")
+        .agg(avg("o_totalprice").as("mu"), stddev_samp("o_totalprice").as("sd"))
+      o.join(broadcast(stats), "period")
+        .withColumn("z", round((col("o_totalprice") - col("mu")) / col("sd"), 4))
+        .select("period", "o_orderkey", "o_totalprice", "z")
+        .orderBy(abs(col("z")).desc, col("o_orderkey")).limit(20)
+    }),
+
     // Anti-join: customers with no PRE-1996 orders (shuffle left_anti
     // on the key, date filter pushed into the build side's scan — the
     // reach-for pattern for "missing the other side" checks).
@@ -1373,6 +1403,29 @@ object OlapQueries {
         |FROM pr
         |WHERE value*(SELECT count(*) FROM pr) > 1.5*(SELECT sum(value) FROM pr)
         |ORDER BY l_partkey""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+        |    round(sum(l_extendedprice), 2) AS price, round(sum(l_tax), 2) AS tax
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'price' AS measure, price AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'qty', qty FROM w
+        |UNION ALL SELECT l_returnflag, 'tax', tax FROM w
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "m_zscore" ->
+      """WITH o AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+        |    o_orderkey, o_totalprice FROM orders),
+        |st AS (SELECT period, avg(o_totalprice) AS mu,
+        |         stddev_samp(o_totalprice) AS sd
+        |       FROM o GROUP BY 1)
+        |SELECT o.period, o_orderkey, o_totalprice,
+        |  round((o_totalprice - mu)/sd, 4) AS z
+        |FROM o JOIN st ON o.period = st.period
+        |ORDER BY abs(round((o_totalprice - mu)/sd, 4)) DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
 
     "events_streak" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
