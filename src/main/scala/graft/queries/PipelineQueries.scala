@@ -365,6 +365,20 @@ object PipelineQueries {
         .orderBy("day", "event_type")
     }),
 
+    // ORC sink → source round trip: the columnar-interchange path
+    // (ORC carries types natively, so unlike CSV no schema needs
+    // re-supplying — the read-back schema IS the written one). Same
+    // contract as the CSV trip: the oracle is the aggregate itself.
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val agg = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      val out = java.nio.file.Files.createTempDirectory("graft_orc_rt_")
+      out.toFile.deleteOnExit()
+      agg.write.mode("overwrite").orc(out.toString)
+      s.read.orc(out.toString).orderBy("o_orderpriority")
+    }),
+
     // Exact duplicated-SPAN analysis (substring-dedup lite): the
     // fraction of each doc's distinct 8-token spans that appear in ≥2
     // docs — the per-document signal substring-level dedup pipelines
@@ -628,6 +642,11 @@ object PipelineQueries {
         |  round(cnt * (SELECT count(*) FROM kc) * 1.0
         |        / (SELECT sum(cnt) FROM kc), 4) AS skew_factor
         |FROM kc ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+
+    "source_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle is the aggregate itself — a roundtrip that loses or
     // mangles a value hash-mismatches
