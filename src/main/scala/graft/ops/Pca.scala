@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Top principal direction of an embedding set by COVARIANCE-FREE
+  * power iteration — the distributed PCA primitive.
+  *
+  * The d×d covariance matrix is never formed (at 100 TB it couldn't
+  * be, and it isn't needed): each iteration computes
+  *
+  *     v ← normalize( Σ_x  x · (xᵀv) )
+  *
+  * as two key-partitioned aggregations over the exploded vectors —
+  * dot products per vec_id, then weighted component sums per pos —
+  * and the candidate direction lives as a (pos, v) TABLE of d rows
+  * (broadcast into each join), so nothing vector-shaped ever reaches
+  * the driver. Normalization attaches the 1-row norm via
+  * [[Scalars.withScalar]] (no product join). Deterministic: the init
+  * is the uniform unit vector, every step is plain relational
+  * arithmetic, so an independent engine replays it exactly — which is
+  * how the DuckDB oracle checks the result.
+  *
+  * Sign convention: whatever the iteration converges to from the
+  * uniform init — stable across engines because the arithmetic is.
+  */
+object Pca {
+
+  /** (pos, v): the estimated top eigenvector after `iters` rounds. */
+  def topDirection(emb: DataFrame, iters: Int = 3): DataFrame = {
+    val x = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .localCheckpoint(false) // reused twice per iteration
+    val d = x.agg(max("pos")).head().getInt(0) + 1 // bounded driver scalar
+    var v = x.select(col("pos")).distinct()
+      .withColumn("v", lit(1.0 / math.sqrt(d.toDouble)))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val dots = x.join(broadcast(v), "pos")
+        .groupBy("vec_id").agg(sum(col("x") * col("v")).as("dot"))
+      val w = x.join(dots, "vec_id")
+        .groupBy("pos").agg(sum(col("x") * col("dot")).as("w"))
+        .localCheckpoint(false)
+      val norm = w.agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+      v = Scalars.withScalar(w, col("pos"), norm, col("norm"))
+        .select(col("pos"), (col("w") / col("norm")).as("v"))
+        .localCheckpoint(false)
+    }
+    v
+  }
+}

@@ -275,6 +275,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Top principal direction of the embedding set by covariance-free
+    // power iteration (Pca.scala): two key-partitioned aggregations
+    // per round, the candidate direction is a d-row TABLE — no d×d
+    // covariance, nothing vector-shaped on the driver.
+    "emb_pca_power" -> ((s, dir) =>
+      graft.ops.Pca.topDirection(Tables.embeddings(s, dir), iters = 3)
+        .select(col("pos").cast("bigint").as("pos"),
+          round(col("v"), 4).as("component"))
+        .orderBy("pos")),
+
     // Per-label embedding centroid outliers: the 3 most centroid-
     // distant vectors per label — the mislabeled/corrupted-vector
     // audit. Exploded relational centroid (bounded labels×dim result,
@@ -564,6 +574,29 @@ object PipelineQueries {
          |       GROUP BY e.dst)
          |SELECT id AS doc_id, round(r, 6) AS pr_rank FROM r3
          |ORDER BY doc_id""".stripMargin,
+
+    // full replay of the 3-round power iteration (same uniform init —
+    // 1/sqrt(64) is exactly representable, so the starting points are
+    // bit-identical across engines)
+    "emb_pca_power" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    unnest([{'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+        |            for i in range(1, len(embedding)+1)], recursive := true)
+        |  FROM embeddings),
+        |v0 AS (SELECT DISTINCT pos,
+        |         1.0/sqrt((SELECT max(pos) + 1 FROM ex)) AS v FROM ex),
+        |d1 AS (SELECT vec_id, sum(x*v) AS dot FROM ex JOIN v0 USING (pos) GROUP BY 1),
+        |w1 AS (SELECT pos, sum(x*dot) AS w FROM ex JOIN d1 USING (vec_id) GROUP BY 1),
+        |v1 AS (SELECT pos, w/(SELECT sqrt(sum(w*w)) FROM w1) AS v FROM w1),
+        |d2 AS (SELECT vec_id, sum(x*v) AS dot FROM ex JOIN v1 USING (pos) GROUP BY 1),
+        |w2 AS (SELECT pos, sum(x*dot) AS w FROM ex JOIN d2 USING (vec_id) GROUP BY 1),
+        |v2 AS (SELECT pos, w/(SELECT sqrt(sum(w*w)) FROM w2) AS v FROM w2),
+        |d3 AS (SELECT vec_id, sum(x*v) AS dot FROM ex JOIN v2 USING (pos) GROUP BY 1),
+        |w3 AS (SELECT pos, sum(x*dot) AS w FROM ex JOIN d3 USING (vec_id) GROUP BY 1),
+        |v3 AS (SELECT pos, w/(SELECT sqrt(sum(w*w)) FROM w3) AS v FROM w3)
+        |SELECT CAST(pos AS BIGINT) AS pos, round(v, 4) AS component
+        |FROM v3 ORDER BY pos""".stripMargin,
 
     "emb_centroid_outlier" ->
       """WITH ex AS (

@@ -71,6 +71,27 @@ class GraphRankSpec extends AnyFunSuite {
     assert(direct == merged)
   }
 
+  test("power-iteration direction is unit-norm and captures more variance than uniform") {
+    val emb = Tables.embeddings(spark, sf)
+    val v = graft.ops.Pca.topDirection(emb, iters = 3)
+    val comps = v.collect().map(r => r.getAs[Int]("pos") -> r.getAs[Double]("v")).toMap
+    assert(comps.size == 64)
+    assert(math.abs(comps.values.map(x => x * x).sum - 1.0) < 1e-9)
+    // Rayleigh quotient along the learned direction must beat the
+    // uniform init direction it started from (it converges toward the
+    // top eigenvector, whose quotient is maximal)
+    def rayleigh(dir: Map[Int, Double]): Double = {
+      val rows = emb.select("embedding").collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0))
+      rows.map { e =>
+        val dot = e.iterator.zipWithIndex.map { case (x, i) => x * dir(i) }.sum
+        dot * dot
+      }.sum
+    }
+    val uniform = (0 until 64).map(i => i -> 1.0 / 8.0).toMap
+    assert(rayleigh(comps) > rayleigh(uniform))
+  }
+
   test("centroid outliers: k per label, cosine in [-1,1], ranks contiguous") {
     val out = Embeddings.centroidOutliers(Tables.embeddings(spark, sf), k = 3)
     val rows = out.collect()
