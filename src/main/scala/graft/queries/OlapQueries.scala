@@ -801,6 +801,23 @@ object OlapQueries {
         .orderBy("user_id")
     }),
 
+    // Volume trend per event type: least-squares slope/intercept of
+    // daily counts over the day number — the drift detector. The
+    // regression aggregates run over the PRE-AGGREGATED (type, day)
+    // table (O(types·days) rows), never raw events — same rule as
+    // cumulative metrics.
+    "events_trend" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("dn"))
+        .agg(count(lit(1)).as("n"))
+      daily.groupBy("event_type")
+        .agg(round(expr("regr_slope(n, dn)"), 6).as("slope"),
+          round(expr("regr_intercept(n, dn)"), 4).as("intercept"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    }),
+
     // Event-type co-occurrence (market-basket view): which event types
     // happen in the SAME user-day. The pair join runs on the deduped
     // (user, day, type) table — bounded at |types| rows per key, so the
@@ -1438,6 +1455,18 @@ object OlapQueries {
         |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
         |  CAST(sum(len) AS BIGINT) AS n_active_days
         |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  round(regr_slope(n, dn), 6) AS slope,
+        |  round(regr_intercept(n, dn), 4) AS intercept,
+        |  count(*) AS n_days
+        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_cooccurrence" ->
       """WITH ud AS (
