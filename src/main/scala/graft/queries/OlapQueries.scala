@@ -801,6 +801,32 @@ object OlapQueries {
         .orderBy("user_id")
     }),
 
+    // ROLLUP with grouping_id(): the bitmask column that tells subtotal
+    // NULLs apart from data NULLs — the disambiguation q_rollup/q_cube
+    // leave implicit. Same single-pass Expand shape.
+    "q_grouping_id" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
+    // RANGE-frame window (time-based, not row-based): trailing 90-DAY
+    // revenue per day — a row frame would be wrong wherever days are
+    // missing. The window runs over the pre-aggregated daily table
+    // (bounded by the calendar), never raw orders.
+    "m_range_window" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("bigint").as("dn"))
+        .agg(sum("o_totalprice").as("rev"))
+      val w = Window.orderBy("dn").rangeBetween(-89, 0)
+      daily.withColumn("rev90", sum("rev").over(w))
+        .select(col("dn"), round(col("rev"), 2).as("rev"),
+          round(col("rev90"), 2).as("rev90"))
+        .orderBy("dn")
+    }),
+
     // Volume trend per event type: least-squares slope/intercept of
     // daily counts over the day number — the drift detector. The
     // regression aggregates run over the PRE-AGGREGATED (type, day)
@@ -1455,6 +1481,22 @@ object OlapQueries {
         |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
         |  CAST(sum(len) AS BIGINT) AS n_active_days
         |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "m_range_window" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dn,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT dn, round(rev, 2) AS rev,
+        |  round(sum(rev) OVER (ORDER BY dn
+        |    RANGE BETWEEN 89 PRECEDING AND CURRENT ROW), 2) AS rev90
+        |FROM daily ORDER BY dn""".stripMargin,
 
     "events_trend" ->
       """WITH daily AS (
