@@ -31,6 +31,32 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3).orderBy("id1", "id2")),
 
+    // Sketch calibration (measure-don't-guess for MinHash): for every
+    // LSH candidate pair, the signature ESTIMATE (matching minima /
+    // k) next to the exact Jaccard — the drift check run before
+    // trusting banding parameters on a new corpus. No threshold: the
+    // whole candidate set is the calibration sample.
+    "dedup_minhash_calib" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sig = Dedup.minhashSignatures(docs, n = 3, k = 128).localCheckpoint(false)
+      val cands = Dedup.lshCandidates(docs, n = 3, k = 128, bands = 16)
+        .localCheckpoint(false)
+      val sets = Dedup.shingleSets(docs, 3)
+      val est = expr(
+        "aggregate(zip_with(sig1, sig2, (a, b) -> if(a = b, 1, 0)), 0, (acc, x) -> acc + x)")
+        .cast("double") / lit(128.0)
+      val exact = size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2")))
+      cands
+        .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+        .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+        .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .select(col("id1"), col("id2"), round(est, 4).as("est_jaccard"),
+          round(exact, 4).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
     // near-dup pairs are not transitive — collapse pair families to one
     // canonical keeper via iterative connected components
     "dedup_cluster" -> ((s, dir) => {
@@ -518,6 +544,35 @@ object PipelineQueries {
 
   import DuckHash.{sx, fnvHx, ghashSql, goldenU, pow2List}
 
+  // Shared minhash replay prelude (shingles → portable double hash →
+  // 128 permutation minima → 16-band buckets → candidate pairs);
+  // dedup_minhash and dedup_minhash_calib both build on it.
+  private lazy val minhashPrelude =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS s
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+       |       FROM (SELECT DISTINCT s FROM sh)),
+       |h31 AS (SELECT s,
+       |  ((${sx(ghashSql(fnvHx, "0"))} % 2147483648) + 2147483648) % 2147483648 AS ha,
+       |  ((${sx(ghashSql(fnvHx, goldenU))} % 2147483648) + 2147483648) % 2147483648 AS hb
+       |  FROM tb),
+       |pm AS (
+       |  SELECT sh.doc_id, j, min(ha + j*hb) AS mh
+       |  FROM sh JOIN h31 USING (s), unnest(range(0, 128)) r(j)
+       |  GROUP BY sh.doc_id, j),
+       |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sg FROM pm GROUP BY doc_id),
+       |bd AS (
+       |  SELECT doc_id, b, array_to_string(sg[b*8+1 : b*8+8], ',') AS bs
+       |  FROM sig, unnest(range(0, 16)) r(b)),
+       |bk AS (SELECT b, bs, list_sort(list(doc_id)) AS ids
+       |       FROM bd GROUP BY b, bs HAVING count(*) <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT ids[x] AS id1, ids[y] AS id2
+       |  FROM bk, unnest(range(1, len(ids)+1)) a(x), unnest(range(1, len(ids)+1)) c(y)
+       |  WHERE x < y)""".stripMargin
+
   // Factored so graph_pagerank can re-derive the same edge set.
   private val jaccardSql =
     s"""WITH docs AS (
@@ -733,31 +788,30 @@ object PipelineQueries {
     // RAW band string where the engine compresses it with xxhash64
     // (identical grouping modulo hash collisions, which the exact
     // jaccard verification absorbs), then verifies candidates at 0.8
+    "dedup_minhash_calib" ->
+      s"""$minhashPrelude,
+         |es AS (
+         |  SELECT c.id1, c.id2,
+         |    list_sum([CASE WHEN g1.sg[i] = g2.sg[i] THEN 1 ELSE 0 END
+         |              for i in range(1, 129)])/128.0 AS est
+         |  FROM cand c JOIN sig g1 ON g1.doc_id = c.id1
+         |              JOIN sig g2 ON g2.doc_id = c.id2),
+         |ssz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, count(*) AS shared
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id1
+         |              JOIN sh b2 ON b2.doc_id = c.id2 AND b2.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT es.id1, es.id2, round(es.est, 4) AS est_jaccard,
+         |  round(coalesce(i.shared, 0)*1.0
+         |        /(s1.n + s2.n - coalesce(i.shared, 0)), 4) AS jaccard
+         |FROM es LEFT JOIN inter i ON es.id1 = i.id1 AND es.id2 = i.id2
+         |JOIN ssz s1 ON es.id1 = s1.doc_id
+         |JOIN ssz s2 ON es.id2 = s2.doc_id
+         |ORDER BY es.id1, es.id2""".stripMargin,
+
     "dedup_minhash" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS s
-         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
-         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
-         |       FROM (SELECT DISTINCT s FROM sh)),
-         |h31 AS (SELECT s,
-         |  ((${sx(ghashSql(fnvHx, "0"))} % 2147483648) + 2147483648) % 2147483648 AS ha,
-         |  ((${sx(ghashSql(fnvHx, goldenU))} % 2147483648) + 2147483648) % 2147483648 AS hb
-         |  FROM tb),
-         |pm AS (
-         |  SELECT sh.doc_id, j, min(ha + j*hb) AS mh
-         |  FROM sh JOIN h31 USING (s), unnest(range(0, 128)) r(j)
-         |  GROUP BY sh.doc_id, j),
-         |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sg FROM pm GROUP BY doc_id),
-         |bd AS (
-         |  SELECT doc_id, b, array_to_string(sg[b*8+1 : b*8+8], ',') AS bs
-         |  FROM sig, unnest(range(0, 16)) r(b)),
-         |bk AS (SELECT b, bs, list_sort(list(doc_id)) AS ids
-         |       FROM bd GROUP BY b, bs HAVING count(*) <= 1000),
-         |cand AS (
-         |  SELECT DISTINCT ids[x] AS id1, ids[y] AS id2
-         |  FROM bk, unnest(range(1, len(ids)+1)) a(x), unnest(range(1, len(ids)+1)) c(y)
-         |  WHERE x < y),
+      s"""$minhashPrelude,
          |ssz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT c.id1, c.id2, count(*) AS shared
