@@ -801,6 +801,54 @@ object OlapQueries {
         .orderBy("user_id")
     }),
 
+    // INTERSECT set op: customers who ordered in BOTH 1995 and 1996 —
+    // plans as a distinct + left-semi chain on the key, no full
+    // materialized sets. Aggregated per segment for a bounded result.
+    "q_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def yearKeys(y: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      yearKeys(1995).intersect(yearKeys(1996))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Pareto point: how few top customers cover 80% of revenue. The
+    // global revenue-DESC rank comes from Rank.globalRank; the running
+    // share is the same two-level prefix sum as seq_pack, but keyed on
+    // the (uniform by construction) rank blocks — no single-partition
+    // window anywhere, though the final answer is one row.
+    "m_pareto" -> ((s, dir) => {
+      val c = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("x"))
+        .localCheckpoint(false)
+      val ranked = graft.ops.Rank.globalRank(c, "x", "o_custkey", blockWidth = 10000.0)
+        .localCheckpoint(false)
+      val wIn = Window.partitionBy("blk").orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBlk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+      val t = ranked.withColumn("blk", expr("(rnk - 1) div 256"))
+      val offsets = t.groupBy("blk").agg(sum("x").as("bs"))
+        .withColumn("boff", coalesce(sum("bs").over(wBlk), lit(0.0)))
+        .select("blk", "boff")
+      val cum = t.withColumn("cin", sum("x").over(wIn))
+        .join(broadcast(offsets), "blk")
+        .withColumn("cum", col("boff") + col("cin"))
+      val tot = c.agg(sum("x").as("total"), count(lit(1)).as("n_cust"))
+      graft.ops.Scalars.withScalar(cum, col("o_custkey"), tot, col("total"))
+        .filter(col("cum") >= lit(0.8) * col("total"))
+        .agg(min("rnk").as("n_top_customers"),
+          min("n_cust").as("n_cust"))
+        .select(col("n_top_customers"),
+          round(col("n_top_customers").cast("double") / col("n_cust"), 6)
+            .as("share_of_customers"))
+    }),
+
     // ROLLUP with grouping_id(): the bitmask column that tells subtotal
     // NULLs apart from data NULLs — the disambiguation q_rollup/q_cube
     // leave implicit. Same single-pass Expand shape.
@@ -1481,6 +1529,32 @@ object OlapQueries {
         |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
         |  CAST(sum(len) AS BIGINT) AS n_active_days
         |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_intersect" ->
+      """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1996-01-01'),
+        |y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01'),
+        |b AS (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+        |SELECT c_mktsegment, count(*) AS n_customers
+        |FROM b JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // single-window textbook form of the engine's two-level rank+cumsum
+    "m_pareto" ->
+      """WITH c AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x,
+        |        row_number() OVER (ORDER BY x DESC, o_custkey) AS rnk,
+        |        sum(x) OVER (ORDER BY x DESC, o_custkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM c)
+        |SELECT CAST(min(rnk) AS BIGINT) AS n_top_customers,
+        |  round(min(rnk) * 1.0 / (SELECT count(*) FROM c), 6) AS share_of_customers
+        |FROM r WHERE cum >= 0.8 * (SELECT sum(x) FROM c)""".stripMargin,
 
     "q_grouping_id" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
