@@ -801,6 +801,41 @@ object OlapQueries {
         .orderBy("user_id")
     }),
 
+    // Exact DECIMAL money arithmetic: the audit path where float drift
+    // is unacceptable — prices cast to DECIMAL(18,2) and summed
+    // exactly (both engines' decimal sums are exact by construction,
+    // so the oracle matches with NO rounding step anywhere).
+    "q_decimal_exact" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy("o_orderstatus")
+        .agg(sum("p").cast("decimal(18,2)").as("total_exact"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Null-safe join semantics (<=> vs =): the same pre-aggregated key
+    // counts joined both ways; null keys pair under <=> and vanish
+    // under = — the difference IS the null-semantics contract. Counts
+    // multiply per key (ca·cb), so the pair space never materializes.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def side(t: String) = {
+        val k = get_json_object(col("props"), "$.k").cast("int")
+        e.filter(col("event_type") === t)
+          .select(when(k < 10, lit(null)).otherwise(k % 20).as("key"))
+          .groupBy("key").agg(count(lit(1)).as("cnt"))
+      }
+      val a = side("click").withColumnRenamed("cnt", "ca")
+      val b = side("view").withColumnRenamed("cnt", "cb")
+      val ns = a.join(b, a("key") <=> b("key"))
+        .agg(sum(col("ca") * col("cb")).as("n_pairs"))
+        .withColumn("join_type", lit("null_safe"))
+      val eq = a.join(b, a("key") === b("key"))
+        .agg(sum(col("ca") * col("cb")).as("n_pairs"))
+        .withColumn("join_type", lit("equals"))
+      ns.unionByName(eq).select("join_type", "n_pairs").orderBy("join_type")
+    }),
+
     // INTERSECT set op: customers who ordered in BOTH 1995 and 1996 —
     // plans as a distinct + left-semi chain on the key, no full
     // materialized sets. Aggregated per segment for a bounded result.
@@ -1529,6 +1564,35 @@ object OlapQueries {
         |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
         |  CAST(sum(len) AS BIGINT) AS n_active_days
         |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // no rounding anywhere: decimal sums are exact in both engines
+    "q_decimal_exact" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS total_exact,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) < 10
+        |         THEN NULL
+        |         ELSE CAST(json_extract_string(props, '$.k') AS INT) % 20
+        |    END AS key
+        |  FROM events),
+        |a AS (SELECT key, count(*) AS ca FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT key, count(*) AS cb FROM e
+        |      WHERE event_type = 'view' GROUP BY 1)
+        |SELECT 'equals' AS join_type,
+        |  CAST(coalesce(sum(ca*cb), 0) AS BIGINT) AS n_pairs
+        |FROM a JOIN b ON a.key = b.key
+        |UNION ALL
+        |SELECT 'null_safe',
+        |  CAST(coalesce(sum(ca*cb), 0) AS BIGINT)
+        |FROM a JOIN b ON a.key IS NOT DISTINCT FROM b.key
+        |ORDER BY join_type""".stripMargin,
 
     "q_intersect" ->
       """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
