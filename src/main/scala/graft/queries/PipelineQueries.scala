@@ -336,6 +336,23 @@ object PipelineQueries {
         .orderBy("token_id")
     }),
 
+    // Zipf audit: log-log slope of token frequency vs frequency rank
+    // (natural corpora sit near −1; synthetic/templated ones don't) —
+    // the distribution sanity check before trusting token statistics.
+    // The regression runs over the BOUNDED vocabulary; raw tokens only
+    // pass through the one frequency groupBy.
+    "text_zipf" -> ((s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val ranked = freq.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token").asc)))
+      ranked.agg(
+        round(expr("regr_slope(ln(freq), ln(rnk))"), 4).as("zipf_slope"),
+        count(lit(1)).as("vocab_size"))
+    }),
+
     // Inference/training batch planning: docs bucket by token-length
     // cap (next power-of-two band); per bucket the padding waste a
     // pad-to-cap batcher would pay. One scan, tiny groupBy — the
@@ -681,6 +698,16 @@ object PipelineQueries {
          |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
          |    AS token_id, token, freq
          |FROM f ORDER BY token_id""".stripMargin,
+
+    "text_zipf" ->
+      s"""WITH tk AS (SELECT unnest($toks) AS token FROM documents),
+         |f AS (SELECT token, count(*) AS freq FROM tk GROUP BY 1),
+         |r AS (SELECT freq,
+         |        row_number() OVER (ORDER BY freq DESC, token) AS rnk
+         |      FROM f)
+         |SELECT round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+         |  count(*) AS vocab_size
+         |FROM r""".stripMargin,
 
     "seq_length_buckets" ->
       s"""WITH t AS (SELECT len($toks) AS n_tokens FROM documents),
