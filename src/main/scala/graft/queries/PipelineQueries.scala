@@ -301,6 +301,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // int8-style quantization audit: per vector, the mean absolute
+    // reconstruction error of (min, max, 255-level) affine quantization
+    // — the measurement before shrinking embedding storage 4×. Pure
+    // per-row map (one array fold, left-to-right in BOTH engines); the
+    // whole expression is identical IEEE arithmetic in identical order,
+    // so no rounding slack is needed beyond the final 6 dp.
+    "emb_quantize" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("mn", array_min(col("embedding")).cast("double"))
+        .withColumn("mx", array_max(col("embedding")).cast("double"))
+        .select(col("vec_id"), expr(
+          """round(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) ->
+            |  acc + abs(CAST(x AS DOUBLE) - (mn +
+            |    (floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)) + 0.5)
+            |      * (mx - mn) / 255.0))) / size(embedding), 6)""".stripMargin)
+          .as("mae"))
+        .orderBy("vec_id")),
+
     // Top principal direction of the embedding set by covariance-free
     // power iteration (Pca.scala): two key-partitioned aggregations
     // per round, the candidate direction is a d-row TABLE — no d×d
@@ -646,6 +664,19 @@ object PipelineQueries {
          |       GROUP BY e.dst)
          |SELECT id AS doc_id, round(r, 6) AS pr_rank FROM r3
          |ORDER BY doc_id""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(list_sum([abs(CAST(x AS DOUBLE) - (mn +
+        |    (floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)) + 0.5)
+        |      * (mx - mn) / 255.0)) for x in embedding])
+        |    / len(embedding), 6) AS mae
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     // full replay of the 3-round power iteration (same uniform init —
     // 1/sqrt(64) is exactly representable, so the starting points are
