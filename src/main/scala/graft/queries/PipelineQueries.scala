@@ -450,6 +450,27 @@ object PipelineQueries {
       s.read.orc(out.toString).orderBy("o_orderpriority")
     }),
 
+    // Ordered content novelty: the fraction of each doc's distinct
+    // 3-gram shingles whose FIRST corpus occurrence (min doc_id) is
+    // this doc — "how much new content does each document add", the
+    // curve that decides when additional crawl data stops paying.
+    // Same one-explode / min-attribution / co-keyed-join-back shape as
+    // span dedup; complements text_boilerplate (df-common) and
+    // text_span_dedup (df≥2) with an ORDER-attributed signal.
+    "text_novelty" -> ((s, dir) => {
+      val ex = Dedup.shingleSets(Tables.documents(s, dir), 3)
+        .select(col("doc_id"), explode(col("sh")).as("sp"))
+        .localCheckpoint(false)
+      val firsts = ex.groupBy("sp").agg(min("doc_id").as("first_doc"))
+      ex.join(firsts, "sp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Exact duplicated-SPAN analysis (substring-dedup lite): the
     // fraction of each doc's distinct 8-token spans that appear in ≥2
     // docs — the per-document signal substring-level dedup pipelines
@@ -800,6 +821,21 @@ object PipelineQueries {
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_novelty" ->
+      s"""WITH docs3 AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS sp FROM docs3),
+         |f AS (SELECT sp, min(doc_id) AS first_doc FROM ex GROUP BY 1)
+         |SELECT ex.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_novel,
+         |  round(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)*1.0
+         |        / count(*), 4) AS novelty
+         |FROM ex JOIN f ON ex.sp = f.sp
+         |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin,
 
     "text_span_dedup" ->
       s"""WITH docs8 AS (
