@@ -910,6 +910,40 @@ object OlapQueries {
         .orderBy("dn")
     }),
 
+    // Abandonment: views NOT followed by a purchase from the same user
+    // within 24 h — the complement of the range join, computed as a
+    // FORWARD as-of: union views and purchases per user, sort ts DESC
+    // (purchases first on ties, so a same-instant purchase counts),
+    // running min of purchase-ts = next purchase at-or-after each
+    // view. One user_id shuffle, no interval explosion, no EXISTS
+    // rescan — the oracle runs the textbook correlated EXISTS.
+    "events_abandonment" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_id"), lit(null).cast("long").as("pts"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          lit(null).cast("long").as("event_id"),
+          expr("ts_ns div 1000").as("pts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("pts").desc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val marked = views.unionByName(purch)
+        .withColumn("next_pts", min("pts").over(w))
+        .filter(col("event_id").isNotNull)
+        .withColumn("converted",
+          col("next_pts").isNotNull &&
+            col("next_pts") - col("ts_us") <= lit(86400000000L))
+      marked
+        .groupBy(to_date(timestamp_micros(col("ts_us"))).as("day"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+        .withColumn("conversion_rate",
+          round(col("n_converted") / col("n_views"), 4))
+        .orderBy("day")
+    }),
+
     // Volume trend per event type: least-squares slope/intercept of
     // daily counts over the day number — the drift detector. The
     // regression aggregates run over the PRE-AGGREGATED (type, day)
@@ -1635,6 +1669,25 @@ object OlapQueries {
         |  round(sum(rev) OVER (ORDER BY dn
         |    RANGE BETWEEN 89 PRECEDING AND CURRENT ROW), 2) AS rev90
         |FROM daily ORDER BY dn""".stripMargin,
+
+    // textbook correlated-EXISTS form of the forward as-of decorrelation
+    "events_abandonment" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT day,
+        |        CASE WHEN EXISTS (SELECT 1 FROM p
+        |          WHERE p.user_id = v.user_id
+        |            AND p.ts_us >= v.ts_us
+        |            AND p.ts_us <= v.ts_us + 86400000000) THEN 1 ELSE 0 END AS c
+        |      FROM v)
+        |SELECT day, count(*) AS n_views,
+        |  CAST(sum(c) AS BIGINT) AS n_converted,
+        |  round(sum(c)*1.0/count(*), 4) AS conversion_rate
+        |FROM m GROUP BY day ORDER BY day""".stripMargin,
 
     "events_trend" ->
       """WITH daily AS (
