@@ -47,7 +47,17 @@ object Bench {
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the stdout line gets truncated by log
+    // capture (BENCH_r06/r07 lost 75 of 143 timings), so the full
+    // JSON always lands at a stable path too.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -29,15 +29,16 @@ object Ingestion {
   def run(spark: SparkSession, manifestJson: String, outPath: String,
           glossaryRoot: String = Glossary.DefaultRoot,
           platform: String = "dbt", env: String = "PROD",
-          format: String = "parquet", dryRun: Boolean = false): Result = {
+          format: String = "parquet", dryRun: Boolean = false,
+          ordered: Boolean = true): Result = {
     val parsed  = Manifest.parse(spark, manifestJson)
     val metrics = Manifest.metrics(parsed)
     val lineage = Lineage.resolve(metrics, Manifest.nodes(parsed),
       Manifest.sources(parsed), platform, env)
     val records = Glossary.records(metrics, lineage, glossaryRoot)
-    // ordered: parents-first partitions, mirroring the reference's
-    // nodes-before-terms emit sequence (:337-352)
-    val emitted = MetadataSink.emit(records, outPath, format, dryRun, ordered = true)
+    // ordered (default): parents-first partitions, mirroring the
+    // reference's nodes-before-terms emit sequence (:337-352)
+    val emitted = MetadataSink.emit(records, outPath, format, dryRun, ordered = ordered)
     Result(metrics.count(), emitted.records, emitted.path,
       Manifest.malformed(parsed, "metrics").count())
   }

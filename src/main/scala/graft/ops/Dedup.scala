@@ -160,15 +160,25 @@ object Dedup {
     * pathological buckets (e.g. a corpus of thousands of identical
     * docs) to cap² pair growth. Output: id1, id2, jaccard (4dp). */
   /** LSH candidate pairs only (band-bucket collisions, deduplicated) —
-    * the pre-verification stage of [[minhashLsh]]. */
+    * the pre-verification stage of [[minhashLsh]].
+    *
+    * By default band buckets key on `xxhash64(band, bandString)` — a
+    * fixed 8-byte shuffle key instead of a ~rows·20-char string. A
+    * 64-bit band-hash collision can add a spurious candidate, which
+    * the downstream Jaccard verification absorbs in [[minhashLsh]];
+    * callers emitting the RAW candidate set (dedup_minhash_calib,
+    * whose oracle groups raw band strings) pass `rawBandKey = true`
+    * so the set is identical by construction, not just w.h.p. */
   def lshCandidates(docs: DataFrame, n: Int = 3, k: Int = 128, bands: Int = 16,
-                    bucketCap: Int = 1000): DataFrame = {
+                    bucketCap: Int = 1000, rawBandKey: Boolean = false): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val sig  = minhashSignatures(docs, n, k)
+    def bandStr(b: Column) = array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")
+    val bandKey: Column => Column =
+      if (rawBandKey) bandStr else (b => xxhash64(b, bandStr(b)))
     val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")))).as(Seq("band", "bh")))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey)).as(Seq("band", "bh")))
     val bandBuckets = banded
       .groupBy("band", "bh").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= bucketCap)

@@ -44,7 +44,12 @@ object Embeddings {
         sum(col("c") * col("c")).as("cc"))
     val scored = sums.select(col("label"), col("vec_id"),
       round(col("vc") / (sqrt(col("vv")) * sqrt(col("cc"))), 4).as("cos"))
-    val w = Window.partitionBy("label").orderBy(col("cos").asc, col("vec_id").asc)
+    // NULLS LAST explicitly: a zero-norm vector/centroid yields a NULL
+    // cos, and Spark's default ASC puts NULLs FIRST (= top outliers)
+    // while SQL oracles default to NULLS LAST — pin the contract so a
+    // degenerate vector can never flip the ranking between engines.
+    val w = Window.partitionBy("label")
+      .orderBy(asc_nulls_last("cos"), col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
   }

@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * Identical by construction to `row_number() OVER (ORDER BY value
   * DESC, tie ASC)` — which is exactly how the DuckDB oracle computes
   * it. Block sizes follow the VALUE distribution, so a pathological
-  * spike collapses into one block; production would swap the fixed
-  * `blockWidth` for `repartitionByRange` sample bounds, but the offset
-  * algebra is unchanged.
+  * spike (worst case: an all-equal column) collapses into one block —
+  * that edge is exactly what [[globalRankByRange]] removes by sampling
+  * boundaries from the composite (value, tie) order instead; prefer it
+  * when the value distribution is unknown. The offset algebra is the
+  * same in both.
   *
   * The input is referenced TWICE (block offsets + the ranked side), so
   * callers ranking an EXPENSIVE derived table should localCheckpoint
@@ -52,5 +54,41 @@ object Rank {
       .join(broadcast(offsets), "__blk")
       .withColumn("rnk", col("blk_off") + col("rnk_in"))
       .drop("__blk", "rnk_in", "blk_off")
+  }
+
+  /** [[globalRank]] with SAMPLED block boundaries instead of a fixed
+    * value width: rows range-partition on (valueCol DESC, tieCol ASC)
+    * — Spark's RangePartitioner draws the bounds from a reservoir
+    * sample of the actual distribution — and the block id is the
+    * resulting partition id. The offset algebra is identical; what
+    * changes is robustness: a fixed `blockWidth` collapses an
+    * all-equal (or heavily spiked) value column into ONE block, i.e.
+    * a single-task sort, while range bounds split on the TIE column
+    * too (the composite ordering key is unique), so blocks stay
+    * ~n/numBlocks regardless of the value distribution.
+    *
+    * The ranks are boundary-independent (rank = position under the
+    * total order, wherever the cuts land), so the sampled bounds
+    * never affect the result — only the balance. `parted` is
+    * referenced twice, but the range exchange is deterministic for a
+    * deterministic input (sketch seeds derive from partition index)
+    * and reuses via ReusedExchange in one plan. */
+  def globalRankByRange(df: DataFrame, valueCol: String, tieCol: String,
+                        numBlocks: Int = 64): DataFrame = {
+    require(!df.columns.contains("__pid"), "__pid is reserved by globalRankByRange")
+    val parted = df
+      .repartitionByRange(numBlocks, col(valueCol).desc, col(tieCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy("__pid")
+      .orderBy(col(valueCol).desc, col(tieCol).asc)
+    val wBlk = Window.orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("blk_n"))
+      .withColumn("blk_off", coalesce(sum("blk_n").over(wBlk), lit(0L)))
+      .select("__pid", "blk_off")
+    parted.withColumn("rnk_in", row_number().over(wIn).cast("bigint"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("rnk", col("blk_off") + col("rnk_in"))
+      .drop("__pid", "rnk_in", "blk_off")
   }
 }

@@ -34,8 +34,20 @@ import org.apache.spark.sql.types.MapType
   */
 object RewriteScalarCrossJoin extends Rule[LogicalPlan] {
 
+  // Murmur3Hash rejects MapType anywhere in the type tree (map
+  // hashing is order-undefined), so the guard must be recursive —
+  // a struct/array nesting a map would pass a top-level check but
+  // fail at execution when the hash is injected post-analysis.
+  // (DataType.existsRecursively is private[sql], hence the local walk.)
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: MapType => true
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
   private def hashable(p: LogicalPlan) =
-    p.output.find(a => !a.dataType.isInstanceOf[MapType])
+    p.output.find(a => !containsMap(a.dataType))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Join(l, r, jt, None, hint)

@@ -770,13 +770,22 @@ object OlapQueries {
     // withScalar, so the threshold is scale-relative and the plan has
     // no second fact scan (the per-part aggregate is checkpointed).
     "q11_concentration" -> ((s, dir) => {
+      // Concentration threshold in exact integer 1e-4 units: per-part
+      // value lies on a 1e-4 lattice (2-dec price × 2-dec discount),
+      // and per-part float drift is orders of magnitude below half a
+      // lattice step, so round(value*1e4) is deterministic; the filter
+      // `2·vc·nparts > 3·total_c` is then exact integer arithmetic in
+      // both engines (a float `value*nparts > 1.5*total` boundary can
+      // flip with accumulation order). Output columns stay double.
       val pr = Tables.lineitem(s, dir)
         .groupBy("l_partkey")
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value"))
+        .withColumn("vc", round(col("value") * 10000, 0).cast("decimal(28,0)"))
         .localCheckpoint(false)
-      val tot = pr.agg(sum("value").as("total"), count(lit(1)).as("nparts"))
+      val tot = pr.agg(sum("value").as("total"), sum("vc").as("total_c"),
+        count(lit(1)).as("nparts"))
       Scalars.withScalar(pr, col("l_partkey"), tot, col("total"))
-        .filter(col("value") * col("nparts") > lit(1.5) * col("total"))
+        .filter(col("vc") * col("nparts") * 2 > col("total_c") * 3)
         .select(col("l_partkey"), round(col("value"), 2).as("part_value"),
           round(col("value") / col("total"), 6).as("share"))
         .orderBy("l_partkey")
@@ -803,13 +812,16 @@ object OlapQueries {
 
     // Exact DECIMAL money arithmetic: the audit path where float drift
     // is unacceptable — prices cast to DECIMAL(18,2) and summed
-    // exactly (both engines' decimal sums are exact by construction,
-    // so the oracle matches with NO rounding step anywhere).
+    // exactly. The exact-decimal-sum property lives in the spec
+    // (ScaleOpsSpec "q_decimal_exact"); the EMITTED column is the
+    // canonical string rendering of the decimal so the comparison is
+    // dtype-neutral (a DECIMAL column hashes differently across
+    // engines' drivers even when value-identical).
     "q_decimal_exact" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderstatus"), col("o_totalprice").cast("decimal(18,2)").as("p"))
         .groupBy("o_orderstatus")
-        .agg(sum("p").cast("decimal(18,2)").as("total_exact"),
+        .agg(sum("p").cast("decimal(18,2)").cast("string").as("total_exact"),
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
@@ -827,11 +839,13 @@ object OlapQueries {
       }
       val a = side("click").withColumnRenamed("cnt", "ca")
       val b = side("view").withColumnRenamed("cnt", "cb")
+      // coalesce: an empty join must report 0 pairs (as the oracle
+      // does), not a NULL global sum
       val ns = a.join(b, a("key") <=> b("key"))
-        .agg(sum(col("ca") * col("cb")).as("n_pairs"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("n_pairs"))
         .withColumn("join_type", lit("null_safe"))
       val eq = a.join(b, a("key") === b("key"))
-        .agg(sum(col("ca") * col("cb")).as("n_pairs"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("n_pairs"))
         .withColumn("join_type", lit("equals"))
       ns.unionByName(eq).select("join_type", "n_pairs").orderBy("join_type")
     }),
@@ -858,9 +872,16 @@ object OlapQueries {
     // the (uniform by construction) rank blocks — no single-partition
     // window anywhere, though the final answer is one row.
     "m_pareto" -> ((s, dir) => {
+      // The 80% threshold test runs in exact integer CENTS, not
+      // doubles: x is on a 0.01 lattice by construction, so
+      // round(x*100) is drift-free, integer prefix sums are exact in
+      // any accumulation order, and `cum*10 >= 8*total` cannot flip
+      // across engines the way a float `cum >= 0.8*total` boundary
+      // can (the two engines sum in different orders).
       val c = Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(round(sum("o_totalprice"), 2).as("x"))
+        .withColumn("xc", round(col("x") * 100, 0).cast("decimal(28,0)"))
         .localCheckpoint(false)
       val ranked = graft.ops.Rank.globalRank(c, "x", "o_custkey", blockWidth = 10000.0)
         .localCheckpoint(false)
@@ -868,15 +889,15 @@ object OlapQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wBlk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
       val t = ranked.withColumn("blk", expr("(rnk - 1) div 256"))
-      val offsets = t.groupBy("blk").agg(sum("x").as("bs"))
-        .withColumn("boff", coalesce(sum("bs").over(wBlk), lit(0.0)))
+      val offsets = t.groupBy("blk").agg(sum("xc").as("bs"))
+        .withColumn("boff", coalesce(sum("bs").over(wBlk), lit(0).cast("decimal(38,0)")))
         .select("blk", "boff")
-      val cum = t.withColumn("cin", sum("x").over(wIn))
+      val cum = t.withColumn("cin", sum("xc").over(wIn))
         .join(broadcast(offsets), "blk")
         .withColumn("cum", col("boff") + col("cin"))
-      val tot = c.agg(sum("x").as("total"), count(lit(1)).as("n_cust"))
+      val tot = c.agg(sum("xc").as("total"), count(lit(1)).as("n_cust"))
       graft.ops.Scalars.withScalar(cum, col("o_custkey"), tot, col("total"))
-        .filter(col("cum") >= lit(0.8) * col("total"))
+        .filter(col("cum") * 10 >= col("total") * 8)
         .agg(min("rnk").as("n_top_customers"),
           min("n_cust").as("n_cust"))
         .select(col("n_top_customers"),
@@ -1005,6 +1026,10 @@ object OlapQueries {
     // share filter is the decorrelated form of the textbook correlated
     // subquery.
     "q20_excess" -> ((s, dir) => {
+      // Unlike m_pareto/q11, this threshold needs no integer rewrite:
+      // l_quantity is integer-valued (1..50), so every sum here is
+      // exact in double regardless of accumulation order, and the
+      // `qty·n_supp > 2·total_qty` comparison is deterministic as-is.
       val ps = Tables.lineitem(s, dir)
         .groupBy("l_partkey", "l_suppkey")
         .agg(sum("l_quantity").as("qty"))
@@ -1554,14 +1579,17 @@ object OlapQueries {
         |LIMIT 100""".stripMargin,
 
     // correlated scalar-subquery form of the withScalar attachment
+    // threshold in exact integer 1e-4 units (see engine comment)
     "q11_concentration" ->
       """WITH pr AS (
-        |  SELECT l_partkey, sum(l_extendedprice*(1-l_discount)) AS value
+        |  SELECT l_partkey, sum(l_extendedprice*(1-l_discount)) AS value,
+        |    CAST(round(sum(l_extendedprice*(1-l_discount)) * 10000)
+        |         AS HUGEINT) AS vc
         |  FROM lineitem GROUP BY 1)
         |SELECT l_partkey, round(value, 2) AS part_value,
         |  round(value/(SELECT sum(value) FROM pr), 6) AS share
         |FROM pr
-        |WHERE value*(SELECT count(*) FROM pr) > 1.5*(SELECT sum(value) FROM pr)
+        |WHERE 2*vc*(SELECT count(*) FROM pr) > 3*(SELECT sum(vc) FROM pr)
         |ORDER BY l_partkey""".stripMargin,
 
     "q_unpivot" ->
@@ -1599,11 +1627,12 @@ object OlapQueries {
         |  CAST(sum(len) AS BIGINT) AS n_active_days
         |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    // no rounding anywhere: decimal sums are exact in both engines
+    // no rounding anywhere: decimal sums are exact in both engines;
+    // emitted as VARCHAR so the hash comparison is dtype-neutral
     "q_decimal_exact" ->
       """SELECT o_orderstatus,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-        |    AS total_exact,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |       AS VARCHAR) AS total_exact,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -1641,18 +1670,22 @@ object OlapQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // single-window textbook form of the engine's two-level rank+cumsum
+    // threshold test in exact integer cents (see engine comment): the
+    // float `cum >= 0.8*total` boundary is accumulation-order-
+    // sensitive; `cum*10 >= 8*total` over BIGINT cents is not
     "m_pareto" ->
       """WITH c AS (
-        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS x
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS x,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT) AS xc
         |  FROM orders GROUP BY 1),
         |r AS (SELECT x,
         |        row_number() OVER (ORDER BY x DESC, o_custkey) AS rnk,
-        |        sum(x) OVER (ORDER BY x DESC, o_custkey
+        |        sum(xc) OVER (ORDER BY x DESC, o_custkey
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM c)
         |SELECT CAST(min(rnk) AS BIGINT) AS n_top_customers,
         |  round(min(rnk) * 1.0 / (SELECT count(*) FROM c), 6) AS share_of_customers
-        |FROM r WHERE cum >= 0.8 * (SELECT sum(x) FROM c)""".stripMargin,
+        |FROM r WHERE cum * 10 >= 8 * (SELECT sum(xc) FROM c)""".stripMargin,
 
     "q_grouping_id" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

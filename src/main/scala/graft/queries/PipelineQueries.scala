@@ -39,7 +39,11 @@ object PipelineQueries {
     "dedup_minhash_calib" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val sig = Dedup.minhashSignatures(docs, n = 3, k = 128).localCheckpoint(false)
-      val cands = Dedup.lshCandidates(docs, n = 3, k = 128, bands = 16)
+      // rawBandKey: the calibration output IS the candidate set, so
+      // bucket on raw band strings (matching the oracle) — a band-hash
+      // collision would surface as a row mismatch here, with no
+      // downstream jaccard filter to absorb it
+      val cands = Dedup.lshCandidates(docs, n = 3, k = 128, bands = 16, rawBandKey = true)
         .localCheckpoint(false)
       val sets = Dedup.shingleSets(docs, 3)
       val est = expr(
@@ -738,7 +742,7 @@ object PipelineQueries {
         |         round(vc/(sqrt(vv)*sqrt(cc)), 4) AS cos FROM sums),
         |r AS (SELECT label, vec_id, cos,
         |        CAST(row_number() OVER (PARTITION BY label
-        |          ORDER BY cos ASC, vec_id) AS BIGINT) AS rnk
+        |          ORDER BY cos ASC NULLS LAST, vec_id) AS BIGINT) AS rnk
         |      FROM sc)
         |SELECT label, vec_id, cos, rnk FROM r WHERE rnk <= 3
         |ORDER BY label, rnk""".stripMargin,

@@ -57,6 +57,50 @@ class GraphRankSpec extends AnyFunSuite {
     assert(got.length == docs.count())
   }
 
+  test("globalRank + byRange match row_number on adversarial distributions") {
+    import org.apache.spark.sql.expressions.Window
+    // three shapes a fixed-width blocker hates: all-equal (one block),
+    // 2-value 99/1 skew, and hash-like values spanning the long range
+    val n = 2000
+    val shapes = Map(
+      "all_equal" -> Seq.tabulate(n)(i => (i.toLong, 7L)),
+      "two_value_skew" -> Seq.tabulate(n)(i => (i.toLong, if (i % 100 == 0) 1L else 0L)),
+      "full_range_hash" -> Seq.tabulate(n)(i =>
+        (i.toLong, i.toLong * 0x9E3779B97F4A7C15L))) // spreads over ±2^63
+    for ((label, data) <- shapes) {
+      val df = data.toDF("id", "v").repartition(8)
+      val expected = df.withColumn("rnk", row_number().over(
+          Window.orderBy(col("v").desc, col("id").asc)).cast("bigint"))
+        .select("id", "rnk")
+      for ((name, got) <- Seq(
+          "fixed" -> Rank.globalRank(df, "v", "id", blockWidth = 10000.0),
+          "range" -> Rank.globalRankByRange(df, "v", "id", numBlocks = 8))) {
+        val g = got.select("id", "rnk")
+        assert(g.exceptAll(expected).isEmpty && expected.exceptAll(g).isEmpty,
+          s"$name/$label diverges from the row_number reference")
+      }
+    }
+  }
+
+  test("globalRankByRange keeps blocks balanced where fixed width cannot") {
+    // the all-equal edge: fixed-width puts ALL n rows in one block (a
+    // single-task sort at scale — the documented globalRank caveat);
+    // sampled range bounds split on the tie column and stay ~n/blocks
+    val n = 4000
+    val df = Seq.tabulate(n)(i => (i.toLong, 7L)).toDF("id", "v").repartition(8)
+    val blocks = 8
+    val sizes = df.repartitionByRange(blocks, col("v").desc, col("id").asc)
+      .groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(sizes.max <= 2L * n / blocks,
+      s"range blocks unbalanced on all-equal values: ${sizes.toSeq}")
+    // and the fixed-width blocker really does degenerate here — the
+    // contrast that motivates the variant
+    val fixedBlocks = df.select(floor(col("v") / lit(64.0)).cast("long").as("b"))
+      .distinct().count()
+    assert(fixedBlocks == 1)
+  }
+
   test("bottom-k hash sample is mergeable: bottom-k(A ∪ B) == bottom-k(bk(A) ∪ bk(B))") {
     graft.functions.GraftHash64.register(spark)
     val k = 20

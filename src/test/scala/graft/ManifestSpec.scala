@@ -208,4 +208,42 @@ class ManifestSpec extends AnyFunSuite {
       "/tmp/graft_sink_test", format = "json")
     assert(out.records == 7 && out.path.contains("/tmp/graft_sink_test"))
   }
+
+  test("Ingest CLI: argv parsing mirrors the reference's argparse contract") {
+    // happy path with every flag
+    val c = Ingest.parseArgs(Seq("--manifest", "/m.json", "--out", "/sink",
+      "--platform", "snowflake", "--env", "DEV", "--glossary-root", "kpis",
+      "--format", "json", "--unordered")).toOption.get
+    assert(c.platform == "snowflake" && c.env == "DEV" &&
+      c.glossaryRoot == "kpis" && c.format == "json" && !c.ordered && !c.dryRun)
+    // defaults match the reference's (platform=dbt, env=PROD, root=dbt_metrics)
+    val d = Ingest.parseArgs(Seq("--manifest", "/m.json", "--dry-run")).toOption.get
+    assert(d.platform == "dbt" && d.env == "PROD" &&
+      d.glossaryRoot == "dbt_metrics" && d.ordered && d.dryRun)
+    // error paths fail fast with a message, not a half-configured run
+    assert(Ingest.parseArgs(Seq("--out", "/sink")).left.exists(_.contains("--manifest")))
+    assert(Ingest.parseArgs(Seq("--manifest", "/m.json")).left.exists(_.contains("--out")))
+    assert(Ingest.parseArgs(Seq("--manifest", "/m.json", "--dry-run",
+      "--format", "csv")).left.exists(_.contains("csv")))
+    assert(Ingest.parseArgs(Seq("--manifest", "/m.json", "--bogus"))
+      .left.exists(_.contains("--bogus")))
+  }
+
+  test("Ingest CLI end-to-end: dry-run counts, then ordered emit directories") {
+    // write the fixture manifest to a real file — the CLI path reads disk
+    val mf = java.nio.file.Files.createTempFile("graft_manifest", ".json")
+    java.nio.file.Files.write(mf,
+      Manifest.fixtureJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dry = Ingest.run(spark, Ingest.Config(manifest = mf.toString, dryRun = true))
+    assert(dry.metrics == 3 && dry.records == 7 && dry.outPath.isEmpty)
+    val sink = "/tmp/graft_ingest_cli_test"
+    val real = Ingest.run(spark,
+      Ingest.Config(manifest = mf.toString, out = sink))
+    assert(real.records == 7 && real.outPath.contains(sink))
+    // parents-first replay contract: root node dir, category dir, term dir
+    val dirs = new java.io.File(sink).listFiles().map(_.getName).toSet
+    assert(Set("emit_order=0", "emit_order=1", "emit_order=2").subsetOf(dirs),
+      s"expected ordered partitions, got $dirs")
+    java.nio.file.Files.delete(mf)
+  }
 }

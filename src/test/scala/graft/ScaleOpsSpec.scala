@@ -232,6 +232,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       105L -> null)) // key with no states at all
   }
 
+  test("q_decimal_exact: emitted string renders an EXACT decimal sum") {
+    // The oracled query emits total_exact as a canonical string (the
+    // cross-engine hash is dtype-neutral that way); the exact-decimal
+    // property itself is pinned HERE: the string must parse back to
+    // precisely the BigDecimal sum of the per-row 2-dp prices — no
+    // float drift anywhere on the audit path.
+    val got = SparkEntry.queries("q_decimal_exact")(spark, sf)
+      .collect().map(r => r.getString(0) -> BigDecimal(r.getString(1))).toMap
+    val exp = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        k -> rows.map(r => BigDecimal(r.getDecimal(1))).sum.setScale(2) }
+    assert(got == exp, s"decimal sums drifted: $got vs $exp")
+    assert(got.values.forall(_.scale == 2))
+  }
+
   test("typed batch decode is deterministic and fully typed") {
     val out = Multimodal.decodeBatch(Tables.documents(spark, sf))
     val rows = out.collect()
