@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Shingles].getName, "word_shingles"),
       (args: Seq[Expression]) => GraftExtensions.buildShingles(args)))
     ext.injectFunction((
+      FunctionIdentifier("word_shingles_seq"),
+      new ExpressionInfo(classOf[Shingles].getName, "word_shingles_seq"),
+      (args: Seq[Expression]) => GraftExtensions.buildShinglesSeq(args)))
+    ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => GraftExtensions.buildDotProduct(args)))
@@ -68,6 +72,11 @@ object GraftExtensions {
   private[functions] def buildShingles(args: Seq[Expression]): Expression = {
     require(args.length == 2, "word_shingles(str, n) takes 2 arguments")
     Shingles(args.head, intLiteral(args(1), "n"))
+  }
+
+  private[functions] def buildShinglesSeq(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "word_shingles_seq(str, n) takes 2 arguments")
+    Shingles(args.head, intLiteral(args(1), "n"), distinct = false)
   }
 
   private[functions] def buildDotProduct(args: Seq[Expression]): Expression = {

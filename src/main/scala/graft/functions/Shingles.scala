@@ -41,7 +41,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    otherwise-branch of the declarative form), so the expression is
   *    never null.
   */
-final case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+final case class Shingles(child: Expression, n: Int,
+                          distinct: Boolean = true) extends UnaryExpression {
 
   require(n >= 1, "shingle width n must be >= 1")
 
@@ -58,7 +59,7 @@ final case class Shingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
-    Shingles.compute(child.eval(input).asInstanceOf[UTF8String], n)
+    Shingles.compute(child.eval(input).asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -66,7 +67,7 @@ final case class Shingles(child: Expression, n: Int) extends UnaryExpression {
       code = code"""
         ${c.code}
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-          graft.functions.Shingles.compute(${c.isNull} ? null : ${c.value}, $n);
+          graft.functions.Shingles.compute(${c.isNull} ? null : ${c.value}, $n, $distinct);
         """,
       isNull = FalseLiteral)
   }
@@ -79,8 +80,11 @@ object Shingles {
   private def isTokenByte(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
 
-  /** One-pass shingling; shared by interpreted and generated paths. */
-  def compute(s: UTF8String, n: Int): ArrayData = {
+  /** One-pass shingling; shared by interpreted and generated paths.
+    * `distinct=false` keeps every shingle in sequence order, so the
+    * array INDEX of an element is its 0-based token offset — the form
+    * span-level work (posexplode) needs. */
+  def compute(s: UTF8String, n: Int, distinct: Boolean = true): ArrayData = {
     if (s == null) return Empty
     val bytes = s.toLowerCase.getBytes
     val len = bytes.length
@@ -119,23 +123,29 @@ object Shingles {
         j += 1
       }
       val sh = UTF8String.fromBytes(buf)
-      if (seen.add(sh)) out.add(sh)
+      if (!distinct || seen.add(sh)) out.add(sh)
       g += 1
     }
     new GenericArrayData(out.toArray)
   }
 
-  /** Register `word_shingles(str, n)` as a SQL function on the session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles",
-      { args =>
-        require(args.length == 2, "word_shingles(str, n) takes 2 arguments")
-        val n = args(1) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
-        }
-        Shingles(args.head, n)
-      },
-      "scala_udf")
+  /** Register `word_shingles(str, n)` (distinct, first-occurrence
+    * order) and `word_shingles_seq(str, n)` (every shingle, sequence
+    * order — index = token offset) as SQL functions on the session. */
+  def register(spark: SparkSession): Unit = {
+    def builder(name: String, distinct: Boolean): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        { args =>
+          require(args.length == 2, s"$name(str, n) takes 2 arguments")
+          val n = args(1) match {
+            case Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(s"n must be an int literal, got $other")
+          }
+          Shingles(args.head, n, distinct)
+        },
+        "scala_udf")
+    builder("word_shingles", distinct = true)
+    builder("word_shingles_seq", distinct = false)
+  }
 }

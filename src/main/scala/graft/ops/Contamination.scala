@@ -40,4 +40,48 @@ object Contamination {
         round(col("w.cont"), 4).as("containment"),
         (col("w.cont") >= threshold).cast("bigint").as("contaminated"))
   }
+
+  /** Span-level escalation of [[check]]: for each CONTAMINATED doc,
+    * the longest contiguous run of token positions whose shingles the
+    * worst benchmark doc shares — the span a decontamination pipeline
+    * actually cuts, as inclusive 0-based token offsets
+    * [start_tok, end_tok].
+    *
+    * The expensive positional shingling (`word_shingles_seq`, ordered
+    * with duplicates so posexplode's index IS the token offset) runs
+    * ONLY on the contaminated hit set — the flagged docs join first,
+    * so span work is bounded by hits, never corpus size. Runs are
+    * found with the gaps-and-islands trick on the matched positions
+    * (pos − row_number is constant within a consecutive run), all
+    * partitioned by doc. Ties on run length break to the earliest
+    * span. */
+  def spans(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+            threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Shingles.register(corpus.sparkSession)
+    val hits = check(corpus, benchmark, n, threshold)
+      .filter(col("contaminated") === 1)
+      .select(col("doc_id"), col("bench_id"), col("containment"))
+    val cpos = corpus.join(broadcast(hits), "doc_id")
+      .select(col("doc_id"), col("bench_id"), col("containment"),
+        posexplode(call_function("word_shingles_seq", col("text"), lit(n)))
+          .as(Seq("pos", "s")))
+    val bp = Dedup.shingleSets(benchmark, n)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
+    val matched = cpos.join(broadcast(bp), Seq("bench_id", "s"))
+    val wPos = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = matched
+      .withColumn("grp", col("pos") - row_number().over(wPos))
+      .groupBy("doc_id", "bench_id", "containment", "grp")
+      .agg(min("pos").cast("bigint").as("start_tok"),
+        (max("pos") + lit(n - 1)).cast("bigint").as("end_tok"))
+    val wLen = Window.partitionBy("doc_id")
+      .orderBy((col("end_tok") - col("start_tok")).desc, col("start_tok").asc)
+    islands
+      .withColumn("rk", row_number().over(wLen))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("bench_id"), col("containment"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tokens"))
+  }
 }

@@ -170,6 +170,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // span-level escalation: the longest matched token run per
+    // contaminated doc — the offsets a decontamination pass cuts
+    "contamination_spans" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      // lower review threshold than check(): span reporting is the
+      // human-inspection pass, so partial matches are in scope too
+      graft.ops.Contamination.spans(
+        d.filter(col("doc_id") >= 25), d.filter(col("doc_id") < 25),
+        n = 3, threshold = 0.1)
+        .orderBy("doc_id")
+    }),
+
     // systematic PPS (probability-proportional-to-size) sample: a doc is
     // taken iff its [cum_before, cum_before + n_tokens) token interval
     // contains a multiple of the stride — inclusion probability ∝ token
@@ -240,6 +252,13 @@ object PipelineQueries {
 
     "stream_topk" -> ((s, dir) =>
       graft.streaming.EventStreams.windowTopK(s, dir)),
+
+    // same per-day HLL estimate, but the history arrives in TWO
+    // checkpoint-sharing AvailableNow passes (simulated new-day files);
+    // correctness of the merge IS the operator's contract, so the
+    // oracle is the same full-history replay as stream_distinct
+    "stream_hll_refresh" -> ((s, dir) =>
+      graft.streaming.EventStreams.distinctUsersIncremental(s, dir)),
 
     "stream_distinct" -> ((s, dir) =>
       graft.streaming.EventStreams.distinctUsers(s, dir)),
@@ -604,6 +623,33 @@ object PipelineQueries {
 
   import DuckHash.{sx, fnvHx, ghashSql, goldenU, pow2List}
 
+  // Full replay of the streaming HLL state + estimator at day grain
+  // (same portable hash, bucket/rho split, max-rho merge and float
+  // finish as the batch m_sketch_distinct oracle). stream_distinct and
+  // stream_hll_refresh share it verbatim: the incremental two-pass
+  // refresh must converge to exactly the one-pass estimate.
+  private lazy val hllDayReplaySql =
+    s"""WITH o AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+       |            CAST(user_id AS VARCHAR) AS s FROM events),
+       |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+       |       FROM (SELECT DISTINCT s FROM o)),
+       |h AS (SELECT s, ${ghashSql(fnvHx, "0")} AS hu FROM tb),
+       |br AS (SELECT s, hu // 4503599627370496 AS bucket,
+       |              (hu % 4503599627370496) * 4096 AS w FROM h),
+       |rr AS (SELECT s, bucket, ${DuckHash.rhoChainSql} AS rho FROM br),
+       |mb AS (SELECT o.period, rr.bucket, max(rr.rho) AS rho
+       |       FROM o JOIN rr USING (s) GROUP BY 1, 2),
+       |ag AS (SELECT period, count(*) AS nz, sum(power(0.5, rho)) AS sp
+       |       FROM mb GROUP BY 1),
+       |fin AS (SELECT period,
+       |          0.7213/(1 + 1.079/4096) * 4096 * 4096 / (sp + (4096 - nz)) AS raw,
+       |          4096 - nz AS zeros
+       |        FROM ag)
+       |SELECT period,
+       |  CAST(round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+       |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT) AS est_users
+       |FROM fin ORDER BY period""".stripMargin
+
   // Shared minhash replay prelude (shingles → portable double hash →
   // 128 permutation minima → 16-band buckets → candidate pairs);
   // dedup_minhash and dedup_minhash_calib both build on it.
@@ -784,28 +830,12 @@ object PipelineQueries {
 
     // full replay of the streaming HLL state + estimator at day grain
     // (same portable hash, bucket/rho split, max-rho merge and float
-    // finish as the batch m_sketch_distinct oracle)
-    "stream_distinct" ->
-      s"""WITH o AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
-         |            CAST(user_id AS VARCHAR) AS s FROM events),
-         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
-         |       FROM (SELECT DISTINCT s FROM o)),
-         |h AS (SELECT s, ${ghashSql(fnvHx, "0")} AS hu FROM tb),
-         |br AS (SELECT s, hu // 4503599627370496 AS bucket,
-         |              (hu % 4503599627370496) * 4096 AS w FROM h),
-         |rr AS (SELECT s, bucket, ${DuckHash.rhoChainSql} AS rho FROM br),
-         |mb AS (SELECT o.period, rr.bucket, max(rr.rho) AS rho
-         |       FROM o JOIN rr USING (s) GROUP BY 1, 2),
-         |ag AS (SELECT period, count(*) AS nz, sum(power(0.5, rho)) AS sp
-         |       FROM mb GROUP BY 1),
-         |fin AS (SELECT period,
-         |          0.7213/(1 + 1.079/4096) * 4096 * 4096 / (sp + (4096 - nz)) AS raw,
-         |          4096 - nz AS zeros
-         |        FROM ag)
-         |SELECT period,
-         |  CAST(round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
-         |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT) AS est_users
-         |FROM fin ORDER BY period""".stripMargin,
+    // finish as the batch m_sketch_distinct oracle); the incremental
+    // two-pass refresh must converge to the same estimate, so it
+    // shares the replay verbatim
+    "stream_hll_refresh" -> hllDayReplaySql,
+
+    "stream_distinct" -> hllDayReplaySql,
 
     "skew_report" ->
       """WITH kc AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
@@ -1239,6 +1269,48 @@ object PipelineQueries {
          |SELECT doc_id, bench_id, round(cont, 4) AS containment,
          |  CAST(cont >= 0.5 AS BIGINT) AS contaminated
          |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // span re-derivation over the same shingle prelude: positional
+    // (non-distinct) shingles via a struct-list unnest, matched
+    // positions against the winning bench doc's shingle set, islands
+    // by pos − row_number, longest island (ties → earliest) per doc
+    "contamination_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |d AS (SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM t),
+         |cp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d WHERE doc_id >= 25),
+         |bp AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE doc_id < 25),
+         |shared AS (
+         |  SELECT cp.doc_id, bp.bench_id, any_value(cp.n_sh) AS n_sh, count(*) AS shared
+         |  FROM cp JOIN bp USING (s) GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT doc_id, bench_id, shared*1.0/n_sh AS cont,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY shared*1.0/n_sh DESC, bench_id ASC) AS rk
+         |  FROM shared),
+         |win AS (SELECT doc_id, bench_id, round(cont, 4) AS containment
+         |        FROM ranked WHERE rk = 1 AND cont >= 0.1),
+         |pos AS (SELECT doc_id, unnest(
+         |    [{'pos': i - 1, 's': array_to_string(toks[i:i+2], ' ')}
+         |     for i in range(1, len(toks)-1)], recursive := true)
+         |  FROM t WHERE doc_id >= 25),
+         |m AS (SELECT p.doc_id, w.bench_id, w.containment, p.pos
+         |      FROM pos p JOIN win w USING (doc_id)
+         |      JOIN bp b ON b.bench_id = w.bench_id AND b.s = p.s),
+         |isl AS (SELECT doc_id, bench_id, containment, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM m),
+         |agg AS (SELECT doc_id, bench_id, containment, grp,
+         |          CAST(min(pos) AS BIGINT) AS start_tok,
+         |          CAST(max(pos) + 2 AS BIGINT) AS end_tok
+         |        FROM isl GROUP BY 1, 2, 3, 4),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY end_tok - start_tok DESC, start_tok ASC) AS rk
+         |         FROM agg)
+         |SELECT doc_id, bench_id, containment, start_tok, end_tok,
+         |  end_tok - start_tok + 1 AS span_tokens
+         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     // independent re-derivation of the winnowing fingerprint: the
     // polynomial rolling hash is mod 2^64 over UTF-8 bytes, emulated

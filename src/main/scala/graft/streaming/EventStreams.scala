@@ -109,6 +109,74 @@ object EventStreams {
       .orderBy("period")
   }
 
+  /** One AvailableNow refresh pass of the per-day HLL state stream
+    * over `stageDir`: an UPDATE-mode windowed max-rho aggregation whose
+    * changed rows land (via foreachBatch) as parquet DELTAS in
+    * `deltaDir`. The checkpoint's file-source log guarantees a later
+    * pass reads ONLY files that arrived since the last one — history
+    * is never re-read — and the state store carries the per-(day,
+    * bucket) maxima across passes. Because max-rho state is mergeable,
+    * even a window evicted by the watermark and re-opened by late data
+    * only appends another delta that the max-merge absorbs; no delta
+    * ordering or dedup is ever needed. */
+  def hllRefreshPass(spark: SparkSession, stageDir: String,
+                     ckptDir: String, deltaDir: String): Unit = {
+    val (b, r) = graft.ops.HllSketch.bucketRho(spark, col("user_id"))
+    val agg = spark.readStream
+      .schema(eventsSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(stageDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 day")
+      .select(col("ts"), b, r)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("bucket"))
+      .agg(max("rho").as("rho"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("w.start").as("period"), col("bucket"), col("rho"))
+          .write.mode("append").parquet(deltaDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Merge all appended state deltas and finish the HLL estimate —
+    * the batch tail shared by every refresh cadence. */
+  def hllRefreshEstimate(spark: SparkSession, deltaDir: String): DataFrame =
+    graft.ops.HllSketch.estimate(
+        spark.read.parquet(deltaDir).groupBy("period", "bucket")
+          .agg(max("rho").as("rho")),
+        Seq("period"))
+      .withColumnRenamed("est", "est_users")
+      .orderBy("period")
+
+  /** Incremental streaming distinct-users refresh — the streaming
+    * analog of m_incremental: the event history arrives in TWO
+    * AvailableNow passes (days before the calendar midpoint, then the
+    * rest, simulating a new day's files landing), sharing one
+    * checkpoint. Pass 2 reads only the new files; the merged estimate
+    * is provably identical to the one-pass [[distinctUsers]] because
+    * the (day, bucket) → max(rho) state is mergeable by construction
+    * (StreamingSpec pins the two-pass == one-pass property). */
+  def distinctUsersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_hll_refresh")
+    val (stage, ckpt, delta) =
+      (s"$base/stage", s"$base/ckpt", s"$base/delta")
+    val raw = spark.read.schema(eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+    val bounds = raw.agg(min("ts").as("lo"), max("ts").as("hi")).head()
+    val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+    raw.filter(col("ts") < mid).write.parquet(s"$stage/day1")
+    hllRefreshPass(spark, stage, ckpt, delta)
+    raw.filter(col("ts") >= mid).write.parquet(s"$stage/day2")
+    hllRefreshPass(spark, stage, ckpt, delta)
+    hllRefreshEstimate(spark, delta)
+  }
+
   def windowTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val stream = dailyTypeGroups(spark, sfDir)
       .agg(count(lit(1)).as("n_events"))

@@ -139,6 +139,40 @@ class TextSpec extends AnyFunSuite {
     assert(hit.getAs[Double]("containment") == 0.6667)
   }
 
+  test("contamination spans: longest matched token run, exact offsets") {
+    graft.functions.Shingles.register(spark)
+    // word_shingles_seq keeps duplicates in sequence order (index =
+    // token offset) where word_shingles dedups
+    val seqSh = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+      .select(call_function("word_shingles_seq", col("text"), lit(3)).as("sh"))
+      .head().getAs[scala.collection.Seq[String]]("sh")
+    assert(seqSh.toSeq ==
+      Seq("a b c", "b c d", "c d a", "d a b", "a b c", "b c d"))
+
+    val bench = Seq((1L, "the secret benchmark answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // tokens 0..1 filler, 2..9 the benchmark item, 10 trailer:
+      // matched shingle positions 2..7 → span tokens [2, 9], len 8
+      (100L, "filler then the secret benchmark answer is forty two exactly end"),
+      // TWO separated matches: "the secret benchmark answer" at tokens
+      // 1..4 (shingle positions 1-2) and again at 8..11 (positions
+      // 8-9) with a longer tail "is forty two" extending the second
+      // run (positions 8..10) → longest island must be the SECOND
+      (101L, "x the secret benchmark answer y z q the secret benchmark answer is forty two"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Contamination.spans(corpus, bench, n = 3, threshold = 0.1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(100L).getAs[Long]("start_tok") == 2L)
+    assert(out(100L).getAs[Long]("end_tok") == 9L)
+    assert(out(100L).getAs[Long]("span_tokens") == 8L)
+    // doc 101: islands at positions {1,2} and {8,9,10,11,12}; longest
+    // is the second → tokens [8, 14]
+    assert(out(101L).getAs[Long]("start_tok") == 8L)
+    assert(out(101L).getAs[Long]("end_tok") == 14L)
+    assert(out(101L).getAs[Long]("span_tokens") == 7L)
+  }
+
   test("multimodal: frame sampling covers every stride-th bounded chunk") {
     val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
     val frames = Multimodal.frameSample(docs, frameSize = 64, stride = 4).collect()
