@@ -120,6 +120,43 @@ object PipelineQueries {
         .orderBy("probe_id")
     }),
 
+    // matryoshka audit: does a 16-dim PREFIX of the 64-dim embedding
+    // preserve the full-dim top-5 neighbors? per-probe recall — the
+    // measurement before shrinking ANN index memory 4× by truncation
+    "emb_prefix_recall" -> ((s, dir) => {
+      val full = Tables.embeddings(s, dir)
+      val pre  = full.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val brute = Similarity.bruteForceTopK(full, col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val prefix = Similarity.bruteForceTopK(pre, col("vec_id") < 10, k = 5)
+        .select(col("probe_id").as("pp"), col("neighbor_id").as("pn"))
+      brute.join(prefix,
+          col("probe_id") === col("pp") && col("neighbor_id") === col("pn"),
+          "left_outer")
+        .groupBy("probe_id")
+        .agg(round(count(col("pn")) / 5.0, 4).as("recall"))
+        .orderBy("probe_id")
+    }),
+
+    // deterministic leakage-free train/val/test split: membership is a
+    // pure function of the portable doc-id hash (top-12-bit bucket,
+    // ~80/10/10), so re-runs and late-arriving shards land each doc in
+    // the SAME split with no coordination — plus the per-split profile
+    "corpus_split" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val h = call_function("graft_hash64", col("doc_id").cast("string"), lit(7L))
+      Tables.documents(s, dir)
+        .withColumn("bucket", shiftrightunsigned(h, 52))
+        .withColumn("split",
+          when(col("bucket") < 3277, "train")
+            .when(col("bucket") < 3686, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          count_distinct(col("source")).as("n_sources"))
+        .orderBy("split")
+    }),
+
     // deterministic stratified sample: the k smallest doc_ids per
     // language, via the shared two-phase top-k (see graft.ops.TopK for
     // the hot-partition rationale and the superset invariant)
@@ -1134,6 +1171,53 @@ object PipelineQueries {
          |  ON b.probe_id = l.probe_id AND b.neighbor_id = l.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // same brute-force replay twice: full 64-dim vs the 16-element
+    // prefix (norms over the prefix only), then per-probe overlap
+    "emb_prefix_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT probe_id, e.vec_id,
+        |    list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))
+        |      / (sqrt(list_sum(list_transform(pv, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+        |  FROM e, p WHERE e.vec_id <> probe_id),
+        |brute AS (SELECT probe_id, vec_id AS neighbor_id FROM (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM s) WHERE rank <= 5),
+        |sp AS (
+        |  SELECT probe_id, e.vec_id,
+        |    list_sum(list_transform(range(1,17), i -> pv[i]*e.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1,17), i -> pv[i]*pv[i])))
+        |         * sqrt(list_sum(list_transform(range(1,17), i -> e.v[i]*e.v[i])))) AS cos
+        |  FROM e, p WHERE e.vec_id <> probe_id),
+        |pref AS (SELECT probe_id, vec_id AS neighbor_id FROM (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM sp) WHERE rank <= 5)
+        |SELECT b.probe_id, round(count(q.neighbor_id) / 5.0, 4) AS recall
+        |FROM brute b LEFT JOIN pref q
+        |  ON b.probe_id = q.probe_id AND b.neighbor_id = q.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // portable-hash split replay: same FNV/xor-fold prelude as the HLL
+    // oracles, top-12-bit bucket, identical CASE thresholds
+    "corpus_split" ->
+      s"""WITH tb AS (SELECT doc_id, source, n_chars,
+         |    hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
+         |    octet_length(encode(CAST(doc_id AS VARCHAR))) AS n
+         |  FROM documents),
+         |h AS (SELECT doc_id, source, n_chars, ${ghashSql(fnvHx, "7")} AS hu FROM tb),
+         |sp AS (SELECT CASE WHEN hu // 4503599627370496 < 3277 THEN 'train'
+         |                   WHEN hu // 4503599627370496 < 3686 THEN 'val'
+         |                   ELSE 'test' END AS split, n_chars, source
+         |       FROM h)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // independent IVF re-derivation: same multiplicative-hash seed
     // order, seeded argmax assignment (ties -> higher cell, matching

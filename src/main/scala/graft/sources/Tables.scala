@@ -54,6 +54,15 @@ object Sessions {
     // AQE re-plans at runtime: coalesces tiny shuffle partitions locally,
     // splits skewed ones on a real cluster
     "spark.sql.adaptive.enabled"           -> "true",
+    // Streaming checkpoints here are EPHEMERAL replay scratch (temp
+    // dirs, deleted on exit): the Spark 4 checksum layer — which
+    // exists to catch silent corruption on long-lived remote
+    // checkpoint storage — doubles the file count and fsyncs of every
+    // state commit, and profiled as ~2.3× of streaming wall time at
+    // sf0.1 (Profile "streams": range join 24.3 s → 10.7 s from this
+    // conf alone). A durable production checkpoint on object storage
+    // should keep it enabled.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
     // managed-table location for the bucketed-join path ([[Bucketed]]);
     // set at build time because the catalog pins it at first use
     "spark.sql.warehouse.dir"              -> "/tmp/graft_warehouse",

@@ -37,6 +37,31 @@ object EventStreams {
     * not accumulate unbounded windows. */
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Number of STATE partitions for the streaming family's stateful
+    * operators. State partitioning is pinned at a query's first batch
+    * from `spark.sql.shuffle.partitions`, and every batch commits one
+    * delta file PER state store PER partition (a stream-stream join
+    * keeps four stores per partition) — so the right width follows
+    * STATE VOLUME, not batch shuffle width. The events state here is
+    * tens of thousands of rows; 32-wide state quadruples the commit
+    * fan-out for nothing (Profile "streams" at sf0.1: range join
+    * 10.7 s → 4.2 s from this sizing). A 100 TB deployment with
+    * billions of state rows raises it, independently of the batch
+    * width. */
+  val StateParts = 8
+
+  /** Runs `body` (which must start AND drain its streaming query —
+    * all entry points here are synchronous AvailableNow runs) with
+    * shuffle partitions scoped to [[StateParts]]; the session's batch
+    * width is restored after. Safe because the surrounding Verify /
+    * Bench / spec harnesses execute queries sequentially. */
+  private def withStateParts[T](spark: SparkSession)(body: => T): T = {
+    val key  = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StateParts)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Shared stream head: the events file source (glob-filtered to the
     * one parquet), micros timestamp, 1-day watermark. */
   private def watermarkedEvents(spark: SparkSession, sfDir: String): DataFrame =
@@ -59,13 +84,15 @@ object EventStreams {
   private def runToMemorySink(spark: SparkSession, agg: DataFrame,
                               tag: String): DataFrame = {
     val sink = s"graft_stream_${tag}_${runId.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
   }
 
@@ -122,8 +149,13 @@ object EventStreams {
   def hllRefreshPass(spark: SparkSession, stageDir: String,
                      ckptDir: String, deltaDir: String): Unit = {
     val (b, r) = graft.ops.HllSketch.bucketRho(spark, col("user_id"))
+    // narrow schema: the sketch only needs (ts, user_id); staged files
+    // written by distinctUsersIncremental carry exactly these, and a
+    // full-width events stage projects down to them at the scan
+    val stageSchema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType)))
     val agg = spark.readStream
-      .schema(eventsSchema)
+      .schema(stageSchema)
       .option("recursiveFileLookup", "true")
       .parquet(stageDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -131,17 +163,19 @@ object EventStreams {
       .select(col("ts"), b, r)
       .groupBy(window(col("ts"), "1 day").as("w"), col("bucket"))
       .agg(max("rho").as("rho"))
-    val q = agg.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col("w.start").as("period"), col("bucket"), col("rho"))
-          .write.mode("append").parquet(deltaDir)
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col("w.start").as("period"), col("bucket"), col("rho"))
+            .write.mode("append").parquet(deltaDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Merge all appended state deltas and finish the HLL estimate —
@@ -168,6 +202,8 @@ object EventStreams {
       (s"$base/stage", s"$base/ckpt", s"$base/delta")
     val raw = spark.read.schema(eventsSchema)
       .parquet(s"$sfDir/events.parquet")
+      .select("ts", "user_id") // all the sketch needs — stage stays narrow
+      .localCheckpoint(false)  // one source scan feeds bounds + both stages
     val bounds = raw.agg(min("ts").as("lo"), max("ts").as("hi")).head()
     val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
     raw.filter(col("ts") < mid).write.parquet(s"$stage/day1")
@@ -216,14 +252,16 @@ object EventStreams {
 
     val out = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
     out.toFile.deleteOnExit()
-    val q = doubled.writeStream
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/chk")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) {
+      val q = doubled.writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(s"$out/data")
       .groupBy("event_type")
@@ -254,13 +292,15 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
 
     val sink = s"graft_stream_enrich_${runId.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.table(sink)
       .select(col("event_type"), col("has_orders"), col("n_events"),
@@ -305,14 +345,16 @@ object EventStreams {
 
     val out = java.nio.file.Files.createTempDirectory("graft_stream_rjoin_")
     out.toFile.deleteOnExit()
-    val q = joined.writeStream
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/chk")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) {
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(s"$out/data")
       .groupBy("signup_id")
@@ -378,14 +420,16 @@ object EventStreams {
     // sink files.
     val out = java.nio.file.Files.createTempDirectory("graft_stream_sessions_")
     out.toFile.deleteOnExit()
-    val q = stream.writeStream
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/chk")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) {
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     // session_id is assigned per user by start time after the fact (the
     // stateful operator emits sessions unordered across batches)

@@ -250,6 +250,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.values.forall(_.scale == 2))
   }
 
+  test("corpus_split partitions every doc deterministically, ~80/10/10") {
+    val run1 = SparkEntry.queries("corpus_split")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val run2 = SparkEntry.queries("corpus_split")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run1 == run2, "split must be stable across runs")
+    val total = Tables.documents(spark, sf).count()
+    assert(run1.values.sum == total, "splits must partition the corpus exactly")
+    // hash buckets are uniform enough that 80% ± 10pp holds even at
+    // the 500-doc fixture
+    assert(run1("train").toDouble / total > 0.70 &&
+      run1("train").toDouble / total < 0.90, s"train share off: $run1")
+  }
+
+  test("prefix recall is bounded by 1 and full-vs-full recall is exactly 1") {
+    val recalls = SparkEntry.queries("emb_prefix_recall")(spark, sf)
+      .collect().map(_.getAs[Double]("recall"))
+    assert(recalls.length == 10 && recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // the audit's fixed point: comparing the full embedding to itself
+    // must report perfect recall for every probe
+    val e = Tables.embeddings(spark, sf)
+    val a = Similarity.bruteForceTopK(e, col("vec_id") < 10, k = 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    val b = Similarity.bruteForceTopK(e, col("vec_id") < 10, k = 5)
+      .select(col("probe_id").as("pp"), col("neighbor_id").as("pn"))
+    val self = a.join(b, col("probe_id") === col("pp") &&
+        col("neighbor_id") === col("pn"), "left_outer")
+      .groupBy("probe_id").agg((count(col("pn")) / 5.0).as("recall"))
+      .collect().map(_.getAs[Double]("recall"))
+    assert(self.forall(_ == 1.0))
+  }
+
   test("typed batch decode is deterministic and fully typed") {
     val out = Multimodal.decodeBatch(Tables.documents(spark, sf))
     val rows = out.collect()
