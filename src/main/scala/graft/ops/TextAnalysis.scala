@@ -123,6 +123,24 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Unigram NLL quality score (perplexity proxy): per doc, the mean
+    * −ln p(token) under the corpus's OWN unigram distribution — high
+    * for gibberish (rare tokens), abnormally low for degenerate
+    * repetition (a doc made of the corpus's most common tokens).
+    * The vocab table is bounded by vocabulary, not corpus, so the
+    * per-token logprob attaches map-side via broadcast; the re-agg is
+    * ONE doc-keyed shuffle. */
+  def unigramNll(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), explode(toks).as("t"))
+    val f = tk.groupBy("t").agg(count(lit(1)).as("c")).localCheckpoint(false)
+    val tot = f.agg(sum("c").as("tot_toks")) // NOT "T": resolver is case-insensitive vs "t"
+    val nll = Scalars.withScalar(f, col("t"), tot, col("tot_toks"))
+      .withColumn("nll", -log(col("c").cast("double") / col("tot_toks")))
+    tk.join(broadcast(nll.select("t", "nll")), "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), round(avg("nll"), 4).as("avg_nll"))
+  }
+
   /** Winnowing fingerprint via the custom codegen expression
     * [[graft.functions.RollingHash]] (window = 16 bytes), plus an exact
     * full-text md5 for exact-dup grouping at fixed width (md5 rather

@@ -120,6 +120,16 @@ object PipelineQueries {
         .orderBy("probe_id")
     }),
 
+    // unigram NLL quality score (perplexity proxy): mean −ln p(token)
+    // under the corpus's own unigram distribution — the cheap quality
+    // filter that flags both gibberish (rare tokens ⇒ high NLL) and
+    // degenerate repetition (stop-token loops ⇒ abnormally low NLL).
+    // Plan: one token explode; the vocab table is tiny (bounded by
+    // vocabulary, not corpus) so the per-token logprob attaches
+    // map-side via broadcast; ONE doc-keyed shuffle for the re-agg.
+    "text_perplexity" -> ((s, dir) =>
+      TextAnalysis.unigramNll(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // matryoshka audit: does a 16-dim PREFIX of the 64-dim embedding
     // preserve the full-dim top-5 neighbors? per-probe recall — the
     // measurement before shrinking ANN index memory 4× by truncation
@@ -1171,6 +1181,15 @@ object PipelineQueries {
          |  ON b.probe_id = l.probe_id AND b.neighbor_id = l.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "text_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |f AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+         |s AS (SELECT tk.doc_id,
+         |        -ln(f.c * 1.0 / (SELECT sum(c) FROM f)) AS nll
+         |      FROM tk JOIN f USING (t))
+         |SELECT doc_id, count(*) AS n_toks, round(avg(nll), 4) AS avg_nll
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same brute-force replay twice: full 64-dim vs the 16-element
     // prefix (norms over the prefix only), then per-probe overlap

@@ -139,6 +139,25 @@ class TextSpec extends AnyFunSuite {
     assert(hit.getAs[Double]("containment") == 0.6667)
   }
 
+  test("unigram NLL separates rare-token docs from common-token loops") {
+    val docs = Seq(
+      (1L, "common common common common common common common common"),
+      (2L, "common common common common rare1 rare2 rare3 rare4"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.unigramNll(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_toks") == 8 && out(2L).getAs[Long]("n_toks") == 8)
+    // doc 1 is all corpus-dominant tokens -> low NLL; doc 2 mixes
+    // singletons -> strictly higher mean NLL
+    val (nll1, nll2) = (out(1L).getAs[Double]("avg_nll"), out(2L).getAs[Double]("avg_nll"))
+    assert(nll1 < nll2, s"$nll1 vs $nll2")
+    // exact check: p(common)=12/16, p(rare_i)=1/16
+    val ln = (x: Double) => math.log(x)
+    val exp1 = -ln(12.0 / 16)
+    val exp2 = (4 * -ln(12.0 / 16) + 4 * -ln(1.0 / 16)) / 8
+    assert(math.abs(nll1 - exp1) < 5e-4 && math.abs(nll2 - exp2) < 5e-4)
+  }
+
   test("contamination spans: longest matched token run, exact offsets") {
     graft.functions.Shingles.register(spark)
     // word_shingles_seq keeps duplicates in sequence order (index =
