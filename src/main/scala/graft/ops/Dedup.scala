@@ -185,6 +185,52 @@ object Dedup {
     bucketPairs(bandBuckets).distinct()
   }
 
+  /** Incremental near-dup check of a NEWLY-LANDED shard against the
+    * whole corpus: LSH candidates are restricted to pairs with a new
+    * side — the existing-corpus pair space is never rebuilt when a
+    * shard arrives, which is the production dedup cadence (in steady
+    * state the corpus signatures/bands are a precomputed table; here
+    * both come from the same single signature pass).
+    *
+    * `isNew` is a predicate over the doc_id column. Emits verified
+    * pairs as (new_id, match_id, jaccard, is_cross): new×old pairs
+    * always orient (new, old); new×new dedup inside the shard emits
+    * once with new_id < match_id. Plan shape: bands explode map-side,
+    * heavy buckets are df-capped by a co-partitioned (band, bh) count
+    * join (no collect), the band join probes new-side bands against
+    * all bands on the 8-byte band hash, and exact-Jaccard verification
+    * touches only candidate docs' shingle arrays. */
+  def minhashLshIncremental(docs: DataFrame, isNew: Column => Column,
+                            n: Int = 3, k: Int = 128, bands: Int = 16,
+                            threshold: Double = 0.8, bucketCap: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val sig = minhashSignatures(docs, n, k)
+    val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")))).as(Seq("band", "bh")))
+      .localCheckpoint(false)
+    val sizes = banded.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+    val ok = banded.join(sizes, Seq("band", "bh")).filter(col("bsz") <= bucketCap)
+    val newSide = ok.filter(isNew(col("doc_id")))
+      .select(col("band"), col("bh"), col("doc_id").as("new_id"))
+    val allSide = ok.select(col("band"), col("bh"), col("doc_id").as("match_id"),
+      isNew(col("doc_id")).as("match_new"))
+    val cands = newSide.join(allSide, Seq("band", "bh"))
+      .filter((!col("match_new") && col("new_id") =!= col("match_id")) ||
+        (col("match_new") && col("new_id") < col("match_id")))
+      .select("new_id", "match_id", "match_new").distinct()
+    val sets = shingleSets(docs, n)
+    val jac = size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+      size(array_union(col("sh1"), col("sh2")))
+    cands
+      .join(sets.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
+      .join(sets.select(col("doc_id").as("match_id"), col("sh").as("sh2")), "match_id")
+      .filter(jac >= threshold)
+      .select(col("new_id"), col("match_id"), round(jac, 4).as("jaccard"),
+        (!col("match_new")).cast("bigint").as("is_cross"))
+  }
+
   def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 128, bands: Int = 16,
                  threshold: Double = 0.8, bucketCap: Int = 1000): DataFrame = {
     val candidates = lshCandidates(docs, n, k, bands, bucketCap)

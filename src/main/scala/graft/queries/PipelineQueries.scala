@@ -61,6 +61,12 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     }),
 
+    // incremental shard-vs-corpus dedup: docs >= 400 play the newly
+    // landed shard; only pairs with a new side are ever candidates
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.minhashLshIncremental(Tables.documents(s, dir), _ >= 400)
+        .orderBy("new_id", "match_id")),
+
     // near-dup pairs are not transitive — collapse pair families to one
     // canonical keeper via iterative connected components
     "dedup_cluster" -> ((s, dir) => {
@@ -118,6 +124,22 @@ object PipelineQueries {
         .groupBy("probe_id")
         .agg(round(count(col("ln")) / 5.0, 4).as("recall"))
         .orderBy("probe_id")
+    }),
+
+    // corpus length deciles via the SAMPLED-boundary global rank
+    // (Rank.globalRankByRange — robust to any length distribution,
+    // incl. all-equal): the bucket profile an adaptive batching /
+    // packing step keys on
+    "text_len_deciles" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val ranked = graft.ops.Rank.globalRankByRange(d, "n_chars", "doc_id", numBlocks = 8)
+      val tot = d.agg(count(lit(1)).as("n_total"))
+      graft.ops.Scalars.withScalar(ranked, col("doc_id"), tot, col("n_total"))
+        .withColumn("decile", expr("((rnk - 1) * 10) div n_total"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("decile")
     }),
 
     // unigram NLL quality score (perplexity proxy): mean −ln p(token)
@@ -985,6 +1007,32 @@ object PipelineQueries {
          |JOIN ssz s2 ON es.id2 = s2.doc_id
          |ORDER BY es.id1, es.id2""".stripMargin,
 
+    // re-orients the shared candidate set to (new, match) pairs with a
+    // >= 400 side, then verifies like dedup_minhash; band-hash
+    // collisions are absorbed by the jaccard filter as there
+    "dedup_incremental" ->
+      s"""$minhashPrelude,
+         |inc AS (
+         |  -- one-new-side pairs orient (new, old); both-new pairs keep
+         |  -- cand's id1 < id2, which is the engine's new_id < match_id
+         |  SELECT CASE WHEN id1 >= 400 THEN id1 ELSE id2 END AS new_id,
+         |         CASE WHEN id1 >= 400 THEN id2 ELSE id1 END AS match_id
+         |  FROM cand WHERE id1 >= 400 OR id2 >= 400),
+         |ssz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.new_id, c.match_id, count(*) AS shared
+         |  FROM inc c JOIN sh a ON a.doc_id = c.new_id
+         |              JOIN sh b2 ON b2.doc_id = c.match_id AND b2.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT i.new_id, i.match_id,
+         |  round(i.shared*1.0/(s1.n + s2.n - i.shared), 4) AS jaccard,
+         |  CAST(i.match_id < 400 AS BIGINT) AS is_cross
+         |FROM inter i
+         |JOIN ssz s1 ON i.new_id = s1.doc_id
+         |JOIN ssz s2 ON i.match_id = s2.doc_id
+         |WHERE i.shared*1.0/(s1.n + s2.n - i.shared) >= 0.8
+         |ORDER BY i.new_id, i.match_id""".stripMargin,
+
     "dedup_minhash" ->
       s"""$minhashPrelude,
          |ssz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1181,6 +1229,14 @@ object PipelineQueries {
          |  ON b.probe_id = l.probe_id AND b.neighbor_id = l.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "text_len_deciles" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents)
+        |SELECT ((rnk - 1) * 10) // (SELECT count(*) FROM documents) AS decile,
+        |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_perplexity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS t FROM documents),

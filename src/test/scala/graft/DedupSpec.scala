@@ -100,6 +100,23 @@ class DedupSpec extends AnyFunSuite {
     viaAgg.keys.foreach(id => assert(viaAgg(id) == viaCols(id), s"doc $id"))
   }
 
+  test("incremental dedup equals the full-corpus pairs touching the new shard") {
+    val docs = Tables.documents(spark, sf)
+    val full = Dedup.minhashLsh(docs, 3, 128, 16, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reorient full pairs the way the incremental contract does
+    val expected = full.filter { case (a, b) => a >= 400 || b >= 400 }
+      .map { case (a, b) => if (a >= 400) (a, b) else if (b >= 400 && a >= 400) (a, b) else (b, a) }
+      .map { case (a, b) => if (a >= 400 && b >= 400) (math.min(a, b), math.max(a, b)) else (a, b) }
+    val inc = Dedup.minhashLshIncremental(docs, _ >= 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == expected, s"incremental diverged: ${inc.diff(expected)} / ${expected.diff(inc)}")
+    // cross flag: match_id < 400 exactly when the match is old corpus
+    val flags = Dedup.minhashLshIncremental(docs, _ >= 400)
+      .collect().map(r => (r.getLong(1), r.getAs[Long]("is_cross")))
+    assert(flags.forall { case (m, f) => (m < 400) == (f == 1L) })
+  }
+
   test("minhash LSH returns a verified subset with high recall of exact pairs") {
     val exact = Dedup.ngramJaccard(Tables.documents(spark, sf))
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
