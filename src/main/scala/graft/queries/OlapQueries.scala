@@ -295,6 +295,26 @@ object OlapQueries {
     // reads only its step's rows — then per-user min-aggregates chained
     // by co-shuffled equi-joins on user_id (never a window over raw
     // events). The final 3-row result crosses the 1-row step counts.
+    // top journey trigrams: each user's event stream in time order →
+    // global top-20 consecutive (a>b>c) transitions — the path-mining
+    // summary a funnel DESIGN starts from (events_funnel then measures
+    // a chosen path). ONE user-keyed shuffle for the sequence window;
+    // trigram concat is map-side, counts partial-agg, and the top-20
+    // plans as TakeOrderedAndProject (per-partition top-k, no global
+    // sort).
+    "events_path_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("b", lead("event_type", 1).over(w))
+        .withColumn("c", lead("event_type", 2).over(w))
+        .filter(col("c").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("b"), col("c")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    }),
+
     "events_funnel" -> ((s, dir) => {
       val winUs = 24L * 3600 * 1000000L
       val e = Tables.events(s, dir)
@@ -464,6 +484,48 @@ object OlapQueries {
         .filter(col("ets") >= col("sts") && col("ets") < col("sts") + hourUs)
         .groupBy("signup_id").agg(count(lit(1)).as("n_errors"))
         .orderBy("signup_id")
+    }),
+
+    // Linear multi-touch attribution: every touch in a purchase's
+    // 7-day lookback gets an equal value/n_touches share (the
+    // fractional-credit counterpart of events_attribution's last-touch
+    // as-of). The purchase×touch pair space is bounded by the same
+    // interval-bucketing rewrite as events_range_join — each purchase
+    // explodes to its ≤8 covering day buckets, touches equi-join on
+    // (user, day), the exact window filters in-bucket — never a per-
+    // user cross product. Unattributed purchases keep full credit
+    // under 'none'.
+    "events_attribution_linear" -> ((s, dir) => {
+      val winUs = 7L * 86400 * 1000000L
+      val dayUs = 86400L * 1000000L
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts_ns div 1000").as("ts_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("ts_us").as("pts"), col("value"))
+        .localCheckpoint(false)
+      val t = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("touch_type"),
+          col("ts_us").as("tts"))
+      val pb = p.withColumn("b", explode(sequence(
+        expr(s"(pts - ${winUs}L) div ${dayUs}L"), expr(s"pts div ${dayUs}L"))))
+      val tb = t.withColumn("b", expr(s"tts div ${dayUs}L"))
+      val matched = pb.join(tb, Seq("user_id", "b"))
+        .filter(col("tts") <= col("pts") && col("tts") > col("pts") - winUs)
+        .select("pid", "value", "touch_type")
+        .localCheckpoint(false)
+      val counts = matched.groupBy("pid").agg(count(lit(1)).as("nt"))
+      val credited = matched.join(counts, "pid")
+        .groupBy("touch_type")
+        .agg(round(sum(col("value") / col("nt")), 2).as("credit"),
+          count(lit(1)).as("n"))
+      val none = p.join(matched.select("pid").distinct(), Seq("pid"), "left_anti")
+        .agg(coalesce(round(sum("value"), 2), lit(0.0)).as("credit"),
+          count(lit(1)).as("n"))
+        .withColumn("touch_type", lit("none"))
+      credited.unionByName(none.select("touch_type", "credit", "n"))
+        .orderBy("touch_type")
     }),
 
     // Salt-and-explode skew join: identical results to the plain join,
@@ -1275,6 +1337,19 @@ object OlapQueries {
         |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts_us >= o.ots
         |ORDER BY e.event_id""".stripMargin,
 
+    "events_path_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |o AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS b,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS c
+        |  FROM e)
+        |SELECT event_type || '>' || b || '>' || c AS path, count(*) AS n
+        |FROM o WHERE c IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type='view' GROUP BY 1),
@@ -1766,6 +1841,29 @@ object OlapQueries {
         |      > 2.0 * (SELECT sum(qty) FROM ps p2
         |               WHERE p2.l_partkey = ps.l_partkey)
         |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
+
+    // plain interval join (no bucketing needed at oracle scale), same
+    // fractional-credit arithmetic
+    "events_attribution_linear" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |p AS (SELECT event_id AS pid, user_id, ts_us AS pts, value
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS touch_type, ts_us AS tts
+        |      FROM e WHERE event_type <> 'purchase'),
+        |m AS (SELECT p.pid, p.value, t.touch_type
+        |      FROM p JOIN t ON p.user_id = t.user_id
+        |        AND t.tts <= p.pts AND t.tts > p.pts - 604800000000),
+        |c AS (SELECT pid, count(*) AS nt FROM m GROUP BY 1),
+        |att AS (SELECT touch_type, round(sum(value*1.0/nt), 2) AS credit,
+        |          count(*) AS n
+        |        FROM m JOIN c USING (pid) GROUP BY 1),
+        |no AS (SELECT 'none' AS touch_type,
+        |         coalesce(round(sum(value), 2), 0) AS credit, count(*) AS n
+        |       FROM p WHERE pid NOT IN (SELECT pid FROM m))
+        |SELECT touch_type, credit, n FROM att
+        |UNION ALL SELECT touch_type, credit, n FROM no
+        |ORDER BY touch_type""".stripMargin,
 
     // independently expressed with DuckDB's native ASOF join — ties at
     // equal (user, ts) are removed by the same pre-aggregation
