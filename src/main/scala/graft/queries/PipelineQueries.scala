@@ -126,6 +126,32 @@ object PipelineQueries {
         .orderBy("probe_id")
     }),
 
+    // OOV audit over the deterministic split: what fraction of val /
+    // test token OCCURRENCES fall outside the train-split vocabulary —
+    // the leakage-safe way to size a tokenizer (building the vocab on
+    // everything and measuring on the same data understates OOV).
+    // Train vocab is vocabulary-bounded → broadcast left join; one
+    // split-keyed agg.
+    "vocab_oov" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val h = call_function("graft_hash64", col("doc_id").cast("string"), lit(7L))
+      val docs = Tables.documents(s, dir)
+        .withColumn("split",
+          when(shiftrightunsigned(h, 52) < 3277, "train")
+            .when(shiftrightunsigned(h, 52) < 3686, "val")
+            .otherwise("test"))
+      val tk = docs.select(col("split"), explode(Dedup.tokens(col("text"))).as("t"))
+      val trainVocab = tk.filter(col("split") === "train")
+        .select("t").distinct().withColumn("in_vocab", lit(1))
+      tk.filter(col("split") =!= "train")
+        .join(broadcast(trainVocab), Seq("t"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", round(col("n_oov") / col("n_toks"), 6))
+        .orderBy("split")
+    }),
+
     // corpus length deciles via the SAMPLED-boundary global rank
     // (Rank.globalRankByRange — robust to any length distribution,
     // incl. all-equal): the bucket profile an adaptive batching /
@@ -1229,6 +1255,27 @@ object PipelineQueries {
          |  ON b.probe_id = l.probe_id AND b.neighbor_id = l.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // same split replay as corpus_split, then a train-vocab anti check
+    "vocab_oov" ->
+      s"""WITH tb AS (SELECT doc_id, text,
+         |    hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
+         |    octet_length(encode(CAST(doc_id AS VARCHAR))) AS n
+         |  FROM documents),
+         |hh AS (SELECT doc_id, text, ${ghashSql(fnvHx, "7")} AS hu FROM tb),
+         |sp AS (SELECT CASE WHEN hu // 4503599627370496 < 3277 THEN 'train'
+         |                   WHEN hu // 4503599627370496 < 3686 THEN 'val'
+         |                   ELSE 'test' END AS split, text
+         |       FROM hh),
+         |tk AS (SELECT split, unnest($toks) AS t FROM sp),
+         |tv AS (SELECT DISTINCT t FROM tk WHERE split = 'train')
+         |SELECT k.split, count(*) AS n_toks,
+         |  CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1.0
+         |        / count(*), 6) AS oov_rate
+         |FROM tk k LEFT JOIN tv v ON k.t = v.t
+         |WHERE k.split <> 'train'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_len_deciles" ->
       """WITH r AS (SELECT doc_id, n_chars,
