@@ -461,6 +461,40 @@ object OlapQueries {
         .orderBy("o_orderkey", "valid_from")
     }),
 
+    // Temporal (point-in-time) join — the READ side of SCD2: every
+    // order joined to the dimension version valid at its query date
+    // (+45 d), i.e. "what did this row look like THEN" for the whole
+    // fact table at once. Composes Scd2.merge with the as-of union-
+    // sort machinery: ONE key shuffle, no interval explosion, and the
+    // non-overlapping-version invariant means latest(valid_from ≤ qd)
+    // IS the valid version — no valid_to probe needed. The oracle
+    // re-derives it independently via DuckDB's native ASOF JOIN over a
+    // lead-closed version union.
+    "scd2_temporal_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val current = o.select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderdate").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val updates = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") + 100.0, 2).as("price"),
+          date_add(col("o_orderdate"), 30).as("valid_from"))
+      val dim = graft.ops.Scd2.merge(current, updates, key = "o_orderkey")
+        .select(col("o_orderkey"),
+          datediff(col("valid_from"), lit("1970-01-01").cast("date"))
+            .cast("bigint").as("vd"),
+          col("price"))
+      val facts = o.select(col("o_orderkey"),
+        date_add(col("o_orderdate"), 45).as("qd"))
+        .withColumn("vd",
+          datediff(col("qd"), lit("1970-01-01").cast("date")).cast("bigint"))
+      graft.ops.AsOf.joinAsOf(facts, dim,
+          key = "o_orderkey", time = "vd", payload = Seq("price"))
+        .select(col("o_orderkey"), col("qd"), col("price").as("price_then"))
+        .orderBy("o_orderkey")
+    }),
+
     // Interval (range) join via bucketing: errors within 1 h after each
     // signup. A naive range join is O(|signups|·|errors|) per user; here
     // each signup explodes to its ≤2 covering hour buckets and joins
@@ -1376,6 +1410,25 @@ object OlapQueries {
         |  SELECT o_orderkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |    AND o_orderdate < TIMESTAMP '1997-01-01')""".stripMargin,
+
+    // independent derivation: version union + native ASOF JOIN (the
+    // engine goes through Scd2.merge + the as-of union-sort)
+    "scd2_temporal_join" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |         CAST(o_orderdate AS DATE) AS valid_from
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice + 100.0, 2) AS price,
+        |         CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS valid_from
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |f AS (SELECT o_orderkey,
+        |        CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS qd
+        |      FROM orders)
+        |SELECT f.o_orderkey, f.qd, v.price AS price_then
+        |FROM f ASOF JOIN v
+        |  ON f.o_orderkey = v.o_orderkey AND v.valid_from <= f.qd
+        |ORDER BY f.o_orderkey""".stripMargin,
 
     "scd2_merge" ->
       """WITH cur AS (
