@@ -250,6 +250,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.values.forall(_.scale == 2))
   }
 
+  test("linear attribution conserves purchase value across touch types + none") {
+    val rows = SparkEntry.queries("events_attribution_linear")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val total = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum("value")).head().getDouble(0)
+    // every purchase's value lands somewhere: split over its touches
+    // or intact under 'none' — the fractional credits must re-sum to
+    // the full purchase total (tolerance = per-type rounding at 2dp)
+    assert(math.abs(rows.values.sum - total) < 0.05 * rows.size,
+      s"credit leaked: ${rows.values.sum} vs $total")
+    assert(rows.contains("none"))
+  }
+
+  test("temporal join picks the version valid at each query date") {
+    val out = SparkEntry.queries("scd2_temporal_join")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // +45d query date: %10 keys see the +30d update (price+100),
+    // everyone else still sees the original version
+    base.foreach { case (k, p) =>
+      val expected = if (k % 10 == 0) math.round((p + 100.0) * 100) / 100.0 else p
+      assert(out(k) == expected, s"key $k: ${out(k)} vs $expected")
+    }
+  }
+
   test("corpus_split partitions every doc deterministically, ~80/10/10") {
     val run1 = SparkEntry.queries("corpus_split")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
