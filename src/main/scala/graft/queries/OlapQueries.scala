@@ -962,6 +962,22 @@ object OlapQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // EXCEPT set op (churn complement of q_intersect): customers who
+    // ordered in 1995 but NOT 1996 — plans as distinct + left-ANTI on
+    // the key, the same no-materialized-sets discipline as intersect.
+    "q_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def yearKeys(y: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      yearKeys(1995).except(yearKeys(1996))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Pareto point: how few top customers cover 80% of revenue. The
     // global revenue-DESC rank comes from Rank.globalRank; the running
     // share is the same two-level prefix sum as seq_pack, but keyed on
@@ -1784,6 +1800,18 @@ object OlapQueries {
         |  CAST(coalesce(sum(ca*cb), 0) AS BIGINT)
         |FROM a JOIN b ON a.key IS NOT DISTINCT FROM b.key
         |ORDER BY join_type""".stripMargin,
+
+    "q_except" ->
+      """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1996-01-01'),
+        |y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01'),
+        |b AS (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+        |SELECT c_mktsegment, count(*) AS n_customers
+        |FROM b JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_intersect" ->
       """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders

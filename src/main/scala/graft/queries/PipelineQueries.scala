@@ -126,6 +126,36 @@ object PipelineQueries {
         .orderBy("probe_id")
     }),
 
+    // Count-min sketch heavy-hitter estimation (the second mergeable
+    // sketch family beside HLL): state = d×w counter grid, one pass,
+    // fixed 1024-row footprint regardless of key cardinality; the
+    // exact top-10 ride along so the output audits the estimator
+    // itself (est ≥ exact always; overcount = collision noise). The
+    // grid is (r, bucket)-keyed relational data, so it merges across
+    // shards/days by simple count-sum — and the oracle replays it.
+    "sketch_countmin" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val w = 256
+      def bkt(r: Int) =
+        pmod(call_function("graft_hash64", col("k"), lit((101 + r).toLong)), lit(w))
+      val buckets = array((0 until 4).map(bkt): _*)
+      val e = Tables.events(s, dir).select(col("user_id").cast("string").as("k"))
+      val state = e.select(posexplode(buckets).as(Seq("r", "bucket")))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val top = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      top.withColumn("k", col("user_id").cast("string"))
+        .select(col("user_id"), col("exact_n"),
+          posexplode(buckets).as(Seq("r", "bucket")))
+        .join(broadcast(state), Seq("r", "bucket"))
+        .groupBy("user_id", "exact_n")
+        .agg(min("cnt").as("est_n"))
+        .withColumn("overcount", col("est_n") - col("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+    }),
+
     // OOV audit over the deterministic split: what fraction of val /
     // test token OCCURRENCES fall outside the train-split vocabulary —
     // the leakage-safe way to size a tokenizer (building the vocab on
@@ -554,6 +584,22 @@ object PipelineQueries {
         .orderBy("day", "event_type")
     }),
 
+    // JSON-lines sink → source round trip: the NDJSON interchange path
+    // (what downstream export consumers actually read); like CSV the
+    // schema re-supplies on read, and the trip proves doubles survive
+    // the text encoding (Spark writes shortest-round-trip doubles)
+    "source_json_roundtrip" -> ((s, dir) => {
+      val agg = Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 2).as("avg_bal"))
+      val out = java.nio.file.Files.createTempDirectory("graft_json_rt_")
+      out.toFile.deleteOnExit()
+      agg.write.mode("overwrite").json(out.toString)
+      s.read.schema("c_mktsegment STRING, n BIGINT, avg_bal DOUBLE")
+        .json(out.toString)
+        .orderBy("c_mktsegment")
+    }),
+
     // ORC sink → source round trip: the columnar-interchange path
     // (ORC carries types natively, so unlike CSV no schema needs
     // re-supplying — the read-back schema IS the written one). Same
@@ -939,6 +985,11 @@ object PipelineQueries {
         |        / (SELECT sum(cnt) FROM kc), 4) AS skew_factor
         |FROM kc ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
 
+    "source_json_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "source_orc_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price
@@ -1255,6 +1306,32 @@ object PipelineQueries {
          |  ON b.probe_id = l.probe_id AND b.neighbor_id = l.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // grid replay: same four seeded hashes, % 256 bucketing (power-of-
+    // two modulus, so signed pmod and unsigned % agree bit-for-bit)
+    "sketch_countmin" ->
+      s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM e)),
+         |h AS (SELECT s, ${ghashSql(fnvHx, "101")} AS h0,
+         |        ${ghashSql(fnvHx, "102")} AS h1,
+         |        ${ghashSql(fnvHx, "103")} AS h2,
+         |        ${ghashSql(fnvHx, "104")} AS h3
+         |      FROM tb),
+         |kb AS (SELECT s, r.r,
+         |         CASE r.r WHEN 0 THEN h0 % 256 WHEN 1 THEN h1 % 256
+         |                  WHEN 2 THEN h2 % 256 ELSE h3 % 256 END AS bucket
+         |       FROM h, unnest(range(0, 4)) r(r)),
+         |st AS (SELECT kb.r, kb.bucket, count(*) AS cnt
+         |       FROM e JOIN kb USING (s) GROUP BY 1, 2),
+         |ex AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+         |       ORDER BY exact_n DESC, user_id LIMIT 10),
+         |pr AS (SELECT ex.user_id, ex.exact_n, kb.r, kb.bucket
+         |       FROM ex JOIN kb ON kb.s = CAST(ex.user_id AS VARCHAR)),
+         |est AS (SELECT user_id, exact_n, CAST(min(st.cnt) AS BIGINT) AS est_n
+         |        FROM pr JOIN st USING (r, bucket) GROUP BY 1, 2)
+         |SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
+         |FROM est ORDER BY exact_n DESC, user_id""".stripMargin,
 
     // same split replay as corpus_split, then a train-vocab anti check
     "vocab_oov" ->
