@@ -156,6 +156,29 @@ object MetricQueries {
     // HLL whose (bucket, max rho) state is plain relational data, so
     // the DuckDB oracle replays the whole estimate (an engine-specific
     // binary sketch could only ever be rows-only).
+    // trailing-7-day distinct users per day — the query exact
+    // count_distinct cannot pre-aggregate (overlapping windows would
+    // need the full per-window user sets). The mergeable HLL state
+    // makes it one day-grain sketch pass + a map-side explode of each
+    // day's state to the ≤7 windows it serves (an equi-shuffle, never
+    // an interval nested loop), + a semi-join to real data days.
+    "m_sliding_distinct" -> ((s, dir) => {
+      val (b, r) = graft.ops.HllSketch.bucketRho(s, col("user_id"))
+      val daily = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), b, r)
+        .groupBy("d", "bucket").agg(max("rho").as("rho"))
+        .localCheckpoint(false)
+      val days = daily.select(col("d").as("win_end")).distinct()
+      val win = daily
+        .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("win_end"),
+          col("bucket"), col("rho"))
+        .join(days, Seq("win_end"), "left_semi")
+        .groupBy("win_end", "bucket").agg(max("rho").as("rho"))
+      graft.ops.HllSketch.estimate(win, Seq("win_end"))
+        .withColumnRenamed("est", "est_users_7d")
+        .orderBy("win_end")
+    }),
+
     "m_sketch_distinct" -> ((s, dir) => {
       val (b, r) = graft.ops.HllSketch.bucketRho(s, col("o_custkey"))
       val daily = Tables.orders(s, dir)
@@ -432,6 +455,35 @@ object MetricQueries {
     // full replay of the from-scratch HLL: same portable hash, same
     // bucket/rho split, same max-rho merge and estimator arithmetic —
     // an engine-specific binary sketch could never be hash-checked
+    // day-grain state replay, then each trailing-7 window max-merges
+    // its covered days' buckets before the shared float finish
+    "m_sliding_distinct" ->
+      s"""WITH o AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         |            CAST(user_id AS VARCHAR) AS s FROM events),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM o)),
+         |h AS (SELECT s, ${DuckHash.ghashSql(DuckHash.fnvHx, "0")} AS hu FROM tb),
+         |br AS (SELECT s, hu // 4503599627370496 AS bucket,
+         |              (hu % 4503599627370496) * 4096 AS w FROM h),
+         |rr AS (SELECT s, bucket, $rhoChainSql AS rho FROM br),
+         |mb AS (SELECT o.d, rr.bucket, max(rr.rho) AS rho
+         |       FROM o JOIN rr USING (s) GROUP BY 1, 2),
+         |wd AS (SELECT DISTINCT d AS win_end FROM mb),
+         |wm AS (SELECT w.win_end, mb.bucket, max(mb.rho) AS rho
+         |       FROM wd w JOIN mb ON mb.d BETWEEN w.win_end - 6 AND w.win_end
+         |       GROUP BY 1, 2),
+         |ag AS (SELECT win_end, count(*) AS nz, sum(power(0.5, rho)) AS sp
+         |       FROM wm GROUP BY 1),
+         |fin AS (SELECT win_end,
+         |          0.7213/(1 + 1.079/4096) * 4096 * 4096 / (sp + (4096 - nz)) AS raw,
+         |          4096 - nz AS zeros
+         |        FROM ag)
+         |SELECT win_end,
+         |  CAST(round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+         |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT)
+         |    AS est_users_7d
+         |FROM fin ORDER BY win_end""".stripMargin,
+
     "m_sketch_distinct" ->
       s"""WITH o AS (SELECT date_trunc('month', o_orderdate) AS period,
          |            CAST(o_custkey AS VARCHAR) AS s FROM orders),

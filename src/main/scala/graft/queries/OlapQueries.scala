@@ -440,6 +440,12 @@ object OlapQueries {
     // update batches chain each twice-updated key's history into
     // [d0,d1) [d1,d2) [d2,∞) — the second merge must close the row the
     // first merge opened, not the original
+    // streaming CDC apply: the same two update waves delivered as
+    // micro-batches folding into versioned dimension snapshots
+    // (see EventStreams.cdcApply) — must converge to scd2_chain
+    "stream_cdc_apply" -> ((s, dir) =>
+      graft.streaming.EventStreams.cdcApply(s, dir)),
+
     "scd2_chain" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val current = o.select(col("o_orderkey"),
@@ -1226,7 +1232,35 @@ object OlapQueries {
     }),
   )
 
+  // the two-wave SCD2 chain result, derived via plain joins — shared
+  // verbatim by the batch scd2_chain and the streaming stream_cdc_apply
+  // (whose whole contract is converging to the same dimension)
+  private lazy val scd2ChainSql =
+    """WITH cur AS (
+      |  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+      |         CAST(o_orderdate AS DATE) AS valid_from
+      |  FROM orders),
+      |u1 AS (
+      |  SELECT o_orderkey, round(o_totalprice + 100.0, 2) AS price,
+      |         CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS valid_from
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |u2 AS (
+      |  SELECT o_orderkey, round(o_totalprice + 200.0, 2) AS price,
+      |         CAST(o_orderdate + INTERVAL 60 DAY AS DATE) AS valid_from
+      |  FROM orders WHERE o_orderkey % 20 = 0)
+      |SELECT c.o_orderkey, c.price, c.valid_from,
+      |       coalesce(u1.valid_from, DATE '9999-12-31') AS valid_to
+      |FROM cur c LEFT JOIN u1 ON c.o_orderkey = u1.o_orderkey
+      |UNION ALL
+      |SELECT u1.o_orderkey, u1.price, u1.valid_from,
+      |       coalesce(u2.valid_from, DATE '9999-12-31') AS valid_to
+      |FROM u1 LEFT JOIN u2 ON u1.o_orderkey = u2.o_orderkey
+      |UNION ALL
+      |SELECT o_orderkey, price, valid_from, DATE '9999-12-31' AS valid_to FROM u2
+      |ORDER BY o_orderkey, valid_from""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "stream_cdc_apply" -> scd2ChainSql,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
@@ -1511,29 +1545,7 @@ object OlapQueries {
     // two chained batches: the oracle constructs each key's interval
     // chain directly (base row closes at u1, u1's row closes at u2,
     // the latest version stays open)
-    "scd2_chain" ->
-      """WITH cur AS (
-        |  SELECT o_orderkey, round(o_totalprice, 2) AS price,
-        |         CAST(o_orderdate AS DATE) AS valid_from
-        |  FROM orders),
-        |u1 AS (
-        |  SELECT o_orderkey, round(o_totalprice + 100.0, 2) AS price,
-        |         CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS valid_from
-        |  FROM orders WHERE o_orderkey % 10 = 0),
-        |u2 AS (
-        |  SELECT o_orderkey, round(o_totalprice + 200.0, 2) AS price,
-        |         CAST(o_orderdate + INTERVAL 60 DAY AS DATE) AS valid_from
-        |  FROM orders WHERE o_orderkey % 20 = 0)
-        |SELECT c.o_orderkey, c.price, c.valid_from,
-        |       coalesce(u1.valid_from, DATE '9999-12-31') AS valid_to
-        |FROM cur c LEFT JOIN u1 ON c.o_orderkey = u1.o_orderkey
-        |UNION ALL
-        |SELECT u1.o_orderkey, u1.price, u1.valid_from,
-        |       coalesce(u2.valid_from, DATE '9999-12-31') AS valid_to
-        |FROM u1 LEFT JOIN u2 ON u1.o_orderkey = u2.o_orderkey
-        |UNION ALL
-        |SELECT o_orderkey, price, valid_from, DATE '9999-12-31' AS valid_to FROM u2
-        |ORDER BY o_orderkey, valid_from""".stripMargin,
+    "scd2_chain" -> scd2ChainSql,
 
     // the bucketed rewrite must agree exactly with the plain range join
     "events_range_join" ->

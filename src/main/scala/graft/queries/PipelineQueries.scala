@@ -67,6 +67,29 @@ object PipelineQueries {
       Dedup.minhashLshIncremental(Tables.documents(s, dir), _ >= 400)
         .orderBy("new_id", "match_id")),
 
+    // per-source duplication attribution: the verified near-dup pairs
+    // rolled up by (source, source) — which crawls/feeds contribute
+    // duplication, and whether it is within-source boilerplate or
+    // cross-source syndication. The pair set is the ALREADY-bounded
+    // ngramJaccard output (DF-capped posting buckets); the doc→source
+    // map is a projection of the corpus, so each side of the pair
+    // joins on its id — at open scale both joins shuffle only
+    // (doc_id, source), never text.
+    "dedup_source_report" -> ((s, dir) => {
+      val docs  = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50)
+      val src   = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), "id1")
+        .join(src.select(col("doc_id").as("id2"), col("source").as("s2")), "id2")
+        .select(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"), col("jaccard"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"), round(avg("jaccard"), 4).as("avg_jaccard"))
+        .withColumn("cross_source", (col("src_a") =!= col("src_b")).cast("bigint"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // near-dup pairs are not transitive — collapse pair families to one
     // canonical keeper via iterative connected components
     "dedup_cluster" -> ((s, dir) => {
@@ -94,6 +117,19 @@ object PipelineQueries {
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), threshold = 0.35)
         .orderBy("id1", "id2")),
+
+    // symmetric k-NN graph over the whole embedding table — the input
+    // to graph clustering / agglomerative dedup. Reuses the LSH path
+    // with EVERY vector as a probe: coarser buckets (4 planes → 16
+    // buckets) keep in-bucket neighborhoods populated, and the join
+    // stays a bucket equi-join of the table with itself — in-bucket
+    // pairs only, never all-pairs. Vectors whose bucket holds no
+    // other member emit no edges (that is the approximation).
+    "emb_knn_graph" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), lit(true), k = 3, numPlanes = 4)
+        .select(col("probe_id").as("src"), col("rank"),
+          col("neighbor_id").as("dst"), col("cos"), col("bucket"))
+        .orderBy("src", "rank")),
 
     "ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
@@ -283,6 +319,37 @@ object PipelineQueries {
 
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // corpus-trained word-bigram LM score (the CCNet-style quality
+    // signal): add-1-smoothed avg negative log-likelihood of each
+    // doc under the corpus's own bigram counts. The LM itself is
+    // BOUNDED state (vocab² at worst, vocab ~ corpus token types):
+    // counts aggregate with map-side partials, the scalar vocab size
+    // attaches via withScalar, and scoring is one broadcast join of
+    // the doc-side bigram stream against the count table — raw text
+    // never shuffles, and the plan holds as the corpus (not the
+    // vocabulary) grows.
+    "text_perplexity" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val bg = toks.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w)-1), i -> named_struct('w1', w[i-1], 'w2', w[i]))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint(false) // feeds the counts AND the scoring join
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val c1  = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val v   = toks.select(explode(col("w")).as("u"))
+        .agg(countDistinct("u").as("vocab"))
+      val lm = graft.ops.Scalars.withScalar(
+        c12.join(c1, "w1"), col("n12"), v, col("vocab"))
+      bg.join(broadcast(lm), Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log((col("n12") + lit(1.0)) / (col("n1") + col("vocab")))), 4)
+            .as("avg_nll"))
+        .orderBy("doc_id")
+    }),
 
     // decontamination: docs >= 25 are the training corpus, docs < 25
     // stand in for the benchmark/eval set (the testdata's planted
@@ -851,6 +918,21 @@ object PipelineQueries {
 
     "dedup_ngram_jaccard" -> jaccardSql,
 
+    // the same verified pair set rolled up by unordered source pair
+    "dedup_source_report" ->
+      s"""WITH pr AS (SELECT id1, id2, jaccard FROM ($jaccardSql)),
+         |ds AS (SELECT doc_id, source FROM documents),
+         |lab AS (
+         |  SELECT least(a.source, b.source) AS src_a,
+         |         greatest(a.source, b.source) AS src_b, pr.jaccard
+         |  FROM pr JOIN ds a ON pr.id1 = a.doc_id
+         |          JOIN ds b ON pr.id2 = b.doc_id)
+         |SELECT src_a, src_b, count(*) AS n_pairs,
+         |  round(avg(jaccard), 4) AS avg_jaccard,
+         |  CAST(src_a <> src_b AS BIGINT) AS cross_source
+         |FROM lab GROUP BY src_a, src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+
     // independent power-iteration replay over the same verified pair
     // set (the jaccard SQL re-derives the edges; 3 rounds, d = 0.85)
     "graph_pagerank" ->
@@ -1238,6 +1320,31 @@ object PipelineQueries {
         |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
+    // same replay as ann_lsh but with the coarser 4-plane bucketing
+    // and every vector as a probe — the k-NN graph edge set
+    "emb_knn_graph" -> {
+      val bucketExpr = Similarity.hyperplanes(4, 64, 42L).zipWithIndex.map {
+        case (p, i) =>
+          val lit = "[" + p.mkString(",") + "]"
+          s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n|    + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    $bucketExpr AS bucket
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT p.vec_id AS src, e.vec_id AS dst, e.bucket,
+         |    list_sum(list_transform(range(1,65), i -> p.v[i]*e.v[i]))
+         |      / (sqrt(list_sum(list_transform(p.v, x -> x*x)))
+         |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+         |  FROM e JOIN e p ON e.bucket = p.bucket AND e.vec_id <> p.vec_id),
+         |r AS (SELECT src, dst, bucket, cos,
+         |        row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |      FROM s)
+         |SELECT src, rank, dst, round(cos, 4) AS cos, bucket
+         |FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin
+    },
+
     "ann_lsh" -> {
       // the hyperplanes are seed-deterministic engine constants
       // (Similarity.hyperplanes(8, 64, seed=42)); baked into the SQL as
@@ -1534,6 +1641,23 @@ object PipelineQueries {
          |  CASE WHEN n_ngrams > 0
          |       THEN round(1.0 - n_distinct*1.0/n_ngrams, 4) ELSE 0.0 END AS rep_ratio
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // LM replay: same add-1-smoothed bigram counts, same scalar vocab,
+    // same avg negative log-likelihood (1-indexed lists: w[i], w[i+1]
+    // over range(1, len) are exactly the doc's bigrams)
+    "text_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |       FROM tk, unnest(range(1, len(w))) r(i)
+         |       WHERE len(w) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT u) AS vocab
+         |      FROM (SELECT unnest(w) AS u FROM tk))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln((n12 + 1.0)/(n1 + vocab))), 4) AS avg_nll
+         |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "contamination" ->
       s"""WITH d AS (SELECT doc_id, list_distinct(

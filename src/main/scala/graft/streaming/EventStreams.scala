@@ -213,6 +213,70 @@ object EventStreams {
     hllRefreshEstimate(spark, delta)
   }
 
+  /** Streaming CDC apply: an SCD2 dimension maintained by a STREAM of
+    * update batches. Each micro-batch folds into the dimension with
+    * [[graft.ops.Scd2.merge]] inside foreachBatch, writing a NEW
+    * versioned snapshot (`v<batchId+1>`) — the batchId-named version
+    * makes re-delivered batches idempotent (the snapshot already
+    * exists → skip), which is exactly the Delta/Hudi commit pattern
+    * expressed on plain parquet. Update files are staged in change
+    * order and `maxFilesPerTrigger=1` makes each file one batch, so
+    * per-key update order is preserved across batches.
+    *
+    * The final dimension must equal the batch `scd2_chain` result —
+    * StreamingSpec and the SQL oracle both pin that equivalence. */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_apply")
+    val (stage, ckpt, dims) = (s"$base/stage", s"$base/ckpt", s"$base/dim")
+    val o = Tables.orders(spark, sfDir)
+    val current = o.select(col("o_orderkey"),
+      round(col("o_totalprice"), 2).as("price"),
+      col("o_orderdate").cast("date").as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    current.write.parquet(s"$dims/v0")
+    // stage the two update waves IN ORDER (file mod-times drive the
+    // file source's processing order)
+    o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), round(col("o_totalprice") + 100.0, 2).as("price"),
+        date_add(col("o_orderdate"), 30).as("valid_from"))
+      .coalesce(1).write.parquet(s"$stage/u1")
+    o.filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), round(col("o_totalprice") + 200.0, 2).as("price"),
+        date_add(col("o_orderdate"), 60).as("valid_from"))
+      .coalesce(1).write.parquet(s"$stage/u2")
+    val updSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("price", DoubleType),
+      StructField("valid_from", DateType)))
+    val stream = spark.readStream
+      .schema(updSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    withStateParts(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val next = new java.io.File(s"$dims/v${id + 1}")
+          if (!next.exists()) { // idempotent re-delivery
+            graft.ops.Scd2.merge(
+                spark.read.parquet(s"$dims/v$id"), batch, key = "o_orderkey")
+              .write.parquet(next.toString)
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val latest = new java.io.File(dims).list().map(_.stripPrefix("v").toInt).max
+    spark.read.parquet(s"$dims/v$latest")
+      .withColumn("valid_to",
+        coalesce(col("valid_to"), lit("9999-12-31").cast("date")))
+      .orderBy("o_orderkey", "valid_from")
+  }
+
   def windowTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val stream = dailyTypeGroups(spark, sfDir)
       .agg(count(lit(1)).as("n_events"))

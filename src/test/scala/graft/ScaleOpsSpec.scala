@@ -320,4 +320,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.map(_.doc_id).sameElements(again.map(_.doc_id)))
     assert(rows.map(_.width).sameElements(again.map(_.width)))
   }
+
+  test("bottom-k sampling is mergeable: bottomk(A union B) == merge of per-shard bottom-ks") {
+    // the property that makes hash-min sampling a distributed
+    // reservoir substitute: each shard keeps only its local bottom-k,
+    // and merging shard samples (union + re-take) is EXACTLY the
+    // bottom-k of the full dataset — no shard ever needs another
+    // shard's data, so the sample composes across partitions, files,
+    // and ingestion epochs
+    graft.functions.GraftHash64.register(spark)
+    val k = 100
+    def bottomK(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        call_function("graft_hash64", col("doc_id").cast("string"), lit(13L)).as("h"))
+      .orderBy(col("h").asc, col("doc_id")).limit(k)
+    val docs = Tables.documents(spark, sf)
+    val shardA = docs.filter(col("doc_id") % 2 === 0)
+    val shardB = docs.filter(col("doc_id") % 2 =!= 0)
+    val full   = bottomK(docs).collect().map(_.getLong(0))
+    val merged = bottomK(bottomK(shardA).unionByName(bottomK(shardB)))
+      .collect().map(_.getLong(0))
+    assert(merged.sameElements(full),
+      "merging per-shard bottom-k samples diverged from the global bottom-k")
+    // and the plan must be the partial-top-k shape, never a global sort
+    val plan = bottomK(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k should plan as TakeOrderedAndProject, got:\n$plan")
+  }
 }

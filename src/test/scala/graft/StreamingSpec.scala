@@ -56,6 +56,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming CDC apply converges to the batch SCD2 chain") {
+    val streamed = graft.streaming.EventStreams.cdcApply(spark, sf).collect()
+    val batch = SparkEntry.queries("scd2_chain")(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"CDC apply diverged from the batch chain (${streamed.length} vs ${batch.length} rows)")
+  }
+
   test("incremental HLL refresh: two checkpointed passes == one pass, history unread") {
     import graft.streaming.EventStreams
     val es = EventStreams
