@@ -179,6 +179,32 @@ object MetricQueries {
         .orderBy("win_end")
     }),
 
+    // HLL SET ALGEBRA: overlap of two user populations (clickers vs
+    // purchasers) without ever materializing either set. Union state
+    // is a max-merge of the two sides' (bucket, rho) states — the
+    // algebra exact distinct sets can't do without a full shuffle of
+    // both key sets — and |A∩B| falls out by inclusion–exclusion on
+    // the three estimates. All state is 2·m + m rows; the only
+    // full-data pass is the per-side sketch build.
+    "m_sketch_overlap" -> ((s, dir) => {
+      val (b, r) = graft.ops.HllSketch.bucketRho(s, col("user_id"))
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("side"), b, r)
+        .groupBy("side", "bucket").agg(max("rho").as("rho"))
+        .localCheckpoint(false) // feeds both per-side and union state
+      val union = e.groupBy("bucket").agg(max("rho").as("rho"))
+        .withColumn("side", lit("union"))
+      val est = graft.ops.HllSketch.estimate(
+        e.unionByName(union.select("side", "bucket", "rho")), Seq("side"))
+      est.agg(
+          max(when(col("side") === "click", col("est"))).as("est_click"),
+          max(when(col("side") === "purchase", col("est"))).as("est_purchase"),
+          max(when(col("side") === "union", col("est"))).as("est_union"))
+        .withColumn("est_overlap",
+          greatest(lit(0L), col("est_click") + col("est_purchase") - col("est_union")))
+    }),
+
     "m_sketch_distinct" -> ((s, dir) => {
       val (b, r) = graft.ops.HllSketch.bucketRho(s, col("o_custkey"))
       val daily = Tables.orders(s, dir)
@@ -457,6 +483,41 @@ object MetricQueries {
     // an engine-specific binary sketch could never be hash-checked
     // day-grain state replay, then each trailing-7 window max-merges
     // its covered days' buckets before the shared float finish
+    // per-side sketch states, a max-merged union state, then
+    // inclusion–exclusion over the three integer estimates
+    "m_sketch_overlap" ->
+      s"""WITH o AS (SELECT event_type AS side, CAST(user_id AS VARCHAR) AS s
+         |           FROM events WHERE event_type IN ('click', 'purchase')),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM o)),
+         |h AS (SELECT s, ${DuckHash.ghashSql(DuckHash.fnvHx, "0")} AS hu FROM tb),
+         |br AS (SELECT s, hu // 4503599627370496 AS bucket,
+         |              (hu % 4503599627370496) * 4096 AS w FROM h),
+         |rr AS (SELECT s, bucket, $rhoChainSql AS rho FROM br),
+         |mb AS (SELECT o.side, rr.bucket, max(rr.rho) AS rho
+         |       FROM o JOIN rr USING (s) GROUP BY 1, 2),
+         |un AS (SELECT 'union' AS side, bucket, max(rho) AS rho FROM mb GROUP BY 2),
+         |st AS (SELECT * FROM mb UNION ALL SELECT * FROM un),
+         |ag AS (SELECT side, count(*) AS nz, sum(power(0.5, rho)) AS sp
+         |       FROM st GROUP BY 1),
+         |fin AS (SELECT side,
+         |          0.7213/(1 + 1.079/4096) * 4096 * 4096 / (sp + (4096 - nz)) AS raw,
+         |          4096 - nz AS zeros
+         |        FROM ag),
+         |es AS (SELECT side,
+         |  CAST(round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+         |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT) AS est
+         |  FROM fin)
+         |SELECT
+         |  max(CASE WHEN side = 'click' THEN est END) AS est_click,
+         |  max(CASE WHEN side = 'purchase' THEN est END) AS est_purchase,
+         |  max(CASE WHEN side = 'union' THEN est END) AS est_union,
+         |  CAST(greatest(0,
+         |    max(CASE WHEN side = 'click' THEN est END)
+         |    + max(CASE WHEN side = 'purchase' THEN est END)
+         |    - max(CASE WHEN side = 'union' THEN est END)) AS BIGINT) AS est_overlap
+         |FROM es""".stripMargin,
+
     "m_sliding_distinct" ->
       s"""WITH o AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
          |            CAST(user_id AS VARCHAR) AS s FROM events),

@@ -67,6 +67,31 @@ object PipelineQueries {
       Dedup.minhashLshIncremental(Tables.documents(s, dir), _ >= 400)
         .orderBy("new_id", "match_id")),
 
+    // character-level verify over the SAME bounded LSH candidate set:
+    // exact edit distance (the verify metric set-based Jaccard can't
+    // replace — it is order-sensitive and catches in-place edits that
+    // preserve the shingle multiset). Levenshtein is O(len²) per pair,
+    // so it only ever runs on candidates — the sketch prunes, the DP
+    // verifies; both sides compare the ROUNDED relative distance so
+    // the flag can't flip between engines on a boundary.
+    "dedup_edit_verify" -> ((s, dir) => {
+      val docs  = Tables.documents(s, dir)
+      val cands = Dedup.lshCandidates(docs, n = 3, k = 128, bands = 16,
+        rawBandKey = true)
+      val t = docs.select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      cands
+        .join(t.select(col("doc_id").as("id1"), col("text").as("t1"),
+          col("len").as("l1")), "id1")
+        .join(t.select(col("doc_id").as("id2"), col("text").as("t2"),
+          col("len").as("l2")), "id2")
+        .select(col("id1"), col("id2"),
+          levenshtein(col("t1"), col("t2")).cast("bigint").as("edit_dist"),
+          greatest(col("l1"), col("l2")).cast("bigint").as("max_len"))
+        .withColumn("rel_dist", round(col("edit_dist") / col("max_len"), 4))
+        .withColumn("is_dup", (col("rel_dist") <= 0.2).cast("bigint"))
+        .orderBy("id1", "id2")
+    }),
+
     // per-source duplication attribution: the verified near-dup pairs
     // rolled up by (source, source) — which crawls/feeds contribute
     // duplication, and whether it is within-source boilerplate or
@@ -1165,6 +1190,22 @@ object PipelineQueries {
          |JOIN ssz s1 ON es.id1 = s1.doc_id
          |JOIN ssz s2 ON es.id2 = s2.doc_id
          |ORDER BY es.id1, es.id2""".stripMargin,
+
+    // same raw-band candidate set, then DuckDB's own levenshtein —
+    // the DP is engine-independent, so distances match exactly
+    "dedup_edit_verify" ->
+      s"""$minhashPrelude
+         |SELECT c.id1, c.id2,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+         |  CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len,
+         |  round(levenshtein(a.text, b.text)*1.0
+         |        / greatest(length(a.text), length(b.text)), 4) AS rel_dist,
+         |  CAST(round(levenshtein(a.text, b.text)*1.0
+         |        / greatest(length(a.text), length(b.text)), 4) <= 0.2 AS BIGINT)
+         |    AS is_dup
+         |FROM cand c JOIN documents a ON c.id1 = a.doc_id
+         |            JOIN documents b ON c.id2 = b.doc_id
+         |ORDER BY c.id1, c.id2""".stripMargin,
 
     // re-orients the shared candidate set to (new, match) pairs with a
     // >= 400 side, then verifies like dedup_minhash; band-hash

@@ -172,4 +172,23 @@ class DedupSpec extends AnyFunSuite {
       assert(buckets(r.getAs[Long]("probe_id")) == r.getAs[Int]("bucket"))
     }
   }
+
+  test("edit-distance verify: flag is a pure function of the rounded ratio; catches reorders Jaccard misses") {
+    val out = SparkEntry.queries("dedup_edit_verify")(spark, SparkTestSession.sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (d, m) = (r.getAs[Long]("edit_dist"), r.getAs[Long]("max_len"))
+      val (rel, dup) = (r.getAs[Double]("rel_dist"), r.getAs[Long]("is_dup"))
+      assert(d >= 0 && d <= m)
+      assert(rel >= 0.0 && rel <= 1.0)
+      assert((dup == 1L) == (rel <= 0.2), s"flag/ratio mismatch: $rel -> $dup")
+    }
+    // the property Jaccard can't see: a word-level reorder preserves the
+    // shingle SET far better than the character stream
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "again and again the lazy dog jumps over the quick brown fox"
+    val d = Seq((a, b)).toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).head().getInt(0)
+    assert(d > a.length / 3, s"reorder edit distance $d should be large")
+  }
 }

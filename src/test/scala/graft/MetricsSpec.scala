@@ -89,4 +89,24 @@ class MetricsSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("sketch overlap: inclusion-exclusion is consistent and tracks exact counts") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("m_sketch_overlap")(spark, sf).head()
+    val (c, p, u, ov) = (r.getAs[Long]("est_click"), r.getAs[Long]("est_purchase"),
+      r.getAs[Long]("est_union"), r.getAs[Long]("est_overlap"))
+    // set-algebra sanity: max side <= union <= sum of sides, overlap <= min side
+    assert(u >= math.max(c, p) && u <= c + p)
+    assert(ov >= 0 && ov <= math.min(c, p))
+    // each estimate within HLL error of the exact distinct (m=4096 => ~1.6% se)
+    val e = graft.sources.Tables.events(spark, sf)
+    def exact(t: String) = e.filter(col("event_type") === t)
+      .select("user_id").distinct().count()
+    val (ec, ep) = (exact("click"), exact("purchase"))
+    val eu = e.filter(col("event_type").isin("click", "purchase"))
+      .select("user_id").distinct().count()
+    assert(math.abs(c - ec).toDouble / ec < 0.05, s"click $c vs $ec")
+    assert(math.abs(p - ep).toDouble / ep < 0.05, s"purchase $p vs $ep")
+    assert(math.abs(u - eu).toDouble / eu < 0.05, s"union $u vs $eu")
+  }
 }
