@@ -134,6 +134,60 @@ object Dedup {
       .select(col("id1"), col("id2"), col("shared"), round(jac, 4).as("jaccard"))
   }
 
+  /** EXACT-recall similarity join via prefix filtering (PPJoin-style):
+    * order every doc's shingles by ascending global document frequency
+    * (rarest first, ties by shingle text — a total order, so both
+    * engines build identical prefixes), keep only the first
+    * `|x| - ceil(t·|x|) + 1` as the doc's prefix, and generate a
+    * candidate pair whenever two PREFIXES share a shingle. The prefix
+    * lemma guarantees no pair with true Jaccard ≥ t is missed — the
+    * contract [[ngramJaccard]]'s DF cap trades away (a pair sharing
+    * only ultra-common shingles never meets its capped buckets).
+    *
+    * The threshold is the rational tNum/tDen and every comparison is
+    * integer arithmetic (`shared·tDen ≥ union·tNum`,
+    * `ceil(t·n) = (n·tNum + tDen−1) div tDen`), so no float boundary
+    * can flip membership between engines.
+    *
+    * Scale: df-ascending prefixes concentrate on RARE shingles, so
+    * posting lists behind the candidate join stay short even though no
+    * shingle is ever dropped; the O(len²) exact verify runs only on
+    * candidates. Three shuffles: df groupBy, prefix self-join,
+    * pair-keyed verify re-agg.
+    * Output: id1, id2, shared, jaccard (4dp). */
+  def prefixFilterJaccard(docs: DataFrame, n: Int = 3,
+                          tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingleSets(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .localCheckpoint(false) // feeds df, sizes, prefixes, and the verify
+    val df    = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val pre = ex.join(df, "s").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select("doc_id", "s")
+      .localCheckpoint(false) // both sides of the candidate self-join
+    val cands = pre.select(col("doc_id").as("id1"), col("s"))
+      .join(pre.select(col("doc_id").as("id2"), col("s")), Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val inter = cands
+      .join(ex.select(col("doc_id").as("id1"), col("s")), Seq("id1"))
+      .join(ex.select(col("doc_id").as("id2"), col("s")), Seq("id2", "s"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .filter(col("shared") * tDen >=
+        (col("n1") + col("n2") - col("shared")) * tNum)
+      .select(col("id1"), col("id2"), col("shared"),
+        round(col("shared") / (col("n1") + col("n2") - col("shared")), 4)
+          .as("jaccard"))
+  }
+
   /** MinHash signatures: one row per doc, `sig` = array of k minima of
     * k permutation hashes over the doc's shingles. ONE shuffle via the
     * custom declarative aggregate [[graft.functions.MinHashAgg]]: the

@@ -149,6 +149,37 @@ object MetricQueries {
         .orderBy("cohort", "months_since")
     }),
 
+    // COHORT LTV TRIANGLE: cumulative revenue per cohort member by
+    // months-since-acquisition — the curve that prices an acquisition
+    // channel. Same two-shuffle shape as m_retention (fact → (cohort,
+    // month) cells, checkpointed once); the running sum is windowed
+    // PER COHORT (bounded partitions), never globally, and both
+    // engines accumulate the 2dp cell values in identical months
+    // order so the doubles agree bit-for-bit.
+    "m_cohort_ltv" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"),
+          col("o_totalprice"))
+      val f = o.groupBy("o_custkey").agg(min("m").as("cohort"))
+      val r = o.join(f, "o_custkey")
+        .groupBy(col("cohort"),
+          months_between(col("m"), col("cohort")).cast("bigint").as("months_since"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          countDistinct("o_custkey").as("n_active"))
+        .localCheckpoint(false) // feeds both the cells and the sizes self-join
+      val sizes = r.filter(col("months_since") === 0)
+        .select(col("cohort").as("size_cohort"), col("n_active").as("cohort_size"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(r("cohort")).orderBy("months_since")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      r.join(sizes, r("cohort") === sizes("size_cohort"))
+        .withColumn("cum_revenue", round(sum(col("revenue")).over(wc), 2))
+        .select(r("cohort").cast("date").as("cohort"), col("months_since"),
+          col("n_active"), col("revenue"), col("cum_revenue"),
+          round(col("cum_revenue") / col("cohort_size"), 4).as("ltv_per_cust"))
+        .orderBy("cohort", "months_since")
+    }),
+
     // mergeable-sketch distinct: per-day HLL sketches union to months
     // WITHOUT rescanning the fact table — the pre-aggregation pattern
     // an exact count_distinct can never use (it doesn't decompose).
@@ -802,6 +833,25 @@ object MetricQueries {
         |SELECT d.wday, count(DISTINCT u.user_id) AS active_users_7d
         |FROM days d JOIN ud u ON u.day BETWEEN d.wday - 6 AND d.wday
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same cell grid as m_retention's oracle, plus the windowed
+    // running sum in the same months order as the engine
+    "m_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+        |                  o_totalprice FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+        |r AS (SELECT cohort, date_diff('month', cohort, m) AS months_since,
+        |             round(sum(o_totalprice), 2) AS revenue,
+        |             count(DISTINCT o.o_custkey) AS n_active
+        |      FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |s AS (SELECT cohort, n_active AS cohort_size FROM r WHERE months_since = 0),
+        |c AS (SELECT r.cohort, months_since, n_active, revenue, cohort_size,
+        |        round(sum(revenue) OVER (PARTITION BY r.cohort ORDER BY months_since
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+        |      FROM r JOIN s ON r.cohort = s.cohort)
+        |SELECT CAST(cohort AS DATE) AS cohort, months_since, n_active, revenue,
+        |  cum_revenue, round(cum_revenue / cohort_size, 4) AS ltv_per_cust
+        |FROM c ORDER BY cohort, months_since""".stripMargin,
 
     // the full recompute — the merge path must be indistinguishable
     "m_incremental" ->

@@ -267,6 +267,40 @@ object OlapQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // PEAK CONCURRENCY: max simultaneously-open sessions per day — the
+    // capacity number a serving fleet is sized by. Sessions reuse the
+    // 30-min-gap sessionize chain; each contributes a +1/-1 boundary
+    // pair and the running sum is windowed PER DAY (bounded partitions,
+    // no global sort). Half-open [start, end) semantics: the -1 sorts
+    // before a +1 at the same instant, so back-to-back sessions never
+    // double-count and zero-length (single-event) sessions hold no slot.
+    // Sessions attribute to their START day.
+    "m_sessions_concurrency" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val w     = Window.partitionBy("user_id").orderBy("ts_us")
+      val prev  = lag(col("ts_us"), 1).over(w)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("is_new",
+          when(prev.isNull || col("ts_us") - prev > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum("is_new")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+        .withColumn("day", to_date(timestamp_micros(col("start_us"))))
+      val bounds = sess
+        .select(col("day"), col("start_us").as("t"), lit(1).as("delta"))
+        .unionAll(sess
+          .select(col("day"), col("end_us").as("t"), lit(-1).as("delta")))
+      val wd = Window.partitionBy("day").orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("running", sum("delta").over(wd))
+        .groupBy("day")
+        .agg((count(lit(1)) / 2).cast("bigint").as("n_sessions"),
+          max("running").as("peak_concurrent"))
+        .orderBy("day")
+    }),
+
     // Structured Streaming tumbling-window agg, batch-equivalent.
     "stream_windowed_agg" -> ((s, dir) => graft.streaming.EventStreams.windowedAgg(s, dir)),
 
@@ -912,6 +946,47 @@ object OlapQueries {
         .orderBy("user_id")
     }),
 
+    // GROWTH ACCOUNTING: every active (user, day) classified against
+    // the user's previous active day — new (first ever), retained
+    // (active yesterday), resurrected (gap > 1 day) — plus churn
+    // attributed to the day AFTER an activity gap opens. All windows
+    // partition by user_id (bounded per-user day lists, never a global
+    // sort); the only driver-visible scalar is the corpus max day,
+    // joined via the auditable 1-row withScalar path so churn isn't
+    // counted past the end of data.
+    "events_lifecycle" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .localCheckpoint(false) // feeds classify, churn, and the max-day scalar
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val c = ud.withColumn("prev", lag("d", 1).over(w))
+        .withColumn("nxt", lead("d", 1).over(w))
+        .localCheckpoint(false) // classify + churn both read it
+      val act = c.groupBy("d").agg(
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev") === date_sub(col("d"), 1), 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev").isNotNull && col("prev") < date_sub(col("d"), 1), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+      val churnRaw = c
+        .filter(col("nxt").isNull || col("nxt") > date_add(col("d"), 1))
+        .select(date_add(col("d"), 1).as("cd"))
+      // key on real columns both sides: a foldable key collapses the
+      // equi-condition and the pushed range filter degrades the join
+      // to a nested loop (PlanSpec catches this)
+      val churn = Scalars
+        .withScalar(churnRaw, col("cd"), ud.agg(max("d").as("max_d")), col("max_d"))
+        .filter(col("cd") <= col("max_d"))
+        .groupBy(col("cd").as("d")).agg(count(lit(1)).as("n_churned"))
+      act.join(churn, Seq("d"), "full_outer")
+        .select(col("d"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy("d")
+    }),
+
     // Exact DECIMAL money arithmetic: the audit path where float drift
     // is unacceptable — prices cast to DECIMAL(18,2) and summed
     // exactly. The exact-decimal-sum property lives in the spec
@@ -1404,6 +1479,36 @@ object OlapQueries {
         | min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // same sessionize chain, then the +1/-1 boundary sweep: -1 sorts
+    // first at equal t (half-open intervals), running sum per day
+    "m_sessions_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |            > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |    CAST(make_timestamp(min(ts_us)) AS DATE) AS day
+        |  FROM s GROUP BY 1, 2),
+        |b AS (
+        |  SELECT day, start_us AS t, 1 AS delta FROM sess
+        |  UNION ALL SELECT day, end_us, -1 FROM sess),
+        |r AS (
+        |  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+        |    ROWS UNBOUNDED PRECEDING) AS running
+        |  FROM b)
+        |SELECT day, CAST(count(*) / 2 AS BIGINT) AS n_sessions,
+        |  CAST(max(running) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
     "stream_windowed_agg" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
@@ -1782,6 +1887,33 @@ object OlapQueries {
         |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
         |  CAST(sum(len) AS BIGINT) AS n_active_days
         |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same per-user lag/lead classification; churn lands on gap+1 and
+    // is clipped at the corpus max day exactly as the engine does
+    "events_lifecycle" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, d,
+        |        lag(d)  OVER (PARTITION BY user_id ORDER BY d) AS prev,
+        |        lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+        |      FROM ud),
+        |mx AS (SELECT max(d) AS max_d FROM ud),
+        |act AS (SELECT d,
+        |         sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |         sum(CASE WHEN prev = d - 1 THEN 1 ELSE 0 END) AS n_retained,
+        |         sum(CASE WHEN prev IS NOT NULL AND prev < d - 1 THEN 1 ELSE 0 END)
+        |           AS n_resurrected
+        |        FROM c GROUP BY 1),
+        |ch AS (SELECT d + 1 AS d, count(*) AS n_churned
+        |       FROM c, mx
+        |       WHERE (nxt IS NULL OR nxt > d + 1) AND d + 1 <= max_d
+        |       GROUP BY 1)
+        |SELECT coalesce(act.d, ch.d) AS d,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM act FULL OUTER JOIN ch ON act.d = ch.d
+        |ORDER BY d""".stripMargin,
 
     // no rounding anywhere: decimal sums are exact in both engines;
     // emitted as VARCHAR so the hash comparison is dtype-neutral

@@ -24,6 +24,12 @@ object PipelineQueries {
       Dedup.ngramJaccard(Tables.documents(s, dir), n = 3, threshold = 0.8, maxDF = 50)
         .orderBy("id1", "id2")),
 
+    // the exact-recall counterpart: prefix filtering misses NO pair
+    // with Jaccard >= 0.8 (DedupSpec pins superset-of-ngramJaccard)
+    "dedup_prefix_filter" -> ((s, dir) =>
+      Dedup.prefixFilterJaccard(Tables.documents(s, dir), n = 3)
+        .orderBy("id1", "id2")),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), n = 3, k = 128, bands = 16,
         threshold = 0.8).orderBy("id1", "id2")),
@@ -266,7 +272,7 @@ object PipelineQueries {
     // Plan: one token explode; the vocab table is tiny (bounded by
     // vocabulary, not corpus) so the per-token logprob attaches
     // map-side via broadcast; ONE doc-keyed shuffle for the re-agg.
-    "text_perplexity" -> ((s, dir) =>
+    "text_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramNll(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // matryoshka audit: does a 16-dim PREFIX of the 64-dim embedding
@@ -539,6 +545,81 @@ object PipelineQueries {
       graft.ops.Graph.pagerank(pairs, damping = 0.85, iters = 3)
         .select(col("id").as("doc_id"), round(col("r"), 6).as("pr_rank"))
         .orderBy("doc_id")
+    }),
+
+    // TRIANGLE COUNT + global clustering over the k-NN graph: the
+    // density check run before trusting graph-based dedup clusters.
+    // Degree-orienting every edge toward its (deg, id)-larger endpoint
+    // gives each triangle exactly ONE wedge at its minimum vertex and
+    // bounds out-degrees near sqrt(m) — the wedge self-join stays
+    // near-linear instead of exploding on hubs; the closing-edge check
+    // is a semi-join back to the (a<b)-canonical undirected edge set.
+    "graph_triangles" -> ((s, dir) => {
+      val knn = Similarity.lshTopK(Tables.embeddings(s, dir), lit(true),
+        k = 3, numPlanes = 4)
+      val e = knn.select(least(col("probe_id"), col("neighbor_id")).as("a"),
+          greatest(col("probe_id"), col("neighbor_id")).as("b"))
+        .distinct()
+        .localCheckpoint(false) // feeds degrees, orientation, closing edges
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val fwd = col("dega") < col("degb") ||
+        (col("dega") === col("degb") && col("a") < col("b"))
+      val o = e
+        .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+        .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+          when(fwd, col("b")).otherwise(col("a")).as("w"))
+        .localCheckpoint(false)
+      val wedges = o.select(col("u"), col("w").as("v1"))
+        .join(o.select(col("u"), col("w").as("v2")), "u")
+        .filter(col("v1") < col("v2"))
+      val tri = wedges
+        .join(e.select(col("a").as("v1"), col("b").as("v2")),
+          Seq("v1", "v2"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val sizes = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg") * (col("deg") - 1) / 2).cast("bigint").as("n_wedges"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      graft.ops.Scalars.withScalar(
+          graft.ops.Scalars.withScalar(sizes, col("n_nodes"),
+            edges, col("n_edges")),
+          col("n_nodes"), tri, col("n_triangles"))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") > 0,
+            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
+            .otherwise(0.0).as("clustering"))
+    }),
+
+    // DISTRIBUTION DRIFT (PSI) between two corpus slices: fixed-width
+    // length bins (a pure per-row map — no quantile pass to coordinate
+    // across engines), Laplace-smoothed shares so empty bins stay
+    // finite, per-bin PSI contributions rounded before the bounded
+    // (≤20-row) total window. The full-data pass is ONE scan + one
+    // bin-keyed shuffle; everything after runs on the bin table.
+    "profile_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        (col("doc_id") % 2 === 0).as("is_ref"),
+        least(floor(col("n_chars") / 50), lit(19L)).as("bin"))
+      val agg = d.groupBy("bin").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = agg.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"),
+        count(lit(1)).as("nb"))
+      graft.ops.Scalars.withScalar(agg, col("bin"), tot, col("nb"))
+        .withColumn("p_ref", (col("n_ref") + 1.0) / (col("t_ref") + col("nb")))
+        .withColumn("p_cur", (col("n_cur") + 1.0) / (col("t_cur") + col("nb")))
+        .withColumn("psi_bin", round((col("p_cur") - col("p_ref"))
+          * log(col("p_cur") / col("p_ref")), 6))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"), col("psi_bin"),
+          round(sum(col("psi_bin")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(1))), 4)
+            .as("total_psi"))
+        .orderBy("bin")
     }),
 
     // int8-style quantization audit: per vector, the mean absolute
@@ -943,6 +1024,38 @@ object PipelineQueries {
 
     "dedup_ngram_jaccard" -> jaccardSql,
 
+    // uncapped shingle space, identical df-ascending prefix order, and
+    // the same integer threshold test — no float boundary anywhere
+    "dedup_prefix_filter" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |df AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |pre AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT ex.doc_id, ex.s, sizes.n,
+         |      row_number() OVER (PARTITION BY ex.doc_id
+         |                         ORDER BY df.df, ex.s) AS rn
+         |    FROM ex JOIN df ON ex.s = df.s
+         |            JOIN sizes ON ex.doc_id = sizes.doc_id)
+         |  WHERE rn <= n - ((n * 4 + 4) // 5) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, count(*) AS shared
+         |  FROM cand c JOIN ex a ON c.id1 = a.doc_id
+         |              JOIN ex b ON c.id2 = b.doc_id AND a.s = b.s
+         |  GROUP BY 1, 2)
+         |SELECT i.id1, i.id2, shared,
+         |  round(shared*1.0/(s1.n + s2.n - shared), 4) AS jaccard
+         |FROM inter i JOIN sizes s1 ON i.id1 = s1.doc_id
+         |             JOIN sizes s2 ON i.id2 = s2.doc_id
+         |WHERE shared * 5 >= (s1.n + s2.n - shared) * 4
+         |ORDER BY id1, id2""".stripMargin,
+
     // the same verified pair set rolled up by unordered source pair
     "dedup_source_report" ->
       s"""WITH pr AS (SELECT id1, id2, jaccard FROM ($jaccardSql)),
@@ -983,6 +1096,79 @@ object PipelineQueries {
          |       GROUP BY e.dst)
          |SELECT id AS doc_id, round(r, 6) AS pr_rank FROM r3
          |ORDER BY doc_id""".stripMargin,
+
+    // same 4-plane knn replay as emb_knn_graph, then the identical
+    // degree-orientation: one wedge per triangle at its min vertex,
+    // closing edge checked against the (a<b)-canonical edge set
+    "graph_triangles" -> {
+      val bucketExpr = Similarity.hyperplanes(4, 64, 42L).zipWithIndex.map {
+        case (p, i) =>
+          val lit = "[" + p.mkString(",") + "]"
+          s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n|    + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    $bucketExpr AS bucket
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT p.vec_id AS src, e.vec_id AS dst,
+         |    list_sum(list_transform(range(1,65), i -> p.v[i]*e.v[i]))
+         |      / (sqrt(list_sum(list_transform(p.v, x -> x*x)))
+         |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+         |  FROM e JOIN e p ON e.bucket = p.bucket AND e.vec_id <> p.vec_id),
+         |r AS (SELECT src, dst,
+         |        row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |      FROM s),
+         |ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM r WHERE rank <= 3),
+         |dg AS (SELECT v, count(*) AS deg
+         |       FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
+         |       GROUP BY 1),
+         |o AS (SELECT
+         |        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |             THEN a ELSE b END AS u,
+         |        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |             THEN b ELSE a END AS w
+         |      FROM ed JOIN dg da ON ed.a = da.v JOIN dg db ON ed.b = db.v),
+         |wg AS (SELECT o1.w AS v1, o2.w AS v2
+         |       FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.w < o2.w),
+         |tri AS (SELECT count(*) AS n_triangles FROM wg
+         |        WHERE EXISTS (SELECT 1 FROM ed
+         |                      WHERE ed.a = wg.v1 AND ed.b = wg.v2)),
+         |nn AS (SELECT count(*) AS n_nodes,
+         |         CAST(sum(deg*(deg-1)/2) AS BIGINT) AS n_wedges FROM dg),
+         |ne AS (SELECT count(*) AS n_edges FROM ed)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0
+         |       THEN round(3.0 * n_triangles / n_wedges, 4) ELSE 0.0 END
+         |    AS clustering
+         |FROM nn, ne, tri""".stripMargin
+    },
+
+    // fixed-width bins are a pure per-row map in both engines; shares
+    // are Laplace-smoothed and every float is rounded before compare
+    "profile_drift" ->
+      """WITH d AS (SELECT doc_id % 2 = 0 AS is_ref,
+        |            least(CAST(floor(n_chars / 50) AS BIGINT), 19) AS bin
+        |           FROM documents),
+        |a AS (SELECT bin,
+        |        sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+        |        sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur,
+        |        count(*) AS nb FROM a),
+        |p AS (SELECT bin, n_ref, n_cur,
+        |        (n_ref + 1.0) / (t_ref + nb) AS p_ref,
+        |        (n_cur + 1.0) / (t_cur + nb) AS p_cur
+        |      FROM a, t),
+        |b AS (SELECT bin, n_ref, n_cur,
+        |        round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+        |        round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_bin
+        |      FROM p)
+        |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur, p_ref, p_cur, psi_bin,
+        |  round(sum(psi_bin) OVER (), 4) AS total_psi
+        |FROM b ORDER BY bin""".stripMargin,
 
     "emb_quantize" ->
       """WITH e AS (
@@ -1510,7 +1696,7 @@ object PipelineQueries {
         |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "text_perplexity" ->
+    "text_unigram_nll" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS t FROM documents),
          |f AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
          |s AS (SELECT tk.doc_id,

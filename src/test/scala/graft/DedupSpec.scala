@@ -173,6 +173,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix filter has exact recall: finds every ngramJaccard pair, identical scores") {
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    val capped = asMap(Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50))
+    val exact  = asMap(Dedup.prefixFilterJaccard(docs, n = 3))
+    // the DF-capped approximation can only lose pairs, never invent them
+    // (on this fixture the capped jaccard equals the true jaccard for
+    // every surviving pair — no shingle of a dup pair exceeds the cap)
+    capped.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"prefix filter missed $pair")
+      assert(math.abs(exact(pair) - j) < 1e-9, s"$pair: ${exact(pair)} vs $j")
+    }
+    assert(exact.size >= capped.size)
+    // and the threshold really is exact integer arithmetic: no pair
+    // below 0.8 sneaks in
+    assert(exact.values.forall(_ >= 0.7999), s"below-threshold pair in ${exact.values.min}")
+  }
+
   test("edit-distance verify: flag is a pure function of the rounded ratio; catches reorders Jaccard misses") {
     val out = SparkEntry.queries("dedup_edit_verify")(spark, SparkTestSession.sf).collect()
     assert(out.nonEmpty)

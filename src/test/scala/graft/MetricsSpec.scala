@@ -90,6 +90,32 @@ class MetricsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("query keys are unique: no silent Map-literal shadowing") {
+    // Map literals silently keep the LAST duplicate key — r8 found a
+    // second "text_perplexity" swallowing the first. Lint the source:
+    // each key appears exactly twice per file (query + oracle), in one
+    // file only, and the ++-merge loses nothing.
+    val dirQ = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val keyRe = """"([a-z0-9_]+)" ->""".r
+    import scala.jdk.CollectionConverters._
+    val perFile = java.nio.file.Files.list(dirQ).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq.map { p =>
+        p.getFileName.toString ->
+          keyRe.findAllMatchIn(java.nio.file.Files.readString(p))
+            .map(_.group(1)).toSeq
+      }
+    for ((f, ks) <- perFile; (k, n) <- ks.groupBy(identity).map { case (k, v) => k -> v.size })
+      assert(n == 2, s"$f: key $k appears $n times (expected query + oracle)")
+    val byKey = perFile.flatMap { case (f, ks) => ks.distinct.map(_ -> f) }
+      .groupBy(_._1).filter(_._2.size > 1)
+    assert(byKey.isEmpty, s"keys defined in multiple files: $byKey")
+    val sizes = Seq(queries.MetricQueries.queries.size,
+      queries.MetaQueries.queries.size, queries.OlapQueries.queries.size,
+      queries.PipelineQueries.queries.size)
+    assert(sizes.sum == SparkEntry.queries.size,
+      s"merged map lost ${sizes.sum - SparkEntry.queries.size} keys to cross-file collisions")
+  }
+
   test("sketch overlap: inclusion-exclusion is consistent and tracks exact counts") {
     import org.apache.spark.sql.functions._
     val r = SparkEntry.queries("m_sketch_overlap")(spark, sf).head()
