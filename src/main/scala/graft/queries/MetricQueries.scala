@@ -210,6 +210,22 @@ object MetricQueries {
         .orderBy("win_end")
     }),
 
+    // DAY-OF-WEEK SEASONALITY: the weekly demand profile — order count,
+    // revenue, and each ISO weekday's share of total. One shuffle; the
+    // share window runs over the bounded 7-row weekday table.
+    "m_seasonality" -> ((s, dir) => {
+      val byDow = Tables.orders(s, dir)
+        .select((expr("weekday(o_orderdate)") + 1).cast("bigint").as("isodow"),
+          col("o_totalprice"))
+        .groupBy("isodow")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      byDow
+        .withColumn("rev_share", round(col("revenue") / sum("revenue").over(w), 4))
+        .orderBy("isodow")
+    }),
+
     // HLL SET ALGEBRA: overlap of two user populations (clickers vs
     // purchasers) without ever materializing either set. Union state
     // is a max-merge of the two sides' (bucket, rho) states — the
@@ -514,6 +530,16 @@ object MetricQueries {
     // an engine-specific binary sketch could never be hash-checked
     // day-grain state replay, then each trailing-7 window max-merges
     // its covered days' buckets before the shared float finish
+    // isodow(ts) == Spark weekday()+1 (both 1=Monday..7=Sunday)
+    "m_seasonality" ->
+      """WITH b AS (SELECT isodow(o_orderdate) AS isodow,
+        |             count(*) AS n_orders,
+        |             round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT CAST(isodow AS BIGINT) AS isodow, n_orders, revenue,
+        |  round(revenue / sum(revenue) OVER (), 4) AS rev_share
+        |FROM b ORDER BY isodow""".stripMargin,
+
     // per-side sketch states, a max-merged union state, then
     // inclusion–exclusion over the three integer estimates
     "m_sketch_overlap" ->

@@ -267,6 +267,23 @@ object OlapQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // JOIN FANOUT AUDIT: the key-multiplicity histogram run BEFORE a
+    // big join — n_join_rows per multiplicity bucket predicts the
+    // join's output size and flags hot keys without executing it.
+    // Two aggregations, no join of the fact tables themselves; the
+    // 0-bucket (orders with no lineitems) comes from the dim side's
+    // left join against the tiny multiplicity table.
+    "q_join_card_audit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("mult"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"))
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_outer")
+        .select(coalesce(col("mult"), lit(0L)).as("mult"))
+        .groupBy("mult")
+        .agg(count(lit(1)).as("n_keys"), sum("mult").cast("bigint").as("n_join_rows"))
+        .orderBy("mult")
+    }),
+
     // PEAK CONCURRENCY: max simultaneously-open sessions per day — the
     // capacity number a serving fleet is sized by. Sessions reuse the
     // 30-min-gap sessionize chain; each contributes a +1/-1 boundary
@@ -1478,6 +1495,14 @@ object OlapQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_join_card_audit" ->
+      """WITH m AS (SELECT l_orderkey, count(*) AS mult FROM lineitem GROUP BY 1),
+        |j AS (SELECT coalesce(mult, 0) AS mult
+        |      FROM orders LEFT JOIN m ON o_orderkey = l_orderkey)
+        |SELECT CAST(mult AS BIGINT) AS mult, count(*) AS n_keys,
+        |  CAST(sum(mult) AS BIGINT) AS n_join_rows
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same sessionize chain, then the +1/-1 boundary sweep: -1 sorts
     // first at equal t (half-open intervals), running sum per day

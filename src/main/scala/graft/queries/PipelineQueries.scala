@@ -42,6 +42,39 @@ object PipelineQueries {
     // k) next to the exact Jaccard — the drift check run before
     // trusting banding parameters on a new corpus. No threshold: the
     // whole candidate set is the calibration sample.
+    // THRESHOLD SWEEP: dedup aggressiveness curve — pair count, docs
+    // dropped (min-id keeper rule), and corpus dup rate at 0.70 / 0.80
+    // / 0.90, all from ONE signature-estimate pass over the shared LSH
+    // candidate set (checkpointed, then exploded per threshold). The
+    // membership test is integer arithmetic (m·100 ≥ thr·128), so no
+    // float boundary can flip a pair between engines.
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sig = Dedup.minhashSignatures(docs, n = 3, k = 128)
+        .localCheckpoint(false)
+      val cands = Dedup.lshCandidates(docs, n = 3, k = 128, bands = 16,
+        rawBandKey = true)
+      val matches = expr(
+        "aggregate(zip_with(sig1, sig2, (a, b) -> if(a = b, 1, 0)), 0, (acc, x) -> acc + x)")
+      val scored = cands
+        .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+        .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+        .select(col("id1"), col("id2"), matches.as("m"))
+        .localCheckpoint(false) // one score pass feeds all three thresholds
+      val nDocs = docs.agg(countDistinct("doc_id").as("n_docs"))
+      val swept = scored
+        .select(col("id1"), col("id2"), col("m"),
+          explode(array(lit(70L), lit(80L), lit(90L))).as("thr_pct"))
+        .filter(col("m") * 100 >= col("thr_pct") * 128)
+        .groupBy("thr_pct")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id2")).as("n_dropped"))
+      graft.ops.Scalars.withScalar(swept, col("thr_pct"), nDocs, col("n_docs"))
+        .select(col("thr_pct"), col("n_pairs"), col("n_dropped"),
+          round(col("n_dropped") / col("n_docs"), 4).as("dup_rate"))
+        .orderBy("thr_pct")
+    }),
+
     "dedup_minhash_calib" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val sig = Dedup.minhashSignatures(docs, n = 3, k = 128).localCheckpoint(false)
@@ -274,6 +307,50 @@ object PipelineQueries {
     // map-side via broadcast; ONE doc-keyed shuffle for the re-agg.
     "text_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramNll(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // LSH TUNING CURVE: average recall@5 of the hyperplane index at 4,
+    // 6, and 8 planes against the shared brute-force ground truth —
+    // the measurement that picks the bucket granularity (recall halves
+    // as buckets shrink; this query shows exactly where). Ground truth
+    // is computed ONCE (checkpointed) and each sweep point is the same
+    // bounded probe join as ann_lsh.
+    "ann_plane_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+        .localCheckpoint(false) // shared ground truth across the sweep
+      Seq(4, 6, 8).map { p =>
+        val lsh = Similarity.lshTopK(emb, col("vec_id") < 10, k = 5,
+            numPlanes = p)
+          .select(col("probe_id").as("lp"), col("neighbor_id").as("ln"))
+        brute.join(lsh,
+            col("probe_id") === col("lp") && col("neighbor_id") === col("ln"),
+            "left_outer")
+          .groupBy("probe_id")
+          .agg((count(col("ln")) / 5.0).as("recall"))
+          .agg(round(avg("recall"), 4).as("avg_recall"),
+            count(lit(1)).as("n_probes"))
+          .select(lit(p.toLong).as("planes"), col("avg_recall"),
+            col("n_probes"))
+      }.reduce(_.unionByName(_)).orderBy("planes")
+    }),
+
+    // DEAD-DIMENSION AUDIT: per-dimension mean/variance over the whole
+    // embedding column — collapsed (near-zero-variance) dimensions are
+    // wasted index memory and a training-collapse symptom. One explode
+    // + one 64-key shuffle; the dead flag compares the ROUNDED
+    // variance so it cannot flip between engines.
+    "emb_dim_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("bigint").as("dim"),
+          col("x").cast("double").as("x"))
+        .groupBy("dim")
+        .agg(round(avg("x"), 4).as("mean_v"),
+          round(var_pop("x"), 4).as("var_v"),
+          round(min("x"), 4).as("min_v"), round(max("x"), 4).as("max_v"))
+        .withColumn("is_dead", (col("var_v") < 0.0001).cast("bigint"))
+        .orderBy("dim")),
 
     // matryoshka audit: does a 16-dim PREFIX of the 64-dim embedding
     // preserve the full-dim top-5 neighbors? per-probe recall — the
@@ -1377,6 +1454,24 @@ object PipelineQueries {
          |JOIN ssz s2 ON es.id2 = s2.doc_id
          |ORDER BY es.id1, es.id2""".stripMargin,
 
+    // same raw-band candidates and signatures; slot matches counted
+    // per pair, thresholds as an unnest, integer membership test
+    "dedup_threshold_sweep" ->
+      s"""$minhashPrelude,
+         |ms AS (SELECT c.id1, c.id2,
+         |         len(list_filter(range(1, 129), i -> s1.sg[i] = s2.sg[i])) AS m
+         |       FROM cand c JOIN sig s1 ON c.id1 = s1.doc_id
+         |                   JOIN sig s2 ON c.id2 = s2.doc_id),
+         |sw AS (SELECT t.thr_pct, id1, id2, m
+         |       FROM ms, unnest([70, 80, 90]) t(thr_pct)
+         |       WHERE m * 100 >= thr_pct * 128),
+         |ag AS (SELECT thr_pct, count(*) AS n_pairs,
+         |         count(DISTINCT id2) AS n_dropped FROM sw GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+         |SELECT CAST(thr_pct AS BIGINT) AS thr_pct, n_pairs, n_dropped,
+         |  round(n_dropped * 1.0 / n_docs, 4) AS dup_rate
+         |FROM ag, nd ORDER BY thr_pct""".stripMargin,
+
     // same raw-band candidate set, then DuckDB's own levenshtein —
     // the DP is engine-independent, so distances match exactly
     "dedup_edit_verify" ->
@@ -1641,6 +1736,57 @@ object PipelineQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // the ann_recall replay swept across three plane counts; each
+    // sweep point re-derives its own buckets from the seeded planes
+    "ann_plane_sweep" -> {
+      def bucketExpr(np: Int) =
+        Similarity.hyperplanes(np, 64, 42L).zipWithIndex.map {
+          case (pl, i) =>
+            val lit = "[" + pl.mkString(",") + "]"
+            s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString("\n|    + ")
+      val planeCtes = Seq(4, 6, 8).map { np =>
+        s"""eb$np AS (SELECT vec_id, v,
+           |    ${bucketExpr(np)} AS bucket
+           |  FROM e),
+           |sb$np AS (
+           |  SELECT pb.probe_id, eb.vec_id,
+           |    list_sum(list_transform(range(1,65), i -> pb.pv[i]*eb.v[i]))
+           |      / (sqrt(list_sum(list_transform(pb.pv, x -> x*x)))
+           |         * sqrt(list_sum(list_transform(eb.v, x -> x*x)))) AS cos
+           |  FROM eb$np eb JOIN (SELECT vec_id AS probe_id, v AS pv, bucket
+           |                      FROM eb$np WHERE vec_id < 10) pb
+           |    ON eb.bucket = pb.bucket AND eb.vec_id <> pb.probe_id),
+           |lsh$np AS (SELECT probe_id, vec_id AS neighbor_id FROM (
+           |  SELECT probe_id, vec_id,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM sb$np) WHERE rank <= 5),
+           |rc$np AS (SELECT $np AS planes, b.probe_id,
+           |    count(l.neighbor_id) / 5.0 AS recall
+           |  FROM brute b LEFT JOIN lsh$np l
+           |    ON b.probe_id = l.probe_id AND b.neighbor_id = l.neighbor_id
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+         |s AS (
+         |  SELECT probe_id, e.vec_id,
+         |    list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))
+         |      / (sqrt(list_sum(list_transform(pv, x -> x*x)))
+         |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+         |  FROM e, p WHERE e.vec_id <> probe_id),
+         |brute AS (SELECT probe_id, vec_id AS neighbor_id FROM (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM s) WHERE rank <= 5),
+         |$planeCtes
+         |SELECT CAST(planes AS BIGINT) AS planes,
+         |  round(avg(recall), 4) AS avg_recall, count(*) AS n_probes
+         |FROM (SELECT * FROM rc4 UNION ALL SELECT * FROM rc6
+         |      UNION ALL SELECT * FROM rc8)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // grid replay: same four seeded hashes, % 256 bucketing (power-of-
     // two modulus, so signed pmod and unsigned % agree bit-for-bit)
     "sketch_countmin" ->
@@ -1704,6 +1850,16 @@ object PipelineQueries {
          |      FROM tk JOIN f USING (t))
          |SELECT doc_id, count(*) AS n_toks, round(avg(nll), 4) AS avg_nll
          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dead flag compares the rounded variance in both engines
+    "emb_dim_stats" ->
+      """WITH ex AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |            FROM embeddings, unnest(range(1, 65)) r(i))
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |  round(avg(x), 4) AS mean_v, round(var_pop(x), 4) AS var_v,
+        |  round(min(x), 4) AS min_v, round(max(x), 4) AS max_v,
+        |  CAST(round(var_pop(x), 4) < 0.0001 AS BIGINT) AS is_dead
+        |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same brute-force replay twice: full 64-dim vs the 16-element
     // prefix (norms over the prefix only), then per-probe overlap

@@ -48,8 +48,10 @@ class PlanSpec extends AnyFunSuite {
     // and ann_recall embeds that same brute-force pass as its ground
     // truth; everything else — including the funnel's 1-row step counts,
     // which combine via Scalars.withScalar — must plan product-free
-    // emb_prefix_recall reuses the same bruteForceTopK probe (twice)
-    val exempt = Set("ann_bruteforce", "ann_recall", "emb_prefix_recall")
+    // emb_prefix_recall reuses the same bruteForceTopK probe (twice),
+    // and ann_plane_sweep embeds it once as the sweep's ground truth
+    val exempt = Set("ann_bruteforce", "ann_recall", "emb_prefix_recall",
+      "ann_plane_sweep")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
