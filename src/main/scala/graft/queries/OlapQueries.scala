@@ -267,6 +267,65 @@ object OlapQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // BOT / ABUSE SIGNAL: each user's peak event count inside any
+    // sliding 5-minute window (a RANGE frame over event time — ties
+    // all count, matching the oracle's RANGE semantics), top-20 by
+    // burst. Superhuman burst rates are the standard pre-training
+    // crawl/abuse filter. Windows partition per user; output is
+    // bounded by the limit.
+    "events_bot_detection" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-300000000L, 0)
+      e.withColumn("burst", count(lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(max("burst").as("max_burst_5m"), count(lit(1)).as("n_events"))
+        .withColumn("burst_ratio",
+          round(col("max_burst_5m") / col("n_events"), 4))
+        .orderBy(desc("max_burst_5m"), col("user_id"))
+        .limit(20)
+    }),
+
+    // NEW-CUSTOMER REVENUE SHARE: per month, how much revenue came
+    // from customers in their FIRST month — the growth-quality split
+    // of the top line. Same first-order derivation as m_retention;
+    // one fact shuffle plus the tiny first-month join.
+    "m_newcust_share" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("m"), col("o_totalprice"))
+      val f = o.groupBy("o_custkey").agg(min("m").as("first_m"))
+      o.join(f, "o_custkey")
+        .groupBy(col("m").cast("date").as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          round(sum(when(col("m") === col("first_m"), col("o_totalprice"))
+            .otherwise(0.0)), 2).as("new_revenue"),
+          countDistinct(when(col("m") === col("first_m"), col("o_custkey")))
+            .as("n_new_custs"))
+        .withColumn("new_share", round(col("new_revenue") / col("revenue"), 4))
+        .orderBy("month")
+    }),
+
+    // BEHAVIORAL DIVERSITY: Shannon entropy of each user's event-type
+    // mix — near-zero entropy with high volume is the scripted-client
+    // signature. The type alphabet is tiny, so per-user state is
+    // bounded; `0.0 - sum` keeps an all-one-type user at +0.0 in both
+    // engines (a bare negation emits -0.0 and breaks the hash compare).
+    "events_user_entropy" -> ((s, dir) => {
+      val c = Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // feeds totals and the entropy re-agg
+      val t = c.groupBy("user_id")
+        .agg(sum("n").as("tot"), count(lit(1)).as("n_types"))
+      c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(max("n_types").as("n_types"),
+          round(lit(0.0) -
+            sum((col("n") / col("tot")) * log(col("n") / col("tot"))), 4)
+            .as("entropy"))
+        .orderBy("user_id")
+    }),
+
     // JOIN FANOUT AUDIT: the key-multiplicity histogram run BEFORE a
     // big join — n_join_rows per multiplicity bucket predicts the
     // join's output size and flags hot keys without executing it.
@@ -1495,6 +1554,45 @@ object OlapQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical RANGE-frame semantics: all rows within 300s count,
+    // ties included on both engines
+    "events_bot_detection" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |        RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS burst
+        |      FROM e),
+        |a AS (SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst_5m,
+        |        count(*) AS n_events FROM b GROUP BY 1)
+        |SELECT user_id, max_burst_5m, n_events,
+        |  round(max_burst_5m * 1.0 / n_events, 4) AS burst_ratio
+        |FROM a ORDER BY max_burst_5m DESC, user_id LIMIT 20""".stripMargin,
+
+    "m_newcust_share" ->
+      """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+        |                  o_totalprice FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS first_m FROM o GROUP BY 1)
+        |SELECT CAST(m AS DATE) AS month,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  round(sum(CASE WHEN m = first_m THEN o_totalprice ELSE 0 END), 2)
+        |    AS new_revenue,
+        |  count(DISTINCT CASE WHEN m = first_m THEN o.o_custkey END)
+        |    AS n_new_custs,
+        |  round(round(sum(CASE WHEN m = first_m THEN o_totalprice ELSE 0 END), 2)
+        |        / round(sum(o_totalprice), 2), 4) AS new_share
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY m ORDER BY month""".stripMargin,
+
+    // 0.0 - sum(...) mirrors the engine's +0.0 normalization
+    "events_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, sum(n) AS tot, count(*) AS n_types
+        |      FROM c GROUP BY 1)
+        |SELECT c.user_id, CAST(max(n_types) AS BIGINT) AS n_types,
+        |  round(0.0 - sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 4) AS entropy
+        |FROM c JOIN t USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_join_card_audit" ->
       """WITH m AS (SELECT l_orderkey, count(*) AS mult FROM lineitem GROUP BY 1),
