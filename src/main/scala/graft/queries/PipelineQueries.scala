@@ -425,6 +425,63 @@ object PipelineQueries {
     "text_filter_chain" -> ((s, dir) =>
       TextAnalysis.filterChain(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // PACKING SWEEP: sequence-packing efficiency at 512/1024/2048
+    // token budgets — bins, boundary-split docs, and fill rate — all
+    // from ONE two-level prefix-sum pass (cum_before is independent of
+    // the budget, so the sweep is a constant-fan-out explode over the
+    // checkpointed cumsum, not three packing runs). All membership
+    // arithmetic is integer division.
+    "seq_pack_sweep" -> ((s, dir) => {
+      val p = graft.ops.Pack.sequencePack(Tables.documents(s, dir))
+        .select("doc_id", "n_tokens", "cum_before")
+        .localCheckpoint(false) // one prefix-sum pass feeds all budgets
+      p.select(col("n_tokens"), col("cum_before"),
+          explode(array(lit(512L), lit(1024L), lit(2048L))).as("max_tokens"))
+        .groupBy("max_tokens")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          sum(when(col("n_tokens") > 0 &&
+              expr("cum_before div max_tokens") =!=
+              expr("(cum_before + n_tokens - 1) div max_tokens"), 1L)
+            .otherwise(0L)).as("n_docs_split"))
+        .withColumn("n_bins",
+          expr("(total_tokens + max_tokens - 1) div max_tokens"))
+        .withColumn("split_rate", round(col("n_docs_split") / col("n_docs"), 4))
+        .withColumn("fill_rate",
+          round(col("total_tokens") / (col("n_bins") * col("max_tokens")), 4))
+        .orderBy("max_tokens")
+    }),
+
+    // FILTER FUNNEL: stage-by-stage survival through the quality gate
+    // chain — which rule actually costs the corpus its volume. Each
+    // doc reduces to its FIRST failing stage (one per-row map), the
+    // 4-stage explode is constant fan-out, and the report is one
+    // 4-key aggregation. The drop accounting is exact: n_dropped at
+    // stage k counts docs whose first failure is k, so stages sum to
+    // the total drop.
+    "corpus_filter_funnel" -> ((s, dir) => {
+      val ff = TextAnalysis.quality(Tables.documents(s, dir)).select(
+        when(col("n_tokens") < 20, 1)
+          .when(col("dup_ratio") > 0.6, 2)
+          .when(col("stopword_ratio") === 0.0, 3)
+          .when(col("quality_score") < 0.75, 4)
+          .otherwise(5).as("first_fail"))
+      ff.select(col("first_fail"),
+          explode(sequence(lit(1), lit(4))).as("stage"))
+        .groupBy("stage")
+        .agg(
+          sum(when(col("first_fail") >= col("stage"), 1L).otherwise(0L)).as("n_in"),
+          sum(when(col("first_fail") === col("stage"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("first_fail") > col("stage"), 1L).otherwise(0L)).as("n_out"))
+        .select(col("stage").cast("bigint").as("stage"),
+          when(col("stage") === 1, "too_short")
+            .when(col("stage") === 2, "too_repetitive")
+            .when(col("stage") === 3, "no_stopwords")
+            .otherwise("low_score").as("rule"),
+          col("n_in"), col("n_dropped"), col("n_out"),
+          round(col("n_dropped") / col("n_in"), 4).as("drop_rate"))
+        .orderBy("stage")
+    }),
+
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -2136,6 +2193,65 @@ object PipelineQueries {
         |SELECT f.doc_id, f.fp_min16, md5(t.text) AS fp_full
         |FROM f JOIN t USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // single-window global cumsum replay (the oracle may do what the
+    // engine must decompose), then the same integer-division sweep
+    "seq_pack_sweep" ->
+      s"""WITH t AS (SELECT doc_id, len($toks) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cum_before
+         |      FROM t)
+         |SELECT CAST(mt AS BIGINT) AS max_tokens, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN n_tokens > 0
+         |             AND cum_before // mt <> (cum_before + n_tokens - 1) // mt
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split,
+         |  CAST((sum(n_tokens) + mt - 1) // mt AS BIGINT) AS n_bins,
+         |  round(sum(CASE WHEN n_tokens > 0
+         |              AND cum_before // mt <> (cum_before + n_tokens - 1) // mt
+         |            THEN 1 ELSE 0 END)*1.0 / count(*), 4) AS split_rate,
+         |  round(sum(n_tokens)*1.0
+         |        / (((sum(n_tokens) + mt - 1) // mt) * mt), 4) AS fill_rate
+         |FROM c, unnest([512, 1024, 2048]) r(mt)
+         |GROUP BY mt ORDER BY max_tokens""".stripMargin,
+
+    // same r/q quality replay as text_filter_chain, reduced to each
+    // doc's first failing stage, then the 4-stage funnel aggregation
+    "corpus_filter_funnel" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |r AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(len(list_filter(toks, x ->
+         |      list_contains(['the','a','of','and','to','in','is'], x)))*1.0
+         |      / len(toks), 4) AS stopword_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, n_tokens, stopword_ratio, dup_ratio,
+         |    round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) AS quality_score
+         |  FROM r),
+         |ff AS (
+         |  SELECT CASE WHEN n_tokens < 20 THEN 1
+         |              WHEN dup_ratio > 0.6 THEN 2
+         |              WHEN stopword_ratio = 0.0 THEN 3
+         |              WHEN quality_score < 0.75 THEN 4
+         |              ELSE 5 END AS first_fail
+         |  FROM q)
+         |SELECT CAST(stage AS BIGINT) AS stage,
+         |  CASE stage WHEN 1 THEN 'too_short' WHEN 2 THEN 'too_repetitive'
+         |             WHEN 3 THEN 'no_stopwords' ELSE 'low_score' END AS rule,
+         |  CAST(sum(CASE WHEN first_fail >= stage THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+         |  CAST(sum(CASE WHEN first_fail = stage THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN first_fail > stage THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+         |  round(sum(CASE WHEN first_fail = stage THEN 1 ELSE 0 END)*1.0
+         |        / sum(CASE WHEN first_fail >= stage THEN 1 ELSE 0 END), 4) AS drop_rate
+         |FROM ff, unnest(range(1, 5)) r(stage)
+         |GROUP BY stage ORDER BY stage""".stripMargin,
 
     "text_filter_chain" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),

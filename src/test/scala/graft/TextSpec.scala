@@ -220,4 +220,36 @@ class TextSpec extends AnyFunSuite {
     assert(m(0).getAs[Int]("width") >= 1 && m(0).getAs[Int]("height") >= 1)
     assert(m(0).getAs[scala.collection.Seq[Double]]("features").length == 8)
   }
+
+  test("filter funnel conserves flow: n_out(k) == n_in(k+1), drops sum to total - survivors") {
+    val rows = SparkEntry.queries("corpus_filter_funnel")(spark, SparkTestSession.sf)
+      .collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") == b.getAs[Long]("n_in"),
+        s"flow broken between stage ${a.getAs[Long]("stage")} and ${b.getAs[Long]("stage")}")
+    }
+    val total    = rows.head.getAs[Long]("n_in")
+    val dropped  = rows.map(_.getAs[Long]("n_dropped")).sum
+    val survived = rows.last.getAs[Long]("n_out")
+    assert(dropped + survived == total)
+    // and the funnel agrees with the chain's per-doc keep flags
+    val kept = SparkEntry.queries("text_filter_chain")(spark, SparkTestSession.sf)
+      .agg(org.apache.spark.sql.functions.sum("keep")).head.getLong(0)
+    assert(kept == survived, s"funnel says $survived survivors, chain says $kept")
+  }
+
+  test("pack sweep: one cumsum serves all budgets; fill ≤ 1, splits shrink with budget") {
+    val rows = SparkEntry.queries("seq_pack_sweep")(spark, SparkTestSession.sf)
+      .collect().sortBy(_.getAs[Long]("max_tokens"))
+    assert(rows.map(_.getAs[Long]("max_tokens")).toSeq == Seq(512L, 1024L, 2048L))
+    val tot = rows.map(_.getAs[Long]("total_tokens")).distinct
+    assert(tot.size == 1, "total tokens must not depend on the budget")
+    rows.foreach { r =>
+      val bins = r.getAs[Long]("n_bins")
+      assert(bins == (tot.head + r.getAs[Long]("max_tokens") - 1) / r.getAs[Long]("max_tokens"))
+      assert(r.getAs[Double]("fill_rate") <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_docs_split") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }
