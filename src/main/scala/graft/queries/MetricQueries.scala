@@ -210,6 +210,26 @@ object MetricQueries {
         .orderBy("win_end")
     }),
 
+    // STICKINESS (DAU/WAU): the engagement-frequency ratio product
+    // teams steer by. Reuses the m_active_users_7d trailing-window
+    // explode (constant 7-day fan-out, semi-joined to observed days —
+    // no range self-join of the fact table).
+    "m_stickiness" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint(false) // feeds DAU, the day dim, and WAU
+      val dau = ud.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+      val days = ud.select(col("day").as("wday")).distinct()
+      val wau = ud.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+        .join(broadcast(days), Seq("wday"), "left_semi")
+        .groupBy("wday").agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, dau("day") === wau("wday"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau") / col("wau"), 4).as("stickiness"))
+        .orderBy("day")
+    }),
+
     // DAY-OF-WEEK SEASONALITY: the weekly demand profile — order count,
     // revenue, and each ISO weekday's share of total. One shuffle; the
     // share window runs over the bounded 7-row weekday table.
@@ -530,6 +550,19 @@ object MetricQueries {
     // an engine-specific binary sketch could never be hash-checked
     // day-grain state replay, then each trailing-7 window max-merges
     // its covered days' buckets before the shared float finish
+    // same trailing-window membership as m_active_users_7d
+    "m_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |days AS (SELECT DISTINCT day AS wday FROM ud),
+        |wau AS (SELECT d.wday, count(DISTINCT u.user_id) AS wau
+        |        FROM days d JOIN ud u ON u.day BETWEEN d.wday - 6 AND d.wday
+        |        GROUP BY 1)
+        |SELECT dau.day, dau, wau, round(dau * 1.0 / wau, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.wday ORDER BY day""".stripMargin,
+
     // isodow(ts) == Spark weekday()+1 (both 1=Monday..7=Sunday)
     "m_seasonality" ->
       """WITH b AS (SELECT isodow(o_orderdate) AS isodow,

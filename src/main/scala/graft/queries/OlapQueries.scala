@@ -267,6 +267,38 @@ object OlapQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // MARKET-BASKET LIFT: part pairs co-occurring in the same order,
+    // scored by lift = P(ab)·N / (c(a)·c(b)) — the co-purchase signal
+    // behind "bought together". The pair space explodes WITHIN orders
+    // only (per-order item lists are short, so the self-join fan-out
+    // is Σ|order|², linear-ish in the fact table), min-support-2 prunes
+    // the singleton tail before the dim joins, and the order count
+    // attaches via the auditable 1-row withScalar path. Lift is the
+    // same long arithmetic + one double division in both engines, so
+    // the top-20 cut is deterministic (ties broken by part ids).
+    "q_basket_lift" -> ((s, dir) => {
+      val it = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint(false) // feeds singles, pairs, and the order count
+      val nOrders = it.agg(countDistinct(col("o")).as("n_orders"))
+      val singles = it.groupBy("p").agg(count(lit(1)).as("cnt"))
+      val pairs = it.select(col("o"), col("p").as("pa"))
+        .join(it.select(col("o"), col("p").as("pb")), "o")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 2)
+      val j = pairs
+        .join(singles.select(col("p").as("pa"), col("cnt").as("ca")), "pa")
+        .join(singles.select(col("p").as("pb"), col("cnt").as("cb")), "pb")
+      Scalars.withScalar(j, col("pa"), nOrders, col("n_orders"))
+        .withColumn("lift",
+          round(col("pair_cnt") * col("n_orders") / (col("ca") * col("cb")), 4))
+        .select(col("pa"), col("pb"), col("pair_cnt"), col("ca"), col("cb"),
+          col("lift"))
+        .orderBy(desc("lift"), col("pa"), col("pb"))
+        .limit(20)
+    }),
+
     // BOT / ABUSE SIGNAL: each user's peak event count inside any
     // sliding 5-minute window (a RANGE frame over event time — ties
     // all count, matching the oracle's RANGE semantics), top-20 by
@@ -1554,6 +1586,20 @@ object OlapQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // pairs within orders only, min support 2, same lift arithmetic
+    "q_basket_lift" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |no AS (SELECT count(DISTINCT o) AS n_orders FROM it),
+        |sg AS (SELECT p, count(*) AS cnt FROM it GROUP BY 1),
+        |pr AS (SELECT a.p AS pa, b.p AS pb, count(*) AS pair_cnt
+        |       FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, pair_cnt, ca.cnt AS ca, cb.cnt AS cb,
+        |  round(pair_cnt * n_orders * 1.0 / (ca.cnt * cb.cnt), 4) AS lift
+        |FROM pr JOIN sg ca ON pr.pa = ca.p
+        |        JOIN sg cb ON pr.pb = cb.p, no
+        |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
 
     // identical RANGE-frame semantics: all rows within 300s count,
     // ties included on both engines

@@ -162,6 +162,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // FAMILY-SIZE HISTOGRAM over the dup clusters: how much of the
+    // corpus sits in 2-doc families vs large boilerplate families —
+    // the number that decides whether dedup is worth a rewrite pass.
+    // Two tiny aggregations over the converged labels.
+    "dedup_family_sizes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Cluster.dedupClusters(docs,
+          Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50))
+        .groupBy("cluster_id").agg(count(lit(1)).as("family_size"))
+        .groupBy("family_size")
+        .agg(count(lit(1)).as("n_families"))
+        .select(col("family_size"), col("n_families"),
+          (col("family_size") * col("n_families")).as("n_docs"))
+        .orderBy("family_size")
+    }),
+
     // corpus heavy hitters: document frequency of every distinct
     // 3-gram shingle, deterministic top-20 (TakeOrderedAndProject —
     // per-partition top-k partials, never a full sort)
@@ -1637,6 +1653,37 @@ object PipelineQueries {
          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
          |ORDER BY 1""".stripMargin,
+
+    // same recursive label derivation, rolled up twice
+    "dedup_family_sizes" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |cx AS (SELECT doc_id, ex.s FROM ex JOIN keep ON ex.s = keep.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM cx a JOIN cx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |good AS (
+         |  SELECT id1, id2 FROM pairs
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE shared*1.0/(s1.n + s2.n - shared) >= 0.8),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM good
+         |          UNION ALL SELECT id2, id1 FROM good),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |fam AS (SELECT cluster_id, count(*) AS family_size FROM lab GROUP BY 1)
+         |SELECT family_size, count(*) AS n_families,
+         |  CAST(family_size * count(*) AS BIGINT) AS n_docs
+         |FROM fam GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_ngram_topk" ->
       s"""WITH docs AS (
