@@ -267,6 +267,30 @@ object OlapQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // CONVERSION LAG: time from each user's first view to their first
+    // subsequent purchase, bucketed (<1h / 1-6h / 6-24h / >24h) — the
+    // latency profile attribution windows are chosen from. Two
+    // user-keyed aggregations; bucket edges are integer microsecond
+    // comparisons, so membership can't flip between engines.
+    "events_conversion_lag" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+        .localCheckpoint(false) // feeds the purchase probe and the base count
+      val lag = e.filter(col("event_type") === "purchase").join(s1, "user_id")
+        .filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts_us") - col("t1")).as("lag_us"))
+      val hour = 3600L * 1000000L
+      lag.select(
+          when(col("lag_us") <= hour, "a_lt_1h")
+            .when(col("lag_us") <= 6 * hour, "b_1_6h")
+            .when(col("lag_us") <= 24 * hour, "c_6_24h")
+            .otherwise("d_gt_24h").as("lag_bucket"))
+        .groupBy("lag_bucket").agg(count(lit(1)).as("n_users"))
+        .orderBy("lag_bucket")
+    }),
+
     // MARKET-BASKET LIFT: part pairs co-occurring in the same order,
     // scored by lift = P(ab)·N / (c(a)·c(b)) — the co-purchase signal
     // behind "bought together". The pair space explodes WITHIN orders
@@ -373,6 +397,26 @@ object OlapQueries {
         .groupBy("mult")
         .agg(count(lit(1)).as("n_keys"), sum("mult").cast("bigint").as("n_join_rows"))
         .orderBy("mult")
+    }),
+
+    // SESSION DEPTH HISTOGRAM: events-per-session distribution (depth
+    // capped at 10+) — the engagement shape behind the sessionize
+    // output. Same per-user windows; one extra bounded aggregation.
+    "events_session_depth_hist" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val w     = Window.partitionBy("user_id").orderBy("ts_us")
+      val prev  = lag(col("ts_us"), 1).over(w)
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("is_new",
+          when(prev.isNull || col("ts_us") - prev > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum("is_new")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select(least(col("n_events"), lit(10L)).as("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("n_sessions"))
+        .orderBy("depth")
     }),
 
     // PEAK CONCURRENCY: max simultaneously-open sessions per day — the
@@ -1587,6 +1631,21 @@ object OlapQueries {
         | min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "events_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |lag AS (SELECT e.user_id, min(ts_us - t1) AS lag_us
+        |        FROM e JOIN s1 USING (user_id)
+        |        WHERE event_type = 'purchase' AND ts_us > t1
+        |        GROUP BY 1)
+        |SELECT CASE WHEN lag_us <= 3600000000 THEN 'a_lt_1h'
+        |            WHEN lag_us <= 21600000000 THEN 'b_1_6h'
+        |            WHEN lag_us <= 86400000000 THEN 'c_6_24h'
+        |            ELSE 'd_gt_24h' END AS lag_bucket,
+        |  count(*) AS n_users
+        |FROM lag GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // pairs within orders only, min support 2, same lift arithmetic
     "q_basket_lift" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -1647,6 +1706,25 @@ object OlapQueries {
         |SELECT CAST(mult AS BIGINT) AS mult, count(*) AS n_keys,
         |  CAST(sum(mult) AS BIGINT) AS n_join_rows
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same sessionize chain, depth capped at 10
+    "events_session_depth_hist" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |            > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e),
+        |d AS (SELECT user_id, session_id, count(*) AS n_events
+        |      FROM s GROUP BY 1, 2)
+        |SELECT least(n_events, 10) AS depth, count(*) AS n_sessions
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same sessionize chain, then the +1/-1 boundary sweep: -1 sorts
     // first at equal t (half-open intervals), running sum per day

@@ -878,6 +878,56 @@ object PipelineQueries {
     // two-level block decomposition; hash blocks are uniform by
     // construction, so block skew is impossible. Shards interleave by
     // rank so every shard sees the same shuffled distribution.
+    // LANG × SOURCE CONTINGENCY: observed vs independence-expected
+    // counts per (lang, source) cell with the chi-square contribution
+    // — which crawls skew which languages. Margins are tiny aggregates
+    // (|langs| and |sources| rows) that re-attach by equi-join; the
+    // corpus total rides the auditable 1-row withScalar path.
+    "corpus_lang_source_mix" -> ((s, dir) => {
+      val cell = Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // feeds both margins and the result
+      val byLang = cell.groupBy("lang").agg(sum("n").as("lang_tot"))
+      val bySrc  = cell.groupBy("source").agg(sum("n").as("src_tot"))
+      val total  = cell.agg(sum("n").as("n_total"))
+      graft.ops.Scalars.withScalar(
+          cell.join(byLang, "lang").join(bySrc, "source"),
+          col("lang"), total, col("n_total"))
+        .withColumn("expected",
+          round(col("lang_tot") * col("src_tot") / col("n_total"), 4))
+        .withColumn("ratio", round(col("n") / (col("lang_tot") * col("src_tot")
+          / col("n_total")), 4))
+        .withColumn("chi2", round(
+          org.apache.spark.sql.functions.pow(
+            col("n") - col("lang_tot") * col("src_tot") / col("n_total"), 2)
+            / (col("lang_tot") * col("src_tot") / col("n_total")), 4))
+        .select("lang", "source", "n", "expected", "ratio", "chi2")
+        .orderBy("lang", "source")
+    }),
+
+    // PER-SOURCE QUOTA SAMPLING: cap every source at a fixed doc
+    // budget, membership decided by deterministic hash order (smallest
+    // graft_hash64 first — an unbiased, replayable coin) — the corpus
+    // rebalancing step that stops one crawl from dominating the mix.
+    // The rank window partitions per source (bounded), the report is
+    // one source-keyed aggregation.
+    "sample_source_quota" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          call_function("graft_hash64", col("doc_id").cast("string"),
+            lit(11L)).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("kept", (col("rn") <= 40).cast("bigint"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+          sum(when(col("kept") === 1, col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .orderBy("source")
+    }),
+
     "corpus_shuffle" -> ((s, dir) => {
       graft.functions.GraftHash64.register(s)
       val h = Tables.documents(s, dir).select(col("doc_id"),
@@ -1487,6 +1537,40 @@ object PipelineQueries {
          |ORDER BY h ASC, doc_id LIMIT 100""".stripMargin,
 
     // full replay of the seeded portable hash, then the same rank
+    // display expected is rounded; ratio/chi2 derive from the raw
+    // expectation in both engines
+    "corpus_lang_source_mix" ->
+      """WITH cell AS (SELECT lang, source, count(*) AS n
+        |              FROM documents GROUP BY 1, 2),
+        |bl AS (SELECT lang, sum(n) AS lang_tot FROM cell GROUP BY 1),
+        |bs AS (SELECT source, sum(n) AS src_tot FROM cell GROUP BY 1),
+        |t AS (SELECT sum(n) AS n_total FROM cell)
+        |SELECT cell.lang, cell.source, CAST(n AS BIGINT) AS n,
+        |  round(lang_tot * src_tot * 1.0 / n_total, 4) AS expected,
+        |  round(n / (lang_tot * src_tot * 1.0 / n_total), 4) AS ratio,
+        |  round(pow(n - lang_tot * src_tot * 1.0 / n_total, 2)
+        |        / (lang_tot * src_tot * 1.0 / n_total), 4) AS chi2
+        |FROM cell JOIN bl USING (lang) JOIN bs USING (source), t
+        |ORDER BY lang, source""".stripMargin,
+
+    // same signed-hash ascending order, quota 40 per source
+    "sample_source_quota" ->
+      s"""WITH tb AS (
+         |  SELECT doc_id, source, n_chars,
+         |    hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
+         |    octet_length(encode(CAST(doc_id AS VARCHAR))) AS n
+         |  FROM documents),
+         |h AS (SELECT doc_id, source, n_chars,
+         |        ${sx(ghashSql(fnvHx, "11"))} AS h FROM tb),
+         |r AS (SELECT source, n_chars,
+         |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+         |      FROM h)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN rn <= 40 THEN n_chars ELSE 0 END) AS BIGINT)
+         |    AS kept_chars
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "corpus_shuffle" ->
       s"""WITH tb AS (
          |  SELECT doc_id, hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
