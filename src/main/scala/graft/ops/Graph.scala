@@ -50,4 +50,51 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle count + global clustering coefficient over an undirected
+    * edge set (columns `a`, `b`, canonicalized a < b, no duplicates).
+    *
+    * Degree orientation: every edge points at its (deg, id)-larger
+    * endpoint, so each triangle forms exactly ONE wedge at its minimum
+    * vertex and oriented out-degrees are O(√m)-bounded — the wedge
+    * self-join stays near-linear instead of exploding on hubs (the
+    * standard distributed-triangle trick). The closing-edge check is a
+    * semi-join back to the canonical edge set, and the only things the
+    * driver ever sees are five scalars.
+    *
+    * Output (single row): n_nodes, n_edges, n_wedges (undirected
+    * Σ d·(d−1)/2), n_triangles, clustering = 3·triangles / wedges. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+      .localCheckpoint(false) // feeds degrees, orientation, closing edges
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val fwd = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("a") < col("b"))
+    val o = e
+      .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("w"))
+      .localCheckpoint(false)
+    val wedges = o.select(col("u"), col("w").as("v1"))
+      .join(o.select(col("u"), col("w").as("v2")), "u")
+      .filter(col("v1") < col("v2"))
+    val tri = wedges
+      .join(e.select(col("a").as("v1"), col("b").as("v2")),
+        Seq("v1", "v2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val sizes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("bigint").as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    Scalars.withScalar(
+        Scalars.withScalar(sizes, col("n_nodes"), nEdges, col("n_edges")),
+        col("n_nodes"), tri, col("n_triangles"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
+          .otherwise(0.0).as("clustering"))
+  }
 }

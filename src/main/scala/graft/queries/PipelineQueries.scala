@@ -704,44 +704,13 @@ object PipelineQueries {
     // bounds out-degrees near sqrt(m) — the wedge self-join stays
     // near-linear instead of exploding on hubs; the closing-edge check
     // is a semi-join back to the (a<b)-canonical undirected edge set.
-    "graph_triangles" -> ((s, dir) => {
-      val knn = Similarity.lshTopK(Tables.embeddings(s, dir), lit(true),
-        k = 3, numPlanes = 4)
-      val e = knn.select(least(col("probe_id"), col("neighbor_id")).as("a"),
-          greatest(col("probe_id"), col("neighbor_id")).as("b"))
-        .distinct()
-        .localCheckpoint(false) // feeds degrees, orientation, closing edges
-      val deg = e.select(col("a").as("v"))
-        .unionAll(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val fwd = col("dega") < col("degb") ||
-        (col("dega") === col("degb") && col("a") < col("b"))
-      val o = e
-        .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
-        .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
-          when(fwd, col("b")).otherwise(col("a")).as("w"))
-        .localCheckpoint(false)
-      val wedges = o.select(col("u"), col("w").as("v1"))
-        .join(o.select(col("u"), col("w").as("v2")), "u")
-        .filter(col("v1") < col("v2"))
-      val tri = wedges
-        .join(e.select(col("a").as("v1"), col("b").as("v2")),
-          Seq("v1", "v2"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
-      val sizes = deg.agg(count(lit(1)).as("n_nodes"),
-        sum(col("deg") * (col("deg") - 1) / 2).cast("bigint").as("n_wedges"))
-      val edges = e.agg(count(lit(1)).as("n_edges"))
-      graft.ops.Scalars.withScalar(
-          graft.ops.Scalars.withScalar(sizes, col("n_nodes"),
-            edges, col("n_edges")),
-          col("n_nodes"), tri, col("n_triangles"))
-        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-          col("n_triangles"),
-          when(col("n_wedges") > 0,
-            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
-            .otherwise(0.0).as("clustering"))
-    }),
+    "graph_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangleStats(
+        Similarity.lshTopK(Tables.embeddings(s, dir), lit(true),
+            k = 3, numPlanes = 4)
+          .select(least(col("probe_id"), col("neighbor_id")).as("a"),
+            greatest(col("probe_id"), col("neighbor_id")).as("b"))
+          .distinct())),
 
     // DISTRIBUTION DRIFT (PSI) between two corpus slices: fixed-width
     // length bins (a pure per-row map — no quantile pass to coordinate

@@ -9,6 +9,27 @@ class GraphRankSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
+  test("triangleStats: 4-clique has C(4,3) triangles and clustering 1; path and star have none") {
+    def stats(edges: Seq[(Long, Long)]) =
+      Graph.triangleStats(edges.toDF("a", "b")).head()
+    // K4: 6 edges, 4 triangles, wedges Σ 3·2/2 = 12, clustering 3·4/12 = 1
+    val k4 = stats(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)))
+    assert(k4.getAs[Long]("n_nodes") == 4 && k4.getAs[Long]("n_edges") == 6)
+    assert(k4.getAs[Long]("n_wedges") == 12 && k4.getAs[Long]("n_triangles") == 4)
+    assert(math.abs(k4.getAs[Double]("clustering") - 1.0) < 1e-9)
+    // path 1-2-3-4: 2 wedges, no triangle
+    val path = stats(Seq((1L,2L),(2L,3L),(3L,4L)))
+    assert(path.getAs[Long]("n_triangles") == 0 && path.getAs[Long]("n_wedges") == 2)
+    // star (hub 1): all wedges at the hub, no triangle — the shape the
+    // degree orientation must not explode on
+    val star = stats(Seq((1L,2L),(1L,3L),(1L,4L),(1L,5L)))
+    assert(star.getAs[Long]("n_triangles") == 0 && star.getAs[Long]("n_wedges") == 6)
+    assert(star.getAs[Double]("clustering") == 0.0)
+    // triangle + pendant: exactly one triangle survives the orientation
+    val tp = stats(Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L)))
+    assert(tp.getAs[Long]("n_triangles") == 1)
+  }
+
   test("pagerank on a 3-node path puts the center on top and conserves mass") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
     val r = Graph.pagerank(pairs, damping = 0.85, iters = 3)
