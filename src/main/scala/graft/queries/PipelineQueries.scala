@@ -149,8 +149,17 @@ object PipelineQueries {
         .select(least(col("s1"), col("s2")).as("src_a"),
           greatest(col("s1"), col("s2")).as("src_b"), col("jaccard"))
         .groupBy("src_a", "src_b")
-        .agg(count(lit(1)).as("n_pairs"), round(avg("jaccard"), 4).as("avg_jaccard"))
+        // the jaccards are 4dp-QUANTIZED, so an even pair count parks
+        // avg exactly on a .00005 rounding boundary where the two
+        // engines' round() disagree (r8 sf0.1: 0.9492 vs 0.9493) —
+        // average in integer ten-thousandths with explicit half-up
+        // instead; identical integers → identical final double
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("jaccard") * 10000, 0).cast("long")).as("sj"))
+        .withColumn("avg_jaccard",
+          expr("(2*sj + n_pairs) div (2*n_pairs)") / lit(10000.0))
         .withColumn("cross_source", (col("src_a") =!= col("src_b")).cast("bigint"))
+        .select("src_a", "src_b", "n_pairs", "avg_jaccard", "cross_source")
         .orderBy("src_a", "src_b")
     }),
 
@@ -1235,7 +1244,8 @@ object PipelineQueries {
          |  FROM pr JOIN ds a ON pr.id1 = a.doc_id
          |          JOIN ds b ON pr.id2 = b.doc_id)
          |SELECT src_a, src_b, count(*) AS n_pairs,
-         |  round(avg(jaccard), 4) AS avg_jaccard,
+         |  ((2*sum(CAST(round(jaccard*10000) AS BIGINT)) + count(*))
+         |   // (2*count(*))) / 10000.0 AS avg_jaccard,
          |  CAST(src_a <> src_b AS BIGINT) AS cross_source
          |FROM lab GROUP BY src_a, src_b
          |ORDER BY src_a, src_b""".stripMargin,
