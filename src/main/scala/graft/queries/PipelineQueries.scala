@@ -95,7 +95,11 @@ object PipelineQueries {
         .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
         .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
         .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-        .select(col("id1"), col("id2"), round(est, 4).as("est_jaccard"),
+        // est = m/128 is a pure integer ratio: emitted UNROUNDED because
+        // the division is bit-identical in both engines, while 4dp
+        // rounding would sit exactly on a .00005 boundary whenever
+        // m ≡ 4 (mod 8) — the dedup_source_report failure class
+        .select(col("id1"), col("id2"), est.as("est_jaccard"),
           round(exact, 4).as("jaccard"))
         .orderBy("id1", "id2")
     }),
@@ -1582,7 +1586,7 @@ object PipelineQueries {
          |  FROM cand c JOIN sh a ON a.doc_id = c.id1
          |              JOIN sh b2 ON b2.doc_id = c.id2 AND b2.s = a.s
          |  GROUP BY 1, 2)
-         |SELECT es.id1, es.id2, round(es.est, 4) AS est_jaccard,
+         |SELECT es.id1, es.id2, es.est AS est_jaccard,
          |  round(coalesce(i.shared, 0)*1.0
          |        /(s1.n + s2.n - coalesce(i.shared, 0)), 4) AS jaccard
          |FROM es LEFT JOIN inter i ON es.id1 = i.id1 AND es.id2 = i.id2
