@@ -210,6 +210,16 @@ object MetricQueries {
         .orderBy("win_end")
     }),
 
+    // ACTIVITY HEATMAP: event volume per (ISO weekday, hour-of-day)
+    // cell — the 7×24 ops-dashboard grid. One shuffle on a bounded
+    // 168-cell key space.
+    "m_activity_heatmap" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select((expr("weekday(ts)") + 1).cast("bigint").as("isodow"),
+          hour(col("ts")).cast("bigint").as("hod"))
+        .groupBy("isodow", "hod").agg(count(lit(1)).as("n_events"))
+        .orderBy("isodow", "hod")),
+
     // STICKINESS (DAU/WAU): the engagement-frequency ratio product
     // teams steer by. Reuses the m_active_users_7d trailing-window
     // explode (constant 7-day fan-out, semi-joined to observed days —
@@ -550,6 +560,11 @@ object MetricQueries {
     // an engine-specific binary sketch could never be hash-checked
     // day-grain state replay, then each trailing-7 window max-merges
     // its covered days' buckets before the shared float finish
+    "m_activity_heatmap" ->
+      """SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+        |  CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // same trailing-window membership as m_active_users_7d
     "m_stickiness" ->
       """WITH ud AS (

@@ -337,6 +337,26 @@ object PipelineQueries {
     "text_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramNll(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // LSH BUCKET BALANCE: occupancy spread of the hyperplane buckets
+    // at 4 and 8 planes — a skewed bucket breaks LSH's bounded-pair
+    // promise before recall ever degrades, so this is the check run
+    // FIRST. skew = max_occ·n_buckets/n_vecs is a pure integer ratio
+    // (identical IEEE division both engines), emitted unrounded.
+    "ann_bucket_balance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Seq(4, 8).map { p =>
+        val planes = Similarity.hyperplanes(p, 64, 42L)
+        emb.select(Similarity.bucketOf(
+            col("embedding").cast("array<double>"), planes).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_buckets"), min("sz").as("min_occ"),
+            max("sz").as("max_occ"), sum("sz").as("n_vecs"))
+          .select(lit(p.toLong).as("planes"), col("n_buckets"),
+            col("min_occ"), col("max_occ"),
+            (col("max_occ") * col("n_buckets") / col("n_vecs")).as("skew"))
+      }.reduce(_.unionByName(_)).orderBy("planes")
+    }),
+
     // LSH TUNING CURVE: average recall@5 of the hyperplane index at 4,
     // 6, and 8 planes against the shared brute-force ground truth —
     // the measurement that picks the bucket granularity (recall halves
@@ -362,6 +382,26 @@ object PipelineQueries {
           .select(lit(p.toLong).as("planes"), col("avg_recall"),
             col("n_probes"))
       }.reduce(_.unionByName(_)).orderBy("planes")
+    }),
+
+    // LENGTH↔QUALITY CORRELATION: Pearson r between token count and
+    // the quality score from explicit sum-of-products (Σx/Σx² are
+    // integer-exact in double, so only the quantized-y sums carry
+    // order noise — absorbed by the 4dp round on a continuous value).
+    // One aggregation; six scalars reach the final row.
+    "profile_quality_corr" -> ((s, dir) => {
+      val q = TextAnalysis.quality(Tables.documents(s, dir))
+        .select(col("n_tokens").cast("double").as("x"),
+          col("quality_score").as("y"))
+      q.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n") * col("syy") - col("sy") * col("sy"))), 4)
+            .as("corr_len_quality"))
     }),
 
     // DEAD-DIMENSION AUDIT: per-dimension mean/variance over the whole
@@ -1906,6 +1946,56 @@ object PipelineQueries {
          |  ON b.probe_id = l.probe_id AND b.neighbor_id = l.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // same seeded-plane bucket derivation at 4 and 8 planes; skew is
+    // the unrounded integer ratio
+    "ann_bucket_balance" -> {
+      def bucketExpr(np: Int) =
+        Similarity.hyperplanes(np, 64, 42L).zipWithIndex.map {
+          case (pl, i) =>
+            val lit = "[" + pl.mkString(",") + "]"
+            s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString("\n|      + ")
+      def branch(np: Int) =
+        s"""SELECT $np AS planes, count(*) AS n_buckets,
+           |  CAST(min(sz) AS BIGINT) AS min_occ,
+           |  CAST(max(sz) AS BIGINT) AS max_occ,
+           |  max(sz) * count(*) * 1.0 / sum(sz) AS skew
+           |FROM (
+           |  SELECT count(*) AS sz FROM (
+           |    SELECT ${bucketExpr(np)} AS bucket
+           |    FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+           |  GROUP BY bucket)""".stripMargin
+      s"""SELECT CAST(planes AS BIGINT) AS planes, n_buckets, min_occ,
+         |  max_occ, skew
+         |FROM (${branch(4)}
+         |UNION ALL
+         |${branch(8)})
+         |ORDER BY planes""".stripMargin
+    },
+
+    // explicit sum-of-products replay of the same Pearson formula
+    "profile_quality_corr" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |r AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(len(list_filter(toks, x ->
+         |      list_contains(['the','a','of','and','to','in','is'], x)))*1.0
+         |      / len(toks), 4) AS stopword_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT CAST(n_tokens AS DOUBLE) AS x,
+         |    round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) AS y
+         |  FROM r),
+         |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM q)
+         |SELECT n, round((n*sxy - sx*sy)
+         |  / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS corr_len_quality
+         |FROM s""".stripMargin,
 
     // the ann_recall replay swept across three plane counts; each
     // sweep point re-derives its own buckets from the seeded planes
