@@ -105,7 +105,7 @@ object Dedup {
     * groupBy(pair) over the map-side-exploded in-bucket pairs. The
     * bucket cap makes the pair volume Σ df²/2 ≤ (maxDF/2)·postings —
     * linear in corpus size, never all-pairs.
-    * Output: id1, id2, shared, jaccard (4dp). */
+    * Output: id1, id2, shared, jaccard (unrounded — the integer-ratio division is bit-identical cross-engine). */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    maxDF: Int = 50): DataFrame = {
     // the bucket table feeds BOTH the pair counts and the per-doc sizes;
@@ -131,7 +131,7 @@ object Dedup {
     val jac = col("shared") / (col("s12") - col("shared"))
     summed
       .filter(jac >= threshold)
-      .select(col("id1"), col("id2"), col("shared"), round(jac, 4).as("jaccard"))
+      .select(col("id1"), col("id2"), col("shared"), jac.as("jaccard"))
   }
 
   /** EXACT-recall similarity join via prefix filtering (PPJoin-style):
@@ -154,7 +154,7 @@ object Dedup {
     * shingle is ever dropped; the O(len²) exact verify runs only on
     * candidates. Three shuffles: df groupBy, prefix self-join,
     * pair-keyed verify re-agg.
-    * Output: id1, id2, shared, jaccard (4dp). */
+    * Output: id1, id2, shared, jaccard (unrounded — the integer-ratio division is bit-identical cross-engine). */
   def prefixFilterJaccard(docs: DataFrame, n: Int = 3,
                           tNum: Int = 4, tDen: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -184,7 +184,7 @@ object Dedup {
       .filter(col("shared") * tDen >=
         (col("n1") + col("n2") - col("shared")) * tNum)
       .select(col("id1"), col("id2"), col("shared"),
-        round(col("shared") / (col("n1") + col("n2") - col("shared")), 4)
+        (col("shared") / (col("n1") + col("n2") - col("shared")))
           .as("jaccard"))
   }
 
@@ -212,7 +212,7 @@ object Dedup {
     * per-row shingle arrays (a cheap projection of the docs scan —
     * AQE broadcasts the candidate side at runtime). `bucketCap` bounds
     * pathological buckets (e.g. a corpus of thousands of identical
-    * docs) to cap² pair growth. Output: id1, id2, jaccard (4dp). */
+    * docs) to cap² pair growth. Output: id1, id2, jaccard (unrounded — the integer-ratio division is bit-identical cross-engine). */
   /** LSH candidate pairs only (band-bucket collisions, deduplicated) —
     * the pre-verification stage of [[minhashLsh]].
     *
@@ -281,7 +281,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
       .join(sets.select(col("doc_id").as("match_id"), col("sh").as("sh2")), "match_id")
       .filter(jac >= threshold)
-      .select(col("new_id"), col("match_id"), round(jac, 4).as("jaccard"),
+      .select(col("new_id"), col("match_id"), jac.as("jaccard"),
         (!col("match_new")).cast("bigint").as("is_cross"))
   }
 
@@ -296,7 +296,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
       .filter(jac >= threshold)
-      .select(col("id1"), col("id2"), round(jac, 4).as("jaccard"))
+      .select(col("id1"), col("id2"), jac.as("jaccard"))
   }
 
   /** 64-bit SimHash per doc: tf-weighted sign-sum of token hash bits,

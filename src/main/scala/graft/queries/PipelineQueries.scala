@@ -100,7 +100,7 @@ object PipelineQueries {
         // rounding would sit exactly on a .00005 boundary whenever
         // m ≡ 4 (mod 8) — the dedup_source_report failure class
         .select(col("id1"), col("id2"), est.as("est_jaccard"),
-          round(exact, 4).as("jaccard"))
+          exact.as("jaccard"))
         .orderBy("id1", "id2")
     }),
 
@@ -1230,7 +1230,7 @@ object PipelineQueries {
        |  FROM cx a JOIN cx b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id1, id2, shared,
-       |  round(shared*1.0/(s1.n + s2.n - shared), 4) AS jaccard
+       |  shared*1.0/(s1.n + s2.n - shared) AS jaccard
        |FROM pairs
        |JOIN sizes s1 ON id1 = s1.doc_id
        |JOIN sizes s2 ON id2 = s2.doc_id
@@ -1272,7 +1272,7 @@ object PipelineQueries {
          |              JOIN ex b ON c.id2 = b.doc_id AND a.s = b.s
          |  GROUP BY 1, 2)
          |SELECT i.id1, i.id2, shared,
-         |  round(shared*1.0/(s1.n + s2.n - shared), 4) AS jaccard
+         |  shared*1.0/(s1.n + s2.n - shared) AS jaccard
          |FROM inter i JOIN sizes s1 ON i.id1 = s1.doc_id
          |             JOIN sizes s2 ON i.id2 = s2.doc_id
          |WHERE shared * 5 >= (s1.n + s2.n - shared) * 4
@@ -1627,8 +1627,8 @@ object PipelineQueries {
          |              JOIN sh b2 ON b2.doc_id = c.id2 AND b2.s = a.s
          |  GROUP BY 1, 2)
          |SELECT es.id1, es.id2, es.est AS est_jaccard,
-         |  round(coalesce(i.shared, 0)*1.0
-         |        /(s1.n + s2.n - coalesce(i.shared, 0)), 4) AS jaccard
+         |  coalesce(i.shared, 0)*1.0
+         |        /(s1.n + s2.n - coalesce(i.shared, 0)) AS jaccard
          |FROM es LEFT JOIN inter i ON es.id1 = i.id1 AND es.id2 = i.id2
          |JOIN ssz s1 ON es.id1 = s1.doc_id
          |JOIN ssz s2 ON es.id2 = s2.doc_id
@@ -1686,7 +1686,7 @@ object PipelineQueries {
          |              JOIN sh b2 ON b2.doc_id = c.match_id AND b2.s = a.s
          |  GROUP BY 1, 2)
          |SELECT i.new_id, i.match_id,
-         |  round(i.shared*1.0/(s1.n + s2.n - i.shared), 4) AS jaccard,
+         |  i.shared*1.0/(s1.n + s2.n - i.shared) AS jaccard,
          |  CAST(i.match_id < 400 AS BIGINT) AS is_cross
          |FROM inter i
          |JOIN ssz s1 ON i.new_id = s1.doc_id
@@ -1703,7 +1703,7 @@ object PipelineQueries {
          |              JOIN sh b2 ON b2.doc_id = c.id2 AND b2.s = a.s
          |  GROUP BY 1, 2)
          |SELECT i.id1, i.id2,
-         |  round(i.shared*1.0/(s1.n + s2.n - i.shared), 4) AS jaccard
+         |  i.shared*1.0/(s1.n + s2.n - i.shared) AS jaccard
          |FROM inter i JOIN ssz s1 ON i.id1 = s1.doc_id JOIN ssz s2 ON i.id2 = s2.doc_id
          |WHERE i.shared*1.0/(s1.n + s2.n - i.shared) >= 0.8
          |ORDER BY id1, id2""".stripMargin,
