@@ -337,6 +337,54 @@ object PipelineQueries {
     "text_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramNll(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // LABEL CONFUSION MATRIX: every vector assigned to its nearest
+    // label centroid by cosine — off-diagonal cells are the mislabel /
+    // cluster-overlap signal centroidOutliers ranks within one label.
+    // The centroid matrix is bounded (labels×dim) and broadcasts; the
+    // argmax runs on the ROUNDED cosine with a label tiebreak, so
+    // mathematically-tied assignments agree across engines.
+    "emb_label_confusion" -> ((s, dir) => {
+      val ex = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+        .localCheckpoint(false) // feeds the centroids and the scoring join
+      val cent = ex.groupBy(col("label").as("clabel"), col("pos"))
+        .agg(avg("v").as("c"))
+      val scored = ex.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(col("v") * col("c")).as("vc"),
+          sum(col("v") * col("v")).as("vv"),
+          sum(col("c") * col("c")).as("cc"))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          round(col("vc") / (sqrt(col("vv")) * sqrt(col("cc"))), 4).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(desc("cos"), col("clabel").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("label"), col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred_label")
+    }),
+
+    // CONTAMINATION BY PROVENANCE: which sources carry the benchmark
+    // leakage — the rollup that turns per-doc contamination hits into
+    // a crawl-exclusion decision. The rate is an unrounded integer
+    // ratio (bit-identical division both engines).
+    "contam_rate_by_source" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val hits = graft.ops.Contamination.check(
+          d.filter(col("doc_id") >= 25), d.filter(col("doc_id") < 25),
+          n = 3, threshold = 0.5)
+        .filter(col("contaminated") === 1)
+        .select(col("doc_id"), lit(1L).as("hit"))
+      d.filter(col("doc_id") >= 25).select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("hit"), lit(0L)).as("n_contaminated"))
+        .withColumn("contam_rate", col("n_contaminated") / col("n_docs"))
+        .orderBy("source")
+    }),
+
     // LSH BUCKET BALANCE: occupancy spread of the hyperplane buckets
     // at 4 and 8 planes — a skewed bucket breaks LSH's bounded-pair
     // promise before recall ever degrades, so this is the check run
@@ -1428,6 +1476,51 @@ object PipelineQueries {
         |v3 AS (SELECT pos, w/(SELECT sqrt(sum(w*w)) FROM w3) AS v FROM w3)
         |SELECT CAST(pos AS BIGINT) AS pos, round(v, 4) AS component
         |FROM v3 ORDER BY pos""".stripMargin,
+
+    // same centroid derivation, scored against EVERY label's centroid,
+    // argmax on the rounded cosine with the same label tiebreak
+    "emb_label_confusion" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label,
+        |    unnest([{'pos': i, 'v': CAST(embedding[i] AS DOUBLE)}
+        |            for i in range(1, len(embedding)+1)], recursive := true)
+        |  FROM embeddings),
+        |cent AS (SELECT label AS clabel, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
+        |sums AS (SELECT ex.vec_id, ex.label, cent.clabel,
+        |           sum(ex.v*cent.c) AS vc, sum(ex.v*ex.v) AS vv,
+        |           sum(cent.c*cent.c) AS cc
+        |         FROM ex JOIN cent ON ex.pos = cent.pos
+        |         GROUP BY 1, 2, 3),
+        |sc AS (SELECT vec_id, label, clabel,
+        |         round(vc/(sqrt(vv)*sqrt(cc)), 4) AS cos FROM sums),
+        |r AS (SELECT vec_id, label, clabel,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY cos DESC, clabel) AS rk
+        |      FROM sc)
+        |SELECT label, clabel AS pred_label, count(*) AS n
+        |FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // per-doc contamination hits (any containment >= 0.5) rolled up to
+    // the source grain; unrounded integer-ratio rate
+    "contam_rate_by_source" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |cp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d WHERE doc_id >= 25),
+         |bp AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE doc_id < 25),
+         |shared AS (
+         |  SELECT cp.doc_id, bp.bench_id, any_value(cp.n_sh) AS n_sh, count(*) AS shared
+         |  FROM cp JOIN bp USING (s) GROUP BY 1, 2),
+         |hits AS (SELECT DISTINCT doc_id FROM shared
+         |         WHERE shared*1.0/n_sh >= 0.5),
+         |base AS (SELECT doc_id, source FROM documents WHERE doc_id >= 25)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)*1.0
+         |    / count(*) AS contam_rate
+         |FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "emb_centroid_outlier" ->
       """WITH ex AS (
