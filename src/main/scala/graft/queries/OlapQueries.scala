@@ -382,6 +382,24 @@ object OlapQueries {
         .orderBy("user_id")
     }),
 
+    // FULFILMENT LATENCY: order→ship delay in whole weeks (capped
+    // 12+) across the orders⋈lineitem join — the logistics SLA curve.
+    // Integer day arithmetic with an explicit clamp at 0: Spark `div`
+    // truncates toward zero while SQL `//` floors, so negatives must
+    // never reach the division.
+    "q_ship_delay_hist" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(datediff(col("sd"), col("od")).cast("bigint").as("delay_days"))
+        .select(least(expr("greatest(delay_days, 0L) div 7"), lit(12L))
+          .cast("bigint").as("delay_wk"))
+        .groupBy("delay_wk").agg(count(lit(1)).as("n_lines"))
+        .orderBy("delay_wk")
+    }),
+
     // JOIN FANOUT AUDIT: the key-multiplicity histogram run BEFORE a
     // big join — n_join_rows per multiplicity bucket predicts the
     // join's output size and flags hot keys without executing it.
@@ -1698,6 +1716,16 @@ object OlapQueries {
         |  round(0.0 - sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 4) AS entropy
         |FROM c JOIN t USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ship_delay_hist" ->
+      """WITH j AS (
+        |  SELECT date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l_shipdate AS DATE)) AS delay_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT CAST(least(greatest(delay_days, 0) // 7, 12) AS BIGINT)
+        |    AS delay_wk,
+        |  count(*) AS n_lines
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_join_card_audit" ->
       """WITH m AS (SELECT l_orderkey, count(*) AS mult FROM lineitem GROUP BY 1),

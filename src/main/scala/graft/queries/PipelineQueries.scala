@@ -432,6 +432,26 @@ object PipelineQueries {
       }.reduce(_.unionByName(_)).orderBy("planes")
     }),
 
+    // PER-LANGUAGE CORPUS PROFILE: doc counts and mean token/quality
+    // per language. Both means use the integer-space half-up trick —
+    // token sums are exact integers and quality is 4dp-quantized, so
+    // a plain round(avg) would park even-count groups on the .00005
+    // boundary (the dedup_source_report failure class).
+    "profile_lang_stats" -> ((s, dir) => {
+      val q = TextAnalysis.quality(Tables.documents(s, dir))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      q.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("st"),
+          sum(round(col("quality_score") * 10000, 0).cast("long")).as("sq"))
+        .select(col("lang"), col("n_docs"),
+          expr("(2*st + n_docs) div (2*n_docs)").as("mean_tokens"),
+          (expr("(2*sq + n_docs) div (2*n_docs)") / lit(10000.0))
+            .as("mean_quality"))
+        .orderBy("lang")
+    }),
+
     // LENGTH↔QUALITY CORRELATION: Pearson r between token count and
     // the quality score from explicit sum-of-products (Σx/Σx² are
     // integer-exact in double, so only the quantized-y sums carry
@@ -2066,6 +2086,32 @@ object PipelineQueries {
          |${branch(8)})
          |ORDER BY planes""".stripMargin
     },
+
+    // same quality replay; means via the integer half-up division
+    "profile_lang_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |r AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(len(list_filter(toks, x ->
+         |      list_contains(['the','a','of','and','to','in','is'], x)))*1.0
+         |      / len(toks), 4) AS stopword_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) AS qs
+         |  FROM r),
+         |g AS (SELECT d.lang, count(*) AS n_docs,
+         |        sum(q.n_tokens) AS st,
+         |        sum(CAST(round(q.qs*10000) AS BIGINT)) AS sq
+         |      FROM q JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT lang, n_docs,
+         |  CAST((2*st + n_docs) // (2*n_docs) AS BIGINT) AS mean_tokens,
+         |  ((2*sq + n_docs) // (2*n_docs)) / 10000.0 AS mean_quality
+         |FROM g ORDER BY lang""".stripMargin,
 
     // explicit sum-of-products replay of the same Pearson formula
     "profile_quality_corr" ->
