@@ -382,6 +382,34 @@ object OlapQueries {
         .orderBy("user_id")
     }),
 
+    // CUSTOMER MIGRATION MATRIX: quarter-over-quarter movement between
+    // revenue quartiles — who is upgrading, churning value, or stable.
+    // Tiers come from ntile over (rounded revenue DESC, custkey), a
+    // deterministic total order both engines define identically; the
+    // quarter link is an integer index join (year·4+quarter), no
+    // date-interval type coercion anywhere. Windows partition per
+    // quarter (bounded), the transition join is customer-keyed.
+    "q_customer_migration" -> ((s, dir) => {
+      val q = Tables.orders(s, dir).select(col("o_custkey"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr"),
+          col("o_totalprice"))
+        .groupBy("o_custkey", "qtr")
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+      val w = Window.partitionBy("qtr").orderBy(desc("rev"), col("o_custkey"))
+      val tiered = q
+        .withColumn("qidx", (year(col("qtr")) * 4 + quarter(col("qtr"))).cast("bigint"))
+        .withColumn("tier", ntile(4).over(w).cast("bigint"))
+        .select("o_custkey", "qidx", "tier")
+        .localCheckpoint(false) // both sides of the transition self-join
+      tiered
+        .join(tiered.select(col("o_custkey").as("nk"), col("qidx").as("nq"),
+            col("tier").as("next_tier")),
+          col("o_custkey") === col("nk") && col("nq") === col("qidx") + 1)
+        .groupBy("tier", "next_tier")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("tier", "next_tier")
+    }),
+
     // FULFILMENT LATENCY: order→ship delay in whole weeks (capped
     // 12+) across the orders⋈lineitem join — the logistics SLA curve.
     // Integer day arithmetic with an explicit clamp at 0: Spark `div`
@@ -1716,6 +1744,21 @@ object OlapQueries {
         |  round(0.0 - sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 4) AS entropy
         |FROM c JOIN t USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same deterministic ntile order and integer quarter-index link
+    "q_customer_migration" ->
+      """WITH q AS (
+        |  SELECT o_custkey, CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT o_custkey, year(qtr)*4 + quarter(qtr) AS qidx,
+        |        ntile(4) OVER (PARTITION BY qtr
+        |                       ORDER BY rev DESC, o_custkey) AS tier
+        |      FROM q)
+        |SELECT CAST(a.tier AS BIGINT) AS tier,
+        |  CAST(b.tier AS BIGINT) AS next_tier, count(*) AS n_customers
+        |FROM t a JOIN t b ON a.o_custkey = b.o_custkey AND b.qidx = a.qidx + 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_ship_delay_hist" ->
       """WITH j AS (

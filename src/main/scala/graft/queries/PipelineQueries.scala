@@ -472,6 +472,22 @@ object PipelineQueries {
             .as("corr_len_quality"))
     }),
 
+    // NORM HISTOGRAM: L2-norm distribution in 0.25-wide buckets
+    // (capped 10+) — norm drift is the first symptom of an embedding
+    // model change upstream. The squared-sum fold runs left-to-right
+    // in both engines, so the norms are bit-identical before
+    // bucketing; pure per-row map + one bounded-key shuffle.
+    "emb_norm_hist" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(sqrt(expr(
+          """aggregate(embedding, CAST(0.0 AS DOUBLE),
+            |  (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))""".stripMargin))
+          .as("norm"))
+        .select(least(floor(col("norm") * 4), lit(40L)).cast("bigint")
+          .as("norm_bucket"))
+        .groupBy("norm_bucket").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("norm_bucket")),
+
     // DEAD-DIMENSION AUDIT: per-dimension mean/variance over the whole
     // embedding column — collapsed (near-zero-variance) dimensions are
     // wasted index memory and a training-collapse symptom. One explode
@@ -2250,6 +2266,16 @@ object PipelineQueries {
          |      FROM tk JOIN f USING (t))
          |SELECT doc_id, count(*) AS n_toks, round(avg(nll), 4) AS avg_nll
          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same sequential squared-sum fold, same 0.25 buckets
+    "emb_norm_hist" ->
+      """WITH n AS (
+        |  SELECT sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings)
+        |SELECT CAST(least(floor(norm * 4), 40) AS BIGINT) AS norm_bucket,
+        |  count(*) AS n_vecs
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // dead flag compares the rounded variance in both engines
     "emb_dim_stats" ->
