@@ -145,7 +145,7 @@ object MetricQueries {
       r.join(sizes, r("cohort") === sizes("size_cohort"))
         .select(col("cohort").cast("date").as("cohort"), col("months_since"),
           col("n_customers"),
-          round(col("n_customers").cast("double") / col("cohort_size"), 4).as("retention"))
+          (col("n_customers").cast("double") / col("cohort_size")).as("retention"))
         .orderBy("cohort", "months_since")
     }),
 
@@ -176,7 +176,7 @@ object MetricQueries {
         .withColumn("cum_revenue", round(sum(col("revenue")).over(wc), 2))
         .select(r("cohort").cast("date").as("cohort"), col("months_since"),
           col("n_active"), col("revenue"), col("cum_revenue"),
-          round(col("cum_revenue") / col("cohort_size"), 4).as("ltv_per_cust"))
+          (col("cum_revenue") / col("cohort_size")).as("ltv_per_cust"))
         .orderBy("cohort", "months_since")
     }),
 
@@ -236,7 +236,7 @@ object MetricQueries {
         .groupBy("wday").agg(count_distinct(col("user_id")).as("wau"))
       dau.join(wau, dau("day") === wau("wday"))
         .select(col("day"), col("dau"), col("wau"),
-          round(col("dau") / col("wau"), 4).as("stickiness"))
+          (col("dau") / col("wau")).as("stickiness"))
         .orderBy("day")
     }),
 
@@ -575,7 +575,7 @@ object MetricQueries {
         |wau AS (SELECT d.wday, count(DISTINCT u.user_id) AS wau
         |        FROM days d JOIN ud u ON u.day BETWEEN d.wday - 6 AND d.wday
         |        GROUP BY 1)
-        |SELECT dau.day, dau, wau, round(dau * 1.0 / wau, 4) AS stickiness
+        |SELECT dau.day, dau, wau, dau * 1.0 / wau AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.wday ORDER BY day""".stripMargin,
 
     // isodow(ts) == Spark weekday()+1 (both 1=Monday..7=Sunday)
@@ -787,7 +787,7 @@ object MetricQueries {
         |      FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
         |s AS (SELECT cohort, n_customers AS cohort_size FROM r WHERE months_since = 0)
         |SELECT CAST(r.cohort AS DATE) AS cohort, months_since, n_customers,
-        |  round(n_customers*1.0/cohort_size, 4) AS retention
+        |  n_customers*1.0/cohort_size AS retention
         |FROM r JOIN s USING (cohort) ORDER BY 1, 2""".stripMargin,
 
     "m_simple_count" ->
@@ -924,7 +924,7 @@ object MetricQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
         |      FROM r JOIN s ON r.cohort = s.cohort)
         |SELECT CAST(cohort AS DATE) AS cohort, months_since, n_active, revenue,
-        |  cum_revenue, round(cum_revenue / cohort_size, 4) AS ltv_per_cust
+        |  cum_revenue, cum_revenue / cohort_size AS ltv_per_cust
         |FROM c ORDER BY cohort, months_since""".stripMargin,
 
     // the full recompute — the merge path must be indistinguishable

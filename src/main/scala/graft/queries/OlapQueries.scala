@@ -316,7 +316,7 @@ object OlapQueries {
         .join(singles.select(col("p").as("pb"), col("cnt").as("cb")), "pb")
       Scalars.withScalar(j, col("pa"), nOrders, col("n_orders"))
         .withColumn("lift",
-          round(col("pair_cnt") * col("n_orders") / (col("ca") * col("cb")), 4))
+          col("pair_cnt") * col("n_orders") / (col("ca") * col("cb")))
         .select(col("pa"), col("pb"), col("pair_cnt"), col("ca"), col("cb"),
           col("lift"))
         .orderBy(desc("lift"), col("pa"), col("pb"))
@@ -337,8 +337,7 @@ object OlapQueries {
       e.withColumn("burst", count(lit(1)).over(w))
         .groupBy("user_id")
         .agg(max("burst").as("max_burst_5m"), count(lit(1)).as("n_events"))
-        .withColumn("burst_ratio",
-          round(col("max_burst_5m") / col("n_events"), 4))
+        .withColumn("burst_ratio", col("max_burst_5m") / col("n_events"))
         .orderBy(desc("max_burst_5m"), col("user_id"))
         .limit(20)
     }),
@@ -358,7 +357,7 @@ object OlapQueries {
             .otherwise(0.0)), 2).as("new_revenue"),
           countDistinct(when(col("m") === col("first_m"), col("o_custkey")))
             .as("n_new_custs"))
-        .withColumn("new_share", round(col("new_revenue") / col("revenue"), 4))
+        .withColumn("new_share", col("new_revenue") / col("revenue"))
         .orderBy("month")
     }),
 
@@ -1701,7 +1700,7 @@ object OlapQueries {
         |       FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
         |       GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT pa, pb, pair_cnt, ca.cnt AS ca, cb.cnt AS cb,
-        |  round(pair_cnt * n_orders * 1.0 / (ca.cnt * cb.cnt), 4) AS lift
+        |  pair_cnt * n_orders * 1.0 / (ca.cnt * cb.cnt) AS lift
         |FROM pr JOIN sg ca ON pr.pa = ca.p
         |        JOIN sg cb ON pr.pb = cb.p, no
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
@@ -1716,7 +1715,7 @@ object OlapQueries {
         |a AS (SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst_5m,
         |        count(*) AS n_events FROM b GROUP BY 1)
         |SELECT user_id, max_burst_5m, n_events,
-        |  round(max_burst_5m * 1.0 / n_events, 4) AS burst_ratio
+        |  max_burst_5m * 1.0 / n_events AS burst_ratio
         |FROM a ORDER BY max_burst_5m DESC, user_id LIMIT 20""".stripMargin,
 
     "m_newcust_share" ->
@@ -1729,8 +1728,8 @@ object OlapQueries {
         |    AS new_revenue,
         |  count(DISTINCT CASE WHEN m = first_m THEN o.o_custkey END)
         |    AS n_new_custs,
-        |  round(round(sum(CASE WHEN m = first_m THEN o_totalprice ELSE 0 END), 2)
-        |        / round(sum(o_totalprice), 2), 4) AS new_share
+        |  round(sum(CASE WHEN m = first_m THEN o_totalprice ELSE 0 END), 2)
+        |    / round(sum(o_totalprice), 2) AS new_share
         |FROM o JOIN f USING (o_custkey)
         |GROUP BY m ORDER BY month""".stripMargin,
 

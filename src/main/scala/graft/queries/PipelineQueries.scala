@@ -598,9 +598,9 @@ object PipelineQueries {
             .otherwise(0L)).as("n_docs_split"))
         .withColumn("n_bins",
           expr("(total_tokens + max_tokens - 1) div max_tokens"))
-        .withColumn("split_rate", round(col("n_docs_split") / col("n_docs"), 4))
+        .withColumn("split_rate", col("n_docs_split") / col("n_docs"))
         .withColumn("fill_rate",
-          round(col("total_tokens") / (col("n_bins") * col("max_tokens")), 4))
+          col("total_tokens") / (col("n_bins") * col("max_tokens")))
         .orderBy("max_tokens")
     }),
 
@@ -631,7 +631,7 @@ object PipelineQueries {
             .when(col("stage") === 3, "no_stopwords")
             .otherwise("low_score").as("rule"),
           col("n_in"), col("n_dropped"), col("n_out"),
-          round(col("n_dropped") / col("n_in"), 4).as("drop_rate"))
+          (col("n_dropped") / col("n_in")).as("drop_rate"))
         .orderBy("stage")
     }),
 
@@ -869,12 +869,15 @@ object PipelineQueries {
         .withColumn("p_cur", (col("n_cur") + 1.0) / (col("t_cur") + col("nb")))
         .withColumn("psi_bin", round((col("p_cur") - col("p_ref"))
           * log(col("p_cur") / col("p_ref")), 6))
+        // total over 6dp-QUANTIZED contributions: sum in integer
+        // micro-units with half-up division — a plain round(sum, 4)
+        // can park the quantized total exactly on a .00005 boundary
+        .withColumn("s6", sum(round(col("psi_bin") * 1000000, 0).cast("long"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
         .select(col("bin"), col("n_ref"), col("n_cur"),
           round(col("p_ref"), 6).as("p_ref"),
           round(col("p_cur"), 6).as("p_cur"), col("psi_bin"),
-          round(sum(col("psi_bin")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(lit(1))), 4)
-            .as("total_psi"))
+          expr("((2*s6 + 100) div 200) / 10000.0").as("total_psi"))
         .orderBy("bin")
     }),
 
@@ -1474,7 +1477,8 @@ object PipelineQueries {
         |      FROM p)
         |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
         |  CAST(n_cur AS BIGINT) AS n_cur, p_ref, p_cur, psi_bin,
-        |  round(sum(psi_bin) OVER (), 4) AS total_psi
+        |  ((2*sum(CAST(round(psi_bin*1000000) AS BIGINT)) OVER () + 100)
+        |   // 200) / 10000.0 AS total_psi
         |FROM b ORDER BY bin""".stripMargin,
 
     "emb_quantize" ->
@@ -2578,11 +2582,11 @@ object PipelineQueries {
          |             AND cum_before // mt <> (cum_before + n_tokens - 1) // mt
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split,
          |  CAST((sum(n_tokens) + mt - 1) // mt AS BIGINT) AS n_bins,
-         |  round(sum(CASE WHEN n_tokens > 0
-         |              AND cum_before // mt <> (cum_before + n_tokens - 1) // mt
-         |            THEN 1 ELSE 0 END)*1.0 / count(*), 4) AS split_rate,
-         |  round(sum(n_tokens)*1.0
-         |        / (((sum(n_tokens) + mt - 1) // mt) * mt), 4) AS fill_rate
+         |  sum(CASE WHEN n_tokens > 0
+         |        AND cum_before // mt <> (cum_before + n_tokens - 1) // mt
+         |      THEN 1 ELSE 0 END)*1.0 / count(*) AS split_rate,
+         |  sum(n_tokens)*1.0
+         |    / (((sum(n_tokens) + mt - 1) // mt) * mt) AS fill_rate
          |FROM c, unnest([512, 1024, 2048]) r(mt)
          |GROUP BY mt ORDER BY max_tokens""".stripMargin,
 
@@ -2617,8 +2621,8 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN first_fail >= stage THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
          |  CAST(sum(CASE WHEN first_fail = stage THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  CAST(sum(CASE WHEN first_fail > stage THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
-         |  round(sum(CASE WHEN first_fail = stage THEN 1 ELSE 0 END)*1.0
-         |        / sum(CASE WHEN first_fail >= stage THEN 1 ELSE 0 END), 4) AS drop_rate
+         |  sum(CASE WHEN first_fail = stage THEN 1 ELSE 0 END)*1.0
+         |    / sum(CASE WHEN first_fail >= stage THEN 1 ELSE 0 END) AS drop_rate
          |FROM ff, unnest(range(1, 5)) r(stage)
          |GROUP BY stage ORDER BY stage""".stripMargin,
 
