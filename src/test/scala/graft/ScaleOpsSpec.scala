@@ -347,4 +347,50 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"bottom-k should plan as TakeOrderedAndProject, got:\n$plan")
   }
+
+  test("peak concurrency stays within [0, n_sessions] (0 = all sessions zero-length)") {
+    // half-open [start, end) semantics: a single-event session is empty
+    // and holds no slot, so an all-singleton day legitimately peaks at 0
+    val rows = SparkEntry.queries("m_sessions_concurrency")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, peak) = (r.getAs[Long]("n_sessions"), r.getAs[Long]("peak_concurrent"))
+      assert(peak >= 0 && peak <= n,
+        s"${r.getAs[java.sql.Date]("day")}: peak $peak outside [0, $n]")
+    }
+    // and at least one day in the fixture has real overlap
+    assert(rows.exists(_.getAs[Long]("peak_concurrent") >= 1))
+  }
+
+  test("customer migration matrix: tiers in [1,4], transitions conserve linked customers") {
+    val rows = SparkEntry.queries("q_customer_migration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((1L to 4L).contains(r.getAs[Long]("tier")))
+      assert((1L to 4L).contains(r.getAs[Long]("next_tier")))
+      assert(r.getAs[Long]("n_customers") > 0)
+    }
+    // matrix total == count of (customer, consecutive-quarter) links
+    import org.apache.spark.sql.functions._
+    val q = Tables.orders(spark, sf).select(col("o_custkey"),
+        (year(date_trunc("quarter", col("o_orderdate"))) * 4 +
+          quarter(date_trunc("quarter", col("o_orderdate")))).as("qidx"))
+      .distinct()
+    val links = q.join(q.select(col("o_custkey"), (col("qidx") - 1).as("qidx")),
+      Seq("o_custkey", "qidx"), "left_semi").count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == links)
+  }
+
+  test("basket lift: canonical pair order, min support respected, lift positive") {
+    val rows = SparkEntry.queries("q_basket_lift")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"))
+      assert(r.getAs[Long]("pair_cnt") >= 2)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+    // descending-lift order with deterministic tiebreaks
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
 }
