@@ -70,15 +70,21 @@ object Rank {
     * The ranks are boundary-independent (rank = position under the
     * total order, wherever the cuts land), so the sampled bounds
     * never affect the result — only the balance. `parted` is
-    * referenced twice, but the range exchange is deterministic for a
-    * deterministic input (sketch seeds derive from partition index)
-    * and reuses via ReusedExchange in one plan. */
+    * referenced twice (offsets + the ranked side) and MUST come from
+    * ONE physical evaluation: `__pid` is `spark_partition_id()`, and
+    * AQE is free to coalesce the range exchange differently on each
+    * reference (and the sampled bounds themselves can be re-drawn in
+    * a separate job), silently renumbering partitions — offsets from
+    * one numbering against ranks from the other duplicate and skip
+    * ranks (caught by m_exact_percentiles at sf0.01: max rnk 59928 of
+    * 60000). Hence the EAGER localCheckpoint before fan-out. */
   def globalRankByRange(df: DataFrame, valueCol: String, tieCol: String,
                         numBlocks: Int = 64): DataFrame = {
     require(!df.columns.contains("__pid"), "__pid is reserved by globalRankByRange")
     val parted = df
       .repartitionByRange(numBlocks, col(valueCol).desc, col(tieCol).asc)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // eager: pin ONE partition numbering for both consumers
     val wIn = Window.partitionBy("__pid")
       .orderBy(col(valueCol).desc, col(tieCol).asc)
     val wBlk = Window.orderBy(col("__pid").asc)

@@ -210,6 +210,33 @@ object MetricQueries {
         .orderBy("win_end")
     }),
 
+    // EXACT DISTRIBUTED PERCENTILES: the value at rank ceil(q·n) under
+    // a total order — computed via the two-level range-partitioned
+    // rank (globalRankByRange), never a single-task sort; the three
+    // rank targets are INTEGER arithmetic (qn·n + qd − 1) div qd, so
+    // no float quantile definition can diverge between engines. This
+    // is the exact counterpart to m_percentiles' approx path and
+    // m_histo_percentiles' mergeable-histogram path.
+    "m_exact_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      val t = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+          col("l_extendedprice").as("v"))
+        .withColumn("vneg", -col("v"))
+      // globalRankByRange eagerly pins its range exchange internally
+      // (see Rank.scala) — the scalar-n subquery and the probe join
+      // both read that one materialization
+      val ranked = graft.ops.Rank.globalRankByRange(t, "vneg", "rid", 64)
+      val n = ranked.agg(count(lit(1)).as("n"))
+      val targets = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+        .toDF("pct", "qn", "qd")
+      val tr = graft.ops.Scalars.withScalar(targets, col("qn"), n, col("n"))
+        .withColumn("target", expr("(qn * n + qd - 1) div qd"))
+      ranked.join(broadcast(tr), col("rnk") === col("target"))
+        .select(col("pct"), col("rnk"), col("n"), col("v").as("value"))
+        .orderBy("pct")
+    }),
+
     // ACTIVITY HEATMAP: event volume per (ISO weekday, hour-of-day)
     // cell — the 7×24 ops-dashboard grid. One shuffle on a bounded
     // 168-cell key space.
@@ -560,6 +587,21 @@ object MetricQueries {
     // an engine-specific binary sketch could never be hash-checked
     // day-grain state replay, then each trailing-7 window max-merges
     // its covered days' buckets before the shared float finish
+    // single-window rank replay (the oracle may sort what the engine
+    // must decompose); identical integer rank targets
+    "m_exact_percentiles" ->
+      """WITH t AS (SELECT l_orderkey*10 + l_linenumber AS rid,
+        |                  l_extendedprice AS v FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v ASC, rid ASC) AS rnk
+        |      FROM t),
+        |n AS (SELECT count(*) AS n FROM t),
+        |q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |                            ('p99', 99, 100)) AS tv(pct, qn, qd)),
+        |tr AS (SELECT pct, (qn*n + qd - 1) // qd AS target, n FROM q, n)
+        |SELECT tr.pct, CAST(tr.target AS BIGINT) AS rnk, tr.n, r.v AS value
+        |FROM tr JOIN r ON r.rnk = tr.target
+        |ORDER BY pct""".stripMargin,
+
     "m_activity_heatmap" ->
       """SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
         |  CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n_events
