@@ -350,8 +350,15 @@ object MetricQueries {
         .filter(col("gap_us").isNotNull)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_gaps"),
-          round(avg("gap_us"), 4).as("avg_gap_us"),
+          sum("gap_us").as("sg"),
           max("gap_us").as("max_gap_us"))
+        // integer-input mean (§5 doctrine): quotient + half-up 4dp
+        // fraction, split so the scaled remainder (< n·10⁴) can't
+        // overflow the way 2·Σgap·10⁴ would on microsecond sums
+        .withColumn("avg_gap_us", expr(
+          "(sg div n_gaps) + ((2*(sg % n_gaps)*10000 + n_gaps) div (2*n_gaps)) / 10000.0"))
+        .select(col("event_type"), col("n_gaps"), col("avg_gap_us"),
+          col("max_gap_us"))
         .orderBy("event_type")
     }),
 
@@ -737,7 +744,10 @@ object MetricQueries {
         |      PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS gap_us
         |  FROM events)
         |SELECT event_type, count(*) AS n_gaps,
-        |  round(avg(gap_us), 4) AS avg_gap_us, max(gap_us) AS max_gap_us
+        |  (sum(gap_us) // count(*))
+        |    + ((2*(sum(gap_us) % count(*))*10000 + count(*))
+        |       // (2*count(*))) / 10000.0 AS avg_gap_us,
+        |  max(gap_us) AS max_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -23,6 +23,12 @@ object OlapQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 style: one scan, one shuffle, 8 fused aggregates.
+    // The averages run over QUANTIZED inputs (integer quantities,
+    // 2dp-decimal prices/discounts), so round(avg(x), 4) sits on the
+    // structural .00005 boundary class (§5 doctrine) — they average in
+    // integer base units (units / cents) with half-up integer
+    // division instead. The 2dp sums are safe as-is: an exact multiple
+    // of 0.01 can't land on a 3rd-decimal rounding boundary.
     "q1_pricing" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
@@ -32,10 +38,20 @@ object OlapQueries {
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          sum(col("l_quantity").cast("long")).as("sq"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sp"),
+          sum(round(col("l_discount") * 100, 0).cast("long")).as("sd"),
           count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          expr("((2*sq*10000 + count_order) div (2*count_order)) / 10000.0"))
+        .withColumn("avg_price",
+          expr("((2*sp*100 + count_order) div (2*count_order)) / 10000.0"))
+        .withColumn("avg_disc",
+          expr("((2*sd*100 + count_order) div (2*count_order)) / 10000.0"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          col("avg_qty"), col("avg_price"), col("avg_disc"),
+          col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -241,9 +257,15 @@ object OlapQueries {
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_events"),
-          round(avg(col("k")), 4).as("avg_k"),
+          sum(col("k").cast("long")).as("sk"),
+          count(col("k")).as("nk"), // avg semantics: non-null denominator
           count(when(col("k") >= 90, 1)).as("n_high_k"),
           round(sum("value"), 2).as("sum_value"))
+        // integer-input mean via half-up integer division (§5)
+        .withColumn("avg_k",
+          expr("((2*sk*10000 + nk) div (2*nk)) / 10000.0"))
+        .select(col("event_type"), col("n_events"), col("avg_k"),
+          col("n_high_k"), col("sum_value"))
         .orderBy("event_type")
     }),
 
@@ -1533,15 +1555,19 @@ object OlapQueries {
 
   val oracle: Map[String, String] = Map(
     "stream_cdc_apply" -> scd2ChainSql,
+    // averages replayed in the same integer base units (§5 doctrine)
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_extendedprice), 4) AS avg_price,
-        | round(avg(l_discount), 4) AS avg_disc,
+        | ((2*sum(CAST(l_quantity AS BIGINT))*10000 + count(*))
+        |  // (2*count(*))) / 10000.0 AS avg_qty,
+        | ((2*sum(CAST(round(l_extendedprice*100) AS BIGINT))*100 + count(*))
+        |  // (2*count(*))) / 10000.0 AS avg_price,
+        | ((2*sum(CAST(round(l_discount*100) AS BIGINT))*100 + count(*))
+        |  // (2*count(*))) / 10000.0 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -1654,7 +1680,9 @@ object OlapQueries {
 
     "events_json" ->
       """SELECT event_type, count(*) AS n_events,
-        | round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+        | ((2*sum(CAST(props->>'$.k' AS BIGINT))*10000
+        |    + count(props->>'$.k'))
+        |  // (2*count(props->>'$.k'))) / 10000.0 AS avg_k,
         | count(*) FILTER (WHERE CAST(props->>'$.k' AS INTEGER) >= 90) AS n_high_k,
         | round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
