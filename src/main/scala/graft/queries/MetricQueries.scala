@@ -180,14 +180,7 @@ object MetricQueries {
         .orderBy("cohort", "months_since")
     }),
 
-    // mergeable-sketch distinct: per-day HLL sketches union to months
-    // WITHOUT rescanning the fact table — the pre-aggregation pattern
-    // an exact count_distinct can never use (it doesn't decompose).
-    // The sketch is graft.ops.HllSketch — a from-scratch deterministic
-    // HLL whose (bucket, max rho) state is plain relational data, so
-    // the DuckDB oracle replays the whole estimate (an engine-specific
-    // binary sketch could only ever be rows-only).
-    // trailing-7-day distinct users per day — the query exact
+    // trailing-7-day distinct users per day — a query exact
     // count_distinct cannot pre-aggregate (overlapping windows would
     // need the full per-window user sets). The mergeable HLL state
     // makes it one day-grain sketch pass + a map-side explode of each
@@ -309,6 +302,13 @@ object MetricQueries {
           greatest(lit(0L), col("est_click") + col("est_purchase") - col("est_union")))
     }),
 
+    // mergeable-sketch distinct: per-day HLL sketches union to months
+    // WITHOUT rescanning the fact table — the pre-aggregation pattern
+    // an exact count_distinct can never use (it doesn't decompose).
+    // The sketch is graft.ops.HllSketch — a from-scratch deterministic
+    // HLL whose (bucket, max rho) state is plain relational data, so
+    // the DuckDB oracle replays the whole estimate (an engine-specific
+    // binary sketch could only ever be rows-only).
     "m_sketch_distinct" -> ((s, dir) => {
       val (b, r) = graft.ops.HllSketch.bucketRho(s, col("o_custkey"))
       val daily = Tables.orders(s, dir)
@@ -589,11 +589,6 @@ object MetricQueries {
 
   val oracle: Map[String, String] = Map(
 
-    // full replay of the from-scratch HLL: same portable hash, same
-    // bucket/rho split, same max-rho merge and estimator arithmetic —
-    // an engine-specific binary sketch could never be hash-checked
-    // day-grain state replay, then each trailing-7 window max-merges
-    // its covered days' buckets before the shared float finish
     // single-window rank replay (the oracle may sort what the engine
     // must decompose); identical integer rank targets
     "m_exact_percentiles" ->
@@ -672,6 +667,8 @@ object MetricQueries {
          |    - max(CASE WHEN side = 'union' THEN est END)) AS BIGINT) AS est_overlap
          |FROM es""".stripMargin,
 
+    // day-grain state replay, then each trailing-7 window max-merges
+    // its covered days' buckets before the shared float finish
     "m_sliding_distinct" ->
       s"""WITH o AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
          |            CAST(user_id AS VARCHAR) AS s FROM events),
@@ -699,6 +696,9 @@ object MetricQueries {
          |    AS est_users_7d
          |FROM fin ORDER BY win_end""".stripMargin,
 
+    // full replay of the from-scratch HLL: same portable hash, same
+    // bucket/rho split, same max-rho merge and estimator arithmetic —
+    // an engine-specific binary sketch could never be hash-checked
     "m_sketch_distinct" ->
       s"""WITH o AS (SELECT date_trunc('month', o_orderdate) AS period,
          |            CAST(o_custkey AS VARCHAR) AS s FROM orders),

@@ -23,25 +23,35 @@ object OlapQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 style: one scan, one shuffle, 8 fused aggregates.
-    // The averages run over QUANTIZED inputs (integer quantities,
-    // 2dp-decimal prices/discounts), so round(avg(x), 4) sits on the
-    // structural .00005 boundary class (§5 doctrine) — they average in
-    // integer base units (units / cents) with half-up integer
-    // division instead. The 2dp sums are safe as-is: an exact multiple
-    // of 0.01 can't land on a 3rd-decimal rounding boundary.
+    // EVERY emitted number here runs over QUANTIZED inputs (integer
+    // quantities, 2dp-decimal prices/discounts/taxes), so per the §5
+    // doctrine ALL sums and averages accumulate in exact integer base
+    // units — qty units, cents (1e-2), price·(1−disc) in 1e-4, and
+    // price·(1−disc)·(1+tax) in 1e-6 — then convert with half-up
+    // INTEGER division. No float ever enters an accumulator, so
+    // engine-dependent accumulation order cannot move a value across
+    // a round() boundary (the r8 q1 hash-red class). The product sums
+    // use DECIMAL(38,0) accumulators: per-row 1e-6-unit products reach
+    // ~1e11, so a LongType sum overflows near 1e8 rows per group —
+    // real at 100 TB; decimal stays exact (DuckDB sums into HUGEINT).
     "q1_pricing" -> ((s, dir) => {
+      val pc = round(col("l_extendedprice") * 100, 0).cast("long") // cents
+      val dm = lit(100L) - round(col("l_discount") * 100, 0).cast("long")
+      val tp = lit(100L) + round(col("l_tax") * 100, 0).cast("long")
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
           sum(col("l_quantity").cast("long")).as("sq"),
-          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sp"),
+          sum(pc.cast("decimal(38,0)")).as("sp"),
+          sum((pc * dm).cast("decimal(38,0)")).as("s4"),
+          sum((pc * dm * tp).cast("decimal(38,0)")).as("s6"),
           sum(round(col("l_discount") * 100, 0).cast("long")).as("sd"),
           count(lit(1)).as("count_order"))
+        .withColumn("sum_qty", col("sq").cast("double"))
+        .withColumn("sum_base_price", expr("sp / 100.0"))
+        .withColumn("sum_disc_price", expr("((2*s4 + 100) div 200) / 100.0"))
+        .withColumn("sum_charge", expr("((2*s6 + 10000) div 20000) / 100.0"))
         .withColumn("avg_qty",
           expr("((2*sq*10000 + count_order) div (2*count_order)) / 10000.0"))
         .withColumn("avg_price",
@@ -261,9 +271,12 @@ object OlapQueries {
           count(col("k")).as("nk"), // avg semantics: non-null denominator
           count(when(col("k") >= 90, 1)).as("n_high_k"),
           round(sum("value"), 2).as("sum_value"))
-        // integer-input mean via half-up integer division (§5)
+        // integer-input mean via half-up integer division (§5); guarded
+        // so an all-null-k group emits NULL in BOTH engines (DuckDB's
+        // `//` can error on a zero divisor where Spark's `div` nulls)
         .withColumn("avg_k",
-          expr("((2*sk*10000 + nk) div (2*nk)) / 10000.0"))
+          when(col("nk") > 0,
+            expr("((2*sk*10000 + nk) div (2*nk)) / 10000.0")))
         .select(col("event_type"), col("n_events"), col("avg_k"),
           col("n_high_k"), col("sum_value"))
         .orderBy("event_type")
@@ -1555,22 +1568,28 @@ object OlapQueries {
 
   val oracle: Map[String, String] = Map(
     "stream_cdc_apply" -> scd2ChainSql,
-    // averages replayed in the same integer base units (§5 doctrine)
+    // sums AND averages replayed in the same integer base units (§5
+    // doctrine): cents, 1e-4 disc-price units, 1e-6 charge units;
+    // DuckDB's BIGINT sums widen to HUGEINT, mirroring the engine's
+    // DECIMAL(38,0) accumulators
     "q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        | ((2*sum(CAST(l_quantity AS BIGINT))*10000 + count(*))
-        |  // (2*count(*))) / 10000.0 AS avg_qty,
-        | ((2*sum(CAST(round(l_extendedprice*100) AS BIGINT))*100 + count(*))
-        |  // (2*count(*))) / 10000.0 AS avg_price,
-        | ((2*sum(CAST(round(l_discount*100) AS BIGINT))*100 + count(*))
-        |  // (2*count(*))) / 10000.0 AS avg_disc,
+      """WITH t AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(l_quantity AS BIGINT) AS q,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
+        |  100 - CAST(round(l_discount*100) AS BIGINT) AS dm,
+        |  100 + CAST(round(l_tax*100) AS BIGINT) AS tp,
+        |  CAST(round(l_discount*100) AS BIGINT) AS dc
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02')
+        |SELECT l_returnflag, l_linestatus,
+        | CAST(sum(q) AS DOUBLE) AS sum_qty,
+        | sum(pc) / 100.0 AS sum_base_price,
+        | ((2*sum(pc*dm) + 100) // 200) / 100.0 AS sum_disc_price,
+        | ((2*sum(pc*dm*tp) + 10000) // 20000) / 100.0 AS sum_charge,
+        | ((2*sum(q)*10000 + count(*)) // (2*count(*))) / 10000.0 AS avg_qty,
+        | ((2*sum(pc)*100 + count(*)) // (2*count(*))) / 10000.0 AS avg_price,
+        | ((2*sum(dc)*100 + count(*)) // (2*count(*))) / 10000.0 AS avg_disc,
         | count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_topn" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
@@ -1682,7 +1701,7 @@ object OlapQueries {
       """SELECT event_type, count(*) AS n_events,
         | ((2*sum(CAST(props->>'$.k' AS BIGINT))*10000
         |    + count(props->>'$.k'))
-        |  // (2*count(props->>'$.k'))) / 10000.0 AS avg_k,
+        |  // nullif(2*count(props->>'$.k'), 0)) / 10000.0 AS avg_k,
         | count(*) FILTER (WHERE CAST(props->>'$.k' AS INTEGER) >= 90) AS n_high_k,
         | round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

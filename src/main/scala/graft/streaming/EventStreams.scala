@@ -198,6 +198,7 @@ object EventStreams {
     * (StreamingSpec pins the two-pass == one-pass property). */
   def distinctUsersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_hll_refresh")
+    base.toFile.deleteOnExit()
     val (stage, ckpt, delta) =
       (s"$base/stage", s"$base/ckpt", s"$base/delta")
     val raw = spark.read.schema(eventsSchema)
@@ -228,6 +229,7 @@ object EventStreams {
   def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.Tables
     val base = java.nio.file.Files.createTempDirectory("graft_cdc_apply")
+    base.toFile.deleteOnExit()
     val (stage, ckpt, dims) = (s"$base/stage", s"$base/ckpt", s"$base/dim")
     val o = Tables.orders(spark, sfDir)
     val current = o.select(col("o_orderkey"),
@@ -245,6 +247,14 @@ object EventStreams {
       .select(col("o_orderkey"), round(col("o_totalprice") + 200.0, 2).as("price"),
         date_add(col("o_orderdate"), 60).as("valid_from"))
       .coalesce(1).write.parquet(s"$stage/u2")
+    // the file source orders same-batch files by mtime; two writes can
+    // land in the same clock tick, making u1-before-u2 unspecified. Pin
+    // the intended order with explicit, distinct, recent mtimes (recent
+    // so FileStreamSource's maxFileAge can never age u1 out).
+    val now = System.currentTimeMillis()
+    for ((wave, t) <- Seq("u1" -> (now - 60000L), "u2" -> now);
+         f <- new java.io.File(s"$stage/$wave").listFiles())
+      f.setLastModified(t)
     val updSchema = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("price", DoubleType),

@@ -104,10 +104,11 @@ class DedupSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val full = Dedup.minhashLsh(docs, 3, 128, 16, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // reorient full pairs the way the incremental contract does
+    // reorient full pairs the way the incremental contract does: the
+    // NEW id leads; id1 < id2 in `full` already keeps both-new pairs
+    // in (min, max) order
     val expected = full.filter { case (a, b) => a >= 400 || b >= 400 }
-      .map { case (a, b) => if (a >= 400) (a, b) else if (b >= 400 && a >= 400) (a, b) else (b, a) }
-      .map { case (a, b) => if (a >= 400 && b >= 400) (math.min(a, b), math.max(a, b)) else (a, b) }
+      .map { case (a, b) => if (a >= 400) (a, b) else (b, a) }
     val inc = Dedup.minhashLshIncremental(docs, _ >= 400)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inc == expected, s"incremental diverged: ${inc.diff(expected)} / ${expected.diff(inc)}")

@@ -4,13 +4,22 @@ engine). Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 SQL from oracle_sql.json in DuckDB with the sfDir tables registered as
-views, sorts columns by name and rows by value, and diffs."""
+views, sorts columns by name and rows by value, and diffs.
+
+Default mode is EXACT (repr-level, zero tolerance) to match the driver's
+hash compare — a float that differs in its shortest repr is a FAIL even if
+numerically within an ulp. Pass --tol for the legacy precision-aware
+tolerant compare (debugging aid only; the driver will NOT be this lenient).
+Optional trailing names restrict the check to those queries."""
 import json, sys, math
 import duckdb
 import pyarrow.parquet as pq
 import pathlib
 
-sf, out = sys.argv[1], sys.argv[2]
+argv = [a for a in sys.argv[1:] if a != '--tol']
+EXACT = '--tol' not in sys.argv
+sf, out = argv[0], argv[1]
+only = set(argv[2:])
 con = duckdb.connect()
 for p in pathlib.Path(sf).glob('*.parquet'):
     con.sql(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
@@ -18,6 +27,8 @@ for p in pathlib.Path(sf).glob('*.parquet'):
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     d = pathlib.Path(out) / name
     if not d.exists():
         print(f'FAIL {name}: no spark output'); fails += 1; continue
@@ -74,7 +85,13 @@ for name, sql in sorted(oracle.items()):
                         raise ValueError
                     continue
                 if isinstance(a, float) or isinstance(b, float):
-                    eq = math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=tol)
+                    if EXACT:
+                        # repr-level equality: the driver hashes canonical
+                        # value strings, so bit-different doubles FAIL even
+                        # when numerically close. -0.0 vs 0.0 also fails.
+                        eq = repr(float(a)) == repr(float(b))
+                    else:
+                        eq = math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=tol)
                 else:
                     eq = (a == b)
             except Exception:
