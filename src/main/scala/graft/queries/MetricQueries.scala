@@ -67,22 +67,37 @@ object MetricQueries {
         filters = Seq(MetricFilter("l_returnflag", "=", "'R'")))
       val den = MetricDef("gross_revenue", "sum", "l_extendedprice", Some("l_shipdate"))
       MC.ratio(Tables.lineitem(s, dir), "return_rate", num, den, Some("month"))
+        // the compiler's double ratio is replaced for EMISSION by the §5
+        // integer half-up form: both sums are 2dp-quantized, so exact
+        // cents are recoverable from the double sums (same error bound
+        // that makes round(sum,2) safe makes round(sum*100) exact)
+        .withColumn("rc", Exact.cents(col("return_revenue")))
+        .withColumn("gc", Exact.cents(col("gross_revenue")))
         .select(col("period"),
           round(col("return_revenue"), 2).as("return_revenue"),
           round(col("gross_revenue"), 2).as("gross_revenue"),
-          round(col("return_rate"), 4).as("return_rate"))
+          when(col("gc") =!= 0,
+            expr("((2*rc*10000 + gc) div (2*gc)) / 10000.0")).as("return_rate"))
         .orderBy("period")
     }),
 
     "m_derived" -> ((s, dir) => {
-      val gross = MetricDef("gross_revenue", "sum", "l_extendedprice * (1 - l_discount)", Some("l_shipdate"))
+      // the measures are defined in exact integer units (1e-4 / 1e-6 $ —
+      // §5 doctrine: a float product sum sits on the round(·,2) boundary
+      // structurally), and the derived expression composes them in
+      // integer space: tax_u6 = charged_u6 − gross_u4·100
+      val gross = MetricDef("gross_revenue", "sum",
+        "CAST(round(l_extendedprice*100) * (100 - round(l_discount*100)) AS DECIMAL(38,0))",
+        Some("l_shipdate"))
       val charged = MetricDef("charged_revenue", "sum",
-        "l_extendedprice * (1 - l_discount) * (1 + l_tax)", Some("l_shipdate"))
-      MC.derived(Tables.lineitem(s, dir), "tax_paid", "charged_revenue - gross_revenue",
+        "CAST(round(l_extendedprice*100) * (100 - round(l_discount*100)) * (100 + round(l_tax*100)) AS DECIMAL(38,0))",
+        Some("l_shipdate"))
+      MC.derived(Tables.lineitem(s, dir), "tax_paid",
+        "charged_revenue - gross_revenue * 100",
         Seq(gross, charged), Some("month"))
         .select(col("period"),
-          round(col("gross_revenue"), 2).as("gross_revenue"),
-          round(col("tax_paid"), 2).as("tax_paid"))
+          Exact.u4Dollars(col("gross_revenue")).as("gross_revenue"),
+          Exact.u6Dollars(col("tax_paid")).as("tax_paid"))
         .orderBy("period")
     }),
 
@@ -869,19 +884,28 @@ object MetricQueries {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "m_ratio" ->
-      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
-        | round(sum(CASE WHEN (l_returnflag) = ('R') THEN l_extendedprice END), 2) AS return_revenue,
-        | round(sum(l_extendedprice), 2) AS gross_revenue,
-        | round(sum(CASE WHEN (l_returnflag) = ('R') THEN l_extendedprice END)
-        |       / nullif(sum(l_extendedprice), 0), 4) AS return_rate
-        |FROM lineitem GROUP BY period ORDER BY period""".stripMargin,
+      """WITH g AS (
+        | SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+        |  round(sum(CASE WHEN (l_returnflag) = ('R') THEN l_extendedprice END), 2) AS return_revenue,
+        |  round(sum(l_extendedprice), 2) AS gross_revenue,
+        |  sum(CASE WHEN (l_returnflag) = ('R')
+        |      THEN CAST(round(l_extendedprice*100) AS BIGINT) END) AS rc,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS gc
+        | FROM lineitem GROUP BY period)
+        |SELECT period, return_revenue, gross_revenue,
+        | ((2*rc*10000 + gc) // nullif(2*gc, 0)) / 10000.0 AS return_rate
+        |FROM g ORDER BY period""".stripMargin,
 
     "m_derived" ->
-      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS gross_revenue,
-        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
-        |       - sum(l_extendedprice * (1 - l_discount)), 2) AS tax_paid
-        |FROM lineitem GROUP BY period ORDER BY period""".stripMargin,
+      s"""WITH g AS (
+        | SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+        |  ${graft.queries.Exact.sum4Sql} AS g4,
+        |  ${graft.queries.Exact.sum6Sql} AS c6
+        | FROM lineitem GROUP BY period)
+        |SELECT period,
+        | ${graft.queries.Exact.u4DollarsSql("g4")} AS gross_revenue,
+        | ${graft.queries.Exact.u6DollarsSql("(c6 - g4*100)")} AS tax_paid
+        |FROM g ORDER BY period""".stripMargin,
 
     "m_cumulative" ->
       """WITH m AS (

@@ -73,7 +73,7 @@ object OlapQueries {
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(o("o_orderkey"), o("o_orderdate").cast("date").as("o_date"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Exact.u4Dollars(sum(Exact.rev4(col("l_extendedprice"), col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -95,7 +95,7 @@ object OlapQueries {
         .join(l, l("l_orderkey") === o("o_orderkey"))
         .join(su, l("l_suppkey") === su("s_suppkey") && su("s_nationkey") === c("c_nationkey"))
         .groupBy(n("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Exact.u4Dollars(sum(Exact.rev4(col("l_extendedprice"), col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -104,25 +104,33 @@ object OlapQueries {
     "q14_promo" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
-      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val rev4 = Exact.rev4(col("l_extendedprice"), col("l_discount"))
       l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("period"))
         .agg(
-          round(sum(when(col("p_type") === "PROMO", rev)), 2).as("promo_revenue"),
-          round(sum(rev), 2).as("total_revenue"),
-          round(sum(when(col("p_type") === "PROMO", rev)) * 100 /
-            nullif(sum(rev), lit(0)), 4).as("promo_pct"))
+          sum(when(col("p_type") === "PROMO", rev4)).as("p4"),
+          sum(rev4).as("t4"))
+        // promo share: exact `div` (IntegralDivide) on the integer-unit
+        // sums — ratios of two big sums must not use the floor-decimal
+        // shape (Exact.scala scaladoc)
+        .withColumn("promo_revenue", Exact.u4Dollars(col("p4")))
+        .withColumn("total_revenue", Exact.u4Dollars(col("t4")))
+        .withColumn("promo_pct",
+          when(col("t4") =!= 0,
+            expr("((2*p4*100*10000 + t4) div (2*t4)) / 10000.0")))
+        .select(col("period"), col("promo_revenue"), col("total_revenue"),
+          col("promo_pct"))
         .orderBy("period")
     }),
 
     // ROLLUP: per-(flag,status) + per-flag + grand-total rows in one
     // aggregation pass (grouping-sets partials, not one scan per level).
     "q_rollup" -> ((s, dir) => {
-      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val rev4 = Exact.rev4(col("l_extendedprice"), col("l_discount"))
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum("l_quantity"), 2).as("sum_qty"),
-             round(sum(rev), 2).as("sum_disc_price"),
+             Exact.u4Dollars(sum(rev4)).as("sum_disc_price"),
              count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -148,7 +156,7 @@ object OlapQueries {
         .filter(pairOk)
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("bigint").as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Exact.u4Dollars(sum(Exact.rev4(col("l_extendedprice"), col("l_discount")))).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
@@ -165,8 +173,14 @@ object OlapQueries {
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("bigint").as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          - col("p_retailprice") * col("l_quantity") * 0.1), 2).as("profit"))
+        // profit in exact 1e-4 units: price·(1−disc) − retail·qty/10 =
+        // pc·dm − retail_cents·qty·10; can go negative → the signed
+        // half-away-from-zero conversion
+        .agg(Exact.u4Dollars(sum(
+          (Exact.cents(col("l_extendedprice")) *
+            (lit(100L) - Exact.cents(col("l_discount"))) -
+           Exact.cents(col("p_retailprice")) * col("l_quantity").cast("long") * 10L)
+            .cast("decimal(38,0)"))).as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
@@ -631,7 +645,7 @@ object OlapQueries {
       graft.ops.Bloom.semiJoin(Tables.lineitem(s, dir), o96,
           probeKey = "l_orderkey", buildKey = "o_orderkey")
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          Exact.u4Dollars(sum(Exact.rev4(col("l_extendedprice"), col("l_discount")))).as("revenue"))
     }),
 
     // SCD2 / CDC merge: a deterministic update batch (10% of orders,
@@ -822,9 +836,16 @@ object OlapQueries {
         .select("pid", "value", "touch_type")
         .localCheckpoint(false)
       val counts = matched.groupBy("pid").agg(count(lit(1)).as("nt"))
+      // §5: value/nt is a rational of integers (cents over touch
+      // count), so float accumulation of the shares sits on round(·,2)
+      // boundaries (0.01/2 = exactly 0.005). The share is therefore
+      // DEFINED at exact micro-dollar precision: per-row half-up
+      // integral quotient in 1e-6 $ units, summed exactly.
       val credited = matched.join(counts, "pid")
+        .withColumn("vc", Exact.cents(col("value")))
+        .withColumn("q6", expr("(2*vc*10000 + nt) div (2*nt)"))
         .groupBy("touch_type")
-        .agg(round(sum(col("value") / col("nt")), 2).as("credit"),
+        .agg(Exact.u6Dollars(sum(col("q6").cast("decimal(38,0)"))).as("credit"),
           count(lit(1)).as("n"))
       val none = p.join(matched.select("pid").distinct(), Seq("pid"), "left_anti")
         .agg(coalesce(round(sum("value"), 2), lit(0.0)).as("credit"),
@@ -894,9 +915,15 @@ object OlapQueries {
       val lp = l.join(promo, col("l_partkey") === col("p_partkey"))
         .localCheckpoint(false)
       val avgq = lp.groupBy(col("l_partkey").as("a_partkey"))
-        .agg(avg("l_quantity").as("avg_qty"))
+        .agg(sum(col("l_quantity").cast("long")).as("sumq"),
+          count(lit(1)).as("nq"))
       lp.join(avgq, col("l_partkey") === col("a_partkey"))
-        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        // q < avg/2 as the integer cross-multiplication 2·q·n < Σq, so
+        // no float average can sit on the comparison boundary (§5)
+        .filter(col("l_quantity").cast("long") * 2 * col("nq") < col("sumq"))
+        // ÷7 note (§5): Σprice/7 = c/700 dollars with c integer cents;
+        // c/700 on a .005 boundary needs 10c = 7·(1000k+5), impossible
+        // mod 10 — round(·,2) here is boundary-free, no integer sweep
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
           count(lit(1)).as("n_items"))
     }),
@@ -960,7 +987,8 @@ object OlapQueries {
                 col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
                 col("l_discount").between(0.05, 0.07) &&
                 col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(Exact.u4Dollars(sum(Exact.prod4(col("l_extendedprice"), col("l_discount"))))
+               .as("revenue"),
              count(lit(1)).as("n_lines"))
     }),
 
@@ -980,7 +1008,7 @@ object OlapQueries {
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(c("c_custkey"), c("c_name"), c("c_acctbal"), n("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Exact.u4Dollars(sum(Exact.rev4(col("l_extendedprice"), col("l_discount")))).as("revenue"))
         .select(col("c_custkey"), col("c_name"),
           round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"), col("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
@@ -1026,7 +1054,8 @@ object OlapQueries {
         (p("p_brand") === "Brand#3" && p("p_size").between(1, 35) &&
           l("l_quantity").between(20, 40))
       l.join(p, l("l_partkey") === p("p_partkey") && bracket)
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(Exact.u4Dollars(sum(Exact.rev4(col("l_extendedprice"), col("l_discount"))))
+               .as("revenue"),
              count(lit(1)).as("n_lines"))
     }),
 
@@ -1035,10 +1064,10 @@ object OlapQueries {
     // partials expand per-row; no per-level rescans). Complements
     // q_rollup, which only covers the hierarchical prefix sets.
     "q_cube" -> ((s, dir) => {
-      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val rev4 = Exact.rev4(col("l_extendedprice"), col("l_discount"))
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(rev), 2).as("sum_disc_price"), count(lit(1)).as("n"))
+        .agg(Exact.u4Dollars(sum(rev4)).as("sum_disc_price"), count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("sum_disc_price"), col("n"))
@@ -1052,7 +1081,7 @@ object OlapQueries {
     // share is a conditional-sum ratio in the same single aggregation
     // pass — never two scans.
     "q8_market_share" -> ((s, dir) => {
-      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val rev4 = Exact.rev4(col("l_extendedprice"), col("l_discount"))
       val r  = Tables.region(s, dir).filter(col("r_name") === "ASIA")
       val nc = Tables.nation(s, dir).select(col("n_nationkey").as("cnk"), col("n_regionkey"))
       val ns = Tables.nation(s, dir).select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
@@ -1070,9 +1099,15 @@ object OlapQueries {
         .join(broadcast(ns), su("s_nationkey") === col("snk"))
         .groupBy(year(o("o_orderdate")).cast("bigint").as("o_year"))
         .agg(
-          round(sum(when(col("supp_nation") === "NATION_1", rev).otherwise(lit(0.0)))
-            / sum(rev), 4).as("mkt_share"),
-          round(sum(rev), 2).as("total_revenue"))
+          sum(when(col("supp_nation") === "NATION_1", rev4)
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as("n4"),
+          sum(rev4).as("t4"))
+        // share via exact integral `div` on the unit sums (Exact.scala)
+        .withColumn("mkt_share",
+          when(col("t4") =!= 0,
+            expr("((2*n4*10000 + t4) div (2*t4)) / 10000.0")))
+        .withColumn("total_revenue", Exact.u4Dollars(col("t4")))
+        .select(col("o_year"), col("mkt_share"), col("total_revenue"))
         .orderBy("o_year")
     }),
 
@@ -1087,7 +1122,7 @@ object OlapQueries {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Exact.u4Dollars(sum(Exact.rev4(col("l_extendedprice"), col("l_discount"))))
           .as("total_revenue"))
         .localCheckpoint(false)
       val mx = rev.agg(max("total_revenue").as("max_revenue"))
@@ -1592,8 +1627,8 @@ object OlapQueries {
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_topn" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        | ${Exact.u4DollarsSql(Exact.sum4Sql)} AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -1603,8 +1638,8 @@ object OlapQueries {
         |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q5_snowflake" ->
-      """SELECT n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT n_name,
+        | ${Exact.u4DollarsSql(Exact.sum4Sql)} AS revenue
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -1617,27 +1652,31 @@ object OlapQueries {
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q14_promo" ->
-      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
-        | round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END), 2) AS promo_revenue,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-        | round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END) * 100
-        |   / nullif(sum(l_extendedprice * (1 - l_discount)), 0), 4) AS promo_pct
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH g AS (
+        | SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN ${Exact.pcSql}*${Exact.dmSql} END) AS p4,
+        |  ${Exact.sum4Sql} AS t4
+        | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT period,
+        | ${Exact.u4DollarsSql("p4")} AS promo_revenue,
+        | ${Exact.u4DollarsSql("t4")} AS total_revenue,
+        | ((2*p4*100*10000 + t4) // nullif(2*t4, 0)) / 10000.0 AS promo_pct
+        |FROM g ORDER BY 1""".stripMargin,
 
     "q_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
         | coalesce(l_linestatus, 'ALL') AS ls,
         | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | ${Exact.u4DollarsSql(Exact.sum4Sql)} AS sum_disc_price,
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
 
     "q7_shipping" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ${Exact.u4DollarsSql(Exact.sum4Sql)} AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
@@ -1649,9 +1688,9 @@ object OlapQueries {
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q9_profit" ->
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)
-        |    - p_retailprice * l_quantity * 0.1), 2) AS profit
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ${Exact.u4DollarsSignedSql(
+             s"sum(${Exact.pcSql}*${Exact.dmSql} - CAST(round(p_retailprice*100) AS BIGINT)*CAST(l_quantity AS BIGINT)*10)")} AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -1922,8 +1961,8 @@ object OlapQueries {
 
     // bloom pruning must be invisible in the result
     "bloom_semi_join" ->
-      """SELECT count(*) AS n_items,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT count(*) AS n_items,
+        | ${Exact.u4DollarsSql(Exact.sum4Sql)} AS revenue
         |FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders
@@ -2059,8 +2098,11 @@ object OlapQueries {
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_type = 'PROMO'
-        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
-        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+        |  AND 2 * CAST(l_quantity AS BIGINT)
+        |      * (SELECT count(*) FROM lineitem l2
+        |         WHERE l2.l_partkey = lineitem.l_partkey)
+        |    < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+        |       WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
 
     "q22_idle" ->
       """SELECT c_nationkey, count(*) AS numcust,
@@ -2082,7 +2124,8 @@ object OlapQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q6_forecast" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      s"""SELECT ${Exact.u4DollarsSql(
+             s"sum(${Exact.pcSql}*CAST(round(l_discount*100) AS BIGINT))")} AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2091,8 +2134,8 @@ object OlapQueries {
         |  AND l_quantity < 24""".stripMargin,
 
     "q10_returns" ->
-      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+        |  ${Exact.u4DollarsSql(Exact.sum4Sql)} AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -2114,7 +2157,7 @@ object OlapQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q19_brackets" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT ${Exact.u4DollarsSql(Exact.sum4Sql)} AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -2125,9 +2168,9 @@ object OlapQueries {
         |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     "q_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
         | coalesce(l_linestatus, 'ALL') AS ls,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | ${Exact.u4DollarsSql(Exact.sum4Sql)} AS sum_disc_price,
         | count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
@@ -2148,28 +2191,32 @@ object OlapQueries {
         |ORDER BY 1, 2""".stripMargin,
 
     "q8_market_share" ->
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  round(sum(CASE WHEN n2.n_name = 'NATION_1'
-        |              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |    / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
-        |JOIN region ON n1.n_regionkey = r_regionkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH g AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  sum(CASE WHEN n2.n_name = 'NATION_1'
+        |      THEN ${Exact.pcSql}*${Exact.dmSql} ELSE 0 END) AS n4,
+        |  ${Exact.sum4Sql} AS t4
+        | FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        | JOIN region ON n1.n_regionkey = r_regionkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        | WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        | GROUP BY 1)
+        |SELECT o_year,
+        |  ((2*n4*10000 + t4) // nullif(2*t4, 0)) / 10000.0 AS mkt_share,
+        |  ${Exact.u4DollarsSql("t4")} AS total_revenue
+        |FROM g ORDER BY 1""".stripMargin,
 
     // textbook scalar-subquery form — the engine's withScalar rewrite
     // must produce exactly these rows
     "q15_top_supplier" ->
-      """WITH rev AS (
+      s"""WITH rev AS (
         |  SELECT l_suppkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |    ${Exact.u4DollarsSql(Exact.sum4Sql)} AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -2444,7 +2491,9 @@ object OlapQueries {
         |      FROM p JOIN t ON p.user_id = t.user_id
         |        AND t.tts <= p.pts AND t.tts > p.pts - 604800000000),
         |c AS (SELECT pid, count(*) AS nt FROM m GROUP BY 1),
-        |att AS (SELECT touch_type, round(sum(value*1.0/nt), 2) AS credit,
+        |att AS (SELECT touch_type,
+        |          ((2*sum((2*CAST(round(value*100) AS BIGINT)*10000 + nt)
+        |                  // (2*nt)) + 10000) // 20000) / 100.0 AS credit,
         |          count(*) AS n
         |        FROM m JOIN c USING (pid) GROUP BY 1),
         |no AS (SELECT 'none' AS touch_type,
