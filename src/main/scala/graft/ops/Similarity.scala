@@ -123,6 +123,93 @@ object Similarity {
     transform(slice(reverse(array_sort(centroidSims(v, nrm, cs))), 1, nprobe),
       s => s.getField("idx"))
 
+  /** Product-quantization (PQ) ANN: embeddings are normalized and cut
+    * into `m` sub-vectors; each subspace gets a `ksub`-centroid
+    * codebook (deterministic multiplicative-hash seed sample + one
+    * distributed Lloyd step, means quantized to 6dp so the refined
+    * codebooks are bit-identical across engines), and every corpus
+    * vector is ENCODED as m small codes — 8 bytes instead of 512 for
+    * a 64-dim float vector, which is the whole point at 100 TB: the
+    * search side of the join carries only (vec_id, bucket, codes).
+    * Candidates come from the same sign-bit hyperplane buckets as
+    * [[lshTopK]] (equi-join — no product join anywhere), and ranking
+    * uses the asymmetric distance: exact probe sub-vectors against the
+    * corpus codes' reconstructed centroids,
+    * adc = Σ_j ‖p_j − c_j[code_j]‖² expanded as pn²+cn²−2·p·c so both
+    * engines evaluate the identical fixed-order arithmetic. Only the
+    * m×ksub×(dim/m) codebook (1024 doubles) ever reaches the driver.
+    * Output: probe_id, rank, neighbor_id, adc (6dp), bucket. */
+  def pqTopK(emb: DataFrame, probeFilter: Column, k: Int = 5,
+             m: Int = 8, ksub: Int = 16, numPlanes: Int = 4,
+             seed: Long = 42L): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val dim = 64; val sub = dim / m
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v0"), col("v0"))))
+      .withColumn("v", transform(col("v0"), x => x / col("nrm")))
+      .withColumn("bucket", bucketOf(col("v0"), planes))
+      .drop("v0", "nrm")
+      .localCheckpoint(false) // feeds seed sample, Lloyd step, encode, search
+
+    def subCol(v: Column, j: Int) = slice(v, j * sub + 1, sub)
+    // nearest sub-centroid of subspace j (min L2², tie → lower code)
+    def assignCode(v: Column, j: Int, cb: Array[Array[Double]]): Column = {
+      val s   = subCol(v, j)
+      val sn2 = Dedup.dot(s, s)
+      array_min(array(cb.zipWithIndex.map { case (c, ci) =>
+        val cn2 = c.map(x => x * x).sum
+        struct((sn2 + lit(cn2) - lit(2.0) * Dedup.dot(s, array(c.map(lit): _*)))
+          .as("d"), lit(ci).as("code"))
+      }: _*)).getField("code")
+    }
+
+    // seed codebooks: the same ksub corpus vectors for every subspace
+    // (multiplicative-hash ordered — engine-neutral, oracle re-derives)
+    val seedVecs = e
+      .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(1000003L)), col("vec_id"))
+      .limit(ksub).select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val cb0: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((j, c) => seedVecs(c).slice(j * sub, (j + 1) * sub))
+
+    // one Lloyd step, all subspaces in ONE distributed pass: assign
+    // with the seed codebooks, then per-(subspace, code, dim) mean.
+    // Only the 6dp-quantized means (m·ksub·sub rows) reach the driver.
+    val codes0 = array((0 until m).map(j => assignCode(col("v"), j, cb0(j))): _*)
+    val means = e.select(col("v"), codes0.as("codes"))
+      .select(col("v"), posexplode(col("codes")).as(Seq("j", "code")))
+      .select(col("j"), col("code"),
+        posexplode(slice(col("v"), col("j") * sub + 1, lit(sub))).as(Seq("d", "x")))
+      .groupBy("j", "code", "d").agg(round(avg("x"), 6).as("mv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    // empty cells (possible only if two seeds share a sub-vector) keep
+    // their seed centroid — the oracle coalesces identically
+    val cb1: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub, sub)((j, c, d) => means.getOrElse((j, c, d), cb0(j)(c)(d)))
+
+    val corpus = e.select(col("vec_id"), col("bucket"),
+      array((0 until m).map(j => assignCode(col("v"), j, cb1(j))): _*).as("codes"))
+    val probes = e.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
+    val adc = (0 until m).map { j =>
+      val ps     = subCol(col("pv"), j)
+      val code   = element_at(col("codes"), j + 1)
+      val cbLit  = array(cb1(j).map(c => array(c.map(lit): _*)): _*)
+      val cn2Lit = array(cb1(j).map(c => lit(c.map(x => x * x).sum)): _*)
+      Dedup.dot(ps, ps) + element_at(cn2Lit, code + 1) -
+        lit(2.0) * Dedup.dot(ps, element_at(cbLit, code + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("vec_id"))
+    corpus.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("bucket"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc"), 6).as("adc"), col("bucket"))
+  }
+
   /** LSH-bucketed ANN: probes and corpus are hashed to hyperplane
     * sign buckets and equi-joined on the bucket id; top-k is computed
     * inside the bucket. Output: probe_id, rank, neighbor_id, cos (4dp),

@@ -236,6 +236,30 @@ object PipelineQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
 
+    // product-quantized ANN: codebook-trained 8-byte codes replace the
+    // 512-byte vectors on the search side; LSH buckets gate candidates
+    // (equi-join), asymmetric distance ranks them (Similarity.pqTopK)
+    "ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .orderBy("probe_id", "rank")),
+
+    // recall of the PQ path against the checkpointed exact brute force
+    // — the same measure-before-trusting audit as ann_recall
+    "ann_pq_recall" -> ((s, dir) => {
+      val brute = Similarity.bruteForceTopK(
+          Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val pq = Similarity.pqTopK(
+          Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("probe_id").as("pp"), col("neighbor_id").as("pn"))
+      brute.join(pq,
+          col("probe_id") === col("pp") && col("neighbor_id") === col("pn"),
+          "left_outer")
+        .groupBy("probe_id")
+        .agg(round(count(col("pn")) / 5.0, 4).as("recall"))
+        .orderBy("probe_id")
+    }),
+
     // ANN observability: per-probe recall of the LSH path against the
     // exact brute-force top-k — the measure-don't-guess query a real
     // deployment runs on a sampled probe set before trusting an index.
@@ -1324,7 +1348,99 @@ object PipelineQueries {
        |WHERE shared*1.0/(s1.n + s2.n - shared) >= 0.8
        |ORDER BY id1, id2""".stripMargin
 
+  /** Full independent replay of Similarity.pqTopK: normalize, 4-plane
+    * sign buckets, multiplicative-hash seed sample, one Lloyd step per
+    * subspace (6dp means, seed fallback for empty cells), refined-code
+    * encoding, fixed-order 8-term asymmetric distance. The ADC sum is
+    * written as an explicit left-associated `t0 + t1 + … + t7` chain so
+    * DuckDB accumulates in exactly the engine's reduce order. */
+  private lazy val pqTopSql: String = {
+    val bucketExpr = Similarity.hyperplanes(4, 64, 42L).zipWithIndex.map {
+      case (p, i) =>
+        val pl = "[" + p.mkString(",") + "]"
+        s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v0[i]*($pl)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n|    + ")
+    val adc = (0 until 8).map { j =>
+      val cj = s"cb[${j + 1}][codes[${j + 1}] + 1]"
+      s"(list_sum(list_transform(range(1,9), i -> p.v[8*$j+i]*p.v[8*$j+i])) " +
+        s"+ list_sum(list_transform($cj, x -> x*x)) " +
+        s"- 2*list_sum(list_transform(range(1,9), i -> p.v[8*$j+i]*$cj[i])))"
+    }.mkString("\n|    + ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       |e AS (SELECT vec_id,
+       |    list_transform(v0, x -> x / sqrt(list_sum(list_transform(v0, y -> y*y)))) AS v,
+       |    $bucketExpr AS bucket
+       |  FROM e0),
+       |sd AS (SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS scode, v AS c
+       |       FROM e QUALIFY scode < 16),
+       |a0 AS (
+       |  SELECT e.vec_id, j.j, sd.scode,
+       |    row_number() OVER (PARTITION BY e.vec_id, j.j
+       |      ORDER BY list_sum(list_transform(range(1,9), i -> e.v[8*j.j+i]*e.v[8*j.j+i]))
+       |             + list_sum(list_transform(range(1,9), i -> sd.c[8*j.j+i]*sd.c[8*j.j+i]))
+       |             - 2*list_sum(list_transform(range(1,9), i -> e.v[8*j.j+i]*sd.c[8*j.j+i])) ASC,
+       |             sd.scode ASC) AS rk
+       |  FROM e CROSS JOIN range(0,8) j(j) CROSS JOIN sd),
+       |a1 AS (SELECT vec_id, j, scode FROM a0 WHERE rk = 1),
+       |r0 AS (SELECT a1.j, a1.scode AS code, d.d, round(avg(e.v[8*a1.j + d.d]), 6) AS mv
+       |       FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1,9) d(d)
+       |       GROUP BY 1, 2, 3),
+       |u AS (SELECT j.j, c.code, d.d
+       |      FROM range(0,8) j(j) CROSS JOIN range(0,16) c(code) CROSS JOIN range(1,9) d(d)),
+       |rf AS (SELECT u.j, u.code, u.d,
+       |         coalesce(r0.mv, (SELECT sd.c[8*u.j + u.d] FROM sd WHERE sd.scode = u.code)) AS mv
+       |       FROM u LEFT JOIN r0 ON r0.j = u.j AND r0.code = u.code AND r0.d = u.d),
+       |rc AS (SELECT j, code, list(mv ORDER BY d) AS c FROM rf GROUP BY 1, 2),
+       |cbj AS (SELECT j, list(c ORDER BY code) AS cj FROM rc GROUP BY 1),
+       |cball AS (SELECT list(cj ORDER BY j) AS cb FROM cbj),
+       |en0 AS (
+       |  SELECT e.vec_id, rc.j, rc.code,
+       |    row_number() OVER (PARTITION BY e.vec_id, rc.j
+       |      ORDER BY list_sum(list_transform(range(1,9), i -> e.v[8*rc.j+i]*e.v[8*rc.j+i]))
+       |             + list_sum(list_transform(rc.c, x -> x*x))
+       |             - 2*list_sum(list_transform(range(1,9), i -> e.v[8*rc.j+i]*rc.c[i])) ASC,
+       |             rc.code ASC) AS rk
+       |  FROM e CROSS JOIN rc),
+       |enc AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM en0 WHERE rk = 1 GROUP BY 1),
+       |s AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id, c.bucket,
+       |    $adc AS adc
+       |  FROM e p JOIN e c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+       |  JOIN enc ON enc.vec_id = c.vec_id
+       |  CROSS JOIN cball
+       |  WHERE p.vec_id < 10),
+       |r AS (SELECT probe_id, vec_id, bucket, adc,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY adc ASC, vec_id) AS rank
+       |      FROM s)
+       |SELECT probe_id, rank, vec_id AS neighbor_id, round(adc, 6) AS adc, bucket
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "ann_pq" -> s"$pqTopSql\nORDER BY probe_id, rank",
+
+    // exact all-pairs top-5 (brute) vs the full PQ replay, per-probe
+    // overlap — both sides re-derived independently
+    "ann_pq_recall" ->
+      s"""WITH brute AS (
+        |  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |  p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |  s AS (
+        |    SELECT probe_id, e.vec_id,
+        |      list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))
+        |        / (sqrt(list_sum(list_transform(pv, x -> x*x)))
+        |           * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+        |    FROM e, p WHERE e.vec_id <> probe_id)
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM s QUALIFY rank <= 5),
+        |pq AS ($pqTopSql)
+        |SELECT b.probe_id,
+        |  round(count(pq.neighbor_id) / 5.0, 4) AS recall
+        |FROM brute b LEFT JOIN pq
+        |  ON pq.probe_id = b.probe_id AND pq.neighbor_id = b.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm

@@ -49,9 +49,11 @@ class PlanSpec extends AnyFunSuite {
     // truth; everything else — including the funnel's 1-row step counts,
     // which combine via Scalars.withScalar — must plan product-free
     // emb_prefix_recall reuses the same bruteForceTopK probe (twice),
-    // and ann_plane_sweep embeds it once as the sweep's ground truth
+    // and ann_plane_sweep embeds it once as the sweep's ground truth;
+    // ann_pq_recall embeds it as the PQ path's ground truth (the PQ
+    // search itself — ann_pq — is a bucket equi-join and stays banned)
     val exempt = Set("ann_bruteforce", "ann_recall", "emb_prefix_recall",
-      "ann_plane_sweep")
+      "ann_plane_sweep", "ann_pq_recall")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
