@@ -775,6 +775,12 @@ object PipelineQueries {
     "stream_sessionize" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionize(s, dir)),
 
+    // streaming growth accounting: per-user last-active-day state in
+    // flatMapGroupsWithState, two-batch state handoff; converges to
+    // the batch events_lifecycle classification (its oracle)
+    "stream_lifecycle" -> ((s, dir) =>
+      graft.streaming.EventStreams.lifecycle(s, dir)),
+
     "stream_dedup" -> ((s, dir) =>
       graft.streaming.EventStreams.dedupedCounts(s, dir)),
 
@@ -2812,6 +2818,10 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the stateful operator emits only gap-CLOSED sessions (a session
+    // the streaming classifier must converge to the batch growth
+    // accounting exactly — the oracle IS the batch query's SQL
+    "stream_lifecycle" -> OlapQueries.oracle("events_lifecycle"),
+
     // is not final until its inactivity gap passes), so the oracle is
     // the batch sessionization MINUS each user's last (still-open)
     // session — exactly expressible with QUALIFY

@@ -437,6 +437,114 @@ object EventStreams {
   }
 
   /** Open sessions carried across micro-batches, keyed by user. */
+  final case class LifeState(lastDn: Int)
+  final case class LifeOut(user_id: Long, dn: Int, cls: String, prev: Int)
+
+  /** Streaming growth accounting — the stateful-stream counterpart of
+    * the batch `events_lifecycle`: `flatMapGroupsWithState` over
+    * user_id keeps each user's LAST ACTIVE DAY as state, so every
+    * (user, day) arrival classifies immediately as new (no state),
+    * retained (state = day−1) or resurrected (gap), across micro-batch
+    * boundaries. The history arrives in TWO AvailableNow batches split
+    * at the calendar midpoint (mtime-pinned order), so the
+    * classification provably survives a state handoff — a user active
+    * in both halves is classified in batch 2 against state built in
+    * batch 1. Day-level records go to a distributed file sink; churn
+    * (the day AFTER a gap opens, capped at the corpus max day) is then
+    * a batch job over the emitted records — identical semantics to the
+    * batch query, which is also this query's oracle. */
+  def lifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Scalars
+
+    val fn = (user: Long, rows: Iterator[(Long, Int)], state: GroupState[LifeState]) => {
+      val days = rows.map(_._2).toArray.distinct.sorted
+      var last = state.getOption.map(_.lastDn).getOrElse(Int.MinValue)
+      val out = Vector.newBuilder[LifeOut]
+      days.foreach { d =>
+        if (d > last) { // same-day re-delivery at a batch boundary is a no-op
+          val cls =
+            if (last == Int.MinValue) "new"
+            else if (d == last + 1) "retained"
+            else "resurrected"
+          out += LifeOut(user, d, cls, if (last == Int.MinValue) -1 else last)
+          last = d
+        }
+      }
+      if (last != Int.MinValue) state.update(LifeState(last))
+      out.result().iterator
+    }
+
+    // stage the event history in two time halves so AvailableNow runs
+    // a real multi-batch state handoff (the distinctUsersIncremental
+    // staging pattern, mtime-pinned like cdcApply)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_life_")
+    base.toFile.deleteOnExit()
+    val raw = spark.read.schema(eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"),
+        datediff(to_date(timestamp_micros(expr("ts div 1000"))),
+          lit("1970-01-01").cast("date")).as("dn"))
+      .localCheckpoint(false)
+    val bounds = raw.agg(min("dn").as("lo"), max("dn").as("hi")).head()
+    val mid = (bounds.getInt(0) + bounds.getInt(1)) / 2
+    // one file per half → one micro-batch per half: a half split across
+    // files would deliver a user's days out of order across batches,
+    // which the monotone-state classifier would silently drop
+    raw.filter(col("dn") < mid).coalesce(1).write.parquet(s"$base/stage/h1")
+    raw.filter(col("dn") >= mid).coalesce(1).write.parquet(s"$base/stage/h2")
+    val now = System.currentTimeMillis()
+    for ((wave, t) <- Seq("h1" -> (now - 60000L), "h2" -> now);
+         f <- new java.io.File(s"$base/stage/$wave").listFiles())
+      f.setLastModified(t)
+
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("dn", IntegerType))))
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/stage")
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+
+    withStateParts(spark) {
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/chk")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch tail over the emitted day records: activity counts per
+    // day, churn from observed gaps + each user's open last day
+    val rec = spark.read.parquet(s"$base/data").localCheckpoint(false)
+    val act = rec.groupBy("dn").agg(
+      sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val gapChurn = rec.filter(col("prev") >= 0 && col("dn") > col("prev") + 1)
+      .select((col("prev") + 1).as("cdn"))
+    val lastPer = rec.groupBy("user_id").agg(max("dn").as("ldn"))
+    val openChurn = Scalars
+      .withScalar(lastPer, col("user_id"), rec.agg(max("dn").as("max_dn")), col("max_dn"))
+      .filter(col("ldn") < col("max_dn"))
+      .select((col("ldn") + 1).as("cdn"))
+    val churn = gapChurn.unionByName(openChurn)
+      .groupBy(col("cdn").as("dn")).agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("dn"), "full_outer")
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("dn")).as("d"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("d")
+  }
+
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                               start_us: Long, dur_us: Long)

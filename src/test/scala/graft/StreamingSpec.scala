@@ -63,6 +63,13 @@ class StreamingSpec extends AnyFunSuite {
       s"CDC apply diverged from the batch chain (${streamed.length} vs ${batch.length} rows)")
   }
 
+  test("streaming lifecycle converges to the batch growth accounting across the state handoff") {
+    val streamed = graft.streaming.EventStreams.lifecycle(spark, sf).collect()
+    val batch = SparkEntry.queries("events_lifecycle")(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"lifecycle diverged from batch (${streamed.length} vs ${batch.length} rows)")
+  }
+
   test("incremental HLL refresh: two checkpointed passes == one pass, history unread") {
     import graft.streaming.EventStreams
     val es = EventStreams
