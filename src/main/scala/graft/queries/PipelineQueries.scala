@@ -286,6 +286,23 @@ object PipelineQueries {
     // itself (est ≥ exact always; overcount = collision noise). The
     // grid is (r, bucket)-keyed relational data, so it merges across
     // shards/days by simple count-sum — and the oracle replays it.
+    // EXACT top-k heavy hitters with k-row state: per-user counts (one
+    // shuffle — top-k BY COUNT of raw rows is not mergeable, so the
+    // count pass is irreducible), then ONE topk_agg reduction whose
+    // map-side partials each carry ≤k pairs — no global sort, no
+    // TakeOrderedAndProject, no count-min collision noise. The exact
+    // contrast query to sketch_countmin's grid + exact-join audit.
+    "sketch_exact_topk" -> ((s, dir) => {
+      graft.functions.TopKAgg.register(s)
+      Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .agg(call_function("topk_agg", col("cnt"), col("user_id"), lit(10)).as("tk"))
+        .select(posexplode(col("tk")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast("bigint").as("rank"),
+          col("e.tag").as("user_id"), col("e.v").as("exact_n"))
+        .orderBy("rank")
+    }),
+
     "sketch_countmin" -> ((s, dir) => {
       graft.functions.GraftHash64.register(s)
       val w = 256
@@ -2331,6 +2348,14 @@ object PipelineQueries {
 
     // grid replay: same four seeded hashes, % 256 bucketing (power-of-
     // two modulus, so signed pmod and unsigned % agree bit-for-bit)
+    // deterministic tie-break: count desc, then user_id asc — exactly
+    // the aggregate's better() order
+    "sketch_exact_topk" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank,
+        |  user_id, cnt AS exact_n
+        |FROM c QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
     "sketch_countmin" ->
       s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events),
          |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n

@@ -60,6 +60,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ivf.size == brute.size, "IVF should fill k slots per probe from its cells")
   }
 
+  test("topk_agg is exact and merge-order-invariant across partitionings") {
+    graft.functions.TopKAgg.register(spark)
+    val counts = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    // ground truth: full sort, same (cnt desc, user_id asc) order
+    val ref = counts.collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy { case (c, u) => (-c, u) }.take(10).toSeq
+    // different partitionings force different partial-merge trees; an
+    // associativity/commutativity bug shows up as order-dependent output
+    for (parts <- Seq(1, 7, 32)) {
+      val got = counts.repartition(parts)
+        .agg(call_function("topk_agg", col("cnt"), col("user_id"), lit(10)).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.v"), col("e.tag"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == ref, s"topk_agg diverged at $parts partitions")
+    }
+    // saturation edge: k larger than the group count returns everything
+    val small = counts.limit(3)
+      .agg(call_function("topk_agg", col("cnt"), col("user_id"), lit(10)).as("tk"))
+      .select(size(col("tk"))).head().getInt(0)
+    assert(small == 3, "k > n must return all n pairs")
+  }
+
   test("PQ ANN codes reconstruct near their vectors and rank sanely") {
     val pq = Similarity.pqTopK(Tables.embeddings(spark, sf), col("vec_id") < 10, k = 5)
       .collect()
