@@ -285,6 +285,70 @@ object Dedup {
         (!col("match_new")).cast("bigint").as("is_cross"))
   }
 
+  /** Banded-LSH candidate generation + SIGNATURE-AGREEMENT verify over
+    * an existing signature table (doc_id, sig) — the tail shared by
+    * [[minhashStoreIncremental]] and its from-scratch spec twin. Pairs
+    * are restricted to those touching the new shard and verified by
+    * the estimated Jaccard (matching permutation minima / k): at store
+    * scale the raw text of the OLD corpus is gone by design, so the
+    * estimator — not exact shingle Jaccard — is the verify metric.
+    * k = 128 keeps est = n/128 binary-exact, and the threshold is the
+    * integer test n_match·10 ≥ minMatch10 so no float compare sits on
+    * a boundary. */
+  def signatureCandidates(sig: DataFrame, isNew: Column => Column,
+                          k: Int = 128, bands: Int = 16,
+                          minMatch10: Int = 1024, bucketCap: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")))).as(Seq("band", "bh")))
+      .localCheckpoint(false)
+    val sizes = banded.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+    val ok = banded.join(sizes, Seq("band", "bh")).filter(col("bsz") <= bucketCap)
+    val newSide = ok.filter(isNew(col("doc_id")))
+      .select(col("band"), col("bh"), col("doc_id").as("new_id"))
+    val allSide = ok.select(col("band"), col("bh"), col("doc_id").as("match_id"),
+      isNew(col("doc_id")).as("match_new"))
+    val cands = newSide.join(allSide, Seq("band", "bh"))
+      .filter((!col("match_new") && col("new_id") =!= col("match_id")) ||
+        (col("match_new") && col("new_id") < col("match_id")))
+      .select("new_id", "match_id", "match_new").distinct()
+    val nMatch = size(filter(zip_with(col("sig1"), col("sig2"),
+      (a, b) => a === b), x => x)).cast("long")
+    cands
+      .join(sig.select(col("doc_id").as("new_id"), col("sig").as("sig1")), "new_id")
+      .join(sig.select(col("doc_id").as("match_id"), col("sig").as("sig2")), "match_id")
+      .withColumn("n_match", nMatch)
+      .filter(col("n_match") * 10 >= minMatch10)
+      .select(col("new_id"), col("match_id"), col("n_match"),
+        (col("n_match").cast("double") / k).as("est_jaccard"),
+        (!col("match_new")).cast("bigint").as("is_cross"))
+  }
+
+  /** Incremental MinHash with a MAINTAINED signature store: the old
+    * corpus's signatures were persisted by a previous run (store/v0 —
+    * the stream_cdc_apply snapshot pattern on plain parquet); when a
+    * shard lands, ONLY the shard's text is shingled and hashed, its
+    * signatures APPEND as store/v1, and candidate generation reads the
+    * merged store. The corpus raw text is never re-read — at 100 TB
+    * the store is ~1 KB/doc of signatures versus re-shingling the
+    * whole corpus per shard. ScaleOpsSpec proves the store-fed result
+    * equals the from-scratch signature run exactly. */
+  def minhashStoreIncremental(docs: DataFrame, isNew: Column => Column,
+                              n: Int = 3, k: Int = 128, bands: Int = 16,
+                              minMatch10: Int = 1024, bucketCap: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    val store = java.nio.file.Files.createTempDirectory("graft_sig_store_")
+    store.toFile.deleteOnExit()
+    minhashSignatures(docs.filter(!isNew(col("doc_id"))), n, k)
+      .write.parquet(s"$store/v0")
+    minhashSignatures(docs.filter(isNew(col("doc_id"))), n, k)
+      .write.parquet(s"$store/v1")
+    val sig = spark.read.parquet(s"$store/v0", s"$store/v1")
+    signatureCandidates(sig, isNew, k, bands, minMatch10, bucketCap)
+  }
+
   def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 128, bands: Int = 16,
                  threshold: Double = 0.8, bucketCap: Int = 1000): DataFrame = {
     val candidates = lshCandidates(docs, n, k, bands, bucketCap)

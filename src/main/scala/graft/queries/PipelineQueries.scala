@@ -110,6 +110,14 @@ object PipelineQueries {
       Dedup.minhashLshIncremental(Tables.documents(s, dir), _ >= 400)
         .orderBy("new_id", "match_id")),
 
+    // the store-maintained variant: old-corpus signatures come from a
+    // persisted parquet store, the shard's signatures append, the raw
+    // corpus text is never re-read; verify is the signature-agreement
+    // estimate (n_match/128 — binary-exact)
+    "dedup_incremental_store" -> ((s, dir) =>
+      Dedup.minhashStoreIncremental(Tables.documents(s, dir), _ >= 400)
+        .orderBy("new_id", "match_id")),
+
     // character-level verify over the SAME bounded LSH candidate set:
     // exact edit distance (the verify metric set-based Jaccard can't
     // replace — it is order-sensitive and catches in-place edits that
@@ -1965,6 +1973,26 @@ object PipelineQueries {
          |JOIN ssz s2 ON i.match_id = s2.doc_id
          |WHERE i.shared*1.0/(s1.n + s2.n - i.shared) >= 0.8
          |ORDER BY i.new_id, i.match_id""".stripMargin,
+
+    // same new-touching pair space as dedup_incremental, but verified
+    // by signature agreement (the store has no raw text): n_match of
+    // 128 permutation minima, integer threshold n_match·10 ≥ 1024
+    "dedup_incremental_store" ->
+      s"""$minhashPrelude,
+         |inc AS (
+         |  SELECT CASE WHEN id1 >= 400 THEN id1 ELSE id2 END AS new_id,
+         |         CASE WHEN id1 >= 400 THEN id2 ELSE id1 END AS match_id
+         |  FROM cand WHERE id1 >= 400 OR id2 >= 400),
+         |m AS (
+         |  SELECT i.new_id, i.match_id,
+         |    len(list_filter(range(1, 129), j -> a.sg[j] = b.sg[j])) AS n_match
+         |  FROM inc i JOIN sig a ON a.doc_id = i.new_id
+         |             JOIN sig b ON b.doc_id = i.match_id)
+         |SELECT new_id, match_id, CAST(n_match AS BIGINT) AS n_match,
+         |  n_match/128.0 AS est_jaccard,
+         |  CAST(match_id < 400 AS BIGINT) AS is_cross
+         |FROM m WHERE n_match*10 >= 1024
+         |ORDER BY new_id, match_id""".stripMargin,
 
     "dedup_minhash" ->
       s"""$minhashPrelude,

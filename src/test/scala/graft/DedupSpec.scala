@@ -118,6 +118,27 @@ class DedupSpec extends AnyFunSuite {
     assert(flags.forall { case (m, f) => (m < 400) == (f == 1L) })
   }
 
+  test("signature-store incremental equals the from-scratch signature run") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sf)
+    // from-scratch: every signature recomputed from raw text
+    val scratch = Dedup.signatureCandidates(
+        Dedup.minhashSignatures(docs, 3, 128), _ >= 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    // store-fed: old signatures persisted, shard appended, text unread
+    val stored = Dedup.minhashStoreIncremental(docs, _ >= 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    assert(stored == scratch,
+      s"store diverged: ${stored.diff(scratch)} / ${scratch.diff(stored)}")
+    assert(stored.nonEmpty, "the shard should match known near-dups")
+    // every pair touches the shard and cross pairs point at old docs
+    stored.foreach { case (n, m, nm, cross) =>
+      assert(n >= 400, s"new_id $n not in shard")
+      assert((m < 400) == (cross == 1L), s"is_cross wrong for ($n, $m)")
+      assert(nm * 10 >= 1024, s"under-threshold pair ($n, $m) emitted")
+    }
+  }
+
   test("minhash LSH returns a verified subset with high recall of exact pairs") {
     val exact = Dedup.ngramJaccard(Tables.documents(spark, sf))
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
