@@ -797,6 +797,13 @@ object PipelineQueries {
             .as("features_csv"))
         .orderBy("doc_id")),
 
+    // the one HONEST codec: real RIFF/WAVE containers built per doc,
+    // really chunk-walked and PCM16-decoded; the oracle recomputes the
+    // decoded fields analytically from the fixture parameters
+    "mm_wav_decode" -> ((s, dir) =>
+      Multimodal.wavDecodeBatch(Tables.documents(s, dir)).toDF()
+        .orderBy("doc_id")),
+
     "stream_sessionize" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionize(s, dir)),
 
@@ -2920,6 +2927,25 @@ object PipelineQueries {
     // payload bytes mod 2^64 (HUGEINT emulation; the xor only touches
     // the low byte so it round-trips through BIGINT), then the same
     // signed-long mod/div derivations the engine's fakeDecode applies
+    // analytic re-derivation of the WAV fixtures' decoded fields: the
+    // engine goes bytes → chunk walk → PCM16 fold; the oracle computes
+    // what a correct decode MUST produce from the synth parameters
+    "mm_wav_decode" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |   CAST(8000 + (doc_id % 3)*4000 AS INT) AS sample_rate,
+        |   CAST(1 + (doc_id % 2) AS INT) AS channels,
+        |   CAST(16 AS INT) AS bits,
+        |   (64 + (octet_length(encode(text)) % 64)) * (1 + (doc_id % 2)) AS ns
+        | FROM documents)
+        |SELECT doc_id, sample_rate, channels, bits,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(0, ns),
+        |    k -> ((doc_id*31 + k*17) % 65536) - 32768)) AS BIGINT) AS amp_sum,
+        |  CAST(list_max(list_transform(range(0, ns),
+        |    k -> ((doc_id*31 + k*17) % 65536) - 32768)) AS INT) AS amp_max
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "mm_decode_batch" ->
       """WITH t AS (
         |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n

@@ -60,6 +60,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ivf.size == brute.size, "IVF should fill k slots per probe from its cells")
   }
 
+  test("WAV parser does a real chunk walk, not a fixed-offset read") {
+    val wav = Multimodal.buildWav(7L, 100)
+    val direct = Multimodal.parseWav(7L, wav)
+    assert(direct.sample_rate == 12000 && direct.channels == 2 && direct.bits == 16)
+    assert(direct.n_samples == (64 + 100 % 64) * 2)
+    // splice an unknown (odd-sized, padded) chunk between fmt and data:
+    // a fixed-offset "parser" breaks, a chunk walk skips it
+    val bb = java.nio.ByteBuffer.allocate(wav.length + 8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(wav, 0, 36)                       // RIFF header + fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(5)
+    bb.put(Array[Byte](1, 2, 3, 4, 5, 0))    // 5 bytes + pad
+    bb.put(wav, 36, wav.length - 36)         // data chunk
+    val spliced = bb.array()
+    // patch the RIFF size for the extra chunk
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val walked = Multimodal.parseWav(7L, spliced)
+    assert(walked == direct.copy(), "chunk walk must ignore unknown chunks")
+    // malformed input throws instead of returning garbage
+    assertThrows[IllegalArgumentException] {
+      Multimodal.parseWav(7L, "JUNKJUNKJUNKJUNK".getBytes)
+    }
+  }
+
   test("topk_agg is exact and merge-order-invariant across partitionings") {
     graft.functions.TopKAgg.register(spark)
     val counts = Tables.events(spark, sf)
