@@ -118,6 +118,38 @@ class DedupSpec extends AnyFunSuite {
     assert(flags.forall { case (m, f) => (m < 400) == (f == 1L) })
   }
 
+  test("PPJoin prefix filter has EXACT recall: equals the quadratic oracle on random corpora") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    // random token-set corpora from a small vocabulary (forces heavy
+    // shingle overlap), deterministic ScalaCheck sampling so failures
+    // reproduce; the exact-recall claim is load-bearing — PPJoin is
+    // the "no DF cap acceptable" path, so a single missed pair at ANY
+    // threshold is a bug, not noise
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = Gen.choose(4, 16).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(30, docGen)
+    for (seed <- 1L to 3L; (tNum, tDen) <- Seq((1, 2), (4, 5), (9, 10))) {
+      val texts = corpusGen.pureApply(Gen.Parameters.default, rng.Seed(seed))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sets = graft.ops.Dedup.shingleSets(docs, 3).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        shared = (sets(a) & sets(b)).size
+        union  = (sets(a) | sets(b)).size
+        if union > 0 && shared * tDen >= union * tNum
+      } yield (a, b)).toSet
+      val got = graft.ops.Dedup.prefixFilterJaccard(docs, 3, tNum, tDen)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"seed=$seed t=$tNum/$tDen missed=${expected.diff(got)} extra=${got.diff(expected)}")
+    }
+  }
+
   test("signature-store incremental equals the from-scratch signature run") {
     import graft.ops.Dedup
     val docs = Tables.documents(spark, sf)
