@@ -346,8 +346,18 @@ object MetricQueries {
       val prev = lag(col("total_revenue"), 1).over(w)
       monthly
         .withColumn("prev_revenue", round(prev, 2))
+        // §5: the growth ratio's operands are cent-quantized sums, so
+        // the 4dp round sits on the boundary class — recover exact
+        // cents and divide half-AWAY-from-zero in integer space
+        // (growth can be negative) in both engines
+        .withColumn("tc", Exact.cents(col("total_revenue")))
+        .withColumn("pc", Exact.cents(prev))
         .withColumn("mom_growth",
-          round((col("total_revenue") - prev) / nullif(prev, lit(0)), 4))
+          when(col("pc") =!= 0 && col("pc").isNotNull, expr(
+            """CASE WHEN tc < pc
+              | THEN -(((2*(pc - tc)*10000 + pc) div (2*pc))) / 10000.0
+              | ELSE  (((2*(tc - pc)*10000 + pc) div (2*pc))) / 10000.0
+              |END""".stripMargin)))
         .select(col("period"), round(col("total_revenue"), 2).as("total_revenue"),
           col("prev_revenue"), col("mom_growth"))
         .orderBy("period")
@@ -745,12 +755,20 @@ object MetricQueries {
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
         |         sum(o_totalprice) AS total_revenue
-        |  FROM orders GROUP BY 1)
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT period, total_revenue,
+        |    lag(total_revenue) OVER (ORDER BY period) AS prev,
+        |    CAST(round(total_revenue*100) AS BIGINT) AS tc,
+        |    CAST(round(lag(total_revenue) OVER (ORDER BY period)*100) AS BIGINT) AS pc
+        |  FROM m)
         |SELECT period, round(total_revenue, 2) AS total_revenue,
-        |  round(lag(total_revenue) OVER (ORDER BY period), 2) AS prev_revenue,
-        |  round((total_revenue - lag(total_revenue) OVER (ORDER BY period))
-        |    / nullif(lag(total_revenue) OVER (ORDER BY period), 0), 4) AS mom_growth
-        |FROM m ORDER BY period""".stripMargin,
+        |  round(prev, 2) AS prev_revenue,
+        |  CASE WHEN pc = 0 THEN NULL
+        |       WHEN tc < pc THEN -((2*(pc - tc)*10000 + pc) // (2*pc)) / 10000.0
+        |       ELSE ((2*(tc - pc)*10000 + pc) // (2*pc)) / 10000.0
+        |  END AS mom_growth
+        |FROM c ORDER BY period""".stripMargin,
 
     "m_interarrival" ->
       """WITH g AS (
