@@ -377,11 +377,15 @@ object MetricQueries {
         .agg(count(lit(1)).as("n_gaps"),
           sum("gap_us").as("sg"),
           max("gap_us").as("max_gap_us"))
-        // integer-input mean (§5 doctrine): quotient + half-up 4dp
-        // fraction, split so the scaled remainder (< n·10⁴) can't
-        // overflow the way 2·Σgap·10⁴ would on microsecond sums
-        .withColumn("avg_gap_us", expr(
-          "(sg div n_gaps) + ((2*(sg % n_gaps)*10000 + n_gaps) div (2*n_gaps)) / 10000.0"))
+        // integer-input mean (§5 doctrine): half-up INTEGER microseconds.
+        // The r8 quotient+4dp-fraction form needed ~56 mantissa bits
+        // (1e11 µs · 1e4), so NO double could hold it and the engines'
+        // last-ulp rounding legitimately diverged (caught by the r9
+        // exact gate at sf0.001). µs is the data's native granularity —
+        // the mean is emitted at that granularity, exactly, as BIGINT.
+        // DECIMAL(38,0) doubling: 2·Σgap_µs overflows long near 1e9 rows.
+        .withColumn("avg_gap_us",
+          expr("(2*CAST(sg AS DECIMAL(38,0)) + n_gaps) div (2*n_gaps)"))
         .select(col("event_type"), col("n_gaps"), col("avg_gap_us"),
           col("max_gap_us"))
         .orderBy("event_type")
@@ -777,9 +781,7 @@ object MetricQueries {
         |      PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS gap_us
         |  FROM events)
         |SELECT event_type, count(*) AS n_gaps,
-        |  (sum(gap_us) // count(*))
-        |    + ((2*(sum(gap_us) % count(*))*10000 + count(*))
-        |       // (2*count(*))) / 10000.0 AS avg_gap_us,
+        |  CAST((2*sum(gap_us) + count(*)) // (2*count(*)) AS BIGINT) AS avg_gap_us,
         |  max(gap_us) AS max_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -548,9 +548,14 @@ object PipelineQueries {
         .select(col("dim").cast("bigint").as("dim"),
           col("x").cast("double").as("x"))
         .groupBy("dim")
-        .agg(round(avg("x"), 4).as("mean_v"),
+        // + 0.0 collapses −0.0 to +0.0 (IEEE): Spark's BigDecimal round
+        // drops the zero sign but DuckDB's keeps it, so a dim whose
+        // stat rounds to zero from below hash-diverges without this
+        // (caught by the r9 exact gate at sf0.1)
+        .agg((round(avg("x"), 4) + 0.0).as("mean_v"),
           round(var_pop("x"), 4).as("var_v"),
-          round(min("x"), 4).as("min_v"), round(max("x"), 4).as("max_v"))
+          (round(min("x"), 4) + 0.0).as("min_v"),
+          (round(max("x"), 4) + 0.0).as("max_v"))
         .withColumn("is_dead", (col("var_v") < 0.0001).cast("bigint"))
         .orderBy("dim")),
 
@@ -2468,8 +2473,8 @@ object PipelineQueries {
       """WITH ex AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
         |            FROM embeddings, unnest(range(1, 65)) r(i))
         |SELECT CAST(dim AS BIGINT) AS dim,
-        |  round(avg(x), 4) AS mean_v, round(var_pop(x), 4) AS var_v,
-        |  round(min(x), 4) AS min_v, round(max(x), 4) AS max_v,
+        |  round(avg(x), 4) + 0.0 AS mean_v, round(var_pop(x), 4) AS var_v,
+        |  round(min(x), 4) + 0.0 AS min_v, round(max(x), 4) + 0.0 AS max_v,
         |  CAST(round(var_pop(x), 4) < 0.0001 AS BIGINT) AS is_dead
         |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin,
 
