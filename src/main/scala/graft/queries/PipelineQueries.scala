@@ -818,6 +818,12 @@ object PipelineQueries {
     "stream_lifecycle" -> ((s, dir) =>
       graft.streaming.EventStreams.lifecycle(s, dir)),
 
+    // ingest-time decontamination: the corpus streams, the benchmark
+    // set broadcasts into every micro-batch; converges to the batch
+    // contamination check (its oracle)
+    "stream_contamination" -> ((s, dir) =>
+      graft.streaming.EventStreams.contaminationStream(s, dir)),
+
     "stream_dedup" -> ((s, dir) =>
       graft.streaming.EventStreams.dedupedCounts(s, dir)),
 
@@ -1458,6 +1464,27 @@ object PipelineQueries {
        |SELECT probe_id, rank, vec_id AS neighbor_id, round(adc, 6) AS adc, bucket
        |FROM r WHERE rank <= 5""".stripMargin
   }
+
+  /** Shared by `contamination` (batch) and `stream_contamination`
+    * (the streaming ingest-time check) — the streaming query must
+    * converge to this exact result. */
+  private lazy val contaminationSql =
+    s"""WITH d AS (SELECT doc_id, list_distinct(
+       |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |cp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d WHERE doc_id >= 25),
+       |bp AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE doc_id < 25),
+       |shared AS (
+       |  SELECT cp.doc_id, bp.bench_id, any_value(cp.n_sh) AS n_sh, count(*) AS shared
+       |  FROM cp JOIN bp USING (s) GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT doc_id, bench_id, shared*1.0/n_sh AS cont,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY shared*1.0/n_sh DESC, bench_id ASC) AS rk
+       |  FROM shared)
+       |SELECT doc_id, bench_id, round(cont, 4) AS containment,
+       |  CAST(cont >= 0.5 AS BIGINT) AS contaminated
+       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
@@ -2659,23 +2686,11 @@ object PipelineQueries {
          |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "contamination" ->
-      s"""WITH d AS (SELECT doc_id, list_distinct(
-         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
-         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
-         |cp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d WHERE doc_id >= 25),
-         |bp AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE doc_id < 25),
-         |shared AS (
-         |  SELECT cp.doc_id, bp.bench_id, any_value(cp.n_sh) AS n_sh, count(*) AS shared
-         |  FROM cp JOIN bp USING (s) GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT doc_id, bench_id, shared*1.0/n_sh AS cont,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY shared*1.0/n_sh DESC, bench_id ASC) AS rk
-         |  FROM shared)
-         |SELECT doc_id, bench_id, round(cont, 4) AS containment,
-         |  CAST(cont >= 0.5 AS BIGINT) AS contaminated
-         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "contamination" -> contaminationSql,
+
+    // the streaming ingest-time check must converge to the batch
+    // contamination exactly — same oracle verbatim
+    "stream_contamination" -> contaminationSql,
 
     // span re-derivation over the same shingle prelude: positional
     // (non-distinct) shingles via a struct-list unnest, matched

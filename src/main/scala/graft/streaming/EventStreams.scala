@@ -382,6 +382,56 @@ object EventStreams {
       .orderBy("event_type", "has_orders")
   }
 
+  /** Streaming decontamination: the CORPUS arrives as a stream (the
+    * ingest-time shape — shards land continuously and must be checked
+    * before they reach training data), the benchmark/eval set is
+    * static, eval-set-sized, shingled once in batch and BROADCAST into
+    * every micro-batch — the stream-static join discipline of
+    * [[enriched]] applied to [[graft.ops.Contamination]]. The in-stream
+    * aggregate is the (doc, bench) shared-shingle count (bounded by
+    * hit-pair volume, never raw postings); the worst-bench reduction is
+    * a batch job over the sink. Converges exactly to the batch
+    * contamination check (its oracle). */
+  def contaminationStream(spark: SparkSession, sfDir: String,
+                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import graft.ops.Dedup
+    val path   = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val bench = Dedup.shingleSets(
+        spark.read.parquet(path).filter(col("doc_id") < 25), n)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
+    val corpus = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") >= 25)
+    val cp = Dedup.shingleSets(corpus, n)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val agg = cp.join(broadcast(bench), "s")
+      .groupBy("doc_id", "bench_id")
+      .agg(first("n_sh").as("n_sh"), count(lit(1)).as("shared"))
+
+    val sink = s"graft_stream_contam_${runId.incrementAndGet()}"
+    withStateParts(spark) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    spark.table(sink)
+      .withColumn("cont", col("shared").cast("double") / col("n_sh"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("cont"), (-col("bench_id")).as("nb"))).as("w"))
+      .select(col("doc_id"),
+        (-col("w.nb")).as("bench_id"),
+        round(col("w.cont"), 4).as("containment"),
+        (col("w.cont") >= threshold).cast("bigint").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Stream-STREAM interval join: the error stream joins the signup
     * stream within [signup_ts, signup_ts + 1h) per user. Both sides
     * are unbounded, so Spark buffers each in watermarked join state;

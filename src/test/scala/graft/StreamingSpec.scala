@@ -70,6 +70,13 @@ class StreamingSpec extends AnyFunSuite {
       s"lifecycle diverged from batch (${streamed.length} vs ${batch.length} rows)")
   }
 
+  test("streaming contamination converges to the batch check") {
+    val streamed = graft.streaming.EventStreams.contaminationStream(spark, sf).collect()
+    val batch = SparkEntry.queries("contamination")(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"streaming contamination diverged (${streamed.length} vs ${batch.length} rows)")
+  }
+
   test("incremental HLL refresh: two checkpointed passes == one pass, history unread") {
     import graft.streaming.EventStreams
     val es = EventStreams
