@@ -69,7 +69,7 @@ object Profile {
       .schema(EventStreams.eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val signups = src.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("sts"))
       .withWatermark("sts", "1 hour")

@@ -33,11 +33,26 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
   /** events with `ts_ns: Long` (exact nanos) and `ts: Timestamp` (micros).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` ([[Sessions.tune]]). */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    *
+    * Schema-adaptive: the driver's earlier testdata wrote `ts` as INT64
+    * TIMESTAMP(NANOS) (read as a raw long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, see [[Sessions.tune]]);
+    * the current testdata writes plain `timestamp[us]` (no timezone →
+    * TIMESTAMP_NTZ in Spark). Both normalize to the same two columns —
+    * the NTZ wall-clock is interpreted in the session's UTC zone, so
+    * `ts_us = unix_micros(ts)` equals DuckDB's `epoch_us(ts)` on the
+    * same file, which is what every oracle compares against. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // legacy INT64 nanos
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // timestamp[us] (NTZ); exact micros → nanos
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
 }
 
 /** Session-level configuration shared by Verify, Bench and tests. */

@@ -20,16 +20,22 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema of the raw events parquet (ts read as raw nanos long via
-    * spark.sql.legacy.parquet.nanosAsLong). */
+  /** Schema of the raw events parquet: `ts` is written as
+    * `timestamp[us]` with no timezone → TIMESTAMP_NTZ. Every reader
+    * below normalizes it with [[tsUtc]] (cast to the session-UTC
+    * TimestampType), matching the batch loader
+    * [[graft.sources.Tables.events]]. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // INT64 TIMESTAMP(NANOS) as raw long
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType),
   ))
+
+  /** The raw NTZ wall-clock interpreted in the session's UTC zone. */
+  private def tsUtc: org.apache.spark.sql.Column = col("ts").cast("timestamp")
 
   /** Per-day tumbling-window counts/sums per event_type, computed by a
     * real streaming query (AvailableNow → memory sink), returned as a
@@ -69,7 +75,7 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsUtc)
       .withWatermark("ts", "1 day")
 
   /** Per-(day-window, type) grouping over the shared head. Callers
@@ -150,15 +156,15 @@ object EventStreams {
                      ckptDir: String, deltaDir: String): Unit = {
     val (b, r) = graft.ops.HllSketch.bucketRho(spark, col("user_id"))
     // narrow schema: the sketch only needs (ts, user_id); staged files
-    // written by distinctUsersIncremental carry exactly these, and a
-    // full-width events stage projects down to them at the scan
+    // written by distinctUsersIncremental carry exactly these, with ts
+    // pre-normalized to epoch MICROS longs at staging time
     val stageSchema = StructType(Seq(
       StructField("ts", LongType), StructField("user_id", LongType)))
     val agg = spark.readStream
       .schema(stageSchema)
       .option("recursiveFileLookup", "true")
       .parquet(stageDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
       .withWatermark("ts", "1 day")
       .select(col("ts"), b, r)
       .groupBy(window(col("ts"), "1 day").as("w"), col("bucket"))
@@ -203,7 +209,8 @@ object EventStreams {
       (s"$base/stage", s"$base/ckpt", s"$base/delta")
     val raw = spark.read.schema(eventsSchema)
       .parquet(s"$sfDir/events.parquet")
-      .select("ts", "user_id") // all the sketch needs — stage stays narrow
+      // all the sketch needs — stage stays narrow; ts staged as micros
+      .select(unix_micros(tsUtc).as("ts"), col("user_id"))
       .localCheckpoint(false)  // one source scan feeds bounds + both stages
     val bounds = raw.agg(min("ts").as("lo"), max("ts").as("hi")).head()
     val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
@@ -319,7 +326,7 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsUtc)
     val doubled = src.union(src)
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
@@ -457,7 +464,7 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsUtc)
     val signups = src.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("sts"))
       .withWatermark("sts", "1 hour")
@@ -533,7 +540,7 @@ object EventStreams {
     val raw = spark.read.schema(eventsSchema)
       .parquet(s"$sfDir/events.parquet")
       .select(col("user_id"),
-        datediff(to_date(timestamp_micros(expr("ts div 1000"))),
+        datediff(to_date(tsUtc),
           lit("1970-01-01").cast("date")).as("dn"))
       .localCheckpoint(false)
     val bounds = raw.agg(min("dn").as("lo"), max("dn").as("hi")).head()
@@ -640,7 +647,7 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), unix_micros(tsUtc).as("ts_us"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)

@@ -95,7 +95,9 @@ class StreamingSpec extends AnyFunSuite {
     // all — update mode only emits state rows a batch actually touched)
     val base = java.nio.file.Files.createTempDirectory("graft_hll_spec")
     val (stage, ckpt, delta) = (s"$base/stage", s"$base/ckpt", s"$base/delta")
+    // stage contract: (ts: epoch-micros long, user_id) — see hllRefreshPass
     val raw = spark.read.schema(es.eventsSchema).parquet(s"$sf/events.parquet")
+      .select(unix_micros(col("ts").cast("timestamp")).as("ts"), col("user_id"))
     val bounds = raw.agg(min("ts").as("lo"), max("ts").as("hi")).head()
     val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
     raw.filter(col("ts") < mid).write.parquet(s"$stage/day1")
@@ -106,7 +108,7 @@ class StreamingSpec extends AnyFunSuite {
     val pass2 = spark.read.parquet(delta)
       .withColumn("__f", input_file_name())
       .filter(!col("__f").isin(pass1Files.toSeq: _*))
-    val midDay = timestamp_micros(lit(mid / 1000)).cast("date")
+    val midDay = timestamp_micros(lit(mid)).cast("date")
     assert(pass2.count() > 0, "second pass emitted no deltas")
     assert(pass2.filter(col("period").cast("date") < date_sub(midDay, 1)).count() == 0,
       "second pass re-emitted pre-split history — incremental contract broken")
