@@ -195,6 +195,67 @@ object Multimodal {
     WavOut(docId, sr, ch, bits, n, sum, max)
   }
 
+  final case class PpmOut(doc_id: Long, width: Int, height: Int,
+                          maxval: Int, n_pixels: Long, pix_sum: Long, pix_max: Int)
+
+  /** Second HONEST container decode — binary PPM (P6), the image
+    * sibling of [[wavDecodeBatch]]: a real whitespace-delimited ASCII
+    * header ("P6\n<w> <h>\n<maxval>\n") followed by w·h RGB byte
+    * triples, genuinely built per doc by [[buildPpm]]
+    * (w = 4 + len%13, h = 2 + doc_id%7, maxval 255, byte k =
+    * (doc_id·7 + k·13) % 256) and strictly re-parsed by [[parsePpm]] —
+    * so the oracle verifies the DECODED fields analytically and a
+    * header-tokenizer or payload off-by-one diverges. Pure per-row
+    * work in the same typed mapPartitions contract; no shuffle. */
+  def ppmDecodeBatch(docs: DataFrame): org.apache.spark.sql.Dataset[PpmOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("len"))
+      .as[(Long, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, len) => parsePpm(id, buildPpm(id, len)) }
+      }
+  }
+
+  /** Builds a valid binary PPM (P6) image. */
+  private[graft] def buildPpm(docId: Long, textLen: Int): Array[Byte] = {
+    val w = 4 + textLen % 13
+    val h = 2 + (docId % 7).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val body = Array.tabulate(w * h * 3)(k => ((docId * 7 + k * 13) % 256).toByte)
+    header ++ body
+  }
+
+  /** Strict P6 parse: magic, three whitespace-delimited ASCII decimal
+    * header fields (any `\s` runs, as the spec allows), then exactly
+    * w·h·3 payload bytes folded into count / sum / max. Malformed
+    * input throws — per-record isolation belongs to the caller. */
+  private[graft] def parsePpm(docId: Long, bytes: Array[Byte]): PpmOut = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      s"doc $docId: not a P6 PPM")
+    var pos = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    def nextInt(): Int = {
+      while (pos < bytes.length && isWs(bytes(pos))) pos += 1
+      val start = pos
+      while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
+      require(pos > start, s"doc $docId: truncated PPM header")
+      new String(bytes, start, pos - start, "US-ASCII").toInt
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    pos += 1 // the single whitespace byte that terminates the header
+    require(maxval == 255, s"doc $docId: unsupported maxval $maxval")
+    require(bytes.length - pos == w * h * 3,
+      s"doc $docId: payload ${bytes.length - pos} != ${w * h * 3}")
+    var n = 0L; var sum = 0L; var max = -1
+    while (pos < bytes.length) {
+      val v = bytes(pos) & 0xff
+      n += 1; sum += v; if (v > max) max = v
+      pos += 1
+    }
+    PpmOut(docId, w, h, maxval, n, sum, max)
+  }
+
   /** STUB — deterministic fake byte decode (same arithmetic as
     * [[decodeStub]]'s hash-derived fields, computed JVM-side). */
   private def fakeDecode(m: MediaIn): MediaOut = {

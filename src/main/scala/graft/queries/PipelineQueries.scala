@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Cluster, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cluster, Dedup, Multimodal, Scalars, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** §2 items 22-34: the LLM-training-data-pipeline operator families
@@ -596,6 +597,71 @@ object PipelineQueries {
         .orderBy("split")
     }),
 
+    // SPLIT-LEAKAGE AUDIT: near-duplicate pairs must not straddle
+    // train/val/test. Two assignment schemes over the SAME converged
+    // dup families: 'naive' hashes each doc_id (the corpus_split rule —
+    // a near-dup of a train doc can land in test), 'family' hashes the
+    // family root, so every member of a duplicate family rides
+    // together and its leaky-pair count is structurally zero. One
+    // cluster pass (shared with dedup_cluster), then per-scheme
+    // bounded aggregates; the leak check joins the verified pair list
+    // (already bounded by the dedup blocking) against the tiny
+    // (doc → split) map twice on doc ids — no new pair space.
+    "split_leakage" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val docs  = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50)
+        .select("id1", "id2").localCheckpoint(false)
+      val clusters = Cluster.dedupClusters(docs, pairs).localCheckpoint(false)
+      def splitOf(c: Column): Column = {
+        val b = shiftrightunsigned(
+          call_function("graft_hash64", c.cast("string"), lit(7L)), 52)
+        when(b < 3277, "train").when(b < 3686, "val").otherwise("test")
+      }
+      def audit(assign: DataFrame, scheme: String): DataFrame = {
+        val counts = assign.agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        val leaks = pairs
+          .join(assign.select(col("doc_id").as("id1"), col("split").as("s1")), "id1")
+          .join(assign.select(col("doc_id").as("id2"), col("split").as("s2")), "id2")
+          .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)), lit(0L))
+            .as("leaky_pairs"))
+        Scalars.withScalar(counts, col("n_train"), leaks, col("leaky_pairs"))
+          .select(lit(scheme).as("scheme"), col("n_train"), col("n_val"),
+            col("n_test"), col("leaky_pairs"))
+      }
+      audit(clusters.select(col("doc_id"), splitOf(col("doc_id")).as("split")), "naive")
+        .unionByName(
+          audit(clusters.select(col("doc_id"), splitOf(col("cluster_id")).as("split")),
+            "family"))
+        .orderBy("scheme")
+    }),
+
+    // TOKEN-BUDGET SELECTION: per source, take the highest-quality docs
+    // until a char budget is exhausted (the doc that crosses the line
+    // is kept — greedy prefix). The running total is a window over the
+    // per-source quality order, so the plan is one quality projection +
+    // one source-partitioned window — no global sort, no driver loop.
+    "corpus_select_budget" -> ((s, dir) => {
+      val budget = 25000L
+      val d = Tables.documents(s, dir)
+      val q = TextAnalysis.quality(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      q.select(col("source"), col("n_chars"),
+          coalesce(sum("n_chars").over(w), lit(0L)).as("prior"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("prior") < budget, 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("prior") < budget, col("n_chars")).otherwise(0L))
+            .as("chars_selected"))
+        .orderBy("source")
+    }),
+
     // deterministic stratified sample: the k smallest doc_ids per
     // language, via the shared two-phase top-k (see graft.ops.TopK for
     // the hot-partition rationale and the superset invariant)
@@ -807,6 +873,12 @@ object PipelineQueries {
     // decoded fields analytically from the fixture parameters
     "mm_wav_decode" -> ((s, dir) =>
       Multimodal.wavDecodeBatch(Tables.documents(s, dir)).toDF()
+        .orderBy("doc_id")),
+
+    // the image sibling: real P6 PPM containers, header-tokenized and
+    // payload-folded byte by byte; oracle recomputes analytically
+    "mm_ppm_decode" -> ((s, dir) =>
+      Multimodal.ppmDecodeBatch(Tables.documents(s, dir)).toDF()
         .orderBy("doc_id")),
 
     "stream_sessionize" -> ((s, dir) =>
@@ -2131,6 +2203,69 @@ object PipelineQueries {
          |  CAST(family_size * count(*) AS BIGINT) AS n_docs
          |FROM fam GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // same recursive cluster derivation; then BOTH split schemes are
+    // replayed with the corpus_split hash (naive hashes doc_id, family
+    // hashes the cluster root) and the verified pair list is checked
+    // for cross-split members per scheme
+    "split_leakage" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |cx AS (SELECT doc_id, ex.s FROM ex JOIN keep ON ex.s = keep.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM cx a JOIN cx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |good AS (
+         |  SELECT id1, id2 FROM pairs
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE shared*1.0/(s1.n + s2.n - shared) >= 0.8),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM good
+         |          UNION ALL SELECT id2, id1 FROM good),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |dn AS (SELECT doc_id, hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
+         |         octet_length(encode(CAST(doc_id AS VARCHAR))) AS n FROM lab),
+         |dh AS (SELECT doc_id, ${ghashSql(fnvHx, "7")} AS hu FROM dn),
+         |cn AS (SELECT doc_id, hex(encode(CAST(cluster_id AS VARCHAR))) AS hx,
+         |         octet_length(encode(CAST(cluster_id AS VARCHAR))) AS n FROM lab),
+         |ch AS (SELECT doc_id, ${ghashSql(fnvHx, "7")} AS hu FROM cn),
+         |schemes AS (
+         |  SELECT 'naive' AS scheme, doc_id,
+         |    CASE WHEN hu // 4503599627370496 < 3277 THEN 'train'
+         |         WHEN hu // 4503599627370496 < 3686 THEN 'val'
+         |         ELSE 'test' END AS split FROM dh
+         |  UNION ALL
+         |  SELECT 'family', doc_id,
+         |    CASE WHEN hu // 4503599627370496 < 3277 THEN 'train'
+         |         WHEN hu // 4503599627370496 < 3686 THEN 'val'
+         |         ELSE 'test' END AS split FROM ch),
+         |counts AS (
+         |  SELECT scheme,
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |  FROM schemes GROUP BY 1),
+         |leaks AS (
+         |  SELECT a.scheme,
+         |    CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS leaky_pairs
+         |  FROM good g
+         |  JOIN schemes a ON g.id1 = a.doc_id
+         |  JOIN schemes b ON g.id2 = b.doc_id AND a.scheme = b.scheme
+         |  GROUP BY 1)
+         |SELECT c.scheme, c.n_train, c.n_val, c.n_test,
+         |  CAST(coalesce(l.leaky_pairs, 0) AS BIGINT) AS leaky_pairs
+         |FROM counts c LEFT JOIN leaks l ON c.scheme = l.scheme
+         |ORDER BY c.scheme""".stripMargin,
+
     "text_ngram_topk" ->
       s"""WITH docs AS (
          |  SELECT doc_id,
@@ -2552,6 +2687,32 @@ object PipelineQueries {
          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
          |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // same quality formula as text_quality, then a per-source
+    // quality-ordered running-chars window replays the greedy budget
+    "corpus_select_budget" ->
+      s"""WITH t AS (SELECT doc_id, text, source, $toks AS toks FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, length(text) AS n_chars, len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, source, n_chars,
+         |    round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) AS qs
+         |  FROM r),
+         |w AS (
+         |  SELECT source, n_chars,
+         |    coalesce(sum(n_chars) OVER (PARTITION BY source
+         |      ORDER BY qs DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM q)
+         |SELECT source, count(*) AS n_candidates,
+         |  CAST(sum(CASE WHEN prior < 25000 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |  CAST(sum(CASE WHEN prior < 25000 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_selected
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // independent IVF re-derivation: same multiplicative-hash seed
     // order, seeded argmax assignment (ties -> higher cell, matching
     // array_max struct compare), 6dp-quantized Lloyd means with dense
@@ -2964,6 +3125,24 @@ object PipelineQueries {
         |    k -> ((doc_id*31 + k*17) % 65536) - 32768)) AS BIGINT) AS amp_sum,
         |  CAST(list_max(list_transform(range(0, ns),
         |    k -> ((doc_id*31 + k*17) % 65536) - 32768)) AS INT) AS amp_max
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // analytic replay of the P6 fixture parameters — diverges if the
+    // engine's header tokenizer or payload fold is off by a byte
+    "mm_ppm_decode" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |   4 + (octet_length(encode(text)) % 13) AS w,
+        |   2 + (doc_id % 7) AS h
+        | FROM documents)
+        |SELECT doc_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(255 AS INT) AS maxval,
+        |  CAST(w*h*3 AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(list_transform(range(0, w*h*3),
+        |    k -> (doc_id*7 + k*13) % 256)) AS BIGINT) AS pix_sum,
+        |  CAST(list_max(list_transform(range(0, w*h*3),
+        |    k -> (doc_id*7 + k*13) % 256)) AS INT) AS pix_max
         |FROM p ORDER BY doc_id""".stripMargin,
 
     "mm_decode_batch" ->

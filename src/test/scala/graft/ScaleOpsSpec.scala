@@ -85,6 +85,57 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PPM parser tokenizes the header, not fixed offsets, and rejects junk") {
+    val ppm = Multimodal.buildPpm(7L, 100)
+    val direct = Multimodal.parsePpm(7L, ppm)
+    assert(direct.width == 4 + 100 % 13 && direct.height == 2 + 7 % 7)
+    assert(direct.n_pixels == direct.width.toLong * direct.height * 3)
+    assert(direct.maxval == 255 && direct.pix_max <= 255 && direct.pix_sum > 0)
+    // same header fields expressed with different (legal) whitespace
+    // runs — a fixed-offset reader breaks, a tokenizer doesn't
+    val headerLen = ppm.indexOfSlice("255\n".getBytes("US-ASCII")) + 4
+    val alt = s"P6\t\n ${direct.width}\n${direct.height} \t255\n".getBytes("US-ASCII") ++
+      ppm.drop(headerLen)
+    assert(Multimodal.parsePpm(7L, alt) == direct,
+      "whitespace-run header variant must parse identically")
+    assertThrows[IllegalArgumentException] {
+      Multimodal.parsePpm(7L, "P5\n2 2\n255\n".getBytes) // wrong magic
+    }
+    assertThrows[IllegalArgumentException] {
+      Multimodal.parsePpm(7L, ppm.dropRight(1)) // truncated payload
+    }
+  }
+
+  test("family-hash split assignment leaks zero near-dup pairs") {
+    val rows = SparkEntry.queries("split_leakage")(spark, sf).collect()
+    assert(rows.length == 2, s"expected 2 schemes, got ${rows.length}")
+    val byScheme = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val total = Tables.documents(spark, sf).count()
+    for ((scheme, (tr, va, te, _)) <- byScheme)
+      assert(tr + va + te == total, s"$scheme split counts don't cover the corpus")
+    assert(byScheme("family")._4 == 0L,
+      "family-root hashing must keep every near-dup pair inside one split")
+  }
+
+  test("budget selection is a greedy per-source quality prefix") {
+    val budget = 25000L
+    val rows = SparkEntry.queries("corpus_select_budget")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val maxChars = Tables.documents(spark, sf)
+      .agg(max(length(col("text")))).head().getInt(0).toLong
+    rows.foreach { r =>
+      val (src, cand, sel, chars) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sel >= 1 && sel <= cand, s"$src: selected $sel of $cand")
+      // the doc that crosses the line is kept, so the overshoot is
+      // bounded by one document
+      assert(chars < budget + maxChars, s"$src: chars $chars exceeds budget+1doc")
+      if (sel < cand) assert(chars >= budget,
+        s"$src: stopped selecting at $chars with budget unexhausted")
+    }
+  }
+
   test("topk_agg is exact and merge-order-invariant across partitionings") {
     graft.functions.TopKAgg.register(spark)
     val counts = Tables.events(spark, sf)
