@@ -134,6 +134,42 @@ object Dedup {
       .select(col("id1"), col("id2"), col("shared"), jac.as("jaccard"))
   }
 
+  /** Containment near-dup pairs over the same DF-capped shingle space
+    * as [[ngramJaccard]]: containment = shared / min(|A|, |B|) ≥
+    * tNum/tDen, tested by integer cross-multiplication so no float
+    * boundary can flip membership between engines. This catches the
+    * asymmetric case symmetric Jaccard dilutes away — a short document
+    * wholly quoted inside a much larger boilerplate wrapper (|A∩B|/|A|
+    * high, |A∩B|/|A∪B| low). Same two bounded shuffles as the Jaccard
+    * path; per-pair sizes arrive via ONE melt join against the posting
+    * sizes (the sizes table is corpus-sized — never broadcast), kept
+    * per SIDE rather than summed because the ratio needs min, not
+    * union. Output: id1, id2, shared, n1, n2, containment (unrounded
+    * integer-ratio division — bit-identical cross-engine). */
+  def ngramContainment(docs: DataFrame, n: Int = 3, tNum: Int = 9,
+                       tDen: Int = 10, maxDF: Int = 50): DataFrame = {
+    val buckets = cappedBuckets(docs, n, maxDF).localCheckpoint(false)
+    val pairs = bucketPairs(buckets)
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+    val sizes = buckets
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val melted = pairs.select(col("id1"), col("id2"), col("shared"),
+      explode(array(
+        struct(col("id1").as("doc_id"), lit(1).as("side")),
+        struct(col("id2").as("doc_id"), lit(2).as("side")))).as("m"))
+      .select(col("id1"), col("id2"), col("shared"),
+        col("m.doc_id").as("doc_id"), col("m.side").as("side"))
+    melted.join(sizes, "doc_id")
+      .groupBy("id1", "id2", "shared")
+      .agg(min(when(col("side") === 1, col("n_sh"))).as("n1"),
+        min(when(col("side") === 2, col("n_sh"))).as("n2"))
+      .filter(col("shared") * tDen >= least(col("n1"), col("n2")) * tNum)
+      .select(col("id1"), col("id2"), col("shared"), col("n1"), col("n2"),
+        (col("shared").cast("double") / least(col("n1"), col("n2")))
+          .as("containment"))
+  }
+
   /** EXACT-recall similarity join via prefix filtering (PPJoin-style):
     * order every doc's shingles by ascending global document frequency
     * (rarest first, ties by shingle text — a total order, so both

@@ -25,6 +25,13 @@ object PipelineQueries {
       Dedup.ngramJaccard(Tables.documents(s, dir), n = 3, threshold = 0.8, maxDF = 50)
         .orderBy("id1", "id2")),
 
+    // asymmetric variant: shared/min(|A|,|B|) ≥ 0.9 — the short doc
+    // quoted inside a big boilerplate wrapper that Jaccard dilutes
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(Tables.documents(s, dir), n = 3, tNum = 9, tDen = 10,
+          maxDF = 50)
+        .orderBy("id1", "id2")),
+
     // the exact-recall counterpart: prefix filtering misses NO pair
     // with Jaccard >= 0.8 (DedupSpec pins superset-of-ngramJaccard)
     "dedup_prefix_filter" -> ((s, dir) =>
@@ -1590,6 +1597,30 @@ object PipelineQueries {
          |GROUP BY norm ORDER BY keep_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardSql,
+
+    // same capped shingle space; the ratio divides by min size (integer
+    // cross-multiplied threshold), keeping each side's size separate
+    "dedup_containment" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |cx AS (SELECT doc_id, ex.s FROM ex JOIN keep ON ex.s = keep.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM cx a JOIN cx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.id1, p.id2, p.shared,
+         |  s1.n AS n1, s2.n AS n2,
+         |  p.shared*1.0 / least(s1.n, s2.n) AS containment
+         |FROM pairs p
+         |JOIN sizes s1 ON p.id1 = s1.doc_id
+         |JOIN sizes s2 ON p.id2 = s2.doc_id
+         |WHERE p.shared*10 >= least(s1.n, s2.n)*9
+         |ORDER BY 1, 2""".stripMargin,
 
     // uncapped shingle space, identical df-ascending prefix order, and
     // the same integer threshold test — no float boundary anywhere

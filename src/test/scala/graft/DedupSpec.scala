@@ -9,6 +9,30 @@ class DedupSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
+  test("containment join equals the quadratic capped-space reference") {
+    val docs = Tables.documents(spark, sf)
+    val posts = Dedup.shingleSets(docs, 3)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfOk = posts.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+    val sets = posts.join(dfOk, "s").select("doc_id", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val ids = sets.keys.toSeq.sorted
+    val ref = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      sh = (sets(a) & sets(b)).size
+      if sh > 0 && sh * 10 >= math.min(sets(a).size, sets(b).size) * 9
+    } yield (a, b, sh.toLong, sets(a).size.toLong, sets(b).size.toLong)).toSet
+    val got = Dedup.ngramContainment(docs)
+      .select("id1", "id2", "shared", "n1", "n2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == ref,
+      s"containment diverged: missing=${ref.diff(got).take(3)} extra=${got.diff(ref).take(3)}")
+  }
+
   test("exact dedup collapses whitespace/case variants to one keeper") {
     val docs = Seq(
       (1L, "Hello   World"),
