@@ -669,6 +669,50 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // END-TO-END CAPSTONE: the whole ingest funnel in ONE plan —
+    // raw → exact dedup → near-dup family collapse → quality gate →
+    // per-source budget selection — with one accounting row per stage.
+    // Each stage consumes the PREVIOUS stage's survivors (the near-dup
+    // DF cap and the budget window see the already-deduped corpus, as
+    // a real run would), and each survivor set is checkpointed once so
+    // the five accounting aggregates never re-execute the upstream
+    // chain. This is the operator a user actually schedules; the
+    // per-stage counts are the run's audit log.
+    "pipeline_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+        .localCheckpoint(false)
+      def acct(idx: Int, name: String, d: DataFrame, chars: Column): DataFrame =
+        d.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(chars).cast("bigint"), lit(0L)).as("sum_chars"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("sum_chars"))
+      val s1 = docs.groupBy(Dedup.normText(col("text")).as("norm"))
+        .agg(min("doc_id").as("doc_id"))
+        .join(docs, "doc_id").select("doc_id", "text", "source")
+        .localCheckpoint(false)
+      val clusters = Cluster.dedupClusters(s1,
+        Dedup.ngramJaccard(s1, n = 3, threshold = 0.8, maxDF = 50))
+      val s2 = s1.join(clusters.filter(col("doc_id") === col("cluster_id"))
+          .select("doc_id"), "doc_id")
+        .localCheckpoint(false)
+      val s3 = TextAnalysis.quality(s2.select("doc_id", "text"))
+        .join(s2.select("doc_id", "source"), "doc_id")
+        .filter(col("quality_score") >= 0.5)
+        .localCheckpoint(false)
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val s4 = s3.select(col("source"), col("n_chars"),
+          coalesce(sum("n_chars").over(w), lit(0L)).as("prior"))
+        .filter(col("prior") < 25000L)
+      acct(0, "raw", docs, length(col("text")))
+        .unionByName(acct(1, "exact_dedup", s1, length(col("text"))))
+        .unionByName(acct(2, "near_dedup", s2, length(col("text"))))
+        .unionByName(acct(3, "quality", s3, col("n_chars")))
+        .unionByName(acct(4, "budget", s4, col("n_chars")))
+        .orderBy("stage_idx")
+    }),
+
     // deterministic stratified sample: the k smallest doc_ids per
     // language, via the shared two-phase top-k (see graft.ops.TopK for
     // the hot-partition rationale and the superset invariant)
@@ -2743,6 +2787,75 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN prior < 25000 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
          |  CAST(sum(CASE WHEN prior < 25000 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_selected
          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the funnel replayed stage by stage: exact-dedup survivors feed
+    // the recursive near-dup CC (DF cap over the SURVIVOR corpus),
+    // family roots feed the quality gate, the gate feeds the budget
+    // window — per-stage counts must match the engine's audit rows
+    "pipeline_e2e" ->
+      s"""WITH RECURSIVE
+         |s1 AS (SELECT min(doc_id) AS doc_id
+         |       FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |             FROM documents)
+         |       GROUP BY norm),
+         |d1 AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN s1 USING (doc_id)),
+         |docs AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM d1)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |cx AS (SELECT doc_id, ex.s FROM ex JOIN keep ON ex.s = keep.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM cx a JOIN cx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |good AS (
+         |  SELECT id1, id2 FROM pairs
+         |  JOIN sizes z1 ON id1 = z1.doc_id
+         |  JOIN sizes z2 ON id2 = z2.doc_id
+         |  WHERE shared*1.0/(z1.n + z2.n - shared) >= 0.8),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM good
+         |          UNION ALL SELECT id2, id1 FROM good),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM d1
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |d2 AS (SELECT d1.* FROM d1 JOIN lab USING (doc_id) WHERE doc_id = cluster_id),
+         |qr AS (
+         |  SELECT doc_id, source, length(text) AS n_chars,
+         |    len($toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(1.0 - len(list_distinct($toks))*1.0/len($toks), 4) AS dup_ratio
+         |  FROM d2),
+         |q AS (
+         |  SELECT doc_id, source, n_chars,
+         |    round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) AS qs
+         |  FROM qr),
+         |d3 AS (SELECT * FROM q WHERE qs >= 0.5),
+         |w AS (
+         |  SELECT source, n_chars,
+         |    coalesce(sum(n_chars) OVER (PARTITION BY source
+         |      ORDER BY qs DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM d3),
+         |sel AS (SELECT source, n_chars FROM w WHERE prior < 25000),
+         |st AS (
+         |  SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs,
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars FROM documents
+         |  UNION ALL SELECT 1, 'exact_dedup', count(*),
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM d1
+         |  UNION ALL SELECT 2, 'near_dedup', count(*),
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM d2
+         |  UNION ALL SELECT 3, 'quality', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM d3
+         |  UNION ALL SELECT 4, 'budget', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM sel)
+         |SELECT stage_idx, stage, n_docs, sum_chars FROM st ORDER BY stage_idx""".stripMargin,
 
     // independent IVF re-derivation: same multiplicative-hash seed
     // order, seeded argmax assignment (ties -> higher cell, matching

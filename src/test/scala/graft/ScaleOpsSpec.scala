@@ -136,6 +136,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline funnel stages are monotone and anchored at both ends") {
+    val rows = SparkEntry.queries("pipeline_e2e")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("raw", "exact_dedup", "near_dedup", "quality", "budget"))
+    assert(rows.head._3 == Tables.documents(spark, sf).count(),
+      "raw stage must count the whole corpus")
+    // every stage only removes documents (and chars)
+    rows.sliding(2).foreach { case Array((_, a, na, ca), (_, b, nb, cb)) =>
+      assert(nb <= na && cb <= ca, s"stage $b grew vs $a: $nb>$na or $cb>$ca")
+    }
+    assert(rows.last._3 >= 1, "budget stage selected nothing")
+  }
+
   test("topk_agg is exact and merge-order-invariant across partitionings") {
     graft.functions.TopKAgg.register(spark)
     val counts = Tables.events(spark, sf)
