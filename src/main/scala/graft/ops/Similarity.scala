@@ -210,6 +210,121 @@ object Similarity {
         round(col("adc"), 6).as("adc"), col("bucket"))
   }
 
+  /** IVF-PQ ANN — the classic billion-scale composition: an IVF coarse
+    * quantizer partitions the corpus into `cells` Voronoi cells, and a
+    * product quantizer encodes each vector's RESIDUAL (v − centroid)
+    * as m small codes. The corpus side of the search join carries only
+    * (vec_id, cell, codes) — 8 bytes of payload per vector instead of
+    * 512 — and a probe opens only its `nprobe` nearest cells
+    * (equi-join on cell id, no product join anywhere). Residuals are
+    * what make PQ accurate here: within a cell they are centered near
+    * zero, so the shared codebooks spend their 16 centroids per
+    * subspace on a much tighter distribution than raw vectors.
+    *
+    * Determinism contract (mirrors ivfTopK/pqTopK): multiplicative-hash
+    * seed samples, ONE distributed Lloyd step with 6dp-quantized means
+    * (empty cells keep their seed — no index re-packing), assignment by
+    * argmin of the fixed-order expression cn² − 2·v·c with ties to the
+    * LOWER index, and the full ADC Σ_j (‖rp_j‖² + ‖c_j‖² − 2·rp_j·c_j)
+    * at search time (residuals differ per probed cell, so the rp term
+    * cannot be dropped when candidates from different cells compete).
+    * Only the cells×dim coarse matrix and the m×ksub×(dim/m) codebook
+    * ever reach the driver.
+    * Output: probe_id, rank, neighbor_id, adc (6dp), cell. */
+  def ivfPqTopK(emb: DataFrame, probeFilter: Column, k: Int = 5,
+                cells: Int = 8, nprobe: Int = 2,
+                m: Int = 8, ksub: Int = 16): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val dim = 64; val sub = dim / m
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v0"), col("v0"))))
+      .withColumn("v", transform(col("v0"), x => x / col("nrm")))
+      .drop("v0", "nrm")
+      .localCheckpoint(false) // feeds seed sample, Lloyd, assign, search
+
+    // argmin over centroids of cn² − 2·v·c (the v² term is constant
+    // per row, so it cannot change the argmin; dropping it keeps the
+    // comparison expression short and fixed-order). Ties → lower idx.
+    def cellSims(v: Column, cs: Array[Array[Double]]): Column =
+      array(cs.zipWithIndex.map { case (c, i) =>
+        val cl = array(c.map(lit): _*)
+        val d  = lit(c.map(x => x * x).sum) - lit(2.0) * Dedup.dot(v, cl)
+        struct(d.as("d"), lit(i).as("idx"))
+      }: _*)
+    def nearestIdx(v: Column, cs: Array[Array[Double]]): Column =
+      array_min(cellSims(v, cs)).getField("idx")
+    def nearestIdxs(v: Column, cs: Array[Array[Double]], np: Int): Column =
+      transform(slice(array_sort(cellSims(v, cs)), 1, np), s => s.getField("idx"))
+
+    val hashOrder = Seq(pmod(col("vec_id") * lit(2654435761L), lit(1000003L)),
+      col("vec_id"))
+
+    // coarse quantizer: seed sample + one Lloyd step (6dp means,
+    // empty cell keeps its seed)
+    val seeds = e.orderBy(hashOrder: _*).limit(cells)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val cmeans = e.withColumn("cell", nearestIdx(col("v"), seeds))
+      .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("cell", "d").agg(round(avg("x"), 6).as("mv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val coarse = Array.tabulate(cells, dim)((c, d) => cmeans.getOrElse((c, d), seeds(c)(d)))
+    val coarseLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
+
+    val assigned = e.withColumn("cell", nearestIdx(col("v"), coarse))
+      .withColumn("r", zip_with(col("v"),
+        element_at(coarseLit, col("cell") + 1), (a, b) => a - b))
+      .localCheckpoint(false) // feeds residual seeds, Lloyd, encode, search
+
+    // PQ codebooks trained on the residuals (same seed-sample + one
+    // 6dp-quantized Lloyd step as pqTopK, seed fallback for empty codes)
+    def assignCode(r: Column, j: Int, cb: Array[Array[Double]]): Column = {
+      val s = slice(r, j * sub + 1, sub)
+      array_min(array(cb.zipWithIndex.map { case (c, ci) =>
+        struct((lit(c.map(x => x * x).sum)
+          - lit(2.0) * Dedup.dot(s, array(c.map(lit): _*)))
+          .as("d"), lit(ci).as("code"))
+      }: _*)).getField("code")
+    }
+    val rseeds = assigned.orderBy(hashOrder: _*).limit(ksub)
+      .select("r").collect().map(_.getSeq[Double](0).toArray)
+    val cb0: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((j, c) => rseeds(c).slice(j * sub, (j + 1) * sub))
+    val codes0 = array((0 until m).map(j => assignCode(col("r"), j, cb0(j))): _*)
+    val rmeans = assigned.select(col("r"), codes0.as("codes"))
+      .select(col("r"), posexplode(col("codes")).as(Seq("j", "code")))
+      .select(col("j"), col("code"),
+        posexplode(slice(col("r"), col("j") * sub + 1, lit(sub))).as(Seq("d", "x")))
+      .groupBy("j", "code", "d").agg(round(avg("x"), 6).as("mv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val cb1: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub, sub)((j, c, d) => rmeans.getOrElse((j, c, d), cb0(j)(c)(d)))
+
+    val corpus = assigned.select(col("vec_id"), col("cell"),
+      array((0 until m).map(j => assignCode(col("r"), j, cb1(j))): _*).as("codes"))
+    val probes = assigned.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        explode(nearestIdxs(col("v"), coarse, nprobe)).as("cell"))
+      .withColumn("rp", zip_with(col("pv"),
+        element_at(coarseLit, col("cell") + 1), (a, b) => a - b))
+    val adc = (0 until m).map { j =>
+      val ps     = slice(col("rp"), j * sub + 1, sub)
+      val code   = element_at(col("codes"), j + 1)
+      val cbLit  = array(cb1(j).map(c => array(c.map(lit): _*)): _*)
+      val cn2Lit = array(cb1(j).map(c => lit(c.map(x => x * x).sum)): _*)
+      Dedup.dot(ps, ps) + element_at(cn2Lit, code + 1) -
+        lit(2.0) * Dedup.dot(ps, element_at(cbLit, code + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("vec_id"))
+    corpus.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cell"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc"), 6).as("adc"), col("cell"))
+  }
+
   /** LSH-bucketed ANN: probes and corpus are hashed to hyperplane
     * sign buckets and equi-joined on the bucket id; top-k is computed
     * inside the bucket. Output: probe_id, rank, neighbor_id, cos (4dp),

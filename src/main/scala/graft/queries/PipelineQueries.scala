@@ -259,6 +259,12 @@ object PipelineQueries {
       Similarity.pqTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
 
+    // the billion-scale composition: IVF coarse cells + PQ-encoded
+    // RESIDUALS, probes open nprobe cells, full-ADC ranking
+    "ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .orderBy("probe_id", "rank")),
+
     // recall of the PQ path against the checkpointed exact brute force
     // — the same measure-before-trusting audit as ann_recall
     "ann_pq_recall" -> ((s, dir) => {
@@ -1588,6 +1594,105 @@ object PipelineQueries {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** Independent IVF-PQ re-derivation: normalized vectors, coarse
+    * seed sample + 6dp-Lloyd refined cells (seed fallback — no index
+    * re-packing), argmin of the fixed-order cn² − 2·v·c with ties to
+    * the lower index, residuals vs the refined centroid, residual PQ
+    * seeds + 6dp-Lloyd codebooks, refined-codebook encoding, nprobe=2
+    * probing with per-cell probe residuals, full-ADC ranking. Every
+    * float expression replays the engine's fixed evaluation order. */
+  private lazy val ivfPqTopSql: String = {
+    val adc = (0 until 8).map { j =>
+      val cj = s"cb[${j + 1}][codes[${j + 1}] + 1]"
+      s"(list_sum(list_transform(range(1,9), i -> pr.rp[8*$j+i]*pr.rp[8*$j+i])) " +
+        s"+ list_sum(list_transform($cj, x -> x*x)) " +
+        s"- 2*list_sum(list_transform(range(1,9), i -> pr.rp[8*$j+i]*$cj[i])))"
+    }.mkString("\n|    + ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       |e AS (SELECT vec_id,
+       |    list_transform(v0, x -> x / sqrt(list_sum(list_transform(v0, y -> y*y)))) AS v
+       |  FROM e0),
+       |sd AS (SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+       |       FROM e QUALIFY cell < 8),
+       |a0 AS (
+       |  SELECT e.vec_id, sd.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_sum(list_transform(sd.c, x -> x*x))
+       |             - 2*list_sum(list_transform(range(1,65), i -> e.v[i]*sd.c[i])) ASC,
+       |             sd.cell ASC) AS rk
+       |  FROM e CROSS JOIN sd),
+       |a1 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+       |cm AS (SELECT a1.cell, d.d, round(avg(e.v[d.d]), 6) AS mv
+       |       FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1,65) d(d)
+       |       GROUP BY 1, 2),
+       |cu AS (SELECT c.cell, d.d FROM range(0,8) c(cell) CROSS JOIN range(1,65) d(d)),
+       |cf AS (SELECT cu.cell, cu.d,
+       |         coalesce(cm.mv, (SELECT sd.c[cu.d] FROM sd WHERE sd.cell = cu.cell)) AS mv
+       |       FROM cu LEFT JOIN cm ON cm.cell = cu.cell AND cm.d = cu.d),
+       |cc AS (SELECT cell, list(mv ORDER BY d) AS c FROM cf GROUP BY 1),
+       |b0 AS (
+       |  SELECT e.vec_id, cc.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_sum(list_transform(cc.c, x -> x*x))
+       |             - 2*list_sum(list_transform(range(1,65), i -> e.v[i]*cc.c[i])) ASC,
+       |             cc.cell ASC) AS rk
+       |  FROM e CROSS JOIN cc),
+       |asg AS (SELECT vec_id, cell FROM b0 WHERE rk = 1),
+       |res AS (SELECT e.vec_id, asg.cell,
+       |         list_transform(range(1,65), i -> e.v[i] - cc.c[i]) AS r
+       |       FROM e JOIN asg USING (vec_id) JOIN cc ON cc.cell = asg.cell),
+       |rsd AS (SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS scode, r AS c
+       |        FROM res QUALIFY scode < 16),
+       |p0 AS (
+       |  SELECT res.vec_id, j.j, rsd.scode,
+       |    row_number() OVER (PARTITION BY res.vec_id, j.j
+       |      ORDER BY list_sum(list_transform(range(1,9), i -> rsd.c[8*j.j+i]*rsd.c[8*j.j+i]))
+       |             - 2*list_sum(list_transform(range(1,9), i -> res.r[8*j.j+i]*rsd.c[8*j.j+i])) ASC,
+       |             rsd.scode ASC) AS rk
+       |  FROM res CROSS JOIN range(0,8) j(j) CROSS JOIN rsd),
+       |p1 AS (SELECT vec_id, j, scode FROM p0 WHERE rk = 1),
+       |r0 AS (SELECT p1.j, p1.scode AS code, d.d, round(avg(res.r[8*p1.j + d.d]), 6) AS mv
+       |       FROM p1 JOIN res USING (vec_id) CROSS JOIN range(1,9) d(d)
+       |       GROUP BY 1, 2, 3),
+       |u AS (SELECT j.j, c.code, d.d
+       |      FROM range(0,8) j(j) CROSS JOIN range(0,16) c(code) CROSS JOIN range(1,9) d(d)),
+       |rf AS (SELECT u.j, u.code, u.d,
+       |         coalesce(r0.mv, (SELECT rsd.c[8*u.j + u.d] FROM rsd WHERE rsd.scode = u.code)) AS mv
+       |       FROM u LEFT JOIN r0 ON r0.j = u.j AND r0.code = u.code AND r0.d = u.d),
+       |rc AS (SELECT j, code, list(mv ORDER BY d) AS c FROM rf GROUP BY 1, 2),
+       |cbj AS (SELECT j, list(c ORDER BY code) AS cj FROM rc GROUP BY 1),
+       |cball AS (SELECT list(cj ORDER BY j) AS cb FROM cbj),
+       |en0 AS (
+       |  SELECT res.vec_id, rc.j, rc.code,
+       |    row_number() OVER (PARTITION BY res.vec_id, rc.j
+       |      ORDER BY list_sum(list_transform(rc.c, x -> x*x))
+       |             - 2*list_sum(list_transform(range(1,9), i -> res.r[8*rc.j+i]*rc.c[i])) ASC,
+       |             rc.code ASC) AS rk
+       |  FROM res CROSS JOIN rc),
+       |enc AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM en0 WHERE rk = 1 GROUP BY 1),
+       |pr0 AS (
+       |  SELECT e.vec_id AS probe_id, e.v AS pv, cc.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_sum(list_transform(cc.c, x -> x*x))
+       |             - 2*list_sum(list_transform(range(1,65), i -> e.v[i]*cc.c[i])) ASC,
+       |             cc.cell ASC) AS rk
+       |  FROM e CROSS JOIN cc WHERE e.vec_id < 10),
+       |pr AS (SELECT pr0.probe_id, pr0.cell,
+       |         list_transform(range(1,65), i -> pr0.pv[i] - cc.c[i]) AS rp
+       |       FROM pr0 JOIN cc ON cc.cell = pr0.cell WHERE pr0.rk <= 2),
+       |s AS (
+       |  SELECT pr.probe_id, x.vec_id, x.cell,
+       |    $adc AS adc
+       |  FROM pr JOIN asg x ON x.cell = pr.cell AND x.vec_id <> pr.probe_id
+       |  JOIN enc ON enc.vec_id = x.vec_id
+       |  CROSS JOIN cball),
+       |r AS (SELECT probe_id, vec_id, cell, adc,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY adc ASC, vec_id) AS rank
+       |      FROM s)
+       |SELECT probe_id, rank, vec_id AS neighbor_id, round(adc, 6) AS adc, cell
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   /** Shared by `contamination` (batch) and `stream_contamination`
     * (the streaming ingest-time check) — the streaming query must
     * converge to this exact result. */
@@ -1612,6 +1717,8 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
 
     "ann_pq" -> s"$pqTopSql\nORDER BY probe_id, rank",
+
+    "ann_ivfpq" -> s"$ivfPqTopSql\nORDER BY probe_id, rank",
 
     // exact all-pairs top-5 (brute) vs the full PQ replay, per-probe
     // overlap — both sides re-derived independently
