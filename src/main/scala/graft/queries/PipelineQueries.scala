@@ -282,6 +282,23 @@ object PipelineQueries {
         .orderBy("probe_id")
     }),
 
+    // the same quantization-loss audit for the composed index — at
+    // 100 TB this is the number that decides nprobe and codebook size
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val brute = Similarity.bruteForceTopK(
+          Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val ip = Similarity.ivfPqTopK(
+          Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("probe_id").as("pp"), col("neighbor_id").as("pn"))
+      brute.join(ip,
+          col("probe_id") === col("pp") && col("neighbor_id") === col("pn"),
+          "left_outer")
+        .groupBy("probe_id")
+        .agg(round(count(col("pn")) / 5.0, 4).as("recall"))
+        .orderBy("probe_id")
+    }),
+
     // ANN observability: per-probe recall of the LSH path against the
     // exact brute-force top-k — the measure-don't-guess query a real
     // deployment runs on a sampled probe set before trusting an index.
@@ -1740,6 +1757,27 @@ object PipelineQueries {
         |  round(count(pq.neighbor_id) / 5.0, 4) AS recall
         |FROM brute b LEFT JOIN pq
         |  ON pq.probe_id = b.probe_id AND pq.neighbor_id = b.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical audit shape over the composed IVF-PQ replay
+    "ann_ivfpq_recall" ->
+      s"""WITH brute AS (
+        |  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |  p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |  s AS (
+        |    SELECT probe_id, e.vec_id,
+        |      list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))
+        |        / (sqrt(list_sum(list_transform(pv, x -> x*x)))
+        |           * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+        |    FROM e, p WHERE e.vec_id <> probe_id)
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM s QUALIFY rank <= 5),
+        |ip AS ($ivfPqTopSql)
+        |SELECT b.probe_id,
+        |  round(count(ip.neighbor_id) / 5.0, 4) AS recall
+        |FROM brute b LEFT JOIN ip
+        |  ON ip.probe_id = b.probe_id AND ip.neighbor_id = b.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
