@@ -175,8 +175,16 @@ object Similarity {
     // one Lloyd step, all subspaces in ONE distributed pass: assign
     // with the seed codebooks, then per-(subspace, code, dim) mean.
     // Only the 6dp-quantized means (m·ksub·sub rows) reach the driver.
+    // The assignment expression is m·ksub struct branches — far past
+    // janino's method-size limit when fused into the aggregate stage
+    // (the whole stage then falls back to INTERPRETED execution), so
+    // the encoded projection is materialized first: the aggregate
+    // compiles against a plain scan, and the giant expression is
+    // evaluated exactly once. This is the index-build/search boundary
+    // a real deployment persists anyway.
     val codes0 = array((0 until m).map(j => assignCode(col("v"), j, cb0(j))): _*)
     val means = e.select(col("v"), codes0.as("codes"))
+      .localCheckpoint(false)
       .select(col("v"), posexplode(col("codes")).as(Seq("j", "code")))
       .select(col("j"), col("code"),
         posexplode(slice(col("v"), col("j") * sub + 1, lit(sub))).as(Seq("d", "x")))
@@ -188,8 +196,11 @@ object Similarity {
     val cb1: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub, sub)((j, c, d) => means.getOrElse((j, c, d), cb0(j)(c)(d)))
 
+    // materialized encode (see the Lloyd-step note): the search join
+    // reads (vec_id, bucket, 8 codes) — the compressed index itself
     val corpus = e.select(col("vec_id"), col("bucket"),
       array((0 until m).map(j => assignCode(col("v"), j, cb1(j))): _*).as("codes"))
+      .localCheckpoint(false)
     val probes = e.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
     val adc = (0 until m).map { j =>
@@ -289,8 +300,13 @@ object Similarity {
       .select("r").collect().map(_.getSeq[Double](0).toArray)
     val cb0: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((j, c) => rseeds(c).slice(j * sub, (j + 1) * sub))
+    // materialize the seed-codebook encode before the Lloyd aggregate —
+    // the m·ksub-branch assignment fused into the aggregate stage blows
+    // janino's method limit and drops the stage to interpreted execution
+    // (see pqTopK's Lloyd-step note)
     val codes0 = array((0 until m).map(j => assignCode(col("r"), j, cb0(j))): _*)
     val rmeans = assigned.select(col("r"), codes0.as("codes"))
+      .localCheckpoint(false)
       .select(col("r"), posexplode(col("codes")).as(Seq("j", "code")))
       .select(col("j"), col("code"),
         posexplode(slice(col("r"), col("j") * sub + 1, lit(sub))).as(Seq("d", "x")))
@@ -300,8 +316,11 @@ object Similarity {
     val cb1: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub, sub)((j, c, d) => rmeans.getOrElse((j, c, d), cb0(j)(c)(d)))
 
+    // the materialized index: (vec_id, cell, 8 codes) — what a real
+    // deployment persists; the search join reads only this
     val corpus = assigned.select(col("vec_id"), col("cell"),
       array((0 until m).map(j => assignCode(col("r"), j, cb1(j))): _*).as("codes"))
+      .localCheckpoint(false)
     val probes = assigned.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         explode(nearestIdxs(col("v"), coarse, nprobe)).as("cell"))
