@@ -104,6 +104,68 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events loader normalizes legacy nanos-long and timestamp[us] schemas identically") {
+    // the r9 testdata regeneration changed events.ts from INT64
+    // TIMESTAMP(NANOS) to plain timestamp[us]; Tables.events must map
+    // BOTH forms to the same (ts: timestamp, ts_ns: long) contract
+    val base = java.nio.file.Files.createTempDirectory("graft_tsadapt_")
+    base.toFile.deleteOnExit()
+    val micros = Seq(0L, 1700000000000000L, 1700000000123456L)
+    // legacy shape: a raw BIGINT column holding epoch NANOS
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(micros.map(u =>
+          org.apache.spark.sql.Row(1L, u * 1000L, 2L, "t", 0.5, "{}"))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+      .write.parquet(s"$base/legacy/events.parquet")
+    // current shape: TIMESTAMP_NTZ micros
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(micros.map(u =>
+          org.apache.spark.sql.Row(1L, java.time.LocalDateTime.ofEpochSecond(
+            u / 1000000L, (u % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC),
+            2L, "t", 0.5, "{}"))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+      .write.parquet(s"$base/current/events.parquet")
+    def load(dir: String) = Tables.events(spark, dir)
+      .select("ts", "ts_ns").orderBy("ts_ns")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+    val legacy  = load(s"$base/legacy")
+    val current = load(s"$base/current")
+    assert(legacy == current,
+      s"schema-adaptive loader diverged: legacy=$legacy current=$current")
+    assert(current.map(_._2) == micros.map(_ * 1000L),
+      "ts_ns must be exact epoch nanos")
+  }
+
+  test("containment is never below Jaccard on pairs both joins emit") {
+    // |A∩B|/min ≥ |A∩B|/|A∪B| always; with thresholds 0.9 vs 0.8 any
+    // Jaccard pair at ≥0.9 containment must appear in the containment
+    // join — catches a side-size mixup in the melt join
+    val docs = Tables.documents(spark, sf)
+    val jac = graft.ops.Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50)
+      .select("id1", "id2", "shared", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val cont = graft.ops.Dedup.ngramContainment(docs, n = 3, tNum = 9, tDen = 10, maxDF = 50)
+      .select("id1", "id2", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.nonEmpty)
+    for ((k, c) <- cont; j <- jac.get(k))
+      assert(c >= j, s"pair $k: containment $c < jaccard $j")
+    for ((k, c) <- cont if jac.contains(k))
+      assert(c >= 0.9, s"pair $k emitted below the containment threshold: $c")
+  }
+
   test("PPM parser tokenizes the header, not fixed offsets, and rejects junk") {
     val ppm = Multimodal.buildPpm(7L, 100)
     val direct = Multimodal.parsePpm(7L, ppm)
