@@ -282,6 +282,39 @@ object PipelineQueries {
         .orderBy("probe_id")
     }),
 
+    // MATRYOSHKA-STYLE TRUNCATION AUDIT: exact top-5 overlap when the
+    // index uses only the first 32 / 16 of 64 dims — the measurement
+    // that decides whether index memory can be cut by plain prefix
+    // truncation (vs PQ). Integer hit counts over 10 probes × 5 slots;
+    // recall is the unrounded integer-ratio division. Broadcast-probe
+    // brute force per width (PlanSpec-exempt like ann_bruteforce).
+    "emb_matryoshka_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint(false)
+      def topk(d: Int): DataFrame = {
+        val vd = if (d == 64) col("v") else slice(col("v"), 1, d)
+        val ed = e.select(col("vec_id"), vd.as("vd"))
+          .withColumn("nrm", sqrt(Dedup.dot(col("vd"), col("vd"))))
+        val probes = ed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("vd").as("pv"),
+            col("nrm").as("pn"))
+        val cos = Dedup.dot(col("pv"), col("vd")) / (col("pn") * col("nrm"))
+        val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+        ed.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), cos.as("cos"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .select(col("probe_id"), col("vec_id"))
+      }
+      val full = topk(64).localCheckpoint(false)
+      Seq(64, 32, 16).map { d =>
+        full.join(topk(d), Seq("probe_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(d).as("dims"), col("n_hits"),
+            (col("n_hits").cast("double") / 50.0).as("recall"))
+      }.reduce(_ unionByName _).orderBy(desc("dims"))
+    }),
+
     // the same quantization-loss audit for the composed index — at
     // 100 TB this is the number that decides nprobe and codebook size
     "ann_ivfpq_recall" -> ((s, dir) => {
@@ -1736,6 +1769,35 @@ object PipelineQueries {
     "ann_pq" -> s"$pqTopSql\nORDER BY probe_id, rank",
 
     "ann_ivfpq" -> s"$ivfPqTopSql\nORDER BY probe_id, rank",
+
+    // per-width exact top-5 replay (same cos expression order as the
+    // engine: dot / (pn · nrm)), hits counted by equi-join vs full width
+    "emb_matryoshka_recall" -> {
+      def ed(d: Int) =
+        if (d == 64) s"ed64 AS (SELECT vec_id, v AS vd, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)"
+        else s"ed$d AS (SELECT vec_id, v[1:$d] AS vd, sqrt(list_sum(list_transform(v[1:$d], x -> x*x))) AS nrm FROM e)"
+      def tk(d: Int) =
+        s"""t$d AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, c.vec_id,
+           |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+           |      list_sum(list_transform(range(1,${d + 1}), i -> p.pv[i]*c.vd[i]))
+           |        / (p.pn * c.nrm) DESC, c.vec_id) AS rank
+           |  FROM ed$d c, pr$d p WHERE c.vec_id <> p.probe_id) WHERE rank <= 5)""".stripMargin
+      def pr(d: Int) =
+        s"pr$d AS (SELECT vec_id AS probe_id, vd AS pv, nrm AS pn FROM ed$d WHERE vec_id < 10)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${ed(64)}, ${ed(32)}, ${ed(16)},
+         |${pr(64)}, ${pr(32)}, ${pr(16)},
+         |${tk(64)},
+         |${tk(32)},
+         |${tk(16)},
+         |h AS (
+         |  SELECT 64 AS dims, count(*) AS n_hits FROM t64 a JOIN t64 b USING (probe_id, vec_id)
+         |  UNION ALL SELECT 32, count(*) FROM t64 a JOIN t32 b USING (probe_id, vec_id)
+         |  UNION ALL SELECT 16, count(*) FROM t64 a JOIN t16 b USING (probe_id, vec_id))
+         |SELECT dims, CAST(n_hits AS BIGINT) AS n_hits, n_hits/50.0 AS recall
+         |FROM h ORDER BY dims DESC""".stripMargin
+    },
 
     // exact all-pairs top-5 (brute) vs the full PQ replay, per-probe
     // overlap — both sides re-derived independently

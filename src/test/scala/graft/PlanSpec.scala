@@ -53,7 +53,8 @@ class PlanSpec extends AnyFunSuite {
     // ann_pq_recall embeds it as the PQ path's ground truth (the PQ
     // search itself — ann_pq — is a bucket equi-join and stays banned)
     val exempt = Set("ann_bruteforce", "ann_recall", "emb_prefix_recall",
-      "ann_plane_sweep", "ann_pq_recall", "ann_ivfpq_recall")
+      "ann_plane_sweep", "ann_pq_recall", "ann_ivfpq_recall",
+      "emb_matryoshka_recall")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
