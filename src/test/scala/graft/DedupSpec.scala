@@ -174,6 +174,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment join equals the quadratic oracle on random corpora at multiple thresholds") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    // 30-doc corpora from an 8-word vocabulary: every shingle's df stays
+    // under the 50 cap, so the capped candidate space is complete and the
+    // quadratic reference must match EXACTLY at every threshold
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = Gen.choose(4, 16).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(30, docGen)
+    for (seed <- 1L to 3L; (tNum, tDen) <- Seq((1, 2), (4, 5), (9, 10))) {
+      val texts = corpusGen.pureApply(Gen.Parameters.default, rng.Seed(seed))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sets = graft.ops.Dedup.shingleSets(docs, 3).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        shared = (sets(a) & sets(b)).size
+        mn = math.min(sets(a).size, sets(b).size)
+        if shared > 0 && shared * tDen >= mn * tNum
+      } yield (a, b)).toSet
+      val got = graft.ops.Dedup.ngramContainment(docs, 3, tNum, tDen, maxDF = 50)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"seed=$seed t=$tNum/$tDen missed=${expected.diff(got)} extra=${got.diff(expected)}")
+    }
+  }
+
   test("signature-store incremental equals the from-scratch signature run") {
     import graft.ops.Dedup
     val docs = Tables.documents(spark, sf)

@@ -187,6 +187,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PPM build/parse roundtrip matches the analytic formulas on random inputs") {
+    import org.scalacheck.{Gen, rng}
+    val gen = for {
+      id <- Gen.choose(0L, 100000L); len <- Gen.choose(0, 500)
+    } yield (id, len)
+    val cases = Gen.listOfN(200, gen).pureApply(Gen.Parameters.default, rng.Seed(7L))
+    for ((id, len) <- cases) {
+      val out = Multimodal.parsePpm(id, Multimodal.buildPpm(id, len))
+      val w = 4 + len % 13; val h = 2 + (id % 7).toInt; val np = w * h * 3
+      assert(out.width == w && out.height == h && out.maxval == 255,
+        s"($id,$len): header fields diverged")
+      assert(out.n_pixels == np)
+      val vals = (0 until np).map(k => ((id * 7 + k * 13) % 256).toInt)
+      assert(out.pix_sum == vals.sum.toLong && out.pix_max == vals.max,
+        s"($id,$len): payload fold diverged")
+    }
+  }
+
   test("family-hash split assignment leaks zero near-dup pairs") {
     val rows = SparkEntry.queries("split_leakage")(spark, sf).collect()
     assert(rows.length == 2, s"expected 2 schemes, got ${rows.length}")
