@@ -76,8 +76,10 @@ object MetricQueries {
         .select(col("period"),
           round(col("return_revenue"), 2).as("return_revenue"),
           round(col("gross_revenue"), 2).as("gross_revenue"),
+          // r10: BIGINT 1e-4-unit rate — the `(div)/10⁴.0` double shape
+          // was the common factor of every r9 driver-gate red
           when(col("gc") =!= 0,
-            expr("((2*rc*10000 + gc) div (2*gc)) / 10000.0")).as("return_rate"))
+            expr("(2*rc*10000 + gc) div (2*gc)")).as("return_rate_u4"))
         .orderBy("period")
     }),
 
@@ -352,14 +354,15 @@ object MetricQueries {
         // (growth can be negative) in both engines
         .withColumn("tc", Exact.cents(col("total_revenue")))
         .withColumn("pc", Exact.cents(prev))
-        .withColumn("mom_growth",
+        // r10: BIGINT signed 1e-4-unit growth (float-surface removal)
+        .withColumn("mom_growth_u4",
           when(col("pc") =!= 0 && col("pc").isNotNull, expr(
             """CASE WHEN tc < pc
-              | THEN -(((2*(pc - tc)*10000 + pc) div (2*pc))) / 10000.0
-              | ELSE  (((2*(tc - pc)*10000 + pc) div (2*pc))) / 10000.0
+              | THEN -((2*(pc - tc)*10000 + pc) div (2*pc))
+              | ELSE  ((2*(tc - pc)*10000 + pc) div (2*pc))
               |END""".stripMargin)))
         .select(col("period"), round(col("total_revenue"), 2).as("total_revenue"),
-          col("prev_revenue"), col("mom_growth"))
+          col("prev_revenue"), col("mom_growth_u4"))
         .orderBy("period")
     }),
 
@@ -768,10 +771,10 @@ object MetricQueries {
         |  FROM m)
         |SELECT period, round(total_revenue, 2) AS total_revenue,
         |  round(prev, 2) AS prev_revenue,
-        |  CASE WHEN pc = 0 THEN NULL
-        |       WHEN tc < pc THEN -((2*(pc - tc)*10000 + pc) // (2*pc)) / 10000.0
-        |       ELSE ((2*(tc - pc)*10000 + pc) // (2*pc)) / 10000.0
-        |  END AS mom_growth
+        |  CAST(CASE WHEN pc = 0 THEN NULL
+        |       WHEN tc < pc THEN -((2*(pc - tc)*10000 + pc) // (2*pc))
+        |       ELSE ((2*(tc - pc)*10000 + pc) // (2*pc))
+        |  END AS BIGINT) AS mom_growth_u4
         |FROM c ORDER BY period""".stripMargin,
 
     "m_interarrival" ->
@@ -913,7 +916,7 @@ object MetricQueries {
         |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS gc
         | FROM lineitem GROUP BY period)
         |SELECT period, return_revenue, gross_revenue,
-        | ((2*rc*10000 + gc) // nullif(2*gc, 0)) / 10000.0 AS return_rate
+        | CAST((2*rc*10000 + gc) // nullif(2*gc, 0) AS BIGINT) AS return_rate_u4
         |FROM g ORDER BY period""".stripMargin,
 
     "m_derived" ->

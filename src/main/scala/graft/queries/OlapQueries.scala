@@ -34,6 +34,11 @@ object OlapQueries {
     // use DECIMAL(38,0) accumulators: per-row 1e-6-unit products reach
     // ~1e11, so a LongType sum overflows near 1e8 rows per group —
     // real at 100 TB; decimal stays exact (DuckDB sums into HUGEINT).
+    // r10: emission is now PURE BIGINT integer units end to end (cents
+    // `_c`, 1e-4 `_u4`) — the r9 driver gate rejected the
+    // `(div)/10⁴.0` double shape on every query that used it while
+    // m_interarrival's plain-BIGINT emission passed, so the float
+    // surface is removed entirely rather than argued about.
     "q1_pricing" -> ((s, dir) => {
       val pc = round(col("l_extendedprice") * 100, 0).cast("long") // cents
       val dm = lit(100L) - round(col("l_discount") * 100, 0).cast("long")
@@ -48,19 +53,19 @@ object OlapQueries {
           sum((pc * dm * tp).cast("decimal(38,0)")).as("s6"),
           sum(round(col("l_discount") * 100, 0).cast("long")).as("sd"),
           count(lit(1)).as("count_order"))
-        .withColumn("sum_qty", col("sq").cast("double"))
-        .withColumn("sum_base_price", expr("sp / 100.0"))
-        .withColumn("sum_disc_price", expr("((2*s4 + 100) div 200) / 100.0"))
-        .withColumn("sum_charge", expr("((2*s6 + 10000) div 20000) / 100.0"))
-        .withColumn("avg_qty",
-          expr("((2*sq*10000 + count_order) div (2*count_order)) / 10000.0"))
-        .withColumn("avg_price",
-          expr("((2*sp*100 + count_order) div (2*count_order)) / 10000.0"))
-        .withColumn("avg_disc",
-          expr("((2*sd*100 + count_order) div (2*count_order)) / 10000.0"))
+        .withColumn("sum_qty", col("sq"))
+        .withColumn("sum_base_price_c", col("sp").cast("long"))
+        .withColumn("sum_disc_price_c", expr("(2*s4 + 100) div 200"))
+        .withColumn("sum_charge_c", expr("(2*s6 + 10000) div 20000"))
+        .withColumn("avg_qty_u4",
+          expr("(2*sq*10000 + count_order) div (2*count_order)"))
+        .withColumn("avg_price_u4",
+          expr("(2*sp*100 + count_order) div (2*count_order)"))
+        .withColumn("avg_disc_u4",
+          expr("(2*sd*100 + count_order) div (2*count_order)"))
         .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
-          col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
-          col("avg_qty"), col("avg_price"), col("avg_disc"),
+          col("sum_base_price_c"), col("sum_disc_price_c"), col("sum_charge_c"),
+          col("avg_qty_u4"), col("avg_price_u4"), col("avg_disc_u4"),
           col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -112,14 +117,16 @@ object OlapQueries {
           sum(rev4).as("t4"))
         // promo share: exact `div` (IntegralDivide) on the integer-unit
         // sums — ratios of two big sums must not use the floor-decimal
-        // shape (Exact.scala scaladoc)
+        // shape (Exact.scala scaladoc). Emitted as a BIGINT 1e-4-unit
+        // share (r10: the `(div)/10⁴.0` double shape was the common
+        // factor of every r9 driver-gate red).
         .withColumn("promo_revenue", Exact.u4Dollars(col("p4")))
         .withColumn("total_revenue", Exact.u4Dollars(col("t4")))
-        .withColumn("promo_pct",
+        .withColumn("promo_pct_u4",
           when(col("t4") =!= 0,
-            expr("((2*p4*100*10000 + t4) div (2*t4)) / 10000.0")))
+            expr("(2*p4*100*10000 + t4) div (2*t4)")))
         .select(col("period"), col("promo_revenue"), col("total_revenue"),
-          col("promo_pct"))
+          col("promo_pct_u4"))
         .orderBy("period")
     }),
 
@@ -284,15 +291,16 @@ object OlapQueries {
           sum(col("k").cast("long")).as("sk"),
           count(col("k")).as("nk"), // avg semantics: non-null denominator
           count(when(col("k") >= 90, 1)).as("n_high_k"),
-          round(sum("value"), 2).as("sum_value"))
+          sum(Exact.cents(col("value"))).as("sum_value_c"))
         // integer-input mean via half-up integer division (§5); guarded
         // so an all-null-k group emits NULL in BOTH engines (DuckDB's
-        // `//` can error on a zero divisor where Spark's `div` nulls)
-        .withColumn("avg_k",
+        // `//` can error on a zero divisor where Spark's `div` nulls).
+        // r10: BIGINT 1e-4 units + cent sums — zero float columns.
+        .withColumn("avg_k_u4",
           when(col("nk") > 0,
-            expr("((2*sk*10000 + nk) div (2*nk)) / 10000.0")))
-        .select(col("event_type"), col("n_events"), col("avg_k"),
-          col("n_high_k"), col("sum_value"))
+            expr("(2*sk*10000 + nk) div (2*nk)")))
+        .select(col("event_type"), col("n_events"), col("avg_k_u4"),
+          col("n_high_k"), col("sum_value_c"))
         .orderBy("event_type")
     }),
 
@@ -848,7 +856,10 @@ object OlapQueries {
         .agg(Exact.u6Dollars(sum(col("q6").cast("decimal(38,0)"))).as("credit"),
           count(lit(1)).as("n"))
       val none = p.join(matched.select("pid").distinct(), Seq("pid"), "left_anti")
-        .agg(coalesce(round(sum("value"), 2), lit(0.0)).as("credit"),
+        // cents-sum, not float-sum (§5 sweep r10): exact long cents →
+        // exact double dollars, no accumulation-order surface
+        .agg(coalesce(Exact.centsDollars(sum(Exact.cents(col("value")))),
+            lit(0.0)).as("credit"),
           count(lit(1)).as("n"))
         .withColumn("touch_type", lit("none"))
       credited.unionByName(none.select("touch_type", "credit", "n"))
@@ -1102,12 +1113,13 @@ object OlapQueries {
           sum(when(col("supp_nation") === "NATION_1", rev4)
             .otherwise(lit(0L).cast("decimal(38,0)"))).as("n4"),
           sum(rev4).as("t4"))
-        // share via exact integral `div` on the unit sums (Exact.scala)
-        .withColumn("mkt_share",
+        // share via exact integral `div` on the unit sums (Exact.scala),
+        // emitted as BIGINT 1e-4 units (r10 float-surface removal)
+        .withColumn("mkt_share_u4",
           when(col("t4") =!= 0,
-            expr("((2*n4*10000 + t4) div (2*t4)) / 10000.0")))
+            expr("(2*n4*10000 + t4) div (2*t4)")))
         .withColumn("total_revenue", Exact.u4Dollars(col("t4")))
-        .select(col("o_year"), col("mkt_share"), col("total_revenue"))
+        .select(col("o_year"), col("mkt_share_u4"), col("total_revenue"))
         .orderBy("o_year")
     }),
 
@@ -1252,6 +1264,36 @@ object OlapQueries {
           coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
           coalesce(col("n_churned"), lit(0L)).as("n_churned"))
         .orderBy("d")
+    }),
+
+    // Gate-parity canary (VERDICT r9 item 3): a fixed 10-row literal
+    // table emitting one column per emission shape the engine uses —
+    // plain BIGINT integer units, the `(div)/10⁴.0` double shape that
+    // went red at the r9 driver gate (share-magnitude AND avg-
+    // magnitude variants), the `(div)/100.0` cents shape, the
+    // u4Dollars floor shape (green all round 9), and the canonical
+    // DECIMAL-as-VARCHAR rendering. Every value is a pure function of
+    // the row id, so if the driver's gate ever rejects a shape again,
+    // CORRECTNESS localizes WHICH shape in one row instead of seven
+    // operator-level reds. Reads no tables by design.
+    "q_float_canary" -> ((s, dir) => {
+      s.range(1, 11).toDF("id")
+        .withColumn("a", col("id") * 137L)            // share numerator
+        .withColumn("b", lit(99999L) + col("id"))     // share denominator
+        .withColumn("c", lit(240512L) + col("id") * 7919L) // avg numerator
+        .withColumn("d", lit(10000L) + col("id"))     // avg denominator
+        .withColumn("n4", (col("id") * 1000003L + 17L).cast("decimal(38,0)"))
+        .withColumn("share_u4", expr("(2*a*10000 + b) div (2*b)"))
+        .withColumn("share_div_f", expr("((2*a*10000 + b) div (2*b)) / 10000.0"))
+        .withColumn("avg_div_f", expr("((2*c*10000 + d) div (2*d)) / 10000.0"))
+        .withColumn("cents_div_f", expr("((2*n4 + 100) div 200) / 100.0"))
+        .withColumn("dollars_f", Exact.u4Dollars(col("n4")))
+        .withColumn("dec_str", expr(
+          "CAST(CAST(((2*a*10000 + b) div (2*b)) / 10000.0 AS DECIMAL(18,4)) AS STRING)"))
+        .select(col("id"), col("share_u4"), col("share_div_f"),
+          col("avg_div_f"), col("cents_div_f"), col("dollars_f"),
+          col("dec_str"))
+        .orderBy("id")
     }),
 
     // Exact DECIMAL money arithmetic: the audit path where float drift
@@ -1530,7 +1572,8 @@ object OlapQueries {
             .otherwise(lit("none")))
         .groupBy("channel")
         .agg(count(lit(1)).as("n_purchases"),
-          round(sum("value"), 2).as("attributed_value"))
+          // cents-sum, not float-sum (§5 sweep r10)
+          Exact.centsDollars(sum(Exact.cents(col("value")))).as("attributed_value"))
         .orderBy("channel")
     }),
 
@@ -1616,13 +1659,13 @@ object OlapQueries {
         |  CAST(round(l_discount*100) AS BIGINT) AS dc
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02')
         |SELECT l_returnflag, l_linestatus,
-        | CAST(sum(q) AS DOUBLE) AS sum_qty,
-        | sum(pc) / 100.0 AS sum_base_price,
-        | ((2*sum(pc*dm) + 100) // 200) / 100.0 AS sum_disc_price,
-        | ((2*sum(pc*dm*tp) + 10000) // 20000) / 100.0 AS sum_charge,
-        | ((2*sum(q)*10000 + count(*)) // (2*count(*))) / 10000.0 AS avg_qty,
-        | ((2*sum(pc)*100 + count(*)) // (2*count(*))) / 10000.0 AS avg_price,
-        | ((2*sum(dc)*100 + count(*)) // (2*count(*))) / 10000.0 AS avg_disc,
+        | CAST(sum(q) AS BIGINT) AS sum_qty,
+        | CAST(sum(pc) AS BIGINT) AS sum_base_price_c,
+        | CAST((2*sum(pc*dm) + 100) // 200 AS BIGINT) AS sum_disc_price_c,
+        | CAST((2*sum(pc*dm*tp) + 10000) // 20000 AS BIGINT) AS sum_charge_c,
+        | CAST((2*sum(q)*10000 + count(*)) // (2*count(*)) AS BIGINT) AS avg_qty_u4,
+        | CAST((2*sum(pc)*100 + count(*)) // (2*count(*)) AS BIGINT) AS avg_price_u4,
+        | CAST((2*sum(dc)*100 + count(*)) // (2*count(*)) AS BIGINT) AS avg_disc_u4,
         | count(*) AS count_order
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -1661,7 +1704,7 @@ object OlapQueries {
         |SELECT period,
         | ${Exact.u4DollarsSql("p4")} AS promo_revenue,
         | ${Exact.u4DollarsSql("t4")} AS total_revenue,
-        | ((2*p4*100*10000 + t4) // nullif(2*t4, 0)) / 10000.0 AS promo_pct
+        | CAST((2*p4*100*10000 + t4) // nullif(2*t4, 0) AS BIGINT) AS promo_pct_u4
         |FROM g ORDER BY 1""".stripMargin,
 
     "q_rollup" ->
@@ -1738,11 +1781,11 @@ object OlapQueries {
 
     "events_json" ->
       """SELECT event_type, count(*) AS n_events,
-        | ((2*sum(CAST(props->>'$.k' AS BIGINT))*10000
+        | CAST((2*sum(CAST(props->>'$.k' AS BIGINT))*10000
         |    + count(props->>'$.k'))
-        |  // nullif(2*count(props->>'$.k'), 0)) / 10000.0 AS avg_k,
+        |  // nullif(2*count(props->>'$.k'), 0) AS BIGINT) AS avg_k_u4,
         | count(*) FILTER (WHERE CAST(props->>'$.k' AS INTEGER) >= 90) AS n_high_k,
-        | round(sum(value), 2) AS sum_value
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_sessionize" ->
@@ -2207,7 +2250,7 @@ object OlapQueries {
         | WHERE r_name = 'ASIA' AND p_type = 'PROMO'
         | GROUP BY 1)
         |SELECT o_year,
-        |  ((2*n4*10000 + t4) // nullif(2*t4, 0)) / 10000.0 AS mkt_share,
+        |  CAST((2*n4*10000 + t4) // nullif(2*t4, 0) AS BIGINT) AS mkt_share_u4,
         |  ${Exact.u4DollarsSql("t4")} AS total_revenue
         |FROM g ORDER BY 1""".stripMargin,
 
@@ -2328,6 +2371,22 @@ object OlapQueries {
 
     // no rounding anywhere: decimal sums are exact in both engines;
     // emitted as VARCHAR so the hash comparison is dtype-neutral
+    "q_float_canary" ->
+      """WITH t AS (SELECT range AS id FROM range(1, 11)),
+        |c AS (SELECT id, id*137 AS a, 99999 + id AS b,
+        |        240512 + id*7919 AS c, 10000 + id AS d,
+        |        id*1000003 + 17 AS n4
+        |      FROM t)
+        |SELECT id,
+        |  CAST((2*a*10000 + b) // (2*b) AS BIGINT) AS share_u4,
+        |  ((2*a*10000 + b) // (2*b)) / 10000.0 AS share_div_f,
+        |  ((2*c*10000 + d) // (2*d)) / 10000.0 AS avg_div_f,
+        |  ((2*n4 + 100) // 200) / 100.0 AS cents_div_f,
+        |  ((2*n4 + 100) // 200) / 100.0 AS dollars_f,
+        |  CAST(CAST(((2*a*10000 + b) // (2*b)) / 10000.0 AS DECIMAL(18,4))
+        |       AS VARCHAR) AS dec_str
+        |FROM c ORDER BY id""".stripMargin,
+
     "q_decimal_exact" ->
       """SELECT o_orderstatus,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
@@ -2497,7 +2556,8 @@ object OlapQueries {
         |          count(*) AS n
         |        FROM m JOIN c USING (pid) GROUP BY 1),
         |no AS (SELECT 'none' AS touch_type,
-        |         coalesce(round(sum(value), 2), 0) AS credit, count(*) AS n
+        |         coalesce(sum(CAST(round(value*100) AS BIGINT)) / 100.0, 0) AS credit,
+        |         count(*) AS n
         |       FROM p WHERE pid NOT IN (SELECT pid FROM m))
         |SELECT touch_type, credit, n FROM att
         |UNION ALL SELECT touch_type, credit, n FROM no
@@ -2519,7 +2579,7 @@ object OlapQueries {
         |SELECT CASE WHEN touch_ts >= ts_us - 604800000000 THEN touch_type
         |            ELSE 'none' END AS channel,
         |  count(*) AS n_purchases,
-        |  round(sum(value), 2) AS attributed_value
+        |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS attributed_value
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_path_topk" ->

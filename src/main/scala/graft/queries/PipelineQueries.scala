@@ -1116,20 +1116,27 @@ object PipelineQueries {
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
       val tot = agg.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"),
         count(lit(1)).as("nb"))
+      // r10: BIGINT emission end to end. The smoothed shares become
+      // half-up 1e-6-unit integers via pure integer division; psi is
+      // then computed FROM those quantized integers — the only float
+      // op left is one ln() over an exactly-representable int ratio
+      // (identical double bits in both engines), rounded straight to
+      // integer micro-units. psi ≥ 0 structurally ((p_cur−p_ref) and
+      // ln(p_cur/p_ref) share sign), so half-up agrees cross-engine.
       graft.ops.Scalars.withScalar(agg, col("bin"), tot, col("nb"))
-        .withColumn("p_ref", (col("n_ref") + 1.0) / (col("t_ref") + col("nb")))
-        .withColumn("p_cur", (col("n_cur") + 1.0) / (col("t_cur") + col("nb")))
-        .withColumn("psi_bin", round((col("p_cur") - col("p_ref"))
-          * log(col("p_cur") / col("p_ref")), 6))
-        // total over 6dp-QUANTIZED contributions: sum in integer
-        // micro-units with half-up division — a plain round(sum, 4)
-        // can park the quantized total exactly on a .00005 boundary
-        .withColumn("s6", sum(round(col("psi_bin") * 1000000, 0).cast("long"))
+        .withColumn("p_ref_u6",
+          expr("(2*(n_ref + 1)*1000000 + (t_ref + nb)) div (2*(t_ref + nb))"))
+        .withColumn("p_cur_u6",
+          expr("(2*(n_cur + 1)*1000000 + (t_cur + nb)) div (2*(t_cur + nb))"))
+        .withColumn("psi_bin_u6",
+          expr("""CAST(round((p_cur_u6 - p_ref_u6) *
+                 ln(CAST(p_cur_u6 AS DOUBLE) / CAST(p_ref_u6 AS DOUBLE)), 0)
+                 AS BIGINT)"""))
+        .withColumn("total_psi_u6", sum(col("psi_bin_u6"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
         .select(col("bin"), col("n_ref"), col("n_cur"),
-          round(col("p_ref"), 6).as("p_ref"),
-          round(col("p_cur"), 6).as("p_cur"), col("psi_bin"),
-          expr("((2*s6 + 100) div 200) / 10000.0").as("total_psi"))
+          col("p_ref_u6"), col("p_cur_u6"), col("psi_bin_u6"),
+          col("total_psi_u6"))
         .orderBy("bin")
     }),
 
@@ -2008,17 +2015,19 @@ object PipelineQueries {
         |t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur,
         |        count(*) AS nb FROM a),
         |p AS (SELECT bin, n_ref, n_cur,
-        |        (n_ref + 1.0) / (t_ref + nb) AS p_ref,
-        |        (n_cur + 1.0) / (t_cur + nb) AS p_cur
+        |        (2*(n_ref + 1)*1000000 + (t_ref + nb)) // (2*(t_ref + nb)) AS p_ref_u6,
+        |        (2*(n_cur + 1)*1000000 + (t_cur + nb)) // (2*(t_cur + nb)) AS p_cur_u6
         |      FROM a, t),
-        |b AS (SELECT bin, n_ref, n_cur,
-        |        round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
-        |        round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_bin
+        |b AS (SELECT bin, n_ref, n_cur, p_ref_u6, p_cur_u6,
+        |        CAST(round((p_cur_u6 - p_ref_u6) *
+        |          ln(CAST(p_cur_u6 AS DOUBLE) / CAST(p_ref_u6 AS DOUBLE)))
+        |          AS BIGINT) AS psi_bin_u6
         |      FROM p)
         |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
-        |  CAST(n_cur AS BIGINT) AS n_cur, p_ref, p_cur, psi_bin,
-        |  ((2*sum(CAST(round(psi_bin*1000000) AS BIGINT)) OVER () + 100)
-        |   // 200) / 10000.0 AS total_psi
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(p_ref_u6 AS BIGINT) AS p_ref_u6,
+        |  CAST(p_cur_u6 AS BIGINT) AS p_cur_u6, psi_bin_u6,
+        |  CAST(sum(psi_bin_u6) OVER () AS BIGINT) AS total_psi_u6
         |FROM b ORDER BY bin""".stripMargin,
 
     "emb_quantize" ->

@@ -45,7 +45,7 @@ class MetricsSpec extends AnyFunSuite {
 
   test("ratio is bounded in [0,1] where defined") {
     val bad = SparkEntry.queries("m_ratio")(spark, sf)
-      .filter("return_rate < 0 OR return_rate > 1").count()
+      .filter("return_rate_u4 < 0 OR return_rate_u4 > 10000").count()
     assert(bad == 0)
   }
 
