@@ -66,7 +66,7 @@ object Profile {
 
     // per-micro-batch breakdown of the range join replicated inline
     val src = spark.readStream
-      .schema(EventStreams.eventsSchema)
+      .schema(EventStreams.eventsSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", col("ts").cast("timestamp"))

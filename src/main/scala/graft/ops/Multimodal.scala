@@ -196,7 +196,7 @@ object Multimodal {
   }
 
   final case class PpmOut(doc_id: Long, width: Int, height: Int,
-                          maxval: Int, n_pixels: Long, pix_sum: Long, pix_max: Int)
+                          maxval: Int, n_samples: Long, pix_sum: Long, pix_max: Int)
 
   /** Second HONEST container decode — binary PPM (P6), the image
     * sibling of [[wavDecodeBatch]]: a real whitespace-delimited ASCII

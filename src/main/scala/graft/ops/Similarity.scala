@@ -169,6 +169,9 @@ object Similarity {
     val seedVecs = e
       .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(1000003L)), col("vec_id"))
       .limit(ksub).select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(seedVecs.length == ksub,
+      s"pqTopK needs >= ksub=$ksub corpus vectors to seed the codebooks; " +
+      s"got ${seedVecs.length} — lower ksub for tiny inputs")
     val cb0: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((j, c) => seedVecs(c).slice(j * sub, (j + 1) * sub))
 
@@ -274,6 +277,9 @@ object Similarity {
     // empty cell keeps its seed)
     val seeds = e.orderBy(hashOrder: _*).limit(cells)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == cells,
+      s"ivfPqTopK needs >= cells=$cells corpus vectors to seed the coarse " +
+      s"quantizer; got ${seeds.length} — lower cells for tiny inputs")
     val cmeans = e.withColumn("cell", nearestIdx(col("v"), seeds))
       .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
       .groupBy("cell", "d").agg(round(avg("x"), 6).as("mv"))
@@ -298,6 +304,9 @@ object Similarity {
     }
     val rseeds = assigned.orderBy(hashOrder: _*).limit(ksub)
       .select("r").collect().map(_.getSeq[Double](0).toArray)
+    require(rseeds.length == ksub,
+      s"ivfPqTopK needs >= ksub=$ksub corpus vectors to seed the residual " +
+      s"codebooks; got ${rseeds.length} — lower ksub for tiny inputs")
     val cb0: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((j, c) => rseeds(c).slice(j * sub, (j + 1) * sub))
     // materialize the seed-codebook encode before the Lloyd aggregate —

@@ -3498,7 +3498,7 @@ object PipelineQueries {
         |SELECT doc_id,
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(255 AS INT) AS maxval,
-        |  CAST(w*h*3 AS BIGINT) AS n_pixels,
+        |  CAST(w*h*3 AS BIGINT) AS n_samples,
         |  CAST(list_sum(list_transform(range(0, w*h*3),
         |    k -> (doc_id*7 + k*13) % 256)) AS BIGINT) AS pix_sum,
         |  CAST(list_max(list_transform(range(0, w*h*3),

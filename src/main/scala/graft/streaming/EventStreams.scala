@@ -20,22 +20,40 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema of the raw events parquet: `ts` is written as
-    * `timestamp[us]` with no timezone → TIMESTAMP_NTZ. Every reader
-    * below normalizes it with [[tsUtc]] (cast to the session-UTC
-    * TimestampType), matching the batch loader
-    * [[graft.sources.Tables.events]]. */
-  val eventsSchema: StructType = StructType(Seq(
+  /** Per-sfDir footer probe: file streams need an explicit schema, so
+    * the adaptivity the batch loader gets for free from inference is
+    * re-created by ONE batch footer read per directory (r9 ADVICE —
+    * the previous hard-pinned NTZ schema silently failed on the
+    * legacy-nanos testdata generation that Tables.events handles). */
+  private val legacyCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** True when `sfDir`'s events.parquet carries the legacy INT64
+    * TIMESTAMP(NANOS) `ts` (surfaced as a raw long under the session's
+    * nanosAsLong conf) rather than plain `timestamp[us]` (NTZ). */
+  private def legacyNanos(spark: SparkSession, sfDir: String): Boolean =
+    legacyCache.getOrElseUpdate(sfDir,
+      spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .schema("ts").dataType == LongType)
+
+  /** Schema of the raw events parquet for THIS sfDir — `ts` is either
+    * NTZ micros (current testdata) or a raw nanos long (legacy). Every
+    * reader below normalizes it with [[tsUtc]], matching the batch
+    * loader [[graft.sources.Tables.events]] on both generations. */
+  def eventsSchema(spark: SparkSession, sfDir: String): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
+    StructField("ts",
+      if (legacyNanos(spark, sfDir)) LongType else TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType),
   ))
 
-  /** The raw NTZ wall-clock interpreted in the session's UTC zone. */
-  private def tsUtc: org.apache.spark.sql.Column = col("ts").cast("timestamp")
+  /** The raw `ts` normalized to session-UTC TimestampType at micro
+    * precision: NTZ wall-clock cast, or legacy nanos truncated. */
+  private def tsUtc(spark: SparkSession, sfDir: String): org.apache.spark.sql.Column =
+    if (legacyNanos(spark, sfDir)) timestamp_micros(expr("ts div 1000"))
+    else col("ts").cast("timestamp")
 
   /** Per-day tumbling-window counts/sums per event_type, computed by a
     * real streaming query (AvailableNow → memory sink), returned as a
@@ -72,10 +90,10 @@ object EventStreams {
     * one parquet), micros timestamp, 1-day watermark. */
   private def watermarkedEvents(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", tsUtc)
+      .withColumn("ts", tsUtc(spark, sfDir))
       .withWatermark("ts", "1 day")
 
   /** Per-(day-window, type) grouping over the shared head. Callers
@@ -158,13 +176,16 @@ object EventStreams {
     // narrow schema: the sketch only needs (ts, user_id); staged files
     // written by distinctUsersIncremental carry exactly these, with ts
     // pre-normalized to epoch MICROS longs at staging time
+    // the staged column is NAMED for its unit (ts_us) so a stage dir
+    // written under a different unit convention fails the schema read
+    // loudly instead of being silently misread 1000× off (r9 ADVICE)
     val stageSchema = StructType(Seq(
-      StructField("ts", LongType), StructField("user_id", LongType)))
+      StructField("ts_us", LongType), StructField("user_id", LongType)))
     val agg = spark.readStream
       .schema(stageSchema)
       .option("recursiveFileLookup", "true")
       .parquet(stageDir)
-      .withColumn("ts", timestamp_micros(col("ts")))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "1 day")
       .select(col("ts"), b, r)
       .groupBy(window(col("ts"), "1 day").as("w"), col("bucket"))
@@ -207,16 +228,16 @@ object EventStreams {
     base.toFile.deleteOnExit()
     val (stage, ckpt, delta) =
       (s"$base/stage", s"$base/ckpt", s"$base/delta")
-    val raw = spark.read.schema(eventsSchema)
+    val raw = spark.read.schema(eventsSchema(spark, sfDir))
       .parquet(s"$sfDir/events.parquet")
       // all the sketch needs — stage stays narrow; ts staged as micros
-      .select(unix_micros(tsUtc).as("ts"), col("user_id"))
+      .select(unix_micros(tsUtc(spark, sfDir)).as("ts_us"), col("user_id"))
       .localCheckpoint(false)  // one source scan feeds bounds + both stages
-    val bounds = raw.agg(min("ts").as("lo"), max("ts").as("hi")).head()
+    val bounds = raw.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
     val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
-    raw.filter(col("ts") < mid).write.parquet(s"$stage/day1")
+    raw.filter(col("ts_us") < mid).write.parquet(s"$stage/day1")
     hllRefreshPass(spark, stage, ckpt, delta)
-    raw.filter(col("ts") >= mid).write.parquet(s"$stage/day2")
+    raw.filter(col("ts_us") >= mid).write.parquet(s"$stage/day2")
     hllRefreshPass(spark, stage, ckpt, delta)
     hllRefreshEstimate(spark, delta)
   }
@@ -323,10 +344,10 @@ object EventStreams {
     * that no duplicate survived. */
   def dedupedCounts(spark: SparkSession, sfDir: String): DataFrame = {
     def src = spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", tsUtc)
+      .withColumn("ts", tsUtc(spark, sfDir))
     val doubled = src.union(src)
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
@@ -365,7 +386,7 @@ object EventStreams {
       .groupBy(col("o_custkey").as("user_id"))
       .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("lifetime_value"))
     val stream = spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .join(users, Seq("user_id"), "left")
@@ -461,10 +482,10 @@ object EventStreams {
     * cost. Same answer, different state regime; pick by workload. */
   def streamRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
     def src = spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", tsUtc)
+      .withColumn("ts", tsUtc(spark, sfDir))
     val signups = src.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("sts"))
       .withWatermark("sts", "1 hour")
@@ -537,10 +558,10 @@ object EventStreams {
     // staging pattern, mtime-pinned like cdcApply)
     val base = java.nio.file.Files.createTempDirectory("graft_stream_life_")
     base.toFile.deleteOnExit()
-    val raw = spark.read.schema(eventsSchema)
+    val raw = spark.read.schema(eventsSchema(spark, sfDir))
       .parquet(s"$sfDir/events.parquet")
       .select(col("user_id"),
-        datediff(to_date(tsUtc),
+        datediff(to_date(tsUtc(spark, sfDir)),
           lit("1970-01-01").cast("date")).as("dn"))
       .localCheckpoint(false)
     val bounds = raw.agg(min("dn").as("lo"), max("dn").as("hi")).head()
@@ -644,10 +665,10 @@ object EventStreams {
     }
 
     val stream = spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .select(col("user_id"), unix_micros(tsUtc).as("ts_us"))
+      .select(col("user_id"), unix_micros(tsUtc(spark, sfDir)).as("ts_us"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)

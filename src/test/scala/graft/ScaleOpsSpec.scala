@@ -73,10 +73,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a == run(), "two IVF-PQ runs diverged — training is not deterministic")
     val got = a.map(t => (t._1, t._3)).toSet
     // residual-PQ over near-random synthetic embeddings at nprobe=2/8
-    // legitimately misses cross-cell neighbors; ~0.12 observed, floor
-    // guards collapse (e.g. all probes landing in one dead cell)
+    // legitimately misses cross-cell neighbors; ~0.12 observed. The
+    // floor is pinned just under that (r9 ADVICE: 0.05 only guarded
+    // total collapse) so a real quality regression fails, while run-
+    // to-run identity is already asserted above.
     val recall = (brute & got).size.toDouble / brute.size
-    assert(recall >= 0.05, s"IVF-PQ recall collapsed: $recall")
+    assert(recall >= 0.10, s"IVF-PQ recall regressed below 0.10: $recall")
   }
 
   test("WAV parser does a real chunk walk, not a fixed-offset read") {
@@ -170,7 +172,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val ppm = Multimodal.buildPpm(7L, 100)
     val direct = Multimodal.parsePpm(7L, ppm)
     assert(direct.width == 4 + 100 % 13 && direct.height == 2 + 7 % 7)
-    assert(direct.n_pixels == direct.width.toLong * direct.height * 3)
+    assert(direct.n_samples == direct.width.toLong * direct.height * 3)
     assert(direct.maxval == 255 && direct.pix_max <= 255 && direct.pix_sum > 0)
     // same header fields expressed with different (legal) whitespace
     // runs — a fixed-offset reader breaks, a tokenizer doesn't
@@ -198,7 +200,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       val w = 4 + len % 13; val h = 2 + (id % 7).toInt; val np = w * h * 3
       assert(out.width == w && out.height == h && out.maxval == 255,
         s"($id,$len): header fields diverged")
-      assert(out.n_pixels == np)
+      assert(out.n_samples == np)
       val vals = (0 until np).map(k => ((id * 7 + k * 13) % 256).toInt)
       assert(out.pix_sum == vals.sum.toLong && out.pix_max == vals.max,
         s"($id,$len): payload fold diverged")

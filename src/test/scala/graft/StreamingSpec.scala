@@ -95,15 +95,15 @@ class StreamingSpec extends AnyFunSuite {
     // all — update mode only emits state rows a batch actually touched)
     val base = java.nio.file.Files.createTempDirectory("graft_hll_spec")
     val (stage, ckpt, delta) = (s"$base/stage", s"$base/ckpt", s"$base/delta")
-    // stage contract: (ts: epoch-micros long, user_id) — see hllRefreshPass
-    val raw = spark.read.schema(es.eventsSchema).parquet(s"$sf/events.parquet")
-      .select(unix_micros(col("ts").cast("timestamp")).as("ts"), col("user_id"))
-    val bounds = raw.agg(min("ts").as("lo"), max("ts").as("hi")).head()
+    // stage contract: (ts_us: epoch-micros long, user_id) — see hllRefreshPass
+    val raw = spark.read.schema(es.eventsSchema(spark, sf)).parquet(s"$sf/events.parquet")
+      .select(unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("user_id"))
+    val bounds = raw.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
     val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
-    raw.filter(col("ts") < mid).write.parquet(s"$stage/day1")
+    raw.filter(col("ts_us") < mid).write.parquet(s"$stage/day1")
     es.hllRefreshPass(spark, stage, ckpt, delta)
     val pass1Files = spark.read.parquet(delta).inputFiles.toSet
-    raw.filter(col("ts") >= mid).write.parquet(s"$stage/day2")
+    raw.filter(col("ts_us") >= mid).write.parquet(s"$stage/day2")
     es.hllRefreshPass(spark, stage, ckpt, delta)
     val pass2 = spark.read.parquet(delta)
       .withColumn("__f", input_file_name())
