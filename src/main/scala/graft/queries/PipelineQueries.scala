@@ -375,6 +375,38 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    // MISRA-GRIES heavy hitters, order-invariant formulation (VERDICT
+    // r9 item 4): the idealized MG summary of a multiset is its exact
+    // counts minus the (k+1)-th largest count T, keeping positives —
+    // a pure function of the count map, so it is deterministic under
+    // ANY partitioning (raw MG counter values are merge-shape-
+    // dependent; the fixed-state distributed aggregate with the
+    // mergeable-summaries pairwise-sum + (c+1)-th-subtraction merge
+    // lives in functions/MgTopKAgg.scala and is guarantee-gated by
+    // ScaleOpsSpec). Here: one exact count shuffle, then ONE bounded
+    // (k+1)-slot topk_agg reduction finds the top-k AND T — no global
+    // sort. Emits est/err so the sketch-vs-exact contrast with
+    // sketch_exact_topk and sketch_countmin is auditable row by row:
+    // MG under-counts by exactly T, count-min over-counts, exact pays
+    // k-row state only over pre-aggregated counts.
+    "sketch_topk_mg" -> ((s, dir) => {
+      graft.functions.TopKAgg.register(s)
+      val k = 10
+      Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .agg(call_function("topk_agg", col("cnt"), col("user_id"), lit(k + 1)).as("tk"))
+        .withColumn("tt",
+          when(size(col("tk")) === k + 1,
+            element_at(col("tk"), k + 1).getField("v")).otherwise(lit(0L)))
+        .select(col("tt"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .filter(col("pos") < k)
+        .select((col("pos") + 1).cast("bigint").as("rank"),
+          col("e.tag").as("user_id"), col("e.v").as("exact_n"),
+          (col("e.v") - col("tt")).as("mg_est"),
+          col("tt").as("err_bound"))
+        .orderBy("rank")
+    }),
+
     "sketch_countmin" -> ((s, dir) => {
       graft.functions.GraftHash64.register(s)
       val w = 256
@@ -2848,6 +2880,17 @@ object PipelineQueries {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank,
         |  user_id, cnt AS exact_n
         |FROM c QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    // idealized MG summary replay: T = (k+1)-th largest exact count
+    "sketch_topk_mg" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |r AS (SELECT user_id, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk
+        |      FROM c),
+        |t AS (SELECT coalesce(max(CASE WHEN rnk = 11 THEN cnt END), 0) AS tt FROM r)
+        |SELECT rnk AS rank, user_id, cnt AS exact_n,
+        |  CAST(cnt - tt AS BIGINT) AS mg_est, CAST(tt AS BIGINT) AS err_bound
+        |FROM r, t WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
     "sketch_countmin" ->
       s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events),

@@ -251,6 +251,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.last._3 >= 1, "budget stage selected nothing")
   }
 
+  test("mg_topk_agg: MG guarantee partition-invariant; exact when capacity covers the domain") {
+    graft.functions.MgTopKAgg.register(spark)
+    import org.apache.spark.sql.Row
+    // skewed synthetic stream: key i ∈ [1,40] with frequency 410−10·i
+    // (400 down to 10); 40 distinct keys > capacity 16 forces real
+    // decrements and merge subtractions
+    val rows  = (1 to 40).flatMap(i => Seq.fill(410 - i * 10)(i.toLong))
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n     = rows.size
+    def run(capacity: Int, parts: Int): (Long, Map[Long, Long]) = {
+      val s = rows.toDF("k").repartition(parts)
+        .agg(call_function("mg_topk_agg", col("k"), lit(capacity)).as("s"))
+        .head().getStruct(0)
+      (s.getLong(0),
+        s.getSeq[Row](1).map(e => e.getLong(1) -> e.getLong(0)).toMap)
+    }
+    // the COUNTER VALUES may differ across merge shapes (inherent to
+    // MG) — the guarantee triple must not
+    for (parts <- Seq(1, 7, 32)) {
+      val (err, items) = run(capacity = 16, parts)
+      assert(err <= n / 17, s"err $err exceeds n/(c+1) at $parts partitions")
+      items.foreach { case (tag, est) =>
+        assert(est <= exact(tag) && exact(tag) <= est + err,
+          s"tag $tag est $est outside [true-err, true] at $parts partitions")
+      }
+      exact.filter(_._2 > err).keys.foreach(k =>
+        assert(items.contains(k),
+          s"heavy key $k (true ${exact(k)} > err $err) missing at $parts partitions"))
+    }
+    // capacity ≥ distinct keys → no subtraction ever fires: the summary
+    // IS the exact count map, identically under any partitioning
+    for (parts <- Seq(1, 13)) {
+      val (err, items) = run(capacity = 64, parts)
+      assert(err == 0L && items == exact,
+        s"capacity-covered summary not exact at $parts partitions")
+    }
+  }
+
   test("topk_agg is exact and merge-order-invariant across partitionings") {
     graft.functions.TopKAgg.register(spark)
     val counts = Tables.events(spark, sf)
