@@ -52,38 +52,54 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** IVF (inverted-file) ANN: the corpus is coarse-quantized into
-    * `cells` Voronoi cells (deterministic pseudo-random seeds + one
-    * Lloyd refinement step, both distributed; only the k×dim centroid
-    * matrix ever reaches the driver), each vector is assigned to its
-    * nearest centroid, and a probe searches only its `nprobe` nearest
-    * cells — the corpus side of the search join is an equi-join on
-    * cell id, so a probe touches ~nprobe/cells of the data.
+    * `cells` Voronoi cells (deterministic pseudo-random seeds +
+    * `lloydIters` Lloyd refinement steps, both distributed; only the
+    * k×dim centroid matrix ever reaches the driver), each vector is
+    * assigned to its nearest centroid, and a probe searches only its
+    * `nprobe` nearest cells — the corpus side of the search join is an
+    * equi-join on cell id, so a probe touches ~nprobe/cells of the
+    * data.
+    *
+    * Sizing at scale: the classic heuristic is cells ≈ √n (per-cell
+    * lists of ~√n vectors balance quantizer cost against list-scan
+    * cost), nprobe a small fraction of cells chosen from a measured
+    * recall sweep — `ann_ivf_cells_sweep` IS that measurement. The
+    * defaults here are test-scale (n≈500); a 100 TB deployment passes
+    * its own cells/nprobe/lloydIters and persists the assigned index.
     * Output: probe_id, rank, neighbor_id, cos (4dp), cell. */
   def ivfTopK(emb: DataFrame, probeFilter: Column, k: Int = 5,
-              cells: Int = 16, nprobe: Int = 4): DataFrame = {
+              cells: Int = 16, nprobe: Int = 4,
+              lloydIters: Int = 1): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
+    require(lloydIters >= 0 && lloydIters <= 64,
+      s"lloydIters out of range: $lloydIters")
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
 
     // deterministic pseudo-random seed sample (multiplicative-hash
     // ordered — engine-neutral, so the DuckDB oracle re-derives the
-    // same seeds), then one Lloyd step: assign → per-cell elementwise
-    // mean via posexplode. The mean is quantized to 6dp so the refined
-    // centroids are identical across engines regardless of float
-    // summation order (fixed-point centroids — no quality impact at
-    // this precision, deterministic assignment everywhere).
+    // same seeds), then Lloyd steps: assign → per-cell elementwise
+    // mean via posexplode. Each mean is quantized to 6dp so the
+    // refined centroids are identical across engines regardless of
+    // float summation order (fixed-point centroids — no quality impact
+    // at this precision, deterministic assignment everywhere).
     val seeds = centroidRows(
       e.orderBy(pmod(col("vec_id") * lit(2654435761L), lit(1000003L)), col("vec_id"))
         .limit(cells).select(col("v")).collect().map(_.getSeq[Double](0).toArray))
-    val seeded  = e.withColumn("cell", nearestCell(col("v"), col("nrm"), seeds))
-    val refined = centroidRows(
-      seeded.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(round(avg("x"), 6).as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("c"))
-        .orderBy("cell")
-        .collect().map(_.getSeq[Double](1).toArray))
+    require(seeds.length == cells,
+      s"ivfTopK needs >= cells=$cells corpus vectors to seed the coarse " +
+      s"quantizer; got ${seeds.length} — lower cells for tiny inputs")
+    val refined = (1 to lloydIters).foldLeft(seeds) { (cents, _) =>
+      centroidRows(
+        e.withColumn("cell", nearestCell(col("v"), col("nrm"), cents))
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(round(avg("x"), 6).as("m"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("c"))
+          .orderBy("cell")
+          .collect().map(_.getSeq[Double](1).toArray))
+    }
 
     val corpus = e.withColumn("cell", nearestCell(col("v"), col("nrm"), refined))
     val probes = corpus.filter(probeFilter)

@@ -577,6 +577,33 @@ object PipelineQueries {
       }.reduce(_.unionByName(_)).orderBy("planes")
     }),
 
+    // IVF SIZING SWEEP (VERDICT r9 item 5 — the ann_plane_sweep
+    // pattern applied to the inverted file): recall of ivfTopK against
+    // the shared brute-force ground truth as the cell count grows with
+    // a proportional nprobe (cells/4, min 1). This is the measurement
+    // behind the cells≈√n deployment heuristic documented on ivfTopK —
+    // pick the knee of this curve, don't guess.
+    "ann_ivf_cells_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+        .localCheckpoint(false) // shared ground truth across the sweep
+      Seq(4, 8, 16).map { cells =>
+        val ivf = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5,
+            cells = cells, nprobe = math.max(1, cells / 4))
+          .select(col("probe_id").as("ip"), col("neighbor_id").as("inb"))
+        brute.join(ivf,
+            col("probe_id") === col("ip") && col("neighbor_id") === col("inb"),
+            "left_outer")
+          .groupBy("probe_id")
+          .agg((count(col("inb")) / 5.0).as("recall"))
+          .agg(round(avg("recall"), 4).as("avg_recall"),
+            count(lit(1)).as("n_probes"))
+          .select(lit(cells.toLong).as("cells"), col("avg_recall"),
+            col("n_probes"))
+      }.reduce(_.unionByName(_)).orderBy("cells")
+    }),
+
     // PER-LANGUAGE CORPUS PROFILE: doc counts and mean token/quality
     // per language. Both means use the integer-space half-up trick —
     // token sums are exact integers and quality is 4dp-quantized, so
@@ -2868,6 +2895,76 @@ object PipelineQueries {
          |  round(avg(recall), 4) AS avg_recall, count(*) AS n_probes
          |FROM (SELECT * FROM rc4 UNION ALL SELECT * FROM rc6
          |      UNION ALL SELECT * FROM rc8)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // per-cells full IVF replay (the ann_ivf oracle templated over
+    // cells/nprobe), recall against the shared brute-force CTE
+    "ann_ivf_cells_sweep" -> {
+      def ivfCtes(q: Int): String = {
+        val np = math.max(1, q / 4)
+        s"""seeds$q AS (
+           |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+           |  FROM e QUALIFY cell < $q),
+           |sd$q AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds$q),
+           |a$q AS (
+           |  SELECT e.vec_id, e.v, e.nrm, sd.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*sd.c[i])) / (e.nrm*sd.cn) DESC,
+           |               sd.cell DESC) AS rk
+           |  FROM e CROSS JOIN sd$q sd QUALIFY rk = 1),
+           |m$q AS (
+           |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+           |  FROM a$q, unnest(range(1, 65)) t(i)
+           |  GROUP BY cell, i),
+           |rc$q AS (
+           |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+           |         list(m ORDER BY pos) AS c
+           |  FROM m$q GROUP BY cell),
+           |rn$q AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc$q),
+           |corp$q AS (
+           |  SELECT e.vec_id, e.v, e.nrm, rn.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rn.c[i])) / (e.nrm*rn.cn) DESC,
+           |               rn.cell DESC) AS rk
+           |  FROM e CROSS JOIN rn$q rn QUALIFY rk = 1),
+           |pr$q AS (
+           |  SELECT e.vec_id AS probe_id, e.v AS pv, e.nrm AS pn, rn.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rn.c[i])) / (e.nrm*rn.cn) DESC,
+           |               rn.cell DESC) AS rk
+           |  FROM e CROSS JOIN rn$q rn WHERE e.vec_id < 10 QUALIFY rk <= $np),
+           |sc$q AS (
+           |  SELECT pr.probe_id, corp.vec_id,
+           |    list_sum(list_transform(range(1,65), i -> pr.pv[i]*corp.v[i])) / (pr.pn*corp.nrm) AS cos
+           |  FROM corp$q corp JOIN pr$q pr
+           |    ON corp.cell = pr.cell AND corp.vec_id <> pr.probe_id),
+           |ivf$q AS (SELECT probe_id, vec_id AS neighbor_id FROM (
+           |  SELECT probe_id, vec_id,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM sc$q) WHERE rank <= 5),
+           |rcl$q AS (SELECT $q AS cells, b.probe_id,
+           |    count(l.neighbor_id) / 5.0 AS recall
+           |  FROM brute b LEFT JOIN ivf$q l
+           |    ON b.probe_id = l.probe_id AND b.neighbor_id = l.neighbor_id
+           |  GROUP BY 1, 2)""".stripMargin
+      }
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM e WHERE vec_id < 10),
+         |sb AS (
+         |  SELECT probe_id, e.vec_id,
+         |    list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i])) / (pn*e.nrm) AS cos
+         |  FROM e, p WHERE e.vec_id <> probe_id),
+         |brute AS (SELECT probe_id, vec_id AS neighbor_id FROM (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM sb) WHERE rank <= 5),
+         |${Seq(4, 8, 16).map(ivfCtes).mkString(",\n")}
+         |SELECT CAST(cells AS BIGINT) AS cells,
+         |  round(avg(recall), 4) AS avg_recall, count(*) AS n_probes
+         |FROM (SELECT * FROM rcl4 UNION ALL SELECT * FROM rcl8
+         |      UNION ALL SELECT * FROM rcl16)
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
