@@ -786,14 +786,17 @@ object PipelineQueries {
 
     // END-TO-END CAPSTONE: the whole ingest funnel in ONE plan —
     // raw → exact dedup → near-dup family collapse → quality gate →
-    // per-source budget selection — with one accounting row per stage.
+    // per-source budget selection → eval decontamination →
+    // leakage-safe train split — with one accounting row per stage.
     // Each stage consumes the PREVIOUS stage's survivors (the near-dup
-    // DF cap and the budget window see the already-deduped corpus, as
-    // a real run would), and each survivor set is checkpointed once so
-    // the five accounting aggregates never re-execute the upstream
-    // chain. This is the operator a user actually schedules; the
-    // per-stage counts are the run's audit log.
+    // DF cap, the budget window, the contamination check and the split
+    // see the already-reduced corpus, as a real run would), and each
+    // survivor set is checkpointed once so the seven accounting
+    // aggregates never re-execute the upstream chain. This is the
+    // operator a user actually schedules; the per-stage counts are the
+    // run's audit log.
     "pipeline_e2e" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
       val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
         .localCheckpoint(false)
       def acct(idx: Int, name: String, d: DataFrame, chars: Column): DataFrame =
@@ -805,8 +808,11 @@ object PipelineQueries {
         .agg(min("doc_id").as("doc_id"))
         .join(docs, "doc_id").select("doc_id", "text", "source")
         .localCheckpoint(false)
+      // the family table is reused by BOTH stage 2 (root filter) and
+      // stage 6 (family-root split hash) — checkpoint once
       val clusters = Cluster.dedupClusters(s1,
-        Dedup.ngramJaccard(s1, n = 3, threshold = 0.8, maxDF = 50))
+          Dedup.ngramJaccard(s1, n = 3, threshold = 0.8, maxDF = 50))
+        .localCheckpoint(false)
       val s2 = s1.join(clusters.filter(col("doc_id") === col("cluster_id"))
           .select("doc_id"), "doc_id")
         .localCheckpoint(false)
@@ -817,14 +823,37 @@ object PipelineQueries {
       val w = Window.partitionBy("source")
         .orderBy(col("quality_score").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val s4 = s3.select(col("source"), col("n_chars"),
+      val s4 = s3.select(col("doc_id"), col("source"), col("n_chars"),
           coalesce(sum("n_chars").over(w), lit(0L)).as("prior"))
         .filter(col("prior") < 25000L)
+        .localCheckpoint(false)
+      // stage 5: eval decontamination — the selected docs are shingle-
+      // checked against the eval stand-in (doc_id < 25, the same
+      // convention as the `contamination` operator); containment ≥ 0.5
+      // is cut. Shingling runs only on the stage-4 survivors; the
+      // benchmark side broadcasts inside Contamination.check.
+      val flagged = graft.ops.Contamination.check(
+          s4.select("doc_id").join(docs, "doc_id").select("doc_id", "text"),
+          docs.filter(col("doc_id") < 25).select("doc_id", "text"),
+          n = 3, threshold = 0.5)
+        .filter(col("contaminated") === 1).select("doc_id")
+      val s5 = s4.join(flagged, Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
+      // stage 6: leakage-safe split — hash the doc's FAMILY ROOT
+      // (cluster_id from stage 2), the split_leakage 'family' scheme,
+      // so any surviving near-dup relatives ride together; the train
+      // share is what actually ships to training.
+      val bucket = shiftrightunsigned(call_function("graft_hash64",
+        col("cluster_id").cast("string"), lit(7L)), 52)
+      val s6 = s5.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+        .filter(bucket < 3277)
       acct(0, "raw", docs, length(col("text")))
         .unionByName(acct(1, "exact_dedup", s1, length(col("text"))))
         .unionByName(acct(2, "near_dedup", s2, length(col("text"))))
         .unionByName(acct(3, "quality", s3, col("n_chars")))
         .unionByName(acct(4, "budget", s4, col("n_chars")))
+        .unionByName(acct(5, "decontam", s5, col("n_chars")))
+        .unionByName(acct(6, "split_train", s6, col("n_chars")))
         .orderBy("stage_idx")
     }),
 
@@ -3194,12 +3223,35 @@ object PipelineQueries {
          |  FROM qr),
          |d3 AS (SELECT * FROM q WHERE qs >= 0.5),
          |w AS (
-         |  SELECT source, n_chars,
+         |  SELECT doc_id, source, n_chars,
          |    coalesce(sum(n_chars) OVER (PARTITION BY source
          |      ORDER BY qs DESC, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
          |  FROM d3),
-         |sel AS (SELECT source, n_chars FROM w WHERE prior < 25000),
+         |sel AS (SELECT doc_id, source, n_chars FROM w WHERE prior < 25000),
+         |csh AS (SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT d.doc_id, $toks AS toks
+         |        FROM documents d JOIN sel USING (doc_id))),
+         |bsh AS (SELECT doc_id AS bench_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id < 25)),
+         |cpx AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM csh),
+         |bpx AS (SELECT bench_id, unnest(sh) AS s FROM bsh),
+         |cont AS (
+         |  SELECT doc_id FROM (
+         |    SELECT cpx.doc_id, bpx.bench_id, any_value(cpx.n_sh) AS n_sh,
+         |      count(*) AS shared
+         |    FROM cpx JOIN bpx USING (s) GROUP BY 1, 2)
+         |  WHERE shared*1.0/n_sh >= 0.5 GROUP BY 1),
+         |d5 AS (SELECT * FROM sel WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |sh6 AS (SELECT d5.doc_id, d5.n_chars, lab.cluster_id,
+         |    hex(encode(CAST(lab.cluster_id AS VARCHAR))) AS hx,
+         |    octet_length(encode(CAST(lab.cluster_id AS VARCHAR))) AS n
+         |  FROM d5 JOIN lab USING (doc_id)),
+         |d6 AS (SELECT doc_id, n_chars FROM (
+         |    SELECT doc_id, n_chars, ${ghashSql(fnvHx, "7")} AS hu FROM sh6)
+         |  WHERE hu // 4503599627370496 < 3277),
          |st AS (
          |  SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs,
          |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars FROM documents
@@ -3210,7 +3262,11 @@ object PipelineQueries {
          |  UNION ALL SELECT 3, 'quality', count(*),
          |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM d3
          |  UNION ALL SELECT 4, 'budget', count(*),
-         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM sel)
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM sel
+         |  UNION ALL SELECT 5, 'decontam', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM d5
+         |  UNION ALL SELECT 6, 'split_train', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM d6)
          |SELECT stage_idx, stage, n_docs, sum_chars FROM st ORDER BY stage_idx""".stripMargin,
 
     // independent IVF re-derivation: same multiplicative-hash seed
