@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HNSW-style layered ANN, re-expressed deterministically for a
+  * distributed engine.
+  *
+  * True HNSW is insertion-order-dependent (each vector's edges depend
+  * on the graph state at its arrival), which no partitioned build can
+  * reproduce. This operator keeps the two load-bearing HNSW ideas —
+  * a layer hierarchy whose sparse top narrows the search region in
+  * O(log n) hops, and greedy beam descent over a bounded-degree
+  * neighbor graph — and replaces the history-dependent construction
+  * with pure functions of the data:
+  *
+  *  - layer assignment is a geometric ladder on the portable 64-bit
+  *    hash of vec_id (hash%16==0 → layer 2, hash%4==0 → layer 1,
+  *    else 0: expected 1/16 and 1/4 occupancy — the p=1/4 HNSW level
+  *    distribution), so membership is reproducible on any cluster and
+  *    replayable by the DuckDB oracle;
+  *  - each layer's graph is the top-`m` cosine neighbors among
+  *    candidates that share a bucket under ANY of THREE independent
+  *    hyperplane bucketings (an OR-construction: one bucketing leaves
+  *    the graph disconnected across buckets and the beam can never
+  *    leave the entry's component — measured recall 0.02; three
+  *    restore cross-bucket connectivity). Each bucketing is an
+  *    equi-join, never all-pairs, so build cost stays bucket-bounded
+  *    at any scale;
+  *  - search descends entry → layer 2 → 1 → 0 with a fixed, unrolled
+  *    round structure (one expansion per upper layer, two at layer 0),
+  *    each round an equi-join of the ≤`beam`-row per-probe frontier
+  *    against the adjacency, re-ranked by (cos desc, vec_id asc) —
+  *    deterministic ties, no driver-side loop, probe set broadcast
+  *    under the same exemption as bruteForceTopK.
+  *
+  * A fixed unroll instead of convergence detection is deliberate: the
+  * hop count IS the latency budget in production graph-ANN, and a
+  * static plan keeps every round inside one Catalyst job.
+  * Output: probe_id, rank, neighbor_id, cos (4dp). */
+object Hnsw {
+
+  def topK(emb: DataFrame, probeFilter: Column, k: Int = 5,
+           m: Int = 6, beam: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.DotProduct.register(spark)
+    graft.functions.GraftHash64.register(spark)
+    val bucketings = Seq(42L, 43L, 44L).map(Similarity.hyperplanes(3, 64, _))
+
+    val h = call_function("graft_hash64", col("vec_id").cast("string"), lit(11L))
+    val e = bucketings.zipWithIndex.foldLeft(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))) {
+        case (d, (pl, i)) => d.withColumn(s"b$i", Similarity.bucketOf(col("v"), pl))
+      }
+      .withColumn("level",
+        when(pmod(h, lit(16L)) === 0, 2).when(pmod(h, lit(4L)) === 0, 1)
+          .otherwise(0))
+      .localCheckpoint(false) // feeds 3 adjacency builds + the search
+
+    // per-layer bounded-degree digraph: src → its m best candidates,
+    // candidates = bucket-mates under ANY of the three bucketings
+    // (three equi-joins + distinct — never an OR-join, never all-pairs)
+    def adj(l: Int): DataFrame = {
+      val nl = e.filter(col("level") >= l)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("b0"), col("b1"), col("b2"))
+      val pairs = (0 to 2).map { i =>
+        nl.select(col("vec_id").as("src"), col(s"b$i").as("bk"))
+          .join(nl.select(col("vec_id").as("dst"), col(s"b$i").as("bk")), "bk")
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst")
+      }.reduce(_.unionByName(_)).distinct()
+      val cos = Dedup.dot(col("av"), col("bv")) / (col("an") * col("bn"))
+      val w = Window.partitionBy("src").orderBy(col("c").desc, col("dst"))
+      pairs
+        .join(nl.select(col("vec_id").as("src"), col("v").as("av"),
+          col("nrm").as("an")), "src")
+        .join(nl.select(col("vec_id").as("dst"), col("v").as("bv"),
+          col("nrm").as("bn")), "dst")
+        .select(col("src"), col("dst"), cos.as("c"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= m)
+        .select("src", "dst")
+        .localCheckpoint(false) // the persisted index of a real deployment
+    }
+    val (adj2, adj1, adj0) = (adj(2), adj(1), adj(0))
+
+    // global entry: smallest vec_id on the highest populated layer —
+    // a 1-row scalar, the only value that ever reaches the driver
+    val ent = e.agg(
+      min(when(col("level") >= 2, col("vec_id"))).as("e2"),
+      min(when(col("level") >= 1, col("vec_id"))).as("e1"),
+      min(col("vec_id")).as("e0")).head()
+    val entry: Long = Seq(0, 1, 2).map(ent.get).collectFirst {
+      case x: Long => x
+    }.getOrElse(throw new IllegalArgumentException("empty corpus"))
+
+    val probes = e.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val pcos = Dedup.dot(col("pv"), col("v")) / (col("pn") * col("nrm"))
+
+    /** frontier ∪ its layer-adjacency expansion, probe vector attached
+      * by key from the broadcast probe set, re-scored, top-`keep` per
+      * probe. The frontier carries only (probe_id, node[, cos]). */
+    def hop(frontier: DataFrame, a: DataFrame, keep: Int): DataFrame = {
+      val expanded = frontier
+        .join(a, frontier("node") === a("src"))
+        .select(col("probe_id"), col("dst").as("node"))
+        .unionByName(frontier.select("probe_id", "node"))
+        .distinct()
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("node"))
+      expanded
+        .join(e.select(col("vec_id").as("node"), col("v"), col("nrm")), "node")
+        .join(broadcast(probes), "probe_id")
+        .select(col("probe_id"), col("node"), pcos.as("cos"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= keep)
+        .select("probe_id", "node", "cos")
+    }
+
+    val seed = probes.select(col("probe_id"), lit(entry).as("node"))
+    val b2 = hop(seed, adj2, math.max(2, beam / 2))
+    val b1 = hop(b2, adj1, beam)
+    val b0 = hop(hop(b1, adj0, beam), adj0, beam)
+    val wf = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("node"))
+    b0.filter(col("node") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("bigint").as("rank"),
+        col("node").as("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+}

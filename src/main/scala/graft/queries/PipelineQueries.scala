@@ -604,6 +604,33 @@ object PipelineQueries {
       }.reduce(_.unionByName(_)).orderBy("cells")
     }),
 
+    // HNSW-STYLE LAYERED GRAPH ANN (VERDICT r9 item 8, SURVEY §7
+    // candidate): deterministic geometric layer ladder on the portable
+    // id hash, bucket-bounded per-layer kNN digraphs, and a fixed
+    // unrolled beam descent entry → L2 → L1 → L0 — the graph-ANN
+    // completion of the taxonomy past IVF-PQ. See ops/Hnsw.scala for
+    // why true insertion-order HNSW cannot be built deterministically
+    // on a partitioned engine and what this keeps instead.
+    "ann_hnsw" -> ((s, dir) =>
+      graft.ops.Hnsw.topK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .orderBy("probe_id", "rank")),
+
+    // the index-trust measurement for the layered graph path
+    "ann_hnsw_recall" -> ((s, dir) => {
+      val brute = Similarity.bruteForceTopK(
+          Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hw = graft.ops.Hnsw.topK(
+          Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("probe_id").as("hp"), col("neighbor_id").as("hn"))
+      brute.join(hw,
+          col("probe_id") === col("hp") && col("neighbor_id") === col("hn"),
+          "left_outer")
+        .groupBy("probe_id")
+        .agg(round(count(col("hn")) / 5.0, 4).as("recall"))
+        .orderBy("probe_id")
+    }),
+
     // PER-LANGUAGE CORPUS PROFILE: doc counts and mean token/quality
     // per language. Both means use the integer-space half-up trick —
     // token sums are exact integers and quality is 4dp-quantized, so
@@ -1841,6 +1868,77 @@ object PipelineQueries {
   /** Shared by `contamination` (batch) and `stream_contamination`
     * (the streaming ingest-time check) — the streaming query must
     * converge to this exact result. */
+  /** Full DuckDB replay of the Hnsw layered-graph search (shared by
+    * ann_hnsw and ann_hnsw_recall): same id-hash layer ladder, same
+    * 4-plane buckets, per-layer top-4 digraphs, and the identical
+    * unrolled hop sequence (entry → keep-4 at L2 → keep-8 at L1 → two
+    * keep-8 hops at L0 → top-5 excluding self). Ends in CTE `hnsw`
+    * (probe_id, neighbor_id, cos, rank). */
+  private lazy val hnswCtes: String = {
+    def bucketExpr(seed: Long) =
+      graft.ops.Similarity.hyperplanes(3, 64, seed).zipWithIndex.map {
+        case (pl, i) =>
+          val lit = "[" + pl.mkString(",") + "]"
+          s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n|    + ")
+    def cosAB = "list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm)"
+    def adjCte(name: String, src: String) =
+      s"""$name AS (SELECT src, dst FROM (
+         |  SELECT c.src, c.dst,
+         |    row_number() OVER (PARTITION BY c.src
+         |      ORDER BY $cosAB DESC, c.dst) AS r
+         |  FROM (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         |        FROM $src x JOIN $src y
+         |          ON (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2)
+         |         AND x.vec_id <> y.vec_id) c
+         |  JOIN $src a ON c.src = a.vec_id
+         |  JOIN $src b ON c.dst = b.vec_id) WHERE r <= 6)"""
+        .stripMargin
+    def hopCte(out: String, fr: String, adj: String, keep: Int) =
+      s"""${out}x AS (SELECT probe_id, node FROM $fr
+         |  UNION SELECT f.probe_id, a.dst AS node
+         |        FROM $fr f JOIN $adj a ON f.node = a.src),
+         |${out}s AS (SELECT f.probe_id, f.node,
+         |    list_sum(list_transform(range(1,65), i -> p.pv[i]*e.v[i]))/(p.pn*e.nrm) AS cos
+         |  FROM ${out}x f JOIN e ON f.node = e.vec_id
+         |  JOIN p ON f.probe_id = p.probe_id),
+         |$out AS (SELECT probe_id, node, cos FROM (
+         |  SELECT probe_id, node, cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, node) AS r
+         |  FROM ${out}s) WHERE r <= $keep)""".stripMargin
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |tb AS (SELECT vec_id, v, hex(encode(CAST(vec_id AS VARCHAR))) AS hx,
+       |         octet_length(encode(CAST(vec_id AS VARCHAR))) AS n FROM e0),
+       |hh AS (SELECT vec_id, v, ${ghashSql(fnvHx, "11")} AS hu FROM tb),
+       |e AS (SELECT vec_id, v,
+       |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+       |        ${bucketExpr(42L)} AS b0,
+       |        ${bucketExpr(43L)} AS b1,
+       |        ${bucketExpr(44L)} AS b2,
+       |        CASE WHEN hu % 16 = 0 THEN 2
+       |             WHEN hu % 4 = 0 THEN 1 ELSE 0 END AS level
+       |      FROM hh),
+       |n2 AS (SELECT * FROM e WHERE level >= 2),
+       |n1 AS (SELECT * FROM e WHERE level >= 1),
+       |${adjCte("adj2", "n2")},
+       |${adjCte("adj1", "n1")},
+       |${adjCte("adj0", "e")},
+       |ent AS (SELECT coalesce(
+       |    (SELECT min(vec_id) FROM e WHERE level >= 2),
+       |    (SELECT min(vec_id) FROM e WHERE level >= 1),
+       |    (SELECT min(vec_id) FROM e)) AS node),
+       |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM e WHERE vec_id < 10),
+       |seed AS (SELECT probe_id, ent.node FROM p, ent),
+       |${hopCte("b2", "seed", "adj2", 4)},
+       |${hopCte("b1", "b2", "adj1", 8)},
+       |${hopCte("c0", "b1", "adj0", 8)},
+       |${hopCte("b0", "c0", "adj0", 8)},
+       |hnsw AS (SELECT probe_id, node AS neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, node) AS BIGINT) AS rank
+       |  FROM b0 WHERE node <> probe_id)""".stripMargin
+  }
+
   private lazy val contaminationSql =
     s"""WITH d AS (SELECT doc_id, list_distinct(
        |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
@@ -1862,6 +1960,27 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
 
     "ann_pq" -> s"$pqTopSql\nORDER BY probe_id, rank",
+
+    "ann_hnsw" ->
+      s"""WITH $hnswCtes
+         |SELECT probe_id, rank, neighbor_id, round(cos, 4) AS cos
+         |FROM hnsw WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "ann_hnsw_recall" ->
+      s"""WITH $hnswCtes,
+         |sbr AS (
+         |  SELECT probe_id, e.vec_id,
+         |    list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))/(pn*e.nrm) AS cos
+         |  FROM e, p WHERE e.vec_id <> probe_id),
+         |brute AS (SELECT probe_id, vec_id AS neighbor_id FROM (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM sbr) WHERE rank <= 5)
+         |SELECT b.probe_id, round(count(h.neighbor_id) / 5.0, 4) AS recall
+         |FROM brute b LEFT JOIN (SELECT probe_id, neighbor_id FROM hnsw
+         |                        WHERE rank <= 5) h
+         |  ON b.probe_id = h.probe_id AND b.neighbor_id = h.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_ivfpq" -> s"$ivfPqTopSql\nORDER BY probe_id, rank",
 
