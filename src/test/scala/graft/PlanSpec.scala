@@ -52,9 +52,13 @@ class PlanSpec extends AnyFunSuite {
     // and ann_plane_sweep embeds it once as the sweep's ground truth;
     // ann_pq_recall embeds it as the PQ path's ground truth (the PQ
     // search itself — ann_pq — is a bucket equi-join and stays banned)
+    // ann_hnsw_recall embeds it as the layered-graph path's ground
+    // truth (the hnsw search itself — ann_hnsw — is equi-join only and
+    // stays banned; its first hop checkpoints the seed frontier so the
+    // entry literal cannot constant-fold into a nested-loop condition)
     val exempt = Set("ann_bruteforce", "ann_recall", "emb_prefix_recall",
       "ann_plane_sweep", "ann_pq_recall", "ann_ivfpq_recall",
-      "emb_matryoshka_recall")
+      "emb_matryoshka_recall", "ann_hnsw_recall")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")

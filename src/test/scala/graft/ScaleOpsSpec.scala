@@ -241,14 +241,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("pipeline_e2e")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rows.map(_._2).toSeq ==
-      Seq("raw", "exact_dedup", "near_dedup", "quality", "budget"))
+      Seq("raw", "exact_dedup", "near_dedup", "quality", "budget",
+        "decontam", "split_train"))
     assert(rows.head._3 == Tables.documents(spark, sf).count(),
       "raw stage must count the whole corpus")
     // every stage only removes documents (and chars)
     rows.sliding(2).foreach { case Array((_, a, na, ca), (_, b, nb, cb)) =>
       assert(nb <= na && cb <= ca, s"stage $b grew vs $a: $nb>$na or $cb>$ca")
     }
-    assert(rows.last._3 >= 1, "budget stage selected nothing")
+    assert(rows.last._3 >= 1, "train split selected nothing")
+    // decontamination must actually cut the planted eval stand-ins
+    val budget = rows(4); val decon = rows(5)
+    assert(decon._3 < budget._3, "decontam stage removed nothing")
   }
 
   test("hnsw layered search is deterministic, well-formed, and beats its single-bucketing failure mode") {
