@@ -279,6 +279,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_hash64"), s"expected portable hash expr:\n$p")
   }
 
+  test("sketch_topk_mg reduces via bounded partials, never a global count sort") {
+    val p = plan("sketch_topk_mg")
+    // one exchange for the per-user count, one single-partition pass of
+    // the ≤(k+1)-pair topk_agg partials, one range partition for the
+    // ≤k-row output sort — and no Sort/TakeOrdered over the full count
+    // table (the whole point of the bounded reduction)
+    assert(countOccurrences(p, "Exchange") <= 3,
+      s"mg summary must reduce via ≤(k+1)-pair partials:\n$p")
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"top-k must come from the bounded aggregate, not a sort:\n$p")
+    assert(p.contains("topk_agg"), s"expected the bounded aggregate:\n$p")
+  }
+
   test("global rank's only single-partition exchange is the block-offset table") {
     // the raw rows rank inside value-range blocks; only the bounded
     // one-row-per-block offset table may pass through SinglePartition
