@@ -82,9 +82,12 @@ object Hnsw {
         .select(col("src"), col("dst"), cos.as("c"))
         .withColumn("r", row_number().over(w)).filter(col("r") <= m)
         .select("src", "dst")
-        .localCheckpoint(false) // the persisted index of a real deployment
     }
-    val (adj2, adj1, adj0) = (adj(2), adj(1), adj(0))
+    // only the base layer is consumed twice (two L0 hops) — it alone
+    // pays a materialization (the persisted index of a real
+    // deployment); the single-use upper layers stay lazy
+    val (adj2, adj1) = (adj(2), adj(1))
+    val adj0 = adj(0).localCheckpoint(false)
 
     // global entry: smallest vec_id on the highest populated layer —
     // a 1-row scalar, the only value that ever reaches the driver
