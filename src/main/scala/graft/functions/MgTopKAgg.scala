@@ -68,8 +68,12 @@ final case class MgTopKAgg(
     val t = child.eval(input)
     if (t == null) return buf
     val key = t.asInstanceOf[Number].longValue()
-    val cur = buf.map.getOrNull(key)
-    if (cur != null) buf.map(key) = cur + 1L
+    // 0L is a safe absence sentinel: live counters are always >= 1
+    // (LongMap.getOrNull unboxes missing primitives to 0L, so a null
+    // check here would never fire and the capacity branch would be
+    // dead — the map would silently grow past c)
+    val cur = buf.map.getOrElse(key, 0L)
+    if (cur != 0L) buf.map(key) = cur + 1L
     else if (buf.map.size < c) buf.map(key) = 1L
     else { // batch decrement: the arriving row pays for it
       val dead = mutable.ArrayBuffer.empty[Long]

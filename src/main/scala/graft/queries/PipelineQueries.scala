@@ -1130,6 +1130,14 @@ object PipelineQueries {
     "stream_topk" -> ((s, dir) =>
       graft.streaming.EventStreams.windowTopK(s, dir)),
 
+    // STREAMING Misra-Gries heavy hitters: per-shard c-counter MG state
+    // in flatMapGroupsWithState across a two-batch handoff, merged with
+    // the mergeable-summaries reduction; emits only the partition-
+    // invariant theorem facts (see EventStreams.mgHeavyHitters — raw MG
+    // counters are merge-shape-dependent, the guarantee triple is not)
+    "stream_topk_mg" -> ((s, dir) =>
+      graft.streaming.EventStreams.mgHeavyHitters(s, dir)),
+
     // same per-day HLL estimate, but the history arrives in TWO
     // checkpoint-sharing AvailableNow passes (simulated new-day files);
     // correctness of the merge IS the operator's contract, so the
@@ -1612,6 +1620,65 @@ object PipelineQueries {
     "corpus_mix" -> ((s, dir) =>
       graft.ops.Corpus.epochMix(Tables.documents(s, dir))
         .orderBy("doc_id", "copy_id")),
+
+    // PER-SOURCE INCREMENTAL HLL SNAPSHOTS (SURVEY §7 r11 candidate):
+    // approx distinct document CONTENTS per source maintained across
+    // landing generations WITHOUT rescanning history — generation 1
+    // persists its (source, bucket) → max(rho) sketch state as a
+    // parquet snapshot; generation 2 folds snapshot ∪ its own state
+    // with one groupBy-max (mergeable by construction) into the next
+    // snapshot; only the final m-sized state reaches the estimator.
+    // The content key is md5(text) (identical in both engines), so the
+    // portable-hash DuckDB oracle replays the estimate over the FULL
+    // history — mergeability makes the incremental fold invisible in
+    // the result, which is exactly the operator's contract (the batch
+    // sibling of stream_hll_refresh, keyed by source not day).
+    "hll_source_snapshots" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("k"))
+        .localCheckpoint(false) // one text scan feeds bounds + both gens
+      val (b, r) = graft.ops.HllSketch.bucketRho(s, col("k"))
+      def state(df: DataFrame) = df.select(col("source"), b, r)
+        .groupBy("source", "bucket").agg(max("rho").as("rho"))
+      val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+      val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+      val base = java.nio.file.Files.createTempDirectory("graft_hll_snap_")
+      base.toFile.deleteOnExit()
+      state(docs.filter(col("doc_id") < mid)).write.parquet(s"$base/v1")
+      s.read.parquet(s"$base/v1")
+        .unionByName(state(docs.filter(col("doc_id") >= mid)))
+        .groupBy("source", "bucket").agg(max("rho").as("rho"))
+        .write.parquet(s"$base/v2")
+      graft.ops.HllSketch.estimate(s.read.parquet(s"$base/v2"), Seq("source"))
+        .withColumnRenamed("est", "est_distinct_texts")
+        .orderBy("source")
+    }),
+
+    // TEMPERATURE-SCALED SOURCE MIXTURE (multilingual-LM sampling: a
+    // source's sampling weight ∝ size^α flattens the head and lifts
+    // the tail). α = 1/2 keeps the whole computation EXACT-integer:
+    // w_s = floor(sqrt(chars_s)) is exact for chars < 2^50 (IEEE
+    // correctly-rounded sqrt is > ulp away from the nearest integer
+    // there), and the char-budget quota + u4 share are half-up integer
+    // division in both engines (§5 doctrine). One groupBy over the
+    // corpus; the scalar total attaches via withScalar.
+    "corpus_temperature_mix" -> ((s, dir) => {
+      val budget = 1000000L // chars per epoch
+      val per = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .withColumn("w_sqrt",
+          expr("CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT)"))
+        .localCheckpoint(false) // feeds the scalar AND the quota rows
+      val tot = per.agg(sum("w_sqrt").as("w_tot"))
+      graft.ops.Scalars.withScalar(per, col("source"), tot, col("w_tot"))
+        .withColumn("quota_chars",
+          expr(s"(2*${budget}L*w_sqrt + w_tot) div (2*w_tot)"))
+        .withColumn("share_u4", expr("(2*10000L*w_sqrt + w_tot) div (2*w_tot)"))
+        .select("source", "n_docs", "n_chars", "w_sqrt", "quota_chars", "share_u4")
+        .orderBy("source")
+    }),
   )
 
   // Shared DuckDB fragments (SURVEY §5: Spark∩DuckDB regex/token subset).
@@ -4020,6 +4087,65 @@ object PipelineQueries {
         |SELECT doc_id, source, weight, n_copies, CAST(r.i AS BIGINT) AS copy_id
         |FROM c, unnest(range(1, n_copies + 1)) r(i)
         |ORDER BY doc_id, copy_id""".stripMargin,
+
+    // the streaming MG summary's raw counters are merge-shape-
+    // dependent; the emitted columns are exact counts plus the theorem
+    // flags, which any CORRECT execution must render as literal 1s —
+    // so the oracle states the theorem (c = 8 ⇒ c+1 = 9)
+    "stream_topk_mg" ->
+      """WITH c AS (SELECT user_id, count(*) AS exact_n
+        |           FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM events),
+        |r AS (SELECT user_id, exact_n,
+        |        CAST(row_number() OVER (ORDER BY exact_n DESC, user_id)
+        |          AS BIGINT) AS rank
+        |      FROM c)
+        |SELECT rank, user_id, exact_n,
+        |  CAST(exact_n * 9 > n.n AS BIGINT) AS guaranteed,
+        |  CAST(1 AS BIGINT) AS present_ok,
+        |  CAST(1 AS BIGINT) AS bound_ok,
+        |  CAST(1 AS BIGINT) AS err_bound_ok
+        |FROM r CROSS JOIN n WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // full replay of the from-scratch HLL keyed on md5(text) per
+    // source — the snapshot fold is mergeable, so the one-shot replay
+    // over the whole history IS the incremental result's contract
+    "hll_source_snapshots" ->
+      s"""WITH o AS (SELECT source, md5(text) AS s FROM documents),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM o)),
+         |h AS (SELECT s, ${DuckHash.ghashSql(DuckHash.fnvHx, "0")} AS hu FROM tb),
+         |br AS (SELECT s, hu // 4503599627370496 AS bucket,
+         |              (hu % 4503599627370496) * 4096 AS w FROM h),
+         |rr AS (SELECT s, bucket, ${DuckHash.rhoChainSql} AS rho FROM br),
+         |mb AS (SELECT o.source, rr.bucket, max(rr.rho) AS rho
+         |       FROM o JOIN rr USING (s) GROUP BY 1, 2),
+         |ag AS (SELECT source, count(*) AS nz, sum(power(0.5, rho)) AS sp
+         |       FROM mb GROUP BY 1),
+         |fin AS (SELECT source,
+         |          0.7213/(1 + 1.079/4096) * 4096 * 4096 / (sp + (4096 - nz)) AS raw,
+         |          4096 - nz AS zeros
+         |        FROM ag)
+         |SELECT source,
+         |  CAST(round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+         |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT)
+         |    AS est_distinct_texts
+         |FROM fin ORDER BY source""".stripMargin,
+
+    // α = 1/2 temperature weights: floor(sqrt(bigint)) is IEEE-exact
+    // below 2^50 in both engines; quota/share are half-up integer
+    // division (§5 doctrine)
+    "corpus_temperature_mix" ->
+      """WITH p AS (SELECT source, count(*) AS n_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT p.*, CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT)
+        |        AS w_sqrt FROM p),
+        |t AS (SELECT sum(w_sqrt) AS w_tot FROM w)
+        |SELECT source, n_docs, n_chars, w_sqrt,
+        |  CAST((2*1000000*w_sqrt + w_tot) // (2*w_tot) AS BIGINT) AS quota_chars,
+        |  CAST((2*10000*w_sqrt + w_tot) // (2*w_tot) AS BIGINT) AS share_u4
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
   )
 }
 

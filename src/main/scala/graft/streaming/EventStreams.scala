@@ -623,6 +623,156 @@ object EventStreams {
       .orderBy("d")
   }
 
+  /** Per-shard Misra-Gries summary carried across micro-batches:
+    * rows-seen counter, error register, and the ≤ c (tag, est) pairs
+    * as parallel arrays (encoder-friendly). */
+  final case class MgState(nSeen: Long, err: Long,
+                           tags: Array[Long], ests: Array[Long])
+  final case class MgEmit(shard: Int, n_seen: Long, err: Long,
+                          tag: Long, est: Long)
+
+  /** Streaming Misra-Gries heavy hitters — the fixed-state sketch
+    * family's streaming column (SURVEY §7 r11 candidate): each of
+    * `shards` state keys (user_id mod shards) maintains a c-counter MG
+    * summary of ITS substream inside `flatMapGroupsWithState`, across
+    * a two-batch staged handoff (the [[lifecycle]] staging pattern).
+    * Every batch the shard emits its CURRENT summary tagged with its
+    * monotone rows-seen counter to a distributed file sink; the batch
+    * tail keeps each shard's latest summary and merges the `shards`
+    * summaries with the mergeable-summaries reduction (pairwise
+    * counter sum, then one (c+1)-th-largest subtraction — the same
+    * merge [[graft.functions.MgTopKAgg]] implements), over ≤ shards·c
+    * rows of BOUNDED sketch state (the documented driver-state
+    * contract of the ANN codebook collects).
+    *
+    * Raw MG counter values are merge-shape-dependent, so the QUERY
+    * emits only the partition-invariant facts (the batch
+    * sketch_topk_mg discipline): the exact top-10 tags with, per tag,
+    * the THEOREM columns that must be 1 for any correct execution —
+    * `present_ok` (a tag with true > n/(c+1) is in the summary),
+    * `bound_ok` (est ≤ true ≤ est + err), `err_bound_ok`
+    * (err·(c+1) ≤ n). A lost state handoff deflates est+err below a
+    * heavy tag's true count; a re-delivered batch inflates est past
+    * it — both flip a flag and fail the exact-match gate. */
+  def mgHeavyHitters(spark: SparkSession, sfDir: String,
+                     c: Int = 8, shards: Int = 8): DataFrame = {
+    import spark.implicits._
+
+    val fn = (shard: Int, rows: Iterator[(Int, Long)], state: GroupState[MgState]) => {
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      var (seen, err) = state.getOption match {
+        case Some(s) =>
+          var i = 0
+          while (i < s.tags.length) { m(s.tags(i)) = s.ests(i); i += 1 }
+          (s.nSeen, s.err)
+        case None => (0L, 0L)
+      }
+      rows.foreach { case (_, tag) =>
+        seen += 1L
+        // 0L absence sentinel — live counters are >= 1 (getOrNull
+        // unboxes a missing primitive to 0L; see MgTopKAgg.update)
+        val cur = m.getOrElse(tag, 0L)
+        if (cur != 0L) m(tag) = cur + 1L
+        else if (m.size < c) m(tag) = 1L
+        else { // classic batch decrement; the arriving row pays for it
+          val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+          m.foreachEntry { (k, v) => if (v == 1L) dead += k else m(k) = v - 1L }
+          dead.foreach(m.remove)
+          err += 1L
+        }
+      }
+      val ts = m.keys.toArray
+      val ests = ts.map(m)
+      state.update(MgState(seen, err, ts, ests))
+      ts.iterator.zip(ests.iterator).map { case (t, e) =>
+        MgEmit(shard, seen, err, t, e)
+      }
+    }
+
+    // stage the event history in two time halves (multi-batch state
+    // handoff; mtime-pinned order, one file per half = one batch each)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_mg_")
+    base.toFile.deleteOnExit()
+    val raw = spark.read.schema(eventsSchema(spark, sfDir))
+      .parquet(s"$sfDir/events.parquet")
+      .select(pmod(col("user_id"), lit(shards)).cast("int").as("shard"),
+        col("user_id"),
+        unix_micros(tsUtc(spark, sfDir)).as("ts_us"))
+      .localCheckpoint(false)
+    val bounds = raw.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+    val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+    raw.filter(col("ts_us") < mid).select("shard", "user_id")
+      .coalesce(1).write.parquet(s"$base/stage/h1")
+    raw.filter(col("ts_us") >= mid).select("shard", "user_id")
+      .coalesce(1).write.parquet(s"$base/stage/h2")
+    val now = System.currentTimeMillis()
+    for ((wave, t) <- Seq("h1" -> (now - 60000L), "h2" -> now);
+         f <- new java.io.File(s"$base/stage/$wave").listFiles())
+      f.setLastModified(t)
+
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("shard", IntegerType),
+        StructField("user_id", LongType))))
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/stage")
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+
+    withStateParts(spark) {
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/chk")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch tail: each shard's LATEST summary (max n_seen is monotone
+    // per shard), then the bounded driver-side mergeable-summaries fold
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+    val fin = spark.read.parquet(s"$base/data")
+      .withColumn("mx", max("n_seen").over(w))
+      .filter(col("n_seen") === col("mx"))
+      .select("shard", "n_seen", "err", "tag", "est")
+      .collect() // ≤ shards·c summary rows — bounded sketch state
+    val n = fin.groupBy(_.getInt(0)).map { case (_, rs) => rs.head.getLong(1) }.sum
+    var errFinal = fin.groupBy(_.getInt(0)).map { case (_, rs) => rs.head.getLong(2) }.sum
+    val merged = scala.collection.mutable.LongMap.empty[Long]
+    fin.foreach(r => merged(r.getLong(3)) = merged.getOrElse(r.getLong(3), 0L) + r.getLong(4))
+    if (merged.size > c) { // one (c+1)-th-largest subtraction
+      val vs = merged.values.toArray
+      java.util.Arrays.sort(vs)
+      val t = vs(vs.length - 1 - c)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+      merged.foreachEntry { (k, v) => if (v <= t) dead += k else merged(k) = v - t }
+      dead.foreach(merged.remove)
+      errFinal += t
+    }
+    val summary =
+      if (merged.isEmpty) spark.emptyDataset[(Long, Long)].toDF("tag", "mg_est")
+      else merged.toSeq.toDF("tag", "mg_est")
+
+    graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      .join(broadcast(summary), col("user_id") === col("tag"), "left")
+      .withColumn("est", coalesce(col("mg_est"), lit(0L)))
+      .select(
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact_n").desc, col("user_id")))).cast("bigint").as("rank"),
+        col("user_id"), col("exact_n"),
+        (col("exact_n") * (c + 1) > n).cast("bigint").as("guaranteed"),
+        (col("exact_n") * (c + 1) <= n || col("est") > 0).cast("bigint").as("present_ok"),
+        (col("est") <= col("exact_n") &&
+          col("exact_n") <= col("est") + errFinal).cast("bigint").as("bound_ok"),
+        lit(if (errFinal * (c + 1) <= n) 1L else 0L).as("err_bound_ok"))
+      .orderBy("rank")
+  }
+
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                               start_us: Long, dur_us: Long)

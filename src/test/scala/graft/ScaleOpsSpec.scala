@@ -297,6 +297,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     for (parts <- Seq(1, 7, 32)) {
       val (err, items) = run(capacity = 16, parts)
       assert(err <= n / 17, s"err $err exceeds n/(c+1) at $parts partitions")
+      // 40 keys > capacity 16 MUST cost error: err == 0 here means the
+      // capacity branch is dead and state grew unbounded (the r10
+      // LongMap.getOrNull unboxing bug — missing Long keys read as 0L,
+      // so the null check never fired and updates never decremented)
+      assert(err > 0, s"no decrement ever fired at $parts partitions")
       items.foreach { case (tag, est) =>
         assert(est <= exact(tag) && exact(tag) <= est + err,
           s"tag $tag est $est outside [true-err, true] at $parts partitions")
@@ -312,6 +317,50 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(err == 0L && items == exact,
         s"capacity-covered summary not exact at $parts partitions")
     }
+  }
+
+  test("hll_source_snapshots: the snapshot fold equals the one-shot estimate") {
+    // mergeability contract: folding generation 1's persisted state
+    // with generation 2's must be indistinguishable from one pass over
+    // the full history
+    val folded = SparkEntry.queries("hll_source_snapshots")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (b, r) = graft.ops.HllSketch.bucketRho(spark, col("k"))
+    val oneShot = graft.ops.HllSketch.estimate(
+        Tables.documents(spark, sf)
+          .select(col("source"), md5(col("text").cast("binary")).as("k"))
+          .select(col("source"), b, r)
+          .groupBy("source", "bucket").agg(max("rho").as("rho")),
+        Seq("source"))
+      .orderBy("source")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(folded.sameElements(oneShot),
+      s"snapshot fold drifted: ${folded.toSeq} vs ${oneShot.toSeq}")
+  }
+
+  test("corpus_temperature_mix: exact integer sqrt weights, budget-consistent quotas") {
+    val rows = SparkEntry.queries("corpus_temperature_mix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (chars, w) = (r.getAs[Long]("n_chars"), r.getAs[Long]("w_sqrt"))
+      assert(w * w <= chars && chars < (w + 1) * (w + 1),
+        s"w_sqrt not the integer sqrt: $r")
+    }
+    // half-up rounding keeps the summed quota within ±(n_sources/2)+1
+    // of the budget, and the u4 shares within the same slack of 10^4
+    val qSum = rows.map(_.getAs[Long]("quota_chars")).sum
+    assert(math.abs(qSum - 1000000L) <= rows.length / 2 + 1,
+      s"quota sum $qSum drifted from the 1e6 budget")
+    val sSum = rows.map(_.getAs[Long]("share_u4")).sum
+    assert(math.abs(sSum - 10000L) <= rows.length / 2 + 1,
+      s"u4 share sum $sSum drifted from 10^4")
+    // temperature flattening: the weight RATIO between the largest and
+    // smallest source is the sqrt of the size ratio (never steeper)
+    val mx = rows.maxBy(_.getAs[Long]("n_chars"))
+    val mn = rows.minBy(_.getAs[Long]("n_chars"))
+    val sizeRatio = mx.getAs[Long]("n_chars").toDouble / mn.getAs[Long]("n_chars")
+    val wRatio = mx.getAs[Long]("w_sqrt").toDouble / mn.getAs[Long]("w_sqrt")
+    assert(wRatio <= sizeRatio, "temperature failed to flatten the head")
   }
 
   test("topk_agg is exact and merge-order-invariant across partitionings") {

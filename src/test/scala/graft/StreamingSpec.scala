@@ -114,6 +114,26 @@ class StreamingSpec extends AnyFunSuite {
       "second pass re-emitted pre-split history — incremental contract broken")
   }
 
+  test("streaming Misra-Gries holds the MG guarantee across the state handoff") {
+    val got = graft.streaming.EventStreams.mgHeavyHitters(spark, sf).collect()
+    assert(got.length == 10, s"expected the exact top-10, got ${got.length}")
+    // every theorem flag must render 1 — present_ok catches a lost
+    // batch-2 state (est+err deflates below a heavy tag's true count
+    // flips bound_ok; a re-delivered batch inflates est past exact_n)
+    got.foreach { r =>
+      assert(r.getAs[Long]("present_ok") == 1L, s"present_ok violated: $r")
+      assert(r.getAs[Long]("bound_ok") == 1L, s"bound_ok violated: $r")
+      assert(r.getAs[Long]("err_bound_ok") == 1L, s"err_bound_ok violated: $r")
+    }
+    // the exact columns equal the batch top-10
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (u, n) => (-n, u) }.take(10)
+    val gotPairs = got.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("exact_n")))
+    assert(gotPairs.sameElements(batch), "exact top-10 diverged from batch")
+  }
+
   test("watermarked stream-stream interval join equals the batch range join") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.EventStreams.streamRangeJoin(spark, sf)
