@@ -66,20 +66,27 @@ object Hnsw {
       val nl = e.filter(col("level") >= l)
         .select(col("vec_id"), col("v"), col("nrm"),
           col("b0"), col("b1"), col("b2"))
+      // cosine is symmetric: generate each UNORDERED pair once
+      // (src < dst canonical), score it once, then emit both
+      // directions — halves the pair-join volume and the dot-product
+      // work on the build's dominant stage
       val pairs = (0 to 2).map { i =>
         nl.select(col("vec_id").as("src"), col(s"b$i").as("bk"))
           .join(nl.select(col("vec_id").as("dst"), col(s"b$i").as("bk")), "bk")
-          .filter(col("src") =!= col("dst"))
+          .filter(col("src") < col("dst"))
           .select("src", "dst")
       }.reduce(_.unionByName(_)).distinct()
       val cos = Dedup.dot(col("av"), col("bv")) / (col("an") * col("bn"))
-      val w = Window.partitionBy("src").orderBy(col("c").desc, col("dst"))
-      pairs
+      val scored = pairs
         .join(nl.select(col("vec_id").as("src"), col("v").as("av"),
           col("nrm").as("an")), "src")
         .join(nl.select(col("vec_id").as("dst"), col("v").as("bv"),
           col("nrm").as("bn")), "dst")
         .select(col("src"), col("dst"), cos.as("c"))
+      val w = Window.partitionBy("src").orderBy(col("c").desc, col("dst"))
+      scored
+        .unionByName(scored.select(col("dst").as("src"), col("src").as("dst"),
+          col("c")))
         .withColumn("r", row_number().over(w)).filter(col("r") <= m)
         .select("src", "dst")
     }
