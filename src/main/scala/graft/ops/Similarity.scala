@@ -69,12 +69,21 @@ object Similarity {
     * Output: probe_id, rank, neighbor_id, cos (4dp), cell. */
   def ivfTopK(emb: DataFrame, probeFilter: Column, k: Int = 5,
               cells: Int = 16, nprobe: Int = 4,
-              lloydIters: Int = 1): DataFrame = {
+              lloydIters: Int = 1,
+              buildFilter: Column = lit(true)): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     require(lloydIters >= 0 && lloydIters <= 64,
       s"lloydIters out of range: $lloydIters")
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+    // index maintenance at scale: `buildFilter` restricts the coarse
+    // quantizer TRAINING set (seed sample + Lloyd refinement) — e.g.
+    // to an earlier corpus generation — while assignment and search
+    // always cover the full corpus, so a new landing shard is
+    // searchable by pure assignment against the frozen centroids, with
+    // NO re-clustering of history (ann_ivf_append measures the recall
+    // cost of exactly this staleness)
+    val eb = e.filter(buildFilter)
 
     // deterministic pseudo-random seed sample (multiplicative-hash
     // ordered — engine-neutral, so the DuckDB oracle re-derives the
@@ -84,14 +93,14 @@ object Similarity {
     // float summation order (fixed-point centroids — no quality impact
     // at this precision, deterministic assignment everywhere).
     val seeds = centroidRows(
-      e.orderBy(pmod(col("vec_id") * lit(2654435761L), lit(1000003L)), col("vec_id"))
+      eb.orderBy(pmod(col("vec_id") * lit(2654435761L), lit(1000003L)), col("vec_id"))
         .limit(cells).select(col("v")).collect().map(_.getSeq[Double](0).toArray))
     require(seeds.length == cells,
-      s"ivfTopK needs >= cells=$cells corpus vectors to seed the coarse " +
+      s"ivfTopK needs >= cells=$cells build-set vectors to seed the coarse " +
       s"quantizer; got ${seeds.length} — lower cells for tiny inputs")
     val refined = (1 to lloydIters).foldLeft(seeds) { (cents, _) =>
       centroidRows(
-        e.withColumn("cell", nearestCell(col("v"), col("nrm"), cents))
+        eb.withColumn("cell", nearestCell(col("v"), col("nrm"), cents))
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cell", "pos").agg(round(avg("x"), 6).as("m"))
           .groupBy("cell")

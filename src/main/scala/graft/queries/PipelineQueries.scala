@@ -252,6 +252,24 @@ object PipelineQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
 
+    // INCREMENTAL INDEX MAINTENANCE: the coarse quantizer trains on
+    // the FIRST THREE QUARTERS of the corpus only (generation 1); the
+    // last quarter lands later and is indexed by pure assignment
+    // against the frozen centroids — no re-clustering of history, the
+    // cadence a 100 TB vector store actually runs. Probes are drawn
+    // from the APPENDED generation, so the query measures that new
+    // vectors are immediately searchable through a stale quantizer
+    // (compare with ann_ivf's fresh-build results; ann_ivf_cells_sweep
+    // quantifies the recall side)
+    "ann_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val thr = emb.agg(expr("3*(max(vec_id)+1) div 4").as("t")).head().getLong(0)
+      Similarity.ivfTopK(emb,
+          col("vec_id") >= thr && col("vec_id") < thr + 10, k = 5,
+          buildFilter = col("vec_id") < thr)
+        .orderBy("probe_id", "rank")
+    }),
+
     // product-quantized ANN: codebook-trained 8-byte codes replace the
     // 512-byte vectors on the search side; LSH buckets gate candidates
     // (equi-join), asymmetric distance ranks them (Similarity.pqTopK)
@@ -1655,6 +1673,36 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // TEMPERATURE SWEEP over the mixture exponent: the measurement
+    // that picks α — quotas at α = 1 (proportional), 1/2 and 1/4 from
+    // ONE corpus aggregation (the sweep is a constant 3-way explode of
+    // the per-source table, not three corpus passes). Nested integer
+    // sqrt keeps every α exact: floor(sqrt(floor(sqrt(n)))) ≡
+    // floor(n^(1/4)) (integer-nested-radical identity), so no
+    // engine-divergent pow() anywhere. Per-α totals are a 3-row dim —
+    // a broadcast equi-join, not a scalar.
+    "corpus_mix_alpha_sweep" -> ((s, dir) => {
+      val budget = 1000000L
+      val isqrt  = "CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT)"
+      val per = Tables.documents(s, dir)
+        .groupBy("source").agg(sum("n_chars").as("n_chars"))
+      val v = per.select(col("source"), explode(array(
+          struct(lit(10000L).as("alpha_u4"), col("n_chars").as("w")),
+          struct(lit(5000L).as("alpha_u4"), expr(isqrt).as("w")),
+          struct(lit(2500L).as("alpha_u4"),
+            expr(s"CAST(floor(sqrt(CAST($isqrt AS DOUBLE))) AS BIGINT)").as("w"))
+        )).as("t"))
+        .select(col("source"), col("t.alpha_u4"), col("t.w"))
+        .localCheckpoint(false) // feeds the per-α totals AND the quotas
+      val tot = v.groupBy("alpha_u4").agg(sum("w").as("w_tot"))
+      v.join(broadcast(tot), "alpha_u4")
+        .withColumn("quota_chars",
+          expr(s"(2*${budget}L*w + w_tot) div (2*w_tot)"))
+        .withColumn("share_u4", expr("(2*10000L*w + w_tot) div (2*w_tot)"))
+        .select("alpha_u4", "source", "w", "quota_chars", "share_u4")
+        .orderBy("alpha_u4", "source")
+    }),
+
     // TEMPERATURE-SCALED SOURCE MIXTURE (multilingual-LM sampling: a
     // source's sampling weight ∝ size^α flattens the head and lifts
     // the tail). α = 1/2 keeps the whole computation EXACT-integer:
@@ -1686,6 +1734,58 @@ object PipelineQueries {
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   import DuckHash.{sx, fnvHx, ghashSql, goldenU, pow2List}
+
+  /** Full IVF replay, parameterized over the quantizer TRAINING set
+    * (`buildWhere` filters seeds + Lloyd refinement — empty trains on
+    * everything) and the probe predicate. Assignment and search always
+    * cover the full corpus, mirroring Similarity.ivfTopK's buildFilter.
+    * The `thr` CTE (3·(max+1)/4 — the generation boundary) is defined
+    * unconditionally; it is simply unused by the full-build variant. */
+  private def ivfReplaySql(buildWhere: String, probeWhere: String): String =
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |thr AS (SELECT 3*(max(vec_id)+1)//4 AS t FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+       |eb AS (SELECT * FROM e $buildWhere),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+       |  FROM eb QUALIFY cell < 16),
+       |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+       |a0 AS (
+       |  SELECT e.vec_id, e.v, e.nrm, sd.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*sd.c[i])) / (e.nrm*sd.cn) DESC,
+       |               sd.cell DESC) AS rk
+       |  FROM eb e CROSS JOIN sd QUALIFY rk = 1),
+       |r0 AS (
+       |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+       |  FROM a0, unnest(range(1, 65)) t(i)
+       |  GROUP BY cell, i),
+       |rc AS (
+       |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+       |         list(m ORDER BY pos) AS c
+       |  FROM r0 GROUP BY cell),
+       |rcn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
+       |corp AS (
+       |  SELECT e.vec_id, e.v, e.nrm, rcn.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rcn.c[i])) / (e.nrm*rcn.cn) DESC,
+       |               rcn.cell DESC) AS rk
+       |  FROM e CROSS JOIN rcn QUALIFY rk = 1),
+       |pr AS (
+       |  SELECT e.vec_id AS probe_id, e.v AS pv, e.nrm AS pn, rcn.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rcn.c[i])) / (e.nrm*rcn.cn) DESC,
+       |               rcn.cell DESC) AS rk
+       |  FROM e CROSS JOIN rcn WHERE $probeWhere QUALIFY rk <= 4),
+       |s AS (
+       |  SELECT pr.probe_id, corp.vec_id, corp.cell,
+       |    list_sum(list_transform(range(1,65), i -> pr.pv[i]*corp.v[i])) / (pr.pn*corp.nrm) AS cos
+       |  FROM corp JOIN pr ON corp.cell = pr.cell AND corp.vec_id <> pr.probe_id),
+       |r AS (SELECT probe_id, vec_id, cell, cos,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos, cell
+       |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
   // Full replay of the streaming HLL state + estimator at day grain
   // (same portable hash, bucket/rho split, max-rho merge and float
@@ -3461,49 +3561,15 @@ object PipelineQueries {
     // re-ranking of surviving cells (the engine collects refined
     // centroids orderBy(cell), so indices re-pack), reassignment,
     // nprobe=4 probing, in-cell top-5
-    "ann_ivf" ->
-      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
-        |seeds AS (
-        |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < 16),
-        |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
-        |a0 AS (
-        |  SELECT e.vec_id, e.v, e.nrm, sd.cell,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*sd.c[i])) / (e.nrm*sd.cn) DESC,
-        |               sd.cell DESC) AS rk
-        |  FROM e CROSS JOIN sd QUALIFY rk = 1),
-        |r0 AS (
-        |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
-        |  FROM a0, unnest(range(1, 65)) t(i)
-        |  GROUP BY cell, i),
-        |rc AS (
-        |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
-        |         list(m ORDER BY pos) AS c
-        |  FROM r0 GROUP BY cell),
-        |rcn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
-        |corp AS (
-        |  SELECT e.vec_id, e.v, e.nrm, rcn.cell,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rcn.c[i])) / (e.nrm*rcn.cn) DESC,
-        |               rcn.cell DESC) AS rk
-        |  FROM e CROSS JOIN rcn QUALIFY rk = 1),
-        |pr AS (
-        |  SELECT e.vec_id AS probe_id, e.v AS pv, e.nrm AS pn, rcn.cell,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rcn.c[i])) / (e.nrm*rcn.cn) DESC,
-        |               rcn.cell DESC) AS rk
-        |  FROM e CROSS JOIN rcn WHERE e.vec_id < 10 QUALIFY rk <= 4),
-        |s AS (
-        |  SELECT pr.probe_id, corp.vec_id, corp.cell,
-        |    list_sum(list_transform(range(1,65), i -> pr.pv[i]*corp.v[i])) / (pr.pn*corp.nrm) AS cos
-        |  FROM corp JOIN pr ON corp.cell = pr.cell AND corp.vec_id <> pr.probe_id),
-        |r AS (SELECT probe_id, vec_id, cell, cos,
-        |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
-        |      FROM s)
-        |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos, cell
-        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "ann_ivf" -> ivfReplaySql(buildWhere = "", probeWhere = "e.vec_id < 10"),
+
+    // same replay with the quantizer trained on generation 1 only
+    // (vec_id < thr = 3·(max+1)/4) and probes from the appended
+    // generation — assignment/search still cover the full corpus
+    "ann_ivf_append" -> ivfReplaySql(
+      buildWhere = "WHERE vec_id < (SELECT t FROM thr)",
+      probeWhere =
+        "e.vec_id >= (SELECT t FROM thr) AND e.vec_id < (SELECT t FROM thr) + 10"),
 
     "sample_stratified" ->
       """SELECT doc_id, lang,
@@ -4131,6 +4197,26 @@ object PipelineQueries {
          |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT)
          |    AS est_distinct_texts
          |FROM fin ORDER BY source""".stripMargin,
+
+    // same integer-exact arithmetic swept over α ∈ {1, 1/2, 1/4};
+    // nested floor-sqrt is floor(n^(1/4)) exactly
+    "corpus_mix_alpha_sweep" ->
+      """WITH p AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |           FROM documents GROUP BY 1),
+        |v AS (
+        |  SELECT source, 10000 AS alpha_u4, n_chars AS w FROM p
+        |  UNION ALL
+        |  SELECT source, 5000,
+        |    CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT) FROM p
+        |  UNION ALL
+        |  SELECT source, 2500,
+        |    CAST(floor(sqrt(CAST(CAST(floor(sqrt(CAST(n_chars AS DOUBLE)))
+        |      AS BIGINT) AS DOUBLE))) AS BIGINT) FROM p),
+        |t AS (SELECT alpha_u4, sum(w) AS w_tot FROM v GROUP BY 1)
+        |SELECT CAST(v.alpha_u4 AS BIGINT) AS alpha_u4, source, w,
+        |  CAST((2*1000000*w + w_tot) // (2*w_tot) AS BIGINT) AS quota_chars,
+        |  CAST((2*10000*w + w_tot) // (2*w_tot) AS BIGINT) AS share_u4
+        |FROM v JOIN t USING (alpha_u4) ORDER BY alpha_u4, source""".stripMargin,
 
     // α = 1/2 temperature weights: floor(sqrt(bigint)) is IEEE-exact
     // below 2^50 in both engines; quota/share are half-up integer

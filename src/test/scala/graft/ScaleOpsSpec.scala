@@ -363,6 +363,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(wRatio <= sizeRatio, "temperature failed to flatten the head")
   }
 
+  test("corpus_mix_alpha_sweep: temperature monotonically flattens shares") {
+    val rows = SparkEntry.queries("corpus_mix_alpha_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("alpha_u4"), r.getAs[String]("source"),
+        r.getAs[Long]("w"), r.getAs[Long]("share_u4")))
+    assert(rows.map(_._1).distinct.sorted.sameElements(Array(2500L, 5000L, 10000L)))
+    // per-α shares sum to ~10^4 (half-up slack)
+    rows.groupBy(_._1).foreach { case (a, rs) =>
+      val s = rs.map(_._4).sum
+      assert(math.abs(s - 10000L) <= rs.length / 2 + 1, s"α=$a share sum $s")
+    }
+    // lowering α must not RAISE the biggest source's share nor LOWER
+    // the smallest's — the flattening direction, per source extreme
+    val byAlpha = rows.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._4).toMap)
+    val w1 = rows.filter(_._1 == 10000L)
+    val big = w1.maxBy(_._3)._2
+    val small = w1.minBy(_._3)._2
+    assert(byAlpha(10000L)(big) >= byAlpha(5000L)(big) &&
+      byAlpha(5000L)(big) >= byAlpha(2500L)(big),
+      "largest source's share did not shrink as α fell")
+    assert(byAlpha(10000L)(small) <= byAlpha(5000L)(small) &&
+      byAlpha(5000L)(small) <= byAlpha(2500L)(small),
+      "smallest source's share did not grow as α fell")
+  }
+
+  test("ann_ivf_append: appended generation is searchable through the frozen quantizer") {
+    val emb = Tables.embeddings(spark, sf)
+    val thr = emb.agg(expr("3*(max(vec_id)+1) div 4")).head().getLong(0)
+    val rows = SparkEntry.queries("ann_ivf_append")(spark, sf).collect()
+    val probes = rows.map(_.getAs[Long]("probe_id")).distinct
+    assert(probes.length == 10 && probes.forall(p => p >= thr && p < thr + 10),
+      "probes must come from the appended generation")
+    // every probe gets a full ranked list (its nprobe cells are
+    // populated even though the quantizer never saw generation 2)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5),
+        s"probe $p missing ranks")
+    }
+    // the frozen-quantizer index indexes the WHOLE corpus: appended
+    // vectors must be reachable as neighbors somewhere in the results
+    assert(rows.exists(_.getAs[Long]("neighbor_id") >= thr),
+      "no appended vector ever surfaced as a neighbor — gen 2 unsearchable")
+  }
+
   test("topk_agg is exact and merge-order-invariant across partitionings") {
     graft.functions.TopKAgg.register(spark)
     val counts = Tables.events(spark, sf)
