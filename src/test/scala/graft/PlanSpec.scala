@@ -343,6 +343,20 @@ class PlanSpec extends AnyFunSuite {
       s"rule over-applied to a multi-row side:\n$p2")
   }
 
+  test("temperature mixes fold quotas from one materialized corpus aggregate") {
+    // the per-source table is localCheckpointed once; the totals and
+    // the quota rows both consume it — the final plan must not touch
+    // the corpus again, and the per-α totals attach as a broadcast
+    // equi-join (3-row dim / degenerate scalar key), never a product
+    for (name <- Seq("corpus_temperature_mix", "corpus_mix_alpha_sweep")) {
+      val p = plan(name)
+      assert(countOccurrences(p, "documents.parquet") == 0,
+        s"$name must fold quotas from the checkpointed per-source table:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name totals must attach via broadcast hash join:\n$p")
+    }
+  }
+
   test("co-occurrence self-joins the materialized user-day dedup, not raw events") {
     val p = plan("events_cooccurrence")
     assert(countOccurrences(p, "events.parquet") == 0,
