@@ -67,40 +67,14 @@ final case class MgTopKAgg(
   override def update(buf: MgTopKAgg.State, input: InternalRow): MgTopKAgg.State = {
     val t = child.eval(input)
     if (t == null) return buf
-    val key = t.asInstanceOf[Number].longValue()
-    // 0L is a safe absence sentinel: live counters are always >= 1
-    // (LongMap.getOrNull unboxes missing primitives to 0L, so a null
-    // check here would never fire and the capacity branch would be
-    // dead — the map would silently grow past c)
-    val cur = buf.map.getOrElse(key, 0L)
-    if (cur != 0L) buf.map(key) = cur + 1L
-    else if (buf.map.size < c) buf.map(key) = 1L
-    else { // batch decrement: the arriving row pays for it
-      val dead = mutable.ArrayBuffer.empty[Long]
-      buf.map.foreachEntry { (k, v) =>
-        if (v == 1L) dead += k else buf.map(k) = v - 1L
-      }
-      dead.foreach(buf.map.remove)
-      buf.err += 1L
-    }
+    buf.err += MgTopKAgg.updateOne(buf.map, t.asInstanceOf[Number].longValue(), c)
     buf
   }
 
   override def merge(buf: MgTopKAgg.State, other: MgTopKAgg.State): MgTopKAgg.State = {
     buf.err += other.err
     other.map.foreachEntry { (k, v) => buf.map(k) = buf.map.getOrElse(k, 0L) + v }
-    if (buf.map.size > c) {
-      // (c+1)-th largest counter is the global subtraction value
-      val vs = buf.map.values.toArray
-      java.util.Arrays.sort(vs)
-      val t = vs(vs.length - 1 - c)
-      val dead = mutable.ArrayBuffer.empty[Long]
-      buf.map.foreachEntry { (k, v) =>
-        if (v <= t) dead += k else buf.map(k) = v - t
-      }
-      dead.foreach(buf.map.remove)
-      buf.err += t
-    }
+    buf.err += MgTopKAgg.subtractToCapacity(buf.map, c)
     buf
   }
 
@@ -138,6 +112,44 @@ final case class MgTopKAgg(
 object MgTopKAgg {
   /** Mutable MG summary: error register + tag → counter map (≤ c). */
   final class State(var err: Long, val map: mutable.LongMap[Long])
+
+  /** One MG arrival into `m` under capacity `c`; returns the error
+    * delta (1 when the batch decrement fired, else 0). The SINGLE
+    * definition of the update step — the streaming shard state
+    * (EventStreams.mgHeavyHitters) calls this too, so the two paths
+    * cannot drift (the r10 getOrNull unboxing bug lived in exactly
+    * such a duplicated copy). 0L is a safe absence sentinel: live
+    * counters are always >= 1 (LongMap.getOrNull unboxes missing
+    * primitives to 0L, so a null check never fires and would leave
+    * the capacity branch dead — the map would silently grow past c). */
+  def updateOne(m: mutable.LongMap[Long], key: Long, c: Int): Long = {
+    val cur = m.getOrElse(key, 0L)
+    if (cur != 0L) { m(key) = cur + 1L; 0L }
+    else if (m.size < c) { m(key) = 1L; 0L }
+    else { // batch decrement: the arriving row pays for it
+      val dead = mutable.ArrayBuffer.empty[Long]
+      m.foreachEntry { (k, v) => if (v == 1L) dead += k else m(k) = v - 1L }
+      dead.foreach(m.remove)
+      1L
+    }
+  }
+
+  /** The mergeable-summaries reduction: if `m` exceeds `c` entries,
+    * subtract the (c+1)-th-largest counter from every entry and drop
+    * the non-positives; returns the subtraction (the error delta, 0
+    * when already within capacity). Shared by merge() and the
+    * streaming batch tail. */
+  def subtractToCapacity(m: mutable.LongMap[Long], c: Int): Long =
+    if (m.size <= c) 0L
+    else {
+      val vs = m.values.toArray
+      java.util.Arrays.sort(vs)
+      val t = vs(vs.length - 1 - c)
+      val dead = mutable.ArrayBuffer.empty[Long]
+      m.foreachEntry { (k, v) => if (v <= t) dead += k else m(k) = v - t }
+      dead.foreach(m.remove)
+      t
+    }
 
   /** Register `mg_topk_agg(tag, c)` as a SQL aggregate on the session. */
   def register(spark: SparkSession): Unit =

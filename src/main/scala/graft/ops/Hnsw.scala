@@ -67,9 +67,12 @@ object Hnsw {
         .select(col("vec_id"), col("v"), col("nrm"),
           col("b0"), col("b1"), col("b2"))
       // cosine is symmetric: generate each UNORDERED pair once
-      // (src < dst canonical), score it once, then emit both
-      // directions — halves the pair-join volume and the dot-product
-      // work on the build's dominant stage
+      // (src < dst canonical), score it once, then EXPLODE the scored
+      // row into both directions inside the same operator tree — a
+      // flip-union would reference the join subtree twice and Catalyst
+      // would execute it twice (only Exchanges dedupe), while the
+      // 2-element Generate keeps the pair join + dot product at
+      // exactly one evaluation per unordered pair
       val pairs = (0 to 2).map { i =>
         nl.select(col("vec_id").as("src"), col(s"b$i").as("bk"))
           .join(nl.select(col("vec_id").as("dst"), col(s"b$i").as("bk")), "bk")
@@ -77,16 +80,18 @@ object Hnsw {
           .select("src", "dst")
       }.reduce(_.unionByName(_)).distinct()
       val cos = Dedup.dot(col("av"), col("bv")) / (col("an") * col("bn"))
-      val scored = pairs
+      val w = Window.partitionBy("src").orderBy(col("c").desc, col("dst"))
+      pairs
         .join(nl.select(col("vec_id").as("src"), col("v").as("av"),
           col("nrm").as("an")), "src")
         .join(nl.select(col("vec_id").as("dst"), col("v").as("bv"),
           col("nrm").as("bn")), "dst")
-        .select(col("src"), col("dst"), cos.as("c"))
-      val w = Window.partitionBy("src").orderBy(col("c").desc, col("dst"))
-      scored
-        .unionByName(scored.select(col("dst").as("src"), col("src").as("dst"),
-          col("c")))
+        .select(col("src"), col("dst"), cos.as("c")) // score ONCE, then flip
+        .select(explode(array(
+          struct(col("src"), col("dst"), col("c")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("c"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.c").as("c"))
         .withColumn("r", row_number().over(w)).filter(col("r") <= m)
         .select("src", "dst")
     }

@@ -669,24 +669,21 @@ object EventStreams {
       }
       rows.foreach { case (_, tag) =>
         seen += 1L
-        // 0L absence sentinel — live counters are >= 1 (getOrNull
-        // unboxes a missing primitive to 0L; see MgTopKAgg.update)
-        val cur = m.getOrElse(tag, 0L)
-        if (cur != 0L) m(tag) = cur + 1L
-        else if (m.size < c) m(tag) = 1L
-        else { // classic batch decrement; the arriving row pays for it
-          val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
-          m.foreachEntry { (k, v) => if (v == 1L) dead += k else m(k) = v - 1L }
-          dead.foreach(m.remove)
-          err += 1L
-        }
+        // the SINGLE update definition shared with the batch aggregate
+        err += graft.functions.MgTopKAgg.updateOne(m, tag, c)
       }
       val ts = m.keys.toArray
       val ests = ts.map(m)
       state.update(MgState(seen, err, ts, ests))
-      ts.iterator.zip(ests.iterator).map { case (t, e) =>
-        MgEmit(shard, seen, err, t, e)
-      }
+      // a HEADER row (sentinel tag, never a real user_id — ids are
+      // non-negative) always accompanies the summary: a decrement
+      // cascade can legitimately empty the map, and a batch that
+      // emitted nothing would leave the tail reading the PREVIOUS
+      // batch's n_seen/err for this shard (stale n, stale err)
+      Iterator.single(MgEmit(shard, seen, err, Long.MinValue, 0L)) ++
+        ts.iterator.zip(ests.iterator).map { case (t, e) =>
+          MgEmit(shard, seen, err, t, e)
+        }
     }
 
     // stage the event history in two time halves (multi-batch state
@@ -732,26 +729,21 @@ object EventStreams {
     }
 
     // batch tail: each shard's LATEST summary (max n_seen is monotone
-    // per shard), then the bounded driver-side mergeable-summaries fold
+    // per shard; the header row guarantees every batch is represented
+    // even when the summary itself is empty), then the bounded
+    // driver-side mergeable-summaries fold via the shared reduction
     val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
     val fin = spark.read.parquet(s"$base/data")
       .withColumn("mx", max("n_seen").over(w))
       .filter(col("n_seen") === col("mx"))
       .select("shard", "n_seen", "err", "tag", "est")
-      .collect() // ≤ shards·c summary rows — bounded sketch state
+      .collect() // ≤ shards·(c+1) summary rows — bounded sketch state
     val n = fin.groupBy(_.getInt(0)).map { case (_, rs) => rs.head.getLong(1) }.sum
     var errFinal = fin.groupBy(_.getInt(0)).map { case (_, rs) => rs.head.getLong(2) }.sum
     val merged = scala.collection.mutable.LongMap.empty[Long]
-    fin.foreach(r => merged(r.getLong(3)) = merged.getOrElse(r.getLong(3), 0L) + r.getLong(4))
-    if (merged.size > c) { // one (c+1)-th-largest subtraction
-      val vs = merged.values.toArray
-      java.util.Arrays.sort(vs)
-      val t = vs(vs.length - 1 - c)
-      val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
-      merged.foreachEntry { (k, v) => if (v <= t) dead += k else merged(k) = v - t }
-      dead.foreach(merged.remove)
-      errFinal += t
-    }
+    fin.filter(_.getLong(3) != Long.MinValue) // drop header rows
+      .foreach(r => merged(r.getLong(3)) = merged.getOrElse(r.getLong(3), 0L) + r.getLong(4))
+    errFinal += graft.functions.MgTopKAgg.subtractToCapacity(merged, c)
     val summary =
       if (merged.isEmpty) spark.emptyDataset[(Long, Long)].toDF("tag", "mg_est")
       else merged.toSeq.toDF("tag", "mg_est")
