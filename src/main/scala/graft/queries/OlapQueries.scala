@@ -987,6 +987,31 @@ object OlapQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // WATERMARK-DELAY SELECTION AUDIT: what fraction of events would a
+    // streaming job drop as late at watermark delay D? Arrival order is
+    // event_id (the ingest sequence); the high-water mark is the
+    // running max of event time over that order — computed with the
+    // two-level Rank.runningMax decomposition (in-block partitioned
+    // window + broadcast block prefix), never a single-partition
+    // window. The 4-delay sweep is one explode of the audited rows,
+    // not four passes; percentages are §5 half-up u4 integers. This is
+    // the measurement that PICKS the withWatermark() delay the
+    // streaming operators hard-code.
+    "events_late_audit" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      graft.ops.Rank.runningMax(e, "event_id", "ts_us")
+        .select(col("ts_us"), col("run_max"),
+          explode(array(Seq(0L, 60L, 300L, 3600L).map(lit(_)): _*)).as("delay_s"))
+        .groupBy("delay_s")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("ts_us") < col("run_max") - col("delay_s") * 1000000L, 1L)
+            .otherwise(0L)).as("n_late"))
+        .withColumn("late_pct_u4",
+          expr("(2*10000L*n_late + n_events) div (2*n_events)"))
+        .orderBy("delay_s")
+    }),
+
     // TPC-H Q6 style: the canonical zero-join scan-aggregate. All three
     // range predicates (date window, discount band, quantity cap) push
     // into the parquet reader — at 100 TB the scan reads only the
@@ -2165,6 +2190,26 @@ object OlapQueries {
         |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
         |FROM lg WHERE prev IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // running max over arrival order replayed as the canonical window;
+    // the engine's two-level block decomposition must agree exactly
+    "events_late_audit" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        |r AS (SELECT ts_us,
+        |        max(ts_us) OVER (ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        |      FROM e),
+        |d AS (SELECT CAST(unnest([0, 60, 300, 3600]) AS BIGINT) AS delay_s),
+        |j AS (SELECT delay_s, count(*) AS n_events,
+        |        sum(CASE WHEN ts_us < wm - delay_s*1000000 THEN 1 ELSE 0 END)
+        |          AS n_late
+        |      FROM r CROSS JOIN d GROUP BY 1)
+        |SELECT CAST(delay_s AS BIGINT) AS delay_s,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_late AS BIGINT) AS n_late,
+        |  CAST((2*10000*n_late + n_events) // (2*n_events) AS BIGINT)
+        |    AS late_pct_u4
+        |FROM j ORDER BY delay_s""".stripMargin,
 
     "q6_forecast" ->
       s"""SELECT ${Exact.u4DollarsSql(

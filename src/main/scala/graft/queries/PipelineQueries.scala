@@ -649,6 +649,33 @@ object PipelineQueries {
         .orderBy("probe_id")
     }),
 
+    // BEAM-WIDTH SWEEP for the layered graph path: the latency knob of
+    // graph ANN is the per-hop frontier width — this measures the
+    // recall each width buys (the ann_ivf_cells_sweep pattern applied
+    // to Hnsw). The index is BUILT ONCE (uppers materialized — the
+    // persisted-index posture) and searched at each width; ground
+    // truth is computed once and checkpoint-shared too.
+    "ann_hnsw_beam_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ix = graft.ops.Hnsw.build(emb, materializeUppers = true)
+      val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+        .localCheckpoint(false) // shared ground truth across the sweep
+      Seq(4, 8, 16).map { beam =>
+        val hw = graft.ops.Hnsw.search(ix, col("vec_id") < 10, k = 5, beam = beam)
+          .select(col("probe_id").as("hp"), col("neighbor_id").as("hn"))
+        brute.join(hw,
+            col("probe_id") === col("hp") && col("neighbor_id") === col("hn"),
+            "left_outer")
+          .groupBy("probe_id")
+          .agg((count(col("hn")) / 5.0).as("recall"))
+          .agg(round(avg("recall"), 4).as("avg_recall"),
+            count(lit(1)).as("n_probes"))
+          .select(lit(beam.toLong).as("beam"), col("avg_recall"),
+            col("n_probes"))
+      }.reduce(_.unionByName(_)).orderBy("beam")
+    }),
+
     // PER-LANGUAGE CORPUS PROFILE: doc counts and mean token/quality
     // per language. Both means use the integer-space half-up trick —
     // token sums are exact integers and quality is 4dp-quantized, so
@@ -1121,6 +1148,35 @@ object PipelineQueries {
       Multimodal.ppmDecodeBatch(Tables.documents(s, dir)).toDF()
         .orderBy("doc_id")),
 
+    // perceptual average-hash over the honest P6 decode: 64 strided
+    // payload samples thresholded at the image mean (integer
+    // cross-multiplication, no float divide), shipped as four 16-bit
+    // chunk columns for the pigeonhole pairing below
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.phashBatch(Tables.documents(s, dir)).toDF()
+        .orderBy("doc_id")),
+
+    // image near-dup pairs at hamming ≤ 3: chunk-blocked equi-join
+    // (the simhashPairs shape in the image domain), hamming scored per
+    // 16-bit chunk so both engines stay in non-negative integers
+    "mm_phash_dedup" -> ((s, dir) =>
+      Multimodal.phashPairs(Tables.documents(s, dir))
+        .orderBy("id1", "id2")),
+
+    // image duplicate FAMILIES: connected components over the
+    // hamming<=3 phash pairs (the dedup_cluster machinery applied to
+    // the perceptual-hash graph), rolled up to the family-size
+    // histogram — the multimodal sibling of dedup_family_sizes
+    "mm_phash_families" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Cluster.dedupClusters(docs, Multimodal.phashPairs(docs))
+        .groupBy("cluster_id").agg(count(lit(1)).as("family_size"))
+        .groupBy("family_size").agg(count(lit(1)).as("n_families"))
+        .select(col("family_size"), col("n_families"),
+          (col("family_size") * col("n_families")).as("n_docs"))
+        .orderBy("family_size")
+    }),
+
     "stream_sessionize" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionize(s, dir)),
 
@@ -1162,6 +1218,14 @@ object PipelineQueries {
     // oracle is the same full-history replay as stream_distinct
     "stream_hll_refresh" -> ((s, dir) =>
       graft.streaming.EventStreams.distinctUsersIncremental(s, dir)),
+
+    // the hll_source_snapshots fold run ON the streaming checkpoint
+    // cadence (SURVEY §7 r11 candidate): two AvailableNow generations
+    // share one checkpoint, state is the bounded (source, bucket)
+    // max-rho grid, changed rows append as deltas — the full-history
+    // replay oracle is identical because the state is mergeable
+    "stream_hll_source_refresh" -> ((s, dir) =>
+      graft.streaming.EventStreams.sourceDistinctIncremental(s, dir)),
 
     "stream_distinct" -> ((s, dir) =>
       graft.streaming.EventStreams.distinctUsers(s, dir)),
@@ -1727,6 +1791,69 @@ object PipelineQueries {
         .select("source", "n_docs", "n_chars", "w_sqrt", "quota_chars", "share_u4")
         .orderBy("source")
     }),
+
+    // EPOCH / REPEAT PLANNING: the decision AFTER the temperature mix —
+    // a TOTAL training budget spread over the sqrt-temperature shares
+    // implies a repeat factor (epochs) per source; grants cap at 4
+    // epochs (the data-constrained repetition rule of thumb) and the
+    // unmet remainder is reported as deficit, so the capped mass is
+    // auditable before anyone re-normalizes. Same plan shape as the
+    // temperature mix: one corpus aggregation + one broadcast scalar;
+    // §5 half-up integer units throughout.
+    "corpus_epoch_plan" -> ((s, dir) => {
+      val budget = 10000000L // total training chars across all epochs
+      val per = Tables.documents(s, dir)
+        .groupBy("source").agg(sum("n_chars").as("n_chars"))
+        .withColumn("w_sqrt",
+          expr("CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT)"))
+        .localCheckpoint(false) // feeds the scalar AND the plan rows
+      val tot = per.agg(sum("w_sqrt").as("w_tot"))
+      graft.ops.Scalars.withScalar(per, col("source"), tot, col("w_tot"))
+        .withColumn("quota_chars",
+          expr(s"(2*${budget}L*w_sqrt + w_tot) div (2*w_tot)"))
+        .withColumn("epochs_u4",
+          expr("(2*10000L*quota_chars + n_chars) div (2*n_chars)"))
+        .withColumn("granted_chars", expr("least(quota_chars, 4*n_chars)"))
+        .withColumn("deficit_chars", col("quota_chars") - col("granted_chars"))
+        .withColumn("capped",
+          when(col("quota_chars") > col("n_chars") * 4, 1L).otherwise(0L))
+        .select("source", "n_chars", "w_sqrt", "quota_chars", "epochs_u4",
+          "granted_chars", "deficit_chars", "capped")
+        .orderBy("source")
+    }),
+
+    // QUALITY-AWARE MIXTURE: the DCLM-style refinement of the source
+    // mix — chars bucket by the 4dp quality score (hi ≥ .8 ×3,
+    // mid ≥ .5 ×2, lo ×1) and quotas follow the up-weighted mass per
+    // (source, bucket). The score is re-quantized to exact u4 integers
+    // BEFORE bucketing, so thresholds compare integers and every
+    // downstream number stays in the §5 doctrine. One scoring pass,
+    // one aggregation, one broadcast scalar.
+    "corpus_quality_mix" -> ((s, dir) => {
+      val budget = 1000000L
+      val q = TextAnalysis.quality(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("quality_score") * 10000).cast("bigint").as("qu4"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val per = q.join(d, "doc_id")
+        .withColumn("q_bucket", when(col("qu4") >= 8000, "hi")
+          .when(col("qu4") >= 5000, "mid").otherwise("lo"))
+        .withColumn("mult", when(col("qu4") >= 8000, 3L)
+          .when(col("qu4") >= 5000, 2L).otherwise(1L))
+        .groupBy("source", "q_bucket")
+        .agg(first("mult").as("mult"), count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"))
+        .withColumn("w", col("mult") * col("chars"))
+        .localCheckpoint(false) // feeds the scalar AND the quota rows
+      val tot = per.agg(sum("w").as("w_tot"))
+      graft.ops.Scalars.withScalar(per, col("source"), tot, col("w_tot"))
+        .withColumn("quota_chars",
+          expr(s"(2*${budget}L*w + w_tot) div (2*w_tot)"))
+        .withColumn("share_u4", expr("(2*10000L*w + w_tot) div (2*w_tot)"))
+        .select("source", "q_bucket", "n_docs", "chars", "w",
+          "quota_chars", "share_u4")
+        .orderBy("source", "q_bucket")
+    }),
   )
 
   // Shared DuckDB fragments (SURVEY §5: Spark∩DuckDB regex/token subset).
@@ -1813,6 +1940,33 @@ object PipelineQueries {
        |  CAST(round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
        |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT) AS est_users
        |FROM fin ORDER BY period""".stripMargin
+
+  // Per-source sibling of hllDayReplaySql, keyed on md5(text):
+  // hll_source_snapshots (batch snapshot fold) and
+  // stream_hll_source_refresh (checkpoint-cadence fold) share it
+  // verbatim — max-rho mergeability makes both incremental paths
+  // identical to this one-shot full-history replay.
+  private lazy val hllSourceReplaySql =
+    s"""WITH o AS (SELECT source, md5(text) AS s FROM documents),
+       |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+       |       FROM (SELECT DISTINCT s FROM o)),
+       |h AS (SELECT s, ${DuckHash.ghashSql(DuckHash.fnvHx, "0")} AS hu FROM tb),
+       |br AS (SELECT s, hu // 4503599627370496 AS bucket,
+       |              (hu % 4503599627370496) * 4096 AS w FROM h),
+       |rr AS (SELECT s, bucket, ${DuckHash.rhoChainSql} AS rho FROM br),
+       |mb AS (SELECT o.source, rr.bucket, max(rr.rho) AS rho
+       |       FROM o JOIN rr USING (s) GROUP BY 1, 2),
+       |ag AS (SELECT source, count(*) AS nz, sum(power(0.5, rho)) AS sp
+       |       FROM mb GROUP BY 1),
+       |fin AS (SELECT source,
+       |          0.7213/(1 + 1.079/4096) * 4096 * 4096 / (sp + (4096 - nz)) AS raw,
+       |          4096 - nz AS zeros
+       |        FROM ag)
+       |SELECT source,
+       |  CAST(round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+       |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT)
+       |    AS est_distinct_texts
+       |FROM fin ORDER BY source""".stripMargin
 
   // Shared minhash replay prelude (shingles → portable double hash →
   // 128 permutation minima → 16-band buckets → candidate pairs);
@@ -2041,7 +2195,7 @@ object PipelineQueries {
     * unrolled hop sequence (entry → keep-4 at L2 → keep-8 at L1 → two
     * keep-8 hops at L0 → top-5 excluding self). Ends in CTE `hnsw`
     * (probe_id, neighbor_id, cos, rank). */
-  private lazy val hnswCtes: String = {
+  private def hnswCtes(beam: Int = 8): String = {
     def bucketExpr(seed: Long) =
       graft.ops.Similarity.hyperplanes(3, 64, seed).zipWithIndex.map {
         case (pl, i) =>
@@ -2096,10 +2250,10 @@ object PipelineQueries {
        |    (SELECT min(vec_id) FROM e)) AS node),
        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM e WHERE vec_id < 10),
        |seed AS (SELECT probe_id, ent.node FROM p, ent),
-       |${hopCte("b2", "seed", "adj2", 4)},
-       |${hopCte("b1", "b2", "adj1", 8)},
-       |${hopCte("c0", "b1", "adj0", 8)},
-       |${hopCte("b0", "c0", "adj0", 8)},
+       |${hopCte("b2", "seed", "adj2", math.max(2, beam / 2))},
+       |${hopCte("b1", "b2", "adj1", beam)},
+       |${hopCte("c0", "b1", "adj0", beam)},
+       |${hopCte("b0", "c0", "adj0", beam)},
        |hnsw AS (SELECT probe_id, node AS neighbor_id, cos,
        |    CAST(row_number() OVER (PARTITION BY probe_id
        |      ORDER BY cos DESC, node) AS BIGINT) AS rank
@@ -2129,12 +2283,12 @@ object PipelineQueries {
     "ann_pq" -> s"$pqTopSql\nORDER BY probe_id, rank",
 
     "ann_hnsw" ->
-      s"""WITH $hnswCtes
+      s"""WITH ${hnswCtes()}
          |SELECT probe_id, rank, neighbor_id, round(cos, 4) AS cos
          |FROM hnsw WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "ann_hnsw_recall" ->
-      s"""WITH $hnswCtes,
+      s"""WITH ${hnswCtes()},
          |sbr AS (
          |  SELECT probe_id, e.vec_id,
          |    list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))/(pn*e.nrm) AS cos
@@ -2148,6 +2302,28 @@ object PipelineQueries {
          |                        WHERE rank <= 5) h
          |  ON b.probe_id = h.probe_id AND b.neighbor_id = h.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // one replay per beam width, each in its own subquery scope
+    "ann_hnsw_beam_sweep" ->
+      (Seq(4, 8, 16).map { beam =>
+        s"""SELECT CAST($beam AS BIGINT) AS beam,
+           |  round(avg(recall), 4) AS avg_recall,
+           |  CAST(count(*) AS BIGINT) AS n_probes
+           |FROM (WITH ${hnswCtes(beam)},
+           |  sbr AS (
+           |    SELECT probe_id, e.vec_id,
+           |      list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))/(pn*e.nrm) AS cos
+           |    FROM e, p WHERE e.vec_id <> probe_id),
+           |  brute AS (SELECT probe_id, vec_id AS neighbor_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+           |    FROM sbr) WHERE rank <= 5)
+           |  SELECT b.probe_id, count(h.neighbor_id) / 5.0 AS recall
+           |  FROM brute b LEFT JOIN (SELECT probe_id, neighbor_id FROM hnsw
+           |                          WHERE rank <= 5) h
+           |    ON b.probe_id = h.probe_id AND b.neighbor_id = h.neighbor_id
+           |  GROUP BY 1)""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY beam"),
 
     "ann_ivfpq" -> s"$ivfPqTopSql\nORDER BY probe_id, rank",
 
@@ -3953,6 +4129,132 @@ object PipelineQueries {
         |    k -> (doc_id*7 + k*13) % 256)) AS INT) AS pix_max
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // analytic aHash replay: same fixture formulas, bit i = sampled
+    // byte at (i*n)//64 strictly above the mean via cross-multiply
+    "mm_phash" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |   4 + (octet_length(encode(text)) % 13) AS w,
+        |   2 + (doc_id % 7) AS h
+        | FROM documents),
+        |q AS (SELECT doc_id, w, h, w*h*3 AS n,
+        |  list_sum(list_transform(range(0, w*h*3),
+        |    k -> (doc_id*7 + k*13) % 256)) AS s
+        | FROM p),
+        |b AS (SELECT doc_id, w, h, n, s,
+        |  list_transform(range(0, 64), i -> CASE
+        |    WHEN ((doc_id*7 + ((i*n)//64)*13) % 256) * n > s
+        |    THEN 1 ELSE 0 END) AS bits
+        | FROM q)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(s // n AS INT) AS mean_u8,
+        |  CAST(list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+1]  * (CAST(1 AS BIGINT) << t))) AS BIGINT) AS c0,
+        |  CAST(list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+17] * (CAST(1 AS BIGINT) << t))) AS BIGINT) AS c1,
+        |  CAST(list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+33] * (CAST(1 AS BIGINT) << t))) AS BIGINT) AS c2,
+        |  CAST(list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+49] * (CAST(1 AS BIGINT) << t))) AS BIGINT) AS c3,
+        |  CAST(list_sum(bits) AS INT) AS nbits
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // pairs replayed through the SAME 4-chunk pigeonhole union the
+    // engine uses (complete at radius 3 by pigeonhole), hamming summed
+    // per 16-bit chunk — no signed-64 emulation needed
+    "mm_phash_dedup" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |   4 + (octet_length(encode(text)) % 13) AS w,
+        |   2 + (doc_id % 7) AS h
+        | FROM documents),
+        |q AS (SELECT doc_id, w*h*3 AS n,
+        |  list_sum(list_transform(range(0, w*h*3),
+        |    k -> (doc_id*7 + k*13) % 256)) AS s
+        | FROM p),
+        |b AS (SELECT doc_id, n, s,
+        |  list_transform(range(0, 64), i -> CASE
+        |    WHEN ((doc_id*7 + ((i*n)//64)*13) % 256) * n > s
+        |    THEN 1 ELSE 0 END) AS bits
+        | FROM q),
+        |c AS (SELECT doc_id,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+1]  * (CAST(1 AS BIGINT) << t))) AS c0,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+17] * (CAST(1 AS BIGINT) << t))) AS c1,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+33] * (CAST(1 AS BIGINT) << t))) AS c2,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+49] * (CAST(1 AS BIGINT) << t))) AS c3
+        | FROM b),
+        |u AS (
+        |  SELECT doc_id, 0 AS ci, c0 AS cv FROM c
+        |  UNION ALL SELECT doc_id, 1, c1 FROM c
+        |  UNION ALL SELECT doc_id, 2, c2 FROM c
+        |  UNION ALL SELECT doc_id, 3, c3 FROM c),
+        |pr AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+        |  FROM u l JOIN u r ON l.ci = r.ci AND l.cv = r.cv
+        |  WHERE l.doc_id < r.doc_id),
+        |j AS (SELECT id1, id2,
+        |    bit_count(xor(a.c0, d.c0)) + bit_count(xor(a.c1, d.c1))
+        |  + bit_count(xor(a.c2, d.c2)) + bit_count(xor(a.c3, d.c3)) AS ham
+        | FROM pr JOIN c a ON pr.id1 = a.doc_id
+        |         JOIN c d ON pr.id2 = d.doc_id)
+        |SELECT id1, id2, CAST(ham AS INT) AS hamming
+        |FROM j WHERE ham <= 3 ORDER BY id1, id2""".stripMargin,
+
+    // same pair derivation, labels from the recursive reachability
+    // closure (the dedup_cluster oracle pattern), two rollups
+    "mm_phash_families" ->
+      """WITH RECURSIVE p AS (
+        | SELECT doc_id,
+        |   4 + (octet_length(encode(text)) % 13) AS w,
+        |   2 + (doc_id % 7) AS h
+        | FROM documents),
+        |q AS (SELECT doc_id, w*h*3 AS n,
+        |  list_sum(list_transform(range(0, w*h*3),
+        |    k -> (doc_id*7 + k*13) % 256)) AS s
+        | FROM p),
+        |b AS (SELECT doc_id, n, s,
+        |  list_transform(range(0, 64), i -> CASE
+        |    WHEN ((doc_id*7 + ((i*n)//64)*13) % 256) * n > s
+        |    THEN 1 ELSE 0 END) AS bits
+        | FROM q),
+        |c AS (SELECT doc_id,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+1]  * (CAST(1 AS BIGINT) << t))) AS c0,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+17] * (CAST(1 AS BIGINT) << t))) AS c1,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+33] * (CAST(1 AS BIGINT) << t))) AS c2,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+49] * (CAST(1 AS BIGINT) << t))) AS c3
+        | FROM b),
+        |u AS (
+        |  SELECT doc_id, 0 AS ci, c0 AS cv FROM c
+        |  UNION ALL SELECT doc_id, 1, c1 FROM c
+        |  UNION ALL SELECT doc_id, 2, c2 FROM c
+        |  UNION ALL SELECT doc_id, 3, c3 FROM c),
+        |pr AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+        |  FROM u l JOIN u r ON l.ci = r.ci AND l.cv = r.cv
+        |  WHERE l.doc_id < r.doc_id),
+        |good AS (SELECT id1, id2 FROM pr
+        | JOIN c a ON pr.id1 = a.doc_id
+        | JOIN c d ON pr.id2 = d.doc_id
+        | WHERE bit_count(xor(a.c0, d.c0)) + bit_count(xor(a.c1, d.c1))
+        |     + bit_count(xor(a.c2, d.c2)) + bit_count(xor(a.c3, d.c3)) <= 3),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM good
+        |          UNION ALL SELECT id2, id1 FROM good),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |fam AS (SELECT cluster_id, count(*) AS family_size FROM lab GROUP BY 1)
+        |SELECT family_size, count(*) AS n_families,
+        |  family_size * count(*) AS n_docs
+        |FROM fam GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "mm_decode_batch" ->
       """WITH t AS (
         |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
@@ -4176,27 +4478,12 @@ object PipelineQueries {
     // full replay of the from-scratch HLL keyed on md5(text) per
     // source — the snapshot fold is mergeable, so the one-shot replay
     // over the whole history IS the incremental result's contract
-    "hll_source_snapshots" ->
-      s"""WITH o AS (SELECT source, md5(text) AS s FROM documents),
-         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
-         |       FROM (SELECT DISTINCT s FROM o)),
-         |h AS (SELECT s, ${DuckHash.ghashSql(DuckHash.fnvHx, "0")} AS hu FROM tb),
-         |br AS (SELECT s, hu // 4503599627370496 AS bucket,
-         |              (hu % 4503599627370496) * 4096 AS w FROM h),
-         |rr AS (SELECT s, bucket, ${DuckHash.rhoChainSql} AS rho FROM br),
-         |mb AS (SELECT o.source, rr.bucket, max(rr.rho) AS rho
-         |       FROM o JOIN rr USING (s) GROUP BY 1, 2),
-         |ag AS (SELECT source, count(*) AS nz, sum(power(0.5, rho)) AS sp
-         |       FROM mb GROUP BY 1),
-         |fin AS (SELECT source,
-         |          0.7213/(1 + 1.079/4096) * 4096 * 4096 / (sp + (4096 - nz)) AS raw,
-         |          4096 - nz AS zeros
-         |        FROM ag)
-         |SELECT source,
-         |  CAST(round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
-         |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT)
-         |    AS est_distinct_texts
-         |FROM fin ORDER BY source""".stripMargin,
+    "hll_source_snapshots" -> hllSourceReplaySql,
+
+    // same contract on the streaming checkpoint cadence: two
+    // AvailableNow generations share state, the max-merge makes the
+    // incremental fold invisible in the result
+    "stream_hll_source_refresh" -> hllSourceReplaySql,
 
     // same integer-exact arithmetic swept over α ∈ {1, 1/2, 1/4};
     // nested floor-sqrt is floor(n^(1/4)) exactly
@@ -4232,6 +4519,60 @@ object PipelineQueries {
         |  CAST((2*1000000*w_sqrt + w_tot) // (2*w_tot) AS BIGINT) AS quota_chars,
         |  CAST((2*10000*w_sqrt + w_tot) // (2*w_tot) AS BIGINT) AS share_u4
         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+
+    // same integer doctrine one decision later: repeats = half-up
+    // quota/available, grant capped at 4 epochs
+    "corpus_epoch_plan" ->
+      """WITH p AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT p.*, CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT)
+        |        AS w_sqrt FROM p),
+        |t AS (SELECT sum(w_sqrt) AS w_tot FROM w),
+        |q AS (SELECT source, n_chars, w_sqrt,
+        |        CAST((2*10000000*w_sqrt + w_tot) // (2*w_tot) AS BIGINT)
+        |          AS quota_chars
+        |      FROM w CROSS JOIN t)
+        |SELECT source, n_chars, w_sqrt, quota_chars,
+        |  CAST((2*10000*quota_chars + n_chars) // (2*n_chars) AS BIGINT)
+        |    AS epochs_u4,
+        |  CAST(least(quota_chars, 4*n_chars) AS BIGINT) AS granted_chars,
+        |  CAST(quota_chars - least(quota_chars, 4*n_chars) AS BIGINT)
+        |    AS deficit_chars,
+        |  CAST(CASE WHEN quota_chars > 4*n_chars THEN 1 ELSE 0 END AS BIGINT)
+        |    AS capped
+        |FROM q ORDER BY source""".stripMargin,
+
+    // quality replay (same formula as text_quality), re-quantized to
+    // u4 integers before the bucket thresholds and §5 quota algebra
+    "corpus_quality_mix" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toks AS toks FROM documents),
+         |r AS (SELECT doc_id, source, length(text) AS n_chars,
+         |    len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t),
+         |sc AS (SELECT doc_id, source, n_chars,
+         |    CAST(round(round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) * 10000)
+         |      AS BIGINT) AS qu4
+         |  FROM r),
+         |b AS (SELECT source,
+         |    CASE WHEN qu4 >= 8000 THEN 'hi'
+         |         WHEN qu4 >= 5000 THEN 'mid' ELSE 'lo' END AS q_bucket,
+         |    CASE WHEN qu4 >= 8000 THEN 3
+         |         WHEN qu4 >= 5000 THEN 2 ELSE 1 END AS mult,
+         |    n_chars
+         |  FROM sc),
+         |g AS (SELECT source, q_bucket, any_value(mult) AS mult,
+         |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+         |  FROM b GROUP BY 1, 2),
+         |w AS (SELECT source, q_bucket, n_docs, chars, mult*chars AS w FROM g),
+         |tt AS (SELECT sum(w) AS w_tot FROM w)
+         |SELECT source, q_bucket, n_docs, chars, CAST(w AS BIGINT) AS w,
+         |  CAST((2*1000000*w + w_tot) // (2*w_tot) AS BIGINT) AS quota_chars,
+         |  CAST((2*10000*w + w_tot) // (2*w_tot) AS BIGINT) AS share_u4
+         |FROM w CROSS JOIN tt ORDER BY source, q_bucket""".stripMargin,
   )
 }
 

@@ -205,6 +205,72 @@ object EventStreams {
     }
   }
 
+  /** Per-SOURCE sibling of [[hllRefreshPass]]: the batch
+    * hll_source_snapshots fold moved onto the streaming checkpoint
+    * cadence. State is the (source, bucket) → max(rho) grid — bounded
+    * at sources × 4096 whatever the corpus size — maintained by an
+    * update-mode aggregation (no window: the group key is a dimension,
+    * not time) whose changed rows append as parquet deltas; the
+    * checkpoint's file-source log guarantees a later pass reads only
+    * newly staged generations, and the max-merge absorbs deltas in any
+    * order. */
+  def hllSourceRefreshPass(spark: SparkSession, stageDir: String,
+                           ckptDir: String, deltaDir: String): Unit = {
+    val stageSchema = StructType(Seq(
+      StructField("source", StringType), StructField("k", StringType)))
+    val (b, r) = graft.ops.HllSketch.bucketRho(spark, col("k"))
+    val agg = spark.readStream
+      .schema(stageSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(stageDir)
+      .select(col("source"), b, r)
+      .groupBy("source", "bucket")
+      .agg(max("rho").as("rho"))
+    withStateParts(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(deltaDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
+
+  /** Streaming per-source distinct-content refresh: the corpus lands
+    * in TWO generations (split at the doc_id midpoint, exactly like
+    * the batch hll_source_snapshots) staged as narrow
+    * (source, md5(text)) files; both AvailableNow passes share one
+    * checkpoint, so pass 2 reads ONLY generation 2's files.
+    * Mergeability of max-rho state makes the two-pass result equal the
+    * one-shot estimate over the full corpus — which is its oracle. */
+  def sourceDistinctIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_hll_src_refresh")
+    base.toFile.deleteOnExit()
+    val (stage, ckpt, delta) = (s"$base/stage", s"$base/ckpt", s"$base/delta")
+    val raw = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("k"))
+      .localCheckpoint(false) // one text scan feeds bounds + both gens
+    val bounds = raw.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+    val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+    raw.filter(col("doc_id") < mid).select("source", "k")
+      .write.parquet(s"$stage/gen1")
+    hllSourceRefreshPass(spark, stage, ckpt, delta)
+    raw.filter(col("doc_id") >= mid).select("source", "k")
+      .write.parquet(s"$stage/gen2")
+    hllSourceRefreshPass(spark, stage, ckpt, delta)
+    graft.ops.HllSketch.estimate(
+        spark.read.parquet(delta).groupBy("source", "bucket")
+          .agg(max("rho").as("rho")),
+        Seq("source"))
+      .withColumnRenamed("est", "est_distinct_texts")
+      .orderBy("source")
+  }
+
   /** Merge all appended state deltas and finish the HLL estimate —
     * the batch tail shared by every refresh cadence. */
   def hllRefreshEstimate(spark: SparkSession, deltaDir: String): DataFrame =

@@ -61,6 +61,24 @@ class GraphRankSpec extends AnyFunSuite {
     }
   }
 
+  test("runningMax equals the single-window running max at any block width") {
+    // gaps in the order column: blocks need not be dense or equal-size
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .filter(col("event_id") % 3 =!= 1)
+    val expected = e
+      .withColumn("run_max", max("ts_us").over(
+        org.apache.spark.sql.expressions.Window.orderBy("event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select("event_id", "run_max")
+    for (bw <- Seq(1L, 7L, 4096L, 1000000000L)) {
+      val got = graft.ops.Rank.runningMax(e, "event_id", "ts_us", bw)
+        .select("event_id", "run_max")
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"blockWidth=$bw diverges from the reference running max")
+    }
+  }
+
   test("globalRank refuses a reserved __blk column") {
     val bad = Tables.documents(spark, sf).withColumn("__blk", lit(1))
     intercept[IllegalArgumentException] {

@@ -189,6 +189,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("phash bit i samples byte (i*n) div 64, thresholded strictly above the mean") {
+    for (id <- Seq(0L, 7L, 123L); len <- Seq(0, 100, 499)) {
+      val out = Multimodal.phash(id, Multimodal.buildPpm(id, len))
+      val w = 4 + len % 13; val h = 2 + (id % 7).toInt; val n = w * h * 3
+      def byte(k: Int): Int = ((id * 7 + k * 13) % 256).toInt
+      val s = (0 until n).map(byte(_).toLong).sum
+      val bits = (0 until 64).map(i =>
+        if (byte((i.toLong * n / 64).toInt).toLong * n > s) 1L else 0L)
+      val hash = bits.zipWithIndex.map { case (b, i) => b << i }.reduce(_ | _)
+      assert(out.c0 == (hash & 0xffffL) && out.c1 == ((hash >>> 16) & 0xffffL) &&
+        out.c2 == ((hash >>> 32) & 0xffffL) && out.c3 == ((hash >>> 48) & 0xffffL))
+      assert(out.nbits == bits.sum && out.mean_u8 == (s / n).toInt)
+    }
+  }
+
+  test("phash pigeonhole pairing finds exactly the quadratic hamming<=3 pairs") {
+    val docs = Tables.documents(spark, sf)
+    val hs = docs
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("len"))
+      .collect().map { r =>
+        val p = Multimodal.phash(r.getLong(0),
+          Multimodal.buildPpm(r.getLong(0), r.getInt(1)))
+        (p.doc_id, p.c0 | (p.c1 << 16) | (p.c2 << 32) | (p.c3 << 48))
+      }
+    val expect = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(expect.nonEmpty, "fixture corpus must contain near-dup images")
+    val got = Multimodal.phashPairs(docs)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, "chunk blocking must be exhaustive at radius 3")
+  }
+
   test("PPM build/parse roundtrip matches the analytic formulas on random inputs") {
     import org.scalacheck.{Gen, rng}
     val gen = for {

@@ -114,6 +114,26 @@ class StreamingSpec extends AnyFunSuite {
       "second pass re-emitted pre-split history — incremental contract broken")
   }
 
+  test("per-source HLL refresh: two streamed generations == one batch fold") {
+    // the streamed two-generation fold (operator under test)
+    val streamed = graft.streaming.EventStreams
+      .sourceDistinctIncremental(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // the one-shot batch estimate over the full corpus with the same
+    // sketch parameters and the same md5(text) key
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), md5(col("text").cast("binary")).as("k"))
+    val (b, r) = graft.ops.HllSketch.bucketRho(spark, col("k"))
+    val batch = graft.ops.HllSketch.estimate(
+        docs.select(col("source"), b, r)
+          .groupBy("source", "bucket").agg(max("rho").as("rho")),
+        Seq("source"))
+      .orderBy("source")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(streamed.sameElements(batch),
+      s"streamed per-source fold drifted: ${streamed.toSeq} vs ${batch.toSeq}")
+  }
+
   test("streaming Misra-Gries holds the MG guarantee across the state handoff") {
     val got = graft.streaming.EventStreams.mgHeavyHitters(spark, sf).collect()
     assert(got.length == 10, s"expected the exact top-10, got ${got.length}")
