@@ -72,44 +72,9 @@ object Similarity {
               lloydIters: Int = 1,
               buildFilter: Column = lit(true)): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
-    require(lloydIters >= 0 && lloydIters <= 64,
-      s"lloydIters out of range: $lloydIters")
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
-    // index maintenance at scale: `buildFilter` restricts the coarse
-    // quantizer TRAINING set (seed sample + Lloyd refinement) — e.g.
-    // to an earlier corpus generation — while assignment and search
-    // always cover the full corpus, so a new landing shard is
-    // searchable by pure assignment against the frozen centroids, with
-    // NO re-clustering of history (ann_ivf_append measures the recall
-    // cost of exactly this staleness)
-    val eb = e.filter(buildFilter)
-
-    // deterministic pseudo-random seed sample (multiplicative-hash
-    // ordered — engine-neutral, so the DuckDB oracle re-derives the
-    // same seeds), then Lloyd steps: assign → per-cell elementwise
-    // mean via posexplode. Each mean is quantized to 6dp so the
-    // refined centroids are identical across engines regardless of
-    // float summation order (fixed-point centroids — no quality impact
-    // at this precision, deterministic assignment everywhere).
-    val seeds = centroidRows(
-      eb.orderBy(pmod(col("vec_id") * lit(2654435761L), lit(1000003L)), col("vec_id"))
-        .limit(cells).select(col("v")).collect().map(_.getSeq[Double](0).toArray))
-    require(seeds.length == cells,
-      s"ivfTopK needs >= cells=$cells build-set vectors to seed the coarse " +
-      s"quantizer; got ${seeds.length} — lower cells for tiny inputs")
-    val refined = (1 to lloydIters).foldLeft(seeds) { (cents, _) =>
-      centroidRows(
-        eb.withColumn("cell", nearestCell(col("v"), col("nrm"), cents))
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(round(avg("x"), 6).as("m"))
-          .groupBy("cell")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s.getField("m")).as("c"))
-          .orderBy("cell")
-          .collect().map(_.getSeq[Double](1).toArray))
-    }
-
+    val refined = ivfCentroids(e, cells, lloydIters, buildFilter)
     val corpus = e.withColumn("cell", nearestCell(col("v"), col("nrm"), refined))
     val probes = corpus.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
@@ -123,6 +88,59 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 4).as("cos"), col("cell"))
+  }
+
+  /** The coarse-quantizer training shared by [[ivfTopK]] and
+    * [[ivfAssign]]. Index maintenance at scale: `buildFilter`
+    * restricts the TRAINING set (seed sample + Lloyd refinement) —
+    * e.g. to an earlier corpus generation — while assignment and
+    * search always cover the full corpus, so a new landing shard is
+    * searchable by pure assignment against the frozen centroids, with
+    * NO re-clustering of history (ann_ivf_append measures the recall
+    * cost of exactly this staleness).
+    *
+    * Deterministic pseudo-random seed sample (multiplicative-hash
+    * ordered — engine-neutral, so the DuckDB oracle re-derives the
+    * same seeds), then Lloyd steps: assign → per-cell elementwise
+    * mean via posexplode. Each mean is quantized to 6dp so the
+    * refined centroids are identical across engines regardless of
+    * float summation order (fixed-point centroids — no quality impact
+    * at this precision, deterministic assignment everywhere). Only
+    * the cells×dim centroid matrix reaches the driver. */
+  private def ivfCentroids(e: DataFrame, cells: Int, lloydIters: Int,
+                           buildFilter: Column): Array[Centroid] = {
+    require(lloydIters >= 0 && lloydIters <= 64,
+      s"lloydIters out of range: $lloydIters")
+    val eb = e.filter(buildFilter)
+    val seeds = centroidRows(
+      eb.orderBy(pmod(col("vec_id") * lit(2654435761L), lit(1000003L)), col("vec_id"))
+        .limit(cells).select(col("v")).collect().map(_.getSeq[Double](0).toArray))
+    require(seeds.length == cells,
+      s"IVF needs >= cells=$cells build-set vectors to seed the coarse " +
+      s"quantizer; got ${seeds.length} — lower cells for tiny inputs")
+    (1 to lloydIters).foldLeft(seeds) { (cents, _) =>
+      centroidRows(
+        eb.withColumn("cell", nearestCell(col("v"), col("nrm"), cents))
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(round(avg("x"), 6).as("m"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("c"))
+          .orderBy("cell")
+          .collect().map(_.getSeq[Double](1).toArray))
+    }
+  }
+
+  /** The IVF coarse assignment alone: (vec_id, v, nrm, cell) — the
+    * index build without the search join, for occupancy audits
+    * (emb_ivf_balance) and index-append flows. */
+  def ivfAssign(emb: DataFrame, cells: Int = 16, lloydIters: Int = 1,
+                buildFilter: Column = lit(true)): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+    e.withColumn("cell",
+      nearestCell(col("v"), col("nrm"), ivfCentroids(e, cells, lloydIters, buildFilter)))
   }
 
   private final case class Centroid(vec: Array[Double], norm: Double)

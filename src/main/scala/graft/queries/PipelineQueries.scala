@@ -568,6 +568,25 @@ object PipelineQueries {
       }.reduce(_.unionByName(_)).orderBy("planes")
     }),
 
+    // IVF CELL-BALANCE AUDIT: occupancy spread of the Voronoi cells
+    // after the Lloyd step — ann_bucket_balance applied to the IVF
+    // quantizer (a skewed cell list IS a skewed search join; this is
+    // the audit run before trusting cells ≈ √n sizing). Skew is the
+    // §5 half-up u4 integer max_occ/(n_vecs/n_cells).
+    "emb_ivf_balance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Seq(8, 16).map { cells =>
+        Similarity.ivfAssign(emb, cells = cells)
+          .groupBy("cell").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_cells"), min("sz").as("min_occ"),
+            max("sz").as("max_occ"), sum("sz").as("n_vecs"))
+          .select(lit(cells.toLong).as("cells"), col("n_cells"),
+            col("min_occ"), col("max_occ"),
+            expr("(2*10000L*max_occ*n_cells + n_vecs) div (2*n_vecs)")
+              .as("skew_u4"))
+      }.reduce(_.unionByName(_)).orderBy("cells")
+    }),
+
     // LSH TUNING CURVE: average recall@5 of the hyperplane index at 4,
     // 6, and 8 planes against the shared brute-force ground truth —
     // the measurement that picks the bucket granularity (recall halves
@@ -1227,6 +1246,13 @@ object PipelineQueries {
     "stream_hll_source_refresh" -> ((s, dir) =>
       graft.streaming.EventStreams.sourceDistinctIncremental(s, dir)),
 
+    // streaming bottom-k sample maintenance: each staged generation
+    // folds its local bottom-k into the persisted k-row store (union +
+    // re-limit — O(k) rewrite, history never re-read); hash-min
+    // mergeability makes the store equal the one-shot bottom-k
+    "stream_sample_bottomk" -> ((s, dir) =>
+      graft.streaming.EventStreams.bottomKIncremental(s, dir)),
+
     "stream_distinct" -> ((s, dir) =>
       graft.streaming.EventStreams.distinctUsers(s, dir)),
 
@@ -1396,6 +1422,54 @@ object PipelineQueries {
             .orderBy(col("freq").desc, col("token").asc)).cast("bigint"))
         .select("token_id", "token", "freq")
         .orderBy("token_id")
+    }),
+
+    // DISTRIBUTED BPE MERGE LEARNING: the 5 highest-count symbol-pair
+    // merges over the corpus vocabulary, learned iteratively. Each
+    // round (a) counts adjacent symbol pairs weighted by token
+    // frequency — one groupBy over the BOUNDED vocabulary, never the
+    // corpus; (b) pulls the single argmax row (count desc, pair asc)
+    // to the driver — the same bounded index-state contract as the
+    // IVF centroid pulls, and the inherent sequential dependency of
+    // BPE; (c) applies the merge to every word's space-delimited
+    // symbol string with TWO leftmost-non-overlapping replaces (the
+    // second pass catches the alternating occurrences the first
+    // pass's consumed delimiter skips in an adjacent chain; on such
+    // chains the grouping ORDER can deviate from strict left-to-right
+    // greedy BPE — identically in both engines, since both replace()s
+    // are leftmost-non-overlapping). Symbols are alnum and
+    // space-delimited, so patterns are unambiguous by construction.
+    "vocab_bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Tables.documents(s, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("s", concat(lit(" "),
+          regexp_replace(col("tok"), "(.)", "$1 ")))
+        .select("cnt", "s")
+      var words = vocab.localCheckpoint(false)
+      val merges = (1 to 5).map { it =>
+        val best = words
+          .select(col("cnt"), split(trim(col("s")), " ").as("a"))
+          .filter(size(col("a")) >= 2) // sequence(1,0) would descend
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(a)-1), " +
+              "i -> struct(element_at(a, i) AS x, element_at(a, i+1) AS y))"))
+            .as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum("cnt").as("pc"))
+          .orderBy(col("pc").desc, col("x"), col("y")).limit(1)
+          .head()
+        val (bx, by, bpc) = (best.getString(0), best.getString(1), best.getLong(2))
+        // symbols are [a-z0-9]+ — safe to splice into the SQL literal
+        words = words.withColumn("s", expr(
+            s"replace(replace(s, ' $bx $by ', ' $bx$by '), ' $bx $by ', ' $bx$by ')"))
+          .localCheckpoint(false) // cut lineage between rounds
+        (it.toLong, bx, by, bpc)
+      }
+      merges.toDF("iter", "sym_a", "sym_b", "pair_count")
+        .withColumn("merged", concat(col("sym_a"), col("sym_b")))
+        .orderBy("iter")
     }),
 
     // Zipf audit: log-log slope of token frequency vs frequency rank
@@ -1967,6 +2041,18 @@ object PipelineQueries {
        |             THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT)
        |    AS est_distinct_texts
        |FROM fin ORDER BY source""".stripMargin
+
+  // One-shot hash-min bottom-k replay — sample_bottomk (batch) and
+  // stream_sample_bottomk (incremental fold) share it: hash-min
+  // mergeability makes the streamed store equal this full-corpus scan.
+  private lazy val bottomKReplaySql =
+    s"""WITH tb AS (
+       |  SELECT doc_id, n_chars, hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
+       |    octet_length(encode(CAST(doc_id AS VARCHAR))) AS n
+       |  FROM documents),
+       |h AS (SELECT doc_id, n_chars, ${DuckHash.sx(DuckHash.ghashSql(DuckHash.fnvHx, "13"))} AS h FROM tb)
+       |SELECT doc_id, n_chars, h FROM h
+       |ORDER BY h ASC, doc_id LIMIT 100""".stripMargin
 
   // Shared minhash replay prelude (shingles → portable double hash →
   // 128 permutation minima → 16-band buckets → candidate pairs);
@@ -2782,14 +2868,11 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
-    "sample_bottomk" ->
-      s"""WITH tb AS (
-         |  SELECT doc_id, n_chars, hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
-         |    octet_length(encode(CAST(doc_id AS VARCHAR))) AS n
-         |  FROM documents),
-         |h AS (SELECT doc_id, n_chars, ${sx(ghashSql(fnvHx, "13"))} AS h FROM tb)
-         |SELECT doc_id, n_chars, h FROM h
-         |ORDER BY h ASC, doc_id LIMIT 100""".stripMargin,
+    "sample_bottomk" -> bottomKReplaySql,
+
+    // the streamed two-generation fold must equal the one-shot
+    // bottom-k — hash-min mergeability is the operator's contract
+    "stream_sample_bottomk" -> bottomKReplaySql,
 
     // full replay of the seeded portable hash, then the same rank
     // display expected is rounded; ratio/chi2 derive from the raw
@@ -3457,6 +3540,88 @@ object PipelineQueries {
          |FROM (SELECT * FROM rcl4 UNION ALL SELECT * FROM rcl8
          |      UNION ALL SELECT * FROM rcl16)
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // same quantizer replay as the cells sweep, stopped at the final
+    // assignment and rolled up to cell occupancies
+    "emb_ivf_balance" -> {
+      def assignCtes(q: Int): String =
+        s"""seeds$q AS (
+           |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+           |  FROM e QUALIFY cell < $q),
+           |sd$q AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds$q),
+           |a$q AS (
+           |  SELECT e.vec_id, e.v, e.nrm, sd.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*sd.c[i])) / (e.nrm*sd.cn) DESC,
+           |               sd.cell DESC) AS rk
+           |  FROM e CROSS JOIN sd$q sd QUALIFY rk = 1),
+           |m$q AS (
+           |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+           |  FROM a$q, unnest(range(1, 65)) t(i)
+           |  GROUP BY cell, i),
+           |rc$q AS (
+           |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+           |         list(m ORDER BY pos) AS c
+           |  FROM m$q GROUP BY cell),
+           |rn$q AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc$q),
+           |corp$q AS (
+           |  SELECT e.vec_id, rn.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rn.c[i])) / (e.nrm*rn.cn) DESC,
+           |               rn.cell DESC) AS rk
+           |  FROM e CROSS JOIN rn$q rn QUALIFY rk = 1),
+           |bal$q AS (
+           |  SELECT $q AS cells, count(*) AS n_cells, min(sz) AS min_occ,
+           |         max(sz) AS max_occ, sum(sz) AS n_vecs
+           |  FROM (SELECT cell, count(*) AS sz FROM corp$q GROUP BY 1))"""
+          .stripMargin
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+         |${Seq(8, 16).map(assignCtes).mkString(",\n")}
+         |SELECT CAST(cells AS BIGINT) AS cells,
+         |  CAST(n_cells AS BIGINT) AS n_cells,
+         |  CAST(min_occ AS BIGINT) AS min_occ,
+         |  CAST(max_occ AS BIGINT) AS max_occ,
+         |  CAST((2*10000*max_occ*n_cells + n_vecs) // (2*n_vecs) AS BIGINT)
+         |    AS skew_u4
+         |FROM (SELECT * FROM bal8 UNION ALL SELECT * FROM bal16)
+         |ORDER BY cells""".stripMargin
+    },
+
+    // five unrolled merge stages: pair count → argmax → two-pass
+    // replace, each stage reading the previous word table — the same
+    // leftmost-non-overlapping replace semantics as the engine
+    "vocab_bpe_learn" -> {
+      def stage(i: Int): String = {
+        val prev = s"w${i - 1}"
+        s"""p$i AS (
+           |  SELECT p.x AS x, p.y AS y, sum(cnt) AS pc
+           |  FROM (SELECT cnt, unnest(list_transform(range(1, len(sy)),
+           |          j -> {'x': sy[j], 'y': sy[j+1]})) AS p
+           |        FROM (SELECT cnt, string_split(trim(s), ' ') AS sy
+           |              FROM $prev))
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT x, y, pc FROM p$i ORDER BY pc DESC, x, y LIMIT 1),
+           |w$i AS (SELECT cnt,
+           |    replace(replace(s, ' '||x||' '||y||' ', ' '||x||y||' '),
+           |            ' '||x||' '||y||' ', ' '||x||y||' ') AS s
+           |  FROM $prev CROSS JOIN b$i)""".stripMargin
+      }
+      s"""WITH w0 AS (
+         |  SELECT cnt, ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS s
+         |  FROM (SELECT tok, count(*) AS cnt
+         |        FROM (SELECT unnest($toks) AS tok FROM documents)
+         |        GROUP BY tok)),
+         |${(1 to 5).map(stage).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS iter, x AS sym_a, y AS sym_b,
+         |    CAST(pc AS BIGINT) AS pair_count, x||y AS merged FROM b1
+         |  UNION ALL SELECT 2, x, y, pc, x||y FROM b2
+         |  UNION ALL SELECT 3, x, y, pc, x||y FROM b3
+         |  UNION ALL SELECT 4, x, y, pc, x||y FROM b4
+         |  UNION ALL SELECT 5, x, y, pc, x||y FROM b5)
+         |ORDER BY iter""".stripMargin
     },
 
     // grid replay: same four seeded hashes, % 256 bucketing (power-of-

@@ -271,6 +271,65 @@ object EventStreams {
       .orderBy("source")
   }
 
+  /** Streaming maintenance of the hash-min bottom-k sample: the
+    * sample_bottomk reservoir kept fresh across landing generations
+    * WITHOUT rescanning history. Each AvailableNow pass reads only
+    * newly staged files (checkpoint file log); foreachBatch reduces
+    * the batch to its distributed LOCAL bottom-k (an orderBy+limit —
+    * TakeOrderedAndProject partials, no full sort) and folds it into
+    * the persisted k-row store by union + re-limit. Hash-min is
+    * mergeable, so the store provably equals the one-shot bottom-k
+    * over everything ever staged — which is its oracle — and each
+    * fold rewrites O(k) rows, never the corpus. */
+  def bottomKIncremental(spark: SparkSession, sfDir: String,
+                         k: Int = 100): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bk_stream")
+    base.toFile.deleteOnExit()
+    val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
+    graft.functions.GraftHash64.register(spark)
+    val raw = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        call_function("graft_hash64", col("doc_id").cast("string"), lit(13L))
+          .as("h"))
+      .localCheckpoint(false) // one scan feeds bounds + both gens
+    val bounds = raw.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+    val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+    val stageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("h", LongType)))
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val local = batch.orderBy(col("h").asc, col("doc_id")).limit(k)
+          val prev = new java.io.File(store)
+          val merged =
+            if (prev.exists)
+              ss.read.parquet(store).unionByName(local)
+                .orderBy(col("h").asc, col("doc_id")).limit(k)
+            else local
+          // the store is read above and overwritten below — stage the
+          // new k rows first so the fold never reads its own output
+          val next = s"$store.next"
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
+          ss.read.parquet(next).write.mode("overwrite").parquet(store)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    raw.filter(col("doc_id") < mid).write.parquet(s"$stage/gen1")
+    pass()
+    raw.filter(col("doc_id") >= mid).write.parquet(s"$stage/gen2")
+    pass()
+    spark.read.parquet(store).orderBy(col("h").asc, col("doc_id"))
+  }
+
   /** Merge all appended state deltas and finish the HLL estimate —
     * the batch tail shared by every refresh cadence. */
   def hllRefreshEstimate(spark: SparkSession, deltaDir: String): DataFrame =

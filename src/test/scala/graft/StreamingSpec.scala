@@ -134,6 +134,15 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed per-source fold drifted: ${streamed.toSeq} vs ${batch.toSeq}")
   }
 
+  test("streaming bottom-k fold equals the one-shot batch bottom-k") {
+    val streamed = graft.streaming.EventStreams.bottomKIncremental(spark, sf)
+      .select("doc_id", "h").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = SparkEntry.queries("sample_bottomk")(spark, sf)
+      .select("doc_id", "h").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch,
+      s"streamed store drifted from the one-shot bottom-k (${streamed.size} rows)")
+  }
+
   test("streaming Misra-Gries holds the MG guarantee across the state handoff") {
     val got = graft.streaming.EventStreams.mgHeavyHitters(spark, sf).collect()
     assert(got.length == 10, s"expected the exact top-10, got ${got.length}")
