@@ -1465,9 +1465,14 @@ object PipelineQueries {
         words = words.withColumn("s", expr(
             s"replace(replace(s, ' $bx $by ', ' $bx$by '), ' $bx $by ', ' $bx$by ')"))
           .localCheckpoint(false) // cut lineage between rounds
-        (it.toLong, bx, by, bpc)
+        // the compression curve: weighted symbol count after this merge
+        // (a 1-row agg over the already-checkpointed vocab)
+        val symsAfter = words
+          .select(sum(col("cnt") * size(split(trim(col("s")), " "))).as("n"))
+          .head().getLong(0)
+        (it.toLong, bx, by, bpc, symsAfter)
       }
-      merges.toDF("iter", "sym_a", "sym_b", "pair_count")
+      merges.toDF("iter", "sym_a", "sym_b", "pair_count", "syms_after")
         .withColumn("merged", concat(col("sym_a"), col("sym_b")))
         .orderBy("iter")
     }),
@@ -3616,11 +3621,18 @@ object PipelineQueries {
          |${(1 to 5).map(stage).mkString(",\n")}
          |SELECT * FROM (
          |  SELECT CAST(1 AS BIGINT) AS iter, x AS sym_a, y AS sym_b,
-         |    CAST(pc AS BIGINT) AS pair_count, x||y AS merged FROM b1
-         |  UNION ALL SELECT 2, x, y, pc, x||y FROM b2
-         |  UNION ALL SELECT 3, x, y, pc, x||y FROM b3
-         |  UNION ALL SELECT 4, x, y, pc, x||y FROM b4
-         |  UNION ALL SELECT 5, x, y, pc, x||y FROM b5)
+         |    CAST(pc AS BIGINT) AS pair_count,
+         |    CAST((SELECT sum(cnt * len(string_split(trim(s), ' '))) FROM w1)
+         |      AS BIGINT) AS syms_after,
+         |    x||y AS merged FROM b1
+         |  UNION ALL SELECT 2, x, y, pc,
+         |    (SELECT sum(cnt * len(string_split(trim(s), ' '))) FROM w2), x||y FROM b2
+         |  UNION ALL SELECT 3, x, y, pc,
+         |    (SELECT sum(cnt * len(string_split(trim(s), ' '))) FROM w3), x||y FROM b3
+         |  UNION ALL SELECT 4, x, y, pc,
+         |    (SELECT sum(cnt * len(string_split(trim(s), ' '))) FROM w4), x||y FROM b4
+         |  UNION ALL SELECT 5, x, y, pc,
+         |    (SELECT sum(cnt * len(string_split(trim(s), ' '))) FROM w5), x||y FROM b5)
          |ORDER BY iter""".stripMargin
     },
 

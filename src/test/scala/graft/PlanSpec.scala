@@ -302,6 +302,26 @@ class PlanSpec extends AnyFunSuite {
       s"two source scans (blocks + offsets), never a materialization:\n$p")
   }
 
+  test("late audit's only single-partition exchange is the block-prefix table") {
+    // runningMax is the prefix-MAX twin of globalRank: raw events run
+    // their max inside event_id blocks; only the one-row-per-block
+    // prefix table may pass through SinglePartition (the tiny 4-row
+    // delay aggregate coalesces under AQE without a dedicated
+    // single-partition exchange)
+    val p = plan("events_late_audit")
+    assert(countOccurrences(p, "Exchange SinglePartition") <= 2,
+      s"raw rows must never sort in one task:\n$p")
+    assert(countOccurrences(p, "events.parquet") == 2,
+      s"two source scans (rows + block maxima), never a materialization:\n$p")
+  }
+
+  test("mm_phash is a shuffle-free per-row map") {
+    val p = plan("mm_phash")
+    // one range exchange for the output ORDER BY is allowed
+    assert(countOccurrences(p, "Exchange") <= 1,
+      s"the aHash must not shuffle:\n$p")
+  }
+
   test("q2 decorrelates to one fact scan + a partkey window, no rescan") {
     val p = plan("q2_min_cost")
     assert(countOccurrences(p, "lineitem.parquet") == 1,
