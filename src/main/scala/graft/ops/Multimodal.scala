@@ -317,19 +317,51 @@ object Multimodal {
   def phashPairs(docs: DataFrame): DataFrame = {
     val h = phashBatch(docs).toDF()
       .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"))
-    val chunked = h.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+    phashChunkPairs(h, rightFilter = lit(true))
+  }
+
+  /** Incremental perceptual-hash dedup — the phash STORE cadence: the
+    * old corpus's 4-chunk signatures (32 bytes/doc) persist in a
+    * parquet store; a landing shard decodes and hashes ONLY its own
+    * images, appends its signatures, and pairs shard-vs-(store ∪
+    * shard) through the same radius-3 pigeonhole join — one join side
+    * is the SHARD's chunks, so old-old pairs never become candidates
+    * and history's raw media is never re-read. `isNew` marks the
+    * shard by doc_id. */
+  def phashIncremental(docs: DataFrame, isNew: Column => Column): DataFrame = {
+    val spark = docs.sparkSession
+    val store = java.nio.file.Files.createTempDirectory("graft_phash_store_")
+    store.toFile.deleteOnExit()
+    def sig(d: DataFrame) = phashBatch(d).toDF()
+      .select("doc_id", "c0", "c1", "c2", "c3")
+    sig(docs.filter(!isNew(col("doc_id")))).write.parquet(s"$store/v0")
+    sig(docs.filter(isNew(col("doc_id")))).write.parquet(s"$store/v1")
+    phashChunkPairs(spark.read.parquet(s"$store/v0", s"$store/v1"),
+      rightFilter = isNew(col("doc_id")))
+  }
+
+  /** The radius-3 pigeonhole pairing over a 4-chunk signature table:
+    * chunk-equality candidates (the right side restricted by
+    * `rightFilter` — lit(true) pairs everything; a shard predicate
+    * makes history pair only AGAINST the shard), canonical
+    * (least, greatest) orientation, per-chunk hamming verify,
+    * distinct (dedupes chunk multiplicity AND both orientations). */
+  private def phashChunkPairs(sigs: DataFrame, rightFilter: Column): DataFrame = {
+    val chunked = sigs.select(
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
       posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("ci", "cv")))
-    def side(tag: String) = chunked.select(
+    def side(df: DataFrame, tag: String) = df.select(
       col("ci"), col("cv"), col("doc_id").as(s"id$tag"),
       col("c0").as(s"c0$tag"), col("c1").as(s"c1$tag"),
       col("c2").as(s"c2$tag"), col("c3").as(s"c3$tag"))
     val ham = (0 to 3).map(j =>
       bit_count(col(s"c${j}a").bitwiseXOR(col(s"c${j}b"))).cast("int"))
-      .reduce(_ + _)
-    side("a").join(side("b"), Seq("ci", "cv"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida").as("id1"), col("idb").as("id2"), ham.as("hamming"))
-      .distinct() // a pair may collide on several chunks
+      .reduce(_ + _) // XOR is symmetric — orientation-independent
+    side(chunked, "a").join(side(chunked.filter(rightFilter), "b"), Seq("ci", "cv"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), ham.as("hamming"))
+      .distinct()
       .filter(col("hamming") <= 3)
   }
 

@@ -642,6 +642,41 @@ object OlapQueries {
         .orderBy("step")
     }),
 
+    // FUNNEL-WINDOW SWEEP: events_funnel's 24h conversion window is a
+    // chosen constant — this measures view→click→purchase conversion
+    // at 1h/6h/24h windows to pick it. The events scan and the step-1
+    // table materialize ONCE and feed all three window chains; step
+    // counts combine via the 1-row withScalar contract (product-free),
+    // conversions are §5 half-up u4 integers with nullif guards.
+    "events_funnel_window_sweep" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+        .localCheckpoint(false)
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+        .localCheckpoint(false)
+      val n1df = s1.agg(count(lit(1)).as("n1")).localCheckpoint(false)
+      Seq(1L, 6L, 24L).map { hrs =>
+        val winUs = hrs * 3600L * 1000000L
+        val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+          .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + winUs)
+          .groupBy("user_id").agg(min("ts_us").as("t2"))
+          .localCheckpoint(false)
+        val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+          .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + winUs)
+          .groupBy("user_id").agg(min("ts_us").as("t3"))
+        val c = Scalars.withScalar(n1df, col("n1"),
+          s2.agg(count(lit(1)).as("n2")), col("n2"))
+        Scalars.withScalar(c, col("n1"),
+            s3.agg(count(lit(1)).as("n3")), col("n3"))
+          .select(lit(hrs).as("window_h"), col("n1"), col("n2"), col("n3"),
+            expr("(2*10000L*n2 + nullif(n1, 0L)) div (2*nullif(n1, 0L))")
+              .as("conv12_u4"),
+            expr("(2*10000L*n3 + nullif(n2, 0L)) div (2*nullif(n2, 0L))")
+              .as("conv23_u4"))
+      }.reduce(_.unionByName(_)).orderBy("window_h")
+    }),
+
     // Bloom-pruned semi-join: lineitems of 1996 orders. The bloom
     // pre-filter prunes the probe side map-side (no false negatives;
     // false positives die in the exact join), so the result equals the
@@ -2026,6 +2061,38 @@ object OlapQueries {
         |  SELECT '3_purchase', count(*),
         |    round(count(*)*1.0/nullif((SELECT count(*) FROM s2), 0), 4) FROM s3
         |) ORDER BY step""".stripMargin,
+
+    // the same two-step chain replayed once per window width
+    "events_funnel_window_sweep" -> {
+      def win(h: Long): String = {
+        val us = h * 3600L * 1000000L
+        s"""s2_$h AS (SELECT e.user_id, min(ts_us) AS t2
+           |  FROM e JOIN s1 USING (user_id)
+           |  WHERE event_type = 'click' AND ts_us > t1 AND ts_us <= t1 + $us
+           |  GROUP BY 1),
+           |s3_$h AS (SELECT e.user_id, min(ts_us) AS t3
+           |  FROM e JOIN s2_$h USING (user_id)
+           |  WHERE event_type = 'purchase' AND ts_us > t2 AND ts_us <= t2 + $us
+           |  GROUP BY 1),
+           |r_$h AS (SELECT CAST($h AS BIGINT) AS window_h,
+           |    (SELECT count(*) FROM s1) AS n1,
+           |    (SELECT count(*) FROM s2_$h) AS n2,
+           |    (SELECT count(*) FROM s3_$h) AS n3)""".stripMargin
+      }
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |${Seq(1L, 6L, 24L).map(win).mkString(",\n")}
+         |SELECT window_h, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(n3 AS BIGINT) AS n3,
+         |  CAST((2*10000*n2 + nullif(n1, 0)) // (2*nullif(n1, 0)) AS BIGINT)
+         |    AS conv12_u4,
+         |  CAST((2*10000*n3 + nullif(n2, 0)) // (2*nullif(n2, 0)) AS BIGINT)
+         |    AS conv23_u4
+         |FROM (SELECT * FROM r_1 UNION ALL SELECT * FROM r_6
+         |      UNION ALL SELECT * FROM r_24)
+         |ORDER BY window_h""".stripMargin
+    },
 
     // bloom pruning must be invisible in the result
     "bloom_semi_join" ->

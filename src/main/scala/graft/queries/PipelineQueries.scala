@@ -981,6 +981,23 @@ object PipelineQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // LANGUAGE-ID CONFUSION MATRIX: the classifier-trust audit for the
+    // n-gram heuristic — per (labeled, predicted) cell counts with the
+    // row-normalized share in §5 half-up u4 units. One scoring pass
+    // (per-row map), one tiny groupBy, broadcast row totals: the
+    // diagonal is langid's per-language recall, off-diagonals say
+    // WHICH languages leak into which.
+    "text_langid_confusion" -> ((s, dir) => {
+      val cell = TextAnalysis.langId(Tables.documents(s, dir))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // feeds the totals AND the cells
+      val tot = cell.groupBy("lang").agg(sum("n").as("n_lang"))
+      cell.join(broadcast(tot), "lang")
+        .withColumn("share_u4", expr("(2*10000L*n + n_lang) div (2*n_lang)"))
+        .select("lang", "predicted", "n", "n_lang", "share_u4")
+        .orderBy("lang", "predicted")
+    }),
+
     "text_filter_chain" -> ((s, dir) =>
       TextAnalysis.filterChain(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -1194,6 +1211,17 @@ object PipelineQueries {
         .select(col("family_size"), col("n_families"),
           (col("family_size") * col("n_families")).as("n_docs"))
         .orderBy("family_size")
+    }),
+
+    // the image-store landing cadence (dedup_incremental_store on the
+    // perceptual hash): old signatures persist in a 32-byte/doc store,
+    // the shard (top quarter by doc_id) hashes only itself and pairs
+    // shard-vs-store — old-old pairs never become candidates
+    "mm_phash_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thr = 3 * (docs.agg(max("doc_id")).head().getLong(0) + 1) / 4
+      Multimodal.phashIncremental(docs, _ >= thr)
+        .orderBy("id1", "id2")
     }),
 
     "stream_sessionize" -> ((s, dir) =>
@@ -3975,6 +4003,33 @@ object PipelineQueries {
          |  CASE WHEN predicted = lang THEN 1 ELSE 0 END AS is_match
          |FROM p ORDER BY doc_id""".stripMargin,
 
+    // same marker scoring + first-listed tie argmax, rolled up to the
+    // confusion cells with half-up row shares
+    "text_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en_hits,
+         |    len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','un'], x))) AS es_hits,
+         |    len(list_filter(toks, x -> list_contains(['le','la','de','et','que','un','pour'], x))) AS fr_hits,
+         |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ein','zu','ist'], x))) AS de_hits,
+         |    len(list_filter(toks, x -> list_contains(['de','shi','bu','le','zai','you','wo'], x))) AS zh_hits
+         |  FROM t),
+         |p AS (
+         |  SELECT *, CASE
+         |    WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+         |    WHEN es_hits >= fr_hits AND es_hits >= de_hits AND es_hits >= zh_hits THEN 'es'
+         |    WHEN fr_hits >= de_hits AND fr_hits >= zh_hits THEN 'fr'
+         |    WHEN de_hits >= zh_hits THEN 'de'
+         |    ELSE 'zh' END AS predicted
+         |  FROM h),
+         |cell AS (SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2),
+         |tot AS (SELECT lang, sum(n) AS n_lang FROM cell GROUP BY 1)
+         |SELECT cell.lang, predicted, CAST(n AS BIGINT) AS n,
+         |  CAST(n_lang AS BIGINT) AS n_lang,
+         |  CAST((2*10000*n + n_lang) // (2*n_lang) AS BIGINT) AS share_u4
+         |FROM cell JOIN tot USING (lang) ORDER BY lang, predicted""".stripMargin,
+
     // same rule chain re-derived from the quality SQL; DuckDB
     // array_to_string('') is NULL, hence the coalesce
     "text_repetition" ->
@@ -4372,6 +4427,52 @@ object PipelineQueries {
         |pr AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
         |  FROM u l JOIN u r ON l.ci = r.ci AND l.cv = r.cv
         |  WHERE l.doc_id < r.doc_id),
+        |j AS (SELECT id1, id2,
+        |    bit_count(xor(a.c0, d.c0)) + bit_count(xor(a.c1, d.c1))
+        |  + bit_count(xor(a.c2, d.c2)) + bit_count(xor(a.c3, d.c3)) AS ham
+        | FROM pr JOIN c a ON pr.id1 = a.doc_id
+        |         JOIN c d ON pr.id2 = d.doc_id)
+        |SELECT id1, id2, CAST(ham AS INT) AS hamming
+        |FROM j WHERE ham <= 3 ORDER BY id1, id2""".stripMargin,
+
+    // same pair derivation, restricted to pairs touching the landed
+    // shard (doc_id >= the 3/4 boundary, matching ann_ivf_append's
+    // generation split)
+    "mm_phash_incremental" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |   4 + (octet_length(encode(text)) % 13) AS w,
+        |   2 + (doc_id % 7) AS h
+        | FROM documents),
+        |q AS (SELECT doc_id, w*h*3 AS n,
+        |  list_sum(list_transform(range(0, w*h*3),
+        |    k -> (doc_id*7 + k*13) % 256)) AS s
+        | FROM p),
+        |b AS (SELECT doc_id, n, s,
+        |  list_transform(range(0, 64), i -> CASE
+        |    WHEN ((doc_id*7 + ((i*n)//64)*13) % 256) * n > s
+        |    THEN 1 ELSE 0 END) AS bits
+        | FROM q),
+        |c AS (SELECT doc_id,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+1]  * (CAST(1 AS BIGINT) << t))) AS c0,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+17] * (CAST(1 AS BIGINT) << t))) AS c1,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+33] * (CAST(1 AS BIGINT) << t))) AS c2,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+49] * (CAST(1 AS BIGINT) << t))) AS c3
+        | FROM b),
+        |u AS (
+        |  SELECT doc_id, 0 AS ci, c0 AS cv FROM c
+        |  UNION ALL SELECT doc_id, 1, c1 FROM c
+        |  UNION ALL SELECT doc_id, 2, c2 FROM c
+        |  UNION ALL SELECT doc_id, 3, c3 FROM c),
+        |thr AS (SELECT 3*(max(doc_id)+1)//4 AS t FROM documents),
+        |pr AS (SELECT DISTINCT least(l.doc_id, r.doc_id) AS id1,
+        |         greatest(l.doc_id, r.doc_id) AS id2
+        |  FROM u l JOIN u r ON l.ci = r.ci AND l.cv = r.cv CROSS JOIN thr
+        |  WHERE l.doc_id <> r.doc_id AND r.doc_id >= thr.t),
         |j AS (SELECT id1, id2,
         |    bit_count(xor(a.c0, d.c0)) + bit_count(xor(a.c1, d.c1))
         |  + bit_count(xor(a.c2, d.c2)) + bit_count(xor(a.c3, d.c3)) AS ham
