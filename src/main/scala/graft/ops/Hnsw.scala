@@ -134,9 +134,22 @@ object Hnsw {
     * two L0 hops, re-ranked per hop, top-`k` excluding self. */
   def search(ix: Index, probeFilter: Column, k: Int = 5,
              beam: Int = 8): DataFrame = {
-    val Index(e, adj2, adj1, adj0, entry) = ix
-    val probes = e.filter(probeFilter)
+    val probes = ix.e.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    searchProbes(ix, probes, k, beam)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** [[search]] with an EXPLICIT probe table (probe_id, pv, pn) — the
+    * probes need not be index members (that is the whole point of
+    * [[append]]: a landing shard searches the frozen graph to find its
+    * attachment edges before it is part of any adjacency). `cos` is
+    * returned UNROUNDED so callers that rank on it downstream (the
+    * in-edge cap) agree with the oracle's replay bit-for-bit. */
+  private def searchProbes(ix: Index, probes: DataFrame, k: Int,
+                           beam: Int): DataFrame = {
+    val Index(e, adj2, adj1, adj0, entry) = ix
     val pcos = Dedup.dot(col("pv"), col("v")) / (col("pn") * col("nrm"))
 
     /** frontier ∪ its layer-adjacency expansion, probe vector attached
@@ -170,6 +183,45 @@ object Hnsw {
     b0.filter(col("node") =!= col("probe_id"))
       .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
       .select(col("probe_id"), col("rank").cast("bigint").as("rank"),
-        col("node").as("neighbor_id"), round(col("cos"), 4).as("cos"))
+        col("node").as("neighbor_id"), col("cos"))
+  }
+
+  /** FROZEN-GRAPH SHARD ATTACHMENT — the landing cadence for graph
+    * ANN, completing the incremental-index trilogy (ann_ivf_append's
+    * frozen quantizer, mm_phash_incremental's signature store, and
+    * now the graph): history's layer ladder, adjacencies and entry
+    * are reused UNTOUCHED; the shard's vectors attach at the base
+    * layer only (the asymptotically-certain HNSW level draw for a
+    * o(n)-sized landing), by beam-searching the frozen index — each
+    * shard vector's top-`m` unrounded-cos search results become its
+    * out-edges, and each touched history node accepts at most `m`
+    * shard in-edges (cos-ranked, dst-asc ties), so base-layer degree
+    * stays O(m) without re-trimming history edges. History vectors
+    * are never re-scanned beyond the searches the shard itself runs;
+    * old-old pairs can never form (one join side is always the
+    * shard). */
+  def append(emb: DataFrame, shardFilter: Column, m: Int = 6,
+             beam: Int = 8): Index = {
+    val ix = build(emb.filter(!shardFilter), m, materializeUppers = true)
+    val eFull = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+      .localCheckpoint(false) // node table for the augmented searches
+    val shard = eFull.filter(shardFilter)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+    val attach = searchProbes(ix, shard, k = m, beam = beam)
+      .localCheckpoint(false) // feeds both edge directions
+    val outE = attach
+      .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
+    val wIn = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val inE = attach
+      .select(col("neighbor_id").as("src"), col("probe_id").as("dst"),
+        col("cos"))
+      .withColumn("r", row_number().over(wIn)).filter(col("r") <= m)
+      .select("src", "dst")
+    Index(eFull, ix.adj2, ix.adj1,
+      ix.adj0.unionByName(outE).unionByName(inE).localCheckpoint(false),
+      ix.entry)
   }
 }

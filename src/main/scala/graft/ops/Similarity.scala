@@ -108,7 +108,14 @@ object Similarity {
     * at this precision, deterministic assignment everywhere). Only
     * the cells×dim centroid matrix reaches the driver. */
   private def ivfCentroids(e: DataFrame, cells: Int, lloydIters: Int,
-                           buildFilter: Column): Array[Centroid] = {
+                           buildFilter: Column): Array[Centroid] =
+    ivfCentroidSteps(e, cells, lloydIters, buildFilter).last
+
+  /** Every intermediate quantizer state (seeds at index 0, then one
+    * per Lloyd step) — [[lloydCurve]] audits the whole trajectory;
+    * [[ivfCentroids]] consumes only the final state. */
+  private def ivfCentroidSteps(e: DataFrame, cells: Int, lloydIters: Int,
+                               buildFilter: Column): IndexedSeq[Array[Centroid]] = {
     require(lloydIters >= 0 && lloydIters <= 64,
       s"lloydIters out of range: $lloydIters")
     val eb = e.filter(buildFilter)
@@ -118,7 +125,7 @@ object Similarity {
     require(seeds.length == cells,
       s"IVF needs >= cells=$cells build-set vectors to seed the coarse " +
       s"quantizer; got ${seeds.length} — lower cells for tiny inputs")
-    (1 to lloydIters).foldLeft(seeds) { (cents, _) =>
+    (1 to lloydIters).scanLeft(seeds) { (cents, _) =>
       centroidRows(
         eb.withColumn("cell", nearestCell(col("v"), col("nrm"), cents))
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -129,6 +136,40 @@ object Similarity {
           .orderBy("cell")
           .collect().map(_.getSeq[Double](1).toArray))
     }
+  }
+
+  /** Lloyd CONVERGENCE audit for the IVF coarse quantizer — the
+    * measurement behind ivfTopK's lloydIters sizing: per refinement
+    * iteration, how many vectors changed cell (n_moved → 0 as the
+    * quantizer settles) and the total cosine inertia Σ(1 − cos) of
+    * the assignment. Inertia is quantized per ROW to u6 half-up
+    * integer units BEFORE the sum, so the emitted totals are
+    * accumulation-order-proof (§5). The corpus is checkpointed once
+    * and scanned once per state; only the cells×dim centroid
+    * matrices reach the driver (the ivfCentroids contract). */
+  def lloydCurve(emb: DataFrame, cells: Int = 16, iters: Int = 2): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+      .localCheckpoint(false) // feeds every training + assignment pass
+    val states = ivfCentroidSteps(e, cells, iters, lit(true))
+    val assigned = states.zipWithIndex.map { case (cents, t) =>
+      val best = array_max(centroidSims(col("v"), col("nrm"), cents))
+      e.select(col("vec_id"), best.getField("idx").as(s"cell_$t"),
+        round((lit(1.0) - best.getField("sim")) * lit(1000000.0), 0)
+          .cast("long").as(s"d_$t"))
+    }
+    val joined = assigned.reduce((a, b) => a.join(b, "vec_id"))
+      .localCheckpoint(false) // re-aggregated once per iteration row
+    (0 to iters).map { t =>
+      val moved =
+        if (t == 0) sum(lit(0L))
+        else sum((col(s"cell_$t") =!= col(s"cell_${t - 1}")).cast("long"))
+      joined.agg(count(lit(1)).as("n_vecs"), moved.as("n_moved"),
+          sum(col(s"d_$t")).as("inertia_u6"))
+        .select(lit(t.toLong).as("iter"), col("n_vecs"), col("n_moved"),
+          col("inertia_u6"))
+    }.reduce(_.unionByName(_)).orderBy("iter")
   }
 
   /** The IVF coarse assignment alone: (vec_id, v, nrm, cell) — the

@@ -691,6 +691,63 @@ object OlapQueries {
           Exact.u4Dollars(sum(Exact.rev4(col("l_extendedprice"), col("l_discount")))).as("revenue"))
     }),
 
+    // BLOOM SIZING AUDIT — the measurement behind bloom_semi_join's
+    // numBits knob. A from-scratch PORTABLE bloom (k=3 GraftHash64
+    // probes, power-of-two modulus so signed pmod == unsigned low
+    // bits) is built over one month's buyer keys at three widths m;
+    // every customer key then probes all three filters in one scan.
+    // Per m: exact bit occupancy, the false-positive count/rate over
+    // the true-negative keys, and the occupancy-implied analytic rate
+    // (b/m)³ — empirical vs predicted side by side, §5 half-up u6
+    // integer units. No false negative is possible by construction
+    // and the row PROVES it (n_members == n_member_pos). The bit sets
+    // are bounded by the build side (≤ 3·|B| positions), so the probe
+    // scan stays map-side at any corpus size — exactly the
+    // bloom_semi_join economics this audit sizes.
+    "bloom_fpr_audit" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val ms = Seq(256L, 1024L, 4096L)
+      val build = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select(col("o_custkey").as("k")).distinct()
+        .localCheckpoint(false) // feeds the bit sets AND the membership join
+      // (m, r, pos) probe positions of a key — 3 widths × 3 seeds in
+      // one generator, a single pass over whichever side explodes
+      def positions(kc: org.apache.spark.sql.Column) =
+        explode(array((for { m <- ms; r <- 0 to 2 } yield
+          struct(lit(m).as("m"), lit(r).as("r"),
+            pmod(call_function("graft_hash64", kc.cast("string"),
+              lit(201L + r)), lit(m)).as("pos"))): _*))
+      val bits = build.select(positions(col("k")).as("e"))
+        .select(col("e.m").as("m"), col("e.pos").as("pos")).distinct()
+        .localCheckpoint(false) // tiny: ≤ 3·|B| rows per width
+      val bitCounts = bits.groupBy("m").agg(count(lit(1)).as("n_bits_set"))
+      val probed = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"))
+        .join(broadcast(build.withColumn("is_member", lit(1L))), Seq("k"), "left")
+        .select(col("k"), coalesce(col("is_member"), lit(0L)).as("is_member"),
+          positions(col("k")).as("e"))
+        .select(col("k"), col("is_member"), col("e.m").as("m"), col("e.r").as("r"),
+          col("e.pos").as("pos"))
+        .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("m", "pos"), "left")
+        .groupBy("k", "is_member", "m")
+        .agg((sum(coalesce(col("hit"), lit(0L))) === 3L).cast("long").as("positive"))
+      probed.groupBy("m").agg(
+          sum(col("is_member")).as("n_members"),
+          sum(col("is_member") * col("positive")).as("n_member_pos"),
+          sum(lit(1L) - col("is_member")).as("n_true_neg"),
+          sum((lit(1L) - col("is_member")) * col("positive")).as("n_false_pos"))
+        .join(bitCounts, Seq("m"))
+        .select(col("m"), col("n_bits_set"), col("n_members"), col("n_member_pos"),
+          col("n_true_neg"), col("n_false_pos"),
+          expr("(2*1000000L*n_false_pos + nullif(n_true_neg, 0L)) div " +
+            "(2*nullif(n_true_neg, 0L))").as("fpr_emp_u6"),
+          expr("(2*1000000L*n_bits_set*n_bits_set*n_bits_set + m*m*m) div " +
+            "(2*m*m*m)").as("fpr_load_u6"))
+        .orderBy("m")
+    }),
+
     // SCD2 / CDC merge: a deterministic update batch (10% of orders,
     // price +100.00 — additive so no ×-factor ever lands on a .005
     // HALF_UP-vs-binary rounding boundary — effective 30 days after the
@@ -2103,6 +2160,58 @@ object OlapQueries {
         |  SELECT o_orderkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |    AND o_orderdate < TIMESTAMP '1997-01-01')""".stripMargin,
+
+    // full portable-bloom replay: same FNV-1a+splitmix64 probes, same
+    // power-of-two moduli, exact membership from the same month filter
+    "bloom_fpr_audit" -> {
+      import DuckHash.{ghashSql, fnvHx}
+      def posCase = "CAST(CASE r.r WHEN 0 THEN h0 % m WHEN 1 THEN h1 % m " +
+        "ELSE h2 % m END AS BIGINT)"
+      s"""WITH bk AS (SELECT DISTINCT o_custkey AS k FROM orders
+         |            WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+         |              AND o_orderdate < TIMESTAMP '1995-04-01'),
+         |ck AS (SELECT c_custkey AS k FROM customer),
+         |tbb AS (SELECT k, hex(encode(CAST(k AS VARCHAR))) AS hx,
+         |               octet_length(encode(CAST(k AS VARCHAR))) AS n FROM bk),
+         |hb AS (SELECT k, ${ghashSql(fnvHx, "201")} AS h0,
+         |         ${ghashSql(fnvHx, "202")} AS h1,
+         |         ${ghashSql(fnvHx, "203")} AS h2 FROM tbb),
+         |tbc AS (SELECT k, hex(encode(CAST(k AS VARCHAR))) AS hx,
+         |               octet_length(encode(CAST(k AS VARCHAR))) AS n FROM ck),
+         |hc AS (SELECT k, ${ghashSql(fnvHx, "201")} AS h0,
+         |         ${ghashSql(fnvHx, "202")} AS h1,
+         |         ${ghashSql(fnvHx, "203")} AS h2 FROM tbc),
+         |ms AS (SELECT CAST(unnest([256, 1024, 4096]) AS BIGINT) AS m),
+         |bits AS (SELECT DISTINCT m, $posCase AS pos
+         |         FROM hb CROSS JOIN ms CROSS JOIN unnest([0, 1, 2]) r(r)),
+         |bc AS (SELECT m, CAST(count(*) AS BIGINT) AS n_bits_set
+         |       FROM bits GROUP BY 1),
+         |pp AS (SELECT hc.k, m, r.r, $posCase AS pos
+         |       FROM hc CROSS JOIN ms CROSS JOIN unnest([0, 1, 2]) r(r)),
+         |mt AS (SELECT pp.k, pp.m, count(b.pos) AS hits
+         |       FROM pp LEFT JOIN bits b ON b.m = pp.m AND b.pos = pp.pos
+         |       GROUP BY 1, 2),
+         |mem AS (SELECT ck.k, CASE WHEN bk.k IS NULL THEN 0 ELSE 1 END AS is_member
+         |        FROM ck LEFT JOIN bk ON ck.k = bk.k),
+         |ag AS (SELECT mt.m,
+         |         sum(mem.is_member) AS n_members,
+         |         sum(CASE WHEN mem.is_member = 1 AND mt.hits = 3
+         |             THEN 1 ELSE 0 END) AS n_member_pos,
+         |         sum(1 - mem.is_member) AS n_true_neg,
+         |         sum(CASE WHEN mem.is_member = 0 AND mt.hits = 3
+         |             THEN 1 ELSE 0 END) AS n_false_pos
+         |       FROM mt JOIN mem USING (k) GROUP BY 1)
+         |SELECT ag.m, bc.n_bits_set,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(n_member_pos AS BIGINT) AS n_member_pos,
+         |  CAST(n_true_neg AS BIGINT) AS n_true_neg,
+         |  CAST(n_false_pos AS BIGINT) AS n_false_pos,
+         |  CAST((2*1000000*n_false_pos + nullif(n_true_neg, 0))
+         |       // (2*nullif(n_true_neg, 0)) AS BIGINT) AS fpr_emp_u6,
+         |  CAST((2*1000000*n_bits_set*n_bits_set*n_bits_set + m*m*m)
+         |       // (2*m*m*m) AS BIGINT) AS fpr_load_u6
+         |FROM ag JOIN bc USING (m) ORDER BY m""".stripMargin
+    },
 
     // independent derivation: version union + native ASOF JOIN (the
     // engine goes through Scd2.merge + the as-of union-sort)

@@ -641,6 +641,17 @@ object PipelineQueries {
       }.reduce(_.unionByName(_)).orderBy("cells")
     }),
 
+    // LLOYD CONVERGENCE AUDIT for the IVF coarse quantizer — the
+    // third leg of the index-sizing triad (cells: ann_ivf_cells_sweep,
+    // occupancy: emb_ivf_balance, iterations: THIS): per Lloyd step,
+    // the vectors that changed cell and the u6-integer cosine inertia
+    // of the assignment. The knee of this curve is where extra
+    // quantizer passes stop paying — at 100 TB each extra iteration
+    // is a full corpus scan, so it is bought from a measurement, not
+    // a guess (Similarity.lloydCurve).
+    "ann_ivf_lloyd_curve" -> ((s, dir) =>
+      Similarity.lloydCurve(Tables.embeddings(s, dir), cells = 16, iters = 2)),
+
     // HNSW-STYLE LAYERED GRAPH ANN (VERDICT r9 item 8, SURVEY §7
     // candidate): deterministic geometric layer ladder on the portable
     // id hash, bucket-bounded per-layer kNN digraphs, and a fixed
@@ -693,6 +704,24 @@ object PipelineQueries {
           .select(lit(beam.toLong).as("beam"), col("avg_recall"),
             col("n_probes"))
       }.reduce(_.unionByName(_)).orderBy("beam")
+    }),
+
+    // FROZEN-GRAPH SHARD ATTACHMENT (Hnsw.append) — the landing
+    // cadence for graph ANN, completing the incremental-index trilogy
+    // (ann_ivf_append: frozen quantizer; mm_phash_incremental:
+    // signature store; THIS: the graph). History's ladder/adjacencies/
+    // entry are reused untouched; the last-quarter shard attaches at
+    // the base layer via beam search on the frozen graph (top-6
+    // out-edges + capped history in-edges), then shard probes search
+    // the augmented graph — proving a landing is immediately
+    // searchable with NO history rebuild.
+    "ann_hnsw_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val thr = emb.agg(expr("3*(max(vec_id)+1) div 4")).head().getLong(0)
+      val ix = graft.ops.Hnsw.append(emb, col("vec_id") >= thr)
+      graft.ops.Hnsw.search(ix,
+          col("vec_id") >= thr && col("vec_id") < thr + 10, k = 5)
+        .orderBy("probe_id", "rank")
     }),
 
     // PER-LANGUAGE CORPUS PROFILE: doc counts and mean token/quality
@@ -1469,29 +1498,10 @@ object PipelineQueries {
     // space-delimited, so patterns are unambiguous by construction.
     "vocab_bpe_learn" -> ((s, dir) => {
       import s.implicits._
-      val vocab = Tables.documents(s, dir)
-        .select(explode(Dedup.tokens(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("s", concat(lit(" "),
-          regexp_replace(col("tok"), "(.)", "$1 ")))
-        .select("cnt", "s")
-      var words = vocab.localCheckpoint(false)
+      var words = bpeVocab(s, dir).select("cnt", "s").localCheckpoint(false)
       val merges = (1 to 5).map { it =>
-        val best = words
-          .select(col("cnt"), split(trim(col("s")), " ").as("a"))
-          .filter(size(col("a")) >= 2) // sequence(1,0) would descend
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(a)-1), " +
-              "i -> struct(element_at(a, i) AS x, element_at(a, i+1) AS y))"))
-            .as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(sum("cnt").as("pc"))
-          .orderBy(col("pc").desc, col("x"), col("y")).limit(1)
-          .head()
-        val (bx, by, bpc) = (best.getString(0), best.getString(1), best.getLong(2))
-        // symbols are [a-z0-9]+ — safe to splice into the SQL literal
-        words = words.withColumn("s", expr(
-            s"replace(replace(s, ' $bx $by ', ' $bx$by '), ' $bx $by ', ' $bx$by ')"))
+        val (bx, by, bpc) = bpeBestPair(words)
+        words = words.withColumn("s", bpeMergeExpr(bx, by))
           .localCheckpoint(false) // cut lineage between rounds
         // the compression curve: weighted symbol count after this merge
         // (a 1-row agg over the already-checkpointed vocab)
@@ -1503,6 +1513,38 @@ object PipelineQueries {
       merges.toDF("iter", "sym_a", "sym_b", "pair_count", "syms_after")
         .withColumn("merged", concat(col("sym_a"), col("sym_b")))
         .orderBy("iter")
+    }),
+
+    // BPE APPLICATION — the measurement the learned merge table exists
+    // for: re-tokenize the corpus through the 5 learned merges and
+    // report per-source compression. The corpus is never re-segmented
+    // per occurrence: merges apply once to the BOUNDED vocabulary (the
+    // same 5-round learn as vocab_bpe_learn — identical argmax
+    // sequence, the token column just rides along), then the
+    // vocab-sized (token → symbol count) map broadcasts back onto ONE
+    // corpus scan. n_chars is the pre-merge symbol count (1 char = 1
+    // symbol at BPE init), so compression_u4 = syms/chars in §5
+    // half-up integer units — the per-source fertility a tokenizer
+    // budget planner actually consumes.
+    "vocab_bpe_apply" -> ((s, dir) => {
+      var words = bpeVocab(s, dir).localCheckpoint(false)
+      (1 to 5).foreach { _ =>
+        val (bx, by, _) = bpeBestPair(words)
+        words = words.withColumn("s", bpeMergeExpr(bx, by))
+          .localCheckpoint(false)
+      }
+      val seg = words.select(col("tok"),
+        size(split(trim(col("s")), " ")).cast("bigint").as("n_syms"))
+      Tables.documents(s, dir)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .join(broadcast(seg), Seq("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("tok"))).cast("bigint").as("n_chars"),
+          sum(col("n_syms")).as("n_syms"))
+        .withColumn("compression_u4",
+          expr("(2*10000L*n_syms + n_chars) div (2*n_chars)"))
+        .orderBy("source")
     }),
 
     // Zipf audit: log-log slope of token frequency vs frequency rank
@@ -1963,6 +2005,42 @@ object PipelineQueries {
     }),
   )
 
+  /** BPE init state shared by vocab_bpe_learn/vocab_bpe_apply: the
+    * token-frequency vocabulary with each token exploded to a
+    * space-delimited character-symbol string (leading space = word
+    * boundary marker for the merge patterns). */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("s", concat(lit(" "),
+        regexp_replace(col("tok"), "(.)", "$1 ")))
+
+  /** One BPE round's argmax pair over the space-delimited vocab
+    * (count desc, pair asc — the deterministic tie order both engines
+    * share). The 1-row driver pull is BPE's inherent sequential
+    * dependency — same bounded contract as the IVF centroid pulls. */
+  private def bpeBestPair(words: DataFrame): (String, String, Long) = {
+    val best = words
+      .select(col("cnt"), split(trim(col("s")), " ").as("a"))
+      .filter(size(col("a")) >= 2) // sequence(1,0) would descend
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(a)-1), " +
+          "i -> struct(element_at(a, i) AS x, element_at(a, i+1) AS y))"))
+        .as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum("cnt").as("pc"))
+      .orderBy(col("pc").desc, col("x"), col("y")).limit(1)
+      .head()
+    (best.getString(0), best.getString(1), best.getLong(2))
+  }
+
+  /** The two-pass leftmost-non-overlapping merge application (pass 2
+    * catches alternating occurrences whose delimiter pass 1 consumed).
+    * Symbols are [a-z0-9]+ — safe to splice into the SQL literal. */
+  private def bpeMergeExpr(bx: String, by: String): Column =
+    expr(s"replace(replace(s, ' $bx $by ', ' $bx$by '), ' $bx $by ', ' $bx$by ')")
+
   // Shared DuckDB fragments (SURVEY §5: Spark∩DuckDB regex/token subset).
   private val toks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -2020,6 +2098,66 @@ object PipelineQueries {
        |      FROM s)
        |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos, cell
        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  /** Unrolled 2-step Lloyd replay for ann_ivf_lloyd_curve: seeds →
+    * assign → 6dp means → assign → 6dp means → assign, per-row
+    * u6-quantized cosine inertia summed as integers. Mirrors
+    * ivfReplaySql's conventions (same seed order, same compacting
+    * cell renumbering after each refinement — matching the engine's
+    * collect-into-array index semantics, same DESC tie order). */
+  private lazy val ivfLloydCurveSql = {
+    def assign(cs: String, out: String): String =
+      s"""$out AS (
+         |  SELECT e.vec_id, $cs.cell,
+         |    list_sum(list_transform(range(1,65), i -> e.v[i]*$cs.c[i])) / (e.nrm*$cs.cn) AS cos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*$cs.c[i])) / (e.nrm*$cs.cn) DESC,
+         |               $cs.cell DESC) AS rk
+         |  FROM e CROSS JOIN $cs QUALIFY rk = 1)""".stripMargin
+    def refine(a: String, i: Int): String =
+      s"""r$i AS (
+         |  SELECT $a.cell AS acell, i AS pos, round(avg(e.v[i]), 6) AS m
+         |  FROM $a JOIN e USING (vec_id), unnest(range(1, 65)) t(i)
+         |  GROUP BY 1, 2),
+         |rc$i AS (SELECT row_number() OVER (ORDER BY acell) - 1 AS cell,
+         |           list(m ORDER BY pos) AS c
+         |         FROM r$i GROUP BY acell),
+         |c$i AS (SELECT cell, c,
+         |          sqrt(list_sum(list_transform(c, x -> x*x))) AS cn
+         |        FROM rc$i)""".stripMargin
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+       |  FROM e QUALIFY cell < 16),
+       |c0 AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+       |${assign("c0", "a0")},
+       |${refine("a0", 1)},
+       |${assign("c1", "a1")},
+       |${refine("a1", 2)},
+       |${assign("c2", "a2")},
+       |d AS (SELECT a0.vec_id,
+       |        a0.cell AS cell_0, a1.cell AS cell_1, a2.cell AS cell_2,
+       |        CAST(round((1-a0.cos)*1000000) AS BIGINT) AS d0,
+       |        CAST(round((1-a1.cos)*1000000) AS BIGINT) AS d1,
+       |        CAST(round((1-a2.cos)*1000000) AS BIGINT) AS d2
+       |      FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id))
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS iter, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    CAST(0 AS BIGINT) AS n_moved, CAST(sum(d0) AS BIGINT) AS inertia_u6
+       |  FROM d
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+       |    CAST(sum(CASE WHEN cell_1 <> cell_0 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(sum(d1) AS BIGINT)
+       |  FROM d
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+       |    CAST(sum(CASE WHEN cell_2 <> cell_1 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(sum(d2) AS BIGINT)
+       |  FROM d)
+       |ORDER BY iter""".stripMargin
+  }
 
   // Full replay of the streaming HLL state + estimator at day grain
   // (same portable hash, bucket/rho split, max-rho merge and float
@@ -2314,38 +2452,47 @@ object PipelineQueries {
     * unrolled hop sequence (entry → keep-4 at L2 → keep-8 at L1 → two
     * keep-8 hops at L0 → top-5 excluding self). Ends in CTE `hnsw`
     * (probe_id, neighbor_id, cos, rank). */
+  private def hnswBucketExpr(seed: Long) =
+    graft.ops.Similarity.hyperplanes(3, 64, seed).zipWithIndex.map {
+      case (pl, i) =>
+        val lit = "[" + pl.mkString(",") + "]"
+        s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n|    + ")
+
+  private def hnswAdjCte(name: String, src: String) = {
+    val cosAB = "list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm)"
+    s"""$name AS (SELECT src, dst FROM (
+       |  SELECT c.src, c.dst,
+       |    row_number() OVER (PARTITION BY c.src
+       |      ORDER BY $cosAB DESC, c.dst) AS r
+       |  FROM (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |        FROM $src x JOIN $src y
+       |          ON (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2)
+       |         AND x.vec_id <> y.vec_id) c
+       |  JOIN $src a ON c.src = a.vec_id
+       |  JOIN $src b ON c.dst = b.vec_id) WHERE r <= 6)"""
+      .stripMargin
+  }
+
+  private def hnswHopCte(out: String, fr: String, adj: String, keep: Int,
+                         p: String = "p") =
+    s"""${out}x AS (SELECT probe_id, node FROM $fr
+       |  UNION SELECT f.probe_id, a.dst AS node
+       |        FROM $fr f JOIN $adj a ON f.node = a.src),
+       |${out}s AS (SELECT f.probe_id, f.node,
+       |    list_sum(list_transform(range(1,65), i -> $p.pv[i]*e.v[i]))/($p.pn*e.nrm) AS cos
+       |  FROM ${out}x f JOIN e ON f.node = e.vec_id
+       |  JOIN $p ON f.probe_id = $p.probe_id),
+       |$out AS (SELECT probe_id, node, cos FROM (
+       |  SELECT probe_id, node, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, node) AS r
+       |  FROM ${out}s) WHERE r <= $keep)""".stripMargin
+
   private def hnswCtes(beam: Int = 8): String = {
-    def bucketExpr(seed: Long) =
-      graft.ops.Similarity.hyperplanes(3, 64, seed).zipWithIndex.map {
-        case (pl, i) =>
-          val lit = "[" + pl.mkString(",") + "]"
-          s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
-      }.mkString("\n|    + ")
-    def cosAB = "list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm)"
-    def adjCte(name: String, src: String) =
-      s"""$name AS (SELECT src, dst FROM (
-         |  SELECT c.src, c.dst,
-         |    row_number() OVER (PARTITION BY c.src
-         |      ORDER BY $cosAB DESC, c.dst) AS r
-         |  FROM (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-         |        FROM $src x JOIN $src y
-         |          ON (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2)
-         |         AND x.vec_id <> y.vec_id) c
-         |  JOIN $src a ON c.src = a.vec_id
-         |  JOIN $src b ON c.dst = b.vec_id) WHERE r <= 6)"""
-        .stripMargin
+    def bucketExpr(seed: Long) = hnswBucketExpr(seed)
+    def adjCte(name: String, src: String) = hnswAdjCte(name, src)
     def hopCte(out: String, fr: String, adj: String, keep: Int) =
-      s"""${out}x AS (SELECT probe_id, node FROM $fr
-         |  UNION SELECT f.probe_id, a.dst AS node
-         |        FROM $fr f JOIN $adj a ON f.node = a.src),
-         |${out}s AS (SELECT f.probe_id, f.node,
-         |    list_sum(list_transform(range(1,65), i -> p.pv[i]*e.v[i]))/(p.pn*e.nrm) AS cos
-         |  FROM ${out}x f JOIN e ON f.node = e.vec_id
-         |  JOIN p ON f.probe_id = p.probe_id),
-         |$out AS (SELECT probe_id, node, cos FROM (
-         |  SELECT probe_id, node, cos,
-         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, node) AS r
-         |  FROM ${out}s) WHERE r <= $keep)""".stripMargin
+      hnswHopCte(out, fr, adj, keep)
     s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |tb AS (SELECT vec_id, v, hex(encode(CAST(vec_id AS VARCHAR))) AS hx,
        |         octet_length(encode(CAST(vec_id AS VARCHAR))) AS n FROM e0),
@@ -2379,6 +2526,74 @@ object PipelineQueries {
        |  FROM b0 WHERE node <> probe_id)""".stripMargin
   }
 
+  /** Full replay of Hnsw.append + the augmented search: the graph
+    * (ladder, adjacencies, entry) is built over the FIRST THREE
+    * QUARTERS only; the shard beam-searches that frozen graph for its
+    * top-6 attachment edges (unrounded cos — the same values the
+    * engine ranks the in-edge cap on), each touched history node caps
+    * shard in-edges at 6, and the final probes run the identical hop
+    * pyramid over the augmented base layer. */
+  private lazy val hnswAppendSql = {
+    val thr = "(SELECT t FROM thr)"
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |thr AS (SELECT 3*(max(vec_id)+1)//4 AS t FROM embeddings),
+       |tb AS (SELECT vec_id, v, hex(encode(CAST(vec_id AS VARCHAR))) AS hx,
+       |         octet_length(encode(CAST(vec_id AS VARCHAR))) AS n FROM e0),
+       |hh AS (SELECT vec_id, v, ${ghashSql(fnvHx, "11")} AS hu FROM tb),
+       |e AS (SELECT vec_id, v,
+       |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+       |        ${hnswBucketExpr(42L)} AS b0,
+       |        ${hnswBucketExpr(43L)} AS b1,
+       |        ${hnswBucketExpr(44L)} AS b2,
+       |        CASE WHEN hu % 16 = 0 THEN 2
+       |             WHEN hu % 4 = 0 THEN 1 ELSE 0 END AS level
+       |      FROM hh),
+       |g AS (SELECT * FROM e WHERE vec_id < $thr),
+       |n2 AS (SELECT * FROM g WHERE level >= 2),
+       |n1 AS (SELECT * FROM g WHERE level >= 1),
+       |${hnswAdjCte("adj2", "n2")},
+       |${hnswAdjCte("adj1", "n1")},
+       |${hnswAdjCte("adj0h", "g")},
+       |ent AS (SELECT coalesce(
+       |    (SELECT min(vec_id) FROM g WHERE level >= 2),
+       |    (SELECT min(vec_id) FROM g WHERE level >= 1),
+       |    (SELECT min(vec_id) FROM g)) AS node),
+       |pa AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn
+       |       FROM e WHERE vec_id >= $thr),
+       |seeda AS (SELECT probe_id, ent.node FROM pa, ent),
+       |${hnswHopCte("a2", "seeda", "adj2", 4, p = "pa")},
+       |${hnswHopCte("a1", "a2", "adj1", 8, p = "pa")},
+       |${hnswHopCte("ac0", "a1", "adj0h", 8, p = "pa")},
+       |${hnswHopCte("ab0", "ac0", "adj0h", 8, p = "pa")},
+       |att AS (SELECT probe_id, node, cos FROM (
+       |  SELECT probe_id, node, cos,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, node) AS rank
+       |  FROM ab0 WHERE node <> probe_id) WHERE rank <= 6),
+       |oute AS (SELECT probe_id AS src, node AS dst FROM att),
+       |ine AS (SELECT src, dst FROM (
+       |  SELECT node AS src, probe_id AS dst, cos,
+       |    row_number() OVER (PARTITION BY node
+       |      ORDER BY cos DESC, probe_id) AS r
+       |  FROM att) WHERE r <= 6),
+       |adj0 AS (SELECT src, dst FROM adj0h
+       |  UNION ALL SELECT src, dst FROM oute
+       |  UNION ALL SELECT src, dst FROM ine),
+       |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn
+       |      FROM e WHERE vec_id >= $thr AND vec_id < $thr + 10),
+       |seed AS (SELECT probe_id, ent.node FROM p, ent),
+       |${hnswHopCte("b2", "seed", "adj2", 4)},
+       |${hnswHopCte("b1", "b2", "adj1", 8)},
+       |${hnswHopCte("c0", "b1", "adj0", 8)},
+       |${hnswHopCte("b0", "c0", "adj0", 8)},
+       |hnsw AS (SELECT probe_id, node AS neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, node) AS BIGINT) AS rank
+       |  FROM b0 WHERE node <> probe_id)
+       |SELECT probe_id, rank, neighbor_id, round(cos, 4) AS cos
+       |FROM hnsw WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
   private lazy val contaminationSql =
     s"""WITH d AS (SELECT doc_id, list_distinct(
        |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
@@ -2405,6 +2620,8 @@ object PipelineQueries {
       s"""WITH ${hnswCtes()}
          |SELECT probe_id, rank, neighbor_id, round(cos, 4) AS cos
          |FROM hnsw WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "ann_hnsw_append" -> hnswAppendSql,
 
     "ann_hnsw_recall" ->
       s"""WITH ${hnswCtes()},
@@ -3664,6 +3881,44 @@ object PipelineQueries {
          |ORDER BY iter""".stripMargin
     },
 
+    // same 5 unrolled merge stages as vocab_bpe_learn (tok carried
+    // through), then the final segmentation joins back to per-source
+    // token occurrences — the same vocab-bounded map the engine
+    // broadcasts
+    "vocab_bpe_apply" -> {
+      def stage(i: Int): String = {
+        val prev = s"w${i - 1}"
+        s"""p$i AS (
+           |  SELECT p.x AS x, p.y AS y, sum(cnt) AS pc
+           |  FROM (SELECT cnt, unnest(list_transform(range(1, len(sy)),
+           |          j -> {'x': sy[j], 'y': sy[j+1]})) AS p
+           |        FROM (SELECT cnt, string_split(trim(s), ' ') AS sy
+           |              FROM $prev))
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT x, y FROM p$i ORDER BY pc DESC, x, y LIMIT 1),
+           |w$i AS (SELECT tok, cnt,
+           |    replace(replace(s, ' '||x||' '||y||' ', ' '||x||y||' '),
+           |            ' '||x||' '||y||' ', ' '||x||y||' ') AS s
+           |  FROM $prev CROSS JOIN b$i)""".stripMargin
+      }
+      s"""WITH w0 AS (
+         |  SELECT tok, cnt, ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS s
+         |  FROM (SELECT tok, count(*) AS cnt
+         |        FROM (SELECT unnest($toks) AS tok FROM documents)
+         |        GROUP BY tok)),
+         |${(1 to 5).map(stage).mkString(",\n")},
+         |seg AS (SELECT tok, len(string_split(trim(s), ' ')) AS n_syms FROM w5),
+         |tk AS (SELECT source, unnest($toks) AS tok FROM documents),
+         |ag AS (SELECT source, count(*) AS n_tokens,
+         |         sum(length(tk.tok)) AS n_chars, sum(seg.n_syms) AS n_syms
+         |       FROM tk JOIN seg USING (tok) GROUP BY 1)
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_chars AS BIGINT) AS n_chars, CAST(n_syms AS BIGINT) AS n_syms,
+         |  CAST((2*10000*n_syms + n_chars) // (2*n_chars) AS BIGINT)
+         |    AS compression_u4
+         |FROM ag ORDER BY source""".stripMargin
+    },
+
     // grid replay: same four seeded hashes, % 256 bucketing (power-of-
     // two modulus, so signed pmod and unsigned % agree bit-for-bit)
     // deterministic tie-break: count desc, then user_id asc — exactly
@@ -3943,6 +4198,8 @@ object PipelineQueries {
     // centroids orderBy(cell), so indices re-pack), reassignment,
     // nprobe=4 probing, in-cell top-5
     "ann_ivf" -> ivfReplaySql(buildWhere = "", probeWhere = "e.vec_id < 10"),
+
+    "ann_ivf_lloyd_curve" -> ivfLloydCurveSql,
 
     // same replay with the quantizer trained on generation 1 only
     // (vec_id < thr = 3·(max+1)/4) and probes from the appended

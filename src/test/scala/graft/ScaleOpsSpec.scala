@@ -441,6 +441,73 @@ class ScaleOpsSpec extends AnyFunSuite {
       "no appended vector ever surfaced as a neighbor — gen 2 unsearchable")
   }
 
+  test("ann_hnsw_append: shard is searchable through the frozen graph") {
+    val emb = Tables.embeddings(spark, sf)
+    val thr = emb.agg(expr("3*(max(vec_id)+1) div 4")).head().getLong(0)
+    val rows = SparkEntry.queries("ann_hnsw_append")(spark, sf).collect()
+    val probes = rows.map(_.getAs[Long]("probe_id")).distinct
+    assert(probes.length == 10 && probes.forall(p => p >= thr && p < thr + 10),
+      "probes must come from the appended generation")
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 5L),
+        s"probe $p missing ranks")
+    }
+    // attachment edges run BOTH ways: appended vectors must be
+    // reachable as neighbors (history→shard in-edges work) and
+    // history must surface too (shard→history out-edges work)
+    assert(rows.exists(_.getAs[Long]("neighbor_id") >= thr),
+      "no appended vector surfaced — the in-edge direction is dead")
+    assert(rows.exists(_.getAs[Long]("neighbor_id") < thr),
+      "no history vector surfaced — the out-edge direction is dead")
+  }
+
+  test("bloom_fpr_audit: zero false negatives, rates fall as m grows") {
+    val rows = SparkEntry.queries("bloom_fpr_audit")(spark, sf)
+      .orderBy("m").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_member_pos") == r.getAs[Long]("n_members"),
+        s"m=${r.getAs[Long]("m")}: a bloom false NEGATIVE is structurally " +
+        "impossible — every member key must probe positive")
+    }
+    val emp  = rows.map(_.getAs[Long]("fpr_emp_u6"))
+    val load = rows.map(_.getAs[Long]("fpr_load_u6"))
+    assert(emp.zip(emp.tail).forall { case (a, b) => a >= b },
+      s"empirical FPR should not grow with filter width: ${emp.toSeq}")
+    assert(load.zip(load.tail).forall { case (a, b) => a > b },
+      s"occupancy-implied FPR must strictly fall with m: ${load.toSeq}")
+  }
+
+  test("ann_ivf_lloyd_curve: inertia falls and assignment churn shrinks") {
+    val rows = SparkEntry.queries("ann_ivf_lloyd_curve")(spark, sf)
+      .orderBy("iter").collect()
+    assert(rows.length == 3)
+    assert(rows.head.getAs[Long]("n_moved") == 0L, "iter 0 has no predecessor")
+    val inertia = rows.map(_.getAs[Long]("inertia_u6"))
+    assert(inertia.zip(inertia.tail).forall { case (a, b) => a > b },
+      s"each Lloyd step should reduce cosine inertia here: ${inertia.toSeq}")
+    val moved = rows.tail.map(_.getAs[Long]("n_moved"))
+    assert(moved.head > moved.last,
+      s"assignment churn should shrink as the quantizer settles: ${moved.toSeq}")
+  }
+
+  test("vocab_bpe_apply totals reconcile with vocab_bpe_learn's curve") {
+    val apply = SparkEntry.queries("vocab_bpe_apply")(spark, sf).collect()
+    assert(apply.forall(r => r.getAs[Long]("n_syms") < r.getAs[Long]("n_chars")),
+      "5 learned merges should compress every source below 1 symbol/char")
+    assert(apply.forall(r => r.getAs[Long]("compression_u4") < 10000L))
+    // the learn query's final syms_after is the corpus-wide weighted
+    // symbol count — exactly the sum of the apply query's per-source
+    // totals (same merges, same vocabulary, two independent rollups)
+    val learnFinal = SparkEntry.queries("vocab_bpe_learn")(spark, sf)
+      .orderBy(col("iter").desc).limit(1).collect().head
+      .getAs[Long]("syms_after")
+    val applyTotal = apply.map(_.getAs[Long]("n_syms")).sum
+    assert(applyTotal == learnFinal,
+      s"per-source totals ($applyTotal) must reconcile with the learn " +
+      s"curve's final point ($learnFinal)")
+  }
+
   test("topk_agg is exact and merge-order-invariant across partitionings") {
     graft.functions.TopKAgg.register(spark)
     val counts = Tables.events(spark, sf)
