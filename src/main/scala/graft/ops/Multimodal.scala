@@ -195,6 +195,71 @@ object Multimodal {
     WavOut(docId, sr, ch, bits, n, sum, max)
   }
 
+  final case class WavFeat(doc_id: Long, n_samples: Long, channels: Int,
+                           zc_n: Long, energy_l1: Long, energy_l2: Long, peak: Int)
+
+  /** Audio FEATURE extraction over the same honest RIFF/PCM16 decode as
+    * [[wavDecodeBatch]] — the "feature-extract" stage of a multimodal
+    * pipeline, not just the container walk: per-channel zero-crossing
+    * count (strict sign flip, prev·cur < 0 within a channel across the
+    * interleaved stream — the classic voiced/unvoiced & noisiness
+    * heuristic), L1 and L2 energy, and peak |amplitude|. All integer
+    * folds: Σs² ≤ n·2³⁰ stays far inside BIGINT for any per-document
+    * clip (a single audio file's length is bounded by its container,
+    * unlike a table's row count — per-doc sums never need DECIMAL).
+    * Pure per-row work in the typed mapPartitions codec contract; the
+    * oracle re-derives every field analytically from the fixture
+    * formula, so an interleave/channel-stride bug diverges. */
+  def wavFeatureBatch(docs: DataFrame): org.apache.spark.sql.Dataset[WavFeat] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("len"))
+      .as[(Long, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, len) => parseWavFeat(id, buildWav(id, len)) }
+      }
+  }
+
+  /** Same strict RIFF walk as [[parseWav]], folding features instead of
+    * the decode audit fields. Zero crossings compare each sample with
+    * its predecessor IN THE SAME CHANNEL (stride = channel count over
+    * the interleaved frames); a zero sample never crosses (product 0). */
+  private[graft] def parseWavFeat(docId: Long, bytes: Array[Byte]): WavFeat = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
+    require(tag() == "RIFF", s"doc $docId: not a RIFF container")
+    require(bb.getInt == bytes.length - 8, s"doc $docId: bad RIFF size")
+    require(tag() == "WAVE", s"doc $docId: not a WAVE form")
+    var ch = 0; var bits = 0
+    var n = 0L; var zc = 0L; var l1 = 0L; var l2 = 0L; var peak = 0
+    while (bb.remaining() >= 8) {
+      val id = tag(); val size = bb.getInt
+      id match {
+        case "fmt " =>
+          val fmtEnd = bb.position() + size
+          require(bb.getShort == 1, s"doc $docId: not PCM")
+          ch = bb.getShort; bb.getInt; bb.getInt; bb.getShort
+          bits = bb.getShort
+          bb.position(fmtEnd)
+        case "data" =>
+          require(bits == 16 && ch > 0, s"doc $docId: data before fmt or non-16-bit")
+          val prev = new Array[Int](ch)
+          var off = 0; var k = 0
+          while (off < size) {
+            val s = bb.getShort.toInt
+            val c = k % ch
+            if (k >= ch && prev(c) * s < 0) zc += 1
+            prev(c) = s
+            val a = math.abs(s)
+            n += 1; l1 += a; l2 += s.toLong * s; if (a > peak) peak = a
+            off += 2; k += 1
+          }
+        case _ => bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    WavFeat(docId, n, ch, zc, l1, l2, peak)
+  }
+
   final case class PpmOut(doc_id: Long, width: Int, height: Int,
                           maxval: Int, n_samples: Long, pix_sum: Long, pix_max: Int)
 

@@ -1079,6 +1079,55 @@ object OlapQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // Stationary distribution of the behavioral Markov chain — where
+    // events_transitions stops at the raw bigram matrix, THIS answers
+    // "where does a user's session settle": π after 3 power-iteration
+    // steps from uniform over the row-normalized transition matrix.
+    // The fact table is touched ONCE (the same lag shuffle as
+    // events_transitions); every iteration is a join + groupBy over
+    // the BOUNDED states×states matrix (≤ |event_types|² rows — tiny
+    // at any corpus scale, so iteration cost is independent of 100 TB).
+    // All §5 integer math: p_u6 = half-up 1e6·cnt/rowsum, each step
+    // re-quantizes half-up to u6 — both engines replay the identical
+    // integer sequence, no float ever enters. Caveat (documented): a
+    // state with no observed OUTGOING transition leaks its mass (the
+    // matrix is sub-stochastic there); on this schema every type
+    // transitions onward, and π is an audit statistic, not a prior.
+    "events_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tc = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val rs = tc.groupBy("src").agg(sum("c").as("tot"))
+      val p = tc.join(broadcast(rs), "src")
+        .withColumn("p_u6", expr("(2*c*1000000 + tot) div (2*tot)"))
+        .select("src", "dst", "p_u6")
+        .localCheckpoint(false)
+      val states = Tables.events(s, dir).select(col("event_type").as("st")).distinct()
+      val nSt = states.agg(count(lit(1)).as("s"))
+      val pi0 = graft.ops.Scalars.withScalar(states, col("st"), nSt, col("s"))
+        .withColumn("pi", expr("(2*1000000 + s) div (2*s)"))
+        .select("st", "pi")
+      def step(pi: DataFrame): DataFrame = pi
+        .join(broadcast(p), pi("st") === p("src"))
+        .groupBy(col("dst").as("st2"))
+        .agg(sum(expr("pi * p_u6")).as("acc"))
+        .select(col("st2").as("st"),
+          expr("(2*acc + 1000000) div 2000000").as("pi"))
+      val pi3 = step(step(step(pi0)))
+      states.join(pi3, Seq("st"), "left")
+        .join(rs.withColumnRenamed("src", "st"), Seq("st"), "left")
+        .select(col("st").as("event_type"),
+          coalesce(col("pi"), lit(0L)).as("pi_u6"),
+          coalesce(col("tot"), lit(0L)).as("n_out"))
+        .orderBy("event_type")
+    }),
+
     // WATERMARK-DELAY SELECTION AUDIT: what fraction of events would a
     // streaming job drop as late at watermark delay D? Arrival order is
     // event_id (the ingest sequence); the high-water mark is the
@@ -1732,6 +1781,73 @@ object OlapQueries {
           round((col("n") - col("mu")) / col("sd"), 4).as("z"))
         .orderBy("event_type", "day")
     }),
+
+    // Robust daily-volume anomaly detection — the median/MAD companion
+    // to events_anomaly's 2σ z-score: mean and σ are themselves dragged
+    // by the very outliers they're meant to flag (one 100× ingestion
+    // spike inflates σ enough to hide a 10× one), while median/MAD have
+    // a 50% breakdown point. Every comparison is exact-integer: the
+    // interpolated median of integer counts lives on a half-integer
+    // grid, so med4 = 4·median(n) and dev4 = |4n − med4| are EXACT
+    // BIGINTs (counts < 2^50 keep the double exact), mad8 = 2·median(
+    // dev4) is 8·MAD on the quarter grid, and the 3σ-equivalent cut
+    // |n − med| > 3·1.4826·MAD cross-multiplies to
+    // dev4·10000 > 22239·mad8 — no float reaches a comparison or the
+    // emission. Exact medians are safe HERE because they run over the
+    // bounded (type × day) aggregate (≤ types·days rows), never raw
+    // events; mad8 = 0 (over half the days at the modal count) flags
+    // every deviating day — the standard MAD degeneracy, kept
+    // deliberately: on a grid that quiet, ANY move is reportable.
+    "events_anomaly_mad" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy("event_type")
+        .agg(expr("CAST(round(4*median(n), 0) AS BIGINT)").as("med4"))
+      val d2 = daily.join(broadcast(med), "event_type")
+        .withColumn("dev4", abs(lit(4L) * col("n") - col("med4")))
+      val mad = d2.groupBy("event_type")
+        .agg(expr("CAST(round(2*median(dev4), 0) AS BIGINT)").as("mad8"))
+      d2.join(broadcast(mad), "event_type")
+        .withColumn("is_anomaly",
+          (col("dev4") * lit(10000L) > col("mad8") * lit(22239L)).cast("long"))
+        .select(col("event_type"), col("day"), col("n"), col("med4"),
+          col("dev4"), col("mad8"), col("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
+    // 2-D skyline (Pareto frontier): the parts no other part beats on
+    // BOTH axes — minimize price, maximize size (m_pareto finds one
+    // point on a concentration curve; THIS is the full dominance
+    // frontier, the multi-objective "show me the efficient options"
+    // query). The naive formulation is an O(n²) dominance self-join;
+    // the sort-based identity reduces it to ONE linear pass: after
+    // collapsing to per-price max-size points, a point is on the
+    // skyline iff its size strictly exceeds every cheaper point's —
+    // i.e. iff size == running-max AND it is the CHEAPEST point
+    // achieving that max (later re-achievers are dominated by equal
+    // size at lower price). The prefix max runs through
+    // Rank.runningMax — in-block windows + a broadcast block-prefix,
+    // never a single-partition window — and the first-achiever pick
+    // is a tiny groupBy over frontier candidates. All integer (cents
+    // and sizes); struct-max keeps the point's part count along
+    // without a join-back.
+    "q_skyline" -> ((s, dir) => {
+      val pts = Tables.part(s, dir)
+        .select(round(col("p_retailprice") * 100, 0).cast("long").as("price_c"),
+          col("p_size").cast("long").as("size"))
+        .groupBy("price_c", "size").agg(count(lit(1)).as("n_parts"))
+      val perPrice = pts
+        .groupBy("price_c").agg(max(struct(col("size"), col("n_parts"))).as("m"))
+        .select(col("price_c"), col("m.size").as("size"), col("m.n_parts").as("n_parts"))
+      graft.ops.Rank.runningMax(perPrice, "price_c", "size")
+        .filter(col("size") === col("run_max"))
+        .groupBy("size")
+        .agg(min(struct(col("price_c"), col("n_parts"))).as("m"))
+        .select(col("m.price_c").as("price_c"), col("size"),
+          col("m.n_parts").as("n_parts"))
+        .orderBy("price_c")
+    }),
   )
 
   // the two-wave SCD2 chain result, derived via plain joins — shared
@@ -2367,6 +2483,40 @@ object OlapQueries {
         |FROM lg WHERE prev IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // same lag convention as events_transitions, then the 3 power
+    // steps unrolled with identical half-up u6 re-quantization
+    "events_markov_stationary" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        |lg AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM e),
+        |tc AS (SELECT prev AS src, event_type AS dst, count(*) AS c
+        |       FROM lg WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |rs AS (SELECT src, sum(c) AS tot FROM tc GROUP BY 1),
+        |p AS (SELECT tc.src, tc.dst,
+        |        CAST((2*tc.c*1000000 + rs.tot) // (2*rs.tot) AS BIGINT) AS p_u6
+        |      FROM tc JOIN rs USING (src)),
+        |states AS (SELECT DISTINCT event_type AS st FROM events),
+        |n AS (SELECT count(*) AS s FROM states),
+        |pi0 AS (SELECT st, CAST((2*1000000 + s) // (2*s) AS BIGINT) AS pi
+        |        FROM states, n),
+        |pi1 AS (SELECT p.dst AS st,
+        |          CAST((2*sum(pi0.pi * p.p_u6) + 1000000) // 2000000 AS BIGINT) AS pi
+        |        FROM pi0 JOIN p ON pi0.st = p.src GROUP BY 1),
+        |pi2 AS (SELECT p.dst AS st,
+        |          CAST((2*sum(pi1.pi * p.p_u6) + 1000000) // 2000000 AS BIGINT) AS pi
+        |        FROM pi1 JOIN p ON pi1.st = p.src GROUP BY 1),
+        |pi3 AS (SELECT p.dst AS st,
+        |          CAST((2*sum(pi2.pi * p.p_u6) + 1000000) // 2000000 AS BIGINT) AS pi
+        |        FROM pi2 JOIN p ON pi2.st = p.src GROUP BY 1)
+        |SELECT states.st AS event_type, coalesce(pi3.pi, 0) AS pi_u6,
+        |  CAST(coalesce(rs.tot, 0) AS BIGINT) AS n_out
+        |FROM states LEFT JOIN pi3 ON states.st = pi3.st
+        |            LEFT JOIN rs ON states.st = rs.src
+        |ORDER BY event_type""".stripMargin,
+
     // running max over arrival order replayed as the canonical window;
     // the engine's two-level block decomposition must agree exactly
     "events_late_audit" ->
@@ -2453,6 +2603,46 @@ object OlapQueries {
         |  round((n - mu) / sd, 4) AS z
         |FROM st WHERE abs(n - mu) > 2 * sd
         |ORDER BY 1, 2""".stripMargin,
+
+    // quarter-grid medians (4·median and 2·median(dev4) are exact
+    // BIGINTs), 3σ-equivalent cut cross-multiplied: dev4·1e4 > 22239·mad8
+    "events_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, CAST(round(4*median(n), 0) AS BIGINT) AS med4
+        |        FROM daily GROUP BY 1),
+        |d2 AS (SELECT daily.event_type, daily.day, daily.n, med.med4,
+        |         abs(4*daily.n - med.med4) AS dev4
+        |       FROM daily JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, CAST(round(2*median(dev4), 0) AS BIGINT) AS mad8
+        |        FROM d2 GROUP BY 1)
+        |SELECT d2.event_type, d2.day, d2.n, d2.med4,
+        |  CAST(d2.dev4 AS BIGINT) AS dev4, mad.mad8,
+        |  CAST(d2.dev4*10000 > mad.mad8*22239 AS BIGINT) AS is_anomaly
+        |FROM d2 JOIN mad USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // INDEPENDENT dominance formulation (NOT the engine's sort-based
+    // identity): a point survives iff no strictly-cheaper point has
+    // size >= its own — quadratic over the per-price frontier
+    // candidates, which the per-price max-size lemma first bounds
+    // (a same-price lower-size point can never dominate anything its
+    // price-mate doesn't already dominate)
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS size, count(*) AS n_parts
+        |  FROM part GROUP BY 1, 2),
+        |pp AS (SELECT price_c, size, n_parts FROM pts
+        |       QUALIFY row_number() OVER (PARTITION BY price_c
+        |                                  ORDER BY size DESC) = 1)
+        |SELECT p.price_c, p.size, CAST(p.n_parts AS BIGINT) AS n_parts
+        |FROM pp p
+        |WHERE NOT EXISTS (SELECT 1 FROM pp q
+        |  WHERE q.price_c < p.price_c AND q.size >= p.size)
+        |ORDER BY p.price_c""".stripMargin,
 
     "q8_market_share" ->
       s"""WITH g AS (

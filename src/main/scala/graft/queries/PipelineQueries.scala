@@ -83,6 +83,52 @@ object PipelineQueries {
         .orderBy("thr_pct")
     }),
 
+    // LSH banding S-curve — the measurement behind the (bands, rows)
+    // choice (bloom_fpr_audit's empirical-curve pattern applied to
+    // MinHash banding): at fixed k=128, each config's collision
+    // probability vs signature similarity is the classic
+    // 1−(1−s^r)^b sigmoid; THIS measures it empirically per estimated-
+    // Jaccard decile at (32,4)/(16,8)/(8,16). Pair universe = the
+    // WIDEST config's candidates, which provably CONTAINS every
+    // narrower config's fires: band boundaries nest (4 | 8 | 16 and all
+    // bands align at slot multiples), so 16 equal consecutive slots
+    // imply 4 aligned equal 4-slot bands — a (8,16) fire is always a
+    // (32,4) fire. The (32,4) row is therefore a structural canary
+    // (fire_u4 = 10000 in every decile). One signature pass, one
+    // candidate join; the per-pair band scan is a bounded 128-slot
+    // fold over candidates only. Rates as §5 half-up u4; the lone
+    // caveat (documented, shared with every banded query): a
+    // wide-config bucket past the 1000-doc cap drops its pairs from
+    // the measured universe.
+    "dedup_lsh_scurve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sig = Dedup.minhashSignatures(docs, n = 3, k = 128)
+        .localCheckpoint(false)
+      val cands = Dedup.lshCandidates(docs, n = 3, k = 128, bands = 32,
+        rawBandKey = true)
+      def fired(b: Int): Column = { val r = 128 / b
+        expr(s"exists(sequence(0, ${b - 1}), i -> " +
+          s"aggregate(slice(eq, i*$r+1, $r), 0, (acc, x) -> acc + x) = $r)")
+      }
+      cands
+        .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+        .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+        .withColumn("eq", expr("zip_with(sig1, sig2, (a, b) -> if(a = b, 1, 0))"))
+        .withColumn("m", expr("aggregate(eq, 0, (acc, x) -> acc + x)"))
+        .withColumn("decile", expr("least((m*10) div 128, 9)"))
+        .select(col("decile"), explode(array(
+          struct(lit(32L).as("bands"), fired(32).as("fired")),
+          struct(lit(16L).as("bands"), fired(16).as("fired")),
+          struct(lit(8L).as("bands"), fired(8).as("fired")))).as("c"))
+        .groupBy(col("c.bands").as("bands"), col("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c.fired").cast("long")).as("n_fired"))
+        .withColumn("fire_u4", expr("(2*n_fired*10000 + n_pairs) div (2*n_pairs)"))
+        .select(col("bands"), col("decile").cast("long").as("decile"),
+          col("n_pairs"), col("n_fired"), col("fire_u4"))
+        .orderBy("bands", "decile")
+    }),
+
     "dedup_minhash_calib" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val sig = Dedup.minhashSignatures(docs, n = 3, k = 128).localCheckpoint(false)
@@ -446,6 +492,46 @@ object PipelineQueries {
         .agg(min("cnt").as("est_n"))
         .withColumn("overcount", col("est_n") - col("exact_n"))
         .orderBy(col("exact_n").desc, col("user_id"))
+    }),
+
+    // AMS "tug-of-war" F2 sketch — the frequency-MOMENT column that
+    // completes the sketch family (HLL = F0 distinct, MG / count-min =
+    // heavy hitters, THIS = F2 = Σ count²): F2 is the self-join output
+    // size of events ⋈ events on user_id and the skew proxy behind
+    // salting decisions, so a planner wants it WITHOUT paying the key
+    // shuffle. Each estimator X_j = Σ_rows sign_j(user_id), sign_j =
+    // ±1 from the portable hash's low bit (seeds 301+j; power-of-two
+    // modulus, so signed pmod == the oracle's unsigned low bit):
+    // E[X_j²] = F2 exactly (Alon-Matias-Szegedy STOC'96). The sketch
+    // side is ONE scalar aggregate — map-side partial sums, NO key
+    // shuffle, and the sketch is LINEAR (mergeable across partitions /
+    // landing shards / stream batches by plain addition); only the
+    // exact audit side pays the groupBy. Emission is §5 integer units
+    // end to end: per-estimator x / x², half-up mean estimate, half-up
+    // u4 relative error (x² ≤ n² fits BIGINT at any bench scale; a
+    // 100 TB deployment lifts the square into DECIMAL(38,0) at the
+    // same boundary the q1 product sums do).
+    "sketch_ams_f2" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val e = Tables.events(s, dir).select(col("user_id").cast("string").as("k"))
+      def sign(j: Int) = lit(1L) - lit(2L) *
+        pmod(call_function("graft_hash64", col("k"), lit((301 + j).toLong)), lit(2L))
+      val xs = (0 until 8).map(j => sum(sign(j)).as(s"x$j"))
+      val sk = e.agg(xs.head, xs.tail: _*)
+        .withColumn("est_f2",
+          expr("(2*(x0*x0+x1*x1+x2*x2+x3*x3+x4*x4+x5*x5+x6*x6+x7*x7) + 8) div 16"))
+      val exact = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c*c")).as("exact_f2"))
+      val rows = sk.select(col("est_f2"),
+        posexplode(array((0 until 8).map(j => col(s"x$j")): _*)).as(Seq("est_id", "x")))
+      graft.ops.Scalars.withScalar(rows, col("x"), exact, col("exact_f2"))
+        .withColumn("x_sq", expr("x*x"))
+        .withColumn("err_u4",
+          expr("(2*abs(est_f2 - exact_f2)*10000 + exact_f2) div (2*exact_f2)"))
+        .select(col("est_id").cast("bigint").as("est_id"), col("x"),
+          col("x_sq"), col("est_f2"), col("exact_f2"), col("err_u4"))
+        .orderBy("est_id")
     }),
 
     // OOV audit over the deterministic split: what fraction of val /
@@ -1207,6 +1293,14 @@ object PipelineQueries {
       Multimodal.wavDecodeBatch(Tables.documents(s, dir)).toDF()
         .orderBy("doc_id")),
 
+    // audio FEATURES over the same honest PCM16 decode: per-channel
+    // zero crossings, L1/L2 energy, peak — the feature-extract stage
+    // (what a speech-data pipeline filters on: ZCR ≈ noisiness, energy
+    // ≈ silence trim), not just the container audit
+    "mm_audio_features" -> ((s, dir) =>
+      Multimodal.wavFeatureBatch(Tables.documents(s, dir)).toDF()
+        .orderBy("doc_id")),
+
     // the image sibling: real P6 PPM containers, header-tokenized and
     // payload-folded byte by byte; oracle recomputes analytically
     "mm_ppm_decode" -> ((s, dir) =>
@@ -1425,6 +1519,45 @@ object PipelineQueries {
         .select(col("bin"), col("n_ref"), col("n_cur"),
           col("p_ref_u6"), col("p_cur_u6"), col("psi_bin_u6"),
           col("total_psi_u6"))
+        .orderBy("bin")
+    }),
+
+    // Kolmogorov–Smirnov drift — the distribution-shift companion to
+    // profile_drift's PSI on the SAME ref/cur split and bin grid:
+    // D = max_bin |CDF_ref − CDF_cur|. Where PSI needs one ln() (the
+    // only float op its doctrine exemption covers), KS is pure order
+    // statistics: the CDF gap compares as the cross-multiplied integer
+    // |cum_ref·t_cur − cum_cur·t_ref| over the common denominator
+    // t_ref·t_cur, so NOTHING here ever touches a float — §5-exact by
+    // construction. Products are lifted into DECIMAL(38,0) (cum·total
+    // is n² — a Long overflows near 3e9 rows, real at 100 TB; decimal
+    // stays exact and DuckDB's HUGEINT replays it). The cumulative
+    // window runs over the bounded 20-bin aggregate, never raw rows.
+    "profile_ks_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        (col("doc_id") % 2 === 0).as("is_ref"),
+        least(floor(col("n_chars") / 50), lit(19L)).as("bin"))
+      val agg = d.groupBy("bin").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = agg.agg(
+        sum("n_ref").cast("decimal(38,0)").as("t_ref"),
+        sum("n_cur").cast("decimal(38,0)").as("t_cur"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      graft.ops.Scalars.withScalar(agg, col("bin"), tot, col("t_ref"))
+        .withColumn("cum_ref", sum("n_ref").over(wCum))
+        .withColumn("cum_cur", sum("n_cur").over(wCum))
+        .withColumn("dnum",
+          abs(col("cum_ref").cast("decimal(38,0)") * col("t_cur") -
+              col("cum_cur").cast("decimal(38,0)") * col("t_ref")))
+        .withColumn("d_u6",
+          expr("CAST((2*dnum*1000000 + t_ref*t_cur) div (2*t_ref*t_cur) AS BIGINT)"))
+        .withColumn("ks_u6", max("d_u6")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          col("cum_ref"), col("cum_cur"), col("d_u6"), col("ks_u6"))
         .orderBy("bin")
     }),
 
@@ -2916,6 +3049,30 @@ object PipelineQueries {
         |  CAST(sum(psi_bin_u6) OVER () AS BIGINT) AS total_psi_u6
         |FROM b ORDER BY bin""".stripMargin,
 
+    // same split/grid as profile_drift; CDF gap cross-multiplied over
+    // the common denominator, half-up u6, max over the bounded grid
+    "profile_ks_drift" ->
+      """WITH d AS (SELECT (doc_id % 2 = 0) AS is_ref,
+        |             least(n_chars // 50, 19) AS bin FROM documents),
+        |a AS (SELECT bin,
+        |        sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+        |        sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM a),
+        |c AS (SELECT bin, n_ref, n_cur,
+        |        sum(n_ref) OVER (ORDER BY bin) AS cum_ref,
+        |        sum(n_cur) OVER (ORDER BY bin) AS cum_cur FROM a),
+        |k AS (SELECT c.bin, c.n_ref, c.n_cur, c.cum_ref, c.cum_cur,
+        |        CAST((2*abs(c.cum_ref*t.t_cur - c.cum_cur*t.t_ref)*1000000
+        |              + t.t_ref*t.t_cur) // (2*t.t_ref*t.t_cur) AS BIGINT) AS d_u6
+        |      FROM c, t)
+        |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(cum_ref AS BIGINT) AS cum_ref,
+        |  CAST(cum_cur AS BIGINT) AS cum_cur, d_u6,
+        |  CAST(max(d_u6) OVER () AS BIGINT) AS ks_u6
+        |FROM k ORDER BY bin""".stripMargin,
+
     "emb_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
@@ -3201,6 +3358,40 @@ object PipelineQueries {
 
     // same raw-band candidates and signatures; slot matches counted
     // per pair, thresholds as an unnest, integer membership test
+    // same signature prelude; the widest (32-band) candidate set is
+    // re-derived with stride 4, then each config's band scan replays
+    // over the shared 128-slot equality list — inclusive-end slices
+    // match the engine's slice(eq, i*r+1, r)
+    "dedup_lsh_scurve" ->
+      s"""$minhashPrelude,
+         |bd4 AS (SELECT doc_id, b, array_to_string(sg[b*4+1 : b*4+4], ',') AS bs
+         |        FROM sig, unnest(range(0, 32)) r(b)),
+         |bk4 AS (SELECT b, bs, list_sort(list(doc_id)) AS ids
+         |        FROM bd4 GROUP BY b, bs HAVING count(*) <= 1000),
+         |cand4 AS (SELECT DISTINCT ids[x] AS id1, ids[y] AS id2
+         |          FROM bk4, unnest(range(1, len(ids)+1)) a(x),
+         |               unnest(range(1, len(ids)+1)) c(y)
+         |          WHERE x < y),
+         |pq AS (SELECT c.id1, c.id2, s1.sg AS g1, s2.sg AS g2
+         |       FROM cand4 c JOIN sig s1 ON c.id1 = s1.doc_id
+         |                    JOIN sig s2 ON c.id2 = s2.doc_id),
+         |eqt AS (SELECT id1, id2, list_transform(range(1, 129),
+         |          i -> CASE WHEN g1[i] = g2[i] THEN 1 ELSE 0 END) AS eq
+         |        FROM pq),
+         |fl AS (SELECT id1, id2,
+         |         least((list_sum(eq)*10) // 128, 9) AS decile, cf.bands,
+         |         CASE WHEN len(list_filter(range(0, cf.bands), i ->
+         |                list_sum(eq[i*(128//cf.bands)+1 : i*(128//cf.bands)+(128//cf.bands)])
+         |                  = 128//cf.bands)) > 0
+         |              THEN 1 ELSE 0 END AS fired
+         |       FROM eqt, unnest([32, 16, 8]) cf(bands)),
+         |ag AS (SELECT bands, decile, count(*) AS n_pairs,
+         |         sum(fired) AS n_fired FROM fl GROUP BY 1, 2)
+         |SELECT CAST(bands AS BIGINT) AS bands, CAST(decile AS BIGINT) AS decile,
+         |  n_pairs, CAST(n_fired AS BIGINT) AS n_fired,
+         |  CAST((2*n_fired*10000 + n_pairs) // (2*n_pairs) AS BIGINT) AS fire_u4
+         |FROM ag ORDER BY bands, decile""".stripMargin,
+
     "dedup_threshold_sweep" ->
       s"""$minhashPrelude,
          |ms AS (SELECT c.id1, c.id2,
@@ -3964,6 +4155,27 @@ object PipelineQueries {
          |SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
          |FROM est ORDER BY exact_n DESC, user_id""".stripMargin,
 
+    // full tug-of-war replay: same 8 seeded low-bit signs over the
+    // distinct keys, X_j = Σ sign_j·count, same half-up mean / error
+    "sketch_ams_f2" ->
+      s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM e)),
+         |h AS (SELECT s, ${(0 until 8).map(j => s"${ghashSql(fnvHx, (301 + j).toString)} AS h$j").mkString(",\n|        ")}
+         |      FROM tb),
+         |sg AS (SELECT s, [${(0 until 8).map(j => s"1 - 2*CAST(h$j % 2 AS BIGINT)").mkString(", ")}] AS sg
+         |       FROM h),
+         |c AS (SELECT s, count(*) AS cnt FROM e GROUP BY 1),
+         |x AS (SELECT j.j AS est_id, CAST(sum(sg.sg[j.j + 1] * c.cnt) AS BIGINT) AS x
+         |      FROM c JOIN sg USING (s), unnest(range(0, 8)) j(j) GROUP BY 1),
+         |ag AS (SELECT CAST((2*sum(x*x) + 8) // 16 AS BIGINT) AS est_f2 FROM x),
+         |ex AS (SELECT CAST(sum(cnt*cnt) AS BIGINT) AS exact_f2 FROM c)
+         |SELECT CAST(x.est_id AS BIGINT) AS est_id, x.x,
+         |  CAST(x.x*x.x AS BIGINT) AS x_sq, ag.est_f2, ex.exact_f2,
+         |  CAST((2*abs(ag.est_f2 - ex.exact_f2)*10000 + ex.exact_f2)
+         |       // (2*ex.exact_f2) AS BIGINT) AS err_u4
+         |FROM x, ag, ex ORDER BY est_id""".stripMargin,
+
     // same split replay as corpus_split, then a train-vocab anti check
     "vocab_oov" ->
       s"""WITH tb AS (SELECT doc_id, text,
@@ -4599,6 +4811,29 @@ object PipelineQueries {
         |  CAST(list_max(list_transform(range(0, ns),
         |    k -> ((doc_id*31 + k*17) % 65536) - 32768)) AS INT) AS amp_max
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // analytic replay of the audio features from the synth parameters:
+    // same modular sample formula, channel-stride sign products for the
+    // crossings, integer |·| / square folds — an interleave or stride
+    // bug in the engine's channel bookkeeping diverges here while the
+    // plain decode audit (sum/max) would NOT catch it
+    "mm_audio_features" ->
+      """WITH p AS (
+        | SELECT doc_id, CAST(1 + (doc_id % 2) AS INT) AS ch,
+        |   (64 + (octet_length(encode(text)) % 64)) * (1 + (doc_id % 2)) AS ns
+        | FROM documents),
+        |s AS (SELECT doc_id, ch, ns,
+        |        list_transform(range(0, ns),
+        |          k -> ((doc_id*31 + k*17) % 65536) - 32768) AS xs
+        |      FROM p)
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_samples, ch AS channels,
+        |  CAST(list_sum(list_transform(range(CAST(ch AS BIGINT), ns),
+        |    k -> CASE WHEN xs[k+1] * xs[k+1-ch] < 0 THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS zc_n,
+        |  CAST(list_sum(list_transform(xs, v -> abs(v))) AS BIGINT) AS energy_l1,
+        |  CAST(list_sum(list_transform(xs, v -> v*v)) AS BIGINT) AS energy_l2,
+        |  CAST(list_max(list_transform(xs, v -> abs(v))) AS INT) AS peak
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // analytic replay of the P6 fixture parameters — diverges if the
     // engine's header tokenizer or payload fold is off by a byte

@@ -897,4 +897,181 @@ class ScaleOpsSpec extends AnyFunSuite {
     val lifts = rows.map(_.getAs[Double]("lift"))
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("LSH S-curve: band-nesting theorem holds and the widest config is the canary") {
+    val rows = SparkEntry.queries("dedup_lsh_scurve")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // candidates CAME from the 32-band config, so it fires on 100%
+    rows.filter(_.getAs[Long]("bands") == 32L)
+      .foreach(r => assert(r.getAs[Long]("fire_u4") == 10000L))
+    // nesting lemma: a narrower config's fire is always a wider one's
+    // (band boundaries align), so per decile n_fired(8) <= n_fired(16)
+    // <= n_fired(32) — and all configs share the same pair universe
+    val byDecile = rows.groupBy(_.getAs[Long]("decile"))
+    byDecile.foreach { case (d, rs) =>
+      val f = rs.map(r => r.getAs[Long]("bands") -> r.getAs[Long]("n_fired")).toMap
+      val n = rs.map(_.getAs[Long]("n_pairs")).distinct
+      assert(n.length == 1, s"decile $d: configs disagree on the pair universe")
+      assert(f(8L) <= f(16L) && f(16L) <= f(32L),
+        s"decile $d: nesting violated $f")
+    }
+  }
+
+  test("markov stationary: mass conserved within quantization, n_out matches transitions") {
+    val rows = SparkEntry.queries("events_markov_stationary")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("pi_u6") >= 0))
+    // 3 half-up re-quantizations drift at most ~0.5 u6 per state per
+    // step; 1% slack is orders of magnitude beyond that
+    val mass = rows.map(_.getAs[Long]("pi_u6")).sum
+    assert(mass > 990000L && mass < 1010000L, s"stationary mass $mass")
+    // n_out re-derived from the independent transitions query
+    val trans = SparkEntry.queries("events_transitions")(spark, sf).collect()
+      .groupBy(_.getAs[String]("from_type"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n")).sum }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") ==
+        trans.getOrElse(r.getAs[String]("event_type"), 0L))
+    }
+  }
+
+  test("skyline: strict staircase, and exact match with a quadratic dominance oracle") {
+    val rows = SparkEntry.queries("q_skyline")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // frontier shape: as price strictly rises, size strictly rises
+    val ps = rows.map(r => (r.getAs[Long]("price_c"), r.getAs[Long]("size")))
+    ps.zip(ps.tail).foreach { case ((p1, s1), (p2, s2)) =>
+      assert(p1 < p2 && s1 < s2, s"($p1,$s1) -> ($p2,$s2) breaks the staircase")
+    }
+    // independent quadratic replay over the bounded distinct-point set
+    val pts = Tables.part(spark, sf)
+      .select(round(col("p_retailprice") * 100, 0).cast("long").as("p"),
+        col("p_size").cast("long").as("sz"))
+      .groupBy("p", "sz").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val skyline = pts.filter { case (p, sz, _) =>
+      !pts.exists { case (p2, sz2, _) =>
+        p2 <= p && sz2 >= sz && (p2 < p || sz2 > sz) }
+    }.map { case (p, sz, n) => (p, sz, n) }.sortBy(_._1)
+    assert(rows.map(r => (r.getAs[Long]("price_c"), r.getAs[Long]("size"),
+      r.getAs[Long]("n_parts"))).toSeq == skyline.toSeq)
+  }
+
+  test("wav features: crafted container replays by hand (stride-correct crossings)") {
+    // stereo, frames L=[1,-1,0,2], R=[-3,3,-3,1] interleaved: crossings
+    // per channel L: 1·-1 (yes), -1·0 (no), 0·2 (no) = 1;
+    // R: -3·3, 3·-3, -3·1 = 3 → zc_n = 4
+    val samples = Array[Short](1, -3, -1, 3, 0, -3, 2, 1)
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(8000 * 4)
+      .putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    val f = Multimodal.parseWavFeat(42L, bb.array())
+    assert(f.n_samples == 8 && f.channels == 2)
+    assert(f.zc_n == 4, s"stride-correct crossings, got ${f.zc_n}")
+    assert(f.energy_l1 == samples.map(s => math.abs(s.toInt)).sum)
+    assert(f.energy_l2 == samples.map(s => s.toLong * s).sum)
+    assert(f.peak == 3)
+    // and the fixture-driven path agrees with an in-test replay of the
+    // synth formula for one real doc
+    val row = SparkEntry.queries("mm_audio_features")(spark, sf)
+      .filter(col("doc_id") === 7L).collect()(0)
+    val len = Tables.documents(spark, sf).filter(col("doc_id") === 7L)
+      .select(length(encode(col("text"), "UTF-8"))).collect()(0).getInt(0)
+    val ch = 1 + (7 % 2); val ns = (64 + len % 64) * ch
+    val xs = Array.tabulate(ns)(k => (((7L * 31 + k * 17) % 65536) - 32768).toInt)
+    val zc = (ch until ns).count(k => xs(k - ch) * xs(k) < 0)
+    assert(row.getAs[Long]("n_samples") == ns)
+    assert(row.getAs[Long]("zc_n") == zc)
+    assert(row.getAs[Long]("energy_l2") == xs.map(v => v.toLong * v).sum)
+  }
+
+  test("AMS F2 sketch: x² consistency, half-up mean, exact F2 matches a groupBy audit") {
+    val rows = SparkEntry.queries("sketch_ams_f2")(spark, sf).collect()
+    assert(rows.length == 8, "one row per estimator")
+    rows.foreach { r =>
+      val x = r.getAs[Long]("x")
+      assert(r.getAs[Long]("x_sq") == x * x)
+    }
+    // emitted mean estimate == half-up mean of the emitted squares
+    val sumSq = rows.map(_.getAs[Long]("x_sq")).sum
+    val estF2 = rows.head.getAs[Long]("est_f2")
+    assert(estF2 == (2 * sumSq + 8) / 16, "est_f2 must be the half-up mean of x²")
+    // exact side == an independent self-join-size computation
+    val exact = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c*c"))).collect()(0).getLong(0)
+    assert(rows.head.getAs[Long]("exact_f2") == exact)
+    // 8 estimators keep the observed error well under 100% on the fixture
+    assert(rows.head.getAs[Long]("err_u4") < 10000)
+    // linearity: the sketch of a 2-shard split merges by plain addition
+    val e = Tables.events(spark, sf)
+      .select(col("user_id").cast("string").as("k"), col("event_id"))
+    graft.functions.GraftHash64.register(spark)
+    def x0(df: org.apache.spark.sql.DataFrame): Long = df.agg(sum(
+      lit(1L) - lit(2L) * pmod(
+        call_function("graft_hash64", col("k"), lit(301L)), lit(2L))))
+      .collect()(0).getLong(0)
+    val whole = x0(e)
+    val parts = x0(e.filter(col("event_id") % 2 === 0)) +
+      x0(e.filter(col("event_id") % 2 =!= 0))
+    assert(whole == parts, "AMS is linear: shard sketches must add")
+  }
+
+  test("KS drift: CDFs complete, gap bounded, ks is the max, final gap is zero") {
+    val rows = SparkEntry.queries("profile_ks_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // cumulative counts are monotone in bin order and end at the totals
+    val cumRef = rows.map(_.getAs[Long]("cum_ref"))
+    val cumCur = rows.map(_.getAs[Long]("cum_cur"))
+    assert(cumRef.zip(cumRef.tail).forall { case (a, b) => a <= b })
+    assert(cumCur.zip(cumCur.tail).forall { case (a, b) => a <= b })
+    assert(cumRef.last == rows.map(_.getAs[Long]("n_ref")).sum)
+    assert(cumCur.last == rows.map(_.getAs[Long]("n_cur")).sum)
+    // D ∈ [0, 1] in u6, the emitted ks is its max, and both CDFs end at
+    // 1 so the final bin's gap is structurally zero
+    val d = rows.map(_.getAs[Long]("d_u6"))
+    assert(d.forall(v => v >= 0 && v <= 1000000))
+    assert(rows.map(_.getAs[Long]("ks_u6")).distinct.toSeq == Seq(d.max))
+    assert(d.last == 0, "CDFs both reach 1 at the top bin")
+  }
+
+  test("MAD anomaly: medians replayed on the driver, cut is the exact cross-multiply") {
+    val rows = SparkEntry.queries("events_anomaly_mad")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-type constants are constant, dev4 is consistent, flag matches
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("med4")).distinct.length == 1)
+      assert(rs.map(_.getAs[Long]("mad8")).distinct.length == 1)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev4") ==
+        math.abs(4 * r.getAs[Long]("n") - r.getAs[Long]("med4")))
+      val flagged = r.getAs[Long]("dev4") * 10000L > r.getAs[Long]("mad8") * 22239L
+      assert(r.getAs[Long]("is_anomaly") == (if (flagged) 1L else 0L))
+    }
+    // med4/mad8 agree with a driver-side interpolated median of the
+    // bounded daily-count table (the independent replay)
+    def med4Of(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) 4 * s(s.length / 2)
+      else 2 * (s(s.length / 2 - 1) + s(s.length / 2))
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val counts = rs.map(_.getAs[Long]("n")).toSeq
+      assert(rs.head.getAs[Long]("med4") == med4Of(counts))
+      // mad8 = 2·median(dev4): dev4 values are integers, median may be
+      // half-integral, so 2· is exact
+      val dev4s = rs.map(_.getAs[Long]("dev4")).toSeq.sorted
+      val mad8 = if (dev4s.length % 2 == 1) 2 * dev4s(dev4s.length / 2)
+                 else dev4s(dev4s.length / 2 - 1) + dev4s(dev4s.length / 2)
+      assert(rs.head.getAs[Long]("mad8") == mad8)
+    }
+  }
 }
