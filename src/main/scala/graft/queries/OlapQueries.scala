@@ -1848,6 +1848,60 @@ object OlapQueries {
           col("m.n_parts").as("n_parts"))
         .orderBy("price_c")
     }),
+
+    // Z-ORDER LAYOUT AUDIT — the multi-dimensional member of the
+    // storage-layout family (q_bucketed_join: co-located joins,
+    // q_partition_pruned/q_dpp_join: single-dim pruning, THIS: the
+    // measurement behind clustering files on TWO filter dims at once).
+    // Each order maps to a 32-bit Morton code (custkey and order-day
+    // each scaled to 16 bits, bits interleaved); 16 "files" = the
+    // 16 top-4-bit z-ranges, i.e. the cells of a 4×4 quadtree grid —
+    // vs the insertion-order baseline (16 equal o_orderkey ranges,
+    // uncorrelated with either filter dim). Per file: bounding box of
+    // both dims and its area; per layout: Σ area — the min/max file-
+    // stats a scan consults, so Σ area IS skipping power (a point
+    // predicate touches files whose box contains it; insertion-order
+    // boxes each span ~the full domain → ~every file read; z boxes
+    // are ~1/16 each → ~1 file read). All integer: scaled coords,
+    // half-open-max day indexes, exact area products. One scan, one
+    // 32-group aggregate — the audit a 100 TB table runs BEFORE
+    // choosing its write layout; the interleave is a codegen'd
+    // integer expression, no UDF.
+    "q_zorder_layout" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+      val scal = o.agg(max("o_orderkey").as("max_ok"),
+        max("o_custkey").as("max_ck"),
+        min("d").as("min_d"), max("d").as("max_d"))
+      val zBits = (0 until 16).map(i =>
+        s"((xs div ${1L << i}L) % 2) * ${1L << (2 * i + 1)}L + " +
+        s"((ys div ${1L << i}L) % 2) * ${1L << (2 * i)}L").mkString(" + ")
+      val cells = graft.ops.Scalars.withScalar(o, col("o_orderkey"), scal, col("max_ok"))
+        .withColumn("dayidx", datediff(col("d"), col("min_d")).cast("long"))
+        .withColumn("days", datediff(col("max_d"), col("min_d")).cast("long") + 1)
+        .withColumn("xs", expr("(o_custkey * 65536) div (max_ck + 1)"))
+        .withColumn("ys", expr("(dayidx * 65536) div days"))
+        .withColumn("z", expr(zBits))
+        .select(col("o_custkey").as("ck"), col("dayidx"),
+          explode(array(
+            struct(lit("insertion").as("layout"),
+              expr("(o_orderkey * 16) div (max_ok + 1)").as("bucket")),
+            struct(lit("zorder").as("layout"),
+              expr(s"z div ${1L << 28}L").as("bucket")))).as("c"))
+      cells
+        .groupBy(col("c.layout").as("layout"), col("c.bucket").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("ck").as("ck_min"), max("ck").as("ck_max"),
+          min("dayidx").as("day_min"), max("dayidx").as("day_max"))
+        .withColumn("area",
+          expr("(ck_max - ck_min + 1) * (day_max - day_min + 1)"))
+        .withColumn("layout_area", sum("area").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("layout")))
+        .select(col("layout"), col("bucket"), col("n_rows"),
+          col("ck_min"), col("ck_max"), col("day_min"), col("day_max"),
+          col("area"), col("layout_area"))
+        .orderBy("layout", "bucket")
+    }),
   )
 
   // the two-wave SCD2 chain result, derived via plain joins — shared
@@ -2630,6 +2684,45 @@ object OlapQueries {
     // candidates, which the per-price max-size lemma first bounds
     // (a same-price lower-size point can never dominate anything its
     // price-mate doesn't already dominate)
+    // same scaled-coordinate Morton interleave, bucket rollup and
+    // bounding-box areas; '//' replays Spark's IntegralDivide exactly
+    // on the non-negative scaled coords
+    "q_zorder_layout" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey,
+         |             CAST(o_orderdate AS DATE) AS d FROM orders),
+         |sc AS (SELECT max(o_orderkey) AS max_ok, max(o_custkey) AS max_ck,
+         |         min(d) AS min_d, max(d) AS max_d FROM o),
+         |b AS (SELECT o.o_orderkey, o.o_custkey AS ck,
+         |        CAST(date_diff('day', sc.min_d, o.d) AS BIGINT) AS dayidx,
+         |        CAST(date_diff('day', sc.min_d, sc.max_d) AS BIGINT) + 1 AS days,
+         |        sc.max_ok, sc.max_ck
+         |      FROM o, sc),
+         |z0 AS (SELECT o_orderkey, ck, dayidx, max_ok,
+         |        (ck * 65536) // (max_ck + 1) AS xs,
+         |        (dayidx * 65536) // days AS ys
+         |       FROM b),
+         |z1 AS (SELECT o_orderkey, ck, dayidx, max_ok,
+         |        ${(0 until 16).map(i =>
+                    s"((xs // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+                    s"((ys // ${1L << i}) % 2) * ${1L << (2 * i)}")
+                  .mkString("", "\n|        + ", "")} AS z
+         |       FROM z0),
+         |cells AS (
+         |  SELECT 'insertion' AS layout,
+         |    (o_orderkey * 16) // (max_ok + 1) AS bucket, ck, dayidx FROM z1
+         |  UNION ALL
+         |  SELECT 'zorder', z // ${1L << 28}, ck, dayidx FROM z1),
+         |ag AS (SELECT layout, bucket, count(*) AS n_rows,
+         |         min(ck) AS ck_min, max(ck) AS ck_max,
+         |         min(dayidx) AS day_min, max(dayidx) AS day_max
+         |       FROM cells GROUP BY 1, 2),
+         |ar AS (SELECT *, (ck_max - ck_min + 1) * (day_max - day_min + 1) AS area
+         |       FROM ag)
+         |SELECT layout, CAST(bucket AS BIGINT) AS bucket, n_rows,
+         |  ck_min, ck_max, day_min, day_max, CAST(area AS BIGINT) AS area,
+         |  CAST(sum(area) OVER (PARTITION BY layout) AS BIGINT) AS layout_area
+         |FROM ar ORDER BY layout, bucket""".stripMargin,
+
     "q_skyline" ->
       """WITH pts AS (
         |  SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,

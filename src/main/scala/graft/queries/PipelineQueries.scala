@@ -1404,6 +1404,13 @@ object PipelineQueries {
     "stream_sample_bottomk" -> ((s, dir) =>
       graft.streaming.EventStreams.bottomKIncremental(s, dir)),
 
+    // streaming AMS F2 maintenance: per-generation 8-counter partials
+    // fold into the persisted store by plain addition (the linear
+    // sketch's merge IS addition), so the staged cadence is invisible
+    // to the oracle — same replay as sketch_ams_f2's sketch side
+    "stream_ams_f2" -> ((s, dir) =>
+      graft.streaming.EventStreams.amsF2Incremental(s, dir)),
+
     "stream_distinct" -> ((s, dir) =>
       graft.streaming.EventStreams.distinctUsers(s, dir)),
 
@@ -4154,6 +4161,26 @@ object PipelineQueries {
          |        FROM pr JOIN st USING (r, bucket) GROUP BY 1, 2)
          |SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
          |FROM est ORDER BY exact_n DESC, user_id""".stripMargin,
+
+    // the sketch side of the AMS replay — the fold cadence is invisible
+    // by linearity, so the full-history replay is the oracle
+    "stream_ams_f2" ->
+      s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM e)),
+         |h AS (SELECT s, ${(0 until 8).map(j => s"${ghashSql(fnvHx, (301 + j).toString)} AS h$j").mkString(",\n|        ")}
+         |      FROM tb),
+         |sg AS (SELECT s, [${(0 until 8).map(j => s"1 - 2*CAST(h$j % 2 AS BIGINT)").mkString(", ")}] AS sg
+         |       FROM h),
+         |c AS (SELECT s, count(*) AS cnt FROM e GROUP BY 1),
+         |x AS (SELECT j.j AS est_id, CAST(sum(sg.sg[j.j + 1] * c.cnt) AS BIGINT) AS x
+         |      FROM c JOIN sg USING (s), unnest(range(0, 8)) j(j) GROUP BY 1),
+         |ag AS (SELECT CAST((2*sum(x*x) + 8) // 16 AS BIGINT) AS est_f2 FROM x),
+         |n AS (SELECT count(*) AS n_rows FROM events)
+         |SELECT CAST(x.est_id AS BIGINT) AS est_id, x.x,
+         |  CAST(x.x*x.x AS BIGINT) AS x_sq, ag.est_f2,
+         |  CAST(n.n_rows AS BIGINT) AS n_rows
+         |FROM x, ag, n ORDER BY est_id""".stripMargin,
 
     // full tug-of-war replay: same 8 seeded low-bit signs over the
     // distinct keys, X_j = Σ sign_j·count, same half-up mean / error

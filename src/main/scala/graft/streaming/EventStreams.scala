@@ -330,6 +330,75 @@ object EventStreams {
     spark.read.parquet(store).orderBy(col("h").asc, col("doc_id"))
   }
 
+  /** Streaming maintenance of the AMS F2 sketch — the linear-sketch
+    * fold on the landing cadence: each staged generation's foreachBatch
+    * reduces its rows to the 8-counter tug-of-war state (one scalar
+    * aggregate, map-side partial sums) and folds into the persisted
+    * 8-row store by PLAIN ADDITION — linearity is the whole merge
+    * contract, so the store equals the one-shot sketch no matter how
+    * history was sharded (StreamingSpec pins store == batch query).
+    * O(8) state per fold; history never re-read. The exact-F2 audit
+    * column is deliberately absent here: exact Σcount² cannot stream
+    * in bounded state — that asymmetry is what the sketch is FOR. */
+  def amsF2Incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ams_stream")
+    base.toFile.deleteOnExit()
+    val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
+    graft.functions.GraftHash64.register(spark)
+    val raw = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id").cast("string").as("k"))
+      .localCheckpoint(false)
+    val bounds = raw.agg(min("event_id").as("lo"), max("event_id").as("hi")).head()
+    val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+    val stageSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("k", StringType)))
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          graft.functions.GraftHash64.register(ss)
+          def sign(j: Int) = lit(1L) - lit(2L) *
+            pmod(call_function("graft_hash64", col("k"), lit((301 + j).toLong)), lit(2L))
+          val xs = (0 until 8).map(j =>
+            coalesce(sum(sign(j)), lit(0L)).as(s"x$j"))
+          val local = batch.agg(xs.head, xs.tail: _*)
+            .withColumn("n", lit(batch.count()))
+            .select(col("n"),
+              posexplode(array((0 until 8).map(j => col(s"x$j")): _*))
+                .as(Seq("est_id", "x")))
+            .select(col("est_id").cast("long").as("est_id"), col("x"), col("n"))
+          val prev = new java.io.File(store)
+          val merged =
+            if (prev.exists)
+              ss.read.parquet(store).unionByName(local)
+                .groupBy("est_id")
+                .agg(sum("x").as("x"), sum("n").as("n")) // linearity: add
+            else local
+          val next = s"$store.next"
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
+          ss.read.parquet(next).write.mode("overwrite").parquet(store)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    raw.filter(col("event_id") < mid).write.parquet(s"$stage/gen1")
+    pass()
+    raw.filter(col("event_id") >= mid).write.parquet(s"$stage/gen2")
+    pass()
+    spark.read.parquet(store)
+      .withColumn("x_sq", expr("x*x"))
+      .withColumn("est_f2", expr("(2*sum(x_sq) OVER () + 8) div 16"))
+      .select(col("est_id"), col("x"), col("x_sq"), col("est_f2"),
+        col("n").as("n_rows"))
+      .orderBy("est_id")
+  }
+
   /** Merge all appended state deltas and finish the HLL estimate —
     * the batch tail shared by every refresh cadence. */
   def hllRefreshEstimate(spark: SparkSession, deltaDir: String): DataFrame =

@@ -898,6 +898,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("z-order layout: quadrant boxes beat insertion order by a wide margin") {
+    val rows = SparkEntry.queries("q_zorder_layout")(spark, sf).collect()
+    val byLayout = rows.groupBy(_.getAs[String]("layout"))
+    assert(byLayout.keySet == Set("insertion", "zorder"))
+    // both layouts partition the same table
+    assert(byLayout("insertion").map(_.getAs[Long]("n_rows")).sum ==
+      byLayout("zorder").map(_.getAs[Long]("n_rows")).sum)
+    // the z layout's total bounding-box area (= what a min/max-stats
+    // scan cannot skip) must be dramatically smaller; theory says ~16×
+    // for a 4×4 grid, assert a conservative 8×
+    val ins = byLayout("insertion").head.getAs[Long]("layout_area")
+    val zo = byLayout("zorder").head.getAs[Long]("layout_area")
+    assert(zo * 8 < ins, s"z-order area $zo not ≪ insertion area $ins")
+    // per-layout summary column is consistent with the per-bucket areas
+    byLayout.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("area")).sum == rs.head.getAs[Long]("layout_area"))
+    }
+  }
+
   test("LSH S-curve: band-nesting theorem holds and the widest config is the canary") {
     val rows = SparkEntry.queries("dedup_lsh_scurve")(spark, sf).collect()
     assert(rows.nonEmpty)

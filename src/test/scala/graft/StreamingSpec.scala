@@ -173,4 +173,14 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString)
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming AMS fold equals the one-shot sketch (linearity across generations)") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStreams.amsF2Incremental(spark, sf)
+      .select("est_id", "x", "x_sq", "est_f2").collect().map(_.toString)
+    val batch = SparkEntry.queries("sketch_ams_f2")(spark, sf)
+      .select("est_id", "x", "x_sq", "est_f2").collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "two-generation AMS fold diverged from the one-shot sketch")
+  }
 }
