@@ -298,6 +298,40 @@ object PipelineQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
 
+    // RECIPROCAL RANK FUSION of two independent ANN paths — the
+    // retrieval-stack composition step (Cormack et al. SIGIR'09): IVF
+    // and LSH see different candidate sets (Voronoi cells vs hyperplane
+    // buckets), and RRF merges them using RANKS only, so no cosine
+    // recalibration between paths is needed. Score per candidate =
+    // Σ_paths 1/(60+rank), each term quantized half-up to u6 BEFORE the
+    // integer sum (§5: per-term quantization then integer addition is
+    // order-invariant; 60 is the canonical RRF damping constant). Both
+    // paths are k=5 probes<10 — the ann_ivf/ann_lsh results verbatim —
+    // so the fusion adds one full-outer join on (probe, candidate) over
+    // two tiny top-k tables; ties break on candidate id. in_ivf/in_lsh
+    // flags make the consensus auditable (candidates in BOTH paths
+    // dominate the fused order by construction).
+    "emb_rrf_fusion" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val term = expr("(2*1000000 + (60 + rank)) div (2*(60 + rank))")
+      val a = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"), term.as("t_ivf"))
+      val b = Similarity.lshTopK(emb, col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"), term.as("t_lsh"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("rrf_u6").desc, col("neighbor_id"))
+      a.join(b, Seq("probe_id", "neighbor_id"), "full_outer")
+        .withColumn("rrf_u6",
+          coalesce(col("t_ivf"), lit(0L)) + coalesce(col("t_lsh"), lit(0L)))
+        .withColumn("in_ivf", col("t_ivf").isNotNull.cast("long"))
+        .withColumn("in_lsh", col("t_lsh").isNotNull.cast("long"))
+        .withColumn("fused_rank", row_number().over(w))
+        .filter(col("fused_rank") <= 5)
+        .select(col("probe_id"), col("fused_rank").cast("long").as("fused_rank"),
+          col("neighbor_id"), col("rrf_u6"), col("in_ivf"), col("in_lsh"))
+        .orderBy("probe_id", "fused_rank")
+    }),
+
     // INCREMENTAL INDEX MAINTENANCE: the coarse quantizer trains on
     // the FIRST THREE QUARTERS of the corpus only (generation 1); the
     // last quarter lands later and is indexed by pure assignment
@@ -2193,6 +2227,36 @@ object PipelineQueries {
     * cover the full corpus, mirroring Similarity.ivfTopK's buildFilter.
     * The `thr` CTE (3·(max+1)/4 — the generation boundary) is defined
     * unconditionally; it is simply unused by the full-build variant. */
+  /** Full independent LSH top-5 replay (Similarity.lshTopK defaults):
+    * the hyperplanes are seed-deterministic engine constants
+    * (Similarity.hyperplanes(8, 64, seed=42)), baked into the SQL as
+    * list literals; DuckDB re-derives the same sign-bit buckets and
+    * in-bucket top-k fully independently. Shared by ann_lsh and the
+    * rank-fusion oracle. */
+  private lazy val lshTopSql: String = {
+    val bucketExpr = Similarity.hyperplanes(8, 64, 42L).zipWithIndex.map {
+      case (p, i) =>
+        val lit = "[" + p.mkString(",") + "]"
+        s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n|    + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    $bucketExpr AS bucket
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM e WHERE vec_id < 10),
+       |s AS (
+       |  SELECT probe_id, e.vec_id, e.bucket,
+       |    list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))
+       |      / (sqrt(list_sum(list_transform(pv, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+       |  FROM e JOIN p ON e.bucket = p.bucket AND e.vec_id <> probe_id),
+       |r AS (SELECT probe_id, vec_id, bucket, cos,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos, bucket
+       |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
   private def ivfReplaySql(buildWhere: String, probeWhere: String): String =
     s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |thr AS (SELECT 3*(max(vec_id)+1)//4 AS t FROM embeddings),
@@ -3724,33 +3788,32 @@ object PipelineQueries {
          |FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin
     },
 
-    "ann_lsh" -> {
-      // the hyperplanes are seed-deterministic engine constants
-      // (Similarity.hyperplanes(8, 64, seed=42)); baked into the SQL as
-      // list literals, DuckDB re-derives the same sign-bit buckets and
-      // in-bucket top-k fully independently
-      val bucketExpr = Similarity.hyperplanes(8, 64, 42L).zipWithIndex.map {
-        case (p, i) =>
-          val lit = "[" + p.mkString(",") + "]"
-          s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
-      }.mkString("\n|    + ")
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |    $bucketExpr AS bucket
-         |  FROM embeddings),
-         |p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM e WHERE vec_id < 10),
-         |s AS (
-         |  SELECT probe_id, e.vec_id, e.bucket,
-         |    list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))
-         |      / (sqrt(list_sum(list_transform(pv, x -> x*x)))
-         |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
-         |  FROM e JOIN p ON e.bucket = p.bucket AND e.vec_id <> probe_id),
-         |r AS (SELECT probe_id, vec_id, bucket, cos,
-         |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
-         |      FROM s)
-         |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos, bucket
-         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
-    },
+    "ann_lsh" -> lshTopSql,
+
+    // both path replays (the ann_ivf and ann_lsh oracles verbatim, as
+    // subqueries), then the same u6-quantized-term RRF sum
+    "emb_rrf_fusion" ->
+      s"""WITH ivf AS (SELECT probe_id, neighbor_id,
+         |        (2*1000000 + (60 + rank)) // (2*(60 + rank)) AS t_ivf
+         |      FROM (${ivfReplaySql(buildWhere = "", probeWhere = "e.vec_id < 10")})),
+         |lsh AS (SELECT probe_id, neighbor_id,
+         |        (2*1000000 + (60 + rank)) // (2*(60 + rank)) AS t_lsh
+         |      FROM ($lshTopSql)),
+         |f AS (SELECT coalesce(ivf.probe_id, lsh.probe_id) AS probe_id,
+         |        coalesce(ivf.neighbor_id, lsh.neighbor_id) AS neighbor_id,
+         |        coalesce(t_ivf, 0) + coalesce(t_lsh, 0) AS rrf_u6,
+         |        CASE WHEN t_ivf IS NULL THEN 0 ELSE 1 END AS in_ivf,
+         |        CASE WHEN t_lsh IS NULL THEN 0 ELSE 1 END AS in_lsh
+         |      FROM ivf FULL OUTER JOIN lsh
+         |        ON ivf.probe_id = lsh.probe_id
+         |       AND ivf.neighbor_id = lsh.neighbor_id),
+         |r AS (SELECT f.*, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY rrf_u6 DESC, neighbor_id) AS fused_rank
+         |      FROM f)
+         |SELECT probe_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+         |  neighbor_id, CAST(rrf_u6 AS BIGINT) AS rrf_u6,
+         |  CAST(in_ivf AS BIGINT) AS in_ivf, CAST(in_lsh AS BIGINT) AS in_lsh
+         |FROM r WHERE fused_rank <= 5 ORDER BY probe_id, fused_rank""".stripMargin,
 
     // both paths re-derived independently (exact all-pairs top-5 and
     // the baked-hyperplane LSH top-5), then per-probe overlap

@@ -898,6 +898,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("RRF fusion: consensus dominance theorem and score-range consistency") {
+    val rows = SparkEntry.queries("emb_rrf_fusion")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // with k=5 and damping 60, a both-paths candidate scores >= 2/65
+    // (u6 30770) while a single-path one scores <= 1/61 (u6 16393) —
+    // consensus ALWAYS outranks a single path
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("fused_rank"))
+      val scores = sorted.map(_.getAs[Long]("rrf_u6"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"probe $p: fused order not score-descending")
+      val flags = sorted.map(r => r.getAs[Long]("in_ivf") + r.getAs[Long]("in_lsh"))
+      val firstSingle = flags.indexWhere(_ == 1L)
+      if (firstSingle >= 0)
+        assert(flags.drop(firstSingle).forall(_ == 1L),
+          s"probe $p: a consensus candidate ranks below a single-path one")
+    }
+    rows.foreach { r =>
+      val both = r.getAs[Long]("in_ivf") + r.getAs[Long]("in_lsh")
+      val s = r.getAs[Long]("rrf_u6")
+      if (both == 2L) assert(s >= 30769L && s <= 32787L)
+      else assert(s >= 15385L && s <= 16393L)
+    }
+  }
+
   test("z-order layout: quadrant boxes beat insertion order by a wide margin") {
     val rows = SparkEntry.queries("q_zorder_layout")(spark, sf).collect()
     val byLayout = rows.groupBy(_.getAs[String]("layout"))
