@@ -1849,6 +1849,31 @@ object OlapQueries {
         .orderBy("price_c")
     }),
 
+    // EQUI-DEPTH STATISTICS HISTOGRAM — the ANALYZE-TABLE primitive a
+    // cost-based optimizer consults for selectivity (the statistics
+    // family's missing member next to skew_report's key diagnosis,
+    // q_join_card_audit's fanout and sketch_ams_f2's self-join size):
+    // 16 buckets of equal ROW depth over order value, each with its
+    // [lo, hi] boundary and exact per-bucket NDV — depth uniformity is
+    // what makes the histogram's selectivity estimates uniform-error,
+    // unlike equi-width bins under skew. The global total order comes
+    // from Rank.globalRankByRange (sampled range bounds + two-level
+    // offsets — never a single-partition sort; ties broken on the key
+    // so the order is total), bucket = ((rnk−1)·16) div n, then ONE
+    // 16-group aggregate. Depth balance (max−min ≤ 1 row) is specced.
+    "q_stats_histogram" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"))
+      val ranked = graft.ops.Rank.globalRankByRange(o, "price_c", "o_orderkey", 64)
+      val n = o.agg(count(lit(1)).as("n_total"))
+      graft.ops.Scalars.withScalar(ranked, col("o_orderkey"), n, col("n_total"))
+        .withColumn("bucket", expr("((rnk - 1) * 16) div n_total"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("price_c").as("lo_c"),
+          max("price_c").as("hi_c"), countDistinct("price_c").as("ndv"))
+        .orderBy("bucket")
+    }),
+
     // Z-ORDER LAYOUT AUDIT — the multi-dimensional member of the
     // storage-layout family (q_bucketed_join: co-located joins,
     // q_partition_pruned/q_dpp_join: single-dim pruning, THIS: the
@@ -2684,6 +2709,20 @@ object OlapQueries {
     // candidates, which the per-price max-size lemma first bounds
     // (a same-price lower-size point can never dominate anything its
     // price-mate doesn't already dominate)
+    // same total order (value DESC, key ASC), same depth formula
+    "q_stats_histogram" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS price_c FROM orders),
+        |r AS (SELECT price_c,
+        |        row_number() OVER (ORDER BY price_c DESC, o_orderkey) AS rnk
+        |      FROM o),
+        |n AS (SELECT count(*) AS n_total FROM o),
+        |b AS (SELECT price_c, ((rnk - 1) * 16) // n_total AS bucket FROM r, n)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+        |  min(price_c) AS lo_c, max(price_c) AS hi_c,
+        |  CAST(count(DISTINCT price_c) AS BIGINT) AS ndv
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // same scaled-coordinate Morton interleave, bucket rollup and
     // bounding-box areas; '//' replays Spark's IntegralDivide exactly
     // on the non-negative scaled coords

@@ -898,6 +898,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("stats histogram: equal depth within one row, ordered boundaries, sane NDV") {
+    val rows = SparkEntry.queries("q_stats_histogram")(spark, sf).collect()
+    assert(rows.length == 16)
+    val depths = rows.map(_.getAs[Long]("n_rows"))
+    assert(depths.max - depths.min <= 1, s"equi-depth violated: ${depths.toSeq}")
+    // buckets rank by value DESC: boundaries must be non-increasing
+    // across buckets and consistent within
+    val sorted = rows.sortBy(_.getAs[Long]("bucket"))
+    sorted.foreach { r =>
+      assert(r.getAs[Long]("lo_c") <= r.getAs[Long]("hi_c"))
+      val ndv = r.getAs[Long]("ndv")
+      assert(ndv >= 1 && ndv <= r.getAs[Long]("n_rows"))
+    }
+    val his = sorted.map(_.getAs[Long]("hi_c"))
+    assert(his.zip(his.tail).forall { case (a, b) => a >= b },
+      "bucket boundaries out of order")
+    // total depth == table count
+    assert(depths.sum == Tables.orders(spark, sf).count())
+  }
+
   test("RRF fusion: consensus dominance theorem and score-range consistency") {
     val rows = SparkEntry.queries("emb_rrf_fusion")(spark, sf).collect()
     assert(rows.nonEmpty)
