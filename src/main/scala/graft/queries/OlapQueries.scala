@@ -1849,6 +1849,73 @@ object OlapQueries {
         .orderBy("price_c")
     }),
 
+    // A/B EXPERIMENT READOUT — the product-analytics decision query:
+    // users bucket deterministically by the portable hash's low bit
+    // (the assignment a real experimentation system uses: sticky,
+    // uniform, replayable — never RNG), conversion = any purchase.
+    // Per-arm conversion as §5 half-up u4; absolute lift is integer
+    // subtraction of the quantized rates; relative lift is the exact
+    // cross-multiplied rational; significance is the EXACT 2×2
+    // chi-square N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) computed in
+    // DECIMAL(38,0) — exact through N ≈ 10⁶·⁵ (5·log₁₀N + 4 digits);
+    // a larger deployment switches the statistic to the quantized
+    // rates, the documented doctrine boundary. ONE user-level
+    // aggregate (the natural key shuffle), then all arithmetic on a
+    // 2-row table.
+    "events_ab_readout" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      // conversion = ACTIVATION: first purchase within 7 days of the
+      // user's first event ("any purchase ever" saturates to 100% on a
+      // long-window fixture and degenerates the 2×2) — one user-level
+      // aggregate derives both timestamps
+      val u = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(expr("ts_ns div 1000")).as("first_us"),
+          min(when(col("event_type") === "purchase",
+            expr("ts_ns div 1000"))).as("first_buy_us"))
+        .withColumn("conv",
+          when(col("first_buy_us").isNotNull &&
+            col("first_buy_us") <= col("first_us") + lit(604800000000L), 1L)
+            .otherwise(0L))
+        .withColumn("arm",
+          when(pmod(call_function("graft_hash64",
+            col("user_id").cast("string"), lit(17L)), lit(2L)) === 0, "A")
+            .otherwise("B"))
+      val ag = u.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+        .withColumn("conv_u4", expr("(2*n_conv*10000 + n_users) div (2*n_users)"))
+      val st = ag.agg(
+        sum(when(col("arm") === "A", col("n_users"))).as("na"),
+        sum(when(col("arm") === "B", col("n_users"))).as("nb"),
+        sum(when(col("arm") === "A", col("n_conv"))).as("ca"),
+        sum(when(col("arm") === "B", col("n_conv"))).as("cb"),
+        sum(when(col("arm") === "A", col("conv_u4"))).as("pa"),
+        sum(when(col("arm") === "B", col("conv_u4"))).as("pb"))
+      graft.ops.Scalars.withScalar(ag, col("arm"), st, col("na"))
+        .withColumn("lift_u4", expr("pb - pa"))
+        // half-AWAY-from-zero in integer space (lift can be negative)
+        // — the m_mom_growth sign-split pattern; a zero-conversion
+        // control arm has no defined relative lift → null
+        .withColumn("rel_lift_u4", expr(
+          """CASE WHEN ca*nb = 0 THEN NULL
+            | WHEN cb*na < ca*nb
+            | THEN -((2*(ca*nb - cb*na)*10000 + ca*nb) div (2*ca*nb))
+            | ELSE  ((2*(cb*na - ca*nb)*10000 + ca*nb) div (2*ca*nb))
+            |END""".stripMargin))
+        // a 2×2 with an empty margin (nobody converted, or EVERYBODY
+        // did — the sf0.001 fixture) has no defined chi-square → null
+        .withColumn("chi2_u4", expr(
+          """CAST((2*CAST(na + nb AS DECIMAL(38,0))
+            |        * CAST(ca*(nb - cb) - cb*(na - ca) AS DECIMAL(38,0))
+            |        * CAST(ca*(nb - cb) - cb*(na - ca) AS DECIMAL(38,0)) * 10000
+            |      + CAST(na AS DECIMAL(38,0))*nb*(ca + cb)*(na + nb - ca - cb))
+            |  div nullif(2*CAST(na AS DECIMAL(38,0))*nb*(ca + cb)*(na + nb - ca - cb), 0)
+            |  AS BIGINT)""".stripMargin))
+        .select(col("arm"), col("n_users"), col("n_conv"), col("conv_u4"),
+          col("lift_u4"), col("rel_lift_u4"), col("chi2_u4"))
+        .orderBy("arm")
+    }),
+
     // EQUI-DEPTH STATISTICS HISTOGRAM — the ANALYZE-TABLE primitive a
     // cost-based optimizer consults for selectivity (the statistics
     // family's missing member next to skew_report's key diagnosis,
@@ -1955,6 +2022,8 @@ object OlapQueries {
       |UNION ALL
       |SELECT o_orderkey, price, valid_from, DATE '9999-12-31' AS valid_to FROM u2
       |ORDER BY o_orderkey, valid_from""".stripMargin
+
+  import DuckHash.{fnvHx, ghashSql}
 
   val oracle: Map[String, String] = Map(
     "stream_cdc_apply" -> scd2ChainSql,
@@ -2709,6 +2778,58 @@ object OlapQueries {
     // candidates, which the per-price max-size lemma first bounds
     // (a same-price lower-size point can never dominate anything its
     // price-mate doesn't already dominate)
+    // same low-bit assignment (unsigned low bit == signed pmod for the
+    // power-of-two modulus), same 2×2 arithmetic; HUGEINT carries the
+    // exact chi-square products
+    "events_ab_readout" ->
+      s"""WITH du AS (SELECT DISTINCT user_id FROM events),
+         |tb AS (SELECT user_id, hex(encode(CAST(user_id AS VARCHAR))) AS hx,
+         |         octet_length(encode(CAST(user_id AS VARCHAR))) AS n
+         |       FROM du),
+         |h AS (SELECT user_id, ${ghashSql(fnvHx, "17")} AS hu FROM tb),
+         |u0 AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+         |         min(CASE WHEN event_type = 'purchase'
+         |             THEN epoch_us(ts) END) AS first_buy_us
+         |       FROM events GROUP BY 1),
+         |u AS (SELECT user_id,
+         |        CASE WHEN first_buy_us IS NOT NULL
+         |              AND first_buy_us <= first_us + 604800000000
+         |             THEN 1 ELSE 0 END AS conv
+         |      FROM u0),
+         |ua AS (SELECT u.user_id, u.conv,
+         |         CASE WHEN h.hu % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         |       FROM u JOIN h USING (user_id)),
+         |ag AS (SELECT arm, count(*) AS n_users, sum(conv) AS n_conv
+         |       FROM ua GROUP BY 1),
+         |cg AS (SELECT arm, n_users, n_conv,
+         |         CAST((2*n_conv*10000 + n_users) // (2*n_users) AS BIGINT) AS conv_u4
+         |       FROM ag),
+         |st AS (SELECT
+         |        sum(CASE WHEN arm = 'A' THEN n_users END) AS na,
+         |        sum(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+         |        sum(CASE WHEN arm = 'A' THEN n_conv END) AS ca,
+         |        sum(CASE WHEN arm = 'B' THEN n_conv END) AS cb,
+         |        sum(CASE WHEN arm = 'A' THEN conv_u4 END) AS pa,
+         |        sum(CASE WHEN arm = 'B' THEN conv_u4 END) AS pb
+         |       FROM cg)
+         |SELECT cg.arm, cg.n_users, CAST(cg.n_conv AS BIGINT) AS n_conv,
+         |  cg.conv_u4, CAST(st.pb - st.pa AS BIGINT) AS lift_u4,
+         |  CAST(CASE WHEN st.ca*st.nb = 0 THEN NULL
+         |    WHEN st.cb*st.na < st.ca*st.nb
+         |    THEN -((2*(st.ca*st.nb - st.cb*st.na)*10000 + st.ca*st.nb)
+         |           // (2*st.ca*st.nb))
+         |    ELSE  ((2*(st.cb*st.na - st.ca*st.nb)*10000 + st.ca*st.nb)
+         |           // (2*st.ca*st.nb))
+         |  END AS BIGINT) AS rel_lift_u4,
+         |  CAST((2*(st.na + st.nb)
+         |          *(st.ca*(st.nb - st.cb) - st.cb*(st.na - st.ca))
+         |          *(st.ca*(st.nb - st.cb) - st.cb*(st.na - st.ca))*10000
+         |        + st.na*st.nb*(st.ca + st.cb)*(st.na + st.nb - st.ca - st.cb))
+         |       // nullif(2*st.na*st.nb*(st.ca + st.cb)
+         |                *(st.na + st.nb - st.ca - st.cb), 0)
+         |    AS BIGINT) AS chi2_u4
+         |FROM cg, st ORDER BY arm""".stripMargin,
+
     // same total order (value DESC, key ASC), same depth formula
     "q_stats_histogram" ->
       """WITH o AS (SELECT o_orderkey,

@@ -83,6 +83,39 @@ object PipelineQueries {
         .orderBy("thr_pct")
     }),
 
+    // SimHash BIT-BALANCE audit — the hash-trust measurement for the
+    // fingerprint family (ann_bucket_balance audits LSH buckets,
+    // emb_ivf_balance audits IVF cells, THIS audits the 64 signature
+    // bits): simhash blocking assumes each bit splits the corpus
+    // ~50/50 — a stuck bit (bias → 10000) halves the effective
+    // signature width and silently inflates every hamming-bucket. Per
+    // bit: ones count and half-up u4 deviation from balance, plus the
+    // corpus-wide max. One signature pass, one 64-group aggregate.
+    // What it FINDS on this fixture (pinned in ScaleOpsSpec): the
+    // ~100-word synthetic vocabulary makes every doc's tf-weighted
+    // majority track the same shared tokens, so dozens of bits are
+    // heavily biased and a few are fully stuck — the corpus's
+    // effective signature width is far below 64, exactly the warning
+    // a dedup pipeline needs BEFORE trusting hamming-radius blocking
+    // on a narrow-domain corpus.
+    "text_simhash_bit_balance" -> ((s, dir) => {
+      val sig = Dedup.simhashSignatures(Tables.documents(s, dir))
+      val n = sig.agg(count(lit(1)).as("n_docs"))
+      val bits = sig
+        .select(col("simhash"), explode(sequence(lit(0), lit(63))).as("bit"))
+        .withColumn("one",
+          expr("shiftrightunsigned(simhash, CAST(bit AS INT)) & 1"))
+        .groupBy("bit").agg(sum("one").as("n_ones"))
+      graft.ops.Scalars.withScalar(bits, col("bit"), n, col("n_docs"))
+        .withColumn("bias_u4",
+          expr("(2*abs(2*n_ones - n_docs)*10000 + n_docs) div (2*n_docs)"))
+        .withColumn("max_bias_u4", max("bias_u4").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .select(col("bit").cast("long").as("bit"), col("n_ones"),
+          col("bias_u4"), col("max_bias_u4"))
+        .orderBy("bit")
+    }),
+
     // LSH banding S-curve — the measurement behind the (bands, rows)
     // choice (bloom_fpr_audit's empirical-curve pattern applied to
     // MinHash banding): at fixed k=128, each config's collision
@@ -3560,6 +3593,30 @@ object PipelineQueries {
     // 64 per-bit signs (the engine's chunk blocking is pigeonhole-
     // complete — DedupSpec proves it equals brute force — so the
     // oracle skips the blocking and computes the exact pair set)
+    // same tf-weighted per-bit majority as the simhash replay, rolled
+    // up per bit position instead of per doc
+    "text_simhash_bit_balance" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS s FROM documents),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM tok)),
+         |th AS (SELECT s, ${ghashSql(fnvHx, "0")} AS hu FROM tb),
+         |bits AS (
+         |  SELECT doc_id, i,
+         |    sum(CASE WHEN (hu // (CAST([$pow2List] AS HUGEINT[])[i+1])) % 2 = 1
+         |        THEN 1 ELSE -1 END) AS b
+         |  FROM tok JOIN th USING (s), unnest(range(0, 64)) r(i)
+         |  GROUP BY doc_id, i),
+         |ones AS (SELECT i AS bit, sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS n_ones
+         |         FROM bits GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+         |bb AS (SELECT bit, n_ones,
+         |         CAST((2*abs(2*n_ones - n_docs)*10000 + n_docs)
+         |              // (2*n_docs) AS BIGINT) AS bias_u4
+         |       FROM ones, nd)
+         |SELECT CAST(bit AS BIGINT) AS bit, CAST(n_ones AS BIGINT) AS n_ones,
+         |  bias_u4, CAST(max(bias_u4) OVER () AS BIGINT) AS max_bias_u4
+         |FROM bb ORDER BY bit""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS s FROM documents),
          |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n

@@ -898,6 +898,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("A/B readout: arms partition the users, summary columns are arm-invariant") {
+    val rows = SparkEntry.queries("events_ab_readout")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("arm")).sorted.toSeq == Seq("A", "B"))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users,
+      "arms must partition the user set")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_conv") <= r.getAs[Long]("n_users"))
+      assert(r.getAs[Long]("conv_u4") >= 0 && r.getAs[Long]("conv_u4") <= 10000)
+    }
+    // lift/chi2 are experiment-level: identical on both arm rows, and
+    // the absolute lift is exactly the quantized-rate difference
+    assert(rows.map(_.getAs[Long]("lift_u4")).distinct.length == 1)
+    val byArm = rows.map(r => r.getAs[String]("arm") -> r.getAs[Long]("conv_u4")).toMap
+    assert(rows.head.getAs[Long]("lift_u4") == byArm("B") - byArm("A"))
+    rows.foreach { r =>
+      val c = r.getAs[java.lang.Long]("chi2_u4")
+      if (c != null) assert(c >= 0L, "chi-square is a square — never negative")
+    }
+  }
+
+  test("simhash bit balance: counts bounded, max consistent, narrow-corpus bias pinned") {
+    val rows = SparkEntry.queries("text_simhash_bit_balance")(spark, sf).collect()
+    assert(rows.length == 64)
+    val nDocs = graft.ops.Dedup.simhashSignatures(
+      Tables.documents(spark, sf)).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ones") >= 0 && r.getAs[Long]("n_ones") <= nDocs)
+      assert(r.getAs[Long]("bias_u4") >= 0 && r.getAs[Long]("bias_u4") <= 10000)
+    }
+    assert(rows.map(_.getAs[Long]("max_bias_u4")).distinct.toSeq ==
+      Seq(rows.map(_.getAs[Long]("bias_u4")).max))
+    // the audit's REASON to exist, demonstrated: this corpus's ~100-word
+    // vocabulary makes doc majorities track the shared high-tf tokens,
+    // so many bits are heavily biased and some are fully stuck — the
+    // effective signature width is far below 64. Pin the finding (it is
+    // a corpus property, deterministic under the portable hash).
+    assert(rows.count(_.getAs[Long]("bias_u4") == 10000) >= 1,
+      "fixture regression: the small-vocab corpus used to expose stuck bits")
+    assert(rows.exists(_.getAs[Long]("bias_u4") < 5000),
+      "at least some bits must still split the corpus")
+  }
+
   test("stats histogram: equal depth within one row, ordered boundaries, sane NDV") {
     val rows = SparkEntry.queries("q_stats_histogram")(spark, sf).collect()
     assert(rows.length == 16)
