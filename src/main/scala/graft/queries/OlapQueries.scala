@@ -1849,6 +1849,38 @@ object OlapQueries {
         .orderBy("price_c")
     }),
 
+    // SESSION-GAP SENSITIVITY — the measurement that PICKS the 30-min
+    // inactivity constant events_sessionize (and the streaming
+    // sessionizer) hard-code, completing the pick-the-constant family
+    // (events_late_audit → watermark delay, events_funnel_window_sweep
+    // → funnel window, THIS → session gap): session count and
+    // events-per-session at gap ∈ {5 min, 30 min, 2 h}, all from ONE
+    // lag pass — the 3-gap sweep is an explode of the per-event gap
+    // column, not three passes; a session "start" is gap-null or
+    // gap > G, so n_sessions = Σ starts needs no session assembly.
+    // Ratios as §5 half-up u4.
+    "events_session_gap_sweep" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gaps = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      val n = gaps.agg(count(lit(1)).as("n_events"))
+      val swept = gaps
+        .select(col("gap_us"), explode(array(
+          lit(300000000L), lit(1800000000L), lit(7200000000L))).as("gap_limit_us"))
+        .withColumn("is_start",
+          when(col("gap_us").isNull || col("gap_us") > col("gap_limit_us"), 1L)
+            .otherwise(0L))
+        .groupBy("gap_limit_us")
+        .agg(sum("is_start").as("n_sessions"))
+      graft.ops.Scalars.withScalar(swept, col("gap_limit_us"), n, col("n_events"))
+        .withColumn("events_per_session_u4",
+          expr("(2*n_events*10000 + n_sessions) div (2*n_sessions)"))
+        .select(col("gap_limit_us"), col("n_sessions"), col("n_events"),
+          col("events_per_session_u4"))
+        .orderBy("gap_limit_us")
+    }),
+
     // A/B EXPERIMENT READOUT — the product-analytics decision query:
     // users bucket deterministically by the portable hash's low bit
     // (the assignment a real experimentation system uses: sticky,
@@ -2778,6 +2810,26 @@ object OlapQueries {
     // candidates, which the per-price max-size lemma first bounds
     // (a same-price lower-size point can never dominate anything its
     // price-mate doesn't already dominate)
+    // same lag convention (ts_us, event_id), same 3-threshold explode
+    "events_session_gap_sweep" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id, ts_us - lag(ts_us) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        |      FROM e),
+        |n AS (SELECT count(*) AS n_events FROM e),
+        |sw AS (SELECT t.gap_limit_us,
+        |         sum(CASE WHEN g.gap_us IS NULL OR g.gap_us > t.gap_limit_us
+        |             THEN 1 ELSE 0 END) AS n_sessions
+        |       FROM g, unnest([300000000, 1800000000, 7200000000]) t(gap_limit_us)
+        |       GROUP BY 1)
+        |SELECT CAST(gap_limit_us AS BIGINT) AS gap_limit_us,
+        |  CAST(n_sessions AS BIGINT) AS n_sessions,
+        |  CAST(n.n_events AS BIGINT) AS n_events,
+        |  CAST((2*n.n_events*10000 + n_sessions) // (2*n_sessions) AS BIGINT)
+        |    AS events_per_session_u4
+        |FROM sw, n ORDER BY gap_limit_us""".stripMargin,
+
     // same low-bit assignment (unsigned low bit == signed pmod for the
     // power-of-two modulus), same 2×2 arithmetic; HUGEINT carries the
     // exact chi-square products

@@ -331,6 +331,34 @@ object PipelineQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
 
+    // RECALL@K SWEEP — the remaining user-facing knob of the sweep
+    // family (cells → ann_ivf_cells_sweep, beam → ann_hnsw_beam_sweep,
+    // THIS → how many results the caller asks for): IVF recall against
+    // the exact brute force at k = 1/5/10, both paths fetched ONCE at
+    // k=10 and the 3-k sweep derived by an explode of the joined rank
+    // pairs — recall@k counts pairs ranked ≤ k on BOTH sides. Half-up
+    // u4 over k·n_probes. A k with zero agreements drops its row in
+    // both engines identically (GROUP BY after the filter).
+    "emb_recall_vs_k" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 10)
+        .select(col("probe_id"), col("neighbor_id"), col("rank").as("rt"))
+        .localCheckpoint(false)
+      val cand = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 10)
+        .select(col("probe_id"), col("neighbor_id"), col("rank").as("rc"))
+      val np = truth.agg(countDistinct("probe_id").as("n_probes"))
+      val swept = truth.join(cand, Seq("probe_id", "neighbor_id"))
+        .select(col("rt"), col("rc"),
+          explode(array(lit(1L), lit(5L), lit(10L))).as("k"))
+        .filter(col("rt") <= col("k") && col("rc") <= col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_matched"))
+      graft.ops.Scalars.withScalar(swept, col("k"), np, col("n_probes"))
+        .withColumn("recall_u4",
+          expr("(2*n_matched*10000 + k*n_probes) div (2*k*n_probes)"))
+        .select(col("k"), col("n_matched"), col("n_probes"), col("recall_u4"))
+        .orderBy("k")
+    }),
+
     // RECIPROCAL RANK FUSION of two independent ANN paths — the
     // retrieval-stack composition step (Cormack et al. SIGIR'09): IVF
     // and LSH see different candidate sets (Voronoi cells vs hyperplane
@@ -2290,7 +2318,8 @@ object PipelineQueries {
        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
 
-  private def ivfReplaySql(buildWhere: String, probeWhere: String): String =
+  private def ivfReplaySql(buildWhere: String, probeWhere: String,
+                           kLimit: Int = 5): String =
     s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |thr AS (SELECT 3*(max(vec_id)+1)//4 AS t FROM embeddings),
        |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
@@ -2334,7 +2363,7 @@ object PipelineQueries {
        |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
        |      FROM s)
        |SELECT probe_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos, cell
-       |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+       |FROM r WHERE rank <= $kLimit ORDER BY probe_id, rank""".stripMargin
 
   /** Unrolled 2-step Lloyd replay for ann_ivf_lloyd_curve: seeds →
     * assign → 6dp means → assign → 6dp means → assign, per-row
@@ -3846,6 +3875,35 @@ object PipelineQueries {
     },
 
     "ann_lsh" -> lshTopSql,
+
+    // exact brute top-10 + the k-parameterized IVF replay, same
+    // explode-filter sweep over the joined rank pairs
+    "emb_recall_vs_k" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+         |s AS (
+         |  SELECT probe_id, e.vec_id,
+         |    list_sum(list_transform(range(1,65), i -> pv[i]*e.v[i]))
+         |      / (sqrt(list_sum(list_transform(pv, x -> x*x)))
+         |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+         |  FROM e, p WHERE e.vec_id <> probe_id),
+         |brute AS (SELECT probe_id, vec_id AS neighbor_id, rank AS rt FROM (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM s) WHERE rank <= 10),
+         |cand AS (SELECT probe_id, neighbor_id, rank AS rc
+         |         FROM (${ivfReplaySql("", "e.vec_id < 10", kLimit = 10)})),
+         |np AS (SELECT count(DISTINCT probe_id) AS n_probes FROM brute),
+         |sw AS (SELECT t.k, count(*) AS n_matched
+         |       FROM brute b JOIN cand c USING (probe_id, neighbor_id),
+         |            unnest([1, 5, 10]) t(k)
+         |       WHERE b.rt <= t.k AND c.rc <= t.k
+         |       GROUP BY 1)
+         |SELECT CAST(k AS BIGINT) AS k, n_matched,
+         |  CAST(np.n_probes AS BIGINT) AS n_probes,
+         |  CAST((2*n_matched*10000 + k*np.n_probes)
+         |       // (2*k*np.n_probes) AS BIGINT) AS recall_u4
+         |FROM sw, np ORDER BY k""".stripMargin,
 
     // both path replays (the ann_ivf and ann_lsh oracles verbatim, as
     // subqueries), then the same u6-quantized-term RRF sum

@@ -898,6 +898,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("session-gap sweep: session count monotone down in gap, events conserved") {
+    val rows = SparkEntry.queries("events_session_gap_sweep")(spark, sf).collect()
+    assert(rows.length == 3)
+    // a longer inactivity gap can only MERGE sessions, never split them
+    val sorted = rows.sortBy(_.getAs[Long]("gap_limit_us"))
+    val ns = sorted.map(_.getAs[Long]("n_sessions"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"session count must be non-increasing in the gap: ${ns.toSeq}")
+    // every event belongs to a session and n_events is the table count
+    val total = Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") == total)
+      assert(r.getAs[Long]("n_sessions") >= 1 && r.getAs[Long]("n_sessions") <= total)
+    }
+    // the 30-min row must agree with events_sessionize's session count
+    val sess = SparkEntry.queries("events_sessionize")(spark, sf).count()
+    assert(sorted(1).getAs[Long]("n_sessions") == sess,
+      "sweep's 30-min point diverged from the sessionizer itself")
+  }
+
+  test("recall@k sweep: matches bounded by k·probes, recall@10 matches ann family") {
+    val rows = SparkEntry.queries("emb_recall_vs_k")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k"); val m = r.getAs[Long]("n_matched")
+      assert(m >= 0 && m <= k * r.getAs[Long]("n_probes"))
+      assert(r.getAs[Long]("recall_u4") >= 0 && r.getAs[Long]("recall_u4") <= 10000)
+    }
+    // monotone containment: matches@k grows with k (top-k sets nest)
+    val sorted = rows.sortBy(_.getAs[Long]("k"))
+    val ms = sorted.map(_.getAs[Long]("n_matched"))
+    assert(ms.zip(ms.tail).forall { case (a, b) => a <= b },
+      "top-k sets nest, so agreement counts must be non-decreasing in k")
+  }
+
   test("A/B readout: arms partition the users, summary columns are arm-invariant") {
     val rows = SparkEntry.queries("events_ab_readout")(spark, sf).collect()
     assert(rows.map(_.getAs[String]("arm")).sorted.toSeq == Seq("A", "B"))
