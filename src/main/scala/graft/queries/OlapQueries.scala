@@ -1083,8 +1083,10 @@ object OlapQueries {
     // events_transitions stops at the raw bigram matrix, THIS answers
     // "where does a user's session settle": π after 3 power-iteration
     // steps from uniform over the row-normalized transition matrix.
-    // The fact table is touched ONCE (the same lag shuffle as
-    // events_transitions); every iteration is a join + groupBy over
+    // The heavy lag shuffle runs ONCE (the same pass as
+    // events_transitions, then checkpointed); the states list is a
+    // second column-pruned scan of the type column only. Every
+    // iteration is a join + groupBy over
     // the BOUNDED states×states matrix (≤ |event_types|² rows — tiny
     // at any corpus scale, so iteration cost is independent of 100 TB).
     // All §5 integer math: p_u6 = half-up 1e6·cnt/rowsum, each step
@@ -1840,6 +1842,9 @@ object OlapQueries {
       val perPrice = pts
         .groupBy("price_c").agg(max(struct(col("size"), col("n_parts"))).as("m"))
         .select(col("price_c"), col("m.size").as("size"), col("m.n_parts").as("n_parts"))
+        // runningMax consumes its input twice (rows + block offsets);
+        // materialize the tiny per-price table so part scans once
+        .localCheckpoint(false)
       graft.ops.Rank.runningMax(perPrice, "price_c", "size")
         .filter(col("size") === col("run_max"))
         .groupBy("size")
@@ -1916,6 +1921,9 @@ object OlapQueries {
       val ag = u.groupBy("arm")
         .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
         .withColumn("conv_u4", expr("(2*n_conv*10000 + n_users) div (2*n_users)"))
+        // the 2-row arm table feeds both the summary aggregate and the
+        // emission join — materialize so events scans once
+        .localCheckpoint(false)
       val st = ag.agg(
         sum(when(col("arm") === "A", col("n_users"))).as("na"),
         sum(when(col("arm") === "B", col("n_users"))).as("nb"),

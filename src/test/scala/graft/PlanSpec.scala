@@ -384,4 +384,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair expansion must stay a key equi-join:\n$p")
   }
+
+  test("z-order layout audit derives both layouts from one orders scan") {
+    val p = plan("q_zorder_layout")
+    assert(countOccurrences(p, "orders.parquet") == 2, // rows + the scalar agg
+      s"one row-side scan plus one bounds-side scan:\n$p")
+  }
+
+  test("session-gap sweep is one lag pass — the 3-threshold sweep adds no scan") {
+    val p = plan("events_session_gap_sweep")
+    assert(countOccurrences(p, "events.parquet") == 2, // gaps + the count scalar
+      s"the sweep must explode one gap column, not rescan per threshold:\n$p")
+    assert(countOccurrences(p, "Window") == 1,
+      s"exactly one lag window:\n$p")
+  }
+
+  test("skyline reduces on one part scan and never sorts raw rows globally") {
+    // the per-price aggregate is checkpointed (runningMax consumes it
+    // twice), so the final plan must not touch part at all — and the
+    // frontier pick must stay a broadcast equi-join, never a product
+    val p = plan("q_skyline")
+    assert(countOccurrences(p, "part.parquet") == 0,
+      s"both runningMax branches must read the checkpointed aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"block-prefix attach must be a broadcast equi-join:\n$p")
+  }
+
+  test("A/B readout aggregates users once; all experiment math is post-aggregate") {
+    // the 2-row arm table is checkpointed before fan-out — the final
+    // plan does all experiment arithmetic without re-touching events
+    val p = plan("events_ab_readout")
+    assert(countOccurrences(p, "events.parquet") == 0,
+      s"experiment math must consume the checkpointed arm table:\n$p")
+  }
 }
