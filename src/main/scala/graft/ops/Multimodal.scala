@@ -321,6 +321,62 @@ object Multimodal {
     PpmOut(docId, w, h, maxval, n, sum, max)
   }
 
+  final case class PpmFeat(doc_id: Long, width: Int, height: Int,
+                           r_sum: Long, g_sum: Long, b_sum: Long,
+                           r_max: Int, g_max: Int, b_max: Int,
+                           r_min: Int, g_min: Int, b_min: Int)
+
+  /** Per-CHANNEL image statistics over the honest P6 decode — the image
+    * sibling of [[wavFeatureBatch]]'s channel-stride logic: the payload
+    * is interleaved RGB triples, so channel = byte index mod 3, and a
+    * stride bug that wavFeatureBatch's sum/max audits would miss shows
+    * up here as swapped channel sums. Per-channel sum/min/max are the
+    * inputs to white-balance and dead-channel screening — the cheap
+    * per-image gate an image-corpus pipeline runs before any decode-
+    * heavy featurization. Integer folds only; pure per-row work in the
+    * typed codec contract. */
+  def ppmFeatureBatch(docs: DataFrame): org.apache.spark.sql.Dataset[PpmFeat] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("len"))
+      .as[(Long, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, len) => parsePpmFeat(id, buildPpm(id, len)) }
+      }
+  }
+
+  /** Same strict header walk as [[parsePpm]], folding per-channel. */
+  private[graft] def parsePpmFeat(docId: Long, bytes: Array[Byte]): PpmFeat = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      s"doc $docId: not a P6 PPM")
+    var pos = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    def nextInt(): Int = {
+      while (pos < bytes.length && isWs(bytes(pos))) pos += 1
+      val start = pos
+      while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
+      require(pos > start, s"doc $docId: truncated PPM header")
+      new String(bytes, start, pos - start, "US-ASCII").toInt
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    pos += 1
+    require(maxval == 255, s"doc $docId: unsupported maxval $maxval")
+    require(bytes.length - pos == w * h * 3,
+      s"doc $docId: payload ${bytes.length - pos} != ${w * h * 3}")
+    val sums = new Array[Long](3)
+    val maxs = Array(-1, -1, -1); val mins = Array(256, 256, 256)
+    var k = 0
+    while (pos < bytes.length) {
+      val v = bytes(pos) & 0xff; val c = k % 3
+      sums(c) += v
+      if (v > maxs(c)) maxs(c) = v
+      if (v < mins(c)) mins(c) = v
+      pos += 1; k += 1
+    }
+    PpmFeat(docId, w, h, sums(0), sums(1), sums(2),
+      maxs(0), maxs(1), maxs(2), mins(0), mins(1), mins(2))
+  }
+
   final case class PhashOut(doc_id: Long, width: Int, height: Int,
                             mean_u8: Int, c0: Long, c1: Long, c2: Long,
                             c3: Long, nbits: Int)

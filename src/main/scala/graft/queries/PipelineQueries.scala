@@ -1388,6 +1388,14 @@ object PipelineQueries {
       Multimodal.wavDecodeBatch(Tables.documents(s, dir)).toDF()
         .orderBy("doc_id")),
 
+    // per-CHANNEL image statistics over the honest P6 decode: the RGB
+    // stride audit (channel = byte mod 3) plus the white-balance /
+    // dead-channel screening inputs — the image sibling of the audio
+    // feature op below
+    "mm_ppm_features" -> ((s, dir) =>
+      Multimodal.ppmFeatureBatch(Tables.documents(s, dir)).toDF()
+        .orderBy("doc_id")),
+
     // audio FEATURES over the same honest PCM16 decode: per-channel
     // zero crossings, L1/L2 energy, peak — the feature-extract stage
     // (what a speech-data pipeline filters on: ZCR ≈ noisiness, energy
@@ -1714,6 +1722,39 @@ object PipelineQueries {
             .orderBy(col("freq").desc, col("token").asc)).cast("bigint"))
         .select("token_id", "token", "freq")
         .orderBy("token_id")
+    }),
+
+    // VOCABULARY COVERAGE CURVE — the tokenizer-sizing measurement
+    // (vocab_oov measures leakage-safe OOV at ONE vocab; THIS sweeps
+    // the size): what fraction of token OCCURRENCES do the top-N
+    // frequency-ranked types cover at N = 10/50/250? The classic
+    // Zipf-area view a vocab budget is chosen from. Ranking runs over
+    // the BOUNDED type table (the vocabulary, not the corpus — the
+    // window is legitimate there, same contract as vocab_build); one
+    // corpus scan for counts, the 3-N sweep is an explode of the
+    // ranked types. Coverage as §5 half-up u4.
+    "vocab_coverage_curve" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("token").asc)).cast("bigint"))
+        .localCheckpoint(false)
+      val tot = counts.agg(sum("freq").as("total_tokens"),
+        count(lit(1)).as("n_types"))
+      val swept = counts
+        .select(col("rnk"), col("freq"),
+          explode(array(lit(10L), lit(50L), lit(250L))).as("n"))
+        .filter(col("rnk") <= col("n"))
+        .groupBy("n")
+        .agg(count(lit(1)).as("n_vocab"), sum("freq").as("covered_tokens"))
+      graft.ops.Scalars.withScalar(swept, col("n"), tot, col("total_tokens"))
+        .withColumn("coverage_u4",
+          expr("(2*covered_tokens*10000 + total_tokens) div (2*total_tokens)"))
+        .select(col("n"), col("n_vocab"), col("covered_tokens"),
+          col("total_tokens"), col("n_types"), col("coverage_u4"))
+        .orderBy("n")
     }),
 
     // DISTRIBUTED BPE MERGE LEARNING: the 5 highest-count symbol-pair
@@ -3315,6 +3356,26 @@ object PipelineQueries {
          |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
          |    AS token_id, token, freq
          |FROM f ORDER BY token_id""".stripMargin,
+
+    // same frequency ranking as vocab_build (no df floor), same
+    // 3-N explode and half-up coverage
+    "vocab_coverage_curve" ->
+      s"""WITH tk AS (SELECT unnest($toks) AS token FROM documents),
+         |f AS (SELECT token, count(*) AS freq FROM tk GROUP BY 1),
+         |r AS (SELECT token, freq,
+         |        row_number() OVER (ORDER BY freq DESC, token) AS rnk
+         |      FROM f),
+         |t AS (SELECT sum(freq) AS total_tokens, count(*) AS n_types FROM f),
+         |sw AS (SELECT nn.n, count(*) AS n_vocab, sum(freq) AS covered_tokens
+         |       FROM r, unnest([10, 50, 250]) nn(n)
+         |       WHERE r.rnk <= nn.n GROUP BY 1)
+         |SELECT CAST(n AS BIGINT) AS n, n_vocab,
+         |  CAST(covered_tokens AS BIGINT) AS covered_tokens,
+         |  CAST(t.total_tokens AS BIGINT) AS total_tokens,
+         |  CAST(t.n_types AS BIGINT) AS n_types,
+         |  CAST((2*covered_tokens*10000 + t.total_tokens)
+         |       // (2*t.total_tokens) AS BIGINT) AS coverage_u4
+         |FROM sw, t ORDER BY n""".stripMargin,
 
     "text_zipf" ->
       s"""WITH tk AS (SELECT unnest($toks) AS token FROM documents),
@@ -5016,6 +5077,31 @@ object PipelineQueries {
         |  CAST(list_max(list_transform(range(0, ns),
         |    k -> ((doc_id*31 + k*17) % 65536) - 32768)) AS INT) AS amp_max
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // analytic per-channel replay: same byte formula, channel = k mod 3
+    "mm_ppm_features" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |   4 + (octet_length(encode(text)) % 13) AS w,
+        |   2 + (doc_id % 7) AS h
+        | FROM documents),
+        |q AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, w*h*3), k ->
+        |    CASE WHEN k % 3 = 0 THEN (doc_id*7 + k*13) % 256 END) AS r,
+        |  list_transform(range(0, w*h*3), k ->
+        |    CASE WHEN k % 3 = 1 THEN (doc_id*7 + k*13) % 256 END) AS g,
+        |  list_transform(range(0, w*h*3), k ->
+        |    CASE WHEN k % 3 = 2 THEN (doc_id*7 + k*13) % 256 END) AS b
+        | FROM p)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(list_sum(list_filter(r, x -> x IS NOT NULL)) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_filter(g, x -> x IS NOT NULL)) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_filter(b, x -> x IS NOT NULL)) AS BIGINT) AS b_sum,
+        |  CAST(list_max(r) AS INT) AS r_max, CAST(list_max(g) AS INT) AS g_max,
+        |  CAST(list_max(b) AS INT) AS b_max,
+        |  CAST(list_min(r) AS INT) AS r_min, CAST(list_min(g) AS INT) AS g_min,
+        |  CAST(list_min(b) AS INT) AS b_min
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     // analytic replay of the audio features from the synth parameters:
     // same modular sample formula, channel-stride sign products for the

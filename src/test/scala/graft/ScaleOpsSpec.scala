@@ -898,6 +898,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("ppm channel features: crafted image by hand, channels reconcile with the decode") {
+    // 1×2 image, payload RGB RGB = (10,20,30)(40,50,60)
+    val header = "P6\n1 2\n255\n".getBytes("US-ASCII")
+    val body = Array[Byte](10, 20, 30, 40, 50, 60)
+    val f = Multimodal.parsePpmFeat(99L, header ++ body)
+    assert(f.width == 1 && f.height == 2)
+    assert(f.r_sum == 50 && f.g_sum == 70 && f.b_sum == 90)
+    assert(f.r_min == 10 && f.r_max == 40)
+    assert(f.g_min == 20 && f.g_max == 50)
+    assert(f.b_min == 30 && f.b_max == 60)
+    // fixture path: per-channel sums must reconcile with the plain
+    // decode audit's total byte sum, doc by doc
+    val feats = SparkEntry.queries("mm_ppm_features")(spark, sf)
+      .select(col("doc_id"),
+        (col("r_sum") + col("g_sum") + col("b_sum")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("mm_ppm_decode")(spark, sf)
+      .select("doc_id", "pix_sum").collect().foreach { r =>
+        assert(feats(r.getLong(0)) == r.getLong(1),
+          s"doc ${r.getLong(0)}: channel sums do not add to the decode total")
+      }
+  }
+
+  test("vocab coverage curve: monotone in N, clamps at the type count, saturates to 1") {
+    val rows = SparkEntry.queries("vocab_coverage_curve")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("n"))
+    assert(rows.nonEmpty)
+    val nTypes = rows.head.getAs[Long]("n_types")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vocab") == math.min(r.getAs[Long]("n"), nTypes))
+      if (r.getAs[Long]("n") >= nTypes)
+        assert(r.getAs[Long]("coverage_u4") == 10000L,
+          "full vocabulary must cover every occurrence")
+    }
+    val cov = rows.map(_.getAs[Long]("coverage_u4"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      "coverage must be non-decreasing in N")
+  }
+
   test("session-gap sweep: session count monotone down in gap, events conserved") {
     val rows = SparkEntry.queries("events_session_gap_sweep")(spark, sf).collect()
     assert(rows.length == 3)
