@@ -60,4 +60,55 @@ object AsOf {
     filled.filter(col("_side") === 1)
       .select(lCols.map(col) ++ payload.map(p => col(s"_pl.$p").as(p)): _*)
   }
+
+  /** NEAREST-direction as-of join: each left row picks the right row
+    * (same key) with the smallest |right.time − left.time|, ties going
+    * BACKWARD (the leakage-safe direction). The same union-sort trick
+    * as [[joinAsOf]] — still exactly ONE shuffle+sort on the key —
+    * with TWO window fills over the one sorted stream: a backward
+    * `last(ignoreNulls)` and a forward `first(ignoreNulls)`; the right
+    * row's own time rides inside the payload struct so the chooser
+    * compares the two deltas without another join. At equal
+    * timestamps the right row sorts before the left (inclusive
+    * backward, delta 0 — which wins every tie by construction).
+    * Right must be unique per (key, time); pre-aggregate if not.
+    * Adds `asof_delta` (chosen |Δ|, left-time units, null when the key
+    * has no right rows at all) and `asof_dir` ('b'/'f'/null). */
+  def joinAsOfNearest(left: DataFrame, right: DataFrame, key: String,
+                      time: String, payload: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val plCols = payload :+ "_rt"
+    val r0 = right.select((Seq(key, time) ++ payload).map(col): _*)
+      .withColumn("_rt", col(time))
+    val plStruct = struct(plCols.map(col): _*)
+    val plType = r0.select(plStruct.as("_pl")).schema("_pl").dataType
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_pl", lit(null).cast(plType))
+    val r = lCols.filterNot(c => c == key || c == time)
+      .foldLeft(r0.withColumn("_side", lit(0)).withColumn("_pl", plStruct)) {
+        (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val ordered = Seq(key, time, "_side", "_pl") ++
+      lCols.filterNot(c => c == key || c == time)
+    val unioned = l.select(ordered.map(col): _*)
+      .unionByName(r.select(ordered.map(col): _*))
+    val ord = Window.partitionBy(key).orderBy(col(time), col("_side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wf = ord.rowsBetween(0, Window.unboundedFollowing)
+    val filled = unioned
+      .withColumn("_plb", last(col("_pl"), ignoreNulls = true).over(wb))
+      .withColumn("_plf", first(col("_pl"), ignoreNulls = true).over(wf))
+      .filter(col("_side") === 1)
+      .withColumn("_db", col(time) - col("_plb._rt"))
+      .withColumn("_df", col("_plf._rt") - col(time))
+      .withColumn("_useB",
+        col("_plb").isNotNull && (col("_plf").isNull || col("_db") <= col("_df")))
+      .withColumn("_best", when(col("_useB"), col("_plb")).otherwise(col("_plf")))
+    filled.select(lCols.map(col) ++
+      payload.map(p => col(s"_best.$p").as(p)) ++ Seq(
+        when(col("_best").isNotNull,
+          when(col("_useB"), col("_db")).otherwise(col("_df"))).as("asof_delta"),
+        when(col("_best").isNotNull,
+          when(col("_useB"), lit("b")).otherwise(lit("f"))).as("asof_dir")): _*)
+  }
 }

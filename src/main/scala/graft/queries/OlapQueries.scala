@@ -1854,6 +1854,58 @@ object OlapQueries {
         .orderBy("price_c")
     }),
 
+    // NEAREST-direction as-of: each error event aligns to the CLOSEST
+    // click of the same user in either direction (the sensor/diagnostic
+    // alignment events_asof's backward-only semantics can't express —
+    // an error often precedes the click that retried it). Same ONE
+    // key-shuffle union-sort as AsOf.joinAsOf, with both directions
+    // filled over the single sorted stream; ties go backward. The
+    // oracle is a fully independent quadratic nearest search, so the
+    // window trick is verified against the definition, not replayed.
+    "events_asof_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      val errors = e.filter(col("event_type") === "error").drop("event_type")
+      // right side unique per (user, ts): same-instant clicks collapse
+      // to the smallest id (deterministic in both engines)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(min("event_id").as("click_id"))
+      graft.ops.AsOf.joinAsOfNearest(errors, clicks, "user_id", "ts_us",
+          Seq("click_id"))
+        .select(col("user_id"), col("event_id"), col("click_id"),
+          col("asof_delta"), col("asof_dir"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // POINT-IN-TIME FEATURE SNAPSHOT — the leakage-free feature-store
+    // join every training pipeline needs: for each label event (a
+    // purchase), the user's behavioral counters computed from STRICTLY
+    // BEFORE the label in the (ts, event_id) total order — the window's
+    // upper bound is -1 PRECEDING, so neither the label itself nor any
+    // later event leaks into its features (computing features "as of
+    // now" and joining on user is the classic offline/online skew bug
+    // this op exists to prevent). ONE pass: cumulative conditional
+    // counts over the user-partitioned window, filter to labels — no
+    // join at all, and the window distributes on the user key.
+    "events_pit_features" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def prior(t: String) =
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("prior_views", coalesce(prior("view"), lit(0L)))
+        .withColumn("prior_clicks", coalesce(prior("click"), lit(0L)))
+        .withColumn("prior_purchases", coalesce(prior("purchase"), lit(0L)))
+        .withColumn("prior_total", coalesce(count(lit(1)).over(w), lit(0L)))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("prior_views"),
+          col("prior_clicks"), col("prior_purchases"), col("prior_total"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // SESSION-GAP SENSITIVITY — the measurement that PICKS the 30-min
     // inactivity constant events_sessionize (and the streaming
     // sessionizer) hard-code, completing the pick-the-constant family
@@ -2818,6 +2870,54 @@ object OlapQueries {
     // candidates, which the per-price max-size lemma first bounds
     // (a same-price lower-size point can never dominate anything its
     // price-mate doesn't already dominate)
+    // INDEPENDENT quadratic nearest search (not the window replay):
+    // every (error, click) pair of the same user ranked by |delta|,
+    // backward preferred on ties; same-instant clicks pre-collapsed
+    "events_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |err AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, ts_us, min(event_id) AS click_id
+        |        FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT err.user_id, err.event_id, clk.click_id,
+        |    abs(clk.ts_us - err.ts_us) AS d,
+        |    CASE WHEN clk.ts_us <= err.ts_us THEN 0 ELSE 1 END AS fwd,
+        |    row_number() OVER (PARTITION BY err.user_id, err.event_id
+        |      ORDER BY abs(clk.ts_us - err.ts_us),
+        |               CASE WHEN clk.ts_us <= err.ts_us THEN 0 ELSE 1 END) AS rk
+        |  FROM err JOIN clk ON err.user_id = clk.user_id)
+        |SELECT err.user_id, err.event_id, c.click_id,
+        |  CAST(c.d AS BIGINT) AS asof_delta,
+        |  CASE c.fwd WHEN 0 THEN 'b' WHEN 1 THEN 'f' END AS asof_dir
+        |FROM err LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
+        |  ON err.user_id = c.user_id AND err.event_id = c.event_id
+        |ORDER BY err.user_id, err.event_id""".stripMargin,
+
+    // same strict-preceding window replay
+    "events_pit_features" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, event_type,
+        |    coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER w, 0) AS prior_views,
+        |    coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER w, 0) AS prior_clicks,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER w, 0) AS prior_purchases,
+        |    coalesce(count(*) OVER w, 0) AS prior_total
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id,
+        |  CAST(prior_views AS BIGINT) AS prior_views,
+        |  CAST(prior_clicks AS BIGINT) AS prior_clicks,
+        |  CAST(prior_purchases AS BIGINT) AS prior_purchases,
+        |  CAST(prior_total AS BIGINT) AS prior_total
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+
     // same lag convention (ts_us, event_id), same 3-threshold explode
     "events_session_gap_sweep" ->
       """WITH e AS (

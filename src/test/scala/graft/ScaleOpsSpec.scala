@@ -898,6 +898,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("nearest as-of: emitted neighbor is optimal against a driver-side search") {
+    val rows = SparkEntry.queries("events_asof_nearest")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us")).collect()
+    val errTs = e.filter(_.getString(2) == "error")
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val clicksByUser = e.filter(_.getString(2) == "click")
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getLong(3)) }
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val ts = errTs((u, r.getAs[Long]("event_id")))
+      val clicks = clicksByUser.getOrElse(u, Array.empty[Long])
+      if (clicks.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("click_id")), "no clicks → null align")
+      } else {
+        val best = clicks.map(c => math.abs(c - ts)).min
+        assert(r.getAs[Long]("asof_delta") == best,
+          s"user $u: emitted delta ${r.getAs[Long]("asof_delta")} != optimal $best")
+        val dir = r.getAs[String]("asof_dir")
+        assert(dir == "b" || dir == "f")
+        // ties must resolve backward: if a click at ts-best exists, dir is b
+        if (clicks.contains(ts - best)) assert(dir == "b", s"tie must go backward")
+      }
+    }
+  }
+
+  test("point-in-time features: the k-th purchase sees exactly k-1 prior purchases") {
+    val rows = SparkEntry.queries("events_pit_features")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getAs[Long]("prior_views") + r.getAs[Long]("prior_clicks") +
+        r.getAs[Long]("prior_purchases")
+      assert(parts <= r.getAs[Long]("prior_total"),
+        "type counters cannot exceed the total prior count")
+    }
+    // leakage theorem, order-free form: a user's purchases see prior
+    // counts {0, 1, …, P−1} exactly — any leak of the label itself or
+    // a later purchase breaks the permutation
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val seen = rs.map(_.getAs[Long]("prior_purchases")).sorted.toSeq
+      assert(seen == (0L until rs.length.toLong),
+        s"user $u: prior-purchase counts $seen leak the label or a later event")
+    }
+  }
+
   test("ppm channel features: crafted image by hand, channels reconcile with the decode") {
     // 1×2 image, payload RGB RGB = (10,20,30)(40,50,60)
     val header = "P6\n1 2\n255\n".getBytes("US-ASCII")
