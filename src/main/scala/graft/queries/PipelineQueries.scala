@@ -589,6 +589,46 @@ object PipelineQueries {
         .orderBy(col("exact_n").desc, col("user_id"))
     }),
 
+    // POISSON BOOTSTRAP — the distributed-uncertainty estimator (the
+    // only bootstrap that works on a cluster: a classic resample needs
+    // a global draw of n rows WITH replacement — a coordination
+    // non-starter at 100 TB — while Poisson(1) per-row weights are
+    // independent per row AND per replica, so the whole thing is ONE
+    // scan with 8 weighted sums and no shuffle; Chamandy et al.,
+    // "Estimating Uncertainty for Massive Data Streams"). Weights are
+    // DETERMINISTIC: the portable hash's top 20 bits (power-of-two
+    // shift — signed shiftrightunsigned == the oracle's unsigned
+    // divide) invert the Poisson(1) CDF through integer thresholds
+    // (⌊CDF·2²⁰⌋: 385749/771498/964374/1028663/1044738/1047952, cap 6).
+    // Per replica: drawn-row mass, the resampled revenue total in
+    // cents, and |deviation| from the original — the spread IS the
+    // standard error a decision needs on the metric.
+    "sample_poisson_bootstrap" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      def w(b: Int): Column = {
+        val u = shiftrightunsigned(call_function("graft_hash64",
+          col("o_orderkey").cast("string"), lit((401 + b).toLong)), 44)
+        when(u < 385749L, 0L).when(u < 771498L, 1L).when(u < 964374L, 2L)
+          .when(u < 1028663L, 3L).when(u < 1044738L, 4L)
+          .when(u < 1047952L, 5L).otherwise(6L)
+      }
+      val aggs = (0 until 8).flatMap(b => Seq(
+        sum(w(b)).as(s"n$b"), sum(w(b) * col("cents")).as(s"s$b"))) :+
+        sum(col("cents")).as("orig")
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      one.select(col("orig"),
+          posexplode(array((0 until 8).map(b =>
+            struct(col(s"n$b").as("n"), col(s"s$b").as("s"))): _*))
+            .as(Seq("replica", "r")))
+        .select(col("replica").cast("long").as("replica"),
+          col("r.n").as("n_drawn"), col("r.s").as("sum_c"),
+          col("orig").as("orig_sum_c"),
+          abs(col("r.s") - col("orig")).as("abs_dev_c"))
+        .orderBy("replica")
+    }),
+
     // AMS "tug-of-war" F2 sketch — the frequency-MOMENT column that
     // completes the sketch family (HLL = F0 distinct, MG / count-min =
     // heavy hitters, THIS = F2 = Σ count²): F2 is the self-join output
@@ -4400,6 +4440,38 @@ object PipelineQueries {
          |        FROM pr JOIN st USING (r, bucket) GROUP BY 1, 2)
          |SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
          |FROM est ORDER BY exact_n DESC, user_id""".stripMargin,
+
+    // same seeded top-20-bit uniforms and integer CDF thresholds
+    "sample_poisson_bootstrap" ->
+      s"""WITH o AS (SELECT o_orderkey,
+         |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents FROM orders),
+         |tb AS (SELECT o_orderkey, cents,
+         |    hex(encode(CAST(o_orderkey AS VARCHAR))) AS hx,
+         |    octet_length(encode(CAST(o_orderkey AS VARCHAR))) AS n
+         |  FROM o),
+         |h AS (SELECT o_orderkey, cents,
+         |    ${(0 until 8).map(b => s"${ghashSql(fnvHx, (401 + b).toString)} AS h$b").mkString(",\n|    ")}
+         |  FROM tb),
+         |wts AS (SELECT cents,
+         |    ${(0 until 8).map(b =>
+              s"""(CASE WHEN h$b // 17592186044416 < 385749 THEN 0
+                 | WHEN h$b // 17592186044416 < 771498 THEN 1
+                 | WHEN h$b // 17592186044416 < 964374 THEN 2
+                 | WHEN h$b // 17592186044416 < 1028663 THEN 3
+                 | WHEN h$b // 17592186044416 < 1044738 THEN 4
+                 | WHEN h$b // 17592186044416 < 1047952 THEN 5
+                 | ELSE 6 END) AS w$b""".stripMargin).mkString(",\n|    ")}
+         |  FROM h),
+         |ag AS (SELECT sum(cents) AS orig,
+         |    ${(0 until 8).map(b =>
+              s"sum(w$b) AS n$b, sum(w$b*cents) AS s$b").mkString(",\n|    ")}
+         |  FROM wts)
+         |SELECT CAST(t.b AS BIGINT) AS replica,
+         |  CAST(CASE t.b ${(0 until 8).map(b => s"WHEN $b THEN n$b").mkString(" ")} END AS BIGINT) AS n_drawn,
+         |  CAST(CASE t.b ${(0 until 8).map(b => s"WHEN $b THEN s$b").mkString(" ")} END AS BIGINT) AS sum_c,
+         |  CAST(orig AS BIGINT) AS orig_sum_c,
+         |  CAST(abs(CASE t.b ${(0 until 8).map(b => s"WHEN $b THEN s$b").mkString(" ")} END - orig) AS BIGINT) AS abs_dev_c
+         |FROM ag, unnest(range(0, 8)) t(b) ORDER BY replica""".stripMargin,
 
     // the sketch side of the AMS replay — the fold cadence is invisible
     // by linearity, so the full-history replay is the oracle

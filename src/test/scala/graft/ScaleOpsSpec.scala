@@ -1220,6 +1220,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("energy_l2") == xs.map(v => v.toLong * v).sum)
   }
 
+  test("Poisson bootstrap: masses concentrate, original total is exact, spread sane") {
+    val rows = SparkEntry.queries("sample_poisson_bootstrap")(spark, sf).collect()
+    assert(rows.length == 8)
+    val n = Tables.orders(spark, sf).count()
+    val exact = Tables.orders(spark, sf)
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))).collect()(0).getLong(0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("orig_sum_c") == exact)
+      // Σ of n Poisson(1) weights has SD √n — 20% slack is >5σ at any n≥700
+      val m = r.getAs[Long]("n_drawn")
+      assert(m > n * 8 / 10 && m < n * 12 / 10,
+        s"replica mass $m far from the row count $n")
+      assert(r.getAs[Long]("abs_dev_c") ==
+        math.abs(r.getAs[Long]("sum_c") - exact))
+    }
+    // the bootstrap spread brackets the truth: not all replicas on one side
+    val above = rows.count(_.getAs[Long]("sum_c") > exact)
+    assert(above > 0 && above < 8,
+      "all 8 replicas fell on one side of the original total")
+  }
+
   test("AMS F2 sketch: x² consistency, half-up mean, exact F2 matches a groupBy audit") {
     val rows = SparkEntry.queries("sketch_ams_f2")(spark, sf).collect()
     assert(rows.length == 8, "one row per estimator")
