@@ -1982,6 +1982,43 @@ object PipelineQueries {
     // the READ supplies an explicit schema, so no inference scan, and
     // Spark's shortest-roundtrip double rendering makes the re-read
     // bit-exact — which the oracle (the aggregate itself) checks.
+    // MALFORMED-INGESTION QUARANTINE — the part of a real CSV landing
+    // the clean round trip can't exercise: a text feed where every
+    // 97th record is corrupt (non-numeric key field) is read with the
+    // PERMISSIVE schema-enforcement path and a corrupt-record column;
+    // bad rows quarantine instead of killing the job OR silently
+    // nulling into the aggregate. The oracle never touches the CSV
+    // mechanics — it derives the expected good/bad split and the
+    // good-row integrity checksum analytically from the source table,
+    // so a parser that drops, double-counts, or mis-quarantines any
+    // row diverges. Per-row work only; one aggregate.
+    "source_csv_quarantine" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val lines = o.select(
+        when(col("o_orderkey") % 97 === 0,
+          concat(lit("X"), col("o_orderkey").cast("string"), lit(" corrupt")))
+          .otherwise(concat_ws(",", col("o_orderkey"), col("o_custkey"),
+            col("cents"))).as("value"))
+      val out = java.nio.file.Files.createTempDirectory("graft_csv_q_")
+      out.toFile.deleteOnExit()
+      lines.write.mode("overwrite").text(out.toString)
+      val parsed = s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out.toString)
+        .localCheckpoint(false)
+      parsed.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_bad").isNull, col("o_orderkey"))).as("good_key_sum"),
+          sum(when(col("_bad").isNull, col("cents"))).as("good_cents_sum"))
+        .withColumn("bad_share_u4",
+          expr("(2*n_bad*10000 + n_rows) div (2*n_rows)"))
+    }),
+
     "source_csv_roundtrip" -> ((s, dir) => {
       val agg = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
@@ -3476,6 +3513,22 @@ object PipelineQueries {
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // analytic split: the corrupt rule (key % 97 = 0) and the good-row
+    // checksums derive straight from orders — independent of the CSV
+    "source_csv_quarantine" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents FROM orders)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey END) AS BIGINT)
+        |    AS good_key_sum,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 <> 0 THEN cents END) AS BIGINT)
+        |    AS good_cents_sum,
+        |  CAST((2*sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)*10000
+        |        + count(*)) // (2*count(*)) AS BIGINT) AS bad_share_u4
+        |FROM o""".stripMargin,
 
     "text_novelty" ->
       s"""WITH docs3 AS (

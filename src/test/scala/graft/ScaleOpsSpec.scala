@@ -1220,6 +1220,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("energy_l2") == xs.map(v => v.toLong * v).sum)
   }
 
+  test("CSV quarantine: bad rows isolate exactly, good rows keep their checksums") {
+    val r = SparkEntry.queries("source_csv_quarantine")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_rows") ==
+      r.getAs[Long]("n_bad") + r.getAs[Long]("n_good"))
+    val o = Tables.orders(spark, sf)
+    assert(r.getAs[Long]("n_rows") == o.count())
+    assert(r.getAs[Long]("n_bad") ==
+      o.filter(col("o_orderkey") % 97 === 0).count(),
+      "quarantine must catch exactly the corrupted records")
+    val goodSum = o.filter(col("o_orderkey") % 97 =!= 0)
+      .agg(sum("o_orderkey")).collect()(0).getLong(0)
+    assert(r.getAs[Long]("good_key_sum") == goodSum,
+      "surviving rows lost or duplicated data through the text trip")
+  }
+
   test("Poisson bootstrap: masses concentrate, original total is exact, spread sane") {
     val rows = SparkEntry.queries("sample_poisson_bootstrap")(spark, sf).collect()
     assert(rows.length == 8)
