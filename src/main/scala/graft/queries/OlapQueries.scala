@@ -1938,6 +1938,85 @@ object OlapQueries {
         .orderBy("gap_limit_us")
     }),
 
+    // CUPED VARIANCE REDUCTION — the modern experimentation companion
+    // to events_ab_readout (Deng et al. WSDM'13): a pre-period
+    // covariate absorbs between-user variance, shrinking the
+    // experiment's error bars without more traffic. Unit = user,
+    // covariate x = pre-midpoint event count, metric y = post-midpoint
+    // count; θ = cov(x,y)/var(x) and every moment comes from ONE
+    // user-level aggregate — n/Σx/Σy/Σxy/Σx²/Σy² are exact integers, so
+    // θ_u6, the adjusted per-arm means, and the variance-reduction
+    // ratio are all §5 sign-split half-up integer chains (the m_ratio
+    // family's algebra applied to second moments; DECIMAL(38,0) lifts
+    // the moment products past Long at 100 TB). var(y−θx) uses the
+    // quantized θ in BOTH engines, so the emitted reduction is the one
+    // a replayable pipeline actually achieves, not the ideal OLS bound.
+    "events_ab_cuped" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      val mid = e.agg(((min("ts_us") + max("ts_us")) / 2).cast("long").as("tmid"))
+      val u = graft.ops.Scalars.withScalar(e, col("user_id"), mid, col("tmid"))
+        .groupBy("user_id")
+        .agg(sum(when(col("ts_us") < col("tmid"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("ts_us") >= col("tmid"), 1L).otherwise(0L)).as("y"))
+        .withColumn("arm",
+          when(pmod(call_function("graft_hash64",
+            col("user_id").cast("string"), lit(17L)), lit(2L)) === 0, "A")
+            .otherwise("B"))
+        .localCheckpoint(false)
+      val g = u.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x*y")).as("sxy"), sum(expr("x*x")).as("sxx"),
+        sum(expr("y*y")).as("syy"))
+        .withColumn("cn", expr("CAST(n AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy"))
+        .withColumn("vn", expr("CAST(n AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx"))
+        .withColumn("theta_u6", expr(
+          """CASE WHEN vn = 0 THEN NULL
+            | WHEN cn < 0 THEN -CAST((2*(-cn)*1000000 + vn) div (2*vn) AS BIGINT)
+            | ELSE CAST((2*cn*1000000 + vn) div (2*vn) AS BIGINT)
+            |END""".stripMargin))
+        .withColumn("vy", expr("CAST(n AS DECIMAL(38,0))*syy - CAST(sy AS DECIMAL(38,0))*sy"))
+        // 1e12·var(y−θx)n² = 1e12·vy + θ²·vn − 2θ·1e6·cn (θ in u6)
+        .withColumn("vadj", expr(
+          """CAST(1000000000000 AS DECIMAL(38,0))*vy
+            | + CAST(theta_u6 AS DECIMAL(38,0))*theta_u6*vn
+            | - 2*CAST(theta_u6 AS DECIMAL(38,0))*1000000*cn""".stripMargin))
+        .withColumn("var_reduction_u4", expr(
+          """CASE WHEN vy = 0 OR theta_u6 IS NULL THEN NULL
+            | WHEN 1000000000000*vy < vadj
+            | THEN -CAST((2*(vadj - 1000000000000*vy)*10000 + 1000000000000*vy)
+            |       div (2000000000000*vy) AS BIGINT)
+            | ELSE CAST((2*(1000000000000*vy - vadj)*10000 + 1000000000000*vy)
+            |       div (2000000000000*vy) AS BIGINT)
+            |END""".stripMargin))
+      // (no checkpoint here: withScalar requires the provable 1-row
+      // maxRows a global aggregate carries, and u is already pinned)
+      val arms = u.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum("x").as("sxa"), sum("y").as("sya"))
+      graft.ops.Scalars.withScalar(arms, col("arm"), g, col("n"))
+        .withColumn("mean_pre_u4", expr("(2*sxa*10000 + n_users) div (2*n_users)"))
+        .withColumn("mean_post_u4", expr("(2*sya*10000 + n_users) div (2*n_users)"))
+        // adjusted mean: ȳ_a − θ(x̄_a − x̄); D = sxa·n − sx·n_users
+        .withColumn("dterm", expr(
+          "CAST(sxa AS DECIMAL(38,0))*n - CAST(sx AS DECIMAL(38,0))*n_users"))
+        .withColumn("adj_u4", expr(
+          """mean_post_u4 - CASE
+            | WHEN theta_u6 IS NULL THEN 0
+            | WHEN CAST(theta_u6 AS DECIMAL(38,0))*dterm < 0
+            | THEN -CAST((2*(-(CAST(theta_u6 AS DECIMAL(38,0))*dterm)) +
+            |        100*CAST(n_users AS DECIMAL(38,0))*n)
+            |      div (200*CAST(n_users AS DECIMAL(38,0))*n) AS BIGINT)
+            | ELSE CAST((2*CAST(theta_u6 AS DECIMAL(38,0))*dterm +
+            |        100*CAST(n_users AS DECIMAL(38,0))*n)
+            |      div (200*CAST(n_users AS DECIMAL(38,0))*n) AS BIGINT)
+            |END""".stripMargin))
+        .select(col("arm"), col("n_users"), col("mean_pre_u4"),
+          col("mean_post_u4"), col("adj_u4"), col("theta_u6"),
+          col("var_reduction_u4"))
+        .orderBy("arm")
+    }),
+
     // A/B EXPERIMENT READOUT — the product-analytics decision query:
     // users bucket deterministically by the portable hash's low bit
     // (the assignment a real experimentation system uses: sticky,
@@ -2937,6 +3016,64 @@ object OlapQueries {
         |  CAST((2*n.n_events*10000 + n_sessions) // (2*n_sessions) AS BIGINT)
         |    AS events_per_session_u4
         |FROM sw, n ORDER BY gap_limit_us""".stripMargin,
+
+    // same hash arms, same exact integer moment chains (HUGEINT is
+    // int128 — wide enough for the 1e12-scaled second moments)
+    "events_ab_cuped" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         |mid AS (SELECT CAST((min(ts_us) + max(ts_us)) // 2 AS BIGINT) AS tmid FROM e),
+         |ux AS (SELECT user_id,
+         |        sum(CASE WHEN ts_us < mid.tmid THEN 1 ELSE 0 END) AS x,
+         |        sum(CASE WHEN ts_us >= mid.tmid THEN 1 ELSE 0 END) AS y
+         |      FROM e, mid GROUP BY 1),
+         |tb AS (SELECT user_id, hex(encode(CAST(user_id AS VARCHAR))) AS hx,
+         |         octet_length(encode(CAST(user_id AS VARCHAR))) AS n
+         |       FROM (SELECT DISTINCT user_id FROM e)),
+         |hh AS (SELECT user_id, ${ghashSql(fnvHx, "17")} AS hu FROM tb),
+         |u AS (SELECT ux.user_id, ux.x, ux.y,
+         |        CASE WHEN hh.hu % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         |      FROM ux JOIN hh USING (user_id)),
+         |g0 AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM u),
+         |g1 AS (SELECT *, n*sxy - sx*sy AS cn, n*sxx - sx*sx AS vn,
+         |         n*syy - sy*sy AS vy FROM g0),
+         |g2 AS (SELECT *,
+         |        CASE WHEN vn = 0 THEN NULL
+         |          WHEN cn < 0 THEN -CAST((2*(-cn)*1000000 + vn) // (2*vn) AS BIGINT)
+         |          ELSE CAST((2*cn*1000000 + vn) // (2*vn) AS BIGINT)
+         |        END AS theta_u6
+         |       FROM g1),
+         |g3 AS (SELECT *,
+         |        CAST(1000000000000 AS HUGEINT)*vy
+         |          + CAST(theta_u6 AS HUGEINT)*theta_u6*vn
+         |          - 2*CAST(theta_u6 AS HUGEINT)*1000000*cn AS vadj
+         |       FROM g2),
+         |g AS (SELECT *,
+         |        CASE WHEN vy = 0 OR theta_u6 IS NULL THEN NULL
+         |          WHEN 1000000000000*vy < vadj
+         |          THEN -CAST((2*(vadj - 1000000000000*vy)*10000 + 1000000000000*vy)
+         |                // (2000000000000*vy) AS BIGINT)
+         |          ELSE CAST((2*(1000000000000*vy - vadj)*10000 + 1000000000000*vy)
+         |                // (2000000000000*vy) AS BIGINT)
+         |        END AS var_reduction_u4
+         |       FROM g3),
+         |arms AS (SELECT arm, count(*) AS n_users, sum(x) AS sxa, sum(y) AS sya
+         |         FROM u GROUP BY 1)
+         |SELECT arms.arm, arms.n_users,
+         |  CAST((2*sxa*10000 + n_users) // (2*n_users) AS BIGINT) AS mean_pre_u4,
+         |  CAST((2*sya*10000 + n_users) // (2*n_users) AS BIGINT) AS mean_post_u4,
+         |  CAST((2*sya*10000 + n_users) // (2*n_users) AS BIGINT) - CASE
+         |    WHEN g.theta_u6 IS NULL THEN 0
+         |    WHEN CAST(g.theta_u6 AS HUGEINT)*(sxa*g.n - g.sx*n_users) < 0
+         |    THEN -CAST((2*(-(CAST(g.theta_u6 AS HUGEINT)*(sxa*g.n - g.sx*n_users)))
+         |           + 100*CAST(n_users AS HUGEINT)*g.n)
+         |         // (200*CAST(n_users AS HUGEINT)*g.n) AS BIGINT)
+         |    ELSE CAST((2*CAST(g.theta_u6 AS HUGEINT)*(sxa*g.n - g.sx*n_users)
+         |           + 100*CAST(n_users AS HUGEINT)*g.n)
+         |         // (200*CAST(n_users AS HUGEINT)*g.n) AS BIGINT)
+         |  END AS adj_u4,
+         |  g.theta_u6, g.var_reduction_u4
+         |FROM arms, g ORDER BY arms.arm""".stripMargin,
 
     // same low-bit assignment (unsigned low bit == signed pmod for the
     // power-of-two modulus), same 2×2 arithmetic; HUGEINT carries the

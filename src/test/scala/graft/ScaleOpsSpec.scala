@@ -1220,6 +1220,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("energy_l2") == xs.map(v => v.toLong * v).sum)
   }
 
+  test("CUPED: globals arm-invariant, reduction non-negative, adjustment conserves mass") {
+    val rows = SparkEntry.queries("events_ab_cuped")(spark, sf).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("theta_u6")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("var_reduction_u4")).distinct.length == 1)
+    // θ is within 0.5e-6 of the OLS optimum, so the achieved reduction
+    // cannot meaningfully undershoot zero
+    assert(rows.head.getAs[Long]("var_reduction_u4") >= 0L)
+    assert(rows.head.getAs[Long]("var_reduction_u4") <= 10000L)
+    // Σ_a n_a·θ(x̄_a − x̄) = 0 exactly; with u4 rounding the weighted
+    // drift of the adjustment is bounded by the user count
+    val drift = rows.map(r => r.getAs[Long]("n_users") *
+      (r.getAs[Long]("mean_post_u4") - r.getAs[Long]("adj_u4"))).sum
+    val n = rows.map(_.getAs[Long]("n_users")).sum
+    assert(math.abs(drift) <= n,
+      s"adjustment shifted the overall mean: drift $drift over $n users")
+  }
+
   test("CSV quarantine: bad rows isolate exactly, good rows keep their checksums") {
     val r = SparkEntry.queries("source_csv_quarantine")(spark, sf).collect()(0)
     assert(r.getAs[Long]("n_rows") ==
