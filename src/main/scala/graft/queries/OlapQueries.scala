@@ -1938,6 +1938,31 @@ object OlapQueries {
         .orderBy("gap_limit_us")
     }),
 
+    // SAMPLE RATIO MISMATCH — the experiment TRUST gate that runs
+    // before any readout is believed (a biased assignment or logging
+    // path shows up as a split that deviates from 50/50 beyond chance,
+    // and every downstream lift is then garbage): the 1-dof
+    // goodness-of-fit chi-square collapses EXACTLY to (nA−nB)²/n for
+    // equal expected halves, so the statistic and the α=0.05 flag
+    // ((nA−nB)²·100 > 384·n, the 3.84 critical value cross-multiplied)
+    // are pure integers. One distinct-users aggregate.
+    "events_ab_srm" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val u = Tables.events(s, dir).select(col("user_id")).distinct()
+        .withColumn("a",
+          when(pmod(call_function("graft_hash64",
+            col("user_id").cast("string"), lit(17L)), lit(2L)) === 0, 1L)
+            .otherwise(0L))
+      u.agg(sum("a").as("n_a"), sum(lit(1L) - col("a")).as("n_b"))
+        .withColumn("n", col("n_a") + col("n_b"))
+        .withColumn("delta", abs(col("n_a") - col("n_b")))
+        .withColumn("chi2_u4", expr("(2*delta*delta*10000 + n) div (2*n)"))
+        .withColumn("srm_flag",
+          (col("delta") * col("delta") * 100 > lit(384L) * col("n")).cast("long"))
+        .select(col("n_a"), col("n_b"), col("n"), col("delta"),
+          col("chi2_u4"), col("srm_flag"))
+    }),
+
     // CUPED VARIANCE REDUCTION — the modern experimentation companion
     // to events_ab_readout (Deng et al. WSDM'13): a pre-period
     // covariate absorbs between-user variance, shrinking the
@@ -3016,6 +3041,26 @@ object OlapQueries {
         |  CAST((2*n.n_events*10000 + n_sessions) // (2*n_sessions) AS BIGINT)
         |    AS events_per_session_u4
         |FROM sw, n ORDER BY gap_limit_us""".stripMargin,
+
+    // same hash arms; chi-square for equal halves is (nA−nB)²/n exactly
+    "events_ab_srm" ->
+      s"""WITH du AS (SELECT DISTINCT user_id FROM events),
+         |tb AS (SELECT user_id, hex(encode(CAST(user_id AS VARCHAR))) AS hx,
+         |         octet_length(encode(CAST(user_id AS VARCHAR))) AS n
+         |       FROM du),
+         |h AS (SELECT user_id, ${ghashSql(fnvHx, "17")} AS hu FROM tb),
+         |ag AS (SELECT
+         |        sum(CASE WHEN hu % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         |        sum(CASE WHEN hu % 2 = 0 THEN 0 ELSE 1 END) AS n_b
+         |       FROM h)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_a + n_b AS BIGINT) AS n,
+         |  CAST(abs(n_a - n_b) AS BIGINT) AS delta,
+         |  CAST((2*abs(n_a - n_b)*abs(n_a - n_b)*10000 + (n_a + n_b))
+         |       // (2*(n_a + n_b)) AS BIGINT) AS chi2_u4,
+         |  CAST(abs(n_a - n_b)*abs(n_a - n_b)*100 > 384*(n_a + n_b) AS BIGINT)
+         |    AS srm_flag
+         |FROM ag""".stripMargin,
 
     // same hash arms, same exact integer moment chains (HUGEINT is
     // int128 — wide enough for the 1e12-scaled second moments)

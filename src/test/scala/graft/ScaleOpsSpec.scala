@@ -1220,6 +1220,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("energy_l2") == xs.map(v => v.toLong * v).sum)
   }
 
+  test("SRM gate: split agrees with the readout's arms, flag matches the cross-multiply") {
+    val r = SparkEntry.queries("events_ab_srm")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n") == r.getAs[Long]("n_a") + r.getAs[Long]("n_b"))
+    assert(r.getAs[Long]("delta") ==
+      math.abs(r.getAs[Long]("n_a") - r.getAs[Long]("n_b")))
+    val flagged = r.getAs[Long]("delta") * r.getAs[Long]("delta") * 100 >
+      384L * r.getAs[Long]("n")
+    assert(r.getAs[Long]("srm_flag") == (if (flagged) 1L else 0L))
+    // the same hash must bucket the same users as the readout
+    val readout = SparkEntry.queries("events_ab_readout")(spark, sf).collect()
+      .map(x => x.getAs[String]("arm") -> x.getAs[Long]("n_users")).toMap
+    assert(r.getAs[Long]("n_a") == readout("A") &&
+      r.getAs[Long]("n_b") == readout("B"),
+      "SRM and readout disagree on the assignment itself")
+  }
+
   test("CUPED: globals arm-invariant, reduction non-negative, adjustment conserves mass") {
     val rows = SparkEntry.queries("events_ab_cuped")(spark, sf).collect()
     assert(rows.length == 2)
