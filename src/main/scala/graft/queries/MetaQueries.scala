@@ -101,6 +101,44 @@ object MetaQueries {
         .orderBy("metric_id", "dep_pos")
     }),
 
+    // IMPACT ANALYSIS over the full dbt DAG — the question a metadata
+    // platform exists to answer ("this source changed; which models and
+    // metrics are stale?") that the reference's FLAT metric→node
+    // lineage can't: nodes carry their OWN depends_on, so impact is the
+    // transitive closure over node→node ∪ node→metric edges. Frontier
+    // expansion is 4 unrolled equi-join hops (the catalog DAG's depth
+    // bound; a deeper deployment raises it — Cluster's iterate-with-
+    // checkpoint pattern at catalog scale), then min-hop dedup. The
+    // affected kind reads off the dbt unique_id prefix. Self rows
+    // (hop 0) are excluded — impact means DOWNSTREAM.
+    "meta_impact" -> ((s, _) => {
+      val p = parsed(s)
+      val edges = Manifest.nodes(p)
+        .select(col("unique_id").as("dst"), explode(col("depends_on.nodes")).as("src"))
+        .unionByName(Manifest.metrics(p)
+          .select(col("unique_id").as("dst"), explode(col("depends_on.nodes")).as("src")))
+        .localCheckpoint(false)
+      val seeds = Manifest.sources(p).select(col("unique_id").as("seed"))
+        .unionByName(Manifest.nodes(p).select(col("unique_id").as("seed")))
+      val h0 = seeds.select(col("seed"), col("seed").as("affected_id"),
+        lit(0L).as("hops"))
+      val levels = (1 to 4).scanLeft(h0) { (prev, k) =>
+        // fresh per-hop aliases: re-joining the same edges frame trips
+        // the ambiguous-self-join check at hop 2+
+        val ek = edges.select(col("src").as(s"src$k"), col("dst").as(s"dst$k"))
+        prev.join(ek, prev("affected_id") === ek(s"src$k"))
+          .select(prev("seed"), ek(s"dst$k").as("affected_id"),
+            lit(k.toLong).as("hops"))
+      }
+      levels.reduce(_ unionByName _)
+        .filter(col("hops") >= 1)
+        .groupBy("seed", "affected_id").agg(min("hops").as("min_hops"))
+        .withColumn("kind", split(col("affected_id"), "\\.").getItem(0))
+        .select(col("seed").as("seed_id"), col("affected_id"), col("kind"),
+          col("min_hops"))
+        .orderBy("seed_id", "min_hops", "affected_id")
+    }),
+
     // Catalog drift between two manifest deploys — what a re-ingestion
     // must upsert: added/removed/changed/unchanged per metric, from a
     // full-outer join of the two parsed catalogs on unique_id. This is
@@ -301,5 +339,32 @@ object MetaQueries {
          |  'urn:li:dataset:(urn:li:dataPlatform:dbt,' || u.fqn || ',PROD)' AS dataset_urn
          |FROM d LEFT JOIN u ON d.node_id = u.id
          |ORDER BY metric_id, dep_pos""".stripMargin,
+
+    // independent recursive-CTE closure over the same JSON DAG (the
+    // engine unrolls 4 bounded hops; the recursion is depth-capped to
+    // the same bound, then min-hop dedup)
+    "meta_impact" ->
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT metrics, nodes, sources
+         |  FROM read_json('$fixturePath', columns={metrics:'JSON', nodes:'JSON', sources:'JSON'})),
+         |ne AS (SELECT unnest(CAST(json_extract(nodes, '$$."' || id || '"')
+         |           ->'depends_on'->'nodes' AS VARCHAR[])) AS src, id AS dst
+         |       FROM (SELECT unnest(json_keys(nodes)) AS id, nodes FROM raw)),
+         |me AS (SELECT unnest(CAST(json_extract(metrics, '$$."' || id || '"')
+         |           ->'depends_on'->'nodes' AS VARCHAR[])) AS src, id AS dst
+         |       FROM (SELECT unnest(json_keys(metrics)) AS id, metrics FROM raw)),
+         |e AS (SELECT src, dst FROM ne UNION ALL SELECT src, dst FROM me),
+         |seeds AS (SELECT unnest(json_keys(sources)) AS seed FROM raw
+         |          UNION ALL SELECT unnest(json_keys(nodes)) FROM raw),
+         |r AS (SELECT seed, seed AS affected, 0 AS hops FROM seeds
+         |      UNION ALL
+         |      SELECT r.seed, e.dst, r.hops + 1
+         |      FROM r JOIN e ON r.affected = e.src WHERE r.hops < 4),
+         |agg AS (SELECT seed, affected, min(hops) AS min_hops
+         |        FROM r WHERE hops >= 1 GROUP BY 1, 2)
+         |SELECT seed AS seed_id, affected AS affected_id,
+         |  string_split(affected, '.')[1] AS kind,
+         |  CAST(min_hops AS BIGINT) AS min_hops
+         |FROM agg ORDER BY seed_id, min_hops, affected_id""".stripMargin,
   )
 }

@@ -246,4 +246,23 @@ class ManifestSpec extends AnyFunSuite {
       s"expected ordered partitions, got $dirs")
     java.nio.file.Files.delete(mf)
   }
+
+  test("impact analysis walks the fixture DAG to the right depths") {
+    val rows = SparkEntry.queries("meta_impact")(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getAs[String]("seed_id"), r.getAs[String]("affected_id")) ->
+        (r.getAs[String]("kind"), r.getAs[Long]("min_hops"))).toMap
+    // the deepest chain: raw_customers → customers → orders → metrics
+    val rc = "source.test_dbt_project.raw_data.raw_customers"
+    assert(rows((rc, "model.test_dbt_project.customers")) == ("model", 1L))
+    assert(rows((rc, "model.test_dbt_project.orders")) == ("model", 2L))
+    assert(rows((rc, "metric.test_dbt_project.total_revenue")) == ("metric", 3L))
+    // impact never contains a self row or a source (nothing feeds INTO one)
+    rows.keys.foreach { case (seed, affected) => assert(seed != affected) }
+    assert(rows.values.forall(_._1 != "source"),
+      "a source appeared downstream of something")
+    // hop distances are tight: an affected node at hop k must not also
+    // be claimed at a smaller hop for the same seed (min-dedup worked)
+    assert(rows.size == rows.keys.toSeq.distinct.size)
+  }
 }
