@@ -1938,6 +1938,43 @@ object OlapQueries {
         .orderBy("gap_limit_us")
     }),
 
+    // DATA-QUALITY EXPECTATION SUITE — the declarative contract gate a
+    // pipeline runs before publishing a table (the Great-Expectations
+    // pattern as one plan): five expectations over orders — key
+    // non-null, key unique, price positive, date in the valid window,
+    // and referential integrity to customer — each emitting checked /
+    // violation counts and a pass flag. Four rules fold into ONE
+    // aggregate pass (conditional sums + the count−distinct gap for
+    // uniqueness); the FK rule is one left-anti count against the
+    // bounded dim. The suite either gates a publish (any pass=0) or
+    // documents the table's contract — both need the per-rule counts,
+    // not just a boolean.
+    "dq_expectations" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val base = o.agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct("o_orderkey")).as("v_dup"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2003-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("v_date"))
+      val fk = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      graft.ops.Scalars.withScalar(base, col("n"), fk, col("v_fk"))
+        .select(posexplode(array(
+          struct(lit("orderkey_not_null").as("rule"), col("v_null").as("v")),
+          struct(lit("orderkey_unique").as("rule"), col("v_dup").as("v")),
+          struct(lit("totalprice_positive").as("rule"), col("v_price").as("v")),
+          struct(lit("orderdate_in_range").as("rule"), col("v_date").as("v")),
+          struct(lit("custkey_references_customer").as("rule"), col("v_fk").as("v"))))
+          .as(Seq("i", "r")), col("n"))
+        .select(col("r.rule").as("rule"), col("n").as("n_checked"),
+          col("r.v").as("n_violations"),
+          (col("r.v") === 0L).cast("long").as("pass"))
+        .orderBy("rule")
+    }),
+
     // SAMPLE RATIO MISMATCH — the experiment TRUST gate that runs
     // before any readout is believed (a biased assignment or logging
     // path shows up as a split that deviates from 50/50 beyond chance,
@@ -3041,6 +3078,30 @@ object OlapQueries {
         |  CAST((2*n.n_events*10000 + n_sessions) // (2*n_sessions) AS BIGINT)
         |    AS events_per_session_u4
         |FROM sw, n ORDER BY gap_limit_us""".stripMargin,
+
+    // each expectation replayed straight off the tables
+    "dq_expectations" ->
+      """WITH b AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_dup,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |          OR o_orderdate >= TIMESTAMP '2003-01-01'
+        |        THEN 1 ELSE 0 END) AS v_date
+        |  FROM orders),
+        |fk AS (SELECT count(*) AS v_fk FROM orders o
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                         WHERE c.c_custkey = o.o_custkey)),
+        |rules AS (
+        |  SELECT 'orderkey_not_null' AS rule, v_null AS v, n FROM b, fk
+        |  UNION ALL SELECT 'orderkey_unique', v_dup, n FROM b, fk
+        |  UNION ALL SELECT 'totalprice_positive', v_price, n FROM b, fk
+        |  UNION ALL SELECT 'orderdate_in_range', v_date, n FROM b, fk
+        |  UNION ALL SELECT 'custkey_references_customer', v_fk, n FROM b, fk)
+        |SELECT rule, CAST(n AS BIGINT) AS n_checked,
+        |  CAST(v AS BIGINT) AS n_violations,
+        |  CAST(v = 0 AS BIGINT) AS pass
+        |FROM rules ORDER BY rule""".stripMargin,
 
     // same hash arms; chi-square for equal halves is (nA−nB)²/n exactly
     "events_ab_srm" ->

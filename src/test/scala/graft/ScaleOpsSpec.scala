@@ -1220,6 +1220,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("energy_l2") == xs.map(v => v.toLong * v).sum)
   }
 
+  test("DQ expectations: healthy table passes every rule; detectors fire when violated") {
+    val rows = SparkEntry.queries("dq_expectations")(spark, sf).collect()
+    assert(rows.length == 5)
+    val n = Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_checked") == n)
+      assert(r.getAs[Long]("pass") == 1L,
+        s"contract rule ${r.getAs[String]("rule")} unexpectedly red on the fixture")
+      assert(r.getAs[Long]("n_violations") == 0L)
+    }
+    // the detectors are not vacuous: the same predicates fire on a
+    // deliberately broken frame (null key, dup key, negative price,
+    // out-of-range date, dangling FK)
+    import spark.implicits._
+    val bad = Seq(
+      (Option.empty[Long], 1L, -5.0, "1980-01-01"),
+      (Option(1L), 1L, 10.0, "1996-01-01"),
+      (Option(1L), -99L, 10.0, "1996-01-01"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp"))
+    val agg = bad.agg(
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
+      (count(lit(1)) - countDistinct("o_orderkey")),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)),
+      sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2003-01-01").cast("timestamp"), 1L)
+        .otherwise(0L))).collect()(0)
+    // the count−distinct gap is 2 here: the duplicate pair contributes
+    // 1 and the NULL key another (countDistinct skips nulls — on a
+    // table that passes not_null the gap is exactly the dup count)
+    assert(agg.getLong(0) == 1 && agg.getLong(1) == 2 &&
+      agg.getLong(2) == 1 && agg.getLong(3) == 1)
+    val dangling = bad.join(Tables.customer(spark, sf),
+      bad("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(dangling >= 1, "the FK detector must catch the dangling key")
+  }
+
   test("SRM gate: split agrees with the readout's arms, flag matches the cross-multiply") {
     val r = SparkEntry.queries("events_ab_srm")(spark, sf).collect()(0)
     assert(r.getAs[Long]("n") == r.getAs[Long]("n_a") + r.getAs[Long]("n_b"))
