@@ -319,6 +319,26 @@ object PipelineQueries {
           col("neighbor_id").as("dst"), col("cos"), col("bucket"))
         .orderBy("src", "rank")),
 
+    // kNN-DISTANCE outliers — the local-density method completing the
+    // outlier story (emb_centroid_outlier is global: far from YOUR
+    // label's center; THIS is local: far from your own nearest
+    // neighbors, the LOF intuition at its cheapest): per node, the
+    // mean cosine to its ≤3 graph neighbors (u4 half-up over the
+    // actual degree), bottom-10 = the loneliest vectors. Pure rollup
+    // over the already-bounded kNN edges — no new pair space. Nodes
+    // whose LSH bucket is a singleton have no edges and are excluded
+    // in both engines (documented: the bucket-isolation signal is
+    // ann_bucket_balance's job, not a distance score).
+    "emb_knn_outlier" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), lit(true), k = 3, numPlanes = 4)
+        .withColumn("cos_u4", expr("CAST(round(cos*10000, 0) AS BIGINT)"))
+        .groupBy(col("probe_id").as("vec_id"))
+        .agg(count(lit(1)).as("degree"), sum("cos_u4").as("sc"))
+        .withColumn("mean_cos_u4", expr("(2*sc + degree) div (2*degree)"))
+        .orderBy(col("mean_cos_u4").asc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("degree"), col("mean_cos_u4"))),
+
     "ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
@@ -1546,6 +1566,12 @@ object PipelineQueries {
     // mergeability makes the store equal the one-shot bottom-k
     "stream_sample_bottomk" -> ((s, dir) =>
       graft.streaming.EventStreams.bottomKIncremental(s, dir)),
+
+    // streaming DQ gate: additive violation counters folded per
+    // landing; uniqueness deliberately absent (not counter-additive —
+    // see EventStreams.dqIncremental)
+    "stream_dq" -> ((s, dir) =>
+      graft.streaming.EventStreams.dqIncremental(s, dir)),
 
     // streaming AMS F2 maintenance: per-generation 8-counter partials
     // fold into the persisted store by plain addition (the linear
@@ -4030,6 +4056,35 @@ object PipelineQueries {
 
     "ann_lsh" -> lshTopSql,
 
+    // same knn edges (4-plane buckets, k=3), rolled to per-node mean
+    "emb_knn_outlier" -> {
+      val bucketExpr = Similarity.hyperplanes(4, 64, 42L).zipWithIndex.map {
+        case (p, i) =>
+          val lit = "[" + p.mkString(",") + "]"
+          s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n|    + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    $bucketExpr AS bucket
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT p.vec_id AS src, e.vec_id AS dst,
+         |    list_sum(list_transform(range(1,65), i -> p.v[i]*e.v[i]))
+         |      / (sqrt(list_sum(list_transform(p.v, x -> x*x)))
+         |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+         |  FROM e JOIN e p ON e.bucket = p.bucket AND e.vec_id <> p.vec_id),
+         |r AS (SELECT src, dst, cos,
+         |        row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |      FROM s),
+         |ed AS (SELECT src, CAST(round(round(cos, 4)*10000, 0) AS BIGINT) AS cos_u4
+         |       FROM r WHERE rank <= 3),
+         |ag AS (SELECT src AS vec_id, count(*) AS degree, sum(cos_u4) AS sc
+         |       FROM ed GROUP BY 1)
+         |SELECT vec_id, degree,
+         |  CAST((2*sc + degree) // (2*degree) AS BIGINT) AS mean_cos_u4
+         |FROM ag ORDER BY mean_cos_u4, vec_id LIMIT 10""".stripMargin
+    },
+
     // exact brute top-10 + the k-parameterized IVF replay, same
     // explode-filter sweep over the joined rank pairs
     "emb_recall_vs_k" ->
@@ -4493,6 +4548,29 @@ object PipelineQueries {
          |        FROM pr JOIN st USING (r, bucket) GROUP BY 1, 2)
          |SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
          |FROM est ORDER BY exact_n DESC, user_id""".stripMargin,
+
+    // the four additive rules replayed off orders — the fold cadence
+    // is invisible because counter addition is associative
+    "stream_dq" ->
+      """WITH b AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |          OR o_orderdate >= TIMESTAMP '2003-01-01'
+        |        THEN 1 ELSE 0 END) AS v_date
+        |  FROM orders),
+        |fk AS (SELECT count(*) AS v_fk FROM orders o
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                         WHERE c.c_custkey = o.o_custkey)),
+        |rules AS (
+        |  SELECT 'orderkey_not_null' AS rule, v_null AS v, n FROM b, fk
+        |  UNION ALL SELECT 'totalprice_positive', v_price, n FROM b, fk
+        |  UNION ALL SELECT 'orderdate_in_range', v_date, n FROM b, fk
+        |  UNION ALL SELECT 'custkey_references_customer', v_fk, n FROM b, fk)
+        |SELECT rule, CAST(n AS BIGINT) AS n_checked,
+        |  CAST(v AS BIGINT) AS n_violations,
+        |  CAST(v = 0 AS BIGINT) AS pass
+        |FROM rules ORDER BY rule""".stripMargin,
 
     // same seeded top-20-bit uniforms and integer CDF thresholds
     "sample_poisson_bootstrap" ->

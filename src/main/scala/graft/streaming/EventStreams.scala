@@ -399,6 +399,88 @@ object EventStreams {
       .orderBy("est_id")
   }
 
+  /** Streaming data-quality gate — dq_expectations' ADDITIVE rules on
+    * the landing cadence: each staged generation folds its violation
+    * counters (null key, non-positive price, out-of-window date,
+    * dangling customer FK) into the persisted one-row store by plain
+    * addition; per-rule counts over the full history emerge without
+    * re-reading it. The UNIQUENESS rule is deliberately absent: the
+    * count−distinct gap is NOT additive across shards (a key
+    * duplicated across two landings is invisible to per-shard
+    * counters) — cross-shard uniqueness needs a keyed state store,
+    * which is exactly dedup_incremental_store's contract, not a
+    * counter fold. StreamingSpec pins the four streamed rules against
+    * the batch dq_expectations rows. */
+  def dqIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_dq_stream")
+    base.toFile.deleteOnExit()
+    val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
+    val custkeys = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).localCheckpoint(false)
+    val raw = graft.sources.Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_custkey"),
+      when(col("o_orderkey").isNull, 1L).otherwise(0L).as("v_null"),
+      when(col("o_totalprice") <= 0, 1L).otherwise(0L).as("v_price"),
+      when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2003-01-01").cast("timestamp"), 1L)
+        .otherwise(0L).as("v_date"))
+      .localCheckpoint(false)
+    val bounds = raw.agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi")).head()
+    val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+    val stageSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("v_null", LongType), StructField("v_price", LongType),
+      StructField("v_date", LongType)))
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val fk = batch.join(custkeys,
+            batch("o_custkey") === custkeys("c_custkey"),
+            "left_anti").agg(count(lit(1)).as("v_fk"))
+          val counters = batch.agg(count(lit(1)).as("n"),
+            sum("v_null").as("v_null"), sum("v_price").as("v_price"),
+            sum("v_date").as("v_date"))
+          val local = graft.ops.Scalars.withScalar(
+            counters, col("n"), fk, col("v_fk"))
+          val prev = new java.io.File(store)
+          val merged =
+            if (prev.exists)
+              ss.read.parquet(store).unionByName(local)
+                .agg(sum("n").as("n"), sum("v_null").as("v_null"),
+                  sum("v_price").as("v_price"), sum("v_date").as("v_date"),
+                  sum("v_fk").as("v_fk"))
+            else local
+          val next = s"$store.next"
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
+          ss.read.parquet(next).write.mode("overwrite").parquet(store)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    raw.filter(col("o_orderkey") < mid).write.parquet(s"$stage/gen1")
+    pass()
+    raw.filter(col("o_orderkey") >= mid).write.parquet(s"$stage/gen2")
+    pass()
+    spark.read.parquet(store)
+      .select(posexplode(array(
+        struct(lit("orderkey_not_null").as("rule"), col("v_null").as("v")),
+        struct(lit("totalprice_positive").as("rule"), col("v_price").as("v")),
+        struct(lit("orderdate_in_range").as("rule"), col("v_date").as("v")),
+        struct(lit("custkey_references_customer").as("rule"), col("v_fk").as("v"))))
+        .as(Seq("i", "r")), col("n"))
+      .select(col("r.rule").as("rule"), col("n").as("n_checked"),
+        col("r.v").as("n_violations"),
+        (col("r.v") === 0L).cast("long").as("pass"))
+      .orderBy("rule")
+  }
+
   /** Merge all appended state deltas and finish the HLL estimate —
     * the batch tail shared by every refresh cadence. */
   def hllRefreshEstimate(spark: SparkSession, deltaDir: String): DataFrame =

@@ -174,6 +174,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming DQ fold equals the batch gate on every additive rule") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStreams.dqIncremental(spark, sf)
+      .collect().map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"),
+          r.getAs[Long]("pass"))).toMap
+    val batch = SparkEntry.queries("dq_expectations")(spark, sf)
+      .collect().map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"),
+          r.getAs[Long]("pass"))).toMap
+    // the four additive rules agree; uniqueness is batch-only by design
+    assert(streamed.keySet == batch.keySet - "orderkey_unique")
+    streamed.foreach { case (rule, v) =>
+      assert(batch(rule) == v, s"rule $rule diverged: batch ${batch(rule)} vs $v")
+    }
+  }
+
   test("streaming AMS fold equals the one-shot sketch (linearity across generations)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.EventStreams.amsF2Incremental(spark, sf)
