@@ -366,6 +366,37 @@ object MetricQueries {
         .orderBy("period")
     }),
 
+    // JOIN-VIEW INCREMENTAL MAINTENANCE — m_incremental generalized
+    // from a single-table aggregate to a JOIN aggregate (revenue per
+    // nation = orders ⋈ customer): the maintained state is the TINY
+    // per-nation aggregate, and when a delta of orders lands (the last
+    // quarter by key, ann_ivf_append's split convention), only the
+    // delta joins the dimension — the fact history is NEVER re-joined
+    // or re-scanned. This is the ΔL⋈R term of join IVM; the R side is
+    // a dimension here, so the ΔL⋈ΔR and L⋈ΔR terms are zero — a
+    // two-sided fact-fact view needs all three (documented, not
+    // claimed). The oracle computes the one-shot join, so any
+    // fold error diverges.
+    "m_join_incremental" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val thr = o.agg(expr("3*(max(o_orderkey)+1) div 4").as("t"))
+      val ow = graft.ops.Scalars.withScalar(o, col("o_orderkey"), thr, col("t"))
+        .localCheckpoint(false)
+      def agg(df: DataFrame) = df.join(c, df("o_custkey") === c("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(sum("cents").as("rev"), count(lit(1)).as("n"))
+      val statePre = agg(ow.filter(col("o_orderkey") < col("t")))
+        .localCheckpoint(false) // the persisted view state a real system stores
+      val deltaAgg = agg(ow.filter(col("o_orderkey") >= col("t")))
+      statePre.unionByName(deltaAgg).groupBy("c_nationkey")
+        .agg(sum("rev").as("revenue_c"), sum("n").as("n_orders"))
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("revenue_c"), col("n_orders"))
+        .orderBy("c_nationkey")
+    }),
+
     // inter-arrival gaps: per-(user, type) consecutive-event deltas —
     // the lag window is partitioned by user so gap state distributes;
     // the per-type rollup is a second tiny aggregation
@@ -620,6 +651,15 @@ object MetricQueries {
   private def rhoChainSql: String = DuckHash.rhoChainSql
 
   val oracle: Map[String, String] = Map(
+
+    // ONE-SHOT join-aggregate — the incremental fold must land here
+    "m_join_incremental" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(sum(CAST(round(o.o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_c,
+        |  count(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // single-window rank replay (the oracle may sort what the engine
     // must decompose); identical integer rank targets

@@ -1220,6 +1220,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("energy_l2") == xs.map(v => v.toLong * v).sum)
   }
 
+  test("join IVM: the delta fold lands exactly on the one-shot join aggregate") {
+    val incr = SparkEntry.queries("m_join_incremental")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum("cents").as("rev"), count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("c_nationkey") ->
+        (r.getAs[Long]("rev"), r.getAs[Long]("n"))).toMap
+    assert(incr == full, "incremental maintenance diverged from the one-shot view")
+    // the fold really was a split: total order mass is conserved
+    assert(incr.values.map(_._2).sum == Tables.orders(spark, sf).count())
+  }
+
   test("DQ expectations: healthy table passes every rule; detectors fire when violated") {
     val rows = SparkEntry.queries("dq_expectations")(spark, sf).collect()
     assert(rows.length == 5)
