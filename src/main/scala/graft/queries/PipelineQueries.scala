@@ -319,6 +319,41 @@ object PipelineQueries {
           col("neighbor_id").as("dst"), col("cos"), col("bucket"))
         .orderBy("src", "rank")),
 
+    // EMBEDDING-DISTRIBUTION DRIFT across landing generations — the
+    // vector-store monitor that says WHEN an incremental index (the
+    // ann_ivf_append / ann_hnsw_append cadence) must re-train its
+    // frozen quantizer: occupancy of the GEN1-trained cells is a
+    // coarse histogram of the embedding distribution, so a gen2 whose
+    // vectors land in different cells is drift the append path would
+    // silently absorb as recall loss. 2×C contingency chi-square per
+    // cell via the exact integer identity (o1·N2 − o2·N1)²/(N1·N2·
+    // (o1+o2)), u4-quantized per cell THEN summed (order-invariant);
+    // one assignment pass over all vectors against the frozen
+    // centroids (Similarity.ivfAssign with buildFilter).
+    "emb_cell_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val thr = emb.agg(expr("3*(max(vec_id)+1) div 4").as("t")).head().getLong(0)
+      val occ = Similarity.ivfAssign(emb, cells = 8,
+          buildFilter = col("vec_id") < thr)
+        .groupBy("cell")
+        .agg(sum(when(col("vec_id") < thr, 1L).otherwise(0L)).as("n_gen1"),
+          sum(when(col("vec_id") >= thr, 1L).otherwise(0L)).as("n_gen2"))
+      val tot = occ.agg(sum("n_gen1").as("t1"), sum("n_gen2").as("t2"))
+      graft.ops.Scalars.withScalar(occ, col("cell"), tot, col("t1"))
+        .withColumn("num", expr(
+          "CAST(n_gen1 AS DECIMAL(38,0))*t2 - CAST(n_gen2 AS DECIMAL(38,0))*t1"))
+        .withColumn("chi2_cell_u4", expr(
+          """CAST((2*num*num*10000
+            |      + CAST(t1 AS DECIMAL(38,0))*t2*(n_gen1 + n_gen2))
+            |  div (2*CAST(t1 AS DECIMAL(38,0))*t2*(n_gen1 + n_gen2))
+            |  AS BIGINT)""".stripMargin))
+        .withColumn("chi2_total_u4", sum("chi2_cell_u4").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .select(col("cell"), col("n_gen1"), col("n_gen2"),
+          col("chi2_cell_u4"), col("chi2_total_u4"))
+        .orderBy("cell")
+    }),
+
     // kNN-DISTANCE outliers — the local-density method completing the
     // outlier story (emb_centroid_outlier is global: far from YOUR
     // label's center; THIS is local: far from your own nearest
@@ -4055,6 +4090,55 @@ object PipelineQueries {
     },
 
     "ann_lsh" -> lshTopSql,
+
+    // gen1-trained quantizer replay (assignment only), occupancy per
+    // generation, same exact contingency identity
+    "emb_cell_drift" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |thr AS (SELECT 3*(max(vec_id)+1)//4 AS t FROM embeddings),
+         |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+         |eb AS (SELECT e.* FROM e, thr WHERE e.vec_id < thr.t),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+         |  FROM eb QUALIFY cell < 8),
+         |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+         |a0 AS (
+         |  SELECT eb.vec_id, eb.v, eb.nrm, sd.cell,
+         |    row_number() OVER (PARTITION BY eb.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), i -> eb.v[i]*sd.c[i])) / (eb.nrm*sd.cn) DESC,
+         |               sd.cell DESC) AS rk
+         |  FROM eb CROSS JOIN sd QUALIFY rk = 1),
+         |m0 AS (
+         |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+         |  FROM a0, unnest(range(1, 65)) t(i)
+         |  GROUP BY cell, i),
+         |rc AS (
+         |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+         |         list(m ORDER BY pos) AS c
+         |  FROM m0 GROUP BY cell),
+         |rn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
+         |corp AS (
+         |  SELECT e.vec_id, rn.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rn.c[i])) / (e.nrm*rn.cn) DESC,
+         |               rn.cell DESC) AS rk
+         |  FROM e CROSS JOIN rn QUALIFY rk = 1),
+         |occ AS (SELECT corp.cell,
+         |          sum(CASE WHEN corp.vec_id < thr.t THEN 1 ELSE 0 END) AS n_gen1,
+         |          sum(CASE WHEN corp.vec_id >= thr.t THEN 1 ELSE 0 END) AS n_gen2
+         |        FROM corp, thr GROUP BY 1),
+         |tt AS (SELECT sum(n_gen1) AS t1, sum(n_gen2) AS t2 FROM occ),
+         |ch AS (SELECT occ.cell, occ.n_gen1, occ.n_gen2,
+         |         CAST((2*(occ.n_gen1*tt.t2 - occ.n_gen2*tt.t1)
+         |                *(occ.n_gen1*tt.t2 - occ.n_gen2*tt.t1)*10000
+         |               + tt.t1*tt.t2*(occ.n_gen1 + occ.n_gen2))
+         |              // (2*tt.t1*tt.t2*(occ.n_gen1 + occ.n_gen2)) AS BIGINT)
+         |           AS chi2_cell_u4
+         |       FROM occ, tt)
+         |SELECT cell, CAST(n_gen1 AS BIGINT) AS n_gen1,
+         |  CAST(n_gen2 AS BIGINT) AS n_gen2, chi2_cell_u4,
+         |  CAST(sum(chi2_cell_u4) OVER () AS BIGINT) AS chi2_total_u4
+         |FROM ch ORDER BY cell""".stripMargin,
 
     // same knn edges (4-plane buckets, k=3), rolled to per-node mean
     "emb_knn_outlier" -> {

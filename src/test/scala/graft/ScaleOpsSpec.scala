@@ -1220,6 +1220,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("energy_l2") == xs.map(v => v.toLong * v).sum)
   }
 
+  test("cell drift: generations partition the corpus, chi-square sums per cell") {
+    val rows = SparkEntry.queries("emb_cell_drift")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_gen1") + r.getAs[Long]("n_gen2")).sum == nVec,
+      "every vector must land in exactly one cell")
+    val thr = Tables.embeddings(spark, sf)
+      .agg(expr("3*(max(vec_id)+1) div 4")).collect()(0).getLong(0)
+    val g1 = Tables.embeddings(spark, sf).filter(col("vec_id") < thr).count()
+    assert(rows.map(_.getAs[Long]("n_gen1")).sum == g1,
+      "generation masses must match the split")
+    rows.foreach(r => assert(r.getAs[Long]("chi2_cell_u4") >= 0))
+    assert(rows.map(_.getAs[Long]("chi2_total_u4")).distinct.toSeq ==
+      Seq(rows.map(_.getAs[Long]("chi2_cell_u4")).sum))
+  }
+
   test("join IVM: the delta fold lands exactly on the one-shot join aggregate") {
     val incr = SparkEntry.queries("m_join_incremental")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
