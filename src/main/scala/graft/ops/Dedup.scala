@@ -508,4 +508,77 @@ object Dedup {
       Similarity.bucketOf(col("embedding").cast("array<double>"), planes))
     embeddingNearDup(bucketed, threshold, blockCol = "bucket")
   }
+
+  /** TF-IDF-weighted cosine near-dup pairs — the remaining classical
+    * lexical similarity after Jaccard (set overlap) and containment
+    * (asymmetric overlap): terms are weighted tf·idf so a pair sharing
+    * RARE vocabulary scores far above one sharing stopwords, which is
+    * what separates true near-dups from topical siblings.
+    *
+    * Exactness contract (§5): idf is quantized ONCE to integer
+    * milli-units (`round(ln(N/df)·10³)` — a continuous value, so the
+    * half-up boundary has measure zero and both engines round the same
+    * libm double), and from there everything is integer: weights
+    * w = tf·idf_u3 (BIGINT), dot products Σw₁w₂ and squared norms Σw²
+    * (BIGINT), and the threshold test cos ≥ t as the cross-multiplied
+    * square dot²·tDen² ≥ tNum²·n₁·n₂ in DECIMAL(38,0) — weights are
+    * non-negative so squaring preserves the inequality, and no float
+    * boundary can flip membership between engines. Headroom audit: at
+    * N=10¹⁰ docs idf_u3 ≤ 23 026, tf ≤ ~50 ⟹ w ≤ ~10⁶, a 10³-term doc
+    * has n ≤ 10¹⁵, so dot² ≤ 10³⁰ — inside DECIMAL(38,0) with 8 digits
+    * to spare. The displayed cosine is the doctrine-legitimate
+    * continuous double (round 4dp of exact-integer operands; the
+    * n₁·n₂ product is computed in doubles because both factors are
+    * < 2⁵³ and hence exactly representable).
+    *
+    * Scale shape: the capped term space (df ≤ maxDF — the same
+    * symmetric semantic as [[ngramJaccard]]'s capped shingle space;
+    * stopword terms carry no tf-idf weight anyway, so the cap discards
+    * near-zero signal) bounds the per-term pair volume, and the pair
+    * generation is a co-keyed self-equi-join of the weighted posting
+    * table on `term` — one shuffle whose second side is a
+    * ReusedExchange, pair volume Σ df²/2 ≤ (maxDF/2)·|postings|,
+    * linear in corpus size, never all-pairs. Norms arrive via ONE melt
+    * join against the corpus-sized norm table (never broadcast), the
+    * [[ngramContainment]] pattern.
+    * Output: id1, id2, dot, n1, n2, cosine (4dp). */
+  def tfidfCosine(docs: DataFrame, tNum: Int = 9, tDen: Int = 10,
+                  maxDF: Int = 50): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds df and the weighted postings
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDF)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val weighted = Scalars.withScalar(tf.join(dfT, "term"), col("doc_id"),
+        n, col("n_docs"))
+      .withColumn("idf_u3",
+        round(log(col("n_docs").cast("double") / col("df")) * 1000, 0)
+          .cast("long"))
+      .select(col("term"), col("doc_id"), (col("tf") * col("idf_u3")).as("w"))
+      .localCheckpoint(false) // both join sides + the norm table
+    val norms = weighted.groupBy("doc_id")
+      .agg(sum(col("w") * col("w")).as("nsq"))
+    val pairs = weighted.select(col("term"), col("doc_id").as("id1"), col("w").as("w1"))
+      .join(weighted.select(col("term"), col("doc_id").as("id2"), col("w").as("w2")),
+        Seq("term"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(sum(col("w1") * col("w2")).as("dot"))
+    val melted = pairs.select(col("id1"), col("id2"), col("dot"),
+      explode(array(
+        struct(col("id1").as("doc_id"), lit(1).as("side")),
+        struct(col("id2").as("doc_id"), lit(2).as("side")))).as("m"))
+      .select(col("id1"), col("id2"), col("dot"),
+        col("m.doc_id").as("doc_id"), col("m.side").as("side"))
+    melted.join(norms, "doc_id")
+      .groupBy("id1", "id2", "dot")
+      .agg(min(when(col("side") === 1, col("nsq"))).as("n1"),
+        min(when(col("side") === 2, col("nsq"))).as("n2"))
+      .filter(col("dot").cast("decimal(38,0)") * col("dot") * lit(tDen * tDen) >=
+        col("n1").cast("decimal(38,0)") * col("n2") * lit(tNum * tNum))
+      .select(col("id1"), col("id2"), col("dot"), col("n1"), col("n2"),
+        round(col("dot") / sqrt(col("n1").cast("double") * col("n2")), 4)
+          .as("cosine"))
+  }
 }

@@ -32,6 +32,14 @@ object PipelineQueries {
           maxDF = 50)
         .orderBy("id1", "id2")),
 
+    // tf-idf-weighted cosine: the rare-vocabulary-weighted lexical
+    // similarity — a pair sharing RARE terms outranks one sharing
+    // stopwords, separating true near-dups from topical siblings
+    "dedup_tfidf_cosine" -> ((s, dir) =>
+      Dedup.tfidfCosine(Tables.documents(s, dir), tNum = 9, tDen = 10,
+          maxDF = 50)
+        .orderBy("id1", "id2")),
+
     // the exact-recall counterpart: prefix filtering misses NO pair
     // with Jaccard >= 0.8 (DedupSpec pins superset-of-ngramJaccard)
     "dedup_prefix_filter" -> ((s, dir) =>
@@ -2699,6 +2707,35 @@ object PipelineQueries {
        |  FROM bk, unnest(range(1, len(ids)+1)) a(x), unnest(range(1, len(ids)+1)) c(y)
        |  WHERE x < y)""".stripMargin
 
+  /** Independent replay of Dedup.tfidfCosine: same u3-quantized idf,
+    * integer weights/dots/norms, and the cross-multiplied squared
+    * threshold — in HUGEINT where Spark uses DECIMAL(38,0). */
+  private val tfidfCosineSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf
+       |       GROUP BY 1 HAVING count(*) <= 50),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |w AS (SELECT doc_id, term,
+       |    tf * CAST(round(ln(n_docs*1.0/df)*1000, 0) AS BIGINT) AS w
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |norms AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS nsq
+       |          FROM w GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(sum(a.w*b.w) AS BIGINT) AS dot
+       |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, dot, s1.nsq AS n1, s2.nsq AS n2,
+       |  round(dot / sqrt(s1.nsq*1.0*s2.nsq), 4) AS cosine
+       |FROM pairs
+       |JOIN norms s1 ON id1 = s1.doc_id
+       |JOIN norms s2 ON id2 = s2.doc_id
+       |WHERE CAST(dot AS HUGEINT)*dot*100 >= 81*CAST(s1.nsq AS HUGEINT)*s2.nsq
+       |ORDER BY id1, id2""".stripMargin
+
   // Factored so graph_pagerank can re-derive the same edge set.
   private val jaccardSql =
     s"""WITH docs AS (
@@ -3186,6 +3223,8 @@ object PipelineQueries {
          |GROUP BY norm ORDER BY keep_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardSql,
+
+    "dedup_tfidf_cosine" -> tfidfCosineSql,
 
     // same capped shingle space; the ratio divides by min size (integer
     // cross-multiplied threshold), keeping each side's size separate

@@ -33,6 +33,61 @@ class DedupSpec extends AnyFunSuite {
       s"containment diverged: missing=${ref.diff(got).take(3)} extra=${got.diff(ref).take(3)}")
   }
 
+  test("tf-idf cosine join equals the quadratic capped-space reference") {
+    // independent Scala replay: same u3 idf quantization (BigDecimal
+    // HALF_UP, Spark's round), integer weights, BigInt cross-multiplied
+    // squared threshold — then set-compare the full integer pair rows
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tf = rows.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    }.toMap
+    val nDocs = rows.length
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (k, v) => k -> v.size }.filter(_._2 <= 50)
+    def idfU3(d: Int): Long =
+      BigDecimal(math.log(nDocs.toDouble / d) * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val w = tf.map { case (id, m) =>
+      id -> m.collect { case (t, c) if df.contains(t) => t -> c * idfU3(df(t)) }
+    }
+    val nsq = w.map { case (id, m) => id -> m.values.map(x => x * x).sum }
+    val ids = w.keys.toSeq.sorted
+    val ref = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      dot = (w(a).keySet & w(b).keySet).iterator.map(t => w(a)(t) * w(b)(t)).sum
+      if dot > 0 &&
+        BigInt(dot) * BigInt(dot) * 100 >= BigInt(nsq(a)) * BigInt(nsq(b)) * 81
+    } yield (a, b, dot, nsq(a), nsq(b))).toSet
+    val got = Dedup.tfidfCosine(docs)
+      .select("id1", "id2", "dot", "n1", "n2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == ref,
+      s"tfidf cosine diverged: missing=${ref.diff(got).take(3)} extra=${got.diff(ref).take(3)}")
+  }
+
+  test("tf-idf cosine ranks rare-vocabulary overlap above stopword overlap") {
+    // two pairs with the SAME raw token overlap count: one shares the
+    // corpus-common filler, one shares the rare trigram vocabulary —
+    // only the rare-sharing pair crosses the 0.9 cosine bar
+    val filler = "the of and to in" // df = 4 (every doc)
+    val docs = Seq(
+      (1L, s"$filler zephyr quartz glyph"),
+      (2L, s"$filler zephyr quartz glyph"),
+      (3L, s"$filler apple river stone"),
+      (4L, s"$filler mango cloud brick")).toDF("doc_id", "text")
+    val got = Dedup.tfidfCosine(docs, tNum = 9, tDen = 10, maxDF = 50)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"identical rare-vocab pair missing: $got")
+    assert(!got.contains((3L, 4L)),
+      s"filler-only pair must stay below the bar: $got")
+  }
+
   test("exact dedup collapses whitespace/case variants to one keeper") {
     val docs = Seq(
       (1L, "Hello   World"),

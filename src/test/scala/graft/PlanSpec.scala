@@ -108,6 +108,16 @@ class PlanSpec extends AnyFunSuite {
       s"step tables must be materialized once:\n$p")
   }
 
+  test("tf-idf cosine consumes materialized weighted postings — no corpus rescans") {
+    // tf and the capped weighted posting table are localCheckpointed:
+    // the pair self-join's two sides and the norm aggregate all read
+    // the SAME materialized RDD, so the executed plan re-scans the
+    // corpus zero times (the checkpoint builds cost the one real scan)
+    val p = plan("dedup_tfidf_cosine")
+    assert(countOccurrences(p, "documents.parquet") == 0,
+      s"weighted postings must be materialized once:\n$p")
+  }
+
   test("retention consumes its materialized cohort aggregate once") {
     // the cohort table is localCheckpointed, so the executed plan must
     // read the materialized RDD — zero orders.parquet rescans (the
