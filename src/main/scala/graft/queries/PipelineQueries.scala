@@ -1616,6 +1616,12 @@ object PipelineQueries {
     "stream_dq" -> ((s, dir) =>
       graft.streaming.EventStreams.dqIncremental(s, dir)),
 
+    // the deliberately-absent uniqueness rule, done right: a keyed
+    // presence store + O(Δ) appends; n_cross_shard quantifies the
+    // duplicates per-shard counters can never see
+    "stream_dq_unique" -> ((s, dir) =>
+      graft.streaming.EventStreams.dqUniqueIncremental(s, dir)),
+
     // streaming AMS F2 maintenance: per-generation 8-counter partials
     // fold into the persisted store by plain addition (the linear
     // sketch's merge IS addition), so the staged cadence is invisible
@@ -4694,6 +4700,25 @@ object PipelineQueries {
         |  CAST(v AS BIGINT) AS n_violations,
         |  CAST(v = 0 AS BIGINT) AS pass
         |FROM rules ORDER BY rule""".stripMargin,
+
+    // the uniqueness totals are shard-invariant (count − distinct over
+    // the full history), but n_intra/n_cross REPLAY the generation
+    // split: same lo/2 + hi/2 midpoint (non-negative ids, so DuckDB's
+    // floor // equals Scala's truncating /)
+    "stream_dq_unique" ->
+      """WITH b AS (SELECT min(event_id)//2 + max(event_id)//2 AS mid
+        |           FROM events),
+        |sh AS (SELECT user_id,
+        |         CASE WHEN event_id < (SELECT mid FROM b) THEN 1 ELSE 2 END AS g
+        |       FROM events),
+        |intra AS (SELECT CAST(sum(c) AS BIGINT) AS n_intra FROM
+        |  (SELECT g, count(*) - count(DISTINCT user_id) AS c FROM sh GROUP BY g)),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT user_id) AS nu FROM events)
+        |SELECT 'user_id_unique' AS rule, CAST(n AS BIGINT) AS n_checked,
+        |  CAST(nu AS BIGINT) AS n_unique, CAST(n - nu AS BIGINT) AS n_violations,
+        |  n_intra AS n_intra_shard,
+        |  CAST(n - nu - n_intra AS BIGINT) AS n_cross_shard
+        |FROM tot, intra ORDER BY rule""".stripMargin,
 
     // same seeded top-20-bit uniforms and integer CDF thresholds
     "sample_poisson_bootstrap" ->

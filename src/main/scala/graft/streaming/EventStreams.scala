@@ -481,6 +481,88 @@ object EventStreams {
       .orderBy("rule")
   }
 
+  /** Streaming UNIQUENESS gate — the rule [[dqIncremental]] deliberately
+    * omits, implemented the only way it can stream: a keyed PRESENCE
+    * STORE, not a counter fold (the count−distinct gap is not additive
+    * across shards). Per landing generation the foreachBatch folds
+    * three ADDITIVE counters (rows, intra-batch duplicates, first-seen
+    * keys) into the 1-row counter store, and APPENDS the batch's
+    * never-seen-before distinct keys to the persisted key store — an
+    * O(Δ) append decided by one anti-join against the store; history
+    * is never re-read or rewritten. n_checked − n_unique then equals
+    * the full-history count(*) − count(DISTINCT) under ANY sharding,
+    * and n_cross_shard = violations − Σ intra-shard duplicates is
+    * exactly the quantity per-shard counters are blind to — emitted so
+    * the audit quantifies why the presence store must exist at all.
+    * State: |distinct keys| rows (the irreducible uniqueness state,
+    * same contract as dedup_incremental_store's signature store) plus
+    * one counter row. At 100 TB the anti-join is a shuffle on the
+    * fixed-width key — batch-sized left, store-sized right, both
+    * hash-partitioned; the store append stays proportional to the
+    * NEW keys in the landing, not the corpus. */
+  def dqUniqueIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_dqu_stream")
+    base.toFile.deleteOnExit()
+    val (stage, ckpt) = (s"$base/stage", s"$base/ckpt")
+    val (keys, ctr) = (s"$base/keys", s"$base/ctr")
+    val raw = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"))
+      .localCheckpoint(false)
+    val bounds = raw.agg(min("event_id").as("lo"), max("event_id").as("hi")).head()
+    val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+    val stageSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType)))
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val bk = batch.select(col("user_id")).distinct()
+          // first-seen keys: anti-join the presence store, MATERIALIZED
+          // before the append below mutates the store they were
+          // decided against
+          val newKeys = (if (new java.io.File(keys).exists)
+              bk.join(ss.read.parquet(keys), Seq("user_id"), "left_anti")
+            else bk).localCheckpoint(false)
+          newKeys.write.mode("append").parquet(keys)
+          val local = graft.ops.Scalars.withScalar(
+              batch.agg(count(lit(1)).as("n"),
+                count_distinct(col("user_id")).as("d")),
+              col("n"),
+              newKeys.agg(count(lit(1)).as("nu")), col("nu"))
+            .select(col("n"), (col("n") - col("d")).as("intra"), col("nu"))
+          val prev = new java.io.File(ctr)
+          val merged =
+            if (prev.exists)
+              ss.read.parquet(ctr).unionByName(local)
+                .agg(sum("n").as("n"), sum("intra").as("intra"),
+                  sum("nu").as("nu"))
+            else local
+          val next = s"$ctr.next"
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
+          ss.read.parquet(next).write.mode("overwrite").parquet(ctr)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    raw.filter(col("event_id") < mid).write.parquet(s"$stage/gen1")
+    pass()
+    raw.filter(col("event_id") >= mid).write.parquet(s"$stage/gen2")
+    pass()
+    spark.read.parquet(ctr)
+      .select(lit("user_id_unique").as("rule"),
+        col("n").as("n_checked"), col("nu").as("n_unique"),
+        (col("n") - col("nu")).as("n_violations"),
+        col("intra").as("n_intra_shard"),
+        (col("n") - col("nu") - col("intra")).as("n_cross_shard"))
+      .orderBy("rule")
+  }
+
   /** Merge all appended state deltas and finish the HLL estimate —
     * the batch tail shared by every refresh cadence. */
   def hllRefreshEstimate(spark: SparkSession, deltaDir: String): DataFrame =

@@ -191,6 +191,22 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming uniqueness presence store equals the batch count-distinct gap") {
+    import org.apache.spark.sql.functions._
+    val r = graft.streaming.EventStreams.dqUniqueIncremental(spark, sf).head()
+    val b = graft.sources.Tables.events(spark, sf)
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("nu")).head()
+    assert(r.getAs[Long]("n_checked") == b.getAs[Long]("n"))
+    assert(r.getAs[Long]("n_unique") == b.getAs[Long]("nu"),
+      "presence store diverged from batch distinct — a fold error")
+    assert(r.getAs[Long]("n_violations") ==
+      r.getAs[Long]("n_intra_shard") + r.getAs[Long]("n_cross_shard"))
+    // the blind spot is REAL on this data: every user spans both
+    // generations, so a counter-only fold would undercount violations
+    assert(r.getAs[Long]("n_cross_shard") > 0,
+      "expected cross-shard duplicates — the presence store's raison d'être")
+  }
+
   test("streaming AMS fold equals the one-shot sketch (linearity across generations)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.EventStreams.amsF2Incremental(spark, sf)
