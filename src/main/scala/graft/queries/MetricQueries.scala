@@ -397,6 +397,47 @@ object MetricQueries {
         .orderBy("c_nationkey")
     }),
 
+    // TWO-SIDED JOIN-VIEW IVM — the general case m_join_incremental
+    // documents but doesn't need for a static dim: BOTH join sides
+    // receive deltas (late line items land for existing orders while a
+    // new order generation lands with ITS line items), so the view
+    // delta is the full three-term expansion
+    //   Δ(L⋈R) = ΔL⋈R_old + L_old⋈ΔR + ΔL⋈ΔR
+    // and all three terms are non-empty here by construction. The
+    // persisted state is the tiny per-priority aggregate; each delta
+    // term is a co-partitioned equi-join on the orderkey (at scale
+    // both fact sides stay hash-bucketed on it, so a delta term
+    // touches only matching buckets) — the big L_old⋈R_old join is
+    // NEVER recomputed. The oracle is the one-shot join aggregate:
+    // a missing or double-counted term diverges immediately.
+    "m_join_incremental_2s" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      val thr = o.agg(expr("3*(max(o_orderkey)+1) div 4").as("t"))
+      val ow = graft.ops.Scalars.withScalar(o, col("o_orderkey"), thr, col("t"))
+        .localCheckpoint(false) // the stored orders table, scanned per term
+      val lw = l.localCheckpoint(false) // the stored lineitem table
+      val rOld = ow.filter(col("o_orderkey") < col("t")).drop("t")
+      val rNew = ow.filter(col("o_orderkey") >= col("t")).drop("t")
+      val lOld = lw.filter(col("l_linenumber") <= 3)
+      val lNew = lw.filter(col("l_linenumber") >= 4)
+      def agg(lf: DataFrame, rf: DataFrame) =
+        lf.join(rf, lf("l_orderkey") === rf("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum("cents").as("rev"), count(lit(1)).as("n"))
+      val statePre = agg(lOld, rOld)
+        .localCheckpoint(false) // the persisted view state
+      statePre
+        .unionByName(agg(lNew, rOld)) // ΔL ⋈ R_old
+        .unionByName(agg(lOld, rNew)) // L_old ⋈ ΔR
+        .unionByName(agg(lNew, rNew)) // ΔL ⋈ ΔR
+        .groupBy("o_orderpriority")
+        .agg(sum("rev").as("revenue_c"), sum("n").as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
     // inter-arrival gaps: per-(user, type) consecutive-event deltas —
     // the lag window is partitioned by user so gap state distributes;
     // the per-type rollup is a second tiny aggregation
@@ -653,6 +694,16 @@ object MetricQueries {
   val oracle: Map[String, String] = Map(
 
     // ONE-SHOT join-aggregate — the incremental fold must land here
+    // one-shot fact-fact join aggregate — the four-way fold must land
+    // exactly here or a term was dropped/double-counted
+    "m_join_incremental_2s" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(sum(CAST(round(l.l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_c,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "m_join_incremental" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
         |  CAST(sum(CAST(round(o.o_totalprice*100, 0) AS BIGINT)) AS BIGINT)

@@ -1252,6 +1252,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(incr.values.map(_._2).sum == Tables.orders(spark, sf).count())
   }
 
+  test("two-sided join IVM: the three-term delta fold lands on the one-shot join") {
+    val incr = SparkEntry.queries("m_join_incremental_2s")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum("cents").as("rev"), count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("rev"), r.getAs[Long]("n"))).toMap
+    assert(incr == full, "two-sided maintenance diverged from the one-shot view")
+    // the split is a genuine two-sided case: all three delta terms
+    // carry rows (else this test would silently degrade to one-sided)
+    val o = Tables.orders(spark, sf)
+    val thr = o.agg(expr("3*(max(o_orderkey)+1) div 4")).collect()(0).getLong(0)
+    val l = Tables.lineitem(spark, sf)
+    def cnt(lNew: Boolean, rNew: Boolean) =
+      l.filter(if (lNew) col("l_linenumber") >= 4 else col("l_linenumber") <= 3)
+        .join(o.filter(if (rNew) col("o_orderkey") >= thr
+          else col("o_orderkey") < thr), col("l_orderkey") === col("o_orderkey"))
+        .count()
+    assert(cnt(true, false) > 0 && cnt(false, true) > 0 && cnt(true, true) > 0,
+      "expected non-empty ΔL⋈R, L⋈ΔR and ΔL⋈ΔR terms")
+  }
+
   test("DQ expectations: healthy table passes every rule; detectors fire when violated") {
     val rows = SparkEntry.queries("dq_expectations")(spark, sf).collect()
     assert(rows.length == 5)
