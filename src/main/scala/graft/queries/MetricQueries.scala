@@ -319,6 +319,61 @@ object MetricQueries {
           greatest(lit(0L), col("est_click") + col("est_purchase") - col("est_union")))
     }),
 
+    // KMV/theta-sketch NATIVE set intersection — the estimator
+    // m_sketch_overlap's HLL inclusion–exclusion cannot give: HLL only
+    // unions, so |A∩B| falls out as a DIFFERENCE of three noisy
+    // estimates (error grows as the overlap shrinks); a KMV sketch
+    // (k smallest hash values per side) supports intersection
+    // DIRECTLY — θ = min over sides of the k-th smallest hash (W when
+    // a side has < k values: the sketch IS the set, exact mode), the
+    // candidates are hashes present in BOTH sketches below θ (a
+    // uniform sample of A∩B at rate θ/W), and est = n_match·W div θ
+    // (the theta-sketch framework estimator). Hash width is 40 bits so
+    // n_match·W ≤ 2⁶·2⁴⁰ stays in BIGINT for the exact integer
+    // division — a production deployment widens to 63 bits and pays a
+    // DECIMAL division at the same spot. All state is 2·k rows; the
+    // only full-data pass is the per-side distinct. exact_intersect
+    // rides along as the calibration column (the dedup_minhash_calib
+    // convention: the estimate next to its ground truth).
+    "m_sketch_kmv_intersect" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val W = 1L << 40
+      val k = 64
+      val sides = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("side"), col("user_id")).distinct()
+        .localCheckpoint(false) // feeds the sketches AND the exact audit
+      val hs = sides
+        .select(col("side"), pmod(call_function("graft_hash64",
+          col("user_id").cast("string"), lit(0L)), lit(W)).as("h"))
+        .distinct() // in-side hash collisions collapse, same as the oracle
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("side").orderBy("h")
+      val sk = hs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .localCheckpoint(false) // the two k-row sketches — all downstream state
+      val theta = sk.groupBy("side")
+        .agg(count(lit(1)).as("kk"), max("h").as("mx"))
+        .select(when(col("kk") < k, W).otherwise(col("mx")).as("ts"))
+        .agg(min("ts").as("theta"))
+      val both = sk.groupBy("h").agg(count(lit(1)).as("ns"))
+        .filter(col("ns") === 2)
+      val cnt = graft.ops.Scalars.withScalar(both, col("h"), theta, col("theta"))
+        .filter(col("h") < col("theta"))
+        .agg(count(lit(1)).as("n_match"))
+      val exact = sides.groupBy("user_id")
+        .agg(count_distinct(col("side")).as("nsides"))
+        .filter(col("nsides") === 2)
+        .agg(count(lit(1)).as("exact_intersect"))
+      val withTheta = graft.ops.Scalars.withScalar(
+        cnt, col("n_match"), theta, col("theta"))
+      graft.ops.Scalars.withScalar(withTheta, col("n_match"),
+          exact, col("exact_intersect"))
+        .select(lit(k.toLong).as("k_sketch"), col("theta"), col("n_match"),
+          expr(s"(n_match * ${W}L) div theta").as("est_intersect"),
+          col("exact_intersect"))
+    }),
+
     // mergeable-sketch distinct: per-day HLL sketches union to months
     // WITHOUT rescanning the fact table — the pre-aggregation pattern
     // an exact count_distinct can never use (it doesn't decompose).
@@ -754,6 +809,39 @@ object MetricQueries {
         |SELECT CAST(isodow AS BIGINT) AS isodow, n_orders, revenue,
         |  round(revenue / sum(revenue) OVER (), 4) AS rev_share
         |FROM b ORDER BY isodow""".stripMargin,
+
+    // full KMV replay: same 40-bit hash space, per-side k smallest,
+    // θ with the exact-mode W fallback, strict h < θ candidates, and
+    // the integer theta estimator (// equals Spark's div — all
+    // operands non-negative)
+    "m_sketch_kmv_intersect" ->
+      s"""WITH o AS (SELECT DISTINCT event_type AS side,
+         |             CAST(user_id AS VARCHAR) AS s
+         |           FROM events WHERE event_type IN ('click', 'purchase')),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM o)),
+         |h AS (SELECT s, ${DuckHash.ghashSql(DuckHash.fnvHx, "0")} AS hu FROM tb),
+         |hs AS (SELECT DISTINCT side, CAST(hu % 1099511627776 AS BIGINT) AS h
+         |       FROM o JOIN h USING (s)),
+         |sk AS (SELECT side, h FROM (
+         |         SELECT side, h,
+         |           row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+         |         FROM hs)
+         |       WHERE rn <= 64),
+         |th AS (SELECT CAST(min(CASE WHEN kk < 64 THEN 1099511627776
+         |                            ELSE mx END) AS BIGINT) AS theta
+         |       FROM (SELECT side, count(*) AS kk, max(h) AS mx
+         |             FROM sk GROUP BY 1)),
+         |mt AS (SELECT CAST(count(*) AS BIGINT) AS n_match FROM (
+         |         SELECT h FROM sk, th GROUP BY h, theta
+         |         HAVING count(*) = 2 AND h < theta)),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (
+         |         SELECT s FROM o GROUP BY s
+         |         HAVING count(DISTINCT side) = 2))
+         |SELECT CAST(64 AS BIGINT) AS k_sketch, theta, n_match,
+         |  CAST((n_match * 1099511627776) // theta AS BIGINT) AS est_intersect,
+         |  exact_intersect
+         |FROM th, mt, ex""".stripMargin,
 
     // per-side sketch states, a max-merged union state, then
     // inclusion–exclusion over the three integer estimates

@@ -135,4 +135,27 @@ class MetricsSpec extends AnyFunSuite {
     assert(math.abs(p - ep).toDouble / ep < 0.05, s"purchase $p vs $ep")
     assert(math.abs(u - eu).toDouble / eu < 0.05, s"union $u vs $eu")
   }
+
+  test("KMV intersection: exact below k, theta-estimator within sketch error above") {
+    import org.apache.spark.sql.functions._
+    val W = 1L << 40
+    val r = SparkEntry.queries("m_sketch_kmv_intersect")(spark, sf).head()
+    val (theta, nm, est, exact) = (r.getAs[Long]("theta"), r.getAs[Long]("n_match"),
+      r.getAs[Long]("est_intersect"), r.getAs[Long]("exact_intersect"))
+    assert(r.getAs[Long]("k_sketch") == 64L)
+    assert(theta >= 1 && theta <= W && nm >= 0 && nm <= 64)
+    if (theta == W) {
+      // exact mode: both sketches hold their whole side, so the
+      // candidate count IS the hash intersection and the estimator
+      // must collapse to it (and to the true overlap, barring 40-bit
+      // collisions, impossible at this corpus size)
+      assert(est == nm, "theta=W must make the estimator the identity")
+      assert(est == exact, s"exact-mode estimate $est vs true $exact")
+    } else {
+      // estimate mode: the theta estimator's relative error at k=64 is
+      // ~1/sqrt(k) per side; 50% is far outside plausible regression
+      assert(exact > 0 && math.abs(est - exact).toDouble / exact < 0.5,
+        s"KMV estimate $est drifted from exact $exact")
+    }
+  }
 }
