@@ -2192,6 +2192,45 @@ object OlapQueries {
     // 32-group aggregate — the audit a 100 TB table runs BEFORE
     // choosing its write layout; the interleave is a codegen'd
     // integer expression, no UDF.
+    // SMALL-FILE COMPACTION PLAN — the layout maintenance every
+    // streaming ingest owes its table: each (partition, day) landing
+    // is a micro-file (sizes here are row counts standing in for the
+    // manifest's byte sizes), and the plan merges CONTIGUOUS files in
+    // landing order into target-size bins via an exclusive prefix sum
+    // (bin = cum_before div target — the deterministic order-preserving
+    // packing real compactors use, so clustering survives). Compaction
+    // never crosses the partition key: the window partitions by it.
+    // Scale shape: ONE groupBy of raw events builds the manifest;
+    // every later step (window, bin rollup, audit) runs on the
+    // manifest — thousands of rows at 100 TB, not the data. The audit
+    // emits the decision numbers: files before, small files (< half
+    // target), bins after, and rows_rewritten (bins holding >= 2
+    // files cost a rewrite; a lone at-target file is left in place).
+    "layout_compaction_plan" -> ((s, dir) => {
+      val target = 500L
+      val files = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("sz"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val perBin = files
+        .withColumn("cum", coalesce(sum("sz").over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum div ${target}L"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("nf"), sum("sz").as("bin_rows"),
+          sum(when(col("sz") < target / 2, 1L).otherwise(0L)).as("nsmall"))
+      perBin.groupBy("event_type")
+        .agg(sum("nf").as("n_files_before"),
+          sum("nsmall").as("n_small_before"),
+          count(lit(1)).as("n_bins_after"),
+          sum("bin_rows").as("rows_total"),
+          sum(when(col("nf") >= 2, col("bin_rows")).otherwise(0L))
+            .as("rows_rewritten"))
+        .orderBy("event_type")
+    }),
+
     "q_zorder_layout" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select(col("o_orderkey"),
         col("o_custkey"), col("o_orderdate").cast("date").as("d"))
@@ -3248,6 +3287,29 @@ object OlapQueries {
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same scaled-coordinate Morton interleave, bucket rollup and
+    // same manifest build, exclusive-prefix-sum binning, and audit
+    // ('//' equals div: all operands non-negative)
+    "layout_compaction_plan" ->
+      """WITH f AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |             count(*) AS sz
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, sz,
+        |        CAST(coalesce(sum(sz) OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS cum
+        |      FROM f),
+        |pb AS (SELECT event_type, cum // 500 AS bin, count(*) AS nf,
+        |         CAST(sum(sz) AS BIGINT) AS bin_rows,
+        |         CAST(sum(CASE WHEN sz < 250 THEN 1 ELSE 0 END) AS BIGINT) AS nsmall
+        |       FROM b GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(nf) AS BIGINT) AS n_files_before,
+        |  CAST(sum(nsmall) AS BIGINT) AS n_small_before,
+        |  count(*) AS n_bins_after,
+        |  CAST(sum(bin_rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN nf >= 2 THEN bin_rows ELSE 0 END) AS BIGINT)
+        |    AS rows_rewritten
+        |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // bounding-box areas; '//' replays Spark's IntegralDivide exactly
     // on the non-negative scaled coords
     "q_zorder_layout" ->

@@ -1252,6 +1252,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(incr.values.map(_._2).sum == Tables.orders(spark, sf).count())
   }
 
+  test("compaction plan: audit equals a driver replay of the contiguous packing") {
+    // the manifest is tiny, so replay the whole plan in Scala: same
+    // per-partition day order, exclusive prefix sum, bin = cum div 500
+    val target = 500L
+    val got = SparkEntry.queries("layout_compaction_plan")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val manifest = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("sz")).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val ref = manifest.groupBy(_._1).map { case (et, fs) =>
+      val sizes = fs.sortBy(_._2.toString).map(_._3)
+      val cums = sizes.scanLeft(0L)(_ + _).init
+      val bins = sizes.zip(cums).groupBy(_._2 / target).values.toSeq
+      et -> (sizes.length.toLong,
+        sizes.count(_ < target / 2).toLong,
+        bins.length.toLong,
+        sizes.sum,
+        bins.filter(_.length >= 2).map(_.map(_._1).sum).sum)
+    }
+    assert(got == ref, s"plan diverged:\n got=$got\n ref=$ref")
+    // and the plan actually helps on this landing cadence
+    got.values.foreach { case (before, _, after, _, _) => assert(after < before) }
+  }
+
   test("two-sided join IVM: the three-term delta fold lands on the one-shot join") {
     val incr = SparkEntry.queries("m_join_incremental_2s")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
