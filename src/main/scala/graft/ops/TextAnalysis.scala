@@ -141,6 +141,58 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_toks"), round(avg("nll"), 4).as("avg_nll"))
   }
 
+  /** Bigram LM negative log-likelihood with stupid backoff — the
+    * sequential-context step past [[unigramNll]]'s bag-of-words: each
+    * token is scored against its PREDECESSOR, p = c₂(prev,w)/c₁(prev)
+    * when the TRAIN split saw the bigram, else α·c₁(w)/T (stupid
+    * backoff, Brants et al. 2007 — deterministic, no discounting
+    * state), with unseen unigrams floored at 1/T. The LM trains on the
+    * doc_id lower half and scores EVERYTHING, so held-out documents
+    * genuinely exercise the backoff path (training on the full corpus
+    * would make c₂ > 0 a tautology and the backoff branch dead code).
+    *
+    * Scale shape: bigrams come from one lag window partitioned by
+    * doc_id (per-doc state distributes); the count tables join back by
+    * plain equi-joins on the token keys — the bigram table is
+    * corpus-sized, so unlike unigramNll's broadcast this stays a
+    * co-keyed shuffle join at 100 TB. The n_backoff column is the
+    * model-coverage audit (backoff share rising on a new corpus slice
+    * = domain drift). Documents with < 2 tokens have no bigrams and
+    * drop out, same as the oracle. NLL values are genuinely continuous
+    * (ratios of train counts through ln) — §5's round-4dp class. */
+  def bigramNll(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val mid = docs.agg(expr("(max(doc_id)+1) div 2").as("m"))
+    val bg = Scalars.withScalar(
+        tk.withColumn("prev", lag("t", 1).over(w)).filter(col("prev").isNotNull),
+        col("doc_id"), mid, col("m"))
+      .localCheckpoint(false) // feeds train counts and the scoring join
+    val trainTk = Scalars.withScalar(tk, col("doc_id"), mid, col("m"))
+      .filter(col("doc_id") < col("m"))
+    val c1 = trainTk.groupBy("t").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false) // prev-denominator AND backoff numerator
+    val tot = c1.agg(sum("c1").as("tot_toks"))
+    val c2 = bg.filter(col("doc_id") < col("m"))
+      .groupBy("prev", "t").agg(count(lit(1)).as("c2"))
+    val sc = Scalars.withScalar(
+        bg.select("doc_id", "prev", "t")
+          .join(c2, Seq("prev", "t"), "left")
+          .join(c1.select(col("t").as("prev"), col("c1").as("c1p")),
+            Seq("prev"), "left")
+          .join(c1.select(col("t"), col("c1").as("c1c")), Seq("t"), "left"),
+        col("doc_id"), tot, col("tot_toks"))
+      .withColumn("nll",
+        when(col("c2").isNotNull, -log(col("c2").cast("double") / col("c1p")))
+          .otherwise(-log(lit(alpha) *
+            (coalesce(col("c1c"), lit(1L)).cast("double") / col("tot_toks")))))
+      .withColumn("bo", when(col("c2").isNull, 1L).otherwise(0L))
+    sc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum("bo").as("n_backoff"),
+        round(avg("nll"), 4).as("avg_nll"))
+  }
+
   /** Winnowing fingerprint via the custom codegen expression
     * [[graft.functions.RollingHash]] (window = 16 bytes), plus an exact
     * full-text md5 for exact-dup grouping at fixed width (md5 rather

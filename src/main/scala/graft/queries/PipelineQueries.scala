@@ -784,6 +784,12 @@ object PipelineQueries {
     "text_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramNll(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // sequential-context LM: train on the lower doc_id half, score all
+    // — held-out docs exercise the stupid-backoff path for real, and
+    // n_backoff is the model-coverage / domain-drift audit
+    "text_bigram_nll" -> ((s, dir) =>
+      TextAnalysis.bigramNll(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // LABEL CONFUSION MATRIX: every vector assigned to its nearest
     // label centroid by cosine — off-diagonal cells are the mislabel /
     // cluster-overlap signal centroidOutliers ranks within one label.
@@ -4821,6 +4827,34 @@ object PipelineQueries {
         |SELECT ((rnk - 1) * 10) // (SELECT count(*) FROM documents) AS decile,
         |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same lower-half train split, bigram MLE, stupid backoff with the
+    // identical double composition -ln(0.4 * (c*1.0/T))
+    "text_bigram_nll" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i-1] AS prev, toks[i] AS t
+         |       FROM d, unnest(range(2, len(toks)+1)) r(i)),
+         |mid AS (SELECT (max(doc_id)+1)//2 AS m FROM documents),
+         |tt AS (SELECT t FROM (SELECT doc_id, unnest(toks) AS t FROM d) x, mid
+         |       WHERE x.doc_id < mid.m),
+         |c1 AS (SELECT t, count(*) AS c1 FROM tt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS T FROM c1),
+         |c2 AS (SELECT prev, t, count(*) AS c2 FROM bg, mid
+         |       WHERE bg.doc_id < mid.m GROUP BY 1, 2),
+         |sc AS (SELECT bg.doc_id,
+         |         CASE WHEN c2.c2 IS NOT NULL
+         |           THEN -ln(c2.c2 * 1.0 / p.c1)
+         |           ELSE -ln(CAST(0.4 AS DOUBLE) * (coalesce(u.c1, 1) * 1.0 / tot.T))
+         |         END AS nll,
+         |         CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS bo
+         |       FROM bg
+         |       LEFT JOIN c2 ON bg.prev = c2.prev AND bg.t = c2.t
+         |       LEFT JOIN c1 p ON bg.prev = p.t
+         |       LEFT JOIN c1 u ON bg.t = u.t
+         |       CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_scored, CAST(sum(bo) AS BIGINT) AS n_backoff,
+         |  round(avg(nll), 4) AS avg_nll
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_unigram_nll" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS t FROM documents),

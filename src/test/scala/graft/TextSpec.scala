@@ -102,6 +102,33 @@ class TextSpec extends AnyFunSuite {
       .map(_.getString(0)).forall(langs.contains))
   }
 
+  test("bigram NLL: MLE, backoff, and OOV floor match hand-computed probabilities") {
+    // train = lower doc_id half ({0,1}): c1 = {a:4, b:3, c:1}, T = 8,
+    // c2 = {(a,b):2, (b,a):3, (a,c):1}
+    val docs = Seq(
+      (0L, "a b a c"), (1L, "b a b a"),
+      (2L, "a b z a"), // seen bigram + OOV-token backoff + unseen-prev backoff
+      (3L, "c b"))     // seen tokens, unseen bigram -> unigram backoff
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_scored"), r.getAs[Long]("n_backoff"),
+          r.getAs[Double]("avg_nll"))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2: -ln(2/4.0), -ln(0.4*(1/8.0)) [z OOV], -ln(0.4*(4/8.0)) [prev z]
+    val d2 = Seq(-math.log(2 / 4.0), -math.log(0.4 * (1 / 8.0)),
+      -math.log(0.4 * (4 / 8.0)))
+    assert(out(2L) == ((3L, 2L, r4(d2.sum / 3))))
+    // doc 3: single unseen bigram (c,b) -> -ln(0.4*(3/8.0))
+    assert(out(3L) == ((1L, 1L, r4(-math.log(0.4 * (3 / 8.0))))))
+    // train docs score fully in-model: zero backoff by construction
+    assert(out(0L)._2 == 0L && out(1L)._2 == 0L)
+    // doc 0: bigrams (a,b),(b,a),(a,c) -> MLE ratios over prev counts
+    val d0 = Seq(-math.log(2 / 4.0), -math.log(3 / 3.0), -math.log(1 / 4.0))
+    assert(out(0L) == ((3L, 0L, r4(d0.sum / 3))))
+  }
+
   test("fingerprints are stable and distinct across distinct docs") {
     val fp = TextAnalysis.fingerprints(Tables.documents(spark, sf))
     assert(fp.count() == 500)
