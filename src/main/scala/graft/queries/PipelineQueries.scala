@@ -1270,6 +1270,14 @@ object PipelineQueries {
     // deterministic stratified sample: the k smallest doc_ids per
     // language, via the shared two-phase top-k (see graft.ops.TopK for
     // the hot-partition rationale and the superset invariant)
+    // allocation PLANNING ahead of the quota realizers: Neyman-optimal
+    // n_h ∝ N_h·S_h vs proportional n_h ∝ N_h, both by integer
+    // largest-remainder so the budget lands exactly
+    "sample_neyman" -> ((s, dir) =>
+      graft.ops.Sampling.neymanAlloc(Tables.events(s, dir),
+          col("event_type"), Exact.cents(col("value")), budget = 1000L)
+        .orderBy("stratum")),
+
     "sample_stratified" -> ((s, dir) =>
       graft.ops.TopK.perGroup(
           Tables.documents(s, dir).select(col("doc_id"), col("lang")),
@@ -5071,6 +5079,42 @@ object PipelineQueries {
       buildWhere = "WHERE vec_id < (SELECT t FROM thr)",
       probeWhere =
         "e.vec_id >= (SELECT t FROM thr) AND e.vec_id < (SELECT t FROM thr) + 10"),
+
+    // same exact integer moments, the one floor(sqrt(double)) weight
+    // step, and both largest-remainder apportionments
+    "sample_neyman" ->
+      """WITH st AS (SELECT event_type AS stratum, count(*) AS n_rows,
+        |       CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sx,
+        |       CAST(sum(CAST(c AS HUGEINT)*c) AS HUGEINT) AS sx2
+        |     FROM (SELECT event_type,
+        |             CAST(round(value*100) AS BIGINT) AS c FROM events)
+        |     GROUP BY 1),
+        |wt AS (SELECT stratum, n_rows,
+        |       CAST(floor(sqrt(CAST(n_rows * (CASE WHEN n_rows > 1
+        |           THEN (n_rows*sx2 - sx*sx) // (n_rows-1) ELSE 0 END)
+        |         AS DOUBLE))) AS BIGINT) AS w
+        |     FROM st),
+        |n1 AS (SELECT stratum, w,
+        |         coalesce((1000*w) // nullif(tw, 0), 0) AS base,
+        |         coalesce((1000*w) %  nullif(tw, 0), 0) AS rem
+        |       FROM wt, (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wt) t),
+        |n2 AS (SELECT stratum, base + CASE
+        |         WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+        |           <= 1000 - (SELECT sum(base) FROM n1) THEN 1 ELSE 0 END
+        |         AS alloc_neyman
+        |       FROM n1),
+        |p1 AS (SELECT stratum, n_rows AS nr,
+        |         coalesce((1000*n_rows) // nullif(tw, 0), 0) AS base,
+        |         coalesce((1000*n_rows) % nullif(tw, 0), 0) AS rem
+        |       FROM wt, (SELECT CAST(sum(n_rows) AS BIGINT) AS tw FROM wt) t),
+        |p2 AS (SELECT stratum, base + CASE
+        |         WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+        |           <= 1000 - (SELECT sum(base) FROM p1) THEN 1 ELSE 0 END
+        |         AS alloc_prop
+        |       FROM p1)
+        |SELECT wt.stratum, wt.n_rows, wt.w, n2.alloc_neyman, p2.alloc_prop
+        |FROM wt JOIN n2 USING (stratum) JOIN p2 USING (stratum)
+        |ORDER BY stratum""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang,

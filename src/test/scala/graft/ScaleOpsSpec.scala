@@ -1252,6 +1252,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(incr.values.map(_._2).sum == Tables.orders(spark, sf).count())
   }
 
+  test("Neyman allocation starves zero-variance strata and conserves the budget") {
+    import spark.implicits._
+    // A: constant (S=0) — many rows but NO information per extra draw;
+    // B: high variance; C: low variance. Hand-computed:
+    //   B: V=50·2500−250²=62500, u=62500 div 49=1275, w=⌊√63750⌋=252
+    //   C: V=50·1300−250²=2500,  u=51,                w=⌊√2550⌋=50
+    // budget 100 → Neyman bases 83/16 + 1 leftover to C's remainder;
+    // proportional splits on N alone and hands A the most.
+    val rows =
+      Seq.fill(100)(("A", 5L)) ++
+        (0 until 50).map(i => ("B", if (i % 2 == 0) 0L else 10L)) ++
+        (0 until 50).map(i => ("C", if (i % 2 == 0) 4L else 6L))
+    val df = rows.toDF("g", "x")
+    val out = graft.ops.Sampling.neymanAlloc(df, col("g"), col("x"), 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("w"),
+          r.getAs[Long]("alloc_neyman"), r.getAs[Long]("alloc_prop"))).toMap
+    assert(out == Map(
+      "A" -> ((100L, 0L, 0L, 50L)),
+      "B" -> ((50L, 252L, 83L, 25L)),
+      "C" -> ((50L, 50L, 17L, 25L))))
+    assert(out.values.map(_._3).sum == 100L && out.values.map(_._4).sum == 100L)
+  }
+
   test("compaction plan: audit equals a driver replay of the contiguous packing") {
     // the manifest is tiny, so replay the whole plan in Scala: same
     // per-partition day order, exclusive prefix sum, bin = cum div 500
