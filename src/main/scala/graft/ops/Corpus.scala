@@ -89,6 +89,60 @@ object Corpus {
         round(col("n_common").cast("double") / col("n_shingles"), 4))
   }
 
+  /** BM25 top-`k` retrieval: rank corpus documents against each query
+    * document with Okapi BM25 (Robertson & Zaragoza 2009, the Lucene
+    * idf form ln(1 + (N−df+0.5)/(df+0.5))) — the ASYMMETRIC
+    * query→corpus ranking the similarity family still lacked:
+    * contamination asks "is this benchmark text inside the doc"
+    * (containment), tfidfCosine asks "are these two docs the same"
+    * (symmetric pair), BM25 asks "which corpus docs best ANSWER this
+    * query" (length-normalized, term-saturating relevance).
+    *
+    * Scale shape: the inverted-index join — query terms meet corpus
+    * postings on the term key (co-keyed equi-joins; the tf table is
+    * materialized once and feeds df, document lengths, and the posting
+    * join), then one per-(query, doc) aggregation and a per-query
+    * partial top-k window (TopK.perGroup prunes map-side via
+    * WindowGroupLimit). Candidate volume is Σ_t df(t) over the QUERY's
+    * terms — posting-list-bounded, never |Q|×|C|.
+    *
+    * Exactness: scores are genuinely continuous (§5 round-4dp class);
+    * every float subexpression is composed IDENTICALLY in the oracle
+    * (doubles forced — DuckDB would otherwise run the +0.5 chain in
+    * DECIMAL; k1+1 is an engine-side IEEE add, never a Scala-side
+    * constant fold the SQL literal could differ from in the last ulp),
+    * and ranking orders by the ROUNDED score with a doc_id tiebreak
+    * (the tfidfTop rule: mathematically-tied scores must not rank by
+    * per-engine ulp noise).
+    * Output: q_id, rnk, doc_id, n_terms, score. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ct = corpus
+      .select(col("doc_id"), explode(D.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds df, doc lengths, and the posting join
+    val dfT = ct.groupBy("t").agg(count(lit(1)).as("df"))
+    val dl = ct.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tot = dl.agg(sum("dl").as("sdl"), count(lit(1)).as("nd"))
+    val qt = queries.select(col("doc_id").as("q_id"),
+      explode(array_distinct(D.tokens(col("text")))).as("t"))
+    val joined = qt.join(ct, "t").join(dfT, "t").join(dl, "doc_id")
+    val scored = Scalars.withScalar(joined, col("t"), tot, col("sdl"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("denom", col("tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("dl") * col("nd") / col("sdl"))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) / col("denom"))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum("contrib"), 4).as("score"), count(lit(1)).as("n_terms"))
+    TopK.perGroup(scored, groupCols = Seq(col("q_id")),
+        orderCols = Seq(col("score").desc, col("doc_id")), k = k,
+        rankName = "rnk")
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("n_terms"),
+        col("score"))
+  }
+
   /** Domain-mixture oversampling: replicate each document to hit a
     * per-source epoch weight, the way a training mixture up-weights
     * scarce high-quality domains. The weight is integer + fractional:

@@ -2279,6 +2279,15 @@ object PipelineQueries {
 
     // per-doc top-3 terms by tf·ln(N/df); ranked on the ROUNDED score
     // so mathematically-tied pairs rank identically in both engines
+    // asymmetric query->corpus ranking: the benchmark docs (< 25, the
+    // contamination convention) retrieve their best corpus answers
+    "text_bm25_topk" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.ops.Corpus.bm25TopK(
+          d.filter(col("doc_id") >= 25), d.filter(col("doc_id") < 25), k = 3)
+        .orderBy("q_id", "rnk")
+    }),
+
     "tfidf_topterms" -> ((s, dir) =>
       graft.ops.Corpus.tfidfTop(Tables.documents(s, dir), k = 3)
         .orderBy("doc_id", "rnk")),
@@ -4835,6 +4844,35 @@ object PipelineQueries {
         |SELECT ((rnk - 1) * 10) // (SELECT count(*) FROM documents) AS decile,
         |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical float composition throughout (doubles forced — the
+    // bare +0.5 chain would run in DECIMAL), rank on the rounded score
+    "text_bm25_topk" ->
+      s"""WITH ct AS (SELECT doc_id, t, count(*) AS tf FROM
+         |      (SELECT doc_id, unnest($toks) AS t FROM documents
+         |       WHERE doc_id >= 25) GROUP BY 1, 2),
+         |dft AS (SELECT t, count(*) AS df FROM ct GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ct GROUP BY 1),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS nd FROM dl),
+         |qt AS (SELECT DISTINCT doc_id AS q_id, t FROM
+         |      (SELECT doc_id, unnest($toks) AS t FROM documents
+         |       WHERE doc_id < 25)),
+         |sc AS (SELECT qt.q_id, ct.doc_id,
+         |         ln(1.0 + (tot.nd - dft.df + CAST(0.5 AS DOUBLE))
+         |                  / (dft.df + CAST(0.5 AS DOUBLE)))
+         |           * (ct.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |           / (ct.tf + CAST(1.2 AS DOUBLE)
+         |              * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+         |                 * (dl.dl * tot.nd / tot.sdl))) AS contrib
+         |       FROM qt JOIN ct USING (t) JOIN dft USING (t)
+         |         JOIN dl ON ct.doc_id = dl.doc_id CROSS JOIN tot),
+         |ag AS (SELECT q_id, doc_id, round(sum(contrib), 4) AS score,
+         |         count(*) AS n_terms
+         |       FROM sc GROUP BY 1, 2)
+         |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+         |  doc_id, n_terms, score
+         |FROM ag QUALIFY rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
     // same lower-half train split, bigram MLE, stupid backoff with the
     // identical double composition -ln(0.4 * (c*1.0/T))

@@ -129,6 +129,30 @@ class TextSpec extends AnyFunSuite {
     assert(out(0L) == ((3L, 0L, r4(d0.sum / 3))))
   }
 
+  test("BM25 ranks by rarity, saturates term frequency, and length-normalizes") {
+    import graft.ops.Corpus
+    val corpus = Seq(
+      (10L, "zephyr alpha beta gamma"),                  // rare term, short
+      (11L, "zephyr zephyr zephyr zephyr alpha beta gamma"), // tf-saturated
+      (12L, "zephyr alpha beta gamma delta epsilon eta theta iota kappa"),
+      (13L, "alpha beta gamma delta"),                   // no query term
+      (14L, "common common common common"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "zephyr")).toDF("doc_id", "text")
+    val out = Corpus.bm25TopK(corpus, queries, k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rnk"), r.getAs[Double]("score"))).toMap
+    // only zephyr-bearing docs retrieved at all
+    assert(out.keySet == Set(10L, 11L, 12L))
+    val (s10, s11, s12) = (out(10L)._2, out(11L)._2, out(12L)._2)
+    // length normalization: same tf=1, the shorter doc outranks
+    assert(s10 > s12, s"short doc must beat long at equal tf: $s10 vs $s12")
+    // saturation: 4x the tf buys well under 4x the score
+    assert(s11 > s10 && s11 < 4 * s10,
+      s"tf must saturate, not scale linearly: $s11 vs $s10")
+    assert(out(11L)._1 == 1L, "highest score ranks first")
+  }
+
   test("fingerprints are stable and distinct across distinct docs") {
     val fp = TextAnalysis.fingerprints(Tables.documents(spark, sf))
     assert(fp.count() == 500)
