@@ -348,6 +348,24 @@ object OlapQueries {
         .orderBy("lag_bucket")
     }),
 
+    // KAPLAN–MEIER time-to-conversion — what events_conversion_lag's
+    // converted-only histogram CANNOT say: never-converted users are
+    // not missing data, they are CENSORED observations (still at risk
+    // until the observation window ends), and dropping them biases any
+    // "time to convert" claim optimistic. Standard KM (1958): per user
+    // t_u = days from first view to first purchase, or to the corpus
+    // horizon if none (censored); at each conversion day t the risk
+    // set n_t counts everyone with t_u ≥ t, and S(t) multiplies
+    // (1 − d_t/n_t) over event days. The curve computes as
+    // exp(Σ ln(...)) under a CUMULATIVE time-ordered window, so both
+    // engines accumulate in the identical order (§5: the windowed
+    // prefix sum is the one float-sum shape with a defined order).
+    // Scale shape: one groupBy(user) builds the per-user outcome; all
+    // window work runs on the ≤|days| event-time table (block-offset
+    // pattern), never raw events.
+    "events_survival_km" -> ((s, dir) =>
+      graft.ops.Survival.kmCurve(Tables.events(s, dir)).orderBy("t_day")),
+
     // MARKET-BASKET LIFT: part pairs co-occurring in the same order,
     // scored by lift = P(ab)·N / (c(a)·c(b)) — the co-purchase signal
     // behind "bought together". The pair space explodes WITHIN orders
@@ -2457,6 +2475,42 @@ object OlapQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same cohort rule, risk sets from the unfiltered day table, and
+    // the identical time-ordered cumulative ln window (doubles forced)
+    "events_survival_km" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |v AS (SELECT user_id, min(d) AS f FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.d) AS pd
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.d >= v.f GROUP BY 1),
+        |mx AS (SELECT max(d) AS md FROM e),
+        |ut AS (SELECT CAST(CASE WHEN p.pd IS NOT NULL
+        |                THEN date_diff('day', v.f, p.pd)
+        |                ELSE date_diff('day', v.f, mx.md) END AS BIGINT) AS tu,
+        |         CASE WHEN p.pd IS NOT NULL THEN 1 ELSE 0 END AS conv
+        |       FROM v LEFT JOIN p USING (user_id) CROSS JOIN mx),
+        |bt AS (SELECT tu, count(*) AS c, CAST(sum(conv) AS BIGINT) AS d
+        |       FROM ut GROUP BY 1),
+        |rk AS (SELECT tu, d,
+        |         CAST((SELECT count(*) FROM ut) - coalesce(sum(c) OVER
+        |           (ORDER BY tu ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |       FROM bt),
+        |ev AS (SELECT tu, n_risk, d,
+        |         CASE WHEN n_risk > d
+        |           THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+        |           ELSE 0.0 END AS lnterm,
+        |         CASE WHEN n_risk = d THEN 1 ELSE 0 END AS z
+        |       FROM rk WHERE d >= 1)
+        |SELECT tu AS t_day, n_risk, d AS n_conv,
+        |  CASE WHEN max(z) OVER (ORDER BY tu ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+        |    ELSE round(exp(sum(lnterm) OVER (ORDER BY tu ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW)), 4) END AS survival
+        |FROM ev ORDER BY t_day""".stripMargin,
 
     "events_conversion_lag" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -1252,6 +1252,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(incr.values.map(_._2).sum == Tables.orders(spark, sf).count())
   }
 
+  test("Kaplan-Meier: censored users shape the risk sets they'd otherwise vanish from") {
+    import spark.implicits._
+    // u1/u2/u4 convert at lags 1/0/2; u3 never converts (censored at
+    // the day-4 horizon); u5's only purchase PRECEDES its first view
+    // (outside the funnel -> censored at lag 3)
+    val ev = Seq(
+      ("u1", "view", "2024-01-01"), ("u1", "purchase", "2024-01-02"),
+      ("u2", "view", "2024-01-01"), ("u2", "purchase", "2024-01-01"),
+      ("u3", "view", "2024-01-01"), ("u3", "view", "2024-01-05"),
+      ("u4", "view", "2024-01-02"), ("u4", "purchase", "2024-01-04"),
+      ("u5", "purchase", "2024-01-01"), ("u5", "view", "2024-01-02"))
+      .toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"), to_timestamp(col("s")).as("ts"))
+    val got = graft.ops.Survival.kmCurve(ev).orderBy("t_day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // risk sets 5/4/3 — u3 and u5 stay at risk through day 2; naive
+    // converted-only analysis would report S(2) = 0
+    assert(got.toSeq == Seq((0L, 5L, 1L, 0.8), (1L, 4L, 1L, 0.6),
+      (2L, 3L, 1L, 0.4)), s"KM curve diverged: ${got.toSeq}")
+  }
+
   test("Neyman allocation starves zero-variance strata and conserves the budget") {
     import spark.implicits._
     // A: constant (S=0) — many rows but NO information per extra draw;
