@@ -844,25 +844,31 @@ object OlapQueries {
     "stream_cdc_apply" -> ((s, dir) =>
       graft.streaming.EventStreams.cdcApply(s, dir)),
 
-    "scd2_chain" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val current = o.select(col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("price"),
-        col("o_orderdate").cast("date").as("valid_from"),
-        lit(null).cast("date").as("valid_to"))
-      val u1 = o.filter(col("o_orderkey") % 10 === 0)
-        .select(col("o_orderkey"),
-          round(col("o_totalprice") + 100.0, 2).as("price"),
-          date_add(col("o_orderdate"), 30).as("valid_from"))
-      val u2 = o.filter(col("o_orderkey") % 20 === 0)
-        .select(col("o_orderkey"),
-          round(col("o_totalprice") + 200.0, 2).as("price"),
-          date_add(col("o_orderdate"), 60).as("valid_from"))
-      val after1 = graft.ops.Scd2.merge(current, u1, key = "o_orderkey")
-      graft.ops.Scd2.merge(after1, u2, key = "o_orderkey")
-        .withColumn("valid_to",
-          coalesce(col("valid_to"), lit("9999-12-31").cast("date")))
-        .orderBy("o_orderkey", "valid_from")
+    "scd2_chain" -> ((s, dir) =>
+      scd2ChainDim(s, dir).orderBy("o_orderkey", "valid_from")),
+
+    // SCD2 VERSION GARBAGE COLLECTION — the retention maintenance the
+    // append-only store owes its history: versions whose [from, to)
+    // interval ends ON/BEFORE the horizon are invisible to every
+    // point-in-time read at or after it, so they can vacuum away; the
+    // version VALID AT the horizon has valid_to > horizon and
+    // survives, which is precisely the invariant the spec proves
+    // (temporal reads at/after the horizon are identical pre/post GC;
+    // a read before it is not — the GC is no no-op). One scalar
+    // horizon broadcast + one groupBy of the version table; the audit
+    // reports only keys that actually lose rows.
+    "scd2_gc" -> ((s, dir) => {
+      val dim = scd2ChainDim(s, dir)
+      val hz = dim.agg(date_add(min("valid_from"), 60).as("hz"))
+      graft.ops.Scalars.withScalar(dim, col("o_orderkey"), hz, col("hz"))
+        .withColumn("dr",
+          when(col("valid_to") <= col("hz"), 1L).otherwise(0L))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_before"), sum("dr").as("n_dropped"),
+          (count(lit(1)) - sum("dr")).as("n_kept"),
+          min(when(col("dr") === 0L, col("valid_from"))).as("min_kept_from"))
+        .filter(col("n_dropped") > 0)
+        .orderBy("o_orderkey")
     }),
 
     // Temporal (point-in-time) join — the READ side of SCD2: every
@@ -2289,6 +2295,29 @@ object OlapQueries {
   // the two-wave SCD2 chain result, derived via plain joins — shared
   // verbatim by the batch scd2_chain and the streaming stream_cdc_apply
   // (whose whole contract is converging to the same dimension)
+  /** The shared two-update SCD2 version chain over orders (+100 at
+    * +30 d for keys %10, +200 at +60 d for keys %20), open rows closed
+    * to 9999-12-31 — the fixture scd2_chain emits and scd2_gc vacuums. */
+  private def scd2ChainDim(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val current = o.select(col("o_orderkey"),
+      round(col("o_totalprice"), 2).as("price"),
+      col("o_orderdate").cast("date").as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val u1 = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") + 100.0, 2).as("price"),
+        date_add(col("o_orderdate"), 30).as("valid_from"))
+    val u2 = o.filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") + 200.0, 2).as("price"),
+        date_add(col("o_orderdate"), 60).as("valid_from"))
+    val after1 = graft.ops.Scd2.merge(current, u1, key = "o_orderkey")
+    graft.ops.Scd2.merge(after1, u2, key = "o_orderkey")
+      .withColumn("valid_to",
+        coalesce(col("valid_to"), lit("9999-12-31").cast("date")))
+  }
+
   private lazy val scd2ChainSql =
     """WITH cur AS (
       |  SELECT o_orderkey, round(o_totalprice, 2) AS price,
@@ -2888,6 +2917,20 @@ object OlapQueries {
     // chain directly (base row closes at u1, u1's row closes at u2,
     // the latest version stays open)
     "scd2_chain" -> scd2ChainSql,
+
+    // the chain replayed, then the same horizon filter and audit
+    "scd2_gc" ->
+      s"""WITH dim AS (SELECT * FROM ($scd2ChainSql)),
+         |hz AS (SELECT CAST(min(valid_from) + INTERVAL 60 DAY AS DATE) AS h
+         |       FROM dim),
+         |f AS (SELECT o_orderkey, valid_from,
+         |        CASE WHEN valid_to <= hz.h THEN 1 ELSE 0 END AS dr
+         |      FROM dim, hz)
+         |SELECT o_orderkey, count(*) AS n_before,
+         |  CAST(sum(dr) AS BIGINT) AS n_dropped,
+         |  CAST(count(*) - sum(dr) AS BIGINT) AS n_kept,
+         |  min(CASE WHEN dr = 0 THEN valid_from END) AS min_kept_from
+         |FROM f GROUP BY 1 HAVING sum(dr) > 0 ORDER BY 1""".stripMargin,
 
     // the bucketed rewrite must agree exactly with the plain range join
     "events_range_join" ->

@@ -641,6 +641,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 GC preserves every point-in-time read at/after the horizon — and only those") {
+    import spark.implicits._
+    // versions [d0,d10) [d10,d20) [d20,inf); horizon d15 ⇒ only the
+    // first version is droppable (valid_to d10 <= d15); the version
+    // VALID AT the horizon ([d10,d20)) must survive
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      ("k1", 1.0, d("2024-01-01"), d("2024-01-10")),
+      ("k1", 2.0, d("2024-01-10"), d("2024-01-20")),
+      ("k1", 3.0, d("2024-01-20"), d("9999-12-31")),
+      ("k2", 9.0, d("2024-01-05"), d("9999-12-31")))
+      .toDF("k", "price", "valid_from", "valid_to")
+    val hz = d("2024-01-15")
+    val gced = dim.filter(col("valid_to") > lit(hz)) // the GC keep-rule
+    def readAt(v: org.apache.spark.sql.DataFrame, q: java.sql.Date) = v
+      .filter(col("valid_from") <= lit(q) && col("valid_to") > lit(q))
+      .select("k", "price").collect().map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    // reads at and after the horizon are untouched
+    for (q <- Seq(hz, d("2024-01-17"), d("2024-01-25")))
+      assert(readAt(gced, q) == readAt(dim, q), s"read at $q changed")
+    // a pre-horizon read IS lost — the GC is not a no-op
+    assert(readAt(dim, d("2024-01-05")) != readAt(gced, d("2024-01-05")))
+    // and the audit the query emits counts exactly that one drop
+    assert(dim.filter(col("valid_to") <= lit(hz)).count() == 1L)
+  }
+
   test("scd2 merge chains across repeated batches: [d0,d1)[d1,d2)[d2,inf)") {
     import java.sql.Date
     val current = Seq(
