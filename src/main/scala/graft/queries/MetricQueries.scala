@@ -83,6 +83,36 @@ object MetricQueries {
         .orderBy("period")
     }),
 
+    // WILSON SCORE INTERVAL around the monthly return rate — the
+    // uncertainty m_ratio's point estimate hides: a 2%-return month on
+    // 50 items and one on 50 000 items are different claims, and the
+    // Wilson interval (1927 — the score-test inversion that behaves at
+    // the 0/1 boundaries where the Wald ±z√(p̂q̂/n) collapses) prices
+    // that in. The COUNT rate here is a true binomial (each line item
+    // returns or not), unlike m_ratio's revenue-weighted ratio. The
+    // point rate is emitted as the §5 half-up u4 BIGINT; the interval
+    // bounds are genuinely continuous (sqrt of integer-derived
+    // doubles) — round-4dp class, every float subexpression composed
+    // identically in the oracle with literals forced to DOUBLE.
+    "m_rate_wilson" -> ((s, dir) => {
+      val z = lit(1.96)
+      val z2 = z * z
+      val m = Tables.lineitem(s, dir)
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("period"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+      val nd = col("n_items").cast("double")
+      val ph = col("n_returned").cast("double") / col("n_items")
+      val den = lit(1.0) + z2 / nd
+      val ctr = ph + z2 / (nd * lit(2.0))
+      val mar = z * sqrt(ph * (lit(1.0) - ph) / nd + z2 / (nd * nd * lit(4.0)))
+      m.select(col("period"), col("n_items"), col("n_returned"),
+          expr("(2*n_returned*10000 + n_items) div (2*n_items)").as("rate_u4"),
+          round((ctr - mar) / den, 4).as("wilson_lo"),
+          round((ctr + mar) / den, 4).as("wilson_hi"))
+        .orderBy("period")
+    }),
+
     "m_derived" -> ((s, dir) => {
       // the measures are defined in exact integer units (1e-4 / 1e-6 $ —
       // §5 doctrine: a float product sum sits on the round(·,2) boundary
@@ -1084,6 +1114,35 @@ object MetricQueries {
       """SELECT l_returnflag, round(median(l_quantity), 4) AS med_qty,
         | round(median(l_extendedprice), 4) AS med_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same counts, u4 point rate, and the identical double composition
+    // of the Wilson bounds (all literals forced to DOUBLE)
+    "m_rate_wilson" ->
+      """WITH m AS (
+        | SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+        |   count(*) AS n_items,
+        |   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_returned
+        | FROM lineitem GROUP BY 1),
+        |w AS (SELECT period, n_items, n_returned,
+        |   CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2,
+        |   CAST(n_items AS DOUBLE) AS nd,
+        |   CAST(n_returned AS DOUBLE) / n_items AS ph
+        | FROM m)
+        |SELECT period, n_items, n_returned,
+        |  CAST((2*n_returned*10000 + n_items) // (2*n_items) AS BIGINT)
+        |    AS rate_u4,
+        |  round((ph + z2 / (nd * CAST(2.0 AS DOUBLE))
+        |         - CAST(1.96 AS DOUBLE)
+        |           * sqrt(ph * (CAST(1.0 AS DOUBLE) - ph) / nd
+        |                  + z2 / (nd * nd * CAST(4.0 AS DOUBLE))))
+        |        / (CAST(1.0 AS DOUBLE) + z2 / nd), 4) AS wilson_lo,
+        |  round((ph + z2 / (nd * CAST(2.0 AS DOUBLE))
+        |         + CAST(1.96 AS DOUBLE)
+        |           * sqrt(ph * (CAST(1.0 AS DOUBLE) - ph) / nd
+        |                  + z2 / (nd * nd * CAST(4.0 AS DOUBLE))))
+        |        / (CAST(1.0 AS DOUBLE) + z2 / nd), 4) AS wilson_hi
+        |FROM w ORDER BY period""".stripMargin,
 
     "m_ratio" ->
       """WITH g AS (

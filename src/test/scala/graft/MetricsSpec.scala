@@ -136,6 +136,23 @@ class MetricsSpec extends AnyFunSuite {
     assert(math.abs(u - eu).toDouble / eu < 0.05, s"union $u vs $eu")
   }
 
+  test("Wilson interval brackets the point rate with a width bounded by the worst case") {
+    val rows = SparkEntry.queries("m_rate_wilson")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getAs[Long]("n_items"),
+        r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      val rate = r.getAs[Long]("rate_u4") / 10000.0
+      assert(lo >= 0.0 && hi <= 1.0 && lo < hi)
+      // the score interval always contains the MLE point estimate
+      assert(lo <= rate + 5e-5 && rate - 5e-5 <= hi,
+        s"rate $rate outside [$lo, $hi]")
+      // width can never exceed the p=1/2 worst case (+ rounding slack)
+      val maxW = 2 * 1.96 * math.sqrt(0.25 / n) + 2e-4
+      assert(hi - lo <= maxW, s"width ${hi - lo} > $maxW at n=$n")
+    }
+  }
+
   test("KMV intersection: exact below k, theta-estimator within sketch error above") {
     import org.apache.spark.sql.functions._
     val W = 1L << 40
