@@ -1664,6 +1664,45 @@ object OlapQueries {
     // regression aggregates run over the PRE-AGGREGATED (type, day)
     // table (O(types·days) rows), never raw events — same rule as
     // cumulative metrics.
+    // TOP-K CHURN between the two calendar halves — the leaderboard
+    // DELTA question sketch_exact_topk's single snapshot can't answer:
+    // who entered, who left, who moved. Exact per-half activity top-20
+    // (count desc, user_id — a total order, so ties never rank by
+    // engine noise), full-outer join of the two lists, per-half counts
+    // backfilled for context (a 'left' user's n_g2 shows HOW far they
+    // fell, not just that they did). One groupBy of raw events; the
+    // top-k windows and joins run on the per-(half, user) aggregate.
+    "events_topk_churn" -> ((s, dir) => {
+      val k = 20
+      val e = Tables.events(s, dir).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("dn"))
+      val b = e.agg(expr("(min(dn) + max(dn)) div 2").as("mid"))
+      val cnt = graft.ops.Scalars.withScalar(e, col("dn"), b, col("mid"))
+        .withColumn("g", when(col("dn") <= col("mid"), 1L).otherwise(2L))
+        .groupBy("g", "user_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // feeds both top-k lists and the backfills
+      val top = graft.ops.TopK.perGroup(cnt, Seq(col("g")),
+        Seq(col("n").desc, col("user_id")), k, "rk")
+      val g1 = top.filter(col("g") === 1)
+        .select(col("user_id"), col("rk").as("rank_g1"))
+      val g2 = top.filter(col("g") === 2)
+        .select(col("user_id"), col("rk").as("rank_g2"))
+      g1.join(g2, Seq("user_id"), "full_outer")
+        .join(cnt.filter(col("g") === 1)
+          .select(col("user_id"), col("n").as("n_g1")), Seq("user_id"), "left")
+        .join(cnt.filter(col("g") === 2)
+          .select(col("user_id"), col("n").as("n_g2")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("n_g1"), lit(0L)).as("n_g1"),
+          coalesce(col("n_g2"), lit(0L)).as("n_g2"),
+          coalesce(col("rank_g1"), lit(0L)).as("rank_g1"),
+          coalesce(col("rank_g2"), lit(0L)).as("rank_g2"),
+          when(col("rank_g1").isNotNull && col("rank_g2").isNotNull, "stayed")
+            .when(col("rank_g1").isNotNull, "left")
+            .otherwise("entered").as("status"))
+        .orderBy("user_id")
+    }),
+
     "events_trend" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type"),
@@ -3717,6 +3756,35 @@ object OlapQueries {
         |  CAST(sum(c) AS BIGINT) AS n_converted,
         |  round(sum(c)*1.0/count(*), 4) AS conversion_rate
         |FROM m GROUP BY day ORDER BY day""".stripMargin,
+
+    // same midpoint split, exact per-half top-20, outer join + backfill
+    "events_topk_churn" ->
+      """WITH e AS (SELECT user_id,
+        |       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+        |     FROM events),
+        |b AS (SELECT (min(dn)+max(dn))//2 AS mid FROM e),
+        |c AS (SELECT CASE WHEN dn <= b.mid THEN 1 ELSE 2 END AS g,
+        |        user_id, count(*) AS n
+        |      FROM e, b GROUP BY 1, 2),
+        |t AS (SELECT g, user_id, n, row_number() OVER
+        |        (PARTITION BY g ORDER BY n DESC, user_id) AS rk
+        |      FROM c QUALIFY rk <= 20),
+        |g1 AS (SELECT user_id, rk AS rank_g1 FROM t WHERE g = 1),
+        |g2 AS (SELECT user_id, rk AS rank_g2 FROM t WHERE g = 2),
+        |j AS (SELECT coalesce(g1.user_id, g2.user_id) AS user_id,
+        |        rank_g1, rank_g2
+        |      FROM g1 FULL OUTER JOIN g2 ON g1.user_id = g2.user_id)
+        |SELECT j.user_id,
+        |  CAST(coalesce(c1.n, 0) AS BIGINT) AS n_g1,
+        |  CAST(coalesce(c2.n, 0) AS BIGINT) AS n_g2,
+        |  CAST(coalesce(rank_g1, 0) AS BIGINT) AS rank_g1,
+        |  CAST(coalesce(rank_g2, 0) AS BIGINT) AS rank_g2,
+        |  CASE WHEN rank_g1 IS NOT NULL AND rank_g2 IS NOT NULL THEN 'stayed'
+        |       WHEN rank_g1 IS NOT NULL THEN 'left'
+        |       ELSE 'entered' END AS status
+        |FROM j LEFT JOIN c c1 ON j.user_id = c1.user_id AND c1.g = 1
+        |       LEFT JOIN c c2 ON j.user_id = c2.user_id AND c2.g = 2
+        |ORDER BY j.user_id""".stripMargin,
 
     "events_trend" ->
       """WITH daily AS (

@@ -641,6 +641,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("top-k churn: each half fields a full leaderboard and statuses match the ranks") {
+    val rows = SparkEntry.queries("events_topk_churn")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank_g1"), r.getAs[Long]("rank_g2"),
+        r.getAs[Long]("n_g1"), r.getAs[Long]("n_g2"), r.getAs[String]("status")))
+    // each half's leaderboard is a gapless 1..k_eff prefix (k_eff = 20
+    // capped by the half's active-user count — 15 at the test scale)
+    val (k1, k2) = (rows.count(_._1 > 0), rows.count(_._2 > 0))
+    assert(k1 >= 1 && k1 <= 20 && k2 >= 1 && k2 <= 20)
+    assert(rows.filter(_._1 > 0).map(_._1).sorted.toSeq == (1L to k1))
+    assert(rows.filter(_._2 > 0).map(_._2).sorted.toSeq == (1L to k2))
+    rows.foreach { case (r1, r2, n1, n2, st) =>
+      val want = if (r1 > 0 && r2 > 0) "stayed" else if (r1 > 0) "left" else "entered"
+      assert(st == want, s"status $st but ranks ($r1, $r2)")
+      // a ranked user necessarily had activity in that half; the
+      // OTHER half's backfilled count shows how far a mover fell/rose
+      if (r1 > 0) assert(n1 > 0)
+      if (r2 > 0) assert(n2 > 0)
+    }
+  }
+
   test("scd2 GC preserves every point-in-time read at/after the horizon — and only those") {
     import spark.implicits._
     // versions [d0,d10) [d10,d20) [d20,inf); horizon d15 ⇒ only the
