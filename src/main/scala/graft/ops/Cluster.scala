@@ -10,15 +10,20 @@ import org.apache.spark.sql.functions._
   * transitive on their own.
   *
   * Algorithm: iterative min-label propagation (the label of every node
-  * drops to the minimum label among itself and its neighbors until a
-  * fixpoint), the DataFrame rendering of the classic MapReduce
-  * connected-components loop. Each iteration is one equi-join + one
-  * groupBy — both co-shuffled on the node id — and the iterate is
+  * drops to the minimum label among itself and its neighbors) PLUS a
+  * pointer-jumping step per round (every label follows its own label —
+  * path halving), the DataFrame rendering of the classic MapReduce
+  * connected-components loop upgraded to O(log diameter) rounds. Plain
+  * min-propagation needs O(diameter) rounds, and real near-dup graphs
+  * DO ship long chains: the sf0.1 perceptual-hash graph has a
+  * component of diameter > 20, which silently exceeded the old bound
+  * (caught by the exact-closure oracle as a one-row family-histogram
+  * mismatch). With halving, label chains shorten geometrically, so
+  * maxIter = 20 covers any component a pipeline will ever meet
+  * (diameter up to ~2²⁰). Each iteration is two equi-joins + one
+  * groupBy — all co-shuffled on the node id — and the iterate is
   * `localCheckpoint`ed to cut the exponentially-growing lineage (at
   * open scale this is a write to storage between iterations).
-  * Convergence needs O(component diameter) rounds: near-dup clusters
-  * are near-cliques (diameter ≲ 2-3), so the loop exits after 3-4
-  * rounds; `maxIter` bounds pathological chains.
   */
 object Cluster {
 
@@ -41,10 +46,19 @@ object Cluster {
       // carry a per-row changed flag through the iterate so convergence
       // is a filter on the ALREADY-materialized table, not an extra
       // old-vs-new join per round
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (col("nbr_comp") < col("comp")).as("chg"))
+          coalesce(col("nbr_comp") < col("comp"), lit(false)).as("chg1"))
+        .localCheckpoint(false) // both sides of the jump self-join
+      // pointer jumping (path halving): follow the label's own label —
+      // comp is always a node id, so the self-join is total; label
+      // chains halve per round, giving O(log diameter) convergence
+      val compOf = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val next = stepped.join(compOf, stepped("comp") === compOf("jid"))
+        .select(stepped("id"),
+          least(stepped("comp"), col("jcomp")).as("comp"),
+          (stepped("chg1") || col("jcomp") < stepped("comp")).as("chg"))
         .localCheckpoint(false)
       converged = next.filter(col("chg")).limit(1).count() == 0
       labels = next.select("id", "comp")

@@ -531,10 +531,14 @@ object Dedup {
     * n₁·n₂ product is computed in doubles because both factors are
     * < 2⁵³ and hence exactly representable).
     *
-    * Scale shape: the capped term space (df ≤ maxDF — the same
-    * symmetric semantic as [[ngramJaccard]]'s capped shingle space;
-    * stopword terms carry no tf-idf weight anyway, so the cap discards
-    * near-zero signal) bounds the per-term pair volume, and the pair
+    * Scale shape: the capped term space (df·maxDfDen ≤ N — the
+    * ngramJaccard cap made SCALE-RELATIVE: a fixed absolute cap
+    * silently empties the term space as the corpus grows — at 5 000
+    * docs a df ≤ 50 cap kept only ≤1%-rarity terms and the sf0.1 run
+    * found zero pairs; a ≤ N/10 cap keeps the same "rare enough to
+    * carry signal" semantic at every scale. Stopword terms carry no
+    * tf-idf weight anyway, so the cap discards near-zero signal)
+    * bounds the per-term pair volume, and the pair
     * generation is a co-keyed self-equi-join of the weighted posting
     * table on `term` — one shuffle whose second side is a
     * ReusedExchange, pair volume Σ df²/2 ≤ (maxDF/2)·|postings|,
@@ -543,14 +547,17 @@ object Dedup {
     * [[ngramContainment]] pattern.
     * Output: id1, id2, dot, n1, n2, cosine (4dp). */
   def tfidfCosine(docs: DataFrame, tNum: Int = 9, tDen: Int = 10,
-                  maxDF: Int = 50): DataFrame = {
+                  maxDfDen: Int = 10): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(false) // feeds df and the weighted postings
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDF)
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dfT = Scalars.withScalar(
+        tf.groupBy("term").agg(count(lit(1)).as("df")), col("term"),
+        n, col("n_docs"))
+      .filter(col("df") * maxDfDen <= col("n_docs"))
+      .select("term", "df")
     val weighted = Scalars.withScalar(tf.join(dfT, "term"), col("doc_id"),
         n, col("n_docs"))
       .withColumn("idf_u3",

@@ -37,7 +37,7 @@ object PipelineQueries {
     // stopwords, separating true near-dups from topical siblings
     "dedup_tfidf_cosine" -> ((s, dir) =>
       Dedup.tfidfCosine(Tables.documents(s, dir), tNum = 9, tDen = 10,
-          maxDF = 50)
+          maxDfDen = 10)
         .orderBy("id1", "id2")),
 
     // the exact-recall counterpart: prefix filtering misses NO pair
@@ -2744,9 +2744,9 @@ object PipelineQueries {
        |  SELECT doc_id, term, count(*) AS tf
        |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
        |  GROUP BY 1, 2),
-       |df AS (SELECT term, count(*) AS df FROM tf
-       |       GROUP BY 1 HAVING count(*) <= 50),
        |n AS (SELECT count(*) AS n_docs FROM documents),
+       |df AS (SELECT term, count(*) AS df FROM tf
+       |       GROUP BY 1 HAVING count(*)*10 <= (SELECT n_docs FROM n)),
        |w AS (SELECT doc_id, term,
        |    tf * CAST(round(ln(n_docs*1.0/df)*1000, 0) AS BIGINT) AS w
        |  FROM tf JOIN df USING (term) CROSS JOIN n),

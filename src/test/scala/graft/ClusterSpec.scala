@@ -29,6 +29,20 @@ class ClusterSpec extends AnyFunSuite {
     assert(comp.values.toSet == Set(5L))
   }
 
+  test("a diameter-1000 path converges inside the default round budget (path halving)") {
+    import spark.implicits._
+    // the regression the sf0.1 phash graph exposed: plain min-label
+    // propagation needs O(diameter) rounds and silently emitted
+    // unconverged labels past maxIter=20; pointer jumping makes a
+    // 1000-long chain converge in ~log2(1000) rounds
+    val nodes = (0L to 1000L).toDF("id")
+    val edges = (0L until 1000L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comps = graft.ops.Cluster.connectedComponents(nodes, edges)
+      .select("comp").distinct().collect().map(_.getLong(0))
+    assert(comps.toSeq == Seq(0L),
+      s"chain must collapse to component 0, got ${comps.length} components")
+  }
+
   test("dedup clusters are the transitive closure of near-dup pairs at sf0.001") {
     val docs  = Tables.documents(spark, sf)
     val pairs = Dedup.ngramJaccard(docs)

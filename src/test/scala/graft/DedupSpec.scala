@@ -46,7 +46,7 @@ class DedupSpec extends AnyFunSuite {
     }.toMap
     val nDocs = rows.length
     val df = tf.values.flatMap(_.keys).groupBy(identity)
-      .map { case (k, v) => k -> v.size }.filter(_._2 <= 50)
+      .map { case (k, v) => k -> v.size }.filter(_._2 * 10 <= nDocs)
     def idfU3(d: Int): Long =
       BigDecimal(math.log(nDocs.toDouble / d) * 1000)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
@@ -81,7 +81,8 @@ class DedupSpec extends AnyFunSuite {
       (2L, s"$filler zephyr quartz glyph"),
       (3L, s"$filler apple river stone"),
       (4L, s"$filler mango cloud brick")).toDF("doc_id", "text")
-    val got = Dedup.tfidfCosine(docs, tNum = 9, tDen = 10, maxDF = 50)
+    // cap df <= N/2: keeps the df=2 rare terms, drops the df=4 filler
+    val got = Dedup.tfidfCosine(docs, tNum = 9, tDen = 10, maxDfDen = 2)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 2L)), s"identical rare-vocab pair missing: $got")
     assert(!got.contains((3L, 4L)),
