@@ -108,6 +108,19 @@ class PlanSpec extends AnyFunSuite {
       s"step tables must be materialized once:\n$p")
   }
 
+  test("bm25 reads the corpus once via its materialized postings; top-k prunes map-side") {
+    // the corpus tf table is localCheckpointed and feeds df, document
+    // lengths AND the posting join — so the only documents scan left
+    // in the plan is the QUERY side's (with its doc_id filter pushed);
+    // the per-query ranking must be a WindowGroupLimit partial top-k,
+    // not a global sort
+    val p = plan("text_bm25_topk")
+    assert(countOccurrences(p, "documents.parquet") == 1,
+      s"expected exactly the query-side scan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must prune map-side:\n$p")
+  }
+
   test("tf-idf cosine consumes materialized weighted postings — no corpus rescans") {
     // tf and the capped weighted posting table are localCheckpointed:
     // the pair self-join's two sides and the norm aggregate all read
