@@ -54,15 +54,23 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def qjson(fmt: Double => String) =
+      times.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.collect { case (_, v) if v >= 0 => v }.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
-    println(json)
+    def full(v: Double) = v.toString
+    // The stdout line is tail-captured by the driver and was truncated
+    // two rounds running (BENCH_r09/r10 parsed:null) — keep it SHORT:
+    // 3dp per-query seconds (~6 chars instead of ~18). The file sink
+    // keeps full precision.
+    def short(v: Double) = f"$v%.3f"
+    println(s"""{"metric":"total","value":${short(total)},"unit":"sec",""" +
+      s""""queries":${qjson(short)},"errors":$es,"sf":"$sfDir"}""")
     // Also persist to a file: the stdout line gets truncated by log
     // capture (BENCH_r06/r07 lost 75 of 143 timings), so the full
     // JSON always lands at a stable path too.
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(full)},"errors":$es,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),

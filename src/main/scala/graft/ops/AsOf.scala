@@ -24,11 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Working/output column names the union-sort trick claims for
+    * itself. A caller frame already using one would be silently
+    * clobbered or shadowed — fail loudly instead, the same convention
+    * as Scalars.withScalar's __sk and Rank's __pid (r10 ADVICE). */
+  private val Reserved = Set("_side", "_pl", "_plb", "_plf", "_rt",
+    "_db", "_df", "_useB", "_best", "asof_delta", "asof_dir")
+
+  private def requireFree(cols: Seq[String], what: String): Unit = {
+    val clash = cols.filter(Reserved)
+    require(clash.isEmpty,
+      s"$what uses column name(s) reserved by AsOf: ${clash.mkString(", ")}")
+  }
+
   /** Left-as-of join. `right` must contain `key`, `time`, and the
     * `payload` columns; the result is every `left` row plus the as-of
     * payload values (null where no right row precedes it). */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String, time: String,
                payload: Seq[String]): DataFrame = {
+    requireFree(left.columns.toSeq, "left frame")
+    requireFree(payload, "payload")
     val rSchema = right.schema
     val lCols   = left.columns.toSeq
 
@@ -76,6 +91,8 @@ object AsOf {
     * has no right rows at all) and `asof_dir` ('b'/'f'/null). */
   def joinAsOfNearest(left: DataFrame, right: DataFrame, key: String,
                       time: String, payload: Seq[String]): DataFrame = {
+    requireFree(left.columns.toSeq, "left frame")
+    requireFree(payload, "payload")
     val lCols = left.columns.toSeq
     val plCols = payload :+ "_rt"
     val r0 = right.select((Seq(key, time) ++ payload).map(col): _*)

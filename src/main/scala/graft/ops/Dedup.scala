@@ -531,23 +531,29 @@ object Dedup {
     * n₁·n₂ product is computed in doubles because both factors are
     * < 2⁵³ and hence exactly representable).
     *
-    * Scale shape: the capped term space (df·maxDfDen ≤ N — the
-    * ngramJaccard cap made SCALE-RELATIVE: a fixed absolute cap
-    * silently empties the term space as the corpus grows — at 5 000
-    * docs a df ≤ 50 cap kept only ≤1%-rarity terms and the sf0.1 run
-    * found zero pairs; a ≤ N/10 cap keeps the same "rare enough to
-    * carry signal" semantic at every scale. Stopword terms carry no
-    * tf-idf weight anyway, so the cap discards near-zero signal)
-    * bounds the per-term pair volume, and the pair
+    * Scale shape: the term space is capped TWICE (r10 ADVICE). The
+    * scale-relative arm df·maxDfDen ≤ N keeps the "rare enough to
+    * carry signal" semantic at every corpus size (the ngramJaccard
+    * lesson: a fixed absolute cap alone silently empties the term
+    * space as the corpus grows — at 5 000 docs a df ≤ 50 cap kept
+    * only ≤1%-rarity terms and the sf0.1 run found zero pairs). But
+    * the relative arm ALONE is superlinear: a term just under the
+    * N/maxDfDen cap contributes df²/2 ≈ N²/200 pairs, so a large
+    * corpus with near-10%-frequency terms explodes the posting
+    * self-join. The absolute arm df ≤ absMaxDf restores the hard
+    * bound: per-term pair volume ≤ absMaxDf²/2 and total pair volume
+    * Σ df²/2 ≤ (absMaxDf/2)·|postings| — genuinely linear in corpus
+    * size. (Terms with 10⁴+ df at 10⁸+ docs are stopword-frequency;
+    * their idf weight is near zero, so the cut discards noise, and
+    * the cap is a tunable for corpora where that band matters.) Pair
     * generation is a co-keyed self-equi-join of the weighted posting
     * table on `term` — one shuffle whose second side is a
-    * ReusedExchange, pair volume Σ df²/2 ≤ (maxDF/2)·|postings|,
-    * linear in corpus size, never all-pairs. Norms arrive via ONE melt
+    * ReusedExchange, never all-pairs. Norms arrive via ONE melt
     * join against the corpus-sized norm table (never broadcast), the
     * [[ngramContainment]] pattern.
     * Output: id1, id2, dot, n1, n2, cosine (4dp). */
   def tfidfCosine(docs: DataFrame, tNum: Int = 9, tDen: Int = 10,
-                  maxDfDen: Int = 10): DataFrame = {
+                  maxDfDen: Int = 10, absMaxDf: Int = 10000): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -556,7 +562,7 @@ object Dedup {
     val dfT = Scalars.withScalar(
         tf.groupBy("term").agg(count(lit(1)).as("df")), col("term"),
         n, col("n_docs"))
-      .filter(col("df") * maxDfDen <= col("n_docs"))
+      .filter(col("df") * maxDfDen <= col("n_docs") && col("df") <= absMaxDf)
       .select("term", "df")
     val weighted = Scalars.withScalar(tf.join(dfT, "term"), col("doc_id"),
         n, col("n_docs"))

