@@ -97,4 +97,45 @@ object Graph {
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
           .otherwise(0.0).as("clustering"))
   }
+
+  /** Synchronous label propagation communities (Raghavan et al. 2007)
+    * over an undirected edge set (columns `a`, `b`, a < b canonical) —
+    * the community structure [[Cluster.connectedComponents]] cannot
+    * see: CC answers "reachable at all", LPA answers "densely knit",
+    * which on a kNN similarity graph is the embedding-cluster question.
+    *
+    * Determinism: the classic algorithm breaks mode ties randomly and
+    * updates asynchronously in arrival order — both unreproducible on a
+    * partitioned engine. This variant is the synchronous fixed-round
+    * formulation with a total tie order: every node starts as its own
+    * label, and each round every node simultaneously adopts the label
+    * held by the most neighbors, ties to the SMALLEST label. A fixed
+    * `iters` unroll (not convergence detection) keeps the plan static;
+    * sync LPA can 2-cycle on bipartite-ish regions, and a fixed even/
+    * odd horizon picks one side of that cycle deterministically.
+    *
+    * Scale shape, same discipline as [[pagerank]]: the symmetrized
+    * adjacency materializes ONCE; each round is one co-keyed join
+    * (adjacency ⋈ labels on the neighbor key) + one groupBy(node,
+    * label) + one per-node top-1 window — all shuffles on the node
+    * key, state exactly one row per node, lineage cut per round.
+    * Output: (v, lbl) final labels. */
+  def labelProp(edges: DataFrame, iters: Int = 4): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint(false)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(false) // reused every round
+    var lab = sym.select(col("dst").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cnt").desc, col("lbl"))
+    for (_ <- 1 to iters) {
+      lab = sym.join(lab, sym("dst") === lab("v"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("src").as("v"), col("lbl"))
+        .localCheckpoint(false)
+    }
+    lab
+  }
 }

@@ -15,6 +15,44 @@ object TextAnalysis {
 
   private def toks: Column = Dedup.tokens(col("text"))
 
+  /** Top-`k` adjacent-bigram collocations by pointwise mutual
+    * information, PMI = ln(p(w1,w2)/(p(w1)·p(w2))) with a count floor
+    * (raw PMI is maximized by hapax pairs — the floor is what makes
+    * the ranking about collocations instead of noise; Church & Hanks
+    * 1990). One tokenize pass (checkpointed) feeds the unigram and
+    * bigram counts; state after the two groupBys is vocabulary-
+    * bounded, never corpus-bounded, and the two totals ride the 1-row
+    * [[Scalars.withScalar]] broadcast. The PMI ratio is composed in
+    * DOUBLE left-to-right identically to the oracle (§5: the products
+    * exceed 2⁵³ at corpus scale, so BOTH engines must round the same
+    * way at the same step), emitted round-4dp.
+    * Output: w1, w2, c12, c1, c2, pmi — (pmi desc, w1, w2) top-k. */
+  def pmi(docs: DataFrame, minCount: Int = 5, k: Int = 20): DataFrame = {
+    val tok = docs.select(Dedup.tokens(col("text")).as("t"))
+      .localCheckpoint(false) // one tokenize feeds unigrams + bigrams + scalars
+    val uni = tok.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // joined twice (w1 side, w2 side)
+    val c12 = tok.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> named_struct('w1', t[i-1], 'w2', t[i]))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val sc = tok.agg(
+      sum(size(col("t"))).cast("double").as("n1"),
+      sum(greatest(size(col("t")) - 1, lit(0))).cast("double").as("nb"))
+    Scalars.withScalar(
+        c12.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2"),
+        col("w1"), sc, col("n1"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log(
+          (col("c12").cast("double") * col("n1") * col("n1")) /
+            (col("nb") * col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+  }
+
   /** Token counting: totals, distinct count, mean token length. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks.as("toks"))

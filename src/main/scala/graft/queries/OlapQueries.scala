@@ -20,6 +20,15 @@ object OlapQueries {
 
   private val cutoff = "2000-03-15"
 
+  /** events_ab_sprt design constants, quantized ONCE here so engine and
+    * oracle share the exact same ×10⁶ integers: per-observation log-
+    * likelihood increments for H0 p=0.40 vs H1 p=0.50 (success:
+    * ln(.50/.40), failure: ln(.50/.60)) and the symmetric ±ln(19)
+    * boundary for α=β=0.05 (Wald's A=(1−β)/α). */
+  private val SprtL1: Long  = Math.round(math.log(0.50 / 0.40) * 1e6)
+  private val SprtL0: Long  = Math.round(math.log(0.50 / 0.60) * 1e6)
+  private val SprtThr: Long = Math.round(math.log(19.0) * 1e6)
+
   /** Shared 10-row literal base for the q_canary_* gate-parity family:
     * every column is a pure function of the row id (a/b share the
     * numerator/denominator magnitudes of ratio metrics, c/d the avg
@@ -1733,6 +1742,61 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // HOLT DOUBLE EXPONENTIAL SMOOTHING (level + additive trend,
+    // α=1/2 β=3/10) per event-type daily series — the forecasting step
+    // past events_trend's global OLS line: the smoothed state adapts
+    // to level shifts and the per-day fc7 column is each day's 7-day-
+    // ahead projection (level + 7·trend), i.e. what a capacity planner
+    // reads off the latest row. The recurrence is inherently
+    // sequential IN TIME but not in data: the one corpus-sized pass is
+    // the daily groupBy; each series then folds inside ONE `aggregate`
+    // higher-order expression over its calendar-bounded array (state =
+    // |event_types| × |days| rows, no driver loop, series fold in
+    // parallel across groups). Init is (lvl₁=y₁, tr₁=0) — the
+    // self-contained convention — and the new level is recomputed
+    // inline where the trend needs it (lambdas bind no locals; the
+    // duplicated expression is exact in both engines).
+    //
+    // §5 emission discipline: the float formulation went red at the
+    // 4dp boundary on its FIRST tri-scale sweep (β=0.3 arithmetic
+    // lands on decimal-simple values like 5.21625 constantly, and
+    // Spark rounds the shortest repr while DuckDB rounds the binary
+    // value) — so the whole recurrence runs in EXACT micro-unit
+    // BIGINTs instead: state is ×10⁶-scaled, each α/β step is a
+    // round-half-up integer division, and the +10¹⁵ offset keeps
+    // every numerator positive so Spark's truncating `div` and
+    // DuckDB's flooring `//` agree on any trend sign (documented
+    // bound: per-(type,day) counts < ~4·10⁹ keep all terms < 2⁶²).
+    "events_holt" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("dt"), col("y")))).as("arr"))
+        .select(col("event_type"), expr(
+          """aggregate(
+            |  slice(arr, 2, size(arr) - 1),
+            |  array(named_struct(
+            |    'dt', element_at(arr, 1).dt, 'y', element_at(arr, 1).y,
+            |    'lvl', element_at(arr, 1).y * 1000000,
+            |    'tr', CAST(0 AS BIGINT))),
+            |  (acc, e) -> concat(acc, array(named_struct(
+            |    'dt', e.dt, 'y', e.y,
+            |    'lvl', ((e.y * 1000000 + element_at(acc, -1).lvl
+            |        + element_at(acc, -1).tr + 1 + 2000000000000000) div 2)
+            |      - 1000000000000000,
+            |    'tr', ((3 * ((((e.y * 1000000 + element_at(acc, -1).lvl
+            |          + element_at(acc, -1).tr + 1 + 2000000000000000) div 2)
+            |          - 1000000000000000) - element_at(acc, -1).lvl)
+            |        + 7 * element_at(acc, -1).tr + 5 + 10000000000000000) div 10)
+            |      - 1000000000000000))))""".stripMargin).as("st"))
+        .select(col("event_type"), explode(col("st")).as("h"))
+        .select(col("event_type"), col("h.dt").as("dt"), col("h.y").as("y"),
+          col("h.lvl").as("level_u6"), col("h.tr").as("trend_u6"),
+          (col("h.lvl") + lit(7L) * col("h.tr")).as("fc7_u6"))
+        .orderBy("event_type", "dt")
+    }),
+
     // Event-type co-occurrence (market-basket view): which event types
     // happen in the SAME user-day. The pair join runs on the deduped
     // (user, day, type) table — bounded at |types| rows per key, so the
@@ -2228,6 +2292,50 @@ object OlapQueries {
         .select(col("arm"), col("n_users"), col("n_conv"), col("conv_u4"),
           col("lift_u4"), col("rel_lift_u4"), col("chi2_u4"))
         .orderBy("arm")
+    }),
+
+    // SEQUENTIAL A/B MONITORING (Wald 1945 SPRT, daily looks) — the
+    // always-valid companion to events_ab_readout's fixed-horizon
+    // chi-square: a readout peeked at daily inflates false positives,
+    // while the SPRT's likelihood-ratio boundaries keep α/β by
+    // construction no matter how often you look. Design: H0 p=0.40 vs
+    // H1 p=0.50 on 24h activation (first purchase within a day of the
+    // user's first event), treatment arm = the hash-B arm of the
+    // standing seed-17 split, one look per enrollment day. §5
+    // discipline: the per-observation log-likelihood increments and
+    // the ln((1−β)/α) boundaries are quantized to ×10⁶ integers ONCE
+    // at plan time (the same Scala constant is pasted into engine and
+    // oracle), so llr_u6 = k·L1 + (n−k)·L0 and the decision are pure
+    // BIGINT — the sequential statistic has NO float surface at all.
+    // Shape: one events scan → per-user aggregate → per-day firsts →
+    // cumulative window over the bounded day table.
+    "events_ab_sprt" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val u = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(col("ts_ns")).as("t0"),
+          min(when(col("event_type") === "purchase", col("ts_ns"))).as("tp"),
+          to_date(min(col("ts"))).as("d0"))
+        .filter(pmod(call_function("graft_hash64",
+          col("user_id").cast("string"), lit(17L)), lit(2L)) =!= 0)
+        .withColumn("conv",
+          when(col("tp").isNotNull &&
+            col("tp") <= col("t0") + lit(86400000000000L), 1L).otherwise(0L))
+      val w = Window.orderBy("d0")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.groupBy("d0")
+        .agg(count(lit(1)).as("enr"), sum("conv").as("cnv"))
+        .withColumn("n", sum("enr").over(w))
+        .withColumn("k", sum("cnv").over(w))
+        .withColumn("llr_u6",
+          col("k") * lit(SprtL1) + (col("n") - col("k")) * lit(SprtL0))
+        .withColumn("decision",
+          when(col("llr_u6") >= SprtThr, "accept_h1")
+            .when(col("llr_u6") <= -SprtThr, "accept_h0")
+            .otherwise("continue"))
+        .select(col("d0").as("dt"), col("n").as("n_enrolled"),
+          col("k").as("n_converted"), col("llr_u6"), col("decision"))
+        .orderBy("dt")
     }),
 
     // EQUI-DEPTH STATISTICS HISTOGRAM — the ANALYZE-TABLE primitive a
@@ -3435,6 +3543,40 @@ object OlapQueries {
          |    AS BIGINT) AS chi2_u4
          |FROM cg, st ORDER BY arm""".stripMargin,
 
+    // same hash arm, same plan-time ×10⁶ increments — the statistic
+    // is k·L1 + (n−k)·L0 in pure BIGINT, no float surface
+    "events_ab_sprt" -> {
+      import DuckHash.{ghashSql, fnvHx}
+      s"""WITH u0 AS (SELECT user_id, min(epoch_ns(ts)) AS t0,
+         |        min(CASE WHEN event_type = 'purchase'
+         |            THEN epoch_ns(ts) END) AS tp,
+         |        min(CAST(ts AS DATE)) AS d0
+         |      FROM events GROUP BY 1),
+         |tb AS (SELECT user_id, hex(encode(CAST(user_id AS VARCHAR))) AS hx,
+         |         octet_length(encode(CAST(user_id AS VARCHAR))) AS n
+         |       FROM u0),
+         |hh AS (SELECT user_id, ${ghashSql(fnvHx, "17")} AS hu FROM tb),
+         |u AS (SELECT u0.d0,
+         |        CASE WHEN u0.tp IS NOT NULL
+         |              AND u0.tp <= u0.t0 + 86400000000000 THEN 1 ELSE 0 END AS conv
+         |      FROM u0 JOIN hh USING (user_id) WHERE hh.hu % 2 <> 0),
+         |d AS (SELECT d0, count(*) AS enr, sum(conv) AS cnv FROM u GROUP BY 1),
+         |c AS (SELECT d0,
+         |        CAST(sum(enr) OVER (ORDER BY d0
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+         |        CAST(sum(cnv) OVER (ORDER BY d0
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k
+         |      FROM d),
+         |l AS (SELECT d0, n, k,
+         |        k * $SprtL1 + (n - k) * ($SprtL0) AS llr_u6 FROM c)
+         |SELECT d0 AS dt, n AS n_enrolled, k AS n_converted,
+         |  CAST(llr_u6 AS BIGINT) AS llr_u6,
+         |  CASE WHEN llr_u6 >= $SprtThr THEN 'accept_h1'
+         |       WHEN llr_u6 <= -$SprtThr THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision
+         |FROM l ORDER BY dt""".stripMargin
+    },
+
     // same total order (value DESC, key ASC), same depth formula
     "q_stats_histogram" ->
       """WITH o AS (SELECT o_orderkey,
@@ -3834,6 +3976,40 @@ object OlapQueries {
         |  round(regr_intercept(n, dn), 4) AS intercept,
         |  count(*) AS n_days
         |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the fold replays via list_reduce over single-struct lists: the
+    // seed is the first element whose placeholder (lvl=y·10⁶, tr=0) IS
+    // the Holt init; all arithmetic is offset round-half-up BIGINT
+    // division matching the engine lambda operation-for-operation
+    // (positive numerators → DuckDB's flooring // == Spark's div)
+    "events_holt" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dt, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type,
+        |    list({'dt': dt, 'y': y, 'lvl': y * 1000000,
+        |          'tr': CAST(0 AS BIGINT)} ORDER BY dt) AS arr
+        |  FROM daily GROUP BY 1),
+        |folded AS (SELECT event_type,
+        |    list_reduce(list_transform(arr, x -> [x]),
+        |      (acc, x) -> list_append(acc, {
+        |        'dt': x[1].dt, 'y': x[1].y,
+        |        'lvl': ((x[1].y * 1000000 + acc[-1].lvl
+        |            + acc[-1].tr + 1 + 2000000000000000) // 2)
+        |          - 1000000000000000,
+        |        'tr': ((3 * ((((x[1].y * 1000000 + acc[-1].lvl
+        |              + acc[-1].tr + 1 + 2000000000000000) // 2)
+        |              - 1000000000000000) - acc[-1].lvl)
+        |            + 7 * acc[-1].tr + 5 + 10000000000000000) // 10)
+        |          - 1000000000000000})) AS st
+        |  FROM ser),
+        |ex AS (SELECT event_type, unnest(st) AS h FROM folded)
+        |SELECT event_type, struct_extract(h, 'dt') AS dt,
+        |  struct_extract(h, 'y') AS y,
+        |  CAST(struct_extract(h, 'lvl') AS BIGINT) AS level_u6,
+        |  CAST(struct_extract(h, 'tr') AS BIGINT) AS trend_u6,
+        |  CAST(struct_extract(h, 'lvl') + 7 * struct_extract(h, 'tr') AS BIGINT) AS fc7_u6
+        |FROM ex ORDER BY event_type, dt""".stripMargin,
 
     "events_cooccurrence" ->
       """WITH ud AS (

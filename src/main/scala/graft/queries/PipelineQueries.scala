@@ -1722,6 +1722,27 @@ object PipelineQueries {
             greatest(col("probe_id"), col("neighbor_id")).as("b"))
           .distinct())),
 
+    // LABEL PROPAGATION COMMUNITIES over the same kNN graph — the
+    // density question triangleStats only summarizes and CC cannot ask
+    // (CC: "reachable at all"; LPA: "densely knit" = embedding
+    // clusters). Deterministic synchronous fixed-round variant with
+    // (count desc, label asc) tie order — see Graph.labelProp for why
+    // the classic async/random-tie algorithm is unreproducible on a
+    // partitioned engine. Emits the community-size histogram: the
+    // bounded summary a curation pipeline reads ("is this corpus one
+    // blob or many small clusters?").
+    "graph_label_prop" -> ((s, dir) => {
+      val edges = Similarity.lshTopK(Tables.embeddings(s, dir), lit(true),
+          k = 3, numPlanes = 4)
+        .select(least(col("probe_id"), col("neighbor_id")).as("a"),
+          greatest(col("probe_id"), col("neighbor_id")).as("b"))
+        .distinct()
+      graft.ops.Graph.labelProp(edges, iters = 4)
+        .groupBy("lbl").agg(count(lit(1)).as("n_members"))
+        .groupBy("n_members").agg(count(lit(1)).as("n_communities"))
+        .orderBy("n_members")
+    }),
+
     // DISTRIBUTION DRIFT (PSI) between two corpus slices: fixed-width
     // length bins (a pure per-row map — no quantile pass to coordinate
     // across engines), Laplace-smoothed shares so empty bins stay
@@ -1968,6 +1989,12 @@ object PipelineQueries {
         round(expr("regr_slope(ln(freq), ln(rnk))"), 4).as("zipf_slope"),
         count(lit(1)).as("vocab_size"))
     }),
+
+    // COLLOCATION MINING: top-20 adjacent-bigram collocations by PMI
+    // with the count floor — see ops/TextAnalysis.pmi for the
+    // vocabulary-bounded shape and the §5 double-composition contract.
+    "text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmi(Tables.documents(s, dir), minCount = 5, k = 20)),
 
     // Inference/training batch planning: docs bucket by token-length
     // cap (next power-of-two band); per bucket the padding waste a
@@ -2497,6 +2524,32 @@ object PipelineQueries {
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   import DuckHash.{sx, fnvHx, ghashSql, goldenU, pow2List}
+
+  /** The kNN edge set CTE chain (`e`→`s`→`r`→`ed`) both graph oracles
+    * share: Similarity.lshTopK(k=3, 4 planes, seed 42) replayed, edges
+    * canonicalized a < b and deduped. */
+  private lazy val knnEdgeCtes: String = {
+    val bucketExpr = Similarity.hyperplanes(4, 64, 42L).zipWithIndex.map {
+      case (p, i) =>
+        val lit = "[" + p.mkString(",") + "]"
+        s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n|    + ")
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    $bucketExpr AS bucket
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT p.vec_id AS src, e.vec_id AS dst,
+       |    list_sum(list_transform(range(1,65), i -> p.v[i]*e.v[i]))
+       |      / (sqrt(list_sum(list_transform(p.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+       |  FROM e JOIN e p ON e.bucket = p.bucket AND e.vec_id <> p.vec_id),
+       |r AS (SELECT src, dst,
+       |        row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+       |      FROM s),
+       |ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM r WHERE rank <= 3)""".stripMargin
+  }
 
   /** Full IVF replay, parameterized over the quantizer TRAINING set
     * (`buildWhere` filters seeds + Lloyd refinement — empty trains on
@@ -3357,27 +3410,8 @@ object PipelineQueries {
     // same 4-plane knn replay as emb_knn_graph, then the identical
     // degree-orientation: one wedge per triangle at its min vertex,
     // closing edge checked against the (a<b)-canonical edge set
-    "graph_triangles" -> {
-      val bucketExpr = Similarity.hyperplanes(4, 64, 42L).zipWithIndex.map {
-        case (p, i) =>
-          val lit = "[" + p.mkString(",") + "]"
-          s"(CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*($lit)[i])) > 0 THEN ${1 << i} ELSE 0 END)"
-      }.mkString("\n|    + ")
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |    $bucketExpr AS bucket
-         |  FROM embeddings),
-         |s AS (
-         |  SELECT p.vec_id AS src, e.vec_id AS dst,
-         |    list_sum(list_transform(range(1,65), i -> p.v[i]*e.v[i]))
-         |      / (sqrt(list_sum(list_transform(p.v, x -> x*x)))
-         |         * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
-         |  FROM e JOIN e p ON e.bucket = p.bucket AND e.vec_id <> p.vec_id),
-         |r AS (SELECT src, dst,
-         |        row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
-         |      FROM s),
-         |ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |       FROM r WHERE rank <= 3),
+    "graph_triangles" ->
+      s"""WITH $knnEdgeCtes,
          |dg AS (SELECT v, count(*) AS deg
          |       FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
          |       GROUP BY 1),
@@ -3399,7 +3433,30 @@ object PipelineQueries {
          |  CASE WHEN n_wedges > 0
          |       THEN round(3.0 * n_triangles / n_wedges, 4) ELSE 0.0 END
          |    AS clustering
-         |FROM nn, ne, tri""".stripMargin
+         |FROM nn, ne, tri""".stripMargin,
+
+    // same kNN edge set; 4 unrolled synchronous mode-of-neighbors
+    // rounds with the identical (cnt desc, lbl) tie order
+    "graph_label_prop" -> {
+      def round(prev: String, out: String) =
+        s"""$out AS (SELECT src AS v, lbl FROM (
+           |  SELECT src, lbl,
+           |    row_number() OVER (PARTITION BY src ORDER BY cnt DESC, lbl) AS rk
+           |  FROM (SELECT sym.src, $prev.lbl, count(*) AS cnt
+           |        FROM sym JOIN $prev ON sym.dst = $prev.v GROUP BY 1, 2))
+           |  WHERE rk = 1)""".stripMargin
+      s"""WITH $knnEdgeCtes,
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |l0 AS (SELECT DISTINCT v, v AS lbl
+         |       FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")},
+         |${round("l3", "l4")},
+         |cm AS (SELECT lbl, count(*) AS n_members FROM l4 GROUP BY 1)
+         |SELECT n_members, count(*) AS n_communities
+         |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // fixed-width bins are a pure per-row map in both engines; shares
@@ -3593,6 +3650,27 @@ object PipelineQueries {
          |SELECT round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
          |  count(*) AS vocab_size
          |FROM r""".stripMargin,
+
+    // PMI composed in DOUBLE with the same left-to-right product order
+    // as the engine; counts stay count(*) BIGINT (never sum → no
+    // HUGEINT widening), the two totals cast to DOUBLE at the source
+    "text_pmi" ->
+      s"""WITH tk AS (SELECT $toks AS t FROM documents),
+         |sc AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS n1,
+         |         CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS nb FROM tk),
+         |uni AS (SELECT w, count(*) AS c FROM
+         |          (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+         |bg AS (SELECT struct_extract(s, 'w1') AS w1,
+         |         struct_extract(s, 'w2') AS w2 FROM
+         |         (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+         |                         for i in range(1, len(t))]) AS s
+         |          FROM tk WHERE len(t) >= 2)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+         |        GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT w1, w2, c12, a.c AS c1, b.c AS c2,
+         |  round(ln((CAST(c12 AS DOUBLE) * n1 * n1) / (nb * a.c * b.c)), 4) AS pmi
+         |FROM c12 JOIN uni a ON c12.w1 = a.w JOIN uni b ON c12.w2 = b.w, sc
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "seq_length_buckets" ->
       s"""WITH t AS (SELECT len($toks) AS n_tokens FROM documents),

@@ -175,6 +175,27 @@ class GraphRankSpec extends AnyFunSuite {
     assert(rayleigh(comps) > rayleigh(uniform))
   }
 
+  test("labelProp separates two triangles across a bridge, deterministically") {
+    // two 3-cliques joined by the single bridge 3-4. Hand-rolled sync
+    // rounds with (count desc, label asc) ties converge by round 4 to
+    // {1,2,3}→1 and {4,5,6}→3 (the bridge pulls 4's community label to
+    // 3 via round-2's {1:1,2:1,3:1,4:4,5:3,6:3} intermediate state)
+    val edges = Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L),(4L,5L),(4L,6L),(5L,6L))
+      .toDF("a", "b")
+    val lab = Graph.labelProp(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // a clique alone collapses to its min id in one round and stays
+    val k3 = Graph.labelProp(Seq((7L,8L),(7L,9L),(8L,9L)).toDF("a","b"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k3.values.toSet == Set(7L))
+    // the query's histogram view: two communities of size 3
+    val hist = SparkEntry.queries("graph_label_prop")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.nonEmpty && hist.keys.forall(_ >= 1L))
+  }
+
   test("centroid outliers: k per label, cosine in [-1,1], ranks contiguous") {
     val out = Embeddings.centroidOutliers(Tables.embeddings(spark, sf), k = 3)
     val rows = out.collect()

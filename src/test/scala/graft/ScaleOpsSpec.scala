@@ -1520,6 +1520,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"adjustment shifted the overall mean: drift $drift over $n users")
   }
 
+  test("SPRT: llr is the quantized Wald walk over cumulative looks, boundaries honored") {
+    val rows = SparkEntry.queries("events_ab_sprt")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the design constants the query embeds (H0 .40 / H1 .50, α=β=.05)
+    val l1  = Math.round(math.log(0.50 / 0.40) * 1e6)
+    val l0  = Math.round(math.log(0.50 / 0.60) * 1e6)
+    val thr = Math.round(math.log(19.0) * 1e6)
+    var lastN, lastK = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_enrolled"); val k = r.getAs[Long]("n_converted")
+      assert(n >= lastN && k >= lastK, "cumulative looks must be monotone")
+      assert(k <= n)
+      lastN = n; lastK = k
+      val llr = r.getAs[Long]("llr_u6")
+      assert(llr == k * l1 + (n - k) * l0, "llr is not the quantized Wald walk")
+      val want =
+        if (llr >= thr) "accept_h1" else if (llr <= -thr) "accept_h0" else "continue"
+      assert(r.getAs[String]("decision") == want)
+    }
+    // the monitored arm must be the SRM/readout B arm: enrollment
+    // totals agree with the readout's B-arm user count
+    val readout = SparkEntry.queries("events_ab_readout")(spark, sf).collect()
+      .map(x => x.getAs[String]("arm") -> x.getAs[Long]("n_users")).toMap
+    assert(rows.last.getAs[Long]("n_enrolled") == readout("B"),
+      "SPRT enrollment and readout B-arm assignment disagree")
+  }
+
   test("CSV quarantine: bad rows isolate exactly, good rows keep their checksums") {
     val r = SparkEntry.queries("source_csv_quarantine")(spark, sf).collect()(0)
     assert(r.getAs[Long]("n_rows") ==

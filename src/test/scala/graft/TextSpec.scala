@@ -290,6 +290,78 @@ class TextSpec extends AnyFunSuite {
     assert(kept == survived, s"funnel says $survived survivors, chain says $kept")
   }
 
+  test("pmi ranks a true collocation above independent co-occurrences") {
+    import spark.implicits._
+    // "new york" only ever appears as a pair (6 times); "red" and
+    // "car" are both frequent but never adjacent; filler words pad the
+    // totals. With floor 2 the only qualifying collocated pair must
+    // rank first with pmi > 0.
+    val docs = (
+      Seq.fill(6)("we visited new york last spring") ++
+      Seq.fill(6)("the red house and a blue car") ++
+      Seq.fill(4)("a car and the red paint dried")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = graft.ops.TextAnalysis.pmi(docs, minCount = 2, k = 50).collect()
+    // PMI favors the rarest always-adjacent pair: "paint dried"
+    // (c12=4, c1=c2=4 → ratio 1/4) beats the six "new york"-doc
+    // bigrams (c12=6, c1=c2=6 → ratio 1/6)
+    val top = rows.head
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) == ("paint", "dried"))
+    assert(top.getAs[Double]("pmi") > 0)
+    val ny = rows.find(r => r.getAs[String]("w1") == "new" &&
+      r.getAs[String]("w2") == "york").get
+    // counts: "new"/"york" appear only in the 6 pair docs
+    assert(ny.getAs[Long]("c12") == 6 && ny.getAs[Long]("c1") == 6 &&
+      ny.getAs[Long]("c2") == 6)
+    // exact PMI replay: n1 tokens, nb bigrams, same double composition
+    val n1 = 6*6 + 6*7 + 4*7
+    val nb = 6*5 + 6*6 + 4*6
+    val exp = math.log((6.0 * n1 * n1) / (nb.toDouble * 6 * 6))
+    assert(math.abs(ny.getAs[Double]("pmi") - exp) < 5e-5)
+    // "red car" never adjacent → no row despite both words frequent
+    assert(!rows.exists(r => r.getAs[String]("w1") == "red" &&
+      r.getAs[String]("w2") == "car"))
+    // every emitted pair respects the floor
+    assert(rows.forall(_.getAs[Long]("c12") >= 2))
+  }
+
+  test("holt: emitted level/trend replay the recurrence from the emitted series") {
+    // replays the α=1/2 β=3/10 micro-unit integer recurrence per
+    // event_type over the query's own emitted y series — init
+    // (y₁·10⁶, 0), then lvl' = huDiv2(y·10⁶ + lvl + tr),
+    // tr' = huDiv10(3(lvl'−lvl) + 7tr), half-up integer division —
+    // and checks EXACT equality with level_u6/trend_u6/fc7_u6, plus
+    // that the integer path tracks true float Holt within 1e-5
+    def hu(n: Long, d: Long): Long = Math.floorDiv(2 * n + d, 2 * d)
+    val rows = SparkEntry.queries("events_holt")(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val srt = rs.sortBy(_.getAs[java.sql.Date]("dt").toString)
+      var lvl = srt.head.getAs[Long]("y") * 1000000L
+      var tr  = 0L
+      var flvl = srt.head.getAs[Long]("y").toDouble
+      var ftr  = 0.0
+      srt.zipWithIndex.foreach { case (r, i) =>
+        if (i > 0) {
+          val y = r.getAs[Long]("y")
+          val nl = hu(y * 1000000L + lvl + tr, 2L)
+          tr  = hu(3L * (nl - lvl) + 7L * tr, 10L)
+          lvl = nl
+          val fnl = 0.5 * y + 0.5 * (flvl + ftr)
+          ftr  = 0.3 * (fnl - flvl) + 0.7 * ftr
+          flvl = fnl
+        }
+        assert(r.getAs[Long]("level_u6") == lvl, s"level@$i")
+        assert(r.getAs[Long]("trend_u6") == tr, s"trend@$i")
+        assert(r.getAs[Long]("fc7_u6") == lvl + 7L * tr, s"fc7@$i")
+        // the quantized recurrence stays glued to the real one
+        assert(math.abs(lvl / 1e6 - flvl) < 1e-3, s"level drift@$i")
+        assert(math.abs(tr / 1e6 - ftr) < 1e-3, s"trend drift@$i")
+      }
+    }
+  }
+
   test("pack sweep: one cumsum serves all budgets; fill ≤ 1, splits shrink with budget") {
     val rows = SparkEntry.queries("seq_pack_sweep")(spark, SparkTestSession.sf)
       .collect().sortBy(_.getAs[Long]("max_tokens"))
