@@ -29,6 +29,22 @@ object OlapQueries {
   private val SprtL0: Long  = Math.round(math.log(0.50 / 0.60) * 1e6)
   private val SprtThr: Long = Math.round(math.log(19.0) * 1e6)
 
+  /** dp_noisy_counts inverse-CDF thresholds, computed ONCE here and
+    * pasted into engine and oracle as the same 60 BIGINT literals:
+    * discrete Laplace (two-sided geometric) with ε=0.5 (α=e^(−ε)),
+    * support clamped to ±30 (tail mass ~3·10⁻⁷, folded into the end
+    * buckets by renormalization), cumulative probabilities scaled to
+    * the 2⁴⁰ hash-uniform grid. noise(u) = −30 + |{j : T_j ≤ u}|. */
+  private[queries] val DpK = 30
+  private[queries] val DpScale = 1099511627776L // 2^40
+  private[queries] val DpThresholds: Seq[Long] = {
+    val alpha = math.exp(-0.5)
+    val w = (-DpK to DpK).map(k => math.pow(alpha, math.abs(k)))
+    val total = w.sum
+    w.scanLeft(0.0)(_ + _).tail.init
+      .map(c => Math.round(c / total * DpScale.toDouble))
+  }
+
   /** Shared 10-row literal base for the q_canary_* gate-parity family:
     * every column is a pure function of the row id (a/b share the
     * numerator/denominator magnitudes of ratio metrics, c/d the avg
@@ -2294,6 +2310,68 @@ object OlapQueries {
         .orderBy("arm")
     }),
 
+    // DIFFERENTIALLY-PRIVATE RELEASE AUDIT — per-nation order counts
+    // under row-level ε=0.5 discrete-Laplace noise plus small-count
+    // suppression (released < 10 → suppressed), the privacy gate a
+    // data-sharing pipeline runs before stats leave the boundary. The
+    // noise is DETERMINISTIC-SEED: u = low 40 bits of the keyed
+    // portable hash of the release key, mapped through the plan-time
+    // integer inverse-CDF thresholds (see [[DpThresholds]]) — the
+    // reproducible-release variant (same key → same noise across
+    // reruns and engines; a fresh-randomness release would simply swap
+    // the hash for an RNG). Everything is BIGINT: the threshold walk
+    // is a filter-count over a 60-literal array, no float surface.
+    // This is the AUDIT view (true count, noise, release, flag side
+    // by side); the publishable projection drops n_true/noise. One
+    // fact-table scan; both dims broadcast.
+    "dp_noisy_counts" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      Tables.orders(s, dir).select(col("o_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_true"))
+        .withColumn("u", pmod(call_function("graft_hash64",
+          col("n_name"), lit(777L)), lit(DpScale)))
+        .withColumn("noise", expr(
+          s"size(filter(array(${DpThresholds.mkString("L, ")}L), t -> t <= u)) - $DpK")
+          .cast("bigint"))
+        .withColumn("n_released", greatest(col("n_true") + col("noise"), lit(0L)))
+        .withColumn("suppressed", (col("n_released") < 10).cast("long"))
+        .select(col("n_name"), col("n_true"), col("noise"),
+          col("n_released"), col("suppressed"))
+        .orderBy("n_name")
+    }),
+
+    // K-ANONYMITY AUDIT (Sweeney 2002) — the other half of the privacy
+    // gate next to dp_noisy_counts: before a customer extract leaves
+    // the boundary, group it by its quasi-identifier tuple (nation,
+    // market segment, $2000 account-balance band) and report the
+    // equivalence-class size distribution. A row in a class smaller
+    // than k=5 is re-identifiable by anyone who knows those three
+    // public attributes; the release rule is "generalize or suppress
+    // until no at-risk rows remain", and this histogram is exactly the
+    // evidence that decision reads. The balance band is derived in
+    // exact integer cents shifted non-negative (truncating div ==
+    // floor in every engine — no float touches a grouping key), and
+    // the emission is pure BIGINT. Two groupBys, one scan; the QI
+    // class count is bounded by the attribute-domain product, so the
+    // second aggregation is tiny at any corpus size.
+    "privacy_k_anon" -> ((s, dir) => {
+      val band = expr("(acct_c + 100000) div 200000")
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          Exact.cents(col("c_acctbal")).as("acct_c"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), band.as("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .groupBy("class_size")
+        .agg(count(lit(1)).as("n_classes"),
+          sum("class_size").as("n_rows"))
+        .withColumn("at_risk", (col("class_size") < 5).cast("long"))
+        .orderBy("class_size")
+    }),
+
     // SEQUENTIAL A/B MONITORING (Wald 1945 SPRT, daily looks) — the
     // always-valid companion to events_ab_readout's fixed-horizon
     // chi-square: a readout peeked at daily inflates false positives,
@@ -2395,6 +2473,60 @@ object OlapQueries {
     // emits the decision numbers: files before, small files (< half
     // target), bins after, and rows_rewritten (bins holding >= 2
     // files cost a rewrite; a lone at-target file is left in place).
+    // SHARD REBALANCE PLAN — the layout family's missing maintenance
+    // member next to compaction (merge small files) and z-order
+    // (co-locate keys): given per-partition row counts, emit WHO SENDS
+    // HOW MUCH TO WHOM so every partition lands on its largest-
+    // remainder quota, moving the MINIMUM total rows (only surpluses
+    // move — Σ moved = Σ max(0, n−t), the transport-problem optimum
+    // for divisible loads). The pairing is fully declarative: donors
+    // and receivers each get contiguous cumulative intervals over
+    // [0, S); merged interval starts cut [0, S) into segments; each
+    // segment's donor and receiver attach via two INCLUSIVE-BACKWARD
+    // as-of joins on a constant key (AsOf.joinAsOf — the same
+    // union-sort operator the event queries use, no range join, no
+    // product). Everything after the one corpus-sized groupBy runs on
+    // the bounded partition table; move rows ≤ donors + receivers − 1
+    // by construction (consecutive-interval overlap).
+    "layout_rebalance_plan" -> ((s, dir) => {
+      val wOrd = Window.orderBy("part")
+      val pre  = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val li = Tables.lineitem(s, dir)
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("part"))
+        .agg(count(lit(1)).as("n"))
+      val tot = li.agg(sum("n").as("total"), count(lit(1)).as("p"))
+      val parts = graft.ops.Scalars.withScalar(li, col("part"), tot, col("total"))
+        .withColumn("idx", row_number().over(wOrd))
+        .withColumn("t",
+          expr("total div p + CASE WHEN idx <= total % p THEN 1 ELSE 0 END"))
+        .withColumn("delta", col("n") - col("t"))
+        .localCheckpoint(false) // feeds donors, receivers, and the S scalar
+      val donors = parts.filter(col("delta") > 0)
+        .withColumn("pos", coalesce(sum("delta").over(pre), lit(0L)))
+        .select(lit(0L).as("k"), col("pos"), col("part").as("from_part"))
+        .localCheckpoint(false) // boundary union + as-of right side
+      val recvs = parts.filter(col("delta") < 0)
+        .withColumn("pos", coalesce(sum(-col("delta")).over(pre), lit(0L)))
+        .select(lit(0L).as("k"), col("pos"), col("part").as("to_part"))
+        .localCheckpoint(false)
+      val stot = parts.agg(
+        sum(when(col("delta") > 0, col("delta")).otherwise(0L)).as("s"))
+      val segs = graft.ops.Scalars.withScalar(
+          donors.select("pos").unionByName(recvs.select("pos")).distinct(),
+          col("pos"), stot, col("s"))
+        .withColumn("e",
+          coalesce(lead("pos", 1).over(Window.orderBy("pos")), col("s")))
+        .filter(col("e") > col("pos"))
+        .withColumn("k", lit(0L))
+        .select("k", "pos", "e")
+      graft.ops.AsOf.joinAsOf(
+          graft.ops.AsOf.joinAsOf(segs, donors, "k", "pos", Seq("from_part")),
+          recvs, "k", "pos", Seq("to_part"))
+        .groupBy("from_part", "to_part")
+        .agg(sum(col("e") - col("pos")).as("n_moved"))
+        .orderBy("from_part", "to_part")
+    }),
+
     "layout_compaction_plan" -> ((s, dir) => {
       val target = 500L
       val files = Tables.events(s, dir)
@@ -3543,6 +3675,41 @@ object OlapQueries {
          |    AS BIGINT) AS chi2_u4
          |FROM cg, st ORDER BY arm""".stripMargin,
 
+    // same hash low-40-bits uniform, same 60 threshold literals —
+    // the threshold walk replays as a list_filter length
+    "dp_noisy_counts" -> {
+      import DuckHash.{ghashSql, fnvHx}
+      s"""WITH o AS (SELECT n_name, count(*) AS n_true
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+         |tb AS (SELECT n_name, n_true, hex(encode(n_name)) AS hx,
+         |         octet_length(encode(n_name)) AS n FROM o),
+         |hh AS (SELECT n_name, n_true,
+         |         ${ghashSql(fnvHx, "777")} % $DpScale AS u FROM tb),
+         |x AS (SELECT n_name, n_true,
+         |        CAST(len(list_filter([${DpThresholds.mkString(", ")}],
+         |          t -> t <= u)) - $DpK AS BIGINT) AS noise
+         |      FROM hh)
+         |SELECT n_name, n_true, noise,
+         |  greatest(n_true + noise, 0) AS n_released,
+         |  CAST(CASE WHEN greatest(n_true + noise, 0) < 10
+         |       THEN 1 ELSE 0 END AS BIGINT) AS suppressed
+         |FROM x ORDER BY n_name""".stripMargin
+    },
+
+    // same cents band (shift keeps the div non-negative → floor), same
+    // two-level aggregation — pure BIGINT end to end
+    "privacy_k_anon" ->
+      """WITH q AS (SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal*100) AS BIGINT) + 100000) // 200000 AS bal_band
+        |  FROM customer),
+        |cls AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |    count(*) AS class_size FROM q GROUP BY 1, 2, 3)
+        |SELECT class_size, count(*) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin,
+
     // same hash arm, same plan-time ×10⁶ increments — the statistic
     // is k·L1 + (n−k)·L0 in pure BIGINT, no float surface
     "events_ab_sprt" -> {
@@ -3592,6 +3759,40 @@ object OlapQueries {
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same scaled-coordinate Morton interleave, bucket rollup and
+    // same quotas, same cumulative intervals; the segment→donor/
+    // receiver attach replays as a small interval join on the bounded
+    // partition table (results-equivalent to the engine's as-of pair)
+    "layout_rebalance_plan" ->
+      """WITH li AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part,
+        |    count(*) AS n FROM lineitem GROUP BY 1),
+        |tt AS (SELECT sum(n) AS total, count(*) AS p FROM li),
+        |pt AS (SELECT part, n,
+        |    row_number() OVER (ORDER BY part) AS idx FROM li),
+        |d0 AS (SELECT part,
+        |    n - (total // p + CASE WHEN idx <= total % p THEN 1 ELSE 0 END)
+        |      AS delta FROM pt, tt),
+        |don AS (SELECT part AS from_part, delta AS sur,
+        |    coalesce(sum(delta) OVER (ORDER BY part
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM d0 WHERE delta > 0),
+        |rec AS (SELECT part AS to_part, -delta AS def,
+        |    coalesce(sum(-delta) OVER (ORDER BY part
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM d0 WHERE delta < 0),
+        |st AS (SELECT sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS s FROM d0),
+        |b AS (SELECT DISTINCT pos FROM
+        |       (SELECT pos FROM don UNION ALL SELECT pos FROM rec)),
+        |sg AS (SELECT pos, e FROM
+        |        (SELECT pos, coalesce(lead(pos) OVER (ORDER BY pos),
+        |           (SELECT s FROM st)) AS e FROM b)
+        |       WHERE e > pos),
+        |mv AS (SELECT d.from_part, r.to_part, sg.e - sg.pos AS len
+        |  FROM sg
+        |  JOIN don d ON sg.pos >= d.pos AND sg.pos < d.pos + d.sur
+        |  JOIN rec r ON sg.pos >= r.pos AND sg.pos < r.pos + r.def)
+        |SELECT from_part, to_part, CAST(sum(len) AS BIGINT) AS n_moved
+        |FROM mv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // same manifest build, exclusive-prefix-sum binning, and audit
     // ('//' equals div: all operands non-negative)
     "layout_compaction_plan" ->

@@ -1397,6 +1397,39 @@ class ScaleOpsSpec extends AnyFunSuite {
       Map("A" -> 4L, "B" -> 3L, "C" -> 3L))
   }
 
+  test("rebalance plan: moves hit every quota exactly and total the minimum") {
+    // replay the quotas in Scala from the raw per-month counts, then
+    // check the emitted plan is a feasible transport: every donor
+    // sends exactly its surplus, every receiver gets exactly its
+    // deficit, total moved = Σ surpluses (the divisible-load optimum),
+    // and the consecutive-interval pairing bounds the plan size
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("part"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[java.sql.Date]("part") -> r.getAs[Long]("n"))
+      .sortBy(_._1.toString)
+    val total = counts.map(_._2).sum; val p = counts.length
+    val quota = counts.zipWithIndex.map { case ((part, _), i) =>
+      part -> (total / p + (if (i < total % p) 1L else 0L))
+    }.toMap
+    val delta = counts.map { case (part, n) => part -> (n - quota(part)) }.toMap
+    val plan = SparkEntry.queries("layout_rebalance_plan")(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date]("from_part"),
+        r.getAs[java.sql.Date]("to_part"), r.getAs[Long]("n_moved")))
+    assert(plan.forall(_._3 > 0))
+    val sent = plan.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val recv = plan.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    delta.foreach { case (part, d) =>
+      assert(sent.getOrElse(part, 0L) == math.max(d, 0L), s"surplus of $part")
+      assert(recv.getOrElse(part, 0L) == math.max(-d, 0L), s"deficit of $part")
+    }
+    val surplusTotal = delta.values.filter(_ > 0).sum
+    assert(plan.map(_._3).sum == surplusTotal, "plan moves more than the optimum")
+    val nDon = delta.values.count(_ > 0); val nRec = delta.values.count(_ < 0)
+    assert(plan.length <= nDon + nRec - 1 || plan.isEmpty,
+      s"${plan.length} moves from $nDon donors, $nRec receivers")
+  }
+
   test("compaction plan: audit equals a driver replay of the contiguous packing") {
     // the manifest is tiny, so replay the whole plan in Scala: same
     // per-partition day order, exclusive prefix sum, bin = cum div 500
@@ -1518,6 +1551,56 @@ class ScaleOpsSpec extends AnyFunSuite {
     val n = rows.map(_.getAs[Long]("n_users")).sum
     assert(math.abs(drift) <= n,
       s"adjustment shifted the overall mean: drift $drift over $n users")
+  }
+
+  test("DP release: noise replays the discrete-Laplace inverse CDF off the keyed hash") {
+    val rows = SparkEntry.queries("dp_noisy_counts")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent replica of the plan-time thresholds (ε=0.5, ±30)
+    val alpha = math.exp(-0.5)
+    val w = (-30 to 30).map(k => math.pow(alpha, math.abs(k)))
+    val thr = w.scanLeft(0.0)(_ + _).tail.init
+      .map(c => Math.round(c / w.sum * 1099511627776.0))
+    import spark.implicits._
+    graft.functions.GraftHash64.register(spark)
+    val us = rows.map(_.getAs[String]("n_name")).toSeq.toDF("n_name")
+      .select(col("n_name"), pmod(call_function("graft_hash64",
+        col("n_name"), lit(777L)), lit(1099511627776L)).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val name = r.getAs[String]("n_name")
+      val expNoise = thr.count(_ <= us(name)) - 30L
+      assert(r.getAs[Long]("noise") == expNoise, s"noise mismatch for $name")
+      assert(math.abs(r.getAs[Long]("noise")) <= 30)
+      val rel = math.max(r.getAs[Long]("n_true") + r.getAs[Long]("noise"), 0L)
+      assert(r.getAs[Long]("n_released") == rel)
+      assert(r.getAs[Long]("suppressed") == (if (rel < 10) 1L else 0L))
+    }
+    // ε=0.5 noise must actually perturb: not every nation's noise is 0
+    assert(rows.exists(_.getAs[Long]("noise") != 0L))
+  }
+
+  test("k-anonymity: histogram replays the QI grouping and covers every row") {
+    val rows = SparkEntry.queries("privacy_k_anon")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent Scala replay of the QI classes off the raw table
+    val classes = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        graft.queries.Exact.cents(col("c_acctbal")).as("acct_c"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getString(1), (r.getLong(2) + 100000L) / 200000L))
+      .view.mapValues(_.length.toLong).values.toSeq
+    val hist = classes.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == hist.size)
+    rows.foreach { r =>
+      val size = r.getAs[Long]("class_size")
+      assert(r.getAs[Long]("n_classes") == hist(size), s"classes of size $size")
+      assert(r.getAs[Long]("n_rows") == size * hist(size))
+      assert(r.getAs[Long]("at_risk") == (if (size < 5) 1L else 0L))
+    }
+    // the histogram must account for every customer row exactly once
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.customer(spark, sf).count())
   }
 
   test("SPRT: llr is the quantized Wald walk over cumulative looks, boundaries honored") {
