@@ -98,6 +98,57 @@ object Graph {
           .otherwise(0.0).as("clustering"))
   }
 
+  /** k-core peel curve (Seidman 1983; distributed peeling à la
+    * Montresor et al. 2013) over an undirected edge set (columns `a`,
+    * `b`, a < b canonical) — the cohesion question next to
+    * [[triangleStats]]'s closure and [[labelProp]]'s communities: how
+    * much of the graph survives when nodes with fewer than `k`
+    * surviving neighbors are repeatedly stripped? The surviving
+    * subgraph is the k-core; the CURVE (size after each peel round) is
+    * the audit view — a near-dup graph whose core collapses in one
+    * round is hub-and-spoke templates, one that persists is a densely
+    * cross-linked clone family.
+    *
+    * Fixed `rounds` unroll, same doctrine as [[labelProp]]: each round
+    * is one degree groupBy + two semi-joins back to the edge set, all
+    * keyed on node ids, lineage cut per round; peeling is monotone
+    * (node sets only shrink), so round r is a well-defined prefix of
+    * the fixpoint whether or not the horizon reaches it, and the
+    * emitted `stable` flag says if it did. Output: (round, n_nodes,
+    * n_edges, stable) for rounds 0..rounds, all BIGINT. */
+  def kCorePeel(edges: DataFrame, k: Int = 3, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
+    var cur = edges.select(col("a"), col("b")).localCheckpoint(false)
+    val states = scala.collection.mutable.ArrayBuffer(cur)
+    for (_ <- 1 to rounds) {
+      val keep = cur.select(col("a").as("v"))
+        .unionByName(cur.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("v")
+      cur = cur
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+      states += cur
+    }
+    val stats = states.zipWithIndex.map { case (st, r) =>
+      val nn = st.select(col("a").as("v")).unionByName(st.select(col("b").as("v")))
+        .distinct().agg(count(lit(1)).as("n_nodes"))
+        .withColumn("round", lit(r.toLong))
+      st.agg(count(lit(1)).as("n_edges"))
+        .withColumn("round", lit(r.toLong))
+        .join(nn, "round")
+    }.reduce(_.unionByName(_))
+    // stable once a round removes nothing — compare to the previous row
+    val w = org.apache.spark.sql.expressions.Window.orderBy("round")
+    stats
+      .withColumn("stable",
+        (lag("n_nodes", 1).over(w) === col("n_nodes")).cast("long"))
+      .na.fill(0L, Seq("stable"))
+      .select(col("round"), col("n_nodes"), col("n_edges"), col("stable"))
+  }
+
   /** Synchronous label propagation communities (Raghavan et al. 2007)
     * over an undirected edge set (columns `a`, `b`, a < b canonical) —
     * the community structure [[Cluster.connectedComponents]] cannot

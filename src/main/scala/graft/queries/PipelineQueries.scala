@@ -1743,6 +1743,20 @@ object PipelineQueries {
         .orderBy("n_members")
     }),
 
+    // 3-CORE PEEL CURVE over the same kNN similarity graph — the graph
+    // family's cohesion member (triangles = closure, label_prop =
+    // communities, k-core = depth): how much of the near-dup graph
+    // survives repeated stripping of weakly-attached nodes. See
+    // ops/Graph.kCorePeel for the fixed-horizon peel doctrine.
+    "graph_kcore" -> ((s, dir) => {
+      val edges = Similarity.lshTopK(Tables.embeddings(s, dir), lit(true),
+          k = 3, numPlanes = 4)
+        .select(least(col("probe_id"), col("neighbor_id")).as("a"),
+          greatest(col("probe_id"), col("neighbor_id")).as("b"))
+        .distinct()
+      graft.ops.Graph.kCorePeel(edges, k = 3, rounds = 6).orderBy("round")
+    }),
+
     // DISTRIBUTION DRIFT (PSI) between two corpus slices: fixed-width
     // length bins (a pure per-row map — no quantile pass to coordinate
     // across engines), Laplace-smoothed shares so empty bins stay
@@ -3437,6 +3451,35 @@ object PipelineQueries {
 
     // same kNN edge set; 4 unrolled synchronous mode-of-neighbors
     // rounds with the identical (cnt desc, lbl) tie order
+    // same kNN edge CTE, 6 unrolled peel rounds; stable = node count
+    // unchanged vs the previous round (round 0 fixed at 0). Each round
+    // references its predecessor ~5 times, so the per-round CTEs are
+    // MATERIALIZED — DuckDB inlines CTEs by default and the expansion
+    // would otherwise be exponential in the round count
+    "graph_kcore" -> {
+      def peel(prev: String, n: Int) =
+        s"""k$n AS MATERIALIZED (SELECT v FROM (
+           |  SELECT v, count(*) AS deg
+           |  FROM (SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev)
+           |  GROUP BY 1) WHERE deg >= 3),
+           |p$n AS MATERIALIZED (SELECT a, b FROM $prev
+           |  WHERE a IN (SELECT v FROM k$n) AND b IN (SELECT v FROM k$n))""".stripMargin
+      def st(r: Int) =
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT count(DISTINCT v) FROM
+           |    (SELECT a AS v FROM p$r UNION ALL SELECT b FROM p$r)) AS n_nodes,
+           |  (SELECT count(*) FROM p$r) AS n_edges""".stripMargin
+      s"""WITH $knnEdgeCtes,
+         |p0 AS MATERIALIZED (SELECT a, b FROM ed),
+         |${(1 to 6).map(n => peel(s"p${n - 1}", n)).mkString(",\n")},
+         |stats AS (${(0 to 6).map(st).mkString("\nUNION ALL\n")})
+         |SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_edges AS BIGINT) AS n_edges,
+         |  CAST(coalesce(lag(n_nodes) OVER (ORDER BY round) = n_nodes, FALSE)
+         |    AS BIGINT) AS stable
+         |FROM stats ORDER BY round""".stripMargin
+    },
+
     "graph_label_prop" -> {
       def round(prev: String, out: String) =
         s"""$out AS (SELECT src AS v, lbl FROM (

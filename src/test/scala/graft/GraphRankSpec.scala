@@ -175,6 +175,42 @@ class GraphRankSpec extends AnyFunSuite {
     assert(rayleigh(comps) > rayleigh(uniform))
   }
 
+  test("kCorePeel strips a pendant chain but keeps the clique; curve matches a replay") {
+    // K4 plus node 5 attached to 4/6/7 (initial degree 3, but two of
+    // those neighbors are leaves): the 3-core is exactly the K4, and
+    // the peel takes TWO rounds — leaves 6,7 fall first, which only
+    // then drops 5's degree below 3.
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L),(5L,7L)).toDF("a", "b")
+    val rows = Graph.kCorePeel(edges, k = 3, rounds = 4)
+      .orderBy("round").collect()
+    assert(rows.map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_nodes"),
+      r.getAs[Long]("n_edges"), r.getAs[Long]("stable"))).toSeq == Seq(
+      (0L, 7L, 9L, 0L),  // full graph
+      (1L, 5L, 7L, 0L),  // leaves 6,7 dropped; 5 survives on deg 3
+      (2L, 4L, 6L, 0L),  // 5 dropped (degree fell to 1)
+      (3L, 4L, 6L, 1L),  // fixpoint: the K4
+      (4L, 4L, 6L, 1L)))
+    // independent replay on the sf kNN graph: peel in Scala, compare
+    val knn = graft.ops.Similarity.lshTopK(
+        Tables.embeddings(spark, sf), lit(true), k = 3, numPlanes = 4)
+      .select(least(col("probe_id"), col("neighbor_id")).as("a"),
+        greatest(col("probe_id"), col("neighbor_id")).as("b"))
+      .distinct()
+    var cur = knn.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = scala.collection.mutable.ArrayBuffer((
+      cur.flatMap(e => Seq(e._1, e._2)).size.toLong, cur.size.toLong))
+    for (_ <- 1 to 6) {
+      val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      cur = cur.filter(e => deg(e._1) >= 3 && deg(e._2) >= 3)
+      expect += ((cur.flatMap(e => Seq(e._1, e._2)).size.toLong, cur.size.toLong))
+    }
+    val got = SparkEntry.queries("graph_kcore")(spark, sf).orderBy("round")
+      .collect().map(r => (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("labelProp separates two triangles across a bridge, deterministically") {
     // two 3-cliques joined by the single bridge 3-4. Hand-rolled sync
     // rounds with (count desc, label asc) ties converge by round 4 to
