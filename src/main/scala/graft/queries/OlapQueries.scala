@@ -2527,6 +2527,58 @@ object OlapQueries {
         .orderBy("from_part", "to_part")
     }),
 
+    // DATA-SKIPPING EFFECTIVENESS AUDIT — the measurement that says
+    // whether a layout rewrite (z-order, clustering) is WORTH its
+    // rewrite cost: build the per-file min/max manifest a lakehouse
+    // format keeps for pruning (files = equal-size runs of the global
+    // sort order, via the distributed Rank.globalRankByRange — no
+    // single-task sort), under TWO layouts of the same events table
+    // (linear = arrival order by timestamp; clustered = sorted by
+    // user_id), then replay a 20-point-lookup workload against each
+    // manifest and count files whose [u_min, u_max] span contains the
+    // probe. A clustered file hits ~1 file per probe; a linear layout
+    // makes every file a candidate — files_hit IS the scan cost a
+    // query planner pays. The probe set is a fixed literal sequence
+    // exploded per manifest row (metadata-scale, no join of any kind);
+    // sel_u4 = files_hit×10⁴ / (files·probes) in pure integer division.
+    // File size is SCALE-RELATIVE (total/32, the layout family's
+    // standing convention) so the manifest discriminates at every SF —
+    // a fixed size would collapse a small table into one file and a
+    // 100 TB table into millions of manifest rows.
+    "layout_skipping_audit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("user_id"))
+        .localCheckpoint(false) // ranked twice, once per layout
+      val tot = ev.agg(count(lit(1)).as("n_total"))
+      def manifest(orderCol: String, layout: String) =
+        graft.ops.Scalars.withScalar(
+            graft.ops.Rank.globalRankByRange(ev, orderCol, "event_id"),
+            col("event_id"), tot, col("n_total"))
+          .withColumn("file_id",
+            expr("(rnk - 1) div greatest(n_total div 32, 1L)"))
+          .groupBy("file_id")
+          .agg(min("user_id").as("u_min"), max("user_id").as("u_max"))
+          .withColumn("layout", lit(layout))
+      val man = manifest("ts_us", "linear")
+        .unionByName(manifest("user_id", "clustered"))
+        .localCheckpoint(false) // metadata-sized: feeds sizes + the probe replay
+      val hits = man
+        .withColumn("probe_uid", explode(expr("sequence(1L, 20L)")))
+        .filter(col("probe_uid") >= col("u_min") &&
+          col("probe_uid") <= col("u_max"))
+        .groupBy("layout").agg(count(lit(1)).as("files_hit"))
+      man.groupBy("layout").agg(count(lit(1)).as("n_files"))
+        .join(hits, Seq("layout"), "left")
+        .na.fill(0L, Seq("files_hit"))
+        .withColumn("n_probes", lit(20L))
+        .withColumn("sel_u4",
+          expr("files_hit * 10000 div (n_files * n_probes)"))
+        .select(col("layout"), col("n_files"), col("n_probes"),
+          col("files_hit"), col("sel_u4"))
+        .orderBy("layout")
+    }),
+
     "layout_compaction_plan" -> ((s, dir) => {
       val target = 500L
       val files = Tables.events(s, dir)
@@ -3792,6 +3844,32 @@ object OlapQueries {
         |  JOIN rec r ON sg.pos >= r.pos AND sg.pos < r.pos + r.def)
         |SELECT from_part, to_part, CAST(sum(len) AS BIGINT) AS n_moved
         |FROM mv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same two global sort orders (row_number replays globalRankByRange
+    // by construction), same fixed probe workload, pure integer sel
+    "layout_skipping_audit" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
+        |fs AS (SELECT greatest(count(*)//32, 1) AS rpf FROM ev),
+        |lin AS (SELECT user_id,
+        |    row_number() OVER (ORDER BY ts_us DESC, event_id) AS rnk FROM ev),
+        |clu AS (SELECT user_id,
+        |    row_number() OVER (ORDER BY user_id DESC, event_id) AS rnk FROM ev),
+        |man AS (
+        |  SELECT 'linear' AS layout, (rnk-1)//(SELECT rpf FROM fs) AS file_id,
+        |    min(user_id) AS u_min, max(user_id) AS u_max FROM lin GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'clustered', (rnk-1)//(SELECT rpf FROM fs),
+        |    min(user_id), max(user_id) FROM clu GROUP BY 1, 2),
+        |pr AS (SELECT unnest(range(1, 21)) AS probe_uid),
+        |ht AS (SELECT layout, count(*) AS files_hit
+        |  FROM man JOIN pr ON probe_uid >= u_min AND probe_uid <= u_max
+        |  GROUP BY 1),
+        |sz AS (SELECT layout, count(*) AS n_files FROM man GROUP BY 1)
+        |SELECT sz.layout, n_files, CAST(20 AS BIGINT) AS n_probes,
+        |  CAST(coalesce(files_hit, 0) AS BIGINT) AS files_hit,
+        |  CAST(coalesce(files_hit, 0) * 10000 // (n_files * 20) AS BIGINT) AS sel_u4
+        |FROM sz LEFT JOIN ht ON sz.layout = ht.layout
+        |ORDER BY sz.layout""".stripMargin,
 
     // same manifest build, exclusive-prefix-sum binning, and audit
     // ('//' equals div: all operands non-negative)

@@ -1430,6 +1430,34 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"${plan.length} moves from $nDon donors, $nRec receivers")
   }
 
+  test("skipping audit: replays the two manifests and the clustered layout prunes") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rpf = math.max(ev.length / 32, 1)
+    def replay(sorted: Array[(Long, Long, Long)]): (Long, Long) = {
+      val files = sorted.grouped(rpf).map { g =>
+        (g.map(_._3).min, g.map(_._3).max) }.toArray
+      val hits = files.map { case (lo, hi) =>
+        (1L to 20L).count(p => p >= lo && p <= hi).toLong }.sum
+      (files.length.toLong, hits)
+    }
+    // linear = (ts DESC, event_id ASC); clustered = (user_id DESC, id ASC)
+    val lin = replay(ev.sortBy(e => (-e._2, e._1)))
+    val clu = replay(ev.sortBy(e => (-e._3, e._1)))
+    val rows = SparkEntry.queries("layout_skipping_audit")(spark, sf)
+      .collect().map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("files_hit"),
+          r.getAs[Long]("sel_u4"))).toMap
+    assert(rows("linear") == (lin._1, lin._2,
+      lin._2 * 10000 / (lin._1 * 20)))
+    assert(rows("clustered") == (clu._1, clu._2,
+      clu._2 * 10000 / (clu._1 * 20)))
+    // the point of the audit: clustering must actually prune
+    assert(rows("clustered")._3 < rows("linear")._3,
+      s"clustered layout did not skip more than linear: $rows")
+  }
+
   test("compaction plan: audit equals a driver replay of the contiguous packing") {
     // the manifest is tiny, so replay the whole plan in Scala: same
     // per-partition day order, exclusive prefix sum, bin = cum div 500
