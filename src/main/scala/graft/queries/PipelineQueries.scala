@@ -16,6 +16,16 @@ import graft.sources.Tables
   */
 object PipelineQueries {
 
+  /** text_bm25_ndcg position discounts, computed ONCE here and pasted
+    * into engine and oracle as the same BIGINT literals: the nDCG
+    * weight 1/log2(rank+1) for ranks 1..10, ×10⁶ half-up. */
+  private[queries] val NdcgW: Seq[Long] =
+    (1 to 10).map(i => Math.round(1e6 / (math.log(i + 1) / math.log(2))))
+
+  /** Prefix sums of [[NdcgW]] with a leading 0, so element (n+1) is the
+    * ideal DCG of n relevant results (n clamped to 10). */
+  private[queries] val NdcgWPrefix: Seq[Long] = NdcgW.scanLeft(0L)(_ + _)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_exact" -> ((s, dir) =>
@@ -2329,6 +2339,48 @@ object PipelineQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // nDCG@10 RETRIEVAL EVAL — the measurement layer over text_bm25_topk
+    // (a retrieval stack without its eval harness is untunable): BM25
+    // ranks the corpus for each benchmark query, relevance is
+    // same-LANGUAGE (a label independent of the ranking function;
+    // token overlap should retrieve same-lang docs, so the score is
+    // meaningfully above the random baseline and a tokenizer/scoring
+    // regression shows up as an nDCG drop). The log2 position
+    // discounts are quantized ONCE at plan time to ×10⁶ BIGINT
+    // literals (the SPRT/DP-thresholds trick), so DCG, ideal DCG and
+    // their ratio are pure integer arithmetic — no float surface.
+    // Scale: the ranking is the posting-join bm25TopK; everything
+    // after runs on k×|queries| rows plus a bounded language table.
+    "text_bm25_ndcg" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val qlang = d.filter(col("doc_id") < 25)
+        .select(col("doc_id").as("q_id"), col("lang").as("q_lang"))
+      val clang = d.filter(col("doc_id") >= 25)
+        .select(col("doc_id"), col("lang"))
+      val top = graft.ops.Corpus.bm25TopK(
+        d.filter(col("doc_id") >= 25), d.filter(col("doc_id") < 25), k = 10)
+      val wArr = array(NdcgW.map(lit): _*)
+      val pArr = array(NdcgWPrefix.map(lit): _*)
+      val dcg = top.join(clang, "doc_id").join(broadcast(qlang), "q_id")
+        .groupBy("q_id")
+        .agg(sum(when(col("lang") === col("q_lang"),
+          element_at(wArr, col("rnk").cast("int"))).otherwise(0L)).as("dcg_u6"))
+      val nrel = qlang.join(
+          broadcast(clang.groupBy("lang").agg(count(lit(1)).as("n_lang"))),
+          col("q_lang") === col("lang"), "left")
+        .select(col("q_id"), coalesce(col("n_lang"), lit(0L)).as("n_rel"))
+      nrel.join(dcg, Seq("q_id"), "left")
+        .na.fill(0L, Seq("dcg_u6"))
+        .withColumn("idcg_u6",
+          element_at(pArr, (least(col("n_rel"), lit(10L)) + 1).cast("int")))
+        .withColumn("ndcg_u4",
+          when(col("idcg_u6") > 0, expr("dcg_u6 * 10000 div idcg_u6"))
+            .otherwise(0L))
+        .select(col("q_id"), col("n_rel"), col("dcg_u6"), col("idcg_u6"),
+          col("ndcg_u4"))
+        .orderBy("q_id")
+    }),
+
     "tfidf_topterms" -> ((s, dir) =>
       graft.ops.Corpus.tfidfTop(Tables.documents(s, dir), k = 3)
         .orderBy("doc_id", "rnk")),
@@ -3172,6 +3224,36 @@ object PipelineQueries {
        |SELECT probe_id, rank, neighbor_id, round(cos, 4) AS cos
        |FROM hnsw WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
+
+  /** BM25 ranking CTE chain ending in `bm` (q_id, rnk, doc_id,
+    * n_terms, score; rnk ≤ `k`) — shared by text_bm25_topk and the
+    * nDCG eval so the two oracles replay ONE scoring definition. */
+  private def bm25Ctes(k: Int): String =
+    s"""ct AS (SELECT doc_id, t, count(*) AS tf FROM
+       |      (SELECT doc_id, unnest($toks) AS t FROM documents
+       |       WHERE doc_id >= 25) GROUP BY 1, 2),
+       |dft AS (SELECT t, count(*) AS df FROM ct GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ct GROUP BY 1),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS nd FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS q_id, t FROM
+       |      (SELECT doc_id, unnest($toks) AS t FROM documents
+       |       WHERE doc_id < 25)),
+       |sc AS (SELECT qt.q_id, ct.doc_id,
+       |         ln(1.0 + (tot.nd - dft.df + CAST(0.5 AS DOUBLE))
+       |                  / (dft.df + CAST(0.5 AS DOUBLE)))
+       |           * (ct.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+       |           / (ct.tf + CAST(1.2 AS DOUBLE)
+       |              * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+       |                 * (dl.dl * tot.nd / tot.sdl))) AS contrib
+       |       FROM qt JOIN ct USING (t) JOIN dft USING (t)
+       |         JOIN dl ON ct.doc_id = dl.doc_id CROSS JOIN tot),
+       |ag AS (SELECT q_id, doc_id, round(sum(contrib), 4) AS score,
+       |         count(*) AS n_terms
+       |       FROM sc GROUP BY 1, 2),
+       |bm AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+       |  doc_id, n_terms, score
+       |FROM ag QUALIFY rnk <= $k)""".stripMargin
 
   private lazy val contaminationSql =
     s"""WITH d AS (SELECT doc_id, list_distinct(
@@ -4974,31 +5056,36 @@ object PipelineQueries {
     // identical float composition throughout (doubles forced — the
     // bare +0.5 chain would run in DECIMAL), rank on the rounded score
     "text_bm25_topk" ->
-      s"""WITH ct AS (SELECT doc_id, t, count(*) AS tf FROM
-         |      (SELECT doc_id, unnest($toks) AS t FROM documents
-         |       WHERE doc_id >= 25) GROUP BY 1, 2),
-         |dft AS (SELECT t, count(*) AS df FROM ct GROUP BY 1),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ct GROUP BY 1),
-         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS nd FROM dl),
-         |qt AS (SELECT DISTINCT doc_id AS q_id, t FROM
-         |      (SELECT doc_id, unnest($toks) AS t FROM documents
-         |       WHERE doc_id < 25)),
-         |sc AS (SELECT qt.q_id, ct.doc_id,
-         |         ln(1.0 + (tot.nd - dft.df + CAST(0.5 AS DOUBLE))
-         |                  / (dft.df + CAST(0.5 AS DOUBLE)))
-         |           * (ct.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-         |           / (ct.tf + CAST(1.2 AS DOUBLE)
-         |              * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
-         |                 * (dl.dl * tot.nd / tot.sdl))) AS contrib
-         |       FROM qt JOIN ct USING (t) JOIN dft USING (t)
-         |         JOIN dl ON ct.doc_id = dl.doc_id CROSS JOIN tot),
-         |ag AS (SELECT q_id, doc_id, round(sum(contrib), 4) AS score,
-         |         count(*) AS n_terms
-         |       FROM sc GROUP BY 1, 2)
-         |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
-         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
-         |  doc_id, n_terms, score
-         |FROM ag QUALIFY rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+      s"""WITH ${bm25Ctes(3)}
+         |SELECT q_id, rnk, doc_id, n_terms, score
+         |FROM bm ORDER BY q_id, rnk""".stripMargin,
+
+    // same k=10 BM25 replay; the quantized log2 discounts are the same
+    // ×10⁶ literals the engine pasted, so DCG/IDCG/nDCG are pure BIGINT
+    "text_bm25_ndcg" ->
+      s"""WITH ${bm25Ctes(10)},
+         |ql AS (SELECT doc_id AS q_id, lang AS q_lang FROM documents
+         |       WHERE doc_id < 25),
+         |cl AS (SELECT doc_id, lang FROM documents WHERE doc_id >= 25),
+         |ln_ AS (SELECT lang, count(*) AS n_lang FROM cl GROUP BY 1),
+         |dcg AS (SELECT bm.q_id,
+         |    CAST(sum(CASE WHEN c.lang = q.q_lang
+         |         THEN [${NdcgW.mkString(", ")}][CAST(rnk AS INT)]
+         |         ELSE 0 END) AS BIGINT) AS dcg_u6
+         |  FROM bm JOIN cl c ON bm.doc_id = c.doc_id
+         |    JOIN ql q ON bm.q_id = q.q_id GROUP BY 1),
+         |nr AS (SELECT q.q_id, CAST(coalesce(n_lang, 0) AS BIGINT) AS n_rel
+         |  FROM ql q LEFT JOIN ln_ ON q.q_lang = ln_.lang),
+         |res AS (SELECT nr.q_id, nr.n_rel,
+         |    coalesce(dcg_u6, 0) AS dcg_u6,
+         |    [${NdcgWPrefix.mkString(", ")}]
+         |      [CAST(least(nr.n_rel, 10) + 1 AS INT)] AS idcg_u6
+         |  FROM nr LEFT JOIN dcg ON nr.q_id = dcg.q_id)
+         |SELECT q_id, n_rel, CAST(dcg_u6 AS BIGINT) AS dcg_u6,
+         |  CAST(idcg_u6 AS BIGINT) AS idcg_u6,
+         |  CAST(CASE WHEN idcg_u6 > 0 THEN dcg_u6 * 10000 // idcg_u6
+         |       ELSE 0 END AS BIGINT) AS ndcg_u4
+         |FROM res ORDER BY q_id""".stripMargin,
 
     // same lower-half train split, bigram MLE, stupid backoff with the
     // identical double composition -ln(0.4 * (c*1.0/T))

@@ -153,6 +153,40 @@ class TextSpec extends AnyFunSuite {
     assert(out(11L)._1 == 1L, "highest score ranks first")
   }
 
+  test("nDCG@10 replays from the k=10 ranking and respects its bounds") {
+    import graft.ops.Corpus
+    val d = Tables.documents(spark, sf)
+    val langs = d.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val top = Corpus.bm25TopK(d.filter(col("doc_id") >= 25),
+        d.filter(col("doc_id") < 25), k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id")))
+    // independent replica of the plan-time discounts
+    val w = (1 to 10).map(i => Math.round(1e6 / (math.log(i + 1) / math.log(2))))
+    val prefix = w.scanLeft(0L)(_ + _)
+    val nLang = langs.filter(_._1 >= 25).groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val rows = SparkEntry.queries("text_bm25_ndcg")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSet == (0L until 25L).toSet)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val nRel = nLang.getOrElse(langs(q), 0L)
+      assert(r.getAs[Long]("n_rel") == nRel)
+      val dcg = top.filter(_._1 == q)
+        .map { case (_, rnk, doc) =>
+          if (langs(doc) == langs(q)) w(rnk.toInt - 1) else 0L }.sum
+      assert(r.getAs[Long]("dcg_u6") == dcg, s"dcg of query $q")
+      val idcg = prefix(math.min(nRel, 10L).toInt)
+      assert(r.getAs[Long]("idcg_u6") == idcg)
+      val ndcg = if (idcg > 0) dcg * 10000L / idcg else 0L
+      assert(r.getAs[Long]("ndcg_u4") == ndcg)
+      assert(ndcg >= 0L && ndcg <= 10000L)
+    }
+    // BM25 with same-lang relevance must beat a zero ranking overall
+    assert(rows.map(_.getAs[Long]("ndcg_u4")).sum > 0L)
+  }
+
   test("fingerprints are stable and distinct across distinct docs") {
     val fp = TextAnalysis.fingerprints(Tables.documents(spark, sf))
     assert(fp.count() == 500)
