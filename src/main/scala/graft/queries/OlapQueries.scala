@@ -1813,6 +1813,48 @@ object OlapQueries {
         .orderBy("event_type", "dt")
     }),
 
+    // CUSUM CHANGE DETECTION (Page 1954) — the sequential changepoint
+    // monitor next to events_holt's forecaster and events_anomaly's
+    // outlier flags: a z-score catches a single bad day, the CUSUM
+    // statistic S_t = max(0, S_{t-1} + x_t − μ₀ − κ) accumulates SMALL
+    // persistent drifts until they cross a threshold — the level-shift
+    // alarm a pipeline wants for a silent upstream change. Baseline μ₀
+    // is the integer mean of the first 28 observed days (the reference
+    // window), slack κ = μ₀/20, threshold h = μ₀ — all quantized to
+    // ×10⁶ BIGINT with floor division, so the recurrence is pure
+    // integer (the r10 float-surface lesson applied at design time, as
+    // in events_holt). The fold runs inside ONE `aggregate` HOF per
+    // calendar-bounded series; the only corpus-sized pass is the daily
+    // groupBy. Output: per (event_type, day) the statistic + alarm.
+    "events_cusum" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("dt"), col("y")))).as("arr"))
+        .withColumn("mu_u6", expr(
+          "aggregate(slice(arr, 1, 28), CAST(0 AS BIGINT), (a, e) -> a + e.y)" +
+            " * 1000000 div least(size(arr), 28)"))
+        .withColumn("k_u6", expr("mu_u6 div 20"))
+        .select(col("event_type"), col("mu_u6"), expr(
+          """aggregate(
+            |  slice(arr, 2, size(arr) - 1),
+            |  array(named_struct(
+            |    'dt', element_at(arr, 1).dt, 'y', element_at(arr, 1).y,
+            |    's', greatest(CAST(0 AS BIGINT),
+            |      element_at(arr, 1).y * 1000000 - mu_u6 - k_u6))),
+            |  (acc, e) -> concat(acc, array(named_struct(
+            |    'dt', e.dt, 'y', e.y,
+            |    's', greatest(CAST(0 AS BIGINT),
+            |      element_at(acc, -1).s + e.y * 1000000 - mu_u6 - k_u6)))))""".stripMargin)
+          .as("st"))
+        .select(col("event_type"), col("mu_u6"), explode(col("st")).as("h"))
+        .select(col("event_type"), col("h.dt").as("dt"), col("h.y").as("y"),
+          col("h.s").as("cusum_u6"),
+          (col("h.s") > col("mu_u6")).cast("long").as("alarm"))
+        .orderBy("event_type", "dt")
+    }),
+
     // Event-type co-occurrence (market-basket view): which event types
     // happen in the SAME user-day. The pair join runs on the deduped
     // (user, day, type) table — bounded at |types| rows per key, so the
@@ -4288,6 +4330,39 @@ object OlapQueries {
         |  CAST(struct_extract(h, 'lvl') AS BIGINT) AS level_u6,
         |  CAST(struct_extract(h, 'tr') AS BIGINT) AS trend_u6,
         |  CAST(struct_extract(h, 'lvl') + 7 * struct_extract(h, 'tr') AS BIGINT) AS fc7_u6
+        |FROM ex ORDER BY event_type, dt""".stripMargin,
+
+    // same ×10⁶ integer recurrence (floor div throughout); the seed
+    // state is precomputed per element so list_reduce's first-element
+    // seed IS the CUSUM init, the Holt single-struct-list pattern
+    "events_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dt, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, list({'dt': dt, 'y': y} ORDER BY dt) AS arr
+        |  FROM daily GROUP BY 1),
+        |mu AS (SELECT event_type, arr,
+        |    list_sum(list_transform(arr[1:28], e -> e.y))
+        |      * 1000000 // least(len(arr), 28) AS mu_u6
+        |  FROM ser),
+        |m2 AS (SELECT event_type, mu_u6, mu_u6 // 20 AS k_u6,
+        |    list_transform(arr, e -> {'dt': e.dt, 'y': e.y,
+        |      's': greatest(CAST(0 AS BIGINT),
+        |             e.y * 1000000 - mu_u6 - mu_u6 // 20)}) AS arr2
+        |  FROM mu),
+        |folded AS (SELECT event_type, mu_u6,
+        |    list_reduce(list_transform(arr2, x -> [x]),
+        |      (acc, x) -> list_append(acc, {
+        |        'dt': x[1].dt, 'y': x[1].y,
+        |        's': greatest(CAST(0 AS BIGINT),
+        |               acc[-1].s + x[1].y * 1000000 - mu_u6 - k_u6)})) AS st
+        |  FROM m2),
+        |ex AS (SELECT event_type, mu_u6, unnest(st) AS h FROM folded)
+        |SELECT event_type, struct_extract(h, 'dt') AS dt,
+        |  struct_extract(h, 'y') AS y,
+        |  CAST(struct_extract(h, 's') AS BIGINT) AS cusum_u6,
+        |  CAST(CASE WHEN struct_extract(h, 's') > mu_u6
+        |       THEN 1 ELSE 0 END AS BIGINT) AS alarm
         |FROM ex ORDER BY event_type, dt""".stripMargin,
 
     "events_cooccurrence" ->

@@ -396,6 +396,43 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum: statistic replays Page's recurrence; a simulated level shift alarms") {
+    // exact replay of the ×10⁶ integer recurrence per event_type over
+    // the query's own emitted y series: μ₀ = first-28-day integer
+    // mean, κ = μ₀/20, S = max(0, S + y·10⁶ − μ₀ − κ), alarm S > μ₀
+    val rows = SparkEntry.queries("events_cusum")(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val srt = rs.sortBy(_.getAs[java.sql.Date]("dt").toString)
+      val ys = srt.map(_.getAs[Long]("y"))
+      val mu = ys.take(28).sum * 1000000L / math.min(ys.length, 28)
+      val k = mu / 20
+      var s = 0L
+      srt.zipWithIndex.foreach { case (r, i) =>
+        s = math.max(0L, s + ys(i) * 1000000L - mu - k)
+        assert(r.getAs[Long]("cusum_u6") == s, s"cusum of $t @$i")
+        assert(r.getAs[Long]("alarm") == (if (s > mu) 1L else 0L))
+      }
+    }
+    // sensitivity: a +10% persistent shift after the reference window
+    // must raise an alarm within ~11 days (10 days of 0.05μ excess
+    // crosses h = μ), while a flat series never alarms — replay the
+    // detector in Scala on two synthetic series to pin the semantics
+    def detect(ys: Seq[Long]): Seq[Boolean] = {
+      val mu = ys.take(28).sum * 1000000L / math.min(ys.length, 28)
+      val k = mu / 20
+      ys.scanLeft(0L)((s, y) => math.max(0L, s + y * 1000000L - mu - k))
+        .tail.map(_ > mu)
+    }
+    val flat = Seq.fill(60)(1000L)
+    assert(!detect(flat).exists(identity), "flat series must not alarm")
+    val shifted = Seq.fill(28)(1000L) ++ Seq.fill(32)(1100L)
+    val firstAlarm = detect(shifted).indexOf(true)
+    assert(firstAlarm >= 28 && firstAlarm <= 50,
+      s"level shift should alarm soon after day 28, got $firstAlarm")
+  }
+
   test("pack sweep: one cumsum serves all budgets; fill ≤ 1, splits shrink with budget") {
     val rows = SparkEntry.queries("seq_pack_sweep")(spark, SparkTestSession.sf)
       .collect().sortBy(_.getAs[Long]("max_tokens"))
