@@ -1873,6 +1873,21 @@ object PipelineQueries {
           round(col("v"), 4).as("component"))
         .orderBy("pos")),
 
+    // TOP-2 PCA BY DEFLATION — the second axis emb_pca_power can't
+    // see: subtract each vector's projection on the first direction
+    // (exactly orthogonal row by row), power-iterate the residual.
+    // Both directions in one output for the 2-D projection a corpus
+    // visualization or whitening step consumes. Same covariance-free
+    // two-aggregation shape, run twice; d-row output.
+    "emb_pca_deflate" -> ((s, dir) =>
+      graft.ops.Pca.topTwoDirections(Tables.embeddings(s, dir), iters = 3)
+        .select(col("pos").cast("bigint").as("pos"),
+          // + 0.0 collapses −0.0 to +0.0 (IEEE) — near-zero loadings
+          // land on either side of zero per engine
+          (round(col("c1"), 4) + 0.0).as("c1"),
+          (round(col("c2"), 4) + 0.0).as("c2"))
+        .orderBy("pos")),
+
     // Per-label embedding centroid outliers: the 3 most centroid-
     // distant vectors per label — the mislabeled/corrupted-vector
     // audit. Exploded relational centroid (bounded labels×dim result,
@@ -3671,6 +3686,45 @@ object PipelineQueries {
         |v3 AS (SELECT pos, w/(SELECT sqrt(sum(w*w)) FROM w3) AS v FROM w3)
         |SELECT CAST(pos AS BIGINT) AS pos, round(v, 4) AS component
         |FROM v3 ORDER BY pos""".stripMargin,
+
+    // same three-iteration chain for c1, then the row-exact deflation
+    // x' = x − v·dot and an identical chain from the uniform init on
+    // the residual for c2 (float composition mirrored step by step).
+    // Every CTE is MATERIALIZED: the doubled chain is referenced
+    // multiple times per level and default inlining re-executes it
+    // exponentially in the iteration depth
+    "emb_pca_deflate" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    unnest([{'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+        |            for i in range(1, len(embedding)+1)], recursive := true)
+        |  FROM embeddings),
+        |v0 AS MATERIALIZED (SELECT DISTINCT pos,
+        |         1.0/sqrt((SELECT max(pos) + 1 FROM ex)) AS v FROM ex),
+        |d1 AS MATERIALIZED (SELECT vec_id, sum(x*v) AS dot FROM ex JOIN v0 USING (pos) GROUP BY 1),
+        |w1 AS MATERIALIZED (SELECT pos, sum(x*dot) AS w FROM ex JOIN d1 USING (vec_id) GROUP BY 1),
+        |v1 AS MATERIALIZED (SELECT pos, w/(SELECT sqrt(sum(w*w)) FROM w1) AS v FROM w1),
+        |d2 AS MATERIALIZED (SELECT vec_id, sum(x*v) AS dot FROM ex JOIN v1 USING (pos) GROUP BY 1),
+        |w2 AS MATERIALIZED (SELECT pos, sum(x*dot) AS w FROM ex JOIN d2 USING (vec_id) GROUP BY 1),
+        |v2 AS MATERIALIZED (SELECT pos, w/(SELECT sqrt(sum(w*w)) FROM w2) AS v FROM w2),
+        |d3 AS MATERIALIZED (SELECT vec_id, sum(x*v) AS dot FROM ex JOIN v2 USING (pos) GROUP BY 1),
+        |w3 AS MATERIALIZED (SELECT pos, sum(x*dot) AS w FROM ex JOIN d3 USING (vec_id) GROUP BY 1),
+        |v3 AS MATERIALIZED (SELECT pos, w/(SELECT sqrt(sum(w*w)) FROM w3) AS v FROM w3),
+        |dp AS MATERIALIZED (SELECT vec_id, sum(x*v) AS dot FROM ex JOIN v3 USING (pos) GROUP BY 1),
+        |ex2 AS MATERIALIZED (SELECT ex.vec_id, ex.pos, ex.x - dp.dot * v3.v AS x
+        |        FROM ex JOIN dp USING (vec_id) JOIN v3 USING (pos)),
+        |e1 AS MATERIALIZED (SELECT vec_id, sum(x*v) AS dot FROM ex2 JOIN v0 USING (pos) GROUP BY 1),
+        |f1 AS MATERIALIZED (SELECT pos, sum(x*dot) AS w FROM ex2 JOIN e1 USING (vec_id) GROUP BY 1),
+        |u1 AS MATERIALIZED (SELECT pos, w/(SELECT sqrt(sum(w*w)) FROM f1) AS v FROM f1),
+        |e2 AS MATERIALIZED (SELECT vec_id, sum(x*v) AS dot FROM ex2 JOIN u1 USING (pos) GROUP BY 1),
+        |f2 AS MATERIALIZED (SELECT pos, sum(x*dot) AS w FROM ex2 JOIN e2 USING (vec_id) GROUP BY 1),
+        |u2 AS MATERIALIZED (SELECT pos, w/(SELECT sqrt(sum(w*w)) FROM f2) AS v FROM f2),
+        |e3 AS MATERIALIZED (SELECT vec_id, sum(x*v) AS dot FROM ex2 JOIN u2 USING (pos) GROUP BY 1),
+        |f3 AS MATERIALIZED (SELECT pos, sum(x*dot) AS w FROM ex2 JOIN e3 USING (vec_id) GROUP BY 1),
+        |u3 AS MATERIALIZED (SELECT pos, w/(SELECT sqrt(sum(w*w)) FROM f3) AS v FROM f3)
+        |SELECT CAST(v3.pos AS BIGINT) AS pos, round(v3.v, 4) + 0.0 AS c1,
+        |  round(u3.v, 4) + 0.0 AS c2
+        |FROM v3 JOIN u3 ON v3.pos = u3.pos ORDER BY pos""".stripMargin,
 
     // same centroid derivation, scored against EVERY label's centroid,
     // argmax on the rounded cosine with the same label tiebreak

@@ -232,6 +232,50 @@ class GraphRankSpec extends AnyFunSuite {
     assert(hist.nonEmpty && hist.keys.forall(_ >= 1L))
   }
 
+  test("deflated PC2 replays in Scala, is orthogonal to PC1, captures less variance") {
+    val rows = SparkEntry.queries("emb_pca_deflate")(spark, sf)
+      .orderBy("pos").collect()
+    assert(rows.length == 64)
+    val c1 = rows.map(_.getAs[Double]("c1"))
+    val c2 = rows.map(_.getAs[Double]("c2"))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(c1, c1) - 1.0) < 0.01, "c1 not unit norm")
+    assert(math.abs(dot(c2, c2) - 1.0) < 0.01, "c2 not unit norm")
+    assert(math.abs(dot(c1, c2)) < 0.01, "components not orthogonal")
+    // full Scala replay: 3 power iterations, exact deflation, 3 more
+    val xs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    def iterate(data: Array[Array[Double]]): Array[Double] = {
+      var v = Array.fill(64)(1.0 / math.sqrt(64.0))
+      for (_ <- 1 to 3) {
+        val w = new Array[Double](64)
+        data.foreach { x =>
+          val d = dot(x, v)
+          for (i <- 0 until 64) w(i) += x(i) * d
+        }
+        val n = math.sqrt(dot(w, w))
+        v = w.map(_ / n)
+      }
+      v
+    }
+    val r1 = iterate(xs)
+    val defl = xs.map { x =>
+      val d = dot(x, r1)
+      x.zip(r1).map { case (xi, vi) => xi - d * vi }
+    }
+    val r2 = iterate(defl)
+    for (i <- 0 until 64) {
+      assert(math.abs(c1(i) - r1(i)) < 1e-3, s"c1@$i")
+      assert(math.abs(c2(i) - r2(i)) < 1e-3, s"c2@$i")
+    }
+    // the leading axis must actually dominate
+    val var1 = xs.map(x => math.pow(dot(x, c1), 2)).sum
+    val var2 = xs.map(x => math.pow(dot(x, c2), 2)).sum
+    assert(var1 >= var2, s"PC1 variance $var1 below PC2 $var2")
+  }
+
   test("centroid outliers: k per label, cosine in [-1,1], ranks contiguous") {
     val out = Embeddings.centroidOutliers(Tables.embeddings(spark, sf), k = 3)
     val rows = out.collect()
