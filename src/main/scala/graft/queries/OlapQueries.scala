@@ -2414,6 +2414,30 @@ object OlapQueries {
         .orderBy("class_size")
     }),
 
+    // L-DIVERSITY AUDIT (Machanavajjhala 2007) — the gap k-anonymity
+    // leaves open: a class of 50 identical-QI rows is k-anonymous, but
+    // if every row shares ONE sensitive value the attacker learns it
+    // without re-identification (the homogeneity attack). Here the QI
+    // is (nation, $2000 balance band) and the sensitive attribute is
+    // the market segment: per class, count distinct sensitive values,
+    // then report the histogram of diversity levels with the l=3
+    // at-risk flag. Same exact-cents band as privacy_k_anon; pure
+    // BIGINT; two groupBys + one bounded-table rollup.
+    "privacy_l_diversity" -> ((s, dir) => {
+      val band = expr("(acct_c + 100000) div 200000")
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          Exact.cents(col("c_acctbal")).as("acct_c"))
+        .groupBy(col("c_nationkey"), band.as("bal_band"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("c_mktsegment")).as("n_sensitive"))
+        .groupBy("n_sensitive")
+        .agg(count(lit(1)).as("n_classes"),
+          sum("class_size").as("n_rows"))
+        .withColumn("at_risk", (col("n_sensitive") < 3).cast("long"))
+        .orderBy("n_sensitive")
+    }),
+
     // SEQUENTIAL A/B MONITORING (Wald 1945 SPRT, daily looks) — the
     // always-valid companion to events_ab_readout's fixed-horizon
     // chi-square: a readout peeked at daily inflates false positives,
@@ -3790,6 +3814,20 @@ object OlapQueries {
          |       THEN 1 ELSE 0 END AS BIGINT) AS suppressed
          |FROM x ORDER BY n_name""".stripMargin
     },
+
+    // same cents band, count(DISTINCT sensitive) per class, same
+    // two-level rollup — pure BIGINT end to end
+    "privacy_l_diversity" ->
+      """WITH q AS (SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal*100) AS BIGINT) + 100000) // 200000 AS bal_band
+        |  FROM customer),
+        |cls AS (SELECT c_nationkey, bal_band, count(*) AS class_size,
+        |    count(DISTINCT c_mktsegment) AS n_sensitive
+        |  FROM q GROUP BY 1, 2)
+        |SELECT n_sensitive, count(*) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        |FROM cls GROUP BY n_sensitive ORDER BY n_sensitive""".stripMargin,
 
     // same cents band (shift keeps the div non-negative → floor), same
     // two-level aggregation — pure BIGINT end to end

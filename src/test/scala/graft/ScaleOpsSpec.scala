@@ -1631,6 +1631,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       Tables.customer(spark, sf).count())
   }
 
+  test("l-diversity: histogram replays the per-class distinct-sensitive counts") {
+    val rows = SparkEntry.queries("privacy_l_diversity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val classes = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        graft.queries.Exact.cents(col("c_acctbal")).as("acct_c"))
+      .collect()
+      .groupBy(r => (r.getInt(0), (r.getLong(2) + 100000L) / 200000L))
+      .view.mapValues(rs => (rs.length.toLong, rs.map(_.getString(1)).distinct.length.toLong))
+      .values.toSeq
+    val hist = classes.groupBy(_._2).view
+      .mapValues(cs => (cs.size.toLong, cs.map(_._1).sum)).toMap
+    assert(rows.length == hist.size)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("n_sensitive")
+      assert((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows")) == hist(l))
+      assert(r.getAs[Long]("at_risk") == (if (l < 3) 1L else 0L))
+    }
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.customer(spark, sf).count())
+  }
+
   test("SPRT: llr is the quantized Wald walk over cumulative looks, boundaries honored") {
     val rows = SparkEntry.queries("events_ab_sprt")(spark, sf).collect()
     assert(rows.nonEmpty)
