@@ -1826,34 +1826,11 @@ object OlapQueries {
     // in events_holt). The fold runs inside ONE `aggregate` HOF per
     // calendar-bounded series; the only corpus-sized pass is the daily
     // groupBy. Output: per (event_type, day) the statistic + alarm.
-    "events_cusum" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
-        .agg(count(lit(1)).as("y"))
-        .groupBy("event_type")
-        .agg(sort_array(collect_list(struct(col("dt"), col("y")))).as("arr"))
-        .withColumn("mu_u6", expr(
-          "aggregate(slice(arr, 1, 28), CAST(0 AS BIGINT), (a, e) -> a + e.y)" +
-            " * 1000000 div least(size(arr), 28)"))
-        .withColumn("k_u6", expr("mu_u6 div 20"))
-        .select(col("event_type"), col("mu_u6"), expr(
-          """aggregate(
-            |  slice(arr, 2, size(arr) - 1),
-            |  array(named_struct(
-            |    'dt', element_at(arr, 1).dt, 'y', element_at(arr, 1).y,
-            |    's', greatest(CAST(0 AS BIGINT),
-            |      element_at(arr, 1).y * 1000000 - mu_u6 - k_u6))),
-            |  (acc, e) -> concat(acc, array(named_struct(
-            |    'dt', e.dt, 'y', e.y,
-            |    's', greatest(CAST(0 AS BIGINT),
-            |      element_at(acc, -1).s + e.y * 1000000 - mu_u6 - k_u6)))))""".stripMargin)
-          .as("st"))
-        .select(col("event_type"), col("mu_u6"), explode(col("st")).as("h"))
-        .select(col("event_type"), col("h.dt").as("dt"), col("h.y").as("y"),
-          col("h.s").as("cusum_u6"),
-          (col("h.s") > col("mu_u6")).cast("long").as("alarm"))
-        .orderBy("event_type", "dt")
-    }),
+    "events_cusum" -> ((s, dir) =>
+      graft.ops.Cusum.fromDaily(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+          .agg(count(lit(1)).as("y")))),
 
     // Event-type co-occurrence (market-basket view): which event types
     // happen in the SAME user-day. The pair join runs on the deduped

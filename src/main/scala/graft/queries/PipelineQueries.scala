@@ -1650,6 +1650,14 @@ object PipelineQueries {
     // fold into the persisted store by plain addition (the linear
     // sketch's merge IS addition), so the staged cadence is invisible
     // to the oracle — same replay as sketch_ams_f2's sketch side
+    // CUSUM monitor maintained on the landing cadence: additive daily-
+    // count state folded per generation, the sequential statistic
+    // derived from the bounded store at read time by the SAME
+    // Cusum.fromDaily fold as the batch query — store == one-shot
+    // daily agg, so the events_cusum oracle applies verbatim
+    "stream_cusum" -> ((s, dir) =>
+      graft.streaming.EventStreams.cusumIncremental(s, dir)),
+
     "stream_ams_f2" -> ((s, dir) =>
       graft.streaming.EventStreams.amsF2Incremental(s, dir)),
 
@@ -3876,6 +3884,10 @@ object PipelineQueries {
     "stream_hll_refresh" -> hllDayReplaySql,
 
     "stream_distinct" -> hllDayReplaySql,
+
+    // the incremental store provably equals the one-shot daily
+    // aggregation, so the batch CUSUM oracle is the stream's oracle
+    "stream_cusum" -> OlapQueries.oracle("events_cusum"),
 
     "skew_report" ->
       """WITH kc AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)

@@ -399,6 +399,64 @@ object EventStreams {
       .orderBy("est_id")
   }
 
+  /** Streaming maintenance of the CUSUM monitor's state — the
+    * changepoint detector on the landing cadence: the SEQUENTIAL
+    * statistic itself cannot fold shard-by-shard (S_t depends on every
+    * prior day in order, and a landing may backfill early days), but
+    * its SUFFICIENT STATE — per-(event_type, day) counts — is plainly
+    * additive, so each staged generation folds daily counts into the
+    * persisted bounded store (types × days rows) by union + sum, and
+    * the detector ([[graft.ops.Cusum.fromDaily]], the SAME fold the
+    * batch query uses) derives the statistic from the store at read
+    * time. The store provably equals the one-shot daily aggregation
+    * over everything staged, so stream == batch row for row — which is
+    * the oracle. History is never re-read; each fold rewrites the
+    * day-table, never the corpus. */
+  def cusumIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_cusum_stream")
+    base.toFile.deleteOnExit()
+    val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
+    val raw = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), to_date(col("ts")).as("dt"))
+      .localCheckpoint(false) // one scan feeds bounds + both gens
+    val bounds = raw.agg(min("event_id").as("lo"), max("event_id").as("hi")).head()
+    val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+    val stageSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("dt", DateType)))
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val local = batch.groupBy("event_type", "dt")
+            .agg(count(lit(1)).as("y"))
+          val prev = new java.io.File(store)
+          val merged =
+            if (prev.exists)
+              ss.read.parquet(store).unionByName(local)
+                .groupBy("event_type", "dt")
+                .agg(sum("y").as("y")) // counts are additive state
+            else local
+          val next = s"$store.next"
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
+          ss.read.parquet(next).write.mode("overwrite").parquet(store)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    raw.filter(col("event_id") < mid).write.parquet(s"$stage/gen1")
+    pass()
+    raw.filter(col("event_id") >= mid).write.parquet(s"$stage/gen2")
+    pass()
+    graft.ops.Cusum.fromDaily(spark.read.parquet(store))
+  }
+
   /** Streaming data-quality gate — dq_expectations' ADDITIVE rules on
     * the landing cadence: each staged generation folds its violation
     * counters (null key, non-positive price, out-of-window date,

@@ -207,6 +207,19 @@ class StreamingSpec extends AnyFunSuite {
       "expected cross-shard duplicates — the presence store's raison d'être")
   }
 
+  test("streaming CUSUM state fold equals the batch detector row for row") {
+    // the sequential statistic can't fold shard-by-shard, but its
+    // sufficient state (daily counts) is additive — after two staged
+    // generations the derived detector output must equal the batch
+    // query exactly, alarms included
+    val streamed = SparkEntry.queries("stream_cusum")(spark, sf)
+      .collect().map(_.toString)
+    val batch = SparkEntry.queries("events_cusum")(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "incremental daily-count fold diverged from the batch CUSUM")
+  }
+
   test("streaming AMS fold equals the one-shot sketch (linearity across generations)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.EventStreams.amsF2Incremental(spark, sf)
