@@ -1813,6 +1813,74 @@ object OlapQueries {
         .orderBy("event_type", "dt")
     }),
 
+    // HOLT-WINTERS TRIPLE SMOOTHING (additive, period 7) — the weekly-
+    // seasonality forecaster events_holt cannot be: its level+trend
+    // model treats the weekend dip as error, the seasonal component
+    // absorbs it. α=1/2, β=3/10, γ=1/2; init lvl₀ = integer mean of
+    // week 1, s_i = y_i·10⁶ − lvl₀, tr₀ = 0; then per day
+    //   lvl' = huDiv2((y·10⁶ − s₋₇) + lvl + tr)
+    //   tr'  = huDiv10(3(lvl' − lvl) + 7 tr)
+    //   s'   = huDiv2((y·10⁶ − lvl') + s₋₇)
+    // entirely in ×10⁶ BIGINT with the events_holt offset half-up
+    // division (the float formulation of exactly this recurrence went
+    // red at a 4dp boundary in r10 — integers from design). The
+    // seasonal state is a 7-slot queue rotating inside the SAME single
+    // `aggregate` HOF as the level/trend (slice+append per step); one
+    // daily groupBy is the only corpus-sized pass. fc7_u6 = lvl + 7tr
+    // + s' (with period 7, next week's same-day seasonal IS s').
+    "events_holt_winters" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("dt"), col("y")))).as("arr"))
+        .filter(size(col("arr")) >= 8)
+        .withColumn("lvl0", expr(
+          "aggregate(slice(arr, 1, 7), CAST(0 AS BIGINT), (a, e) -> a + e.y)" +
+            " * 1000000 div 7"))
+        .select(col("event_type"), expr(
+          """aggregate(
+            |  slice(arr, 8, size(arr) - 7),
+            |  array(named_struct(
+            |    'dt', element_at(arr, 7).dt, 'y', element_at(arr, 7).y,
+            |    'lvl', lvl0, 'tr', CAST(0 AS BIGINT),
+            |    's', element_at(arr, 7).y * 1000000 - lvl0,
+            |    'seas', transform(slice(arr, 1, 7), e -> e.y * 1000000 - lvl0))),
+            |  (acc, e) -> concat(acc, array(named_struct(
+            |    'dt', e.dt, 'y', e.y,
+            |    'lvl', ((e.y * 1000000 - element_at(element_at(acc, -1).seas, 1)
+            |        + element_at(acc, -1).lvl + element_at(acc, -1).tr
+            |        + 1 + 2000000000000000) div 2) - 1000000000000000,
+            |    'tr', ((3 * ((((e.y * 1000000
+            |          - element_at(element_at(acc, -1).seas, 1)
+            |          + element_at(acc, -1).lvl + element_at(acc, -1).tr
+            |          + 1 + 2000000000000000) div 2) - 1000000000000000)
+            |          - element_at(acc, -1).lvl)
+            |        + 7 * element_at(acc, -1).tr + 5 + 10000000000000000) div 10)
+            |      - 1000000000000000,
+            |    's', ((e.y * 1000000
+            |        - ((((e.y * 1000000 - element_at(element_at(acc, -1).seas, 1)
+            |            + element_at(acc, -1).lvl + element_at(acc, -1).tr
+            |            + 1 + 2000000000000000) div 2) - 1000000000000000))
+            |        + element_at(element_at(acc, -1).seas, 1)
+            |        + 1 + 2000000000000000) div 2) - 1000000000000000,
+            |    'seas', concat(slice(element_at(acc, -1).seas, 2, 6),
+            |      array(((e.y * 1000000
+            |        - ((((e.y * 1000000 - element_at(element_at(acc, -1).seas, 1)
+            |            + element_at(acc, -1).lvl + element_at(acc, -1).tr
+            |            + 1 + 2000000000000000) div 2) - 1000000000000000))
+            |        + element_at(element_at(acc, -1).seas, 1)
+            |        + 1 + 2000000000000000) div 2) - 1000000000000000))))))""".stripMargin)
+          .as("st"))
+        .select(col("event_type"),
+          explode(expr("slice(st, 2, size(st) - 1)")).as("h"))
+        .select(col("event_type"), col("h.dt").as("dt"), col("h.y").as("y"),
+          col("h.lvl").as("level_u6"), col("h.tr").as("trend_u6"),
+          col("h.s").as("seasonal_u6"),
+          (col("h.lvl") + lit(7L) * col("h.tr") + col("h.s")).as("fc7_u6"))
+        .orderBy("event_type", "dt")
+    }),
+
     // CUSUM CHANGE DETECTION (Page 1954) — the sequential changepoint
     // monitor next to events_holt's forecaster and events_anomaly's
     // outlier flags: a z-score catches a single bad day, the CUSUM
@@ -4345,6 +4413,65 @@ object OlapQueries {
         |  CAST(struct_extract(h, 'lvl') AS BIGINT) AS level_u6,
         |  CAST(struct_extract(h, 'tr') AS BIGINT) AS trend_u6,
         |  CAST(struct_extract(h, 'lvl') + 7 * struct_extract(h, 'tr') AS BIGINT) AS fc7_u6
+        |FROM ex ORDER BY event_type, dt""".stripMargin,
+
+    // same ×10⁶ offset half-up recurrence; the fold list is the padded
+    // week-1 seed prepended to days 8+, so list_reduce's first-element
+    // seed IS the Holt-Winters init (seasonal queue = week-1 deviations)
+    "events_holt_winters" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dt, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, list({'dt': dt, 'y': y} ORDER BY dt) AS arr
+        |  FROM daily GROUP BY 1),
+        |s8 AS (SELECT event_type, arr,
+        |    list_sum(list_transform(arr[1:7], e -> e.y)) * 1000000 // 7 AS lvl0
+        |  FROM ser WHERE len(arr) >= 8),
+        |sd AS (SELECT event_type,
+        |    list_concat(
+        |      [{'dt': arr[7].dt, 'y': arr[7].y, 'lvl': lvl0,
+        |        'tr': CAST(0 AS BIGINT), 's': arr[7].y * 1000000 - lvl0,
+        |        'seas': list_transform(arr[1:7], e -> e.y * 1000000 - lvl0)}],
+        |      list_transform(arr[8:], e -> {'dt': e.dt, 'y': e.y,
+        |        'lvl': CAST(0 AS BIGINT), 'tr': CAST(0 AS BIGINT),
+        |        's': CAST(0 AS BIGINT),
+        |        'seas': CAST([] AS BIGINT[])})) AS arr3
+        |  FROM s8),
+        |folded AS (SELECT event_type,
+        |    list_reduce(list_transform(arr3, x -> [x]),
+        |      (acc, x) -> list_append(acc, {
+        |        'dt': x[1].dt, 'y': x[1].y,
+        |        'lvl': ((x[1].y * 1000000 - acc[-1].seas[1]
+        |            + acc[-1].lvl + acc[-1].tr
+        |            + 1 + 2000000000000000) // 2) - 1000000000000000,
+        |        'tr': ((3 * ((((x[1].y * 1000000 - acc[-1].seas[1]
+        |              + acc[-1].lvl + acc[-1].tr
+        |              + 1 + 2000000000000000) // 2) - 1000000000000000)
+        |              - acc[-1].lvl)
+        |            + 7 * acc[-1].tr + 5 + 10000000000000000) // 10)
+        |          - 1000000000000000,
+        |        's': ((x[1].y * 1000000
+        |            - ((((x[1].y * 1000000 - acc[-1].seas[1]
+        |                + acc[-1].lvl + acc[-1].tr
+        |                + 1 + 2000000000000000) // 2) - 1000000000000000))
+        |            + acc[-1].seas[1]
+        |            + 1 + 2000000000000000) // 2) - 1000000000000000,
+        |        'seas': list_append(acc[-1].seas[2:7],
+        |          ((x[1].y * 1000000
+        |            - ((((x[1].y * 1000000 - acc[-1].seas[1]
+        |                + acc[-1].lvl + acc[-1].tr
+        |                + 1 + 2000000000000000) // 2) - 1000000000000000))
+        |            + acc[-1].seas[1]
+        |            + 1 + 2000000000000000) // 2) - 1000000000000000)})) AS st
+        |  FROM sd),
+        |ex AS (SELECT event_type, unnest(st[2:]) AS h FROM folded)
+        |SELECT event_type, struct_extract(h, 'dt') AS dt,
+        |  struct_extract(h, 'y') AS y,
+        |  CAST(struct_extract(h, 'lvl') AS BIGINT) AS level_u6,
+        |  CAST(struct_extract(h, 'tr') AS BIGINT) AS trend_u6,
+        |  CAST(struct_extract(h, 's') AS BIGINT) AS seasonal_u6,
+        |  CAST(struct_extract(h, 'lvl') + 7 * struct_extract(h, 'tr')
+        |    + struct_extract(h, 's') AS BIGINT) AS fc7_u6
         |FROM ex ORDER BY event_type, dt""".stripMargin,
 
     // same ×10⁶ integer recurrence (floor div throughout); the seed

@@ -396,6 +396,45 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("holt-winters: level/trend/seasonal replay the triple recurrence exactly") {
+    // replays the α=1/2 β=3/10 γ=1/2 period-7 micro-unit recurrence
+    // per event_type: init lvl₀ = week-1 integer mean, s_i = y_i·10⁶ −
+    // lvl₀, tr₀ = 0; the seasonal queue rotates one slot per day
+    def hu(n: Long, d: Long): Long = Math.floorDiv(2 * n + d, 2 * d)
+    val daily = graft.sources.Tables.events(spark, SparkTestSession.sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1).toString, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    val rows = SparkEntry.queries("events_holt_winters")(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val ys = daily(t)
+      assert(ys.length >= 8 && rs.length == ys.length - 7)
+      val lvl0 = ys.take(7).sum * 1000000L / 7
+      var seas = ys.take(7).map(_ * 1000000L - lvl0)
+      var lvl = lvl0; var tr = 0L
+      val srt = rs.sortBy(_.getAs[java.sql.Date]("dt").toString)
+      srt.zipWithIndex.foreach { case (r, i) =>
+        val y = ys(i + 7)
+        val sm7 = seas.head
+        val nl = hu(y * 1000000L - sm7 + lvl + tr, 2L)
+        val nt = hu(3L * (nl - lvl) + 7L * tr, 10L)
+        val ns = hu(y * 1000000L - nl + sm7, 2L)
+        seas = seas.tail :+ ns; lvl = nl; tr = nt
+        assert(r.getAs[Long]("y") == y, s"$t y@$i")
+        assert(r.getAs[Long]("level_u6") == lvl, s"$t level@$i")
+        assert(r.getAs[Long]("trend_u6") == tr, s"$t trend@$i")
+        assert(r.getAs[Long]("seasonal_u6") == ns, s"$t seasonal@$i")
+        assert(r.getAs[Long]("fc7_u6") == lvl + 7L * tr + ns, s"$t fc7@$i")
+      }
+    }
+    // the seasonal component must carry real structure, not stay flat
+    assert(rows.map(_.getAs[Long]("seasonal_u6")).distinct.length > 1)
+  }
+
   test("cusum: statistic replays Page's recurrence; a simulated level shift alarms") {
     // exact replay of the ×10⁶ integer recurrence per event_type over
     // the query's own emitted y series: μ₀ = first-28-day integer
