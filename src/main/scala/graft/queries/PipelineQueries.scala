@@ -304,6 +304,42 @@ object PipelineQueries {
         .orderBy("family_size")
     }),
 
+    // CLUSTERING-QUALITY EVAL of the dedup families against an
+    // external label (source) — the measurement layer the dedup stack
+    // needs before anyone trusts its families: purity (share of docs
+    // in their family's plurality label) and the Rand index (pair
+    // agreement between the family partition and the label partition).
+    // Near-dup families that straddle sources are template explosions,
+    // not true duplicates — exactly what these two numbers surface.
+    // Everything derives from the bounded (family, label) contingency
+    // table: three rollups + two 1-row scalar attaches; both metrics
+    // are pure-integer ×10⁴ (pair counts are integers by construction).
+    "dedup_cluster_purity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cont = Cluster.dedupClusters(docs,
+          Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("cluster_id", "source").agg(count(lit(1)).as("n_fl"))
+        .localCheckpoint(false) // contingency feeds all three rollups
+      val perF = cont.groupBy("cluster_id")
+        .agg(sum("n_fl").as("n_f"), max("n_fl").as("max_fl"))
+      val aggF = perF.agg(count(lit(1)).as("n_families"),
+        sum("n_f").as("n_docs"),
+        sum(expr("n_f * (n_f - 1) div 2")).as("same_f"),
+        sum("max_fl").as("pure_sum"))
+      val aggA = cont.agg(sum(expr("n_fl * (n_fl - 1) div 2")).as("a"))
+      val aggL = cont.groupBy("source").agg(sum("n_fl").as("n_l"))
+        .agg(count(lit(1)).as("n_labels"),
+          sum(expr("n_l * (n_l - 1) div 2")).as("same_l"))
+      Scalars.withScalar(
+          Scalars.withScalar(aggF, col("n_families"), aggA, col("a")),
+          col("n_families"), aggL, col("n_labels"))
+        .withColumn("t", expr("n_docs * (n_docs - 1) div 2"))
+        .select(col("n_docs"), col("n_families"), col("n_labels"),
+          expr("pure_sum * 10000 div n_docs").as("purity_u4"),
+          expr("(t - same_f - same_l + 2 * a) * 10000 div t").as("rand_u4"))
+    }),
+
     // corpus heavy hitters: document frequency of every distinct
     // 3-gram shingle, deterministic top-20 (TakeOrderedAndProject —
     // per-partition top-k partials, never a full sort)
@@ -4246,6 +4282,54 @@ object PipelineQueries {
          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
          |ORDER BY 1""".stripMargin,
+
+    // same recursive label derivation joined to the source label; the
+    // contingency rollups and both ×10⁴ integer metrics replayed
+    "dedup_cluster_purity" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |cx AS (SELECT doc_id, ex.s FROM ex JOIN keep ON ex.s = keep.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM cx a JOIN cx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |good AS (
+         |  SELECT id1, id2 FROM pairs
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE shared*1.0/(s1.n + s2.n - shared) >= 0.8),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM good
+         |          UNION ALL SELECT id2, id1 FROM good),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |fl AS (SELECT cluster_id, source, count(*) AS n_fl
+         |       FROM lab JOIN documents USING (doc_id) GROUP BY 1, 2),
+         |pf AS (SELECT cluster_id, sum(n_fl) AS n_f, max(n_fl) AS max_fl
+         |       FROM fl GROUP BY 1),
+         |ag AS (SELECT
+         |    (SELECT sum(n_fl*(n_fl-1)//2) FROM fl) AS a,
+         |    (SELECT count(*) FROM pf) AS n_families,
+         |    (SELECT sum(n_f) FROM pf) AS n_docs,
+         |    (SELECT sum(n_f*(n_f-1)//2) FROM pf) AS same_f,
+         |    (SELECT sum(max_fl) FROM pf) AS pure_sum,
+         |    (SELECT count(DISTINCT source) FROM fl) AS n_labels,
+         |    (SELECT sum(n_l*(n_l-1)//2) FROM
+         |       (SELECT source, sum(n_fl) AS n_l FROM fl GROUP BY 1)) AS same_l)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_families AS BIGINT) AS n_families,
+         |  CAST(n_labels AS BIGINT) AS n_labels,
+         |  CAST(pure_sum*10000 // n_docs AS BIGINT) AS purity_u4,
+         |  CAST(((n_docs*(n_docs-1)//2) - same_f - same_l + 2*a)*10000
+         |    // (n_docs*(n_docs-1)//2) AS BIGINT) AS rand_u4
+         |FROM ag""".stripMargin,
 
     // same recursive label derivation, rolled up twice
     "dedup_family_sizes" ->

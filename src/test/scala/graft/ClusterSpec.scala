@@ -21,6 +21,34 @@ class ClusterSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
+  test("cluster purity/Rand replay from the family assignment and the labels") {
+    val docs = Tables.documents(spark, sf)
+    val fam = Cluster.dedupClusters(docs,
+        Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .collect().map(r => (r.getAs[Long]("cluster_id"), r.getAs[String]("source")))
+    val n = fam.length.toLong
+    def c2(x: Long) = x * (x - 1) / 2
+    val fl = fam.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pf = fam.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val pl = fam.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val a = fl.values.map(c2).sum
+    val sameF = pf.values.map(c2).sum
+    val sameL = pl.values.map(c2).sum
+    val pureSum = fam.groupBy(_._1).values
+      .map(g => g.groupBy(_._2).values.map(_.length).max.toLong).sum
+    val t = c2(n)
+    val r = SparkEntry.queries("dedup_cluster_purity")(spark, sf).head()
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("n_families") == pf.size.toLong)
+    assert(r.getAs[Long]("n_labels") == pl.size.toLong)
+    assert(r.getAs[Long]("purity_u4") == pureSum * 10000L / n)
+    assert(r.getAs[Long]("rand_u4") == (t - sameF - sameL + 2 * a) * 10000L / t)
+    // bounds: both live in [0, 10000]
+    assert(r.getAs[Long]("purity_u4") >= 0L && r.getAs[Long]("purity_u4") <= 10000L)
+    assert(r.getAs[Long]("rand_u4") >= 0L && r.getAs[Long]("rand_u4") <= 10000L)
+  }
+
   test("components ignore edge direction and duplicate edges") {
     val nodes = Seq(5L, 6L, 7L).toDF("id")
     val edges = Seq((7L, 6L), (6L, 7L), (6L, 5L)).toDF("id1", "id2")
