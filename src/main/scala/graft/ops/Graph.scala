@@ -189,4 +189,46 @@ object Graph {
     }
     lab
   }
+
+  /** Multi-source BFS hop layers over an undirected edge set (columns
+    * `a`, `b`, a < b canonical) — the reachability-DEPTH question the
+    * rest of the graph family doesn't ask: CC says "same family",
+    * k-core says "densely attached", BFS layers say "how FAR the rest
+    * of the graph sits from a seed set" (e.g. how many hops of the
+    * near-dup graph a trusted subset can vouch for). This is the
+    * Pregel frontier-expansion primitive, expressed declaratively.
+    *
+    * Fixed `maxHops` horizon (not convergence detection) keeps the
+    * plan static, matching [[kCorePeel]]'s doctrine. Each round is one
+    * co-keyed join (frontier ⋈ symmetrized adjacency on the node key)
+    * + one distinct + one anti-join against the visited set — all
+    * shuffles on the node key; the frontier-only join is what makes a
+    * round O(frontier-degree-sum), not O(visited); `localCheckpoint`
+    * per round cuts the lineage. Visited state is exactly one row per
+    * reached node, the same bound CC carries.
+    *
+    * Returns (v, hop) with hop = minimum hop distance from any seed
+    * (0 for seeds themselves — seeds need not appear in the edge set);
+    * nodes unreached within `maxHops` are absent. Min-hop needs no
+    * min-reduce: BFS order guarantees first touch IS the minimum. */
+  def bfsLayers(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, s"maxHops must be in [1,16]: $maxHops")
+    require(seeds.columns.sameElements(Array("v")), "seeds must be a single column v")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(false) // reused every round
+    var visited = seeds.distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint(false)
+    var frontier = visited.select("v")
+    for (h <- 1 to maxHops) {
+      frontier = sym.join(frontier.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .localCheckpoint(false)
+      visited = visited
+        .unionByName(frontier.withColumn("hop", lit(h.toLong)))
+        .localCheckpoint(false)
+    }
+    visited
+  }
 }

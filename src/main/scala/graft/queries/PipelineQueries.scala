@@ -1811,6 +1811,37 @@ object PipelineQueries {
       graft.ops.Graph.kCorePeel(edges, k = 3, rounds = 6).orderBy("round")
     }),
 
+    // BFS HOP LAYERS from a deterministic trusted seed set over the
+    // same kNN graph — the graph family's DISTANCE member (triangles =
+    // closure, label_prop = communities, k-core = depth, BFS = reach):
+    // how many hops of the similarity graph a vouched-for subset can
+    // reach, per hop. The frontier-expansion rounds join only the
+    // CURRENT frontier against the shared adjacency (never the whole
+    // visited set), so a round costs the frontier's degree sum — the
+    // Pregel cost model — and the bounded output is the ≤(maxHops+1)-row
+    // layer histogram with cumulative coverage in §5 u4 integer units.
+    "graph_bfs_layers" -> ((s, dir) => {
+      val edges = Similarity.lshTopK(Tables.embeddings(s, dir), lit(true),
+          k = 3, numPlanes = 4)
+        .select(least(col("probe_id"), col("neighbor_id")).as("a"),
+          greatest(col("probe_id"), col("neighbor_id")).as("b"))
+        .distinct()
+      val seeds = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 41 === 0).select(col("vec_id").as("v"))
+      val hist = graft.ops.Graph.bfsLayers(edges, seeds, maxHops = 4)
+        .groupBy("hop").agg(count(lit(1)).as("n_frontier"))
+      val tot = edges.select(col("a").as("v"))
+        .unionByName(edges.select(col("b").as("v")))
+        .unionByName(seeds).distinct().agg(count(lit(1)).as("n_total"))
+      // bounded ≤5-row histogram: the unpartitioned window is safe
+      val w = org.apache.spark.sql.expressions.Window.orderBy("hop")
+      Scalars.withScalar(hist, col("hop"), tot, col("n_total"))
+        .withColumn("n_cum", sum("n_frontier").over(w))
+        .select(col("hop"), col("n_frontier"), col("n_cum"),
+          expr("n_cum * 10000 div n_total").as("coverage_u4"))
+        .orderBy("hop")
+    }),
+
     // DISTRIBUTION DRIFT (PSI) between two corpus slices: fixed-width
     // length bins (a pure per-row map — no quantile pass to coordinate
     // across engines), Laplace-smoothed shares so empty bins stay
@@ -3619,6 +3650,35 @@ object PipelineQueries {
          |  CAST(coalesce(lag(n_nodes) OVER (ORDER BY round) = n_nodes, FALSE)
          |    AS BIGINT) AS stable
          |FROM stats ORDER BY round""".stripMargin
+    },
+
+    // same kNN edge CTE; 4 unrolled frontier-expansion rounds, each
+    // joining only the previous frontier and anti-filtering the
+    // accumulated visited set — MATERIALIZED for the same reason as
+    // graph_kcore (each round references its predecessor repeatedly)
+    "graph_bfs_layers" -> {
+      def hop(n: Int) =
+        s"""f$n AS MATERIALIZED (
+           |  SELECT DISTINCT dst AS v FROM sym JOIN f${n - 1} ON sym.src = f${n - 1}.v
+           |  WHERE dst NOT IN (SELECT v FROM v${n - 1})),
+           |v$n AS MATERIALIZED (SELECT v, hop FROM v${n - 1}
+           |  UNION ALL SELECT v, CAST($n AS BIGINT) FROM f$n)""".stripMargin
+      s"""WITH $knnEdgeCtes,
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |f0 AS MATERIALIZED (SELECT DISTINCT vec_id AS v FROM embeddings
+         |        WHERE vec_id % 41 = 0),
+         |v0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS hop FROM f0),
+         |${(1 to 4).map(hop).mkString(",\n")},
+         |tot AS (SELECT count(*) AS n_total FROM (
+         |  SELECT DISTINCT v FROM (SELECT a AS v FROM ed
+         |    UNION ALL SELECT b FROM ed UNION ALL SELECT v FROM f0))),
+         |h AS (SELECT hop, count(*) AS n_frontier FROM v4 GROUP BY 1)
+         |SELECT hop, n_frontier,
+         |  sum(n_frontier) OVER (ORDER BY hop) AS n_cum,
+         |  (sum(n_frontier) OVER (ORDER BY hop)) * 10000
+         |    // (SELECT n_total FROM tot) AS coverage_u4
+         |FROM h ORDER BY hop""".stripMargin
     },
 
     "graph_label_prop" -> {

@@ -211,6 +211,31 @@ class GraphRankSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("bfsLayers: min-hop from multi-source seeds; isolated seed kept at hop 0") {
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),(3L,7L)).toDF("a","b")
+    val seeds = Seq(1L, 7L, 99L).toDF("v") // 99 never appears in an edge
+    val r = Graph.bfsLayers(edges, seeds, maxHops = 4)
+      .collect().map(x => (x.getAs[Long]("v"), x.getAs[Long]("hop"))).toMap
+    // 3 is 1 hop from seed 7, which beats its 2-hop path from seed 1
+    assert(r == Map(1L -> 0L, 7L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 1L,
+      4L -> 2L, 5L -> 3L, 6L -> 4L))
+    // fixed horizon: maxHops=2 leaves 5 and 6 unreached (absent)
+    val r2 = Graph.bfsLayers(edges, seeds, maxHops = 2)
+      .collect().map(x => x.getAs[Long]("v")).toSet
+    assert(r2 == Set(1L, 2L, 3L, 4L, 7L, 99L))
+  }
+
+  test("graph_bfs_layers: frontiers partition the reached set, coverage monotone") {
+    val rows = SparkEntry.queries("graph_bfs_layers")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.head.getAs[Long]("hop") == 0L)
+    val cums = rows.map(_.getAs[Long]("n_cum"))
+    assert(cums.zip(rows.map(_.getAs[Long]("n_frontier")))
+      .map { case (c, f) => c - f }
+      .sameElements(0L +: cums.dropRight(1))) // n_cum = running Σ n_frontier
+    val cov = rows.map(_.getAs[Long]("coverage_u4"))
+    assert(cov.sameElements(cov.sorted) && cov.last <= 10000L)
+  }
+
   test("labelProp separates two triangles across a bridge, deterministically") {
     // two 3-cliques joined by the single bridge 3-4. Hand-rolled sync
     // rounds with (count desc, label asc) ties converge by round 4 to
