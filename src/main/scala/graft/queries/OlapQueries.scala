@@ -2483,6 +2483,52 @@ object OlapQueries {
         .orderBy("n_sensitive")
     }),
 
+    // T-CLOSENESS AUDIT (Li 2007) — the gap l-diversity leaves open: a
+    // class can hold 3 distinct segments yet be 95% one of them, and
+    // the attacker's posterior still collapses (the skewness attack).
+    // The fix is distributional: per QI class (nation, $2000 balance
+    // band), the variational distance — the EMD under uniform ground
+    // distance for a categorical sensitive attribute — between the
+    // class's market-segment distribution and the global one must stay
+    // ≤ t. Exactness: |p_cs − q_s| = |n_cs·N − N_s·n_c| / (n_c·N) has
+    // an INTEGER numerator, segments absent from a class contribute
+    // (N − Σ_present N_s)·n_c without materializing empty cells, and
+    // the single per-class division is §5 half-up u4 in DECIMAL(38,0)
+    // (n_cs·N products overflow BIGINT near 10⁹ rows). One corpus scan
+    // → the bounded (class × segment) cell table; everything after
+    // runs on ≤ QI-domain-product rows. t = 0.2 → at_risk > 2000.
+    "privacy_t_closeness" -> ((s, dir) => {
+      val q = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          Exact.cents(col("c_acctbal")).as("acct_c"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(acct_c + 100000) div 200000").as("bal_band"))
+      val cs = q.groupBy("c_nationkey", "bal_band", "c_mktsegment")
+        .agg(count(lit(1)).as("n_cs"))
+      val glob = q.groupBy("c_mktsegment").agg(count(lit(1)).as("n_s"))
+      val tot = glob.agg(sum("n_s").as("n_tot"))
+      val nc = cs.groupBy("c_nationkey", "bal_band")
+        .agg(sum("n_cs").as("n_c"))
+      val cells = Scalars.withScalar(
+        cs.join(broadcast(glob), "c_mktsegment")
+          .join(nc, Seq("c_nationkey", "bal_band")),
+        col("c_nationkey"), tot, col("n_tot"))
+      cells.groupBy("c_nationkey", "bal_band").agg(
+          max("n_c").as("n_c"), max("n_tot").as("n_tot"),
+          sum(abs(expr("CAST(n_cs AS DECIMAL(38,0)) * n_tot" +
+            " - CAST(n_s AS DECIMAL(38,0)) * n_c"))).as("d_present"),
+          sum("n_s").as("n_s_present"))
+        .withColumn("dd", expr("d_present" +
+          " + CAST(n_tot - n_s_present AS DECIMAL(38,0)) * n_c"))
+        .withColumn("emd_u4", expr("CAST((2 * dd * 10000" +
+          " + 2 * CAST(n_c AS DECIMAL(38,0)) * n_tot)" +
+          " div (4 * CAST(n_c AS DECIMAL(38,0)) * n_tot) AS BIGINT)"))
+        .select(col("c_nationkey"), col("bal_band"),
+          col("n_c").as("class_size"), col("emd_u4"),
+          (col("emd_u4") > 2000L).cast("long").as("at_risk"))
+        .orderBy("c_nationkey", "bal_band")
+    }),
+
     // SEQUENTIAL A/B MONITORING (Wald 1945 SPRT, daily looks) — the
     // always-valid companion to events_ab_readout's fixed-horizon
     // chi-square: a readout peeked at daily inflates false positives,
@@ -3873,6 +3919,35 @@ object OlapQueries {
         |  CAST(sum(class_size) AS BIGINT) AS n_rows,
         |  CAST(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
         |FROM cls GROUP BY n_sensitive ORDER BY n_sensitive""".stripMargin,
+
+    // same cents band and cell table; absent segments fold in via
+    // (N − Σ_present N_s)·n_c; the one division per class is half-up
+    // u4 in HUGEINT (the DECIMAL(38,0) twin of the engine's widening)
+    "privacy_t_closeness" ->
+      """WITH q AS (SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal*100) AS BIGINT) + 100000) // 200000 AS bal_band
+        |  FROM customer),
+        |g AS (SELECT c_mktsegment, count(*) AS n_s FROM q GROUP BY 1),
+        |t AS (SELECT sum(n_s) AS n_tot FROM g),
+        |cs AS (SELECT c_nationkey, bal_band, c_mktsegment, count(*) AS n_cs
+        |       FROM q GROUP BY 1, 2, 3),
+        |nc AS (SELECT c_nationkey, bal_band, sum(n_cs) AS n_c
+        |       FROM cs GROUP BY 1, 2),
+        |d AS (SELECT c_nationkey, bal_band,
+        |        max(n_c) AS n_c, max(n_tot) AS n_tot,
+        |        sum(abs(CAST(n_cs AS HUGEINT)*n_tot
+        |                - CAST(n_s AS HUGEINT)*n_c))
+        |          + (max(n_tot) - sum(n_s))*CAST(max(n_c) AS HUGEINT) AS dd
+        |      FROM cs JOIN g USING (c_mktsegment)
+        |           JOIN nc USING (c_nationkey, bal_band), t
+        |      GROUP BY 1, 2)
+        |SELECT c_nationkey, bal_band, class_size, emd_u4,
+        |  CAST(CASE WHEN emd_u4 > 2000 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        |FROM (SELECT c_nationkey, bal_band, n_c AS class_size,
+        |        CAST((2*dd*10000 + 2*CAST(n_c AS HUGEINT)*n_tot)
+        |          // (4*CAST(n_c AS HUGEINT)*n_tot) AS BIGINT) AS emd_u4
+        |      FROM d)
+        |ORDER BY c_nationkey, bal_band""".stripMargin,
 
     // same cents band (shift keeps the div non-negative → floor), same
     // two-level aggregation — pure BIGINT end to end

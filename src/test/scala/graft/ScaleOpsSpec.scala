@@ -1653,6 +1653,39 @@ class ScaleOpsSpec extends AnyFunSuite {
       Tables.customer(spark, sf).count())
   }
 
+  test("t-closeness: per-class EMD replays the integer variational distance") {
+    val rows = SparkEntry.queries("privacy_t_closeness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        graft.queries.Exact.cents(col("c_acctbal")).as("acct_c"))
+      .collect()
+      .map(r => ((r.getInt(0), (r.getLong(2) + 100000L) / 200000L), r.getString(1)))
+    val nTot = raw.length.toLong
+    val glob = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byClass = raw.groupBy(_._1)
+    assert(rows.length == byClass.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Int]("c_nationkey"), r.getAs[Long]("bal_band"))
+      val members = byClass(key).map(_._2)
+      val nC = members.length.toLong
+      assert(r.getAs[Long]("class_size") == nC)
+      // EMD numerator over ALL segments (absent ones via the global map)
+      val dd = glob.map { case (seg, nS) =>
+        val nCs = members.count(_ == seg).toLong
+        BigInt(nCs) * nTot - BigInt(nS) * nC
+      }.map(_.abs).sum
+      val den = BigInt(2) * nC * nTot
+      val emd = (BigInt(2) * dd * 10000 + den) / (BigInt(2) * den)
+      assert(BigInt(r.getAs[Long]("emd_u4")) == emd, s"emd for $key")
+      assert(r.getAs[Long]("emd_u4") <= 10000L)
+      assert(r.getAs[Long]("at_risk") ==
+        (if (r.getAs[Long]("emd_u4") > 2000L) 1L else 0L))
+    }
+    // coverage: classes partition the table
+    assert(rows.map(_.getAs[Long]("class_size")).sum == nTot)
+  }
+
   test("SPRT: llr is the quantized Wald walk over cumulative looks, boundaries honored") {
     val rows = SparkEntry.queries("events_ab_sprt")(spark, sf).collect()
     assert(rows.nonEmpty)
