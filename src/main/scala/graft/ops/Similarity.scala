@@ -184,6 +184,38 @@ object Similarity {
       nearestCell(col("v"), col("nrm"), ivfCentroids(e, cells, lloydIters, buildFilter)))
   }
 
+  /** Simplified silhouette (Kaufman–Rousseeuw's centroid variant) of
+    * the IVF coarse quantizer: per vector, a = cosine distance to its
+    * OWN centroid (the nearest by construction) and b = distance to
+    * the runner-up centroid, so s = (b−a)/b = (s₁−s₂)/(1−s₂) — the
+    * cluster-quality number deciding whether the cells carve real
+    * structure or slice noise (emb_ivf_balance sees only occupancy;
+    * this sees geometry). Per-ROW float work only (the two top sims),
+    * quantized half-up to ×10⁴ BEFORE any aggregation, so the per-cell
+    * means are integer sums with no float accumulation order anywhere;
+    * a degenerate s₂ ≥ 1 (vector equidistant to two identical
+    * centroids) scores 0 rather than dividing by zero. One corpus
+    * scan; only the cells×dim centroid matrix leaves the driver.
+    *
+    * Returns (vec_id, cell, s_u4) — callers aggregate. */
+  def ivfSilhouette(emb: DataFrame, cells: Int = 16,
+                    lloydIters: Int = 1): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+    val cs = ivfCentroids(e, cells, lloydIters, lit(true))
+    // desc (sim, idx) order: element 1 == nearestCell's max-tie choice
+    val sims = reverse(array_sort(centroidSims(col("v"), col("nrm"), cs)))
+    e.select(col("vec_id"),
+        element_at(sims, 1).getField("idx").cast("long").as("cell"),
+        element_at(sims, 1).getField("sim").as("s1"),
+        element_at(sims, 2).getField("sim").as("s2"))
+      .select(col("vec_id"), col("cell"),
+        when(col("s2") >= 1.0d, 0L)
+          .otherwise(expr("CAST(round((s1 - s2) / (1 - s2) * 10000) AS BIGINT)"))
+          .as("s_u4"))
+  }
+
   private final case class Centroid(vec: Array[Double], norm: Double)
 
   private def centroidRows(vs: Array[Array[Double]]): Array[Centroid] =

@@ -923,6 +923,24 @@ object PipelineQueries {
       }.reduce(_.unionByName(_)).orderBy("cells")
     }),
 
+    // SIMPLIFIED SILHOUETTE of the IVF coarse quantizer — the geometry
+    // question emb_ivf_balance's occupancy histogram cannot answer: do
+    // the 16 cells carve real cluster structure (s → 1) or slice noise
+    // (s → 0)? Per-row float work only (top-2 centroid sims), each row
+    // quantized to §5 u4 BEFORE aggregation so the per-cell means are
+    // pure integer sums — no float accumulation order anywhere. One
+    // corpus scan against the broadcast cells×dim centroid matrix.
+    "emb_silhouette" -> ((s, dir) =>
+      Similarity.ivfSilhouette(Tables.embeddings(s, dir), cells = 16,
+          lloydIters = 1)
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"),
+          sum("s_u4").as("ssum"),
+          min("s_u4").as("min_s_u4"), max("s_u4").as("max_s_u4"))
+        .select(col("cell"), col("n_vecs"),
+          expr("(2 * ssum + n_vecs) div (2 * n_vecs)").as("mean_s_u4"),
+          col("min_s_u4"), col("max_s_u4"))
+        .orderBy("cell")),
+
     // LSH TUNING CURVE: average recall@5 of the hyperplane index at 4,
     // 6, and 8 planes against the shared brute-force ground truth —
     // the measurement that picks the bucket granularity (recall halves
@@ -4989,6 +5007,52 @@ object PipelineQueries {
          |FROM (SELECT * FROM bal8 UNION ALL SELECT * FROM bal16)
          |ORDER BY cells""".stripMargin
     },
+
+    // same 16-cell seed + 1-Lloyd replay as emb_ivf_balance, then per
+    // vector the top-2 refined-centroid sims (identical sim-desc,
+    // cell-desc tie order) fold into the u4 silhouette BEFORE the
+    // per-cell integer aggregation
+    "emb_silhouette" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 16),
+        |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+        |a AS (
+        |  SELECT e.vec_id, e.v, e.nrm, sd.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*sd.c[i])) / (e.nrm*sd.cn) DESC,
+        |               sd.cell DESC) AS rk
+        |  FROM e CROSS JOIN sd QUALIFY rk = 1),
+        |m AS (
+        |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+        |  FROM a, unnest(range(1, 65)) t(i)
+        |  GROUP BY cell, i),
+        |rc AS (
+        |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+        |         list(m ORDER BY pos) AS c
+        |  FROM m GROUP BY cell),
+        |rn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
+        |r AS (
+        |  SELECT e.vec_id, rn.cell,
+        |    list_sum(list_transform(range(1,65), i -> e.v[i]*rn.c[i])) / (e.nrm*rn.cn) AS sim,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rn.c[i])) / (e.nrm*rn.cn) DESC,
+        |               rn.cell DESC) AS rk
+        |  FROM e CROSS JOIN rn),
+        |pv AS (
+        |  SELECT r1.vec_id, r1.cell, r1.sim AS s1, r2.sim AS s2
+        |  FROM r r1 JOIN r r2 ON r1.vec_id = r2.vec_id AND r2.rk = 2
+        |  WHERE r1.rk = 1),
+        |su AS (
+        |  SELECT cell, CASE WHEN s2 >= 1 THEN 0
+        |    ELSE CAST(round((s1 - s2) / (1 - s2) * 10000) AS BIGINT) END AS s_u4
+        |  FROM pv)
+        |SELECT cell, count(*) AS n_vecs,
+        |  (2*sum(s_u4) + count(*)) // (2*count(*)) AS mean_s_u4,
+        |  min(s_u4) AS min_s_u4, max(s_u4) AS max_s_u4
+        |FROM su GROUP BY 1 ORDER BY cell""".stripMargin,
 
     // five unrolled merge stages: pair count → argmax → two-pass
     // replace, each stage reading the previous word table — the same

@@ -1653,6 +1653,37 @@ class ScaleOpsSpec extends AnyFunSuite {
       Tables.customer(spark, sf).count())
   }
 
+  test("ivfSilhouette: two engineered clusters score near 1, real cells stay bounded") {
+    // seed order is the engine's multiplicative hash — compute it here
+    // so the two cells=2 seeds land in DIFFERENT clusters by design
+    val ids = (0L until 40L).toArray
+    val seedOrder = ids.sortBy(id => ((id * 2654435761L) % 1000003L, id))
+    val (s0, s1) = (seedOrder(0), seedOrder(1))
+    val inA = ids.map(id =>
+      id -> (if (id == s0) true else if (id == s1) false else id % 2 == 0)).toMap
+    val vecs = ids.toSeq.map { id =>
+      val v = Array.fill(64)(0.0)
+      v(if (inA(id)) 0 else 1) = 1.0
+      v(2 + (id % 8).toInt) = 0.01 // small deterministic jitter
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.ivfSilhouette(vecs, cells = 2, lloydIters = 1).collect()
+    assert(rows.length == 40)
+    assert(rows.map(_.getAs[Long]("cell")).distinct.sorted.sameElements(Array(0L, 1L)))
+    // orthogonal clusters: every point sits ~10x closer to its own
+    // centroid than to the other — silhouette must be high everywhere
+    assert(rows.forall(_.getAs[Long]("s_u4") > 9000L))
+    // the real-corpus query: 16 cells partitioning every vector
+    val q = SparkEntry.queries("emb_silhouette")(spark, sf).collect()
+    assert(q.length <= 16 && q.nonEmpty)
+    assert(q.map(_.getAs[Long]("n_vecs")).sum == Tables.embeddings(spark, sf).count())
+    q.foreach { r =>
+      val (mn, mean, mx) = (r.getAs[Long]("min_s_u4"),
+        r.getAs[Long]("mean_s_u4"), r.getAs[Long]("max_s_u4"))
+      assert(mn <= mean && mean <= mx && mn >= 0L && mx <= 10000L)
+    }
+  }
+
   test("t-closeness: per-class EMD replays the integer variational distance") {
     val rows = SparkEntry.queries("privacy_t_closeness")(spark, sf).collect()
     assert(rows.nonEmpty)
