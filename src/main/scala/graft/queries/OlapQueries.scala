@@ -1758,6 +1758,45 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // THEIL-SEN ROBUST TREND (Sen 1968) per event-type daily series —
+    // the estimator events_trend's OLS line is not: the median of all
+    // pairwise slopes has a 29% breakdown point, so one bot-spike day
+    // cannot drag the trend the way it drags a least-squares fit. The
+    // pair self-join is quadratic ONLY in the bounded per-type day
+    // count (types × days² rows, after the one corpus-sized daily
+    // groupBy) — never the raw events. §5 discipline: each pair slope
+    // quantizes to a ×10⁶ integer first (Spark `div` and DuckDB `//`
+    // both truncate toward zero, verified on negatives, so signed
+    // slopes need no offset), and the median of integers — even-count
+    // average included — is pure BIGINT. Types with a single active
+    // day have no pairs and are absent, same as the oracle.
+    "events_theil_sen" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("dn"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(false) // bounded day table feeds 3 consumers
+      val p = d.select(col("event_type"), col("dn").as("d1"), col("y").as("y1"))
+        .join(d.select(col("event_type"), col("dn").as("d2"), col("y").as("y2")),
+          Seq("event_type"))
+        .filter(col("d1") < col("d2"))
+        .select(col("event_type"),
+          expr("((y2 - y1) * 1000000) div (d2 - d1)").as("s_u6"))
+      val byType = Window.partitionBy("event_type")
+      val rk = p
+        .withColumn("rn", row_number().over(byType.orderBy("s_u6")))
+        .withColumn("np", count(lit(1)).over(byType))
+      rk.groupBy("event_type").agg(
+          max("np").as("n_pairs"),
+          max(when(col("rn") === expr("(np + 1) div 2"), col("s_u6"))).as("v1"),
+          max(when(col("rn") === expr("np div 2 + 1"), col("s_u6"))).as("v2"))
+        .join(d.groupBy("event_type").agg(count(lit(1)).as("n_days")),
+          "event_type")
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          expr("(v1 + v2) div 2").as("ts_slope_u6"))
+        .orderBy("event_type")
+    }),
+
     // HOLT DOUBLE EXPONENTIAL SMOOTHING (level + additive trend,
     // α=1/2 β=3/10) per event-type daily series — the forecasting step
     // past events_trend's global OLS line: the smoothed state adapts
@@ -4455,6 +4494,31 @@ object OlapQueries {
         |  round(regr_intercept(n, dn), 4) AS intercept,
         |  count(*) AS n_days
         |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same daily table; pairwise ×10⁶ slopes truncate identically in
+    // both engines (// and div both round toward zero), and the
+    // positional median replays via the same rank bracketing
+    "events_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT l.event_type,
+        |        ((r.y - l.y) * 1000000) // (r.dn - l.dn) AS s_u6
+        |      FROM daily l JOIN daily r
+        |        ON l.event_type = r.event_type AND l.dn < r.dn),
+        |rk AS (SELECT event_type, s_u6,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY s_u6) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS np
+        |       FROM p),
+        |med AS (SELECT event_type, max(np) AS n_pairs,
+        |          max(CASE WHEN rn = (np + 1)//2 THEN s_u6 END) AS v1,
+        |          max(CASE WHEN rn = np//2 + 1 THEN s_u6 END) AS v2
+        |        FROM rk GROUP BY 1),
+        |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, n_pairs, (v1 + v2) // 2 AS ts_slope_u6
+        |FROM med JOIN nd USING (event_type) ORDER BY event_type""".stripMargin,
 
     // the fold replays via list_reduce over single-struct lists: the
     // seed is the first element whose placeholder (lvl=y·10⁶, tr=0) IS

@@ -359,6 +359,36 @@ class TextSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("c12") >= 2))
   }
 
+  test("theil-sen: slope is the positional median of quantized pairwise slopes") {
+    val rows = SparkEntry.queries("events_theil_sen")(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // independent replay off the raw daily series
+    val daily = graft.sources.Tables.events(spark, SparkTestSession.sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("dn"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(r => (r.getAs[Int]("dn"), r.getAs[Long]("y")))
+        .sortBy(_._1)).toMap
+    assert(rows.length == daily.count(_._2.length >= 2))
+    rows.foreach { r =>
+      val ser = daily(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_days") == ser.length.toLong)
+      val slopes = (for {
+        i <- ser.indices; j <- (i + 1) until ser.length
+      } yield (ser(j)._2 - ser(i)._2) * 1000000L / (ser(j)._1 - ser(i)._1))
+        .sorted // JVM / truncates toward zero, same as div and //
+      val np = slopes.length.toLong
+      assert(r.getAs[Long]("n_pairs") == np)
+      val med = (slopes(((np + 1) / 2).toInt - 1)
+        + slopes((np / 2 + 1).toInt - 1)) / 2
+      assert(r.getAs[Long]("ts_slope_u6") == med,
+        s"median for ${r.getAs[String]("event_type")}")
+    }
+  }
+
   test("holt: emitted level/trend replay the recurrence from the emitted series") {
     // replays the α=1/2 β=3/10 micro-unit integer recurrence per
     // event_type over the query's own emitted y series — init
