@@ -15,6 +15,12 @@ object MetricQueries {
 
   private def ordersRevenue = MetricDef("total_revenue", "sum", "o_totalprice", Some("o_orderdate"))
 
+  /** Benford first-digit expectations log₁₀(1+1/d), quantized ONCE to
+    * ×10⁶ so engine and oracle share the exact same integers (the
+    * events_ab_sprt constant-sharing pattern). */
+  private val benfordU6: IndexedSeq[Long] =
+    (1 to 9).map(d => Math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_simple_sum" -> ((s, dir) => {
       MC.simple(Tables.orders(s, dir), ordersRevenue, Some("month"))
@@ -612,6 +618,31 @@ object MetricQueries {
           6).as("gini"), col("n").as("n_customers"))
     }),
 
+    // BENFORD FIRST-DIGIT AUDIT (Newcomb 1881, Benford 1938) over the
+    // order totals — the fabrication screen auditors run before
+    // trusting a financial column: organically-grown amounts follow
+    // log₁₀(1+1/d), invented ones don't. The digit comes from the
+    // EXACT cents integer (first char of its decimal repr — no float
+    // log in the grouping key), the observed share is §5 half-up u6,
+    // and the expectations are the plan-time ×10⁶ constants both
+    // engines share. One scan → 9-row emission; per-digit |obs−exp|
+    // is the evidence column a reviewer reads.
+    "m_benford" -> ((s, dir) => {
+      val d = Tables.orders(s, dir)
+        .select(Exact.cents(col("o_totalprice")).as("c"))
+        .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      val tot = d.agg(sum("n_orders").as("n_tot"))
+      graft.ops.Scalars.withScalar(d, col("digit"), tot, col("n_tot"))
+        .withColumn("share_u6",
+          expr("(2 * n_orders * 1000000 + n_tot) div (2 * n_tot)"))
+        .withColumn("exp_u6",
+          element_at(array(benfordU6.map(lit): _*), col("digit").cast("int")))
+        .select(col("digit"), col("n_orders"), col("share_u6"), col("exp_u6"),
+          abs(col("share_u6") - col("exp_u6")).as("dev_u6"))
+        .orderBy("digit")
+    }),
+
     // RFM segmentation: per-customer recency/frequency/monetary
     // quintiles (1 = top), each from a DESC global rank over the tiny
     // per-customer aggregate via the same two-level decomposition.
@@ -777,6 +808,26 @@ object MetricQueries {
   private def rhoChainSql: String = DuckHash.rhoChainSql
 
   val oracle: Map[String, String] = Map(
+
+    // same exact-cents first digit, same shared ×10⁶ expectation
+    // constants, same half-up share — pure BIGINT end to end
+    "m_benford" -> {
+      val vals = benfordU6.zipWithIndex
+        .map { case (e, i) => s"(${i + 1}, $e)" }.mkString(", ")
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+         |g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
+         |t AS (SELECT sum(n_orders) AS n_tot FROM g),
+         |ex(digit, exp_u6) AS (VALUES $vals)
+         |SELECT digit, n_orders, share_u6,
+         |  CAST(exp_u6 AS BIGINT) AS exp_u6,
+         |  abs(share_u6 - exp_u6) AS dev_u6
+         |FROM (SELECT g.digit, g.n_orders,
+         |        (2*g.n_orders*1000000 + t.n_tot) // (2*t.n_tot) AS share_u6,
+         |        ex.exp_u6
+         |      FROM g JOIN ex USING (digit), t)
+         |ORDER BY digit""".stripMargin
+    },
 
     // ONE-SHOT join-aggregate — the incremental fold must land here
     // one-shot fact-fact join aggregate — the four-way fold must land

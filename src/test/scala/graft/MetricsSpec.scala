@@ -153,6 +153,34 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("benford: digit histogram replays the exact-cents first digit") {
+    val rows = SparkEntry.queries("m_benford")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall { r =>
+      val d = r.getAs[Long]("digit"); d >= 1 && d <= 9
+    })
+    // independent replay off the raw cents integers
+    import org.apache.spark.sql.functions.col
+    val digits = graft.sources.Tables.orders(spark, sf)
+      .select(graft.queries.Exact.cents(col("o_totalprice")).as("c"))
+      .collect().map(_.getLong(0).toString.head.asDigit.toLong)
+    val hist = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = digits.length.toLong
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == n)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(r.getAs[Long]("n_orders") == hist(d))
+      val share = (2L * hist(d) * 1000000L + n) / (2L * n)
+      assert(r.getAs[Long]("share_u6") == share)
+      val exp = Math.round(math.log10(1.0 + 1.0 / d) * 1e6)
+      assert(r.getAs[Long]("exp_u6") == exp)
+      assert(r.getAs[Long]("dev_u6") == math.abs(share - exp))
+    }
+    // orders totals are organic-ish: low digits must dominate high ones
+    val byDigit = rows.map(r => r.getAs[Long]("digit") -> r.getAs[Long]("n_orders")).toMap
+    assert(byDigit.getOrElse(1L, 0L) + byDigit.getOrElse(2L, 0L) >
+      byDigit.getOrElse(8L, 0L) + byDigit.getOrElse(9L, 0L))
+  }
+
   test("KMV intersection: exact below k, theta-estimator within sketch error above") {
     import org.apache.spark.sql.functions._
     val W = 1L << 40
