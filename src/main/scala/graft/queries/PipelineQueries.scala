@@ -1361,6 +1361,40 @@ object PipelineQueries {
         .withColumn("n_tokens", col("n_tokens").cast("bigint"))
         .orderBy("doc_id")),
 
+    // FLESCH READABILITY HISTOGRAM — the curation signal text_quality's
+    // length/punct ratios don't carry: sentence and syllable structure.
+    // All three per-doc counts are single regexp_counts over one scan
+    // (words = [a-z0-9]+ runs — exactly len of the shared token split;
+    // sentences = [.!?]+ runs, floored at 1; syllables = [aeiouy]+
+    // vowel-group runs, the standard heuristic — vowel-less tokens
+    // contribute 0 by documented choice), and the Flesch score
+    // 206.835 − 1.015·w/s − 84.6·syll/w runs entirely in ×10³ integer
+    // half-up divisions — no float surface. Emission is the bounded
+    // 7-band histogram (0: <30 … 6: ≥90) with per-band integer means.
+    "text_readability" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        regexp_count(lower(col("text")), lit("[a-z0-9]+")).cast("long").as("w"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L)).as("sn"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("sy"))
+      val sc = d.select(expr(
+        "206835 - (2 * 1015 * w + sn) div (2 * sn)" +
+          " - (2 * 84600 * sy + greatest(w, 1)) div (2 * greatest(w, 1))")
+        .as("score_m3"))
+      sc.select(col("score_m3"), expr(
+          "CASE WHEN score_m3 < 30000 THEN 0 WHEN score_m3 < 50000 THEN 1" +
+            " WHEN score_m3 < 60000 THEN 2 WHEN score_m3 < 70000 THEN 3" +
+            " WHEN score_m3 < 80000 THEN 4 WHEN score_m3 < 90000 THEN 5" +
+            " ELSE 6 END").cast("long").as("band"))
+        .groupBy("band").agg(count(lit(1)).as("n_docs"),
+          sum("score_m3").as("ssum"),
+          min("score_m3").as("min_score_m3"),
+          max("score_m3").as("max_score_m3"))
+        .select(col("band"), col("n_docs"),
+          expr("ssum div n_docs").as("mean_score_m3"),
+          col("min_score_m3"), col("max_score_m3"))
+        .orderBy("band")
+    }),
+
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"),
@@ -5653,6 +5687,28 @@ object PipelineQueries {
          |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq,
          |  round(list_sum(list_transform(toks, x -> len(x)))*1.0/len(toks), 4) AS avg_len
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // same three regexp_count surfaces (DuckDB: len of extract_all),
+    // same ×10³ half-up integer Flesch, same band cuts
+    "text_readability" ->
+      """WITH d AS (SELECT
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS w,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sn,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+        |  FROM documents),
+        |sc AS (SELECT 206835 - (2*1015*w + sn) // (2*sn)
+        |         - (2*84600*sy + greatest(w, 1)) // (2*greatest(w, 1)) AS score_m3
+        |       FROM d),
+        |b AS (SELECT score_m3,
+        |        CAST(CASE WHEN score_m3 < 30000 THEN 0 WHEN score_m3 < 50000 THEN 1
+        |          WHEN score_m3 < 60000 THEN 2 WHEN score_m3 < 70000 THEN 3
+        |          WHEN score_m3 < 80000 THEN 4 WHEN score_m3 < 90000 THEN 5
+        |          ELSE 6 END AS BIGINT) AS band
+        |      FROM sc)
+        |SELECT band, count(*) AS n_docs,
+        |  sum(score_m3) // count(*) AS mean_score_m3,
+        |  min(score_m3) AS min_score_m3, max(score_m3) AS max_score_m3
+        |FROM b GROUP BY 1 ORDER BY band""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),

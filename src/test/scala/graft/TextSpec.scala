@@ -359,6 +359,36 @@ class TextSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("c12") >= 2))
   }
 
+  test("readability: band histogram replays the integer Flesch off the raw text") {
+    val rows = SparkEntry.queries("text_readability")(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    def runs(s: String, re: String): Long = re.r.findAllIn(s).length.toLong
+    def huDiv(n: Long, d: Long): Long = (2 * n + d) / (2 * d)
+    val scores = graft.sources.Tables.documents(spark, SparkTestSession.sf)
+      .select("text").collect().map(_.getString(0)).map { t =>
+        val lo = t.toLowerCase
+        val w  = runs(lo, "[a-z0-9]+")
+        val sn = math.max(runs(t, "[.!?]+"), 1L)
+        val sy = runs(lo, "[aeiouy]+")
+        206835L - huDiv(1015 * w, sn) - huDiv(84600 * sy, math.max(w, 1L))
+      }
+    val bands = scores.map(s =>
+      if (s < 30000) 0L else if (s < 50000) 1L else if (s < 60000) 2L
+      else if (s < 70000) 3L else if (s < 80000) 4L
+      else if (s < 90000) 5L else 6L)
+    val hist = bands.zip(scores).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.length == hist.size)
+    rows.foreach { r =>
+      val ss = hist(r.getAs[Long]("band"))
+      assert(r.getAs[Long]("n_docs") == ss.length.toLong)
+      assert(r.getAs[Long]("mean_score_m3") == ss.sum / ss.length)
+      assert(r.getAs[Long]("min_score_m3") == ss.min)
+      assert(r.getAs[Long]("max_score_m3") == ss.max)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scores.length.toLong)
+  }
+
   test("theil-sen: slope is the positional median of quantized pairwise slopes") {
     val rows = SparkEntry.queries("events_theil_sen")(spark, SparkTestSession.sf)
       .collect()
