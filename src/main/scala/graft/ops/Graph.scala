@@ -190,6 +190,51 @@ object Graph {
     lab
   }
 
+  /** Degree assortativity coefficient (Newman 2002) over an undirected
+    * edge set (columns `a`, `b`, a < b canonical) — the mixing question
+    * the rest of the family leaves open: do hubs attach to hubs
+    * (r > 0, social-graph-like) or to leaves (r < 0, star-like)? On a
+    * kNN similarity graph, disassortative mixing is the hub-and-spoke
+    * signature of a template explosion; assortative mixing means dense
+    * duplicate cores.
+    *
+    * r is the Pearson correlation of (deg(u), deg(v)) over the
+    * SYMMETRIZED edge ends. Because the two ends are identically
+    * distributed under symmetrization, Σx = Σy and Σx² = Σy², so
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) with M = 2·|E|. All
+    * moments accumulate as exact DECIMAL(38,0) integers (two co-keyed
+    * joins against the bounded degree table, one global aggregate);
+    * the ONE continuous step is the final quotient — both engines cast
+    * the same exact integers to double and divide (the m_gini
+    * emission rule). A degree-regular graph has zero variance and no
+    * defined mixing; r emits as 0.0 there by documented convention.
+    *
+    * Output 1 row: (n_nodes, n_edges, assort_r 6dp). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+      .localCheckpoint(false) // feeds degrees and both symmetrized ends
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val sym = e.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+    val p = sym
+      .join(deg.select(col("v").as("s"), col("deg").as("dx")), "s")
+      .join(deg.select(col("v").as("t"), col("deg").as("dy")), "t")
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val m = p.agg(count(lit(1)).as("m"),
+      sum(col("dx").cast("decimal(38,0)")).as("sx"),
+      sum((col("dx").cast("decimal(38,0)") * col("dy"))).as("sxy"),
+      sum((col("dx").cast("decimal(38,0)") * col("dx"))).as("sx2"))
+    Scalars.withScalar(m, col("m"), nn, col("n_nodes"))
+      .withColumn("num", expr("m * sxy - sx * sx"))
+      .withColumn("den", expr("m * sx2 - sx * sx"))
+      .select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
+        when(col("den") === 0, lit(0.0d))
+          .otherwise(round(col("num").cast("double") / col("den").cast("double"), 6))
+          .as("assort_r"))
+  }
+
   /** Multi-source BFS hop layers over an undirected edge set (columns
     * `a`, `b`, a < b canonical) — the reachability-DEPTH question the
     * rest of the graph family doesn't ask: CC says "same family",

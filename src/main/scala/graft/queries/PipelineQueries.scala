@@ -1863,6 +1863,20 @@ object PipelineQueries {
       graft.ops.Graph.kCorePeel(edges, k = 3, rounds = 6).orderBy("round")
     }),
 
+    // DEGREE ASSORTATIVITY over the same kNN graph — the MIXING member
+    // of the graph family (closure/communities/depth/reach, now
+    // mixing): disassortative r is the hub-and-spoke signature of a
+    // template explosion, assortative r means dense duplicate cores.
+    // Exact DECIMAL moments off the bounded degree table; the single
+    // continuous step is the final quotient (m_gini emission rule).
+    "graph_assortativity" -> ((s, dir) =>
+      graft.ops.Graph.degreeAssortativity(
+        Similarity.lshTopK(Tables.embeddings(s, dir), lit(true),
+            k = 3, numPlanes = 4)
+          .select(least(col("probe_id"), col("neighbor_id")).as("a"),
+            greatest(col("probe_id"), col("neighbor_id")).as("b"))
+          .distinct())),
+
     // BFS HOP LAYERS from a deterministic trusted seed set over the
     // same kNN graph — the graph family's DISTANCE member (triangles =
     // closure, label_prop = communities, k-core = depth, BFS = reach):
@@ -3703,6 +3717,30 @@ object PipelineQueries {
          |    AS BIGINT) AS stable
          |FROM stats ORDER BY round""".stripMargin
     },
+
+    // same kNN edge CTE; symmetrized ends joined to the degree table,
+    // HUGEINT moments, the identical one-float-quotient emission
+    "graph_assortativity" ->
+      s"""WITH $knnEdgeCtes,
+         |dg AS (SELECT v, count(*) AS deg
+         |       FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
+         |       GROUP BY 1),
+         |sym AS (SELECT a AS s, b AS t FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |p AS (SELECT da.deg AS dx, db.deg AS dy
+         |      FROM sym JOIN dg da ON sym.s = da.v
+         |           JOIN dg db ON sym.t = db.v),
+         |mm AS (SELECT count(*) AS m,
+         |         sum(CAST(dx AS HUGEINT)) AS sx,
+         |         sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+         |         sum(CAST(dx AS HUGEINT) * dx) AS sx2 FROM p),
+         |nn AS (SELECT count(*) AS n_nodes FROM dg)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(m // 2 AS BIGINT) AS n_edges,
+         |  CASE WHEN m * sx2 - sx * sx = 0 THEN 0.0
+         |       ELSE round(CAST(m * sxy - sx * sx AS DOUBLE)
+         |              / CAST(m * sx2 - sx * sx AS DOUBLE), 6) END AS assort_r
+         |FROM mm, nn""".stripMargin,
 
     // same kNN edge CTE; 4 unrolled frontier-expansion rounds, each
     // joining only the previous frontier and anti-filtering the

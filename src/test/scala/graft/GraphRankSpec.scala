@@ -211,6 +211,24 @@ class GraphRankSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("degreeAssortativity: star is -1, cycle is the 0.0 convention, path is -0.5") {
+    def r(edges: Seq[(Long, Long)]) =
+      Graph.degreeAssortativity(edges.toDF("a", "b")).head()
+    val star = r(Seq((1L,2L),(1L,3L),(1L,4L),(1L,5L)))
+    assert(star.getAs[Long]("n_nodes") == 5 && star.getAs[Long]("n_edges") == 4)
+    assert(star.getAs[Double]("assort_r") == -1.0)
+    // 4-cycle is degree-regular: zero variance -> documented 0.0
+    val cyc = r(Seq((1L,2L),(2L,3L),(3L,4L),(1L,4L)))
+    assert(cyc.getAs[Double]("assort_r") == 0.0)
+    // path 1-2-3-4: hand-computed moments give exactly -1/2
+    val path = r(Seq((1L,2L),(2L,3L),(3L,4L)))
+    assert(path.getAs[Double]("assort_r") == -0.5)
+    // real corpus: defined and bounded
+    val q = SparkEntry.queries("graph_assortativity")(spark, sf).head()
+    assert(q.getAs[Long]("n_edges") > 0)
+    assert(math.abs(q.getAs[Double]("assort_r")) <= 1.0)
+  }
+
   test("bfsLayers: min-hop from multi-source seeds; isolated seed kept at hop 0") {
     val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),(3L,7L)).toDF("a","b")
     val seeds = Seq(1L, 7L, 99L).toDF("v") // 99 never appears in an edge
