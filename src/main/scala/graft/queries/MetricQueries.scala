@@ -618,6 +618,44 @@ object MetricQueries {
           6).as("gini"), col("n").as("n_customers"))
     }),
 
+    // AUTOCORRELATION FUNCTION at lags 1-7 of the daily revenue series
+    // — the weekly-rhythm detector behind m_seasonality's averages and
+    // events_holt_winters' period-7 assumption: a peak at lag 7 is the
+    // evidence that the weekly model is the right one. Exactness: with
+    // z_t = n·y_t − Σy (integer, the ×n-scaled centered value), the n²
+    // factors cancel and r_k = Σ z_t·z_{t−k} / Σ z_t² needs ONE float
+    // quotient per lag off exact DECIMAL(38,0) moments (m_gini rule).
+    // The observation index t comes from a row_number over the BOUNDED
+    // day table (gaps close up by documented choice — ACF over
+    // observations, not calendar cells); the corpus is touched once.
+    "m_autocorr" -> ((s, dir) => {
+      val d = Tables.orders(s, dir)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("dn"))
+        .agg(sum(Exact.cents(col("o_totalprice"))).as("y"))
+      // bounded day table: the unpartitioned windows are safe
+      val z = d
+        .withColumn("t", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("dn")).cast("long"))
+        .withColumn("z", expr(
+          "CAST(count(*) OVER () AS DECIMAL(38,0)) * y" +
+            " - sum(CAST(y AS DECIMAL(38,0))) OVER ()"))
+        .select("t", "z")
+        .localCheckpoint(false) // feeds the denominator and 7 lag joins
+      val den = z.agg(sum(expr("z * z")).as("dz"))
+      (1 to 7).map { k =>
+        val num = z.join(
+            z.select(col("t").as("t2"), col("z").as("z2")),
+            col("t") === col("t2") + k)
+          .agg(sum(expr("z * z2")).as("num"), count(lit(1)).as("n_pairs"))
+        graft.ops.Scalars.withScalar(num, col("n_pairs"), den, col("dz"))
+          .select(lit(k.toLong).as("lag"), col("n_pairs"),
+            when(col("dz") === 0, lit(0.0d))
+              .otherwise(round(col("num").cast("double") / col("dz").cast("double"), 6))
+              .as("ac_r"))
+      }.reduce(_.unionByName(_)).orderBy("lag")
+    }),
+
     // BENFORD FIRST-DIGIT AUDIT (Newcomb 1881, Benford 1938) over the
     // order totals — the fabrication screen auditors run before
     // trusting a financial column: organically-grown amounts follow
@@ -808,6 +846,27 @@ object MetricQueries {
   private def rhoChainSql: String = DuckHash.rhoChainSql
 
   val oracle: Map[String, String] = Map(
+
+    // same ×n-centered integer series (HUGEINT twin of the DECIMAL
+    // moments), same one-quotient-per-lag emission
+    "m_autocorr" ->
+      """WITH d AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dn,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |z AS (SELECT row_number() OVER (ORDER BY dn) AS t,
+        |        CAST(count(*) OVER () AS HUGEINT) * y
+        |          - sum(CAST(y AS HUGEINT)) OVER () AS z
+        |      FROM d),
+        |dd AS (SELECT sum(z*z) AS dz FROM z),
+        |l(k) AS (VALUES (1),(2),(3),(4),(5),(6),(7)),
+        |num AS (SELECT l.k, sum(z1.z * z2.z) AS num, count(*) AS n_pairs
+        |        FROM l JOIN z z1 ON TRUE JOIN z z2 ON z1.t = z2.t + l.k
+        |        GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN dz = 0 THEN 0.0
+        |       ELSE round(CAST(num AS DOUBLE)/CAST(dz AS DOUBLE), 6) END AS ac_r
+        |FROM num, dd ORDER BY lag""".stripMargin,
 
     // same exact-cents first digit, same shared ×10⁶ expectation
     // constants, same half-up share — pure BIGINT end to end

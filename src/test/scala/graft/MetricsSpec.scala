@@ -153,6 +153,30 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("autocorr: lags replay the x-n-centered integer moments") {
+    import org.apache.spark.sql.functions.{col, sum, to_date, datediff, lit}
+    val rows = SparkEntry.queries("m_autocorr")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("lag")).sameElements(1L to 7L))
+    val y = graft.sources.Tables.orders(spark, sf)
+      .groupBy(datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).as("dn"))
+      .agg(sum(graft.queries.Exact.cents(col("o_totalprice"))).as("y"))
+      .orderBy("dn").collect().map(r => BigInt(r.getAs[Long]("y")))
+    val n = BigInt(y.length)
+    val sy = y.sum
+    val z = y.map(v => n * v - sy)
+    val dz = z.map(v => v * v).sum
+    rows.foreach { r =>
+      val k = r.getAs[Long]("lag").toInt
+      assert(r.getAs[Long]("n_pairs") == (y.length - k).toLong)
+      val num = (k until y.length).map(t => z(t) * z(t - k)).sum
+      val expected = num.toDouble / dz.toDouble
+      assert(math.abs(r.getAs[Double]("ac_r") - expected) <= 1e-6,
+        s"acf at lag $k")
+      assert(math.abs(r.getAs[Double]("ac_r")) <= 1.0)
+    }
+  }
+
   test("benford: digit histogram replays the exact-cents first digit") {
     val rows = SparkEntry.queries("m_benford")(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall { r =>
