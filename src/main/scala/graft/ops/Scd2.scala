@@ -40,4 +40,53 @@ object Scd2 {
       updates.withColumn(validTo, lit(null).cast(toType))
         .select(closed.columns.map(col): _*))
   }
+
+  /** SCD2 well-formedness audit — the invariant checker every consumer
+    * of a versioned store implicitly assumes and nobody runs: per key
+    * the [from, to) intervals must be non-empty, non-overlapping and
+    * contiguous, with EXACTLY ONE open row (valid_to = the far-future
+    * sentinel; a null valid_to is NOT open under this convention — it
+    * surfaces as a missing open row, loudly). A violation means the
+    * merge cadence double-applied or dropped a batch; temporal joins
+    * silently pick arbitrary versions on such a store, which is why
+    * this audit gates them.
+    *
+    * Scale shape: one key-partitioned window (lead over the version
+    * order) + two aggregations — exactly the SCD2 read-path shuffle,
+    * nothing quadratic. Output 1 row: n_keys, n_versions,
+    * n_bad_interval (from ≥ to), n_overlaps (next from < this to),
+    * n_gaps (next from > this to), n_keys_multi_open, n_keys_no_open,
+    * ok = 1 iff every count is zero. */
+  def audit(dim: DataFrame, key: String, validFrom: String = "valid_from",
+            validTo: String = "valid_to",
+            openSentinel: String = "9999-12-31"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("vf", "vt")
+    val sent = lit(openSentinel).cast(dim.schema(validTo).dataType)
+    val r = dim.select(col(key).as("k"), col(validFrom).as("vf"),
+        col(validTo).as("vt"))
+      .withColumn("nvf", lead("vf", 1).over(w))
+      // a NULL valid_to must fire counters, not null them out: every
+      // flag coalesces to false so the open-row census still sees the
+      // row (a null-vt row is simply "not open" — and a key holding
+      // only such rows lands in n_keys_no_open, loudly)
+      .select(col("k"),
+        coalesce(col("vf") >= col("vt"), lit(false)).cast("long").as("bad"),
+        coalesce(col("nvf").isNotNull && col("nvf") < col("vt"), lit(false))
+          .cast("long").as("ovl"),
+        coalesce(col("nvf").isNotNull && col("nvf") > col("vt"), lit(false))
+          .cast("long").as("gap"),
+        coalesce(col("vt") === sent, lit(false)).cast("long").as("opn"))
+    r.groupBy("k")
+      .agg(count(lit(1)).as("nv"), sum("bad").as("bad"), sum("ovl").as("ovl"),
+        sum("gap").as("gap"), sum("opn").as("opn"))
+      .agg(count(lit(1)).as("n_keys"), sum("nv").as("n_versions"),
+        sum("bad").as("n_bad_interval"), sum("ovl").as("n_overlaps"),
+        sum("gap").as("n_gaps"),
+        sum((col("opn") > 1).cast("long")).as("n_keys_multi_open"),
+        sum((col("opn") === 0).cast("long")).as("n_keys_no_open"))
+      .withColumn("ok", (col("n_bad_interval") + col("n_overlaps")
+        + col("n_gaps") + col("n_keys_multi_open")
+        + col("n_keys_no_open") === 0).cast("long"))
+  }
 }

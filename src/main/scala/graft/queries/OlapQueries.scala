@@ -908,6 +908,16 @@ object OlapQueries {
         .orderBy("o_orderkey")
     }),
 
+    // SCD2 WELL-FORMEDNESS AUDIT over the twice-merged chain dim — the
+    // gate the temporal join assumes: non-empty, non-overlapping,
+    // contiguous intervals and exactly one open row per key. On the
+    // correctly-maintained chain every violation count is zero and
+    // ok=1 (the oracle cross-checks THAT, not just the shape); the
+    // spec corrupts a copy four different ways and proves each counter
+    // fires. One key-partitioned window + two aggregations.
+    "scd2_overlap_audit" -> ((s, dir) =>
+      graft.ops.Scd2.audit(scd2ChainDim(s, dir), key = "o_orderkey")),
+
     // Temporal (point-in-time) join — the READ side of SCD2: every
     // order joined to the dimension version valid at its query date
     // (+45 d), i.e. "what did this row look like THEN" for the whole
@@ -3471,6 +3481,36 @@ object OlapQueries {
     // chain directly (base row closes at u1, u1's row closes at u2,
     // the latest version stays open)
     "scd2_chain" -> scd2ChainSql,
+
+    // the chain replay nested as a derived table; the same lead-window
+    // invariant counters over it
+    "scd2_overlap_audit" ->
+      s"""WITH r AS (
+         |  SELECT o_orderkey AS k, valid_from AS vf, valid_to AS vt,
+         |    lead(valid_from) OVER (PARTITION BY o_orderkey
+         |      ORDER BY valid_from, valid_to) AS nvf
+         |  FROM ($scd2ChainSql)),
+         |f AS (SELECT k,
+         |    CAST(coalesce(vf >= vt, FALSE) AS BIGINT) AS bad,
+         |    CAST(coalesce(nvf IS NOT NULL AND nvf < vt, FALSE) AS BIGINT) AS ovl,
+         |    CAST(coalesce(nvf IS NOT NULL AND nvf > vt, FALSE) AS BIGINT) AS gap,
+         |    CAST(coalesce(vt = DATE '9999-12-31', FALSE) AS BIGINT) AS opn
+         |  FROM r),
+         |pk AS (SELECT k, count(*) AS nv, sum(bad) AS bad, sum(ovl) AS ovl,
+         |         sum(gap) AS gap, sum(opn) AS opn
+         |       FROM f GROUP BY 1)
+         |SELECT count(*) AS n_keys, CAST(sum(nv) AS BIGINT) AS n_versions,
+         |  CAST(sum(bad) AS BIGINT) AS n_bad_interval,
+         |  CAST(sum(ovl) AS BIGINT) AS n_overlaps,
+         |  CAST(sum(gap) AS BIGINT) AS n_gaps,
+         |  CAST(sum(CASE WHEN opn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keys_multi_open,
+         |  CAST(sum(CASE WHEN opn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keys_no_open,
+         |  CAST(sum(bad) + sum(ovl) + sum(gap)
+         |    + sum(CASE WHEN opn > 1 THEN 1 ELSE 0 END)
+         |    + sum(CASE WHEN opn = 0 THEN 1 ELSE 0 END) = 0 AS BIGINT) AS ok
+         |FROM pk""".stripMargin,
 
     // the chain replayed, then the same horizon filter and audit
     "scd2_gc" ->

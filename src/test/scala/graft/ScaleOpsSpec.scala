@@ -661,6 +661,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 audit: a clean chain is all-zero; each corruption fires its own counter") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val sent = d("9999-12-31")
+    def audit(rows: Seq[(Long, Date, Date)]) =
+      graft.ops.Scd2.audit(rows.toDF("k", "valid_from", "valid_to"), key = "k").head()
+    val clean = audit(Seq(
+      (1L, d("2020-01-01"), d("2020-02-01")), (1L, d("2020-02-01"), sent),
+      (2L, d("2020-01-05"), sent)))
+    assert(clean.getAs[Long]("ok") == 1L && clean.getAs[Long]("n_keys") == 2L
+      && clean.getAs[Long]("n_versions") == 3L)
+    Seq("n_bad_interval", "n_overlaps", "n_gaps",
+      "n_keys_multi_open", "n_keys_no_open")
+      .foreach(c => assert(clean.getAs[Long](c) == 0L, c))
+    // overlap: the second version starts before the first ends
+    assert(audit(Seq((1L, d("2020-01-01"), d("2020-03-01")),
+      (1L, d("2020-02-01"), sent))).getAs[Long]("n_overlaps") == 1L)
+    // gap: a hole in the history
+    assert(audit(Seq((1L, d("2020-01-01"), d("2020-02-01")),
+      (1L, d("2020-03-01"), sent))).getAs[Long]("n_gaps") == 1L)
+    // empty interval
+    assert(audit(Seq((1L, d("2020-02-01"), d("2020-01-01")),
+      (1L, d("2020-02-01"), sent))).getAs[Long]("n_bad_interval") == 1L)
+    // two open rows on one key
+    assert(audit(Seq((1L, d("2020-01-01"), sent), (1L, d("2020-02-01"), sent)))
+      .getAs[Long]("n_keys_multi_open") == 1L)
+    // no open row at all (and a null valid_to is NOT open)
+    val noOpen = audit(Seq((1L, d("2020-01-01"), d("2020-02-01")),
+      (2L, d("2020-01-01"), null.asInstanceOf[Date])))
+    assert(noOpen.getAs[Long]("n_keys_no_open") == 2L
+      && noOpen.getAs[Long]("ok") == 0L)
+    // the real chain dim through the query surface is clean
+    val q = SparkEntry.queries("scd2_overlap_audit")(spark, sf).head()
+    assert(q.getAs[Long]("ok") == 1L && q.getAs[Long]("n_versions") > q.getAs[Long]("n_keys"))
+  }
+
   test("scd2 GC preserves every point-in-time read at/after the horizon — and only those") {
     import spark.implicits._
     // versions [d0,d10) [d10,d20) [d20,inf); horizon d15 ⇒ only the
