@@ -1768,6 +1768,40 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // NAIVE-FORECAST BACKTEST per event-type daily series — the
+    // model-selection evidence next to m_autocorr's lag-7 peak: does
+    // the seasonal-naive forecast ŷ_t = y_{t−7} actually beat
+    // persistence ŷ_t = y_{t−1} on held-out days? (If it doesn't, the
+    // period-7 smoothers are fitting noise.) Calendar-exact lags via
+    // two pre-shifted self-joins on the BOUNDED day table (a day
+    // evaluates only when BOTH reference days exist — documented), the
+    // per-type MAEs are §5 half-up u4 off exact integer error sums,
+    // and the winner compares the raw sums (same n, so scale-free and
+    // float-free). One corpus scan; everything after is types×days.
+    "events_naive_backtest" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("dn"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(false) // bounded; feeds itself twice shifted
+      val j = d
+        .join(d.select(col("event_type"), (col("dn") + 1).as("dn"),
+          col("y").as("y1")), Seq("event_type", "dn"))
+        .join(d.select(col("event_type"), (col("dn") + 7).as("dn"),
+          col("y").as("y7")), Seq("event_type", "dn"))
+      j.groupBy("event_type").agg(
+          count(lit(1)).as("n_evals"),
+          sum(abs(col("y") - col("y1"))).as("sl"),
+          sum(abs(col("y") - col("y7"))).as("ss"))
+        .select(col("event_type"), col("n_evals"),
+          expr("(2 * 10000 * sl + n_evals) div (2 * n_evals)").as("mae_last_u4"),
+          expr("(2 * 10000 * ss + n_evals) div (2 * n_evals)").as("mae_seasonal_u4"),
+          when(col("ss") < col("sl"), lit("seasonal"))
+            .when(col("ss") > col("sl"), lit("last"))
+            .otherwise(lit("tie")).as("winner"))
+        .orderBy("event_type")
+    }),
+
     // THEIL-SEN ROBUST TREND (Sen 1968) per event-type daily series —
     // the estimator events_trend's OLS line is not: the median of all
     // pairwise slopes has a 29% breakdown point, so one bot-spike day
@@ -4534,6 +4568,28 @@ object OlapQueries {
         |  round(regr_intercept(n, dn), 4) AS intercept,
         |  count(*) AS n_days
         |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same daily table, same pre-shifted joins, same integer error
+    // sums; the winner compares raw sums so no float enters anywhere
+    "events_naive_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT d.event_type, d.y, l.y AS y1, s.y AS y7
+        |      FROM daily d
+        |      JOIN daily l ON d.event_type = l.event_type AND d.dn = l.dn + 1
+        |      JOIN daily s ON d.event_type = s.event_type AND d.dn = s.dn + 7),
+        |a AS (SELECT event_type, count(*) AS n_evals,
+        |        sum(abs(y - y1)) AS sl, sum(abs(y - y7)) AS ss
+        |      FROM j GROUP BY 1)
+        |SELECT event_type, n_evals,
+        |  (2*10000*sl + n_evals) // (2*n_evals) AS mae_last_u4,
+        |  (2*10000*ss + n_evals) // (2*n_evals) AS mae_seasonal_u4,
+        |  CASE WHEN ss < sl THEN 'seasonal'
+        |       WHEN ss > sl THEN 'last' ELSE 'tie' END AS winner
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // same daily table; pairwise ×10⁶ slopes truncate identically in
     // both engines (// and div both round toward zero), and the

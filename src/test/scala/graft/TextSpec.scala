@@ -389,6 +389,33 @@ class TextSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == scores.length.toLong)
   }
 
+  test("naive backtest: MAEs and winner replay from the raw daily series") {
+    val rows = SparkEntry.queries("events_naive_backtest")(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, SparkTestSession.sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("dn"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(r => r.getAs[Int]("dn") -> r.getAs[Long]("y")).toMap)
+      .toMap
+    rows.foreach { r =>
+      val ser = daily(r.getAs[String]("event_type"))
+      val evals = ser.keys.toSeq
+        .filter(t => ser.contains(t - 1) && ser.contains(t - 7)).sorted
+      assert(r.getAs[Long]("n_evals") == evals.length.toLong)
+      val sl = evals.map(t => math.abs(ser(t) - ser(t - 1))).sum
+      val ss = evals.map(t => math.abs(ser(t) - ser(t - 7))).sum
+      val n = evals.length.toLong
+      assert(r.getAs[Long]("mae_last_u4") == (2 * 10000 * sl + n) / (2 * n))
+      assert(r.getAs[Long]("mae_seasonal_u4") == (2 * 10000 * ss + n) / (2 * n))
+      val w = if (ss < sl) "seasonal" else if (ss > sl) "last" else "tie"
+      assert(r.getAs[String]("winner") == w)
+    }
+  }
+
   test("theil-sen: slope is the positional median of quantized pairwise slopes") {
     val rows = SparkEntry.queries("events_theil_sen")(spark, SparkTestSession.sf)
       .collect()
