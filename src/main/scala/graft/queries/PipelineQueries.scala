@@ -349,6 +349,39 @@ object PipelineQueries {
         .groupBy("s").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("s")).limit(20)),
 
+    // PMI COLLOCATIONS (Church & Hanks 1990) — top-20 bigram
+    // collocations by pointwise mutual information over the corpus
+    // token stream, the lexical-association layer next to
+    // text_ngram_topk's raw document frequencies: frequent-but-
+    // independent pairs rank low, genuinely bound pairs rank high.
+    // PMI = log p(x,y)/(p(x)p(y)) is monotone in the integer ratio
+    // c_xy·N/(c_x·c_y), so ranking and emission use the ×10⁶
+    // fixed-point ratio and NO log/float ever enters (§5). Unigram
+    // and bigram counts are two explode→groupBy passes (map-side
+    // partials, token-bounded result); bigram pairs come from a
+    // codegen-friendly arrays_zip of two shifted slices (no lambda
+    // HOF in the hot path); N attaches under the 1-row withScalar
+    // contract; min-support 5 kills the hapax noise floor; top-20 is
+    // TakeOrderedAndProject on the total order (ratio desc, x, y).
+    "text_pmi_bigrams" -> ((s, dir) => {
+      def tk = Tables.documents(s, dir).select(Dedup.tokens(col("text")).as("t"))
+      val uni = tk.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val big = tk.where(size(col("t")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("x"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("y"))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val n = big.agg(sum("c_xy").as("nb"))
+      Scalars.withScalar(big.where(col("c_xy") >= 5), col("c_xy"), n, col("nb"))
+        .join(uni.select(col("w").as("x"), col("c").as("c_x")), "x")
+        .join(uni.select(col("w").as("y"), col("c").as("c_y")), "y")
+        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+          expr("c_xy * nb * 1000000 div (c_x * c_y)").as("pmi_u6"))
+        .orderBy(col("pmi_u6").desc, col("x"), col("y")).limit(20)
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.35)
         .orderBy("id1", "id2")),
@@ -2272,6 +2305,47 @@ object PipelineQueries {
         .orderBy("shuffle_rank")
     }),
 
+    // SHUFFLE-QUALITY AUDIT of a reading order — the measurement layer
+    // corpus_shuffle needs before an LM trainer trusts it: serial
+    // correlation of the source label along the sequence. Observed
+    // adjacent-same-source rate (consecutive ranks r, r+1 — an
+    // equi-join on the dense rank, never a global-window lag) against
+    // the random-permutation expectation Σn_s(n_s−1)/(N(N−1)), for TWO
+    // orderings: corpus_shuffle's hash order (should sit at ~1× the
+    // expectation) and the pathological source-clumped order (rank by
+    // hash(source): same audit, ~n_sources× the expectation — proof
+    // the metric detects what it claims to). All rates are ×10⁶/×10⁴
+    // integer fixed point off exact pair counts; the per-source count
+    // table is bounded; each ordering is one globalRank (two-level,
+    // no single-task sort) plus one shifted self-join.
+    "corpus_shuffle_audit" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      def audit(name: String, h: Column): DataFrame = {
+        val r = graft.ops.Rank.globalRank(
+            docs.withColumn("h", h), "h", "doc_id", blockWidth = 1.0e17)
+          .select(col("rnk"), col("source"))
+        r.join(r.select((col("rnk") + 1).as("rnk"), col("source").as("prev")), "rnk")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("source") === col("prev"), 1L).otherwise(0L))
+              .as("same_pairs"))
+          .select(lit(name).as("ordering"), col("n_pairs"), col("same_pairs"))
+      }
+      val both = audit("shuffled",
+          call_function("graft_hash64", col("doc_id").cast("string"), lit(7L)))
+        .unionByName(audit("by_source",
+          call_function("graft_hash64", col("source"), lit(7L))))
+      val stats = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+        .agg(sum("ns").as("n_docs"), sum(expr("ns * (ns - 1)")).as("exp_num"))
+      Scalars.withScalar(both, col("n_pairs"), stats, col("n_docs"))
+        .select(col("ordering"), col("n_docs"), col("n_pairs"), col("same_pairs"),
+          expr("same_pairs * 1000000 div n_pairs").as("obs_u6"),
+          expr("exp_num * 1000000 div (n_docs * (n_docs - 1))").as("exp_u6"),
+          expr("same_pairs * n_docs * 10000 div nullif(exp_num, 0)")
+            .as("clump_x_u4"))
+        .orderBy("ordering")
+    }),
+
     // CSV sink → source round trip: the interchange-format path (audit
     // extracts, spreadsheet handoffs). The WRITE is the distributed
     // day-aggregate (small by construction — never raw events to CSV);
@@ -2483,6 +2557,38 @@ object PipelineQueries {
     "doc_chunk" -> ((s, dir) =>
       graft.ops.Corpus.chunk(Tables.documents(s, dir), chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")),
+
+    // INVERTED-INDEX COMPRESSION AUDIT — the storage-sizing layer under
+    // text_bm25_topk's posting-list join: per term, sort the posting
+    // doc_ids, delta-gap them (first posting stores doc_id+1 so every
+    // gap is ≥1), and price each gap at its LEB128 varint width (the
+    // shared literal CASE chain — no float log). Grouped by
+    // power-of-two df bucket: rare terms compress worst (gaps are
+    // wide), head terms best (dense lists → 1-byte gaps) — the curve
+    // that says whether an index on THIS corpus is worth block
+    // compression. Postings from one explode→distinct; gaps from a
+    // PER-TERM window (partitioned, never global); everything after is
+    // term-bounded. Savings are ×10⁴ integer vs 8-byte raw ids.
+    "index_varint_audit" -> ((s, dir) => {
+      val post = Tables.documents(s, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("term"), col("doc_id"))
+        .distinct()
+      val w = Window.partitionBy("term").orderBy("doc_id")
+      val perTerm = post
+        .withColumn("g",
+          coalesce(col("doc_id") - lag("doc_id", 1).over(w), col("doc_id") + 1))
+        .withColumn("vb", expr(varintBytesCase))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("vb").as("vbytes"))
+      perTerm.withColumn("df_bucket", expr(s"CAST(($pow2FloorDf) AS BIGINT)"))
+        .groupBy("df_bucket")
+        .agg(count(lit(1)).as("n_terms"), sum("df").as("n_postings"),
+          (sum("df") * 8).as("raw_bytes"), sum("vbytes").as("varint_bytes"))
+        .select(col("df_bucket"), col("n_terms"), col("n_postings"),
+          col("raw_bytes"), col("varint_bytes"),
+          expr("(raw_bytes - varint_bytes) * 10000 div raw_bytes").as("savings_u4"))
+        .orderBy("df_bucket")
+    }),
 
     // per-doc top-3 terms by tf·ln(N/df); ranked on the ROUNDED score
     // so mathematically-tied pairs rank identically in both engines
@@ -2744,6 +2850,19 @@ object PipelineQueries {
   // Shared DuckDB fragments (SURVEY §5: Spark∩DuckDB regex/token subset).
   private val toks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** LEB128 varint byte width of a positive gap column `g` — ONE
+    * literal CASE chain spliced into BOTH engines (index_varint_audit);
+    * 9 seven-bit groups cover every positive BIGINT, no float log. */
+  private val varintBytesCase: String =
+    (1 to 8).map(b => s"WHEN g < ${1L << (7 * b)} THEN $b")
+      .mkString("CASE ", " ", " ELSE 9 END")
+
+  /** Largest power of two ≤ the BIGINT `df` column (≥1) — the df
+    * bucketing chain index_varint_audit splices into both engines. */
+  private val pow2FloorDf: String =
+    (30 to 1 by -1).map(k => s"WHEN df >= ${1L << k} THEN ${1L << k}")
+      .mkString("CASE ", " ", " ELSE 1 END")
 
   import DuckHash.{sx, fnvHx, ghashSql, goldenU, pow2List}
 
@@ -4200,6 +4319,37 @@ object PipelineQueries {
          |SELECT doc_id, shuffle_rank, (shuffle_rank - 1) % 8 AS shard
          |FROM r ORDER BY shuffle_rank""".stripMargin,
 
+    // both orderings replayed with the same portable hash (doc_id
+    // bytes for the shuffle, source bytes for the clumped baseline),
+    // adjacency via a lag window (single-node license), every sum
+    // BIGINT-cast before it widens to HUGEINT
+    "corpus_shuffle_audit" -> {
+      def ord(name: String, keyExpr: String): String =
+        s"""SELECT '$name' AS ordering,
+           |    CAST(count(*) - 1 AS BIGINT) AS n_pairs,
+           |    CAST(sum(CASE WHEN prev IS NOT NULL AND source = prev
+           |                  THEN 1 ELSE 0 END) AS BIGINT) AS same_pairs
+           |  FROM (
+           |    SELECT source, lag(source) OVER (ORDER BY h DESC, doc_id) AS prev
+           |    FROM (SELECT doc_id, source, ${sx(ghashSql(fnvHx, "7"))} AS h
+           |          FROM (SELECT doc_id, source, hex(encode($keyExpr)) AS hx,
+           |                  octet_length(encode($keyExpr)) AS n
+           |                FROM documents)))""".stripMargin
+      s"""WITH a AS (
+         |  ${ord("shuffled", "CAST(doc_id AS VARCHAR)")}
+         |  UNION ALL
+         |  ${ord("by_source", "source")}),
+         |st AS (SELECT CAST(sum(ns) AS BIGINT) AS n_docs,
+         |         CAST(sum(ns * (ns - 1)) AS BIGINT) AS exp_num
+         |       FROM (SELECT count(*) AS ns FROM documents GROUP BY source))
+         |SELECT ordering, n_docs, n_pairs, same_pairs,
+         |  same_pairs * 1000000 // n_pairs AS obs_u6,
+         |  exp_num * 1000000 // (n_docs * (n_docs - 1)) AS exp_u6,
+         |  same_pairs * n_docs * 10000 // nullif(exp_num, 0) AS clump_x_u4
+         |FROM a CROSS JOIN st
+         |ORDER BY ordering""".stripMargin
+    },
+
     // independent minhash-LSH re-derivation: same shingles, the
     // engine-portable double hash (GraftHash64 emulated above), 128
     // permutation minima, 16 bands of 8 — the oracle buckets by the
@@ -4583,6 +4733,27 @@ object PipelineQueries {
          |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs)
          |SELECT s, count(*) AS df FROM ex GROUP BY 1
          |ORDER BY df DESC, s LIMIT 20""".stripMargin,
+
+    // same token stream; bigram pairs via 1-based list indexing (the
+    // version-stable struct-comprehension primitive vocab_bpe_learn
+    // uses), counts cast to BIGINT everywhere a sum could widen to
+    // HUGEINT, and the ×10⁶ PMI ratio is pure integer in both engines
+    "text_pmi_bigrams" ->
+      s"""WITH tk AS (SELECT $toks AS t FROM documents),
+         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |      FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+         |b AS (SELECT p.x AS x, p.y AS y, CAST(count(*) AS BIGINT) AS c_xy
+         |      FROM (SELECT unnest([{'x': t[i], 'y': t[i+1]}
+         |                           for i in range(1, len(t))]) AS p FROM tk)
+         |      GROUP BY 1, 2),
+         |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM b)
+         |SELECT b.x, b.y, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+         |  CAST((b.c_xy * n.nb * 1000000) // (ux.c * uy.c) AS BIGINT) AS pmi_u6
+         |FROM b CROSS JOIN n
+         |JOIN u ux ON b.x = ux.w
+         |JOIN u uy ON b.y = uy.w
+         |WHERE b.c_xy >= 5
+         |ORDER BY pmi_u6 DESC, x, y LIMIT 20""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -5398,6 +5569,29 @@ object PipelineQueries {
         |SELECT ((rnk - 1) * 10) // (SELECT count(*) FROM documents) AS decile,
         |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same postings, same lag-gap delta, the SAME spliced varint and
+    // pow2-bucket CASE chains; every count/sum BIGINT-cast
+    "index_varint_audit" ->
+      s"""WITH post AS (
+         |  SELECT DISTINCT w AS term, doc_id
+         |  FROM (SELECT doc_id, unnest($toks) AS w FROM documents)),
+         |gp AS (SELECT term,
+         |    coalesce(doc_id - lag(doc_id)
+         |      OVER (PARTITION BY term ORDER BY doc_id), doc_id + 1) AS g
+         |  FROM post),
+         |pt AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |         CAST(sum($varintBytesCase) AS BIGINT) AS vbytes
+         |       FROM gp GROUP BY 1),
+         |bk AS (SELECT CAST(($pow2FloorDf) AS BIGINT) AS df_bucket, df, vbytes
+         |       FROM pt)
+         |SELECT df_bucket, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(df) AS BIGINT) AS n_postings,
+         |  CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+         |  CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+         |  (CAST(sum(df) AS BIGINT) * 8 - CAST(sum(vbytes) AS BIGINT)) * 10000
+         |    // (CAST(sum(df) AS BIGINT) * 8) AS savings_u4
+         |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical float composition throughout (doubles forced — the
     // bare +0.5 chain would run in DECIMAL), rank on the rounded score

@@ -422,6 +422,43 @@ class ScaleOpsSpec extends AnyFunSuite {
       "smallest source's share did not grow as α fell")
   }
 
+  test("corpus_shuffle_audit: replays from raw labels; clumped order maximally clumps") {
+    val rows = SparkEntry.queries("corpus_shuffle_audit")(spark, sf).collect()
+      .map(r => r.getAs[String]("ordering") -> r).toMap
+    assert(rows.keySet == Set("shuffled", "by_source"))
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length.toLong
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expNum = bySrc.values.map(c => c * (c - 1)).sum
+    // exact replay of both orderings with the engine hash
+    def same(ord: Array[String]): Long =
+      ord.sliding(2).count(p => p.length == 2 && p(0) == p(1)).toLong
+    // engine rank order is (h DESC, doc_id ASC)
+    val hDescIdAsc = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
+    def ordered(key: (Long, String) => String): Array[String] = docs
+      .map { case (id, src) =>
+        (graft.functions.GraftHash64.hash(key(id, src).getBytes("UTF-8"), 7L), id, src)
+      }
+      .sortBy { case (h, id, _) => (h, id) }(hDescIdAsc).map(_._3)
+    val shufSame = same(ordered((id, _) => id.toString))
+    val clumpSame = same(ordered((_, src) => src))
+    // by_source clumping is maximal: every within-source adjacency fires
+    assert(clumpSame == n - bySrc.size)
+    for ((name, exp) <- Seq("shuffled" -> shufSame, "by_source" -> clumpSame)) {
+      val r = rows(name)
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_pairs") == n - 1)
+      assert(r.getAs[Long]("same_pairs") == exp, s"$name same_pairs")
+      assert(r.getAs[Long]("obs_u6") == exp * 1000000L / (n - 1))
+      assert(r.getAs[Long]("exp_u6") == expNum * 1000000L / (n * (n - 1)))
+      assert(r.getAs[Long]("clump_x_u4") == exp * n * 10000L / expNum)
+    }
+    // and the audit separates the two orders by an order of magnitude
+    assert(rows("by_source").getAs[Long]("clump_x_u4") >=
+      10L * rows("shuffled").getAs[Long]("clump_x_u4"))
+  }
+
   test("ann_ivf_append: appended generation is searchable through the frozen quantizer") {
     val emb = Tables.embeddings(spark, sf)
     val thr = emb.agg(expr("3*(max(vec_id)+1) div 4")).head().getLong(0)

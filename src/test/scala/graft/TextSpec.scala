@@ -559,6 +559,64 @@ class TextSpec extends AnyFunSuite {
       s"level shift should alarm soon after day 28, got $firstAlarm")
   }
 
+  test("pmi bigrams: full top-20 replays from the raw token streams") {
+    val got = SparkEntry.queries("text_pmi_bigrams")(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getAs[String]("x"), r.getAs[String]("y"),
+        r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
+        r.getAs[Long]("pmi_u6"))).toSeq
+    assert(got.length == 20)
+    val toks = Tables.documents(spark, SparkTestSession.sf)
+      .select("text").collect()
+      .map(_.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val big = toks.flatMap(t => t.dropRight(1).zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nb = big.values.sum
+    val exp = big.filter(_._2 >= 5).toSeq.map { case ((x, y), cxy) =>
+      (x, y, cxy, uni(x), uni(y), cxy * nb * 1000000L / (uni(x) * uni(y)))
+    }.sortBy { case (x, y, _, _, _, p) => (-p, x, y) }.take(20)
+    assert(got == exp)
+    // PMI must not be a popularity contest: the raw-df champion bigram
+    // (text_ngram_topk's world) need not appear; the min-support floor must
+    got.foreach { case (_, _, cxy, _, _, _) => assert(cxy >= 5) }
+  }
+
+  test("varint audit: buckets, byte totals and savings replay from raw postings") {
+    val got = SparkEntry.queries("index_varint_audit")(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getAs[Long]("df_bucket") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Long]("n_postings"),
+          r.getAs[Long]("raw_bytes"), r.getAs[Long]("varint_bytes"),
+          r.getAs[Long]("savings_u4"))).toMap
+    assert(got.nonEmpty)
+    val post = Tables.documents(spark, SparkTestSession.sf)
+      .select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("[^a-z0-9]+")
+        .filter(_.nonEmpty).distinct.map(_ -> r.getLong(0)))
+    def vb(g: Long): Long = {
+      var b = 1L; var lim = 128L
+      while (g >= lim && b < 9) { b += 1; lim <<= 7 }
+      b
+    }
+    val exp = post.groupBy(_._1).values.map { ps =>
+      val ids = ps.map(_._2).sorted
+      val gaps = (ids.head + 1) +:
+        ids.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      (java.lang.Long.highestOneBit(ids.length.toLong), ids.length.toLong,
+        gaps.map(vb).sum)
+    }.toSeq.groupBy(_._1).view.mapValues { ts =>
+      val df = ts.map(_._2).sum
+      val vbs = ts.map(_._3).sum
+      (ts.length.toLong, df, df * 8, vbs, (df * 8 - vbs) * 10000L / (df * 8))
+    }.toMap
+    assert(got == exp)
+    // the audit's economic direction: denser lists never save LESS
+    // (equality is legal at tiny sf where every id fits one byte)
+    val minB = got.keys.min; val maxB = got.keys.max
+    assert(maxB > minB && got(maxB)._5 >= got(minB)._5)
+  }
+
   test("pack sweep: one cumsum serves all budgets; fill ≤ 1, splits shrink with budget") {
     val rows = SparkEntry.queries("seq_pack_sweep")(spark, SparkTestSession.sf)
       .collect().sortBy(_.getAs[Long]("max_tokens"))
