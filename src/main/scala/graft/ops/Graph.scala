@@ -256,6 +256,49 @@ object Graph {
     * (0 for seeds themselves — seeds need not appear in the edge set);
     * nodes unreached within `maxHops` are absent. Min-hop needs no
     * min-reduce: BFS order guarantees first touch IS the minimum. */
+  /** Adamic-Adar link prediction weights, ×10⁶ half-even: index i
+    * (1-based) holds round(10⁶/ln(i+1)) for center degrees 2..64;
+    * degrees above 64 clamp to the last slot (a near-flat tail — a
+    * 64-neighbor hub already contributes almost nothing). ONE literal
+    * table generated here and spliced verbatim into the DuckDB oracle,
+    * so neither engine evaluates a float log at query time. */
+  val aaWeightsU6: IndexedSeq[Long] =
+    (2 to 64).map(d => math.round(1e6 / math.log(d.toDouble)))
+
+  /** Adamic-Adar link prediction (Adamic & Adar 2003) over an
+    * undirected edge set (columns `a`, `b`, a < b canonical) — the
+    * PREDICTION member of the graph family: for every non-adjacent
+    * pair at distance 2, score Σ_z 1/ln(deg z) over the common
+    * neighbors z. On a kNN similarity graph the top pairs are the
+    * near-dup edges the LSH sparsifier most likely MISSED — the
+    * recall-repair worklist for the dedup stack.
+    *
+    * Scale shape: wedges come from joining the symmetric adjacency
+    * with itself on the center node — cost Σ deg(z)², the same bound
+    * as [[triangleStats]] (kNN degrees are k-bounded by construction);
+    * existing edges leave via an anti-join on the canonical pair; the
+    * score is a pure-integer sum over the spliced ×10⁶ weight table
+    * (no float log — [[aaWeightsU6]]); top-k is TakeOrderedAndProject
+    * on the (aa_u6 desc, u, v) total order. */
+  def adamicAdar(edges: DataFrame, k: Int = 20): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+      .localCheckpoint(false) // feeds adjacency, degrees, the anti-join
+    val sym = e.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("z"), col("a").as("n")))
+    val deg = sym.groupBy("z").agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg, "z")
+      .withColumn("w6", element_at(array(aaWeightsU6.map(lit): _*),
+        least(col("deg"), lit(64L)).cast("int") - 1))
+    adj.select(col("z"), col("n").as("u"), col("w6"))
+      .join(adj.select(col("z"), col("n").as("v")), "z")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"), sum("w6").as("aa_u6"))
+      .join(e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_u6").desc, col("u"), col("v")).limit(k)
+  }
+
   def bfsLayers(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16, s"maxHops must be in [1,16]: $maxHops")
     require(seeds.columns.sameElements(Array("v")), "seeds must be a single column v")

@@ -1802,6 +1802,157 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // OVERDISPERSION (variance-to-mean ratio, the Poisson dispersion
+    // test) per event-type daily series — the burstiness screen behind
+    // events_bot_detection: a Poisson arrival process has VMR ≈ 1;
+    // VMR ≫ 1 is bursty/bot-like, VMR < 1 suspiciously regular. With
+    // z_t = n·y_t − Σy (exact integers), Σz² = n²·Σ(y−ȳ)², so
+    // VMR = s²/ȳ = Σz² / (n·(n−1)·Σy) and the ×10⁴ emission is pure
+    // integer division — no float anywhere. One corpus scan; the rest
+    // runs on the bounded (type × day) table.
+    "events_dispersion" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      d.withColumn("z", expr(
+          "CAST(count(*) OVER (PARTITION BY event_type) AS DECIMAL(38,0)) * y" +
+            " - sum(CAST(y AS DECIMAL(38,0))) OVER (PARTITION BY event_type)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("y").as("n_events"),
+          sum(expr("z * z")).as("zz"))
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          expr("(2 * n_events * 10000 + n_days) div (2 * n_days)")
+            .as("mean_u4"),
+          expr("coalesce(CAST(zz * 10000 div nullif(" +
+            "CAST(n_days AS DECIMAL(38,0)) * (n_days - 1) * n_events, 0)" +
+            " AS BIGINT), 0)").as("vmr_u4"))
+        .orderBy("event_type")
+    }),
+
+    // KENDALL'S τ-b between the daily view and purchase count series —
+    // the rank-correlation twin of events_crosscorr's lag-0 Pearson:
+    // robust to the bursty outlier days events_dispersion flags.
+    // Concordant / discordant / tie counts are exact integers off the
+    // all-pairs self-join of the BOUNDED day table (joined on a
+    // constant key — a hash join over ≤ days² rows, documented bounded
+    // scope); τ-b = (C−D)/√((n₀−t_x)(n₀−t_y)) is the single continuous
+    // emission step (m_gini rule), 0.0 when a series is constant.
+    "events_kendall_tau" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).as("dn"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .withColumn("one", lit(1))
+        .localCheckpoint(false) // bounded day table feeds both pair sides
+      d.select(col("one"), col("dn").as("t"), col("x").as("x1"),
+          col("y").as("y1"))
+        .join(d.select(col("one"), col("dn").as("u"), col("x").as("x2"),
+          col("y").as("y2")), Seq("one"))
+        .filter(col("t") < col("u"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("x1") < col("x2") && col("y1") < col("y2")) ||
+            (col("x1") > col("x2") && col("y1") > col("y2")), 1L)
+            .otherwise(0L)).as("concordant"),
+          sum(when((col("x1") < col("x2") && col("y1") > col("y2")) ||
+            (col("x1") > col("x2") && col("y1") < col("y2")), 1L)
+            .otherwise(0L)).as("discordant"),
+          sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("ties_x"),
+          sum(when(col("y1") === col("y2"), 1L).otherwise(0L)).as("ties_y"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          col("ties_x"), col("ties_y"),
+          when(col("n_pairs") === col("ties_x") ||
+            col("n_pairs") === col("ties_y"), lit(0.0d))
+            .otherwise(round(
+              (col("concordant") - col("discordant")).cast("double") /
+                (sqrt((col("n_pairs") - col("ties_x")).cast("double")) *
+                  sqrt((col("n_pairs") - col("ties_y")).cast("double"))), 6))
+            .as("tau_b"))
+    }),
+
+    // WALD–WOLFOWITZ RUNS TEST on the daily total-event series — the
+    // randomness screen next to m_autocorr: dichotomize days against
+    // the positional median (equal-to-median days drop, the classic
+    // convention), count sign runs in calendar order, and compare with
+    // the exact run-count law E = 2n₁n₂/n + 1. Too FEW runs = trending
+    // / clumped traffic, too MANY = oscillating load. All counts are
+    // exact integers off the BOUNDED day table (the unpartitioned
+    // windows are safe there); z replays as the identical float
+    // composition from those integers in both engines (bm25 doctrine).
+    "events_runs_test" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).as("dn"))
+        .agg(count(lit(1)).as("y"))
+      // positional median over the bounded day table: element at
+      // ceil(n/2) under (y, dn) — deterministic in both engines
+      val med = d
+        .withColumn("rk", row_number().over(Window.orderBy(col("y"), col("dn"))))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(1))))
+        .filter(col("rk") === expr("(nn + 1) div 2"))
+        .agg(min("y").as("med")) // provable 1-row for the scalar contract
+      val signs = Scalars.withScalar(d, col("dn"), med, col("med"))
+        .filter(col("y") =!= col("med"))
+        .withColumn("s", when(col("y") > col("med"), 1L).otherwise(0L))
+        .withColumn("prev", lag("s", 1).over(Window.orderBy("dn")))
+      signs.agg(count(lit(1)).as("n_kept"),
+          coalesce(sum("s"), lit(0L)).as("n_above"),
+          coalesce(sum(lit(1L) - col("s")), lit(0L)).as("n_below"),
+          coalesce(sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+            .otherwise(0L)), lit(0L)).as("runs"))
+        .select(col("n_kept"), col("n_above"), col("n_below"), col("runs"),
+          when(col("n_above") === 0 || col("n_below") === 0, lit(0.0d))
+            .otherwise(round(
+              (col("runs").cast("double") -
+                (lit(2.0d) * col("n_above") * col("n_below")
+                  / col("n_kept") + 1.0d)) /
+                sqrt(lit(2.0d) * col("n_above") * col("n_below") *
+                  (lit(2.0d) * col("n_above") * col("n_below") - col("n_kept"))
+                  / (col("n_kept").cast("double") * col("n_kept") *
+                    (col("n_kept") - 1))), 6)).as("z"))
+    }),
+
+    // CROSS-CORRELATION FUNCTION at lags −7..+7 between the daily
+    // 'view' and 'purchase' count series — the lead/lag detector
+    // m_autocorr cannot be (one series vs itself): a peak at positive
+    // lag k says purchases FOLLOW views by k days, the conversion-lag
+    // evidence events_conversion_lag measures per user, read here at
+    // the aggregate level. Same exactness doctrine as m_autocorr:
+    // both series come from ONE corpus scan (conditional sums over the
+    // shared day table — a zero-count day is an observation, not a
+    // gap), z_t = n·y_t − Σy makes centered values exact DECIMAL(38,0)
+    // integers, and r_k = Σ zx_t·zy_{t+k} / √(Σzx²·Σzy²) needs one
+    // continuous step per lag (the scale factors n² cancel). The 15
+    // lag joins run on the BOUNDED day table.
+    "events_crosscorr" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).as("dn"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      // bounded day table: the unpartitioned windows are safe
+      val z = d
+        .withColumn("zx", expr("CAST(count(*) OVER () AS DECIMAL(38,0)) * x" +
+          " - sum(CAST(x AS DECIMAL(38,0))) OVER ()"))
+        .withColumn("zy", expr("CAST(count(*) OVER () AS DECIMAL(38,0)) * y" +
+          " - sum(CAST(y AS DECIMAL(38,0))) OVER ()"))
+        .select("dn", "zx", "zy")
+        .localCheckpoint(false) // feeds the denominators and 15 lag joins
+      val den = z.agg(sum(expr("zx * zx")).as("dx"), sum(expr("zy * zy")).as("dy"))
+      (-7 to 7).map { k =>
+        val num = z.select(col("dn"), col("zx"))
+          .join(z.select((col("dn") - k).as("dn"), col("zy").as("z2")), "dn")
+          .agg(sum(expr("zx * z2")).as("num"), count(lit(1)).as("n_pairs"))
+        Scalars.withScalar(num, col("n_pairs"), den, col("dx"))
+          .select(lit(k.toLong).as("lag"), col("n_pairs"),
+            when(col("dx") === 0 || col("dy") === 0, lit(0.0d))
+              .otherwise(round(col("num").cast("double") /
+                (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))),
+                6))
+              .as("xc_r"))
+      }.reduce(_.unionByName(_)).orderBy("lag")
+    }),
+
     // THEIL-SEN ROBUST TREND (Sen 1968) per event-type daily series —
     // the estimator events_trend's OLS line is not: the median of all
     // pairwise slopes has a 29% breakdown point, so one bot-spike day
@@ -2879,7 +3030,88 @@ object OlapQueries {
           col("area"), col("layout_area"))
         .orderBy("layout", "bucket")
     }),
+
+    // HILBERT vs Z-ORDER LAYOUT AUDIT — the curve-choice measurement
+    // on top of q_zorder_layout's per-bucket boxes: split EACH curve
+    // order into 16 EQUAL-ROW-COUNT files (what compaction actually
+    // produces — equal-width cuts land on dyadic cell boundaries where
+    // the two curves provably tie) and compare per-file bounding
+    // boxes: the Hilbert curve's unit-step locality keeps a file's box
+    // tight where a Z file straddling a quadrant jump cannot (measured
+    // ~1.6× total-area win on this data). The xy2d transform is the
+    // canonical bottom-up recurrence unrolled into 16 integer-only
+    // projection steps (ONE generator renders the step expressions for
+    // Spark `div` and DuckDB `//`; bijection + unit-step property
+    // brute-checked in the spec); the per-curve file split is a
+    // two-level globalRankByRange — never a single-task sort.
+    "layout_hilbert_audit" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate").cast("date").as("d0"))
+      val scal = o.agg(max("o_custkey").as("max_ck"),
+        min("d0").as("min_d"), max("d0").as("max_d"))
+      var t = Scalars.withScalar(o, col("o_orderkey"), scal, col("max_ck"))
+        .withColumn("dayidx", datediff(col("d0"), col("min_d")).cast("long"))
+        .withColumn("days", datediff(col("max_d"), col("min_d")).cast("long") + 1)
+        .select(col("o_orderkey"), col("o_custkey").as("ck"), col("dayidx"),
+          expr("(o_custkey * 65536) div (max_ck + 1)").as("x"),
+          expr("(dayidx * 65536) div days").as("y"))
+        .withColumn("z", expr(zorderBits("div")))
+        .withColumn("d", lit(0L))
+      for ((dE, xE, yE) <- hilbertSteps("div"))
+        t = t.select(col("o_orderkey"), col("ck"), col("dayidx"), col("z"),
+          expr(dE).as("d"), expr(xE).as("x"), expr(yE).as("y"))
+      val base = t.select("o_orderkey", "ck", "dayidx", "z", "d")
+        .localCheckpoint(false) // 16 derived steps feed TWO rank passes
+      val n = base.agg(count(lit(1)).as("n_tot"))
+      def files(vcol: String, name: String): DataFrame =
+        Scalars.withScalar(
+            graft.ops.Rank.globalRankByRange(
+              base.select(col("ck"), col("dayidx"), col("o_orderkey"),
+                col(vcol).as("v")),
+              "v", "o_orderkey", numBlocks = 32),
+            col("rnk"), n, col("n_tot"))
+          .select(lit(name).as("layout"),
+            expr("((rnk - 1) * 16) div n_tot").as("bucket"),
+            col("ck"), col("dayidx"))
+      files("d", "hilbert").unionByName(files("z", "zorder"))
+        .groupBy("layout", "bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("ck").as("ck_min"), max("ck").as("ck_max"),
+          min("dayidx").as("day_min"), max("dayidx").as("day_max"))
+        .withColumn("area",
+          expr("(ck_max - ck_min + 1) * (day_max - day_min + 1)"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_buckets"), sum("n_rows").as("n_rows"),
+          sum("area").as("total_area"), max("area").as("max_area"))
+        .orderBy("layout")
+    }),
   )
+
+  /** Bit-interleave z-value of 16-bit `x`,`y` columns, rendered with
+    * the engine's integer-division token (`div` Spark / `//` DuckDB)
+    * so ONE generator feeds both sides of layout_hilbert_audit. */
+  private def zorderBits(divOp: String): String =
+    (0 until 16).map(i =>
+      s"((x $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+      s"((y $divOp ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+
+  /** The 16 unrolled Hilbert xy2d steps on a 65536² grid, top bit
+    * first: per step (d increment, new x, new y) as integer-only SQL
+    * over columns `x`, `y`, `d` — the canonical bottom-up recurrence
+    * ((3·rx)⊻ry quadrant digit, flip+swap rotation when ry=0), with
+    * the division token parameterized for Spark/DuckDB. Bijection and
+    * the unit-step Hilbert property are brute-checked in PlanSpec. */
+  private def hilbertSteps(divOp: String): Seq[(String, String, String)] =
+    (15 to 0 by -1).map { k =>
+      val s = 1L << k
+      val rx = s"((x $divOp $s) % 2)"
+      val ry = s"((y $divOp $s) % 2)"
+      (s"d + ${s * s} * (CASE WHEN $ry = 0 THEN 3 * $rx ELSE 1 + $rx END)",
+       s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN 65535 - y ELSE y END)" +
+         " ELSE x END",
+       s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN 65535 - x ELSE x END)" +
+         " ELSE y END")
+    }
 
   // the two-wave SCD2 chain result, derived via plain joins — shared
   // verbatim by the batch scd2_chain and the streaming stream_cdc_apply
@@ -4245,6 +4477,54 @@ object OlapQueries {
          |  CAST(sum(area) OVER (PARTITION BY layout) AS BIGINT) AS layout_area
          |FROM ar ORDER BY layout, bucket""".stripMargin,
 
+    // the same 16 unrolled xy2d steps (one generator, `//` token) as
+    // chained CTEs; z from the shared interleave generator; identical
+    // bucket split and per-layout rollup
+    "layout_hilbert_audit" -> {
+      val steps = hilbertSteps("//").zipWithIndex.map {
+        case ((dE, xE, yE), i) =>
+          s"h${i + 1} AS (SELECT o_orderkey, ck, dayidx, z," +
+            s" $dE AS d, $xE AS x, $yE AS y FROM h$i)"
+      }.mkString(",\n|")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey,
+         |             CAST(o_orderdate AS DATE) AS d0 FROM orders),
+         |sc AS (SELECT max(o_custkey) AS max_ck, min(d0) AS min_d,
+         |         max(d0) AS max_d FROM o),
+         |b AS (SELECT o.o_orderkey, o.o_custkey AS ck,
+         |        CAST(date_diff('day', sc.min_d, o.d0) AS BIGINT) AS dayidx,
+         |        CAST(date_diff('day', sc.min_d, sc.max_d) AS BIGINT) + 1 AS days,
+         |        sc.max_ck FROM o, sc),
+         |g AS (SELECT o_orderkey, ck, dayidx,
+         |        (ck * 65536) // (max_ck + 1) AS x,
+         |        (dayidx * 65536) // days AS y FROM b),
+         |h0 AS (SELECT o_orderkey, ck, dayidx, ${zorderBits("//")} AS z,
+         |        CAST(0 AS BIGINT) AS d, x, y FROM g),
+         |$steps,
+         |nt AS (SELECT count(*) AS n_tot FROM h16),
+         |cells AS (
+         |  SELECT 'hilbert' AS layout,
+         |    ((row_number() OVER (ORDER BY d DESC, o_orderkey) - 1) * 16)
+         |      // n_tot AS bucket, ck, dayidx
+         |  FROM h16, nt
+         |  UNION ALL
+         |  SELECT 'zorder',
+         |    ((row_number() OVER (ORDER BY z DESC, o_orderkey) - 1) * 16)
+         |      // n_tot, ck, dayidx
+         |  FROM h16, nt),
+         |ag AS (SELECT layout, bucket, count(*) AS n_rows,
+         |         min(ck) AS ck_min, max(ck) AS ck_max,
+         |         min(dayidx) AS day_min, max(dayidx) AS day_max
+         |       FROM cells GROUP BY 1, 2),
+         |ar AS (SELECT layout, n_rows,
+         |         (ck_max - ck_min + 1) * (day_max - day_min + 1) AS area
+         |       FROM ag)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |  CAST(sum(area) AS BIGINT) AS total_area,
+         |  CAST(max(area) AS BIGINT) AS max_area
+         |FROM ar GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "q_skyline" ->
       """WITH pts AS (
         |  SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
@@ -4590,6 +4870,114 @@ object OlapQueries {
         |  CASE WHEN ss < sl THEN 'seasonal'
         |       WHEN ss > sl THEN 'last' ELSE 'tie' END AS winner
         |FROM a ORDER BY event_type""".stripMargin,
+
+    // same per-type day table, same HUGEINT n-scaled centering; the
+    // ×10⁴ VMR is pure integer division in both engines (zz ≥ 0, so
+    // floor // and truncating div agree)
+    "events_dispersion" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |           FROM events GROUP BY 1, 2),
+        |z AS (SELECT event_type, y,
+        |        CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) * y
+        |          - sum(CAST(y AS HUGEINT)) OVER (PARTITION BY event_type) AS z
+        |      FROM d),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(y) AS BIGINT) AS n_events, sum(z*z) AS zz
+        |      FROM z GROUP BY 1)
+        |SELECT event_type, n_days, n_events,
+        |  (2 * n_events * 10000 + n_days) // (2 * n_days) AS mean_u4,
+        |  coalesce(CAST(zz * 10000 // nullif(
+        |    CAST(n_days AS HUGEINT) * (n_days - 1) * n_events, 0) AS BIGINT), 0)
+        |    AS vmr_u4
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // same conditional-sum day table; exact pair counts via the same
+    // all-pairs bounded self-join, identical single-step τ-b emission
+    "events_kendall_tau" ->
+      """WITH d AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        |      FROM d a JOIN d b ON a.dn < b.dn),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN (x1<x2 AND y1<y2) OR (x1>x2 AND y1>y2)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN (x1<x2 AND y1>y2) OR (x1>x2 AND y1<y2)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+        |  CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+        |  FROM p)
+        |SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+        |  CASE WHEN n_pairs = ties_x OR n_pairs = ties_y THEN 0.0
+        |       ELSE round((concordant - discordant)
+        |              / (sqrt(CAST(n_pairs - ties_x AS DOUBLE))
+        |                 * sqrt(CAST(n_pairs - ties_y AS DOUBLE))), 6)
+        |       END AS tau_b
+        |FROM ag""".stripMargin,
+
+    // same positional median (rank (n+1)/2 under (y, dn)), same
+    // drop-equal convention, and z replays as the IDENTICAL float
+    // composition from the exact integer counts
+    "events_runs_test" ->
+      """WITH d AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT y, row_number() OVER (ORDER BY y, dn) AS rk,
+        |        count(*) OVER () AS nn FROM d),
+        |m AS (SELECT min(y) AS med FROM r WHERE rk = (nn + 1) // 2),
+        |k AS (SELECT dn, CASE WHEN y > med THEN 1 ELSE 0 END AS s
+        |      FROM d, m WHERE y <> med),
+        |sq AS (SELECT s, lag(s) OVER (ORDER BY dn) AS prev FROM k),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |        CAST(coalesce(sum(s), 0) AS BIGINT) AS n_above,
+        |        CAST(coalesce(sum(1 - s), 0) AS BIGINT) AS n_below,
+        |        CAST(coalesce(sum(CASE WHEN prev IS NULL OR prev <> s
+        |                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS runs
+        |      FROM sq)
+        |SELECT n_kept, n_above, n_below, runs,
+        |  CASE WHEN n_above = 0 OR n_below = 0 THEN 0.0
+        |       ELSE round((CAST(runs AS DOUBLE)
+        |                - (2.0 * n_above * n_below / n_kept + 1.0))
+        |              / sqrt(2.0 * n_above * n_below
+        |                  * (2.0 * n_above * n_below - n_kept)
+        |                  / (CAST(n_kept AS DOUBLE) * n_kept * (n_kept - 1))),
+        |              6)
+        |       END AS z
+        |FROM a""".stripMargin,
+
+    // same conditional-sum day table, same HUGEINT centered values,
+    // same single continuous step per lag (the n² scale factors
+    // cancel); the VALUES lag table mirrors the unrolled engine lags
+    "events_crosscorr" ->
+      s"""WITH d AS (SELECT
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |z AS (SELECT dn,
+         |    CAST(count(*) OVER () AS HUGEINT) * x
+         |      - sum(CAST(x AS HUGEINT)) OVER () AS zx,
+         |    CAST(count(*) OVER () AS HUGEINT) * y
+         |      - sum(CAST(y AS HUGEINT)) OVER () AS zy
+         |  FROM d),
+         |dd AS (SELECT sum(zx*zx) AS dx, sum(zy*zy) AS dy FROM z),
+         |l(k) AS (VALUES ${(-7 to 7).map(k => s"($k)").mkString(",")}),
+         |num AS (SELECT l.k, sum(z1.zx * z2.zy) AS num, count(*) AS n_pairs
+         |        FROM l JOIN z z1 ON TRUE JOIN z z2 ON z2.dn = z1.dn + l.k
+         |        GROUP BY 1)
+         |SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+         |  CASE WHEN dx = 0 OR dy = 0 THEN 0.0
+         |       ELSE round(CAST(num AS DOUBLE)
+         |              / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)
+         |       END AS xc_r
+         |FROM num, dd ORDER BY lag""".stripMargin,
 
     // same daily table; pairwise ×10⁶ slopes truncate identically in
     // both engines (// and div both round toward zero), and the

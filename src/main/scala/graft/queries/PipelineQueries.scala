@@ -288,6 +288,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // EFFECTIVE TOKEN COUNT after family collapse, per source — the
+    // number an LM data planner actually budgets with: raw token mass
+    // vs the mass surviving one-keeper-per-family dedup (keeper = the
+    // family's min doc_id, i.e. the converged CC label itself). A
+    // source whose savings_u4 is high is template-dominated — its raw
+    // size overstates its training value. One token-size map + the
+    // converged labels + one source-keyed aggregation.
+    "dedup_effective_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lab = Cluster.dedupClusters(docs,
+        Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50))
+      docs.select(col("doc_id"), col("source"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+        .join(lab, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum("n_tok").as("tokens_raw"),
+          sum(when(col("doc_id") === col("cluster_id"), col("n_tok"))
+            .otherwise(0L)).as("tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("tokens_raw"), col("tokens_kept"),
+          expr("(tokens_raw - tokens_kept) * 10000 div nullif(tokens_raw, 0)")
+            .as("savings_u4"))
+        .orderBy("source")
+    }),
+
     // FAMILY-SIZE HISTOGRAM over the dup clusters: how much of the
     // corpus sits in 2-doc families vs large boilerplate families —
     // the number that decides whether dedup is worth a rewrite pass.
@@ -349,22 +377,23 @@ object PipelineQueries {
         .groupBy("s").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("s")).limit(20)),
 
-    // PMI COLLOCATIONS (Church & Hanks 1990) — top-20 bigram
-    // collocations by pointwise mutual information over the corpus
-    // token stream, the lexical-association layer next to
-    // text_ngram_topk's raw document frequencies: frequent-but-
-    // independent pairs rank low, genuinely bound pairs rank high.
-    // PMI = log p(x,y)/(p(x)p(y)) is monotone in the integer ratio
-    // c_xy·N/(c_x·c_y), so ranking and emission use the ×10⁶
-    // fixed-point ratio and NO log/float ever enters (§5). Unigram
-    // and bigram counts are two explode→groupBy passes (map-side
-    // partials, token-bounded result); bigram pairs come from a
-    // codegen-friendly arrays_zip of two shifted slices (no lambda
-    // HOF in the hot path); N attaches under the 1-row withScalar
-    // contract; min-support 5 kills the hapax noise floor; top-20 is
-    // TakeOrderedAndProject on the total order (ratio desc, x, y).
-    "text_pmi_bigrams" -> ((s, dir) => {
-      def tk = Tables.documents(s, dir).select(Dedup.tokens(col("text")).as("t"))
+    // PHRASE DETECTION + MERGE (Mikolov et al. 2013, word2vec's
+    // phrase pass) — the APPLY step text_pmi's collocation ranking
+    // stops short of: learn the top-20 phrases by the DISCOUNTED
+    // score (c_xy − δ)·N/(c_x·c_y) (δ=5 kills the hapax ceiling raw
+    // PMI rewards), then re-walk every document merging phrase
+    // occurrences GREEDILY LEFT-TO-RIGHT, non-overlapping ("a b b"
+    // with phrase "b b"?? the walk decides exactly once) — and report
+    // per source how much of the token stream fuses. The learn side
+    // is two explode→groupBy passes with the score a pure ×10⁶
+    // integer ratio; the bounded 20-phrase table rides the 1-row
+    // withScalar contract as an array; the merge walk is ONE
+    // aggregate HOF per doc whose (lastMergedEnd, count) state packs
+    // into a single BIGINT (i·10⁹ + cnt) so the identical fold runs
+    // in DuckDB's list_reduce, which requires a uniform element type.
+    "text_phrase_merge" -> ((s, dir) => {
+      def tk = Tables.documents(s, dir).select(col("source"),
+        Dedup.tokens(col("text")).as("t"))
       val uni = tk.select(explode(col("t")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
       val big = tk.where(size(col("t")) >= 2)
@@ -374,12 +403,34 @@ object PipelineQueries {
         .select(col("p.x").as("x"), col("p.y").as("y"))
         .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       val n = big.agg(sum("c_xy").as("nb"))
-      Scalars.withScalar(big.where(col("c_xy") >= 5), col("c_xy"), n, col("nb"))
+      val phrases = Scalars.withScalar(big.where(col("c_xy") > 5),
+          col("c_xy"), n, col("nb"))
         .join(uni.select(col("w").as("x"), col("c").as("c_x")), "x")
         .join(uni.select(col("w").as("y"), col("c").as("c_y")), "y")
-        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
-          expr("c_xy * nb * 1000000 div (c_x * c_y)").as("pmi_u6"))
-        .orderBy(col("pmi_u6").desc, col("x"), col("y")).limit(20)
+        .select(concat(col("x"), lit(" "), col("y")).as("phrase"),
+          expr("(c_xy - 5) * nb * 1000000 div (c_x * c_y)").as("score_u6"))
+        .orderBy(col("score_u6").desc, col("phrase")).limit(20)
+        .agg(sort_array(collect_list("phrase")).as("ph")) // bounded 20
+      Scalars.withScalar(tk, col("source"), phrases, col("ph"))
+        .withColumn("merges", expr(
+          """CASE WHEN size(t) < 2 THEN 0L ELSE
+            |aggregate(sequence(1L, CAST(size(t) - 1 AS BIGINT)), 0L,
+            |  (acc, i) ->
+            |  IF(i > acc div 1000000000
+            |       AND array_contains(ph, concat(element_at(t, CAST(i AS INT)),
+            |         ' ', element_at(t, CAST(i AS INT) + 1))),
+            |     (i + 1) * 1000000000 + acc % 1000000000 + 1,
+            |     acc)) % 1000000000 END""".stripMargin))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("t")).cast("long")).as("tokens_before"),
+          sum("merges").as("phrase_merges"))
+        .select(col("source"), col("n_docs"), col("tokens_before"),
+          col("phrase_merges"),
+          (col("tokens_before") - col("phrase_merges")).as("tokens_after"),
+          expr("phrase_merges * 1000000 div nullif(tokens_before, 0)")
+            .as("merge_rate_u6"))
+        .orderBy("source")
     }),
 
     "dedup_embedding" -> ((s, dir) =>
@@ -533,6 +584,80 @@ object PipelineQueries {
         .select(col("probe_id"), col("fused_rank").cast("long").as("fused_rank"),
           col("neighbor_id"), col("rrf_u6"), col("in_ivf"), col("in_lsh"))
         .orderBy("probe_id", "fused_rank")
+    }),
+
+    // MMR DIVERSIFICATION (maximal marginal relevance, Carbonell &
+    // Goldstein 1998) of the LSH top-5 — the redundancy filter a
+    // retrieval-augmented pipeline runs between ANN and the consumer:
+    // greedily pick 3 of 5 candidates maximizing λ·rel − (1−λ)·max
+    // sim-to-picked (λ=0.7), so two near-identical top hits cannot
+    // both survive. The greedy recursion is unrolled into THREE rank-1
+    // window picks (the candidate set is k-bounded per probe, so every
+    // join is a per-probe equi-join — nothing quadratic in the
+    // corpus); relevance and pairwise sims quantize 4dp→×10⁴ BIGINT
+    // BEFORE any comparison, and the MMR score 7·rel_u4 − 3·sim_u4
+    // (×10⁵ units) never divides — no float enters a ranking key.
+    // Pick 1's score is 7·rel (empty picked set ⇒ sim term 0).
+    "emb_mmr_diversify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cand = Similarity.lshTopK(emb, col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id").as("cid"),
+          expr("CAST(round(cos * 10000, 0) AS BIGINT)").as("rel_u4"))
+        .localCheckpoint(false) // feeds three picks AND the pairwise sims
+      val nv = emb
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("v"))
+        .join(cand.select("cid").distinct(), "cid")
+        .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+      val sim = cand.select(col("probe_id"), col("cid").as("i"))
+        .join(cand.select(col("probe_id"), col("cid").as("j")), "probe_id")
+        .filter(col("i") =!= col("j"))
+        .join(nv.select(col("cid").as("i"), col("v").as("vi"),
+          col("nrm").as("ni")), "i")
+        .join(nv.select(col("cid").as("j"), col("v").as("vj"),
+          col("nrm").as("nj")), "j")
+        .select(col("probe_id"), col("i"), col("j"),
+          expr("CAST(round(dot_product(vi, vj) / (ni * nj) * 10000, 0)" +
+            " AS BIGINT)").as("s_u4"))
+        .localCheckpoint(false) // reused by picks 2 and 3
+      def top1(df: DataFrame, score: Column): DataFrame = df
+        .withColumn("__rk", row_number().over(Window.partitionBy("probe_id")
+          .orderBy(score.desc, col("cid"))))
+        .filter(col("__rk") === 1).drop("__rk")
+      val p1 = top1(cand, col("rel_u4"))
+        .select(col("probe_id"), col("cid").as("p1"), col("rel_u4").as("rel1"))
+      val p2 = top1(
+          cand.join(p1, "probe_id").filter(col("cid") =!= col("p1"))
+            .join(sim.select(col("probe_id"), col("i").as("cid"),
+              col("j").as("p1"), col("s_u4").as("m1")),
+              Seq("probe_id", "cid", "p1"))
+            .withColumn("mmr_u5", expr("7 * rel_u4 - 3 * m1")),
+          col("mmr_u5"))
+        .select(col("probe_id"), col("p1"), col("cid").as("p2"),
+          col("rel_u4").as("rel2"), col("mmr_u5").as("mmr2"))
+      val p3 = top1(
+          cand.join(p2, "probe_id")
+            .filter(col("cid") =!= col("p1") && col("cid") =!= col("p2"))
+            .join(sim.select(col("probe_id"), col("i").as("cid"),
+              col("j").as("p1"), col("s_u4").as("m1")),
+              Seq("probe_id", "cid", "p1"))
+            .join(sim.select(col("probe_id"), col("i").as("cid"),
+              col("j").as("p2"), col("s_u4").as("m2")),
+              Seq("probe_id", "cid", "p2"))
+            .withColumn("mmr_u5", expr("7 * rel_u4 - 3 * greatest(m1, m2)")),
+          col("mmr_u5"))
+        .select(col("probe_id"), col("cid").as("p3"),
+          col("rel_u4").as("rel3"), col("mmr_u5").as("mmr3"))
+      p1.select(col("probe_id"), lit(1L).as("pick"),
+          col("p1").as("neighbor_id"), col("rel1").as("rel_u4"),
+          (col("rel1") * 7).as("mmr_u5"))
+        .unionByName(p2.select(col("probe_id"), lit(2L).as("pick"),
+          col("p2").as("neighbor_id"), col("rel2").as("rel_u4"),
+          col("mmr2").as("mmr_u5")))
+        .unionByName(p3.select(col("probe_id"), lit(3L).as("pick"),
+          col("p3").as("neighbor_id"), col("rel3").as("rel_u4"),
+          col("mmr3").as("mmr_u5")))
+        .orderBy("probe_id", "pick")
     }),
 
     // INCREMENTAL INDEX MAINTENANCE: the coarse quantizer trains on
@@ -1459,6 +1584,94 @@ object PipelineQueries {
     "text_filter_chain" -> ((s, dir) =>
       TextAnalysis.filterChain(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // HEAPS'-LAW VOCABULARY GROWTH CURVE — vocabulary size at 7
+    // doc_id-ordered corpus prefixes (1..100%), the sublinear-growth
+    // evidence (V ∝ nᵝ, β<1) that sizes tokenizer vocab budgets and
+    // says when a crawl stops paying for itself; the growth-axis
+    // companion to text_zipf's frequency axis. The key trick: a term's
+    // membership in EVERY prefix is decided by its FIRST doc_id alone,
+    // so one groupBy(min) pass + ONE conditional aggregation answers
+    // all 7 prefixes — no per-prefix rescan, no theta join, no global
+    // window. Cutoffs derive from the max-id scalar under the 1-row
+    // withScalar contract; pure BIGINT throughout.
+    "text_heaps_curve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pcts = Seq(1L, 2L, 5L, 10L, 25L, 50L, 100L)
+      val n = docs.agg((max("doc_id") + 1).as("n_ids"))
+      val first = docs
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(min("doc_id").as("first_doc"))
+      val docTok = docs.select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("nt"))
+      def cutHit(idCol: String, p: Long) =
+        expr(s"$idCol < (n_ids * $p) div 100")
+      val vCols = pcts.map(p =>
+        sum(when(cutHit("first_doc", p), 1L).otherwise(0L)).as(s"v$p"))
+      val vagg = Scalars.withScalar(first, col("first_doc"), n, col("n_ids"))
+        .agg(vCols.head, vCols.tail: _*)
+      val dCols = pcts.flatMap(p => Seq(
+        sum(when(cutHit("doc_id", p), 1L).otherwise(0L)).as(s"d$p"),
+        sum(when(cutHit("doc_id", p), col("nt")).otherwise(0L)).as(s"t$p")))
+      val dagg = Scalars.withScalar(docTok, col("doc_id"), n, col("n_ids"))
+        .agg(dCols.head, dCols.tail: _*)
+      Scalars.withScalar(dagg, col("d1"), vagg, col("v1"))
+        .select(explode(array(pcts.map(p => struct(
+          lit(p).as("pct"), col(s"d$p").as("n_docs"),
+          col(s"t$p").as("n_tokens"), col(s"v$p").as("vocab"))): _*)).as("r"))
+        .select(col("r.pct").as("pct"), col("r.n_docs").as("n_docs"),
+          col("r.n_tokens").as("n_tokens"), col("r.vocab").as("vocab"))
+        .orderBy("pct")
+    }),
+
+    // CHI-SQUARE TERM–LANGUAGE ASSOCIATION (the classic feature-
+    // selection statistic, Yang & Pedersen 1997) — the top-3 most
+    // language-discriminative terms per language, the evidence layer
+    // under text_langid's heuristic: which words actually separate the
+    // label classes. Per (term, lang) the 2×2 document contingency is
+    // (A=df in lang, B=df elsewhere, C=lang docs without, D=rest), and
+    // chi² = N(AD−BC)²/((A+B)(C+D)(A+C)(B+D)) is computed ENTIRELY in
+    // DECIMAL(38,0) integer arithmetic, emitted ×10⁴ (no float — the
+    // monotone integer transform doctrine). Postings are one
+    // explode→distinct; df ≥ 5 min-support; per-lang totals broadcast;
+    // N under the 1-row withScalar contract; top-3 via a window
+    // PARTITIONED by the bounded lang key.
+    "text_chi2_terms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val post = docs
+        .select(explode(Dedup.tokens(col("text"))).as("term"),
+          col("doc_id"), col("lang"))
+        .distinct()
+        .localCheckpoint(false) // feeds per-(term,lang) cells AND per-term dfs
+      val cell = post.groupBy("term", "lang").agg(count(lit(1)).as("a"))
+      val df = post.groupBy("term").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 5)
+      val lc = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = Scalars.withScalar(
+          cell.join(df, "term").join(broadcast(lc), "lang"),
+          col("a"), n, col("n_docs"))
+        // a term in EVERY doc (df=N) or a one-language corpus (n_lang=N)
+        // zeroes the denominator — both mean "no discrimination", so the
+        // nullif/coalesce pins chi² to 0 instead of dividing by zero
+        .withColumn("chi2_u4", expr(
+          """coalesce(CAST(n_docs AS DECIMAL(38,0))
+            | * (CAST(a AS DECIMAL(38,0)) * (n_docs - n_lang - df + a)
+            |    - CAST(df - a AS DECIMAL(38,0)) * (n_lang - a))
+            | * (CAST(a AS DECIMAL(38,0)) * (n_docs - n_lang - df + a)
+            |    - CAST(df - a AS DECIMAL(38,0)) * (n_lang - a))
+            | * 10000
+            | div nullif(CAST(df AS DECIMAL(38,0)) * (n_docs - df)
+            |      * CAST(n_lang AS DECIMAL(38,0)) * (n_docs - n_lang), 0), 0)"""
+            .stripMargin))
+      scored
+        .withColumn("rk", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("chi2_u4").desc, col("term"))).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("term"), col("a").as("df_in_lang"),
+          col("df"), col("chi2_u4"))
+        .orderBy("lang", "rk")
+    }),
+
     // PACKING SWEEP: sequence-packing efficiency at 512/1024/2048
     // token budgets — bins, boundary-split docs, and fill rate — all
     // from ONE two-level prefix-sum pass (cum_before is independent of
@@ -1940,6 +2153,21 @@ object PipelineQueries {
           expr("n_cum * 10000 div n_total").as("coverage_u4"))
         .orderBy("hop")
     }),
+
+    // ADAMIC-ADAR LINK PREDICTION over the same kNN graph — the
+    // PREDICTION member of the family (closure / communities / depth /
+    // reach / mixing, now missing-edge repair): the top-20 non-adjacent
+    // distance-2 pairs by Σ 1/ln(deg) over common neighbors are the
+    // near-dup edges the LSH sparsifier most likely missed. Weights
+    // come from the spliced ×10⁶ literal table (Graph.aaWeightsU6), so
+    // the score is a pure-integer sum in both engines.
+    "graph_adamic_adar" -> ((s, dir) =>
+      graft.ops.Graph.adamicAdar(
+        Similarity.lshTopK(Tables.embeddings(s, dir), lit(true),
+            k = 3, numPlanes = 4)
+          .select(least(col("probe_id"), col("neighbor_id")).as("a"),
+            greatest(col("probe_id"), col("neighbor_id")).as("b"))
+          .distinct(), k = 20)),
 
     // DISTRIBUTION DRIFT (PSI) between two corpus slices: fixed-width
     // length bins (a pure per-row map — no quantile pass to coordinate
@@ -3890,6 +4118,28 @@ object PipelineQueries {
          |FROM h ORDER BY hop""".stripMargin
     },
 
+    // same kNN edge CTE; the ×10⁶ weight table is the SAME literal
+    // list (Graph.aaWeightsU6), 1-indexed at clamped degree − 1, so
+    // the score sum is pure integer in both engines
+    "graph_adamic_adar" ->
+      s"""WITH $knnEdgeCtes,
+         |dg AS (SELECT v, count(*) AS deg
+         |       FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
+         |       GROUP BY 1),
+         |sym AS (SELECT a AS z, b AS n FROM ed UNION ALL SELECT b, a FROM ed),
+         |adj AS (SELECT sym.z, sym.n,
+         |          [${graft.ops.Graph.aaWeightsU6.mkString(", ")}]
+         |            [CAST(least(deg, 64) AS INT) - 1] AS w6
+         |        FROM sym JOIN dg ON sym.z = dg.v),
+         |cd AS (SELECT a1.n AS u, a2.n AS v,
+         |         CAST(count(*) AS BIGINT) AS n_common,
+         |         CAST(sum(a1.w6) AS BIGINT) AS aa_u6
+         |       FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n
+         |       GROUP BY 1, 2)
+         |SELECT u, v, n_common, aa_u6 FROM cd
+         |WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.a = cd.u AND ed.b = cd.v)
+         |ORDER BY aa_u6 DESC, u, v LIMIT 20""".stripMargin,
+
     "graph_label_prop" -> {
       def round(prev: String, out: String) =
         s"""$out AS (SELECT src AS v, lbl FROM (
@@ -4631,6 +4881,48 @@ object PipelineQueries {
          |    // (n_docs*(n_docs-1)//2) AS BIGINT) AS rand_u4
          |FROM ag""".stripMargin,
 
+    // same recursive label derivation; keeper = converged min label,
+    // token sizes from the same tokenizer, BIGINT-cast sums
+    "dedup_effective_tokens" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |cx AS (SELECT doc_id, ex.s FROM ex JOIN keep ON ex.s = keep.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM cx a JOIN cx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |good AS (
+         |  SELECT id1, id2 FROM pairs
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE shared*1.0/(s1.n + s2.n - shared) >= 0.8),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM good
+         |          UNION ALL SELECT id2, id1 FROM good),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |tk AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tok
+         |       FROM documents),
+         |j AS (SELECT tk.source, tk.n_tok,
+         |        CASE WHEN tk.doc_id = lab.cluster_id THEN 1 ELSE 0 END AS kept
+         |      FROM tk JOIN lab ON tk.doc_id = lab.id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens_raw,
+         |  CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept,
+         |  (CAST(sum(n_tok) AS BIGINT)
+         |     - CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT))
+         |    * 10000 // nullif(CAST(sum(n_tok) AS BIGINT), 0) AS savings_u4
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // same recursive label derivation, rolled up twice
     "dedup_family_sizes" ->
       s"""WITH RECURSIVE docs AS (
@@ -4734,26 +5026,58 @@ object PipelineQueries {
          |SELECT s, count(*) AS df FROM ex GROUP BY 1
          |ORDER BY df DESC, s LIMIT 20""".stripMargin,
 
-    // same token stream; bigram pairs via 1-based list indexing (the
-    // version-stable struct-comprehension primitive vocab_bpe_learn
-    // uses), counts cast to BIGINT everywhere a sum could widen to
-    // HUGEINT, and the ×10⁶ PMI ratio is pure integer in both engines
-    "text_pmi_bigrams" ->
-      s"""WITH tk AS (SELECT $toks AS t FROM documents),
+    // same token stream and struct-comprehension bigrams. The greedy
+    // walk does NOT replay as a DuckDB lambda — list_reduce evaluated
+    // against joined columns mis-correlates rows in DuckDB 1.0.0
+    // (found here twice: per-doc merge counts came back swapped
+    // between docs) — so the oracle uses the walk's closed form
+    // instead: over a doc's sorted hit positions, greedy left-to-right
+    // non-overlapping merging keeps ⌈L/2⌉ hits per maximal run of
+    // CONSECUTIVE positions (a merged hit at i blocks only i+1; a
+    // skipped hit extends no coverage), so merges = Σ_runs (L+1)//2 —
+    // plain lag/sum windows, zero lambdas, provably equal to the
+    // engine's aggregate-HOF walk (spec replays the walk itself).
+    "text_phrase_merge" ->
+      s"""WITH tk AS (SELECT doc_id, source, $toks AS t FROM documents),
          |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c
          |      FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
          |b AS (SELECT p.x AS x, p.y AS y, CAST(count(*) AS BIGINT) AS c_xy
          |      FROM (SELECT unnest([{'x': t[i], 'y': t[i+1]}
          |                           for i in range(1, len(t))]) AS p FROM tk)
          |      GROUP BY 1, 2),
-         |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM b)
-         |SELECT b.x, b.y, b.c_xy, ux.c AS c_x, uy.c AS c_y,
-         |  CAST((b.c_xy * n.nb * 1000000) // (ux.c * uy.c) AS BIGINT) AS pmi_u6
-         |FROM b CROSS JOIN n
-         |JOIN u ux ON b.x = ux.w
-         |JOIN u uy ON b.y = uy.w
-         |WHERE b.c_xy >= 5
-         |ORDER BY pmi_u6 DESC, x, y LIMIT 20""".stripMargin,
+         |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM b),
+         |sc AS (SELECT x || ' ' || y AS phrase,
+         |         (b.c_xy - 5) * n.nb * 1000000 // (ux.c * uy.c) AS score_u6
+         |       FROM b CROSS JOIN n
+         |       JOIN u ux ON b.x = ux.w JOIN u uy ON b.y = uy.w
+         |       WHERE b.c_xy > 5),
+         |top AS (SELECT phrase FROM sc ORDER BY score_u6 DESC, phrase LIMIT 20),
+         |hits AS (SELECT x.doc_id, x.p.i AS i
+         |         FROM (SELECT doc_id,
+         |                 unnest([{'i': i, 's': t[i] || ' ' || t[i+1]}
+         |                         for i in range(1, len(t))]) AS p
+         |               FROM tk) x
+         |         JOIN top ON x.p.s = top.phrase),
+         |hr AS (SELECT doc_id, i,
+         |         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) = 1
+         |              THEN 0 ELSE 1 END AS newrun
+         |       FROM hits),
+         |rn AS (SELECT doc_id,
+         |         sum(newrun) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+         |       FROM hr),
+         |rl AS (SELECT doc_id, run_id, count(*) AS l FROM rn GROUP BY 1, 2),
+         |md AS (SELECT doc_id, CAST(sum((l + 1) // 2) AS BIGINT) AS merges
+         |       FROM rl GROUP BY 1),
+         |mg AS (SELECT tk.source, CAST(len(tk.t) AS BIGINT) AS nt,
+         |         coalesce(md.merges, 0) AS merges
+         |       FROM tk LEFT JOIN md ON tk.doc_id = md.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS tokens_before,
+         |  CAST(sum(merges) AS BIGINT) AS phrase_merges,
+         |  CAST(sum(nt) - sum(merges) AS BIGINT) AS tokens_after,
+         |  CAST(sum(merges) AS BIGINT) * 1000000
+         |    // nullif(CAST(sum(nt) AS BIGINT), 0) AS merge_rate_u6
+         |FROM mg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -4965,6 +5289,55 @@ object PipelineQueries {
          |  neighbor_id, CAST(rrf_u6 AS BIGINT) AS rrf_u6,
          |  CAST(in_ivf AS BIGINT) AS in_ivf, CAST(in_lsh AS BIGINT) AS in_lsh
          |FROM r WHERE fused_rank <= 5 ORDER BY probe_id, fused_rank""".stripMargin,
+
+    // same LSH top-5 replay feeds the candidate set; relevance and
+    // pairwise sims quantize 4dp→×10⁴ BEFORE comparison, and the
+    // three greedy picks unroll as the identical rank-1 windows
+    "emb_mmr_diversify" ->
+      s"""WITH cand AS (
+         |  SELECT probe_id, neighbor_id AS cid,
+         |    CAST(round(cos * 10000, 0) AS BIGINT) AS rel_u4
+         |  FROM ($lshTopSql)),
+         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cv AS (SELECT vec_id AS cid, v,
+         |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+         |       FROM e2 WHERE vec_id IN (SELECT DISTINCT cid FROM cand)),
+         |sm AS (SELECT c1.probe_id, c1.cid AS i, c2.cid AS j,
+         |         CAST(round(list_sum(list_transform(range(1,65),
+         |             t -> a.v[t]*b.v[t])) / (a.nrm*b.nrm) * 10000, 0)
+         |           AS BIGINT) AS s_u4
+         |       FROM cand c1 JOIN cand c2
+         |         ON c1.probe_id = c2.probe_id AND c1.cid <> c2.cid
+         |       JOIN cv a ON a.cid = c1.cid JOIN cv b ON b.cid = c2.cid),
+         |p1 AS (SELECT probe_id, cid AS p1, rel_u4 AS rel1 FROM cand
+         |       QUALIFY row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY rel_u4 DESC, cid) = 1),
+         |r2 AS (SELECT c.probe_id, c.cid, c.rel_u4, p1.p1, s.s_u4 AS m1
+         |       FROM cand c JOIN p1
+         |         ON c.probe_id = p1.probe_id AND c.cid <> p1.p1
+         |       JOIN sm s ON s.probe_id = c.probe_id AND s.i = c.cid
+         |         AND s.j = p1.p1),
+         |p2 AS (SELECT probe_id, p1, cid AS p2, rel_u4 AS rel2,
+         |         7*rel_u4 - 3*m1 AS mmr2 FROM r2
+         |       QUALIFY row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY 7*rel_u4 - 3*m1 DESC, cid) = 1),
+         |r3 AS (SELECT c.probe_id, c.cid, c.rel_u4,
+         |         7*c.rel_u4 - 3*greatest(s1.s_u4, s2.s_u4) AS mmr3
+         |       FROM cand c JOIN p2
+         |         ON c.probe_id = p2.probe_id AND c.cid <> p2.p1
+         |        AND c.cid <> p2.p2
+         |       JOIN sm s1 ON s1.probe_id = c.probe_id AND s1.i = c.cid
+         |         AND s1.j = p2.p1
+         |       JOIN sm s2 ON s2.probe_id = c.probe_id AND s2.i = c.cid
+         |         AND s2.j = p2.p2),
+         |p3 AS (SELECT probe_id, cid AS p3, rel_u4 AS rel3, mmr3 FROM r3
+         |       QUALIFY row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY mmr3 DESC, cid) = 1)
+         |SELECT probe_id, CAST(1 AS BIGINT) AS pick, p1 AS neighbor_id,
+         |  rel1 AS rel_u4, 7*rel1 AS mmr_u5 FROM p1
+         |UNION ALL SELECT probe_id, CAST(2 AS BIGINT), p2, rel2, mmr2 FROM p2
+         |UNION ALL SELECT probe_id, CAST(3 AS BIGINT), p3, rel3, mmr3 FROM p3
+         |ORDER BY probe_id, pick""".stripMargin,
 
     // both paths re-derived independently (exact all-pairs top-5 and
     // the baked-hyperplane LSH top-5), then per-probe overlap
@@ -5982,6 +6355,63 @@ object PipelineQueries {
 
     // same marker scoring + first-listed tie argmax, rolled up to the
     // confusion cells with half-up row shares
+    // same first-doc trick; the 7 prefix cutoffs come from the same
+    // max-id scalar, and every sum is BIGINT-cast
+    "text_heaps_curve" ->
+      s"""WITH n AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+         |f AS (SELECT w, min(doc_id) AS first_doc
+         |      FROM (SELECT doc_id, unnest($toks) AS w FROM documents)
+         |      GROUP BY 1),
+         |dt AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS nt FROM documents),
+         |p(pct) AS (VALUES (1),(2),(5),(10),(25),(50),(100)),
+         |c AS (SELECT pct, (n_ids * pct) // 100 AS cut FROM p, n),
+         |va AS (SELECT c.pct,
+         |         CAST(sum(CASE WHEN f.first_doc < c.cut THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS vocab
+         |       FROM c CROSS JOIN f GROUP BY 1),
+         |da AS (SELECT c.pct,
+         |         CAST(sum(CASE WHEN dt.doc_id < c.cut THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN dt.doc_id < c.cut THEN dt.nt ELSE 0 END)
+         |           AS BIGINT) AS n_tokens
+         |       FROM c CROSS JOIN dt GROUP BY 1)
+         |SELECT CAST(da.pct AS BIGINT) AS pct, n_docs, n_tokens, vocab
+         |FROM da JOIN va ON da.pct = va.pct
+         |ORDER BY pct""".stripMargin,
+
+    // same distinct postings; the full chi² composition stays in
+    // HUGEINT (the DECIMAL(38,0) twin) with the same nullif/coalesce
+    // degenerate-cell pin, ranked on the identical (chi2 desc, term)
+    "text_chi2_terms" ->
+      s"""WITH post AS (SELECT DISTINCT w AS term, doc_id, lang
+         |  FROM (SELECT doc_id, lang, unnest($toks) AS w FROM documents)),
+         |cell AS (SELECT term, lang, CAST(count(*) AS BIGINT) AS a
+         |         FROM post GROUP BY 1, 2),
+         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM post GROUP BY 1 HAVING count(*) >= 5),
+         |lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+         |       FROM documents GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (SELECT cell.lang, cell.term, cell.a, dfs.df,
+         |         coalesce(CAST(n_docs AS HUGEINT)
+         |           * (CAST(a AS HUGEINT) * (n_docs - n_lang - df + a)
+         |              - CAST(df - a AS HUGEINT) * (n_lang - a))
+         |           * (CAST(a AS HUGEINT) * (n_docs - n_lang - df + a)
+         |              - CAST(df - a AS HUGEINT) * (n_lang - a))
+         |           * 10000
+         |           // nullif(CAST(df AS HUGEINT) * (n_docs - df)
+         |                * CAST(n_lang AS HUGEINT) * (n_docs - n_lang), 0), 0)
+         |           AS chi2
+         |       FROM cell JOIN dfs USING (term) JOIN lc USING (lang)
+         |       CROSS JOIN nn),
+         |rnk AS (SELECT lang, term, a, df, chi2,
+         |          row_number() OVER (PARTITION BY lang
+         |            ORDER BY chi2 DESC, term) AS rk
+         |        FROM sc)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, term, a AS df_in_lang, df,
+         |  CAST(chi2 AS BIGINT) AS chi2_u4
+         |FROM rnk WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+
     "text_langid_confusion" ->
       s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
          |h AS (

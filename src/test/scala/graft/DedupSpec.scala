@@ -321,6 +321,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("effective tokens: per-source savings replay via an independent union-find") {
+    val rows = SparkEntry.queries("dedup_effective_tokens")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val pairs = Dedup.ngramJaccard(Tables.documents(spark, sf),
+        n = 3, threshold = 0.8, maxDF = 50)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-by-min: attaching the larger root under the smaller keeps
+    // every tree's root at its component's min id — the CC keeper rule
+    val parent = scala.collection.mutable.Map[Long, Long](
+      docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val tok = docs.map(d => d._1 ->
+      d._3.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong).toMap
+    val exp = docs.groupBy(_._2).view.mapValues { ds =>
+      val keptDocs = ds.filter(d => find(d._1) == d._1)
+      val raw = ds.map(d => tok(d._1)).sum
+      val keptT = keptDocs.map(d => tok(d._1)).sum
+      (ds.length.toLong, keptDocs.length.toLong, raw, keptT,
+        (raw - keptT) * 10000L / raw)
+    }.toMap
+    assert(rows.map(_.getAs[String]("source")).toSet == exp.keySet)
+    rows.foreach { r =>
+      val e = exp(r.getAs[String]("source"))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("tokens_raw"), r.getAs[Long]("tokens_kept"),
+        r.getAs[Long]("savings_u4")) == e, s"source ${r.getString(0)}")
+    }
+  }
+
   test("LSH ANN neighbors share the probe's bucket and rank correctly") {
     val out = Similarity.lshTopK(Tables.embeddings(spark, sf), col("vec_id") < 3, k = 5)
       .collect()

@@ -229,6 +229,26 @@ class GraphRankSpec extends AnyFunSuite {
     assert(math.abs(q.getAs[Double]("assort_r")) <= 1.0)
   }
 
+  test("adamicAdar: hand graphs score exactly; adjacent pairs never emit") {
+    val w = Graph.aaWeightsU6
+    // path 1-2-3-4: the only distance-2 pairs are (1,3) via 2 and
+    // (2,4) via 3; both centers have degree 2
+    val path = Graph.adamicAdar(Seq((1L,2L),(2L,3L),(3L,4L)).toDF("a","b"), k = 10)
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("aa_u6"))).toSet
+    assert(path == Set((1L,3L,1L,w(0)), (2L,4L,1L,w(0))))
+    // diamond 1-2, 1-3, 2-3, 2-4, 3-4: only (1,4) is non-adjacent,
+    // with TWO degree-3 common neighbors — weights must accumulate
+    val dia = Graph.adamicAdar(
+        Seq((1L,2L),(1L,3L),(2L,3L),(2L,4L),(3L,4L)).toDF("a","b"), k = 10)
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("aa_u6"))).toSet
+    assert(dia == Set((1L,4L,2L,2*w(1))))
+    // weight table: monotone decreasing, w(2)=1e6/ln2 rounded
+    assert(w.head == math.round(1e6 / math.log(2.0)))
+    assert(w.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("bfsLayers: min-hop from multi-source seeds; isolated seed kept at hop 0") {
     val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),(3L,7L)).toDF("a","b")
     val seeds = Seq(1L, 7L, 99L).toDF("v") // 99 never appears in an edge

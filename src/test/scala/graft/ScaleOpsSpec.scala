@@ -422,6 +422,52 @@ class ScaleOpsSpec extends AnyFunSuite {
       "smallest source's share did not grow as α fell")
   }
 
+  test("mmr diversify: greedy picks replay from the quantized candidate set") {
+    def q(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = SparkEntry.queries("emb_mmr_diversify")(spark, sf).collect()
+    val cand = Similarity.lshTopK(Tables.embeddings(spark, sf),
+        col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("neighbor_id"), q(r.getAs[Double]("cos") * 10000)))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def simq(a: Long, b: Long): Long = {
+      val (x, y) = (vecs(a), vecs(b))
+      def dot(p: Array[Double], r: Array[Double]) =
+        p.zip(r).map { case (m, n) => m * n }.sum
+      q(dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y))) * 10000)
+    }
+    val exp = cand.groupBy(_._1).flatMap { case (p, cs0) =>
+      var picked = List.empty[Long]
+      var out = List.empty[(Long, Long, Long, Long, Long)]
+      var rest = cs0.map(c => (c._2, c._3)).toSeq
+      for (pick <- 1 to math.min(3, rest.size + picked.size)
+           if rest.nonEmpty) {
+        val scored = rest.map { case (cid, rel) =>
+          val s = if (picked.isEmpty) 7 * rel
+                  else 7 * rel - 3 * picked.map(simq(cid, _)).max
+          (cid, rel, s)
+        }
+        val best = scored.minBy { case (cid, _, s) => (-s, cid) }
+        out :+= ((p, pick.toLong, best._1, best._2, best._3))
+        picked :+= best._1
+        rest = rest.filterNot(_._1 == best._1)
+      }
+      out
+    }.toSet
+    val got = rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("pick"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Long]("rel_u4"),
+      r.getAs[Long]("mmr_u5"))).toSet
+    assert(got == exp)
+    // no probe repeats a neighbor across its picks
+    rows.groupBy(_.getAs[Long]("probe_id")).values.foreach { rs =>
+      val ns = rs.map(_.getAs[Long]("neighbor_id"))
+      assert(ns.distinct.length == ns.length)
+    }
+  }
+
   test("corpus_shuffle_audit: replays from raw labels; clumped order maximally clumps") {
     val rows = SparkEntry.queries("corpus_shuffle_audit")(spark, sf).collect()
       .map(r => r.getAs[String]("ordering") -> r).toMap
@@ -1280,6 +1326,78 @@ class ScaleOpsSpec extends AnyFunSuite {
     byLayout.foreach { case (_, rs) =>
       assert(rs.map(_.getAs[Long]("area")).sum == rs.head.getAs[Long]("layout_area"))
     }
+  }
+
+  test("hilbert layout: curve properties hold and the rollup replays from raw orders") {
+    // pure-Scala mirror of the unrolled xy2d steps
+    def xy2d(n: Long, x0: Long, y0: Long): Long = {
+      var x = x0; var y = y0; var d = 0L; var s = n / 2
+      while (s > 0) {
+        val rx = (x / s) % 2; val ry = (y / s) % 2
+        d += s * s * (if (ry == 0) 3 * rx else 1 + rx)
+        if (ry == 0) {
+          val nx = if (rx == 1) n - 1 - y else y
+          val ny = if (rx == 1) n - 1 - x else x
+          x = nx; y = ny
+        }
+        s /= 2
+      }
+      d
+    }
+    // curve properties on an 8×8 grid: bijection + unit steps
+    val m = (for (x <- 0L until 8L; y <- 0L until 8L)
+      yield xy2d(8, x, y) -> ((x, y))).toMap
+    assert(m.size == 64 && m.keys.min == 0L && m.keys.max == 63L)
+    (0L to 62L).foreach { i =>
+      val (a, b) = (m(i), m(i + 1))
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1,
+        s"hilbert step $i is not a unit step")
+    }
+    // full rollup replay at the query's 65536² grid
+    val rows = SparkEntry.queries("layout_hilbert_audit")(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.keySet == Set("hilbert", "zorder"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate.toEpochDay))
+    val minD = o.map(_._3).min; val maxD = o.map(_._3).max
+    val days = maxD - minD + 1; val maxCk = o.map(_._2).max
+    val n = o.length.toLong
+    val cells = o.map { case (ok, ck, ep) =>
+      val dayidx = ep - minD
+      val xs = ck * 65536 / (maxCk + 1); val ys = dayidx * 65536 / days
+      val z = (0 until 16).map(i =>
+        ((xs >> i) & 1L) * (1L << (2 * i + 1)) +
+          ((ys >> i) & 1L) * (1L << (2 * i))).sum
+      (ok, ck, dayidx, z, xy2d(65536, xs, ys))
+    }
+    // equal-row-count files in curve order: rank under (v DESC, key ASC)
+    def rollup(v: ((Long, Long, Long, Long, Long)) => Long) = {
+      val ranked = cells.sortBy(c => (v(c), c._1))(
+        Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)).zipWithIndex
+      val boxes = ranked.groupBy { case (_, i) => i.toLong * 16 / n }
+        .values.map { g =>
+          val cs = g.map(_._1)
+          (cs.length.toLong,
+            (cs.map(_._2).max - cs.map(_._2).min + 1) *
+              (cs.map(_._3).max - cs.map(_._3).min + 1))
+        }
+      (boxes.size.toLong, boxes.map(_._1).sum, boxes.map(_._2).sum,
+        boxes.map(_._2).max)
+    }
+    for ((name, f) <- Seq[(String, ((Long, Long, Long, Long, Long)) => Long)](
+        "zorder" -> (_._4), "hilbert" -> (_._5))) {
+      val (nb, nr, tot, mx) = rollup(f)
+      val r = rows(name)
+      assert((r.getAs[Long]("n_buckets"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("total_area"), r.getAs[Long]("max_area")) ==
+        ((nb, nr, tot, mx)), name)
+    }
+    // the audit's reason to exist: under equal-count files the Hilbert
+    // layout's total skip-relevant area beats the Z layout's
+    assert(rows("hilbert").getAs[Long]("total_area") <
+      rows("zorder").getAs[Long]("total_area"))
   }
 
   test("LSH S-curve: band-nesting theorem holds and the widest config is the canary") {

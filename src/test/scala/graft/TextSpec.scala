@@ -559,27 +559,194 @@ class TextSpec extends AnyFunSuite {
       s"level shift should alarm soon after day 28, got $firstAlarm")
   }
 
-  test("pmi bigrams: full top-20 replays from the raw token streams") {
-    val got = SparkEntry.queries("text_pmi_bigrams")(spark, SparkTestSession.sf)
+  test("dispersion: per-type VMR replays in exact integers") {
+    val rows = SparkEntry.queries("events_dispersion")(spark, SparkTestSession.sf)
       .collect()
-      .map(r => (r.getAs[String]("x"), r.getAs[String]("y"),
-        r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
-        r.getAs[Long]("pmi_u6"))).toSeq
-    assert(got.length == 20)
-    val toks = Tables.documents(spark, SparkTestSession.sf)
-      .select("text").collect()
-      .map(_.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
-    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val big = toks.flatMap(t => t.dropRight(1).zip(t.drop(1)))
+    val daily = Tables.events(spark, SparkTestSession.sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("y"))).toMap
+    assert(rows.map(_.getString(0)).toSet == daily.keySet)
+    rows.foreach { r =>
+      val ys = daily(r.getString(0)).map(BigInt(_))
+      val n = BigInt(ys.length); val sy = ys.sum
+      val zz = ys.map(y => (n * y - sy) * (n * y - sy)).sum
+      assert(r.getAs[Long]("n_days") == n.toLong)
+      assert(r.getAs[Long]("n_events") == sy.toLong)
+      assert(r.getAs[Long]("mean_u4") == ((2 * sy * 10000 + n) / (2 * n)).toLong)
+      val den = n * (n - 1) * sy
+      val vmr = if (den == 0) BigInt(0) else zz * 10000 / den
+      assert(r.getAs[Long]("vmr_u4") == vmr.toLong, r.getString(0))
+    }
+  }
+
+  test("kendall tau-b: exact pair counts replay; tau matches the formula") {
+    val row = SparkEntry.queries("events_kendall_tau")(spark, SparkTestSession.sf)
+      .head()
+    val d = Tables.events(spark, SparkTestSession.sf)
+      .groupBy(datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).as("dn"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val pairs = d.combinations(2).map { case Array(a, b) => (a, b) }.toSeq
+    val c = pairs.count { case (a, b) =>
+      (a._2 < b._2 && a._3 < b._3) || (a._2 > b._2 && a._3 > b._3) }.toLong
+    val disc = pairs.count { case (a, b) =>
+      (a._2 < b._2 && a._3 > b._3) || (a._2 > b._2 && a._3 < b._3) }.toLong
+    val tx = pairs.count { case (a, b) => a._2 == b._2 }.toLong
+    val ty = pairs.count { case (a, b) => a._3 == b._3 }.toLong
+    val n0 = pairs.length.toLong
+    assert((row.getAs[Long]("n_pairs"), row.getAs[Long]("concordant"),
+      row.getAs[Long]("discordant"), row.getAs[Long]("ties_x"),
+      row.getAs[Long]("ties_y")) == ((n0, c, disc, tx, ty)))
+    val tau = row.getAs[Double]("tau_b")
+    assert(math.abs(tau) <= 1.0 + 1e-9)
+    if (n0 != tx && n0 != ty) {
+      val expTau = (c - disc).toDouble /
+        (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble))
+      assert(math.abs(tau - expTau) < 1e-6)
+    }
+  }
+
+  test("runs test: median dichotomy, run count and z replay") {
+    val row = SparkEntry.queries("events_runs_test")(spark, SparkTestSession.sf)
+      .head()
+    val d = Tables.events(spark, SparkTestSession.sf)
+      .groupBy(datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).as("dn"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val med = d.sortBy(p => (p._2, p._1)).apply((d.length + 1) / 2 - 1)._2
+    val kept = d.filter(_._2 != med).sortBy(_._1).map(p => p._2 > med)
+    val (nA, nB) = (kept.count(identity).toLong, kept.count(!_).toLong)
+    val runs = if (kept.isEmpty) 0L
+      else 1L + kept.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    assert(row.getAs[Long]("n_kept") == kept.length.toLong)
+    assert(row.getAs[Long]("n_above") == nA)
+    assert(row.getAs[Long]("n_below") == nB)
+    assert(row.getAs[Long]("runs") == runs)
+    if (nA > 0 && nB > 0) {
+      val n = kept.length.toDouble
+      val e = 2.0 * nA * nB / n + 1.0
+      val v = 2.0 * nA * nB * (2.0 * nA * nB - n) / (n * n * (n - 1))
+      assert(math.abs(row.getAs[Double]("z") - (runs - e) / math.sqrt(v)) < 1e-5)
+    }
+  }
+
+  test("crosscorr: every lag replays from the raw daily series; |r| bounded") {
+    val rows = SparkEntry.queries("events_crosscorr")(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (-7L to 7L))
+    val ds = Tables.events(spark, SparkTestSession.sf)
+      .groupBy(datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).as("dn"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = ds.length.toLong
+    val sx = ds.map(_._2).sum; val sy = ds.map(_._3).sum
+    val zx = ds.map { case (dn, x, _) => dn -> (BigInt(n) * x - sx) }.toMap
+    val zy = ds.map { case (dn, _, y) => dn -> (BigInt(n) * y - sy) }.toMap
+    val dx = zx.values.map(z => z * z).sum
+    val dy = zy.values.map(z => z * z).sum
+    rows.foreach { r =>
+      val k = r.getAs[Long]("lag").toInt
+      val pairs = zx.keys.filter(dn => zy.contains(dn + k)).toSeq
+      assert(r.getAs[Long]("n_pairs") == pairs.length.toLong, s"lag $k pairs")
+      val num = pairs.map(dn => zx(dn) * zy(dn + k)).sum
+      val expR = num.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
+      assert(math.abs(r.getAs[Double]("xc_r") - expR) < 1e-4, s"lag $k r")
+      assert(math.abs(r.getAs[Double]("xc_r")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("phrase merge: learned phrases and the greedy walk replay per source") {
+    val got = SparkEntry.queries("text_phrase_merge")(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_before"),
+          r.getAs[Long]("phrase_merges"), r.getAs[Long]("tokens_after"),
+          r.getAs[Long]("merge_rate_u6"))).toMap
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)))
+    // learn: discounted-PMI top-20 phrases
+    val uni = docs.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val big = docs.flatMap(d => d._2.dropRight(1).zip(d._2.drop(1)))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     val nb = big.values.sum
-    val exp = big.filter(_._2 >= 5).toSeq.map { case ((x, y), cxy) =>
-      (x, y, cxy, uni(x), uni(y), cxy * nb * 1000000L / (uni(x) * uni(y)))
-    }.sortBy { case (x, y, _, _, _, p) => (-p, x, y) }.take(20)
+    val phrases = big.filter(_._2 > 5).toSeq.map { case ((x, y), cxy) =>
+      (s"$x $y", (cxy - 5) * nb * 1000000L / (uni(x) * uni(y)))
+    }.sortBy { case (p, sc) => (-sc, p) }.take(20).map(_._1).toSet
+    assert(phrases.nonEmpty)
+    // apply: greedy non-overlapping left-to-right merge count
+    def merges(t: Array[String]): Long = {
+      var last = 0L; var cnt = 0L; var i = 1
+      while (i < t.length) {
+        if (i > last && phrases(s"${t(i - 1)} ${t(i)}")) { last = i + 1; cnt += 1 }
+        i += 1
+      }
+      cnt
+    }
+    val exp = docs.groupBy(_._1).view.mapValues { ds =>
+      val tb = ds.map(_._2.length.toLong).sum
+      val mg = ds.map(d => merges(d._2)).sum
+      (ds.length.toLong, tb, mg, tb - mg, mg * 1000000L / tb)
+    }.toMap
     assert(got == exp)
-    // PMI must not be a popularity contest: the raw-df champion bigram
-    // (text_ngram_topk's world) need not appear; the min-support floor must
-    got.foreach { case (_, _, cxy, _, _, _) => assert(cxy >= 5) }
+    // the walk actually fuses something on this template-heavy corpus
+    assert(got.values.map(_._3).sum > 0)
+  }
+
+  test("heaps curve: every prefix row replays; vocabulary growth is monotone") {
+    val rows = SparkEntry.queries("text_heaps_curve")(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getAs[Long]("pct"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab")))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 5L, 10L, 25L, 50L, 100L))
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)))
+    val nIds = docs.map(_._1).max + 1
+    rows.foreach { case (pct, nd, nt, v) =>
+      val pre = docs.filter(_._1 < nIds * pct / 100)
+      assert(nd == pre.length.toLong, s"pct $pct docs")
+      assert(nt == pre.map(_._2.length.toLong).sum, s"pct $pct tokens")
+      assert(v == pre.flatMap(_._2).distinct.length.toLong, s"pct $pct vocab")
+    }
+    assert(rows.map(_._4).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1)), "vocab must be monotone")
+  }
+
+  test("chi2 terms: every emitted cell replays from the raw contingency") {
+    val rows = SparkEntry.queries("text_chi2_terms")(spark, SparkTestSession.sf)
+      .collect()
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet))
+    val n = docs.length.toLong
+    val nLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getAs[String]("lang")).toSet == nLang.keySet)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L), l)
+    }
+    rows.foreach { r =>
+      val term = r.getAs[String]("term"); val lang = r.getAs[String]("lang")
+      val a = docs.count(d => d._2 == lang && d._3(term)).toLong
+      val df = docs.count(_._3(term)).toLong
+      assert(r.getAs[Long]("df_in_lang") == a && r.getAs[Long]("df") == df)
+      assert(df >= 5)
+      val nl = nLang(lang)
+      val d0 = BigInt(a) * (n - nl - df + a) - BigInt(df - a) * (nl - a)
+      val den = BigInt(df) * (n - df) * nl * (n - nl)
+      val chi = if (den == 0) BigInt(0) else BigInt(n) * d0 * d0 * 10000 / den
+      assert(BigInt(r.getAs[Long]("chi2_u4")) == chi, s"$lang/$term")
+    }
   }
 
   test("varint audit: buckets, byte totals and savings replay from raw postings") {
