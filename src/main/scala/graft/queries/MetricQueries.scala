@@ -656,6 +656,30 @@ object MetricQueries {
       }.reduce(_.unionByName(_)).orderBy("lag")
     }),
 
+    // WEEKDAY UNIFORMITY chi² (goodness-of-fit) over order counts —
+    // the calendar-shape screen next to m_seasonality's averages: is
+    // order volume actually uniform across weekdays, and if not, which
+    // day carries the deviation? With E = n/7, chi² = Σ(O−n/7)²/(n/7)
+    // = Σ(7·O−n)²/(7n) is pure ×10⁴ integer division per cell; the
+    // 7-row emission carries each day's contribution plus the total
+    // (a bounded 7-row window). Weekday key is 0=Sunday..6 in both
+    // engines (Spark dayofweek−1 = DuckDB dayofweek).
+    "m_weekday_chi2" -> ((s, dir) => {
+      val d = Tables.orders(s, dir)
+        .groupBy((dayofweek(to_date(col("o_orderdate"))) - 1).as("dow"))
+        .agg(count(lit(1)).as("n_d"))
+      val tot = d.agg(sum("n_d").as("n"))
+      graft.ops.Scalars.withScalar(d, col("dow"), tot, col("n"))
+        .withColumn("share_u6", expr("(2 * n_d * 1000000 + n) div (2 * n)"))
+        .withColumn("contrib_u4",
+          expr("(7 * n_d - n) * (7 * n_d - n) * 10000 div (7 * n)"))
+        .withColumn("chi2_u4", sum("contrib_u4").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .select(col("dow").cast("long").as("dow"), col("n_d"),
+          col("share_u6"), col("contrib_u4"), col("chi2_u4"))
+        .orderBy("dow")
+    }),
+
     // BENFORD FIRST-DIGIT AUDIT (Newcomb 1881, Benford 1938) over the
     // order totals — the fabrication screen auditors run before
     // trusting a financial column: organically-grown amounts follow
@@ -867,6 +891,20 @@ object MetricQueries {
         |  CASE WHEN dz = 0 THEN 0.0
         |       ELSE round(CAST(num AS DOUBLE)/CAST(dz AS DOUBLE), 6) END AS ac_r
         |FROM num, dd ORDER BY lag""".stripMargin,
+
+    // same 0=Sunday weekday key, same per-cell integer chi² identity,
+    // total via the same bounded window
+    "m_weekday_chi2" ->
+      """WITH d AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+        |             CAST(count(*) AS BIGINT) AS n_d
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM d)
+        |SELECT CAST(dow AS BIGINT) AS dow, n_d,
+        |  (2 * n_d * 1000000 + n) // (2 * n) AS share_u6,
+        |  (7 * n_d - n) * (7 * n_d - n) * 10000 // (7 * n) AS contrib_u4,
+        |  CAST(sum((7 * n_d - n) * (7 * n_d - n) * 10000 // (7 * n))
+        |    OVER () AS BIGINT) AS chi2_u4
+        |FROM d, t ORDER BY dow""".stripMargin,
 
     // same exact-cents first digit, same shared ×10⁶ expectation
     // constants, same half-up share — pure BIGINT end to end

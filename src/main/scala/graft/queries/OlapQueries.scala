@@ -1802,6 +1802,30 @@ object OlapQueries {
         .orderBy("event_type")
     }),
 
+    // CONSECUTIVE-REPEAT COLLAPSE per user stream — the double-fire
+    // dedup every event pipeline runs before sessionizing: a client
+    // retry emits the same event_type back-to-back, and collapsing
+    // runs of identical consecutive types (per user, event-time order,
+    // event_id tiebreak) is the fix that stream_dedup's exact-id pass
+    // cannot do (retries get FRESH ids). Per type: raw events,
+    // survivors (run heads), and the ×10⁴ collapse rate. One
+    // user-partitioned lag window — the sessionize shuffle, nothing
+    // global.
+    "events_collapse_repeats" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .withColumn("kept",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("kept").as("n_kept"))
+        .select(col("event_type"), col("n_events"), col("n_kept"),
+          expr("(n_events - n_kept) * 10000 div n_events").as("collapse_u4"))
+        .orderBy("event_type")
+    }),
+
     // OVERDISPERSION (variance-to-mean ratio, the Poisson dispersion
     // test) per event-type daily series — the burstiness screen behind
     // events_bot_detection: a Poisson arrival process has VMR ≈ 1;
@@ -4869,6 +4893,20 @@ object OlapQueries {
         |  (2*10000*ss + n_evals) // (2*n_evals) AS mae_seasonal_u4,
         |  CASE WHEN ss < sl THEN 'seasonal'
         |       WHEN ss > sl THEN 'last' ELSE 'tie' END AS winner
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // same (user, time, id) order, same run-head counting
+    "events_collapse_repeats" ->
+      """WITH l AS (SELECT event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev
+        |      FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |      FROM l GROUP BY 1)
+        |SELECT event_type, n_events, n_kept,
+        |  (n_events - n_kept) * 10000 // n_events AS collapse_u4
         |FROM a ORDER BY event_type""".stripMargin,
 
     // same per-type day table, same HUGEINT n-scaled centering; the

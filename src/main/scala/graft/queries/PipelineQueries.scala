@@ -586,6 +586,33 @@ object PipelineQueries {
         .orderBy("probe_id", "fused_rank")
     }),
 
+    // CROSS-METHOD ANN AGREEMENT — the index-health audit the recall
+    // family (vs brute force) cannot be at scale, where brute force is
+    // unaffordable: two INDEPENDENT approximate indexes (IVF coarse
+    // quantizer vs LSH sign buckets) retrieve top-5 for the same
+    // probes, and per-probe set Jaccard says whether they agree.
+    // Sustained low agreement on live traffic = at least one index is
+    // degrading — the monitoring signal that triggers a re-audit
+    // against checkpointed ground truth. One full-outer join on
+    // (probe, neighbor), ×10⁴ integer Jaccard, no float.
+    "emb_ann_agreement" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("in_ivf"))
+      val b = Similarity.lshTopK(emb, col("vec_id") < 10, k = 5)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("in_lsh"))
+      a.join(b, Seq("probe_id", "neighbor_id"), "full_outer")
+        .groupBy("probe_id")
+        .agg(sum(coalesce(col("in_ivf"), lit(0L))).as("n_ivf"),
+          sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+          sum(when(col("in_ivf").isNotNull && col("in_lsh").isNotNull, 1L)
+            .otherwise(0L)).as("n_common"))
+        .select(col("probe_id"), col("n_ivf"), col("n_lsh"), col("n_common"),
+          expr("n_common * 10000 div (n_ivf + n_lsh - n_common)")
+            .as("jaccard_u4"))
+        .orderBy("probe_id")
+    }),
+
     // MMR DIVERSIFICATION (maximal marginal relevance, Carbonell &
     // Goldstein 1998) of the LSH top-5 — the redundancy filter a
     // retrieval-augmented pipeline runs between ANN and the consumer:
@@ -1584,6 +1611,35 @@ object PipelineQueries {
     "text_filter_chain" -> ((s, dir) =>
       TextAnalysis.filterChain(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // TRUNCATION-LOSS REPORT — the cheap alternative seq_pack exists
+    // to beat, measured: if docs are simply CUT at a context budget
+    // (128/512/2048 tokens) instead of packed, how many docs lose
+    // tail tokens and what share of the corpus token mass is thrown
+    // away? ONE conditional aggregation over the per-doc token counts
+    // answers all three budgets (the heaps-curve trick); ×10⁶ loss
+    // share; pure BIGINT.
+    "seq_truncate_loss" -> ((s, dir) => {
+      val budgets = Seq(128L, 512L, 2048L)
+      val nt = Tables.documents(s, dir)
+        .select(size(Dedup.tokens(col("text"))).cast("long").as("nt"))
+      val aggs = budgets.flatMap(b => Seq(
+        sum(when(col("nt") > b, 1L).otherwise(0L)).as(s"d$b"),
+        sum(when(col("nt") > b, col("nt") - b).otherwise(0L)).as(s"l$b")))
+      val base = nt.agg(count(lit(1)).as("n_docs"),
+        (aggs :+ sum("nt").as("tokens_total")): _*)
+      base.select(explode(array(budgets.map(b => struct(
+          lit(b).as("max_len"), col("n_docs"),
+          col(s"d$b").as("n_docs_truncated"), col("tokens_total"),
+          col(s"l$b").as("tokens_lost"))): _*)).as("r"))
+        .select(col("r.max_len").as("max_len"), col("r.n_docs").as("n_docs"),
+          col("r.n_docs_truncated").as("n_docs_truncated"),
+          col("r.tokens_total").as("tokens_total"),
+          col("r.tokens_lost").as("tokens_lost"))
+        .withColumn("loss_u6",
+          expr("tokens_lost * 1000000 div nullif(tokens_total, 0)"))
+        .orderBy("max_len")
+    }),
+
     // HEAPS'-LAW VOCABULARY GROWTH CURVE — vocabulary size at 7
     // doc_id-ordered corpus prefixes (1..100%), the sublinear-growth
     // evidence (V ∝ nᵝ, β<1) that sizes tokenizer vocab budgets and
@@ -2313,6 +2369,39 @@ object PipelineQueries {
             .orderBy(col("freq").desc, col("token").asc)).cast("bigint"))
         .select("token_id", "token", "freq")
         .orderBy("token_id")
+    }),
+
+    // SHARD TOP-K UNION AUDIT — the distributed-top-k correctness
+    // question every map-side-truncating pipeline must answer: if each
+    // shard (source) keeps only its local top-20 terms, does the union
+    // still contain the GLOBAL top-20? (A term can be globally heavy
+    // while below the cut on every shard — the classic failure.) Emits
+    // the union size and global-recall@20 so the k-per-shard knob is
+    // sized by measurement, not faith. One tf pass feeds the per-shard
+    // windows (bounded per source), the global rollup, and the audit.
+    "vocab_shard_topk_audit" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds shard tops, global top, shard count
+      val shardTop = tf.withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("w"))))
+        .filter(col("rk") <= 20).select("w").distinct()
+        .localCheckpoint(false) // feeds the union size AND the semi-join
+      val globalTop = tf.groupBy("w").agg(sum("c").as("c"))
+        .orderBy(col("c").desc, col("w")).limit(20)
+      val nShards = tf.select("source").distinct()
+        .agg(count(lit(1)).as("n_shards"))
+      val uSize = shardTop.agg(count(lit(1)).as("union_size"))
+      val hit = globalTop.join(shardTop, Seq("w"), "left_semi")
+        .agg(count(lit(1)).as("global_in_union"))
+      Scalars.withScalar(
+          Scalars.withScalar(hit, col("global_in_union"), uSize,
+            col("union_size")),
+          col("global_in_union"), nShards, col("n_shards"))
+        .select(lit(20L).as("k"), col("n_shards"), col("union_size"),
+          col("global_in_union"),
+          expr("global_in_union * 10000 div 20").as("recall_u4"))
     }),
 
     // VOCABULARY COVERAGE CURVE — the tokenizer-sizing measurement
@@ -4363,6 +4452,27 @@ object PipelineQueries {
          |    AS token_id, token, freq
          |FROM f ORDER BY token_id""".stripMargin,
 
+    // same per-shard tf, same (count desc, term) rank cut, same
+    // global rollup and semi-join recall
+    "vocab_shard_topk_audit" ->
+      s"""WITH tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |      FROM (SELECT source, unnest($toks) AS w FROM documents)
+         |      GROUP BY 1, 2),
+         |st AS (SELECT DISTINCT w FROM (
+         |        SELECT w, row_number() OVER (PARTITION BY source
+         |          ORDER BY c DESC, w) AS rk FROM tf)
+         |       WHERE rk <= 20),
+         |gt AS (SELECT w FROM (SELECT w, sum(c) AS c FROM tf GROUP BY 1)
+         |       ORDER BY c DESC, w LIMIT 20),
+         |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_shards
+         |       FROM tf),
+         |us AS (SELECT CAST(count(*) AS BIGINT) AS union_size FROM st),
+         |hit AS (SELECT CAST(count(*) AS BIGINT) AS global_in_union
+         |        FROM gt WHERE w IN (SELECT w FROM st))
+         |SELECT CAST(20 AS BIGINT) AS k, n_shards, union_size,
+         |  global_in_union, global_in_union * 10000 // 20 AS recall_u4
+         |FROM hit, ns, us""".stripMargin,
+
     // same frequency ranking as vocab_build (no df floor), same
     // 3-N explode and half-up coverage
     "vocab_coverage_curve" ->
@@ -5289,6 +5399,26 @@ object PipelineQueries {
          |  neighbor_id, CAST(rrf_u6 AS BIGINT) AS rrf_u6,
          |  CAST(in_ivf AS BIGINT) AS in_ivf, CAST(in_lsh AS BIGINT) AS in_lsh
          |FROM r WHERE fused_rank <= 5 ORDER BY probe_id, fused_rank""".stripMargin,
+
+    // both index paths re-derived by their standing replay fragments
+    // (the rrf-fusion pattern), full-outer joined per (probe, neighbor)
+    "emb_ann_agreement" ->
+      s"""WITH ivf AS (SELECT probe_id, neighbor_id
+         |      FROM (${ivfReplaySql(buildWhere = "", probeWhere = "e.vec_id < 10")})),
+         |lsh AS (SELECT probe_id, neighbor_id FROM ($lshTopSql)),
+         |f AS (SELECT coalesce(ivf.probe_id, lsh.probe_id) AS probe_id,
+         |        CASE WHEN ivf.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_ivf,
+         |        CASE WHEN lsh.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_lsh
+         |      FROM ivf FULL OUTER JOIN lsh
+         |        ON ivf.probe_id = lsh.probe_id
+         |       AND ivf.neighbor_id = lsh.neighbor_id),
+         |g AS (SELECT probe_id, CAST(sum(in_ivf) AS BIGINT) AS n_ivf,
+         |        CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+         |        CAST(sum(in_ivf * in_lsh) AS BIGINT) AS n_common
+         |      FROM f GROUP BY 1)
+         |SELECT probe_id, n_ivf, n_lsh, n_common,
+         |  n_common * 10000 // (n_ivf + n_lsh - n_common) AS jaccard_u4
+         |FROM g ORDER BY probe_id""".stripMargin,
 
     // same LSH top-5 replay feeds the candidate set; relevance and
     // pairwise sims quantize 4dp→×10⁴ BEFORE comparison, and the
@@ -6355,6 +6485,22 @@ object PipelineQueries {
 
     // same marker scoring + first-listed tie argmax, rolled up to the
     // confusion cells with half-up row shares
+    // same per-doc token counts, same conditional sums per budget
+    "seq_truncate_loss" ->
+      s"""WITH nt AS (SELECT CAST(len($toks) AS BIGINT) AS nt FROM documents),
+         |b(max_len) AS (VALUES (128), (512), (2048))
+         |SELECT CAST(b.max_len AS BIGINT) AS max_len,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN nt > b.max_len THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_truncated,
+         |  CAST(sum(nt) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN nt > b.max_len THEN nt - b.max_len ELSE 0 END)
+         |    AS BIGINT) AS tokens_lost,
+         |  CAST(sum(CASE WHEN nt > b.max_len THEN nt - b.max_len ELSE 0 END)
+         |    AS BIGINT) * 1000000
+         |    // nullif(CAST(sum(nt) AS BIGINT), 0) AS loss_u6
+         |FROM nt CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // same first-doc trick; the 7 prefix cutoffs come from the same
     // max-id scalar, and every sum is BIGINT-cast
     "text_heaps_curve" ->

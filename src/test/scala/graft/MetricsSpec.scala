@@ -70,6 +70,28 @@ class MetricsSpec extends AnyFunSuite {
       s"approx=$approx vs exact=$exact")
   }
 
+  test("weekday chi2: shares and contributions replay from raw order dates") {
+    val rows = SparkEntry.queries("m_weekday_chi2")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("dow")).toSeq == (0L to 6L))
+    val byDow = graft.sources.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate")).as("d"))
+      .collect()
+      .map(_.getDate(0).toLocalDate.getDayOfWeek.getValue % 7) // SUNDAY→0
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = byDow.values.sum
+    val contribs = rows.map { r =>
+      val dow = r.getAs[Long]("dow").toInt
+      val nd = byDow(dow)
+      assert(r.getAs[Long]("n_d") == nd, s"dow $dow")
+      assert(r.getAs[Long]("share_u6") == (2 * nd * 1000000L + n) / (2 * n))
+      val contrib = (7 * nd - n) * (7 * nd - n) * 10000L / (7 * n)
+      assert(r.getAs[Long]("contrib_u4") == contrib, s"dow $dow contrib")
+      contrib
+    }
+    rows.foreach(r => assert(r.getAs[Long]("chi2_u4") == contribs.sum))
+  }
+
   test("multiGrain average path equals per-grain simple aggregation") {
     import graft.metrics.{MetricCompiler => MC, MetricDef}
     val o = graft.sources.Tables.orders(spark, sf)

@@ -422,6 +422,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       "smallest source's share did not grow as α fell")
   }
 
+  test("ann agreement: per-probe jaccard replays from the two engine top-5 sets") {
+    val rows = SparkEntry.queries("emb_ann_agreement")(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val ivf = sets(Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5))
+    val lsh = sets(Similarity.lshTopK(emb, col("vec_id") < 10, k = 5))
+    assert(rows.map(_.getAs[Long]("probe_id")).toSet == (ivf.keySet ++ lsh.keySet))
+    rows.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      val (a, b) = (ivf.getOrElse(p, Set.empty), lsh.getOrElse(p, Set.empty))
+      val common = (a & b).size.toLong
+      assert(r.getAs[Long]("n_ivf") == a.size.toLong)
+      assert(r.getAs[Long]("n_lsh") == b.size.toLong)
+      assert(r.getAs[Long]("n_common") == common)
+      assert(r.getAs[Long]("jaccard_u4") ==
+        common * 10000L / (a.size + b.size - common), s"probe $p")
+    }
+  }
+
   test("mmr diversify: greedy picks replay from the quantized candidate set") {
     def q(v: Double): Long =
       BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong

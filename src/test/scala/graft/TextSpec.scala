@@ -559,6 +559,56 @@ class TextSpec extends AnyFunSuite {
       s"level shift should alarm soon after day 28, got $firstAlarm")
   }
 
+  test("collapse repeats: run heads replay from per-user ordered streams") {
+    val rows = SparkEntry.queries("events_collapse_repeats")(
+        spark, SparkTestSession.sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("collapse_u4"))).toMap
+    val ev = Tables.events(spark, SparkTestSession.sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val byType = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    ev.groupBy(_._1).values.foreach { us =>
+      val seq = us.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.zipWithIndex.foreach { case (t, i) =>
+        val head = if (i == 0 || seq(i - 1) != t) 1L else 0L
+        val (n, k) = byType.getOrElse(t, (0L, 0L))
+        byType(t) = (n + 1, k + head)
+      }
+    }
+    assert(rows.keySet == byType.keySet)
+    byType.foreach { case (t, (n, k)) =>
+      assert(rows(t) == ((n, k, (n - k) * 10000L / n)), t)
+    }
+    // the collapse must actually fire on this bursty synthetic stream —
+    // otherwise the audit is vacuous
+    assert(byType.values.exists { case (n, k) => k < n })
+  }
+
+  test("truncate loss: all three budgets replay from per-doc token counts") {
+    val rows = SparkEntry.queries("seq_truncate_loss")(
+        spark, SparkTestSession.sf).collect()
+    assert(rows.map(_.getAs[Long]("max_len")).toSeq == Seq(128L, 512L, 2048L))
+    val nt = Tables.documents(spark, SparkTestSession.sf)
+      .select("text").collect()
+      .map(_.getString(0).toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong)
+    val tot = nt.sum
+    rows.foreach { r =>
+      val b = r.getAs[Long]("max_len")
+      val lost = nt.map(n => math.max(n - b, 0L)).sum
+      assert(r.getAs[Long]("n_docs") == nt.length.toLong)
+      assert(r.getAs[Long]("n_docs_truncated") == nt.count(_ > b).toLong)
+      assert(r.getAs[Long]("tokens_total") == tot)
+      assert(r.getAs[Long]("tokens_lost") == lost)
+      assert(r.getAs[Long]("loss_u6") == lost * 1000000L / tot)
+    }
+    // losses shrink as the budget grows
+    val ls = rows.map(_.getAs[Long]("tokens_lost"))
+    assert(ls(0) >= ls(1) && ls(1) >= ls(2))
+  }
+
   test("dispersion: per-type VMR replays in exact integers") {
     val rows = SparkEntry.queries("events_dispersion")(spark, SparkTestSession.sf)
       .collect()
@@ -700,6 +750,30 @@ class TextSpec extends AnyFunSuite {
     assert(got == exp)
     // the walk actually fuses something on this template-heavy corpus
     assert(got.values.map(_._3).sum > 0)
+  }
+
+  test("shard topk audit: recall replays via independent per-shard truncation") {
+    val row = SparkEntry.queries("vocab_shard_topk_audit")(
+      spark, SparkTestSession.sf).head()
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)))
+    val tf = docs.flatMap { case (s, t) => t.map(w => (s, w)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val shardTop = tf.keys.groupBy(_._1).values.flatMap { ks =>
+      ks.toSeq.map { case (s, w) => (w, tf((s, w))) }
+        .sortBy { case (w, c) => (-c, w) }.take(20).map(_._1)
+    }.toSet
+    val global = tf.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(20).map(_._1)
+    val hit = global.count(shardTop).toLong
+    assert(row.getAs[Long]("k") == 20L)
+    assert(row.getAs[Long]("n_shards") == docs.map(_._1).distinct.length.toLong)
+    assert(row.getAs[Long]("union_size") == shardTop.size.toLong)
+    assert(row.getAs[Long]("global_in_union") == hit)
+    assert(row.getAs[Long]("recall_u4") == hit * 10000L / 20L)
   }
 
   test("heaps curve: every prefix row replays; vocabulary growth is monotone") {
