@@ -1611,6 +1611,42 @@ object PipelineQueries {
     "text_filter_chain" -> ((s, dir) =>
       TextAnalysis.filterChain(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // DICTIONARY-ENCODING SIZING AUDIT — the codec-choice companion to
+    // index_varint_audit: per string column, would a dictionary page
+    // (distinct values once + fixed-width indexes sized by the
+    // cardinality) beat plain encoding? lang (5 values) and source
+    // (20) should win big; text (unique long strings) must come out
+    // NEGATIVE — a dictionary there stores everything twice, and an
+    // audit that can't say so is useless. One scan via a stacked
+    // (column, value) explode, two rollups; the signed ×10⁴ savings
+    // negates a nonnegative truncating division so Spark div and
+    // DuckDB // agree on negative results.
+    "layout_dict_audit" -> ((s, dir) => {
+      val cols = Seq("lang", "source", "text")
+      val kv = Tables.documents(s, dir)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).as("v"))): _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      kv.groupBy("col_name", "v").agg(count(lit(1)).as("n"))
+        .withColumn("vlen", expr("octet_length(v)").cast("long"))
+        .groupBy("col_name")
+        .agg(sum("n").as("n_rows"), count(lit(1)).as("n_distinct"),
+          sum(expr("n * vlen")).as("plain_bytes"),
+          sum("vlen").as("dict_val_bytes"))
+        .withColumn("idx_bytes", expr(
+          "CASE WHEN n_distinct <= 256 THEN 1 WHEN n_distinct <= 65536 THEN 2" +
+            " WHEN n_distinct <= 16777216 THEN 3 ELSE 4 END"))
+        .withColumn("dict_bytes",
+          expr("dict_val_bytes + n_rows * idx_bytes"))
+        .select(col("col_name"), col("n_rows"), col("n_distinct"),
+          col("plain_bytes"), col("dict_bytes"),
+          expr("CASE WHEN plain_bytes >= dict_bytes" +
+            " THEN (plain_bytes - dict_bytes) * 10000 div plain_bytes" +
+            " ELSE -((dict_bytes - plain_bytes) * 10000 div plain_bytes)" +
+            " END").as("savings_u4"))
+        .orderBy("col_name")
+    }),
+
     // TRUNCATION-LOSS REPORT — the cheap alternative seq_pack exists
     // to beat, measured: if docs are simply CUT at a context budget
     // (128/512/2048 tokens) instead of packed, how many docs lose
@@ -6485,6 +6521,36 @@ object PipelineQueries {
 
     // same marker scoring + first-listed tie argmax, rolled up to the
     // confusion cells with half-up row shares
+    // same stacked (column, value) rollup; byte lengths via strlen
+    // (DuckDB's byte-count twin of Spark octet_length), same signed
+    // savings built from a nonnegative truncating division
+    "layout_dict_audit" ->
+      """WITH kv AS (
+        |  SELECT 'lang' AS col_name, lang AS v FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents),
+        |g AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS n
+        |      FROM kv GROUP BY 1, 2),
+        |st AS (SELECT col_name, CAST(sum(n) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         CAST(sum(n * strlen(v)) AS BIGINT) AS plain_bytes,
+        |         CAST(sum(strlen(v)) AS BIGINT) AS dict_val_bytes
+        |       FROM g GROUP BY 1),
+        |fin AS (SELECT *,
+        |          CASE WHEN n_distinct <= 256 THEN 1
+        |               WHEN n_distinct <= 65536 THEN 2
+        |               WHEN n_distinct <= 16777216 THEN 3 ELSE 4 END AS idx_bytes
+        |        FROM st)
+        |SELECT col_name, n_rows, n_distinct, plain_bytes,
+        |  CAST(dict_val_bytes + n_rows * idx_bytes AS BIGINT) AS dict_bytes,
+        |  CASE WHEN plain_bytes >= dict_val_bytes + n_rows * idx_bytes
+        |       THEN (plain_bytes - (dict_val_bytes + n_rows * idx_bytes))
+        |              * 10000 // plain_bytes
+        |       ELSE -(((dict_val_bytes + n_rows * idx_bytes) - plain_bytes)
+        |              * 10000 // plain_bytes)
+        |       END AS savings_u4
+        |FROM fin ORDER BY col_name""".stripMargin,
+
     // same per-doc token counts, same conditional sums per budget
     "seq_truncate_loss" ->
       s"""WITH nt AS (SELECT CAST(len($toks) AS BIGINT) AS nt FROM documents),

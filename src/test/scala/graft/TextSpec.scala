@@ -587,6 +587,40 @@ class TextSpec extends AnyFunSuite {
     assert(byType.values.exists { case (n, k) => k < n })
   }
 
+  test("dict audit: byte totals replay; tiny dicts win, unique text loses") {
+    val rows = SparkEntry.queries("layout_dict_audit")(spark, SparkTestSession.sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("lang", "source", "text"))
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .select("lang", "source", "text").collect()
+    def replay(vs: Seq[String]) = {
+      val byV = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val nd = byV.size.toLong
+      val plain = vs.map(_.getBytes("UTF-8").length.toLong).sum
+      val idx = if (nd <= 256) 1L else if (nd <= 65536) 2L
+                else if (nd <= 16777216) 3L else 4L
+      // keys is a Set — map through an iterator or equal-length values
+      // collapse and the byte sum silently shrinks
+      val dict = byV.keys.iterator.map(_.getBytes("UTF-8").length.toLong).sum +
+        vs.length * idx
+      (vs.length.toLong, nd, plain, dict,
+        if (plain >= dict) (plain - dict) * 10000L / plain
+        else -((dict - plain) * 10000L / plain))
+    }
+    for ((name, i) <- Seq("lang" -> 0, "source" -> 1, "text" -> 2)) {
+      val e = replay(docs.map(_.getString(i)).toSeq)
+      val r = rows(name)
+      assert((r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("plain_bytes"), r.getAs[Long]("dict_bytes"),
+        r.getAs[Long]("savings_u4")) == e, name)
+    }
+    // the audit's discriminative power: dictionaries win on the bounded
+    // columns and LOSE on unique long text
+    assert(rows("lang").getAs[Long]("savings_u4") > 0)
+    assert(rows("source").getAs[Long]("savings_u4") > 0)
+    assert(rows("text").getAs[Long]("savings_u4") < 0)
+  }
+
   test("truncate loss: all three budgets replay from per-doc token counts") {
     val rows = SparkEntry.queries("seq_truncate_loss")(
         spark, SparkTestSession.sf).collect()
