@@ -2021,6 +2021,13 @@ object PipelineQueries {
     "stream_dedup" -> ((s, dir) =>
       graft.streaming.EventStreams.dedupedCounts(s, dir)),
 
+    // streaming twin of events_collapse_repeats: the previous TYPE per
+    // user survives the micro-batch boundary in GroupState — provably
+    // equal to the batch walk under in-order arrival, so the BATCH
+    // oracle applies verbatim (the stream_cusum doctrine)
+    "stream_collapse_repeats" -> ((s, dir) =>
+      graft.streaming.EventStreams.collapseRepeats(s, dir)),
+
     "stream_enrich" -> ((s, dir) =>
       graft.streaming.EventStreams.enriched(s, dir)),
 
@@ -7238,6 +7245,21 @@ object PipelineQueries {
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the batch collapse oracle verbatim — the streamed state walk
+    // must converge to exactly this
+    "stream_collapse_repeats" ->
+      """WITH l AS (SELECT event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev
+        |      FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |      FROM l GROUP BY 1)
+        |SELECT event_type, n_events, n_kept,
+        |  (n_events - n_kept) * 10000 // n_events AS collapse_u4
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // the watermarked stream-stream join must equal the batch range
     // join (AvailableNow drains both sides before the query stops)

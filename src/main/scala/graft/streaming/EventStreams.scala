@@ -1258,4 +1258,68 @@ object EventStreams {
       .select("user_id", "session_id", "n_events", "start_us", "dur_us")
       .orderBy("user_id", "session_id")
   }
+
+  final case class CollapseState(lastType: String)
+  final case class CollapseOut(event_type: String, kept: Long)
+
+  /** Streaming twin of the batch events_collapse_repeats: run-head
+    * dedup of back-to-back same-type events per user, where the
+    * PREVIOUS TYPE must survive the micro-batch boundary — the one
+    * piece of state windowed aggs can't carry. `flatMapGroupsWithState`
+    * over user_id holds each user's last seen event_type; each batch's
+    * events are walked in (event-time, event_id) order, emitting a
+    * kept flag per event; the per-type rollup happens as a normal
+    * batch aggregation over the file sink (never driver memory).
+    * Exactness contract: equals the batch collapse whenever batches
+    * arrive in per-user event-time order (trivially true for the
+    * single AvailableNow batch here; a multi-batch stage dir must be
+    * day-ordered — the same arrival contract stream_sessionize
+    * documents). */
+  def collapseRepeats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+
+    val fn = (user: Long,
+              rows: Iterator[(Long, Long, Long, String)],
+              state: GroupState[CollapseState]) => {
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      var prev = state.getOption.map(_.lastType).orNull
+      val out = sorted.iterator.map { case (_, _, _, t) =>
+        val kept = if (prev == null || prev != t) 1L else 0L
+        prev = t
+        CollapseOut(t, kept)
+      }.toVector
+      if (prev != null) state.update(CollapseState(prev))
+      out.iterator
+    }
+
+    val stream = spark.readStream
+      .schema(eventsSchema(spark, sfDir))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), unix_micros(tsUtc(spark, sfDir)).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_collapse_")
+    out.toFile.deleteOnExit()
+    withStateParts(spark) {
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    spark.read.parquet(s"$out/data")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("kept").as("n_kept"))
+      .select(col("event_type"), col("n_events"), col("n_kept"),
+        expr("(n_events - n_kept) * 10000 div n_events").as("collapse_u4"))
+      .orderBy("event_type")
+  }
 }

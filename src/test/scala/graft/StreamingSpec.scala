@@ -18,6 +18,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == batch.length && streamed.sameElements(batch))
   }
 
+  test("stateful collapse-repeats equals the batch run-head walk") {
+    val streamed = graft.streaming.EventStreams.collapseRepeats(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val batch = SparkEntry.queries("events_collapse_repeats")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+  }
+
   test("stateful sessionize emits exactly the gap-closed batch sessions") {
     val streamed = graft.streaming.EventStreams.sessionize(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
