@@ -2455,6 +2455,42 @@ object OlapQueries {
     // bounded dim. The suite either gates a publish (any pass=0) or
     // documents the table's contract — both need the per-rule counts,
     // not just a boolean.
+    // REFERENTIAL-INTEGRITY SWEEP over the full FK graph — the
+    // relationship half of dq_expectations' single-table checks: every
+    // child→parent edge (lineitem→orders, orders→customer,
+    // customer→nation, supplier→nation) counted and anti-joined for
+    // orphans in one pass per edge. The orphan rate is the number a
+    // loader gates on before exposing a snapshot; broadcast only the
+    // genuinely tiny parents (nation), shuffle the rest.
+    "dq_referential" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String,
+               tiny: Boolean): DataFrame = {
+        val p = parent.select(col(parentKey))
+        val orphans = child
+          .join(if (tiny) broadcast(p) else p,
+            child(childKey) === p(parentKey), "left_anti")
+        val tot = child.agg(count(lit(1)).as("n_child"))
+        Scalars.withScalar(
+            orphans.agg(count(lit(1)).as("n_orphans")),
+            col("n_orphans"), tot, col("n_child"))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+            expr("n_orphans * 1000000 div nullif(n_child, 0)")
+              .as("orphan_u6"))
+      }
+      Seq(
+        edge("lineitem.l_orderkey->orders", Tables.lineitem(s, dir),
+          "l_orderkey", Tables.orders(s, dir), "o_orderkey", tiny = false),
+        edge("orders.o_custkey->customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey", tiny = false),
+        edge("customer.c_nationkey->nation", Tables.customer(s, dir),
+          "c_nationkey", Tables.nation(s, dir), "n_nationkey", tiny = true),
+        edge("supplier.s_nationkey->nation", Tables.supplier(s, dir),
+          "s_nationkey", Tables.nation(s, dir), "n_nationkey", tiny = true))
+        .reduce(_.unionByName(_))
+        .orderBy("fk")
+    }),
+
     "dq_expectations" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
@@ -4100,6 +4136,34 @@ object OlapQueries {
         |FROM sw, n ORDER BY gap_limit_us""".stripMargin,
 
     // each expectation replayed straight off the tables
+    // same four anti-join edges, BIGINT-cast counts
+    "dq_referential" ->
+      """WITH e1 AS (SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e2 AS (SELECT 'orders.o_custkey->customer',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |e3 AS (SELECT 'customer.c_nationkey->nation',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |e4 AS (SELECT 'supplier.s_nationkey->nation',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |      UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+        |SELECT fk, n_child, n_orphans,
+        |  n_orphans * 1000000 // nullif(n_child, 0) AS orphan_u6
+        |FROM u ORDER BY fk""".stripMargin,
+
     "dq_expectations" ->
       """WITH b AS (SELECT count(*) AS n,
         |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_null,

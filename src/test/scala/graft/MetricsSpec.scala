@@ -70,6 +70,35 @@ class MetricsSpec extends AnyFunSuite {
       s"approx=$approx vs exact=$exact")
   }
 
+  test("referential sweep: orphan counts replay from raw key sets") {
+    import graft.sources.Tables
+    val rows = SparkEntry.queries("dq_referential")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_child"), r.getAs[Long]("n_orphans"),
+          r.getAs[Long]("orphan_u6"))).toMap
+    def keys(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(org.apache.spark.sql.functions.col(c).cast("long"))
+        .collect().map(_.getLong(0))
+    val oKeys = keys(Tables.orders(spark, sf), "o_orderkey").toSet
+    val cKeys = keys(Tables.customer(spark, sf), "c_custkey").toSet
+    val nKeys = keys(Tables.nation(spark, sf), "n_nationkey").toSet
+    val checks = Seq(
+      ("lineitem.l_orderkey->orders",
+        keys(Tables.lineitem(spark, sf), "l_orderkey"), oKeys),
+      ("orders.o_custkey->customer",
+        keys(Tables.orders(spark, sf), "o_custkey"), cKeys),
+      ("customer.c_nationkey->nation",
+        keys(Tables.customer(spark, sf), "c_nationkey"), nKeys),
+      ("supplier.s_nationkey->nation",
+        keys(Tables.supplier(spark, sf), "s_nationkey"), nKeys))
+    assert(rows.keySet == checks.map(_._1).toSet)
+    checks.foreach { case (name, child, parent) =>
+      val orph = child.count(k => !parent(k)).toLong
+      assert(rows(name) ==
+        ((child.length.toLong, orph, orph * 1000000L / child.length)), name)
+    }
+  }
+
   test("weekday chi2: shares and contributions replay from raw order dates") {
     val rows = SparkEntry.queries("m_weekday_chi2")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("dow")).toSeq == (0L to 6L))
