@@ -417,6 +417,34 @@ object MetricQueries {
     // HLL whose (bucket, max rho) state is plain relational data, so
     // the DuckDB oracle replays the whole estimate (an engine-specific
     // binary sketch could only ever be rows-only).
+    // HLL vs EXACT error curve — the "trust the sketch" audit the
+    // sketch family needs before anyone budgets from its numbers: per
+    // month, the HLL(m=4096) customer estimate against the exact
+    // distinct count, ×10⁴ relative error, plus a flag against the
+    // 3σ theoretical band (3·1.04/√4096 ≈ 4.87% → the shared literal
+    // 487). Exact distincts are affordable at audit cadence; the
+    // sketch is what runs continuously — this query is the periodic
+    // calibration between the two.
+    "sketch_hll_vs_exact" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val (b, r) = graft.ops.HllSketch.bucketRho(s, col("o_custkey"))
+      val st = o.select(
+          date_trunc("month", col("o_orderdate")).cast("date").as("period"), b, r)
+        .groupBy("period", "bucket").agg(max("rho").as("rho"))
+      val est = graft.ops.HllSketch.estimate(st, Seq("period"))
+      val exact = o.groupBy(
+          date_trunc("month", col("o_orderdate")).cast("date").as("period"))
+        .agg(countDistinct("o_custkey").as("exact_customers"))
+      est.join(exact, "period")
+        .select(col("period"), col("exact_customers"),
+          col("est").as("est_customers"),
+          expr("abs(est - exact_customers) * 10000 div exact_customers")
+            .as("err_u4"),
+          expr("CAST(abs(est - exact_customers) * 10000 div exact_customers" +
+            " <= 487 AS BIGINT)").as("within_3sigma"))
+        .orderBy("period")
+    }),
+
     "m_sketch_distinct" -> ((s, dir) => {
       val (b, r) = graft.ops.HllSketch.bucketRho(s, col("o_custkey"))
       val daily = Tables.orders(s, dir)
@@ -1088,6 +1116,42 @@ object MetricQueries {
     // full replay of the from-scratch HLL: same portable hash, same
     // bucket/rho split, same max-rho merge and estimator arithmetic —
     // an engine-specific binary sketch could never be hash-checked
+    // same HLL replay chain joined to the exact distincts; the 3σ
+    // band is the same shared literal
+    "sketch_hll_vs_exact" ->
+      s"""WITH o AS (SELECT date_trunc('month', o_orderdate) AS period,
+         |            CAST(o_custkey AS VARCHAR) AS s FROM orders),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM o)),
+         |h AS (SELECT s, ${DuckHash.ghashSql(DuckHash.fnvHx, "0")} AS hu FROM tb),
+         |br AS (SELECT s, hu // 4503599627370496 AS bucket,
+         |              (hu % 4503599627370496) * 4096 AS w FROM h),
+         |rr AS (SELECT s, bucket, $rhoChainSql AS rho FROM br),
+         |mb AS (SELECT o.period, rr.bucket, max(rr.rho) AS rho
+         |       FROM o JOIN rr USING (s) GROUP BY 1, 2),
+         |ag AS (SELECT period, count(*) AS nz, sum(power(0.5, rho)) AS sp
+         |       FROM mb GROUP BY 1),
+         |fin AS (SELECT period,
+         |          0.7213/(1 + 1.079/4096) * 4096 * 4096 / (sp + (4096 - nz)) AS raw,
+         |          4096 - nz AS zeros
+         |        FROM ag),
+         |es AS (SELECT period,
+         |         CAST(round(CASE WHEN raw <= 2.5*4096 AND zeros > 0
+         |              THEN 4096 * ln(4096.0/zeros) ELSE raw END) AS BIGINT)
+         |           AS est_customers
+         |       FROM fin),
+         |ex AS (SELECT date_trunc('month', o_orderdate) AS period,
+         |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+         |       FROM orders GROUP BY 1)
+         |SELECT CAST(es.period AS DATE) AS period, ex.exact_customers,
+         |  es.est_customers,
+         |  abs(es.est_customers - ex.exact_customers) * 10000
+         |    // ex.exact_customers AS err_u4,
+         |  CAST(abs(es.est_customers - ex.exact_customers) * 10000
+         |    // ex.exact_customers <= 487 AS BIGINT) AS within_3sigma
+         |FROM es JOIN ex ON es.period = ex.period
+         |ORDER BY period""".stripMargin,
+
     "m_sketch_distinct" ->
       s"""WITH o AS (SELECT date_trunc('month', o_orderdate) AS period,
          |            CAST(o_custkey AS VARCHAR) AS s FROM orders),

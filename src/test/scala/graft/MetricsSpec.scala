@@ -70,6 +70,32 @@ class MetricsSpec extends AnyFunSuite {
       s"approx=$approx vs exact=$exact")
   }
 
+  test("hll vs exact: error replays and the estimator matches the sketch query") {
+    val rows = SparkEntry.queries("sketch_hll_vs_exact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // estimator cross-consistency: same sketch as m_sketch_distinct
+    // (daily→monthly max-rho folding is associative, so the two paths
+    // must land on identical estimates)
+    val est = SparkEntry.queries("m_sketch_distinct")(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("est_customers")).toMap
+    val exact = graft.sources.Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("month",
+        org.apache.spark.sql.functions.col("o_orderdate")).cast("date")
+        .as("period"))
+      .agg(org.apache.spark.sql.functions.countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val p = r.getDate(0).toString
+      val e = r.getAs[Long]("est_customers")
+      val x = r.getAs[Long]("exact_customers")
+      assert(e == est(p), s"$p estimator drifted from m_sketch_distinct")
+      assert(x == exact(p), s"$p exact count")
+      val err = math.abs(e - x) * 10000L / x
+      assert(r.getAs[Long]("err_u4") == err)
+      assert(r.getAs[Long]("within_3sigma") == (if (err <= 487) 1L else 0L))
+    }
+  }
+
   test("referential sweep: orphan counts replay from raw key sets") {
     import graft.sources.Tables
     val rows = SparkEntry.queries("dq_referential")(spark, sf).collect()
