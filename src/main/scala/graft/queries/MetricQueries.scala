@@ -417,6 +417,51 @@ object MetricQueries {
     // HLL whose (bucket, max rho) state is plain relational data, so
     // the DuckDB oracle replays the whole estimate (an engine-specific
     // binary sketch could only ever be rows-only).
+    // HISTOGRAM-QUANTILE vs EXACT error curve — the quantile half of
+    // the sketch-calibration posture (sketch_hll_vs_exact is the
+    // cardinality half): the $1000-bin first-crossing interpolation
+    // (m_histo_percentiles' estimator, here in PURE CENTS integers)
+    // against the exact rank-bracketed percentile from the two-level
+    // global rank, at p50/p90/p99, with the ×10⁴ relative error. The
+    // histogram runs continuously at O(bins) state; the exact rank
+    // runs at audit cadence — this query is their periodic handshake.
+    "sketch_quantile_vs_exact" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("rid"),
+        Exact.cents(col("o_totalprice")).as("c"))
+        .localCheckpoint(false) // feeds the rank side AND the histogram
+      val ranked = graft.ops.Rank.globalRankByRange(
+        o.withColumn("vneg", -col("c")), "vneg", "rid", 64)
+      val n = ranked.agg(count(lit(1)).as("n"))
+      val targets = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+        .toDF("pct", "qn", "qd")
+      val tq = graft.ops.Scalars.withScalar(targets, col("qn"), n, col("n"))
+        .withColumn("target", expr("(qn * n + qd - 1) div qd"))
+      val exact = ranked.join(broadcast(tq), col("rnk") === col("target"))
+        .select(col("pct"), col("qn"), col("qd"), col("c").as("exact_c"))
+      // bounded bin table (≤ max_price/$1000 rows): global windows safe
+      val cum = o.groupBy(expr("c div 100000").as("bin"))
+        .agg(count(lit(1)).as("nb"))
+        .withColumn("cum", sum("nb").over(
+          org.apache.spark.sql.expressions.Window.orderBy("bin")))
+        .withColumn("total", sum("nb").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      val est = cum.select(col("bin"), col("nb"), col("cum"), col("total"),
+          explode(array(
+            struct(lit("p50").as("pct"), lit(1L).as("qn"), lit(2L).as("qd")),
+            struct(lit("p90").as("pct"), lit(9L).as("qn"), lit(10L).as("qd")),
+            struct(lit("p99").as("pct"), lit(99L).as("qn"), lit(100L).as("qd"))))
+            .as("p"))
+        .withColumn("t", expr("(p.qn * total + p.qd - 1) div p.qd"))
+        .filter(col("cum") >= col("t") && col("cum") - col("nb") < col("t"))
+        .select(col("p.pct").as("pct"),
+          expr("bin * 100000 + (100000 * (t - (cum - nb))) div nb").as("est_c"))
+      exact.join(est, "pct")
+        .select(col("pct"), col("exact_c"), col("est_c"),
+          expr("abs(est_c - exact_c) * 10000 div exact_c").as("err_u4"))
+        .orderBy("pct")
+    }),
+
     // HLL vs EXACT error curve — the "trust the sketch" audit the
     // sketch family needs before anyone budgets from its numbers: per
     // month, the HLL(m=4096) customer estimate against the exact
@@ -1116,6 +1161,35 @@ object MetricQueries {
     // full replay of the from-scratch HLL: same portable hash, same
     // bucket/rho split, same max-rho merge and estimator arithmetic —
     // an engine-specific binary sketch could never be hash-checked
+    // same cents ranks (c asc, rid asc), same integer first-crossing
+    // interpolation, same ×10⁴ relative error
+    "sketch_quantile_vs_exact" ->
+      """WITH o AS (SELECT o_orderkey AS rid,
+        |            CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c, rid) AS rnk FROM o),
+        |tg(pct, qn, qd) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |                           ('p99', 99, 100)),
+        |tq AS (SELECT pct, (qn * n.n + qd - 1) // qd AS target FROM tg, n),
+        |ex AS (SELECT tq.pct, rk.c AS exact_c
+        |       FROM rk JOIN tq ON rk.rnk = tq.target),
+        |h AS (SELECT c // 100000 AS bin, CAST(count(*) AS BIGINT) AS nb
+        |      FROM o GROUP BY 1),
+        |cu AS (SELECT bin, nb, sum(nb) OVER (ORDER BY bin) AS cum,
+        |         sum(nb) OVER () AS total FROM h),
+        |es AS (SELECT tg.pct,
+        |         bin * 100000 + (100000 *
+        |           (((tg.qn * total + tg.qd - 1) // tg.qd) - (cum - nb)))
+        |           // nb AS est_c
+        |       FROM cu, tg
+        |       WHERE cum >= (tg.qn * total + tg.qd - 1) // tg.qd
+        |         AND cum - nb < (tg.qn * total + tg.qd - 1) // tg.qd)
+        |SELECT ex.pct, CAST(ex.exact_c AS BIGINT) AS exact_c,
+        |  CAST(es.est_c AS BIGINT) AS est_c,
+        |  CAST(abs(es.est_c - ex.exact_c) * 10000 // ex.exact_c AS BIGINT)
+        |    AS err_u4
+        |FROM ex JOIN es ON ex.pct = es.pct ORDER BY ex.pct""".stripMargin,
+
     // same HLL replay chain joined to the exact distincts; the 3σ
     // band is the same shared literal
     "sketch_hll_vs_exact" ->

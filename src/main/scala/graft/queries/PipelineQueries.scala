@@ -2665,6 +2665,26 @@ object PipelineQueries {
         .orderBy("shuffle_rank")
     }),
 
+    // ORDER-INVARIANT CONTENT DIGEST per source — the dataset-version
+    // primitive snapshot diffing runs on: two snapshots have equal
+    // digests iff their content multisets match, regardless of row
+    // order or partitioning. Two commutative folds over the per-doc
+    // 64-bit content hash: bit_xor (cheap, but an exact-duplicate PAIR
+    // cancels out — documented) and the mod-p residue sum (duplicate-
+    // sensitive; residues keep the running sum in BIGINT at any corpus
+    // size). Map-side combine all the way; only per-source rows emit.
+    "corpus_content_digest" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      Tables.documents(s, dir)
+        .select(col("source"),
+          call_function("graft_hash64", col("text"), lit(13L)).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h)").as("digest_xor"),
+          expr("sum(h % 1000000007) % 1000000007").as("digest_sum"))
+        .orderBy("source")
+    }),
+
     // SHUFFLE-QUALITY AUDIT of a reading order — the measurement layer
     // corpus_shuffle needs before an LM trainer trusts it: serial
     // correlation of the source label along the sequence. Observed
@@ -4721,6 +4741,18 @@ object PipelineQueries {
          |      FROM h)
          |SELECT doc_id, shuffle_rank, (shuffle_rank - 1) % 8 AS shard
          |FROM r ORDER BY shuffle_rank""".stripMargin,
+
+    // same portable hash over the text bytes; xor via DuckDB's bit_xor
+    // aggregate, the residue sum BIGINT-cast at every step
+    "corpus_content_digest" ->
+      s"""WITH tb AS (SELECT source, hex(encode(text)) AS hx,
+         |             octet_length(encode(text)) AS n FROM documents),
+         |h AS (SELECT source, ${sx(ghashSql(fnvHx, "13"))} AS h FROM tb)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(bit_xor(h) AS BIGINT) AS digest_xor,
+         |  CAST(CAST(sum(h % 1000000007) AS BIGINT) % 1000000007 AS BIGINT)
+         |    AS digest_sum
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // both orderings replayed with the same portable hash (doc_id
     // bytes for the shuffle, source bytes for the clumped baseline),

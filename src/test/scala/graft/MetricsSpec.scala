@@ -70,6 +70,43 @@ class MetricsSpec extends AnyFunSuite {
       s"approx=$approx vs exact=$exact")
   }
 
+  test("quantile calibration: exact rank and histogram estimate both replay") {
+    val rows = SparkEntry.queries("sketch_quantile_vs_exact")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("exact_c"), r.getAs[Long]("est_c"),
+          r.getAs[Long]("err_u4"))).toMap
+    assert(rows.keySet == Set("p50", "p90", "p99"))
+    val cents = graft.sources.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("o_totalprice") * 100, 0)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = cents.sortBy { case (rid, c) => (c, rid) }.map(_._2)
+    val n = sorted.length.toLong
+    val bins = sorted.groupBy(_ / 100000).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    for ((pct, qn, qd) <- Seq(("p50", 1L, 2L), ("p90", 9L, 10L),
+        ("p99", 99L, 100L))) {
+      val t = (qn * n + qd - 1) / qd
+      val exact = sorted((t - 1).toInt)
+      var cum = 0L
+      var hit: Option[(Long, Long, Long)] = None
+      for ((b, c) <- bins if hit.isEmpty) {
+        if (cum + c >= t && cum < t) hit = Some((b, c, cum))
+        cum += c
+      }
+      val (bin, nb, before) = hit.get
+      val est = bin * 100000L + 100000L * (t - before) / nb
+      val (ec, sc, err) = rows(pct)
+      assert(ec == exact, s"$pct exact")
+      assert(sc == est, s"$pct est")
+      assert(err == math.abs(est - exact) * 10000L / exact, s"$pct err")
+      // estimator sanity: the crossing bin contains the exact value
+      assert(math.abs(est - exact) <= 100000L, pct)
+    }
+  }
+
   test("hll vs exact: error replays and the estimator matches the sketch query") {
     val rows = SparkEntry.queries("sketch_hll_vs_exact")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -786,6 +786,32 @@ class TextSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum > 0)
   }
 
+  test("content digest: both folds replay and are order-invariant") {
+    val rows = SparkEntry.queries("corpus_content_digest")(
+        spark, SparkTestSession.sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("digest_xor"),
+          r.getAs[Long]("digest_sum"))).toMap
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        graft.functions.GraftHash64.hash(r.getString(1).getBytes("UTF-8"), 13L)))
+    val exp = docs.groupBy(_._1).view.mapValues { ds =>
+      val hs = ds.map(_._2)
+      (ds.length.toLong, hs.reduce(_ ^ _),
+        hs.map(_ % 1000000007L).sum % 1000000007L)
+    }.toMap
+    assert(rows.keySet == exp.keySet)
+    exp.foreach { case (s, e) => assert(rows(s) == e, s) }
+    // order invariance of the replay fold itself (commutativity check)
+    val rev = docs.reverse.groupBy(_._1).view.mapValues { ds =>
+      val hs = ds.map(_._2)
+      (ds.length.toLong, hs.reduce(_ ^ _),
+        hs.map(_ % 1000000007L).sum % 1000000007L)
+    }.toMap
+    assert(rev == exp)
+  }
+
   test("shard topk audit: recall replays via independent per-shard truncation") {
     val row = SparkEntry.queries("vocab_shard_topk_audit")(
       spark, SparkTestSession.sf).head()
