@@ -256,7 +256,7 @@ object Graph {
     * (0 for seeds themselves — seeds need not appear in the edge set);
     * nodes unreached within `maxHops` are absent. Min-hop needs no
     * min-reduce: BFS order guarantees first touch IS the minimum. */
-  /** Adamic-Adar link prediction weights, ×10⁶ half-even: index i
+  /** Adamic-Adar link prediction weights, ×10⁶ half-up: index i
     * (1-based) holds round(10⁶/ln(i+1)) for center degrees 2..64;
     * degrees above 64 clamp to the last slot (a near-flat tail — a
     * 64-neighbor hub already contributes almost nothing). ONE literal
@@ -286,9 +286,15 @@ object Graph {
     val sym = e.select(col("a").as("z"), col("b").as("n"))
       .unionAll(e.select(col("b").as("z"), col("a").as("n")))
     val deg = sym.groupBy("z").agg(count(lit(1)).as("deg"))
+    // Clamp the index to >= 1: a degree-1 center would index slot 0,
+    // which ANSI element_at throws on. Degree-1 centers form no wedges,
+    // so the clamped value is never summed — the greatest() only makes
+    // the projection safe wherever Catalyst chooses to evaluate it
+    // (before r12 this worked only because the wedge self-join happened
+    // to run first — a plan-dependent accident).
     val adj = sym.join(deg, "z")
       .withColumn("w6", element_at(array(aaWeightsU6.map(lit): _*),
-        least(col("deg"), lit(64L)).cast("int") - 1))
+        greatest(least(col("deg"), lit(64L)), lit(2L)).cast("int") - 1))
     adj.select(col("z"), col("n").as("u"), col("w6"))
       .join(adj.select(col("z"), col("n").as("v")), "z")
       .filter(col("u") < col("v"))

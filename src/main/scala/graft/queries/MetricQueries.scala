@@ -987,11 +987,11 @@ object MetricQueries {
       s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
          |      AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
          |g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
-         |t AS (SELECT sum(n_orders) AS n_tot FROM g),
+         |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_tot FROM g),
          |ex(digit, exp_u6) AS (VALUES $vals)
-         |SELECT digit, n_orders, share_u6,
+         |SELECT digit, n_orders, CAST(share_u6 AS BIGINT) AS share_u6,
          |  CAST(exp_u6 AS BIGINT) AS exp_u6,
-         |  abs(share_u6 - exp_u6) AS dev_u6
+         |  CAST(abs(share_u6 - exp_u6) AS BIGINT) AS dev_u6
          |FROM (SELECT g.digit, g.n_orders,
          |        (2*g.n_orders*1000000 + t.n_tot) // (2*t.n_tot) AS share_u6,
          |        ex.exp_u6

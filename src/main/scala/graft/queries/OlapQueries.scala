@@ -1540,6 +1540,17 @@ object OlapQueries {
           "CAST(CAST(((2*a*10000 + b) div (2*b)) / 10000.0 AS DECIMAL(18,4)) AS STRING)")
           .as("dec_str"))
         .orderBy("id")),
+    // the one previously-unprobed double shape (VERDICT r11 item 5):
+    // round(continuous_expr, 4) — the cosine/recall emission shape many
+    // green queries use. The gate accepts it today, so this key must be
+    // GREEN; its job is localizing any future gate shift on the
+    // engine's one remaining legitimate double class.
+    "q_canary_round4" -> ((s, dir) =>
+      canaryBase(s)
+        .select(col("id"),
+          round(col("a") * lit(1.0) / col("b"), 4).as("share_r4"),
+          round(col("c") * lit(1.0) / col("d"), 4).as("avg_r4"))
+        .orderBy("id")),
 
     // Exact DECIMAL money arithmetic: the audit path where float drift
     // is unacceptable — prices cast to DECIMAL(18,2) and summed
@@ -4376,7 +4387,7 @@ object OlapQueries {
         |      GROUP BY 1, 2)
         |SELECT c_nationkey, bal_band, class_size, emd_u4,
         |  CAST(CASE WHEN emd_u4 > 2000 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
-        |FROM (SELECT c_nationkey, bal_band, n_c AS class_size,
+        |FROM (SELECT c_nationkey, bal_band, CAST(n_c AS BIGINT) AS class_size,
         |        CAST((2*dd*10000 + 2*CAST(n_c AS HUGEINT)*n_tot)
         |          // (4*CAST(n_c AS HUGEINT)*n_tot) AS BIGINT) AS emd_u4
         |      FROM d)
@@ -4790,6 +4801,11 @@ object OlapQueries {
          |SELECT id, CAST(CAST(((2*a*10000 + b) // (2*b)) / 10000.0
          |       AS DECIMAL(18,4)) AS VARCHAR) AS dec_str
          |FROM c ORDER BY id""".stripMargin,
+    "q_canary_round4" ->
+      s"""$canaryBaseSql
+         |SELECT id, round(a * 1.0 / b, 4) AS share_r4,
+         |  round(c * 1.0 / d, 4) AS avg_r4
+         |FROM c ORDER BY id""".stripMargin,
 
     "q_decimal_exact" ->
       """SELECT o_orderstatus,
@@ -4953,8 +4969,8 @@ object OlapQueries {
         |        sum(abs(y - y1)) AS sl, sum(abs(y - y7)) AS ss
         |      FROM j GROUP BY 1)
         |SELECT event_type, n_evals,
-        |  (2*10000*sl + n_evals) // (2*n_evals) AS mae_last_u4,
-        |  (2*10000*ss + n_evals) // (2*n_evals) AS mae_seasonal_u4,
+        |  CAST((2*10000*sl + n_evals) // (2*n_evals) AS BIGINT) AS mae_last_u4,
+        |  CAST((2*10000*ss + n_evals) // (2*n_evals) AS BIGINT) AS mae_seasonal_u4,
         |  CASE WHEN ss < sl THEN 'seasonal'
         |       WHEN ss > sl THEN 'last' ELSE 'tie' END AS winner
         |FROM a ORDER BY event_type""".stripMargin,

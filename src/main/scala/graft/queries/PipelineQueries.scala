@@ -4264,9 +4264,9 @@ object PipelineQueries {
          |    UNION ALL SELECT b FROM ed UNION ALL SELECT v FROM f0))),
          |h AS (SELECT hop, count(*) AS n_frontier FROM v4 GROUP BY 1)
          |SELECT hop, n_frontier,
-         |  sum(n_frontier) OVER (ORDER BY hop) AS n_cum,
-         |  (sum(n_frontier) OVER (ORDER BY hop)) * 10000
-         |    // (SELECT n_total FROM tot) AS coverage_u4
+         |  CAST(sum(n_frontier) OVER (ORDER BY hop) AS BIGINT) AS n_cum,
+         |  CAST((sum(n_frontier) OVER (ORDER BY hop)) * 10000
+         |    // (SELECT n_total FROM tot) AS BIGINT) AS coverage_u4
          |FROM h ORDER BY hop""".stripMargin
     },
 
@@ -5871,7 +5871,7 @@ object PipelineQueries {
         |    ELSE CAST(round((s1 - s2) / (1 - s2) * 10000) AS BIGINT) END AS s_u4
         |  FROM pv)
         |SELECT cell, count(*) AS n_vecs,
-        |  (2*sum(s_u4) + count(*)) // (2*count(*)) AS mean_s_u4,
+        |  CAST((2*sum(s_u4) + count(*)) // (2*count(*)) AS BIGINT) AS mean_s_u4,
         |  min(s_u4) AS min_s_u4, max(s_u4) AS max_s_u4
         |FROM su GROUP BY 1 ORDER BY cell""".stripMargin,
 
@@ -6516,7 +6516,7 @@ object PipelineQueries {
         |          ELSE 6 END AS BIGINT) AS band
         |      FROM sc)
         |SELECT band, count(*) AS n_docs,
-        |  sum(score_m3) // count(*) AS mean_score_m3,
+        |  CAST(sum(score_m3) // count(*) AS BIGINT) AS mean_score_m3,
         |  min(score_m3) AS min_score_m3, max(score_m3) AS max_score_m3
         |FROM b GROUP BY 1 ORDER BY band""".stripMargin,
 
