@@ -20,7 +20,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // SPARK_GRAFT_ONLY=k1,k2 restricts warmup + timing to those keys —
+    // the isolated-vs-in-suite profiling loop (r11 mm_phash_families
+    // adjudication).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // drop the warmup pass's checkpoint blocks before timing starts
@@ -35,7 +42,9 @@ object Bench {
 
     var times  = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * mismatch). With halving, label chains shorten geometrically, so
   * maxIter = 20 covers any component a pipeline will ever meet
   * (diameter up to ~2²⁰). Each iteration is two equi-joins + one
-  * groupBy — all co-shuffled on the node id — and the iterate is
-  * `localCheckpoint`ed to cut the exponentially-growing lineage (at
-  * open scale this is a write to storage between iterations).
+  * groupBy — all co-shuffled on the node id — and the iterate is cut
+  * with [[PlanBarrier.cut]] per round: lineage truncation alone is not
+  * enough, because `localCheckpoint` carries the size estimate across
+  * the boundary and the jump self-join squares it per round, blowing
+  * up driver planning geometrically past ~15 rounds (at open scale
+  * the barrier is a write to storage between iterations).
   */
 object Cluster {
 
@@ -37,7 +40,7 @@ object Cluster {
       .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
       .localCheckpoint(false)
 
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(false)
+    var labels = PlanBarrier.cut(nodes.select(col("id"), col("id").as("comp")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -46,20 +49,20 @@ object Cluster {
       // carry a per-row changed flag through the iterate so convergence
       // is a filter on the ALREADY-materialized table, not an extra
       // old-vs-new join per round
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          coalesce(col("nbr_comp") < col("comp"), lit(false)).as("chg1"))
-        .localCheckpoint(false) // both sides of the jump self-join
+      val stepped = PlanBarrier.cut( // both sides of the jump self-join
+        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(labels("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+            coalesce(col("nbr_comp") < col("comp"), lit(false)).as("chg1")))
       // pointer jumping (path halving): follow the label's own label —
       // comp is always a node id, so the self-join is total; label
       // chains halve per round, giving O(log diameter) convergence
       val compOf = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
-      val next = stepped.join(compOf, stepped("comp") === compOf("jid"))
-        .select(stepped("id"),
-          least(stepped("comp"), col("jcomp")).as("comp"),
-          (stepped("chg1") || col("jcomp") < stepped("comp")).as("chg"))
-        .localCheckpoint(false)
+      val next = PlanBarrier.cut(
+        stepped.join(compOf, stepped("comp") === compOf("jid"))
+          .select(stepped("id"),
+            least(stepped("comp"), col("jcomp")).as("comp"),
+            (stepped("chg1") || col("jcomp") < stepped("comp")).as("chg")))
       converged = next.filter(col("chg")).limit(1).count() == 0
       labels = next.select("id", "comp")
       iter += 1

@@ -39,14 +39,13 @@ object Graph {
     // bounded driver scalar: one long (the node count), same contract as
     // the IVF centroid collect — NOT a data collect
     val n = deg.count().toDouble
-    var ranks = deg.select(col("src").as("id"))
-      .withColumn("r", lit(1.0 / n)).localCheckpoint(false)
+    var ranks = PlanBarrier.cut(deg.select(col("src").as("id"))
+      .withColumn("r", lit(1.0 / n)))
     for (_ <- 1 to iters) {
-      ranks = adj.join(ranks, adj("src") === ranks("id"))
+      ranks = PlanBarrier.cut(adj.join(ranks, adj("src") === ranks("id"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("deg")).as("m"))
-        .select(col("id"), (lit((1.0 - damping) / n) + lit(damping) * col("m")).as("r"))
-        .localCheckpoint(false)
+        .select(col("id"), (lit((1.0 - damping) / n) + lit(damping) * col("m")).as("r")))
     }
     ranks
   }
@@ -125,11 +124,10 @@ object Graph {
         .unionByName(cur.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("v")
-      cur = cur
+      cur = PlanBarrier.cut(cur
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint(false)
+        .select(col("a"), col("b")))
       states += cur
     }
     val stats = states.zipWithIndex.map { case (st, r) =>
@@ -176,16 +174,15 @@ object Graph {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(false) // reused every round
-    var lab = sym.select(col("dst").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(false)
+    var lab = PlanBarrier.cut(sym.select(col("dst").as("v")).distinct()
+      .withColumn("lbl", col("v")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cnt").desc, col("lbl"))
     for (_ <- 1 to iters) {
-      lab = sym.join(lab, sym("dst") === lab("v"))
+      lab = PlanBarrier.cut(sym.join(lab, sym("dst") === lab("v"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("src").as("v"), col("lbl"))
-        .localCheckpoint(false)
+        .select(col("src").as("v"), col("lbl")))
     }
     lab
   }
@@ -311,17 +308,15 @@ object Graph {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(false) // reused every round
-    var visited = seeds.distinct()
-      .withColumn("hop", lit(0L)).localCheckpoint(false)
+    var visited = PlanBarrier.cut(seeds.distinct()
+      .withColumn("hop", lit(0L)))
     var frontier = visited.select("v")
     for (h <- 1 to maxHops) {
-      frontier = sym.join(frontier.withColumnRenamed("v", "src"), "src")
+      frontier = PlanBarrier.cut(sym.join(frontier.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v")).distinct()
-        .join(visited, Seq("v"), "left_anti")
-        .localCheckpoint(false)
-      visited = visited
-        .unionByName(frontier.withColumn("hop", lit(h.toLong)))
-        .localCheckpoint(false)
+        .join(visited, Seq("v"), "left_anti"))
+      visited = PlanBarrier.cut(visited
+        .unionByName(frontier.withColumn("hop", lit(h.toLong))))
     }
     visited
   }

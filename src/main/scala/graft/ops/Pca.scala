@@ -30,19 +30,16 @@ object Pca {
     * the estimated top eigenvector after `iters` rounds, as (pos, v). */
   private def iterate(x: DataFrame, iters: Int): DataFrame = {
     val d = x.agg(max("pos")).head().getInt(0) + 1 // bounded driver scalar
-    var v = x.select(col("pos")).distinct()
-      .withColumn("v", lit(1.0 / math.sqrt(d.toDouble)))
-      .localCheckpoint(false)
+    var v = PlanBarrier.cut(x.select(col("pos")).distinct()
+      .withColumn("v", lit(1.0 / math.sqrt(d.toDouble))))
     for (_ <- 1 to iters) {
       val dots = x.join(broadcast(v), "pos")
         .groupBy("vec_id").agg(sum(col("x") * col("v")).as("dot"))
-      val w = x.join(dots, "vec_id")
-        .groupBy("pos").agg(sum(col("x") * col("dot")).as("w"))
-        .localCheckpoint(false)
+      val w = PlanBarrier.cut(x.join(dots, "vec_id")
+        .groupBy("pos").agg(sum(col("x") * col("dot")).as("w")))
       val norm = w.agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-      v = Scalars.withScalar(w, col("pos"), norm, col("norm"))
-        .select(col("pos"), (col("w") / col("norm")).as("v"))
-        .localCheckpoint(false)
+      v = PlanBarrier.cut(Scalars.withScalar(w, col("pos"), norm, col("norm"))
+        .select(col("pos"), (col("w") / col("norm")).as("v")))
     }
     v
   }
