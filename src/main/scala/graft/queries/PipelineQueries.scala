@@ -705,6 +705,70 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // VECTOR-STORE LIFECYCLE CAPSTONE — the ann_* family's pipeline_e2e:
+    // the maintenance cycle a 100 TB vector store actually schedules,
+    // as ONE plan with a per-stage audit row. (0) build: the 8-cell
+    // coarse quantizer trains on generation 1 only (first three
+    // quarters by vec_id — the ann_ivf_append convention); (1) append:
+    // the landing shard (gen2) is indexed by pure assignment against
+    // the FROZEN centroids, no re-clustering of history; (2) drift
+    // check: gen1-vs-gen2 cell-occupancy chi² (emb_cell_drift's exact
+    // integer identity), the number that says whether the stale
+    // quantizer still reflects the distribution; (3) re-train
+    // decision: chi²_u4 > 243200 (χ²₀.₉₉₉ at df = cells−1 = 7 ≈ 24.32
+    // — fire only on p < 0.001 drift, since a re-train re-shuffles the
+    // whole store); (4) recall re-audit: mean recall@5 of the frozen-
+    // quantizer search, probed FROM the appended generation, against
+    // the checkpointed brute force (the measure-before-trusting step).
+    // The single full-corpus assignment feeds stages 0-2; each audit
+    // value is one BIGINT so the 5-row log is schema-stable.
+    "ann_lifecycle_e2e" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val thr = emb.agg(expr("3*(max(vec_id)+1) div 4").as("t")).head().getLong(0)
+      val assigned = Similarity.ivfAssign(emb, cells = 8,
+          buildFilter = col("vec_id") < thr)
+        .select("vec_id", "cell")
+        .localCheckpoint(false) // feeds both gen counts AND the drift rollup
+      def stage(idx: Int, name: String, value: DataFrame): DataFrame =
+        value.select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("value").cast("bigint").as("value"))
+      val s0 = stage(0, "build_index",
+        assigned.filter(col("vec_id") < thr).agg(count(lit(1)).as("value")))
+      val s1 = stage(1, "append_shard",
+        assigned.filter(col("vec_id") >= thr).agg(count(lit(1)).as("value")))
+      val occ = assigned.groupBy("cell").agg(
+        sum(when(col("vec_id") < thr, 1L).otherwise(0L)).as("n_gen1"),
+        sum(when(col("vec_id") >= thr, 1L).otherwise(0L)).as("n_gen2"))
+      val tot = occ.agg(sum("n_gen1").as("t1"), sum("n_gen2").as("t2"))
+      val chiTot = Scalars.withScalar(occ, col("cell"), tot, col("t1"))
+        .withColumn("num", expr(
+          "CAST(n_gen1 AS DECIMAL(38,0))*t2 - CAST(n_gen2 AS DECIMAL(38,0))*t1"))
+        .withColumn("chi2_cell_u4", expr(
+          """CAST((2*num*num*10000
+            |      + CAST(t1 AS DECIMAL(38,0))*t2*(n_gen1 + n_gen2))
+            |  div (2*CAST(t1 AS DECIMAL(38,0))*t2*(n_gen1 + n_gen2))
+            |  AS BIGINT)""".stripMargin))
+        .agg(sum("chi2_cell_u4").cast("bigint").as("value"))
+        .localCheckpoint(false) // feeds the drift row AND the decision row
+      val s2 = stage(2, "drift_check", chiTot)
+      val s3 = stage(3, "retrain_decision", chiTot.select(
+        when(col("value") > 243200L, 1L).otherwise(0L).as("value")))
+      val probeF = col("vec_id") >= thr && col("vec_id") < thr + 10
+      val brute = Similarity.bruteForceTopK(emb, probeF, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(emb, probeF, k = 5, cells = 8,
+          buildFilter = col("vec_id") < thr)
+        .select(col("probe_id").as("ip"), col("neighbor_id").as("inb"))
+      val s4 = stage(4, "recall_audit",
+        brute.join(ivf,
+            col("probe_id") === col("ip") && col("neighbor_id") === col("inb"),
+            "left_outer")
+          .agg(count(col("inb")).as("hits"), count(lit(1)).as("den"))
+          .select(expr("(2*10000*hits + den) div (2*den)").as("value")))
+      s0.unionByName(s1).unionByName(s2).unionByName(s3).unionByName(s4)
+        .orderBy("stage_idx")
+    }),
+
     // product-quantized ANN: codebook-trained 8-byte codes replace the
     // 512-byte vectors on the search side; LSH buckets gate candidates
     // (equi-join), asymmetric distance ranks them (Similarity.pqTopK)
@@ -6448,6 +6512,96 @@ object PipelineQueries {
       buildWhere = "WHERE vec_id < (SELECT t FROM thr)",
       probeWhere =
         "e.vec_id >= (SELECT t FROM thr) AND e.vec_id < (SELECT t FROM thr) + 10"),
+
+    // replays the full lifecycle: the emb_cell_drift 8-cell chain
+    // (same seeds, one 6dp-mean refine, full-corpus assignment, exact
+    // integer chi2) extended with the frozen-quantizer gen2-probe
+    // search (ivfReplaySql's pr/s/r shape at cells=8) and the brute
+    // force, then the 5 audit rows; every aggregate BIGINT-cast
+    "ann_lifecycle_e2e" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |thr AS (SELECT 3*(max(vec_id)+1)//4 AS t FROM embeddings),
+         |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+         |eb AS (SELECT e.* FROM e, thr WHERE e.vec_id < thr.t),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+         |  FROM eb QUALIFY cell < 8),
+         |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+         |a0 AS (
+         |  SELECT eb.vec_id, eb.v, eb.nrm, sd.cell,
+         |    row_number() OVER (PARTITION BY eb.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), i -> eb.v[i]*sd.c[i])) / (eb.nrm*sd.cn) DESC,
+         |               sd.cell DESC) AS rk
+         |  FROM eb CROSS JOIN sd QUALIFY rk = 1),
+         |m0 AS (
+         |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+         |  FROM a0, unnest(range(1, 65)) t(i)
+         |  GROUP BY cell, i),
+         |rc AS (
+         |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+         |         list(m ORDER BY pos) AS c
+         |  FROM m0 GROUP BY cell),
+         |rn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
+         |corp AS (
+         |  SELECT e.vec_id, e.v, e.nrm, rn.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rn.c[i])) / (e.nrm*rn.cn) DESC,
+         |               rn.cell DESC) AS rk
+         |  FROM e CROSS JOIN rn QUALIFY rk = 1),
+         |occ AS (SELECT corp.cell,
+         |          sum(CASE WHEN corp.vec_id < thr.t THEN 1 ELSE 0 END) AS n_gen1,
+         |          sum(CASE WHEN corp.vec_id >= thr.t THEN 1 ELSE 0 END) AS n_gen2
+         |        FROM corp, thr GROUP BY 1),
+         |tt AS (SELECT sum(n_gen1) AS t1, sum(n_gen2) AS t2 FROM occ),
+         |ch AS (SELECT CAST((2*(occ.n_gen1*tt.t2 - occ.n_gen2*tt.t1)
+         |                *(occ.n_gen1*tt.t2 - occ.n_gen2*tt.t1)*10000
+         |               + tt.t1*tt.t2*(occ.n_gen1 + occ.n_gen2))
+         |              // (2*tt.t1*tt.t2*(occ.n_gen1 + occ.n_gen2)) AS BIGINT)
+         |           AS chi2_cell_u4
+         |       FROM occ, tt),
+         |chtot AS (SELECT CAST(sum(chi2_cell_u4) AS BIGINT) AS chi2 FROM ch),
+         |pr AS (
+         |  SELECT e.vec_id AS probe_id, e.v AS pv, e.nrm AS pn, rn.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rn.c[i])) / (e.nrm*rn.cn) DESC,
+         |               rn.cell DESC) AS rk
+         |  FROM e CROSS JOIN rn
+         |  WHERE e.vec_id >= (SELECT t FROM thr) AND e.vec_id < (SELECT t FROM thr) + 10
+         |  QUALIFY rk <= 4),
+         |s AS (
+         |  SELECT pr.probe_id, corp.vec_id,
+         |    list_sum(list_transform(range(1,65), i -> pr.pv[i]*corp.v[i])) / (pr.pn*corp.nrm) AS cos
+         |  FROM corp JOIN pr ON corp.cell = pr.cell AND corp.vec_id <> pr.probe_id),
+         |r AS (SELECT probe_id, vec_id,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM s QUALIFY rank <= 5),
+         |bf AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), i -> p.v[i]*e.v[i])) / (p.nrm*e.nrm) DESC,
+         |               e.vec_id) AS rank
+         |  FROM e CROSS JOIN (
+         |    SELECT e.* FROM e, thr
+         |    WHERE e.vec_id >= thr.t AND e.vec_id < thr.t + 10) p
+         |  WHERE e.vec_id <> p.vec_id QUALIFY rank <= 5),
+         |rec AS (SELECT CAST(count(r.vec_id) AS BIGINT) AS hits,
+         |               CAST(count(*) AS BIGINT) AS den
+         |        FROM bf LEFT JOIN r
+         |          ON bf.probe_id = r.probe_id AND bf.vec_id = r.vec_id)
+         |SELECT CAST(0 AS BIGINT) AS stage_idx, 'build_index' AS stage,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM eb) AS value
+         |UNION ALL
+         |SELECT 1, 'append_shard',
+         |       (SELECT CAST(count(*) AS BIGINT) FROM e, thr WHERE e.vec_id >= thr.t)
+         |UNION ALL
+         |SELECT 2, 'drift_check', (SELECT chi2 FROM chtot)
+         |UNION ALL
+         |SELECT 3, 'retrain_decision',
+         |       (SELECT CAST(CASE WHEN chi2 > 243200 THEN 1 ELSE 0 END AS BIGINT) FROM chtot)
+         |UNION ALL
+         |SELECT 4, 'recall_audit',
+         |       (SELECT CAST((2*10000*hits + den) // (2*den) AS BIGINT) FROM rec)
+         |ORDER BY stage_idx""".stripMargin,
 
     // same exact integer moments, the one floor(sqrt(double)) weight
     // step, and both largest-remainder apportionments

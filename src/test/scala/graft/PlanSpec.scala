@@ -56,9 +56,12 @@ class PlanSpec extends AnyFunSuite {
     // truth (the hnsw search itself — ann_hnsw — is equi-join only and
     // stays banned; its first hop checkpoints the seed frontier so the
     // entry literal cannot constant-fold into a nested-loop condition)
+    // ann_lifecycle_e2e embeds it once as stage 4's re-audit ground
+    // truth (every other stage — assignment, drift, decision — is
+    // equi-join/aggregate only)
     val exempt = Set("ann_bruteforce", "ann_recall", "emb_prefix_recall",
       "ann_plane_sweep", "ann_pq_recall", "ann_ivfpq_recall",
-      "emb_matryoshka_recall", "ann_hnsw_recall")
+      "emb_matryoshka_recall", "ann_hnsw_recall", "ann_lifecycle_e2e")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")

@@ -545,6 +545,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       "no appended vector ever surfaced as a neighbor — gen 2 unsearchable")
   }
 
+  test("ann_lifecycle_e2e: five-stage audit log is coherent") {
+    val rows = SparkEntry.queries("ann_lifecycle_e2e")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._2).toSeq == Seq("build_index", "append_shard",
+      "drift_check", "retrain_decision", "recall_audit"))
+    val byStage = rows.map(r => r._2 -> r._3).toMap
+    // build + append partition the corpus exactly
+    assert(byStage("build_index") + byStage("append_shard") ==
+      Tables.embeddings(spark, sf).count(),
+      "gen1 + gen2 must cover every vector exactly once")
+    assert(byStage("build_index") >= 8,
+      "gen1 must be able to seed the 8-cell quantizer")
+    // the decision row is the documented threshold applied to the
+    // drift row — nothing else
+    assert(byStage("retrain_decision") ==
+      (if (byStage("drift_check") > 243200L) 1L else 0L),
+      "retrain decision must be chi2_u4 > 243200")
+    // recall is a u4 share of the brute-force slots
+    assert(byStage("recall_audit") >= 0L && byStage("recall_audit") <= 10000L,
+      s"recall_u4 out of range: ${byStage("recall_audit")}")
+  }
+
   test("ann_hnsw_append: shard is searchable through the frozen graph") {
     val emb = Tables.embeddings(spark, sf)
     val thr = emb.agg(expr("3*(max(vec_id)+1) div 4")).head().getLong(0)
