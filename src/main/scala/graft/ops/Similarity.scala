@@ -172,6 +172,24 @@ object Similarity {
     }.reduce(_.unionByName(_)).orderBy("iter")
   }
 
+  /** The frozen coarse quantizer as a pure assignment EXPRESSION over
+    * caller-supplied (vector, norm) columns: trains on `emb` rows
+    * passing `buildFilter` exactly like [[ivfAssign]], then returns the
+    * nearest-cell column — a stateless, shuffle-free per-row map. This
+    * is the landing-shard contract: a stream of arriving vectors is
+    * cell-assigned map-side against the literal centroid matrix (the
+    * same bounded ≤cells-row driver pull as every IVF entry point),
+    * with no join and no state beyond the expression itself.
+    * `stream_ivf_ingest` is the consumer. */
+  def frozenCellExpr(emb: DataFrame, cells: Int = 16, lloydIters: Int = 1,
+                     buildFilter: Column = lit(true))
+                    (v: Column, nrm: Column): Column = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+    nearestCell(v, nrm, ivfCentroids(e, cells, lloydIters, buildFilter))
+  }
+
   /** The IVF coarse assignment alone: (vec_id, v, nrm, cell) — the
     * index build without the search join, for occupancy audits
     * (emb_ivf_balance) and index-append flows. */

@@ -2124,6 +2124,15 @@ object PipelineQueries {
     "stream_hll_source_refresh" -> ((s, dir) =>
       graft.streaming.EventStreams.sourceDistinctIncremental(s, dir)),
 
+    // streaming vector-landing ingest: arriving vectors cell-assigned
+    // map-side against the gen1-frozen 8-cell quantizer (stateless —
+    // raw vectors never shuffle), per-cell occupancy counters as the
+    // bounded streaming state across two checkpoint-sharing passes;
+    // monotone counters max-merge to the one-shot batch assignment
+    // occupancy, which is the oracle (the table emb_cell_drift reads)
+    "stream_ivf_ingest" -> ((s, dir) =>
+      graft.streaming.EventStreams.ivfIngestOccupancy(s, dir)),
+
     // streaming bottom-k sample maintenance: each staged generation
     // folds its local bottom-k into the persisted k-row store (union +
     // re-limit — O(k) rewrite, history never re-read); hash-min
@@ -6512,6 +6521,44 @@ object PipelineQueries {
       buildWhere = "WHERE vec_id < (SELECT t FROM thr)",
       probeWhere =
         "e.vec_id >= (SELECT t FROM thr) AND e.vec_id < (SELECT t FROM thr) + 10"),
+
+    // the one-shot batch replay of the streamed fold: same 8-cell
+    // gen1-frozen chain, full-corpus assignment, per-cell totals +
+    // landed-generation counts (mergeable monotone counters make the
+    // two-generation stream provably equal this)
+    "stream_ivf_ingest" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |thr AS (SELECT 3*(max(vec_id)+1)//4 AS t FROM embeddings),
+         |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+         |eb AS (SELECT e.* FROM e, thr WHERE e.vec_id < thr.t),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+         |  FROM eb QUALIFY cell < 8),
+         |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+         |a0 AS (
+         |  SELECT eb.vec_id, eb.v, eb.nrm, sd.cell,
+         |    row_number() OVER (PARTITION BY eb.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), i -> eb.v[i]*sd.c[i])) / (eb.nrm*sd.cn) DESC,
+         |               sd.cell DESC) AS rk
+         |  FROM eb CROSS JOIN sd QUALIFY rk = 1),
+         |m0 AS (
+         |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+         |  FROM a0, unnest(range(1, 65)) t(i)
+         |  GROUP BY cell, i),
+         |rc AS (
+         |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+         |         list(m ORDER BY pos) AS c
+         |  FROM m0 GROUP BY cell),
+         |rn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
+         |corp AS (
+         |  SELECT e.vec_id, rn.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rn.c[i])) / (e.nrm*rn.cn) DESC,
+         |               rn.cell DESC) AS rk
+         |  FROM e CROSS JOIN rn QUALIFY rk = 1)
+         |SELECT corp.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN corp.vec_id >= thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_landed
+         |FROM corp, thr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replays the full lifecycle: the emb_cell_drift 8-cell chain
     // (same seeds, one 6dp-mean refine, full-corpus assignment, exact

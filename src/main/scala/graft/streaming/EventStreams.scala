@@ -271,6 +271,64 @@ object EventStreams {
       .orderBy("source")
   }
 
+  /** Streaming vector-landing ingest for a frozen IVF index: the
+    * cadence [[graft.ops.Similarity.frozenCellExpr]] exists for. The
+    * 8-cell coarse quantizer trains ONCE on generation 1 (first three
+    * quarters by vec_id — the ann_ivf_append convention); vectors then
+    * land in two AvailableNow generations sharing one checkpoint, each
+    * arriving row cell-assigned MAP-SIDE against the literal centroid
+    * matrix (stateless, shuffle-free — raw vectors never join), and
+    * the only streaming state is the per-cell occupancy counter pair
+    * (n_vecs, n_landed) — bounded at `cells` rows whatever the corpus
+    * size. Counters are monotone, so the max-merge over the appended
+    * update-mode deltas provably equals the one-shot batch assignment
+    * occupancy over the full corpus — which is its oracle. This is the
+    * table emb_cell_drift's chi² reads at audit cadence; at 100 TB the
+    * stream maintains it for free while shards land. */
+  def ivfIngestOccupancy(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_ingest")
+    base.toFile.deleteOnExit()
+    val (stage, ckpt, delta) = (s"$base/stage", s"$base/ckpt", s"$base/delta")
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val thr = emb.agg(expr("3*(max(vec_id)+1) div 4").as("t")).head().getLong(0)
+    // train once, reuse the literal-centroid column in both passes
+    val cellCol = graft.ops.Similarity.frozenCellExpr(emb, cells = 8,
+      buildFilter = col("vec_id") < thr)(col("v"), col("nrm"))
+    val raw = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.ops.Dedup.dot(col("v"), col("v"))))
+      .localCheckpoint(false) // one scan feeds both staged generations
+    val stageSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType)))
+    def pass(): Unit = withStateParts(spark) {
+      val agg = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .withColumn("cell", cellCol)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("vec_id") >= thr, 1L).otherwise(0L)).as("n_landed"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(delta)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    raw.filter(col("vec_id") < thr).write.parquet(s"$stage/gen1")
+    pass()
+    raw.filter(col("vec_id") >= thr).write.parquet(s"$stage/gen2")
+    pass()
+    spark.read.parquet(delta).groupBy("cell")
+      .agg(max("n_vecs").as("n_vecs"), max("n_landed").as("n_landed"))
+      .orderBy("cell")
+  }
+
   /** Streaming maintenance of the hash-min bottom-k sample: the
     * sample_bottomk reservoir kept fresh across landing generations
     * WITHOUT rescanning history. Each AvailableNow pass reads only

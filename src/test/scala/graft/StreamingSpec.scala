@@ -239,4 +239,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch),
       "two-generation AMS fold diverged from the one-shot sketch")
   }
+
+  test("streaming IVF ingest occupancy equals the one-shot batch assignment") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStreams.ivfIngestOccupancy(spark, sf)
+      .collect().map(r => (r.getAs[Int]("cell").toLong,
+        r.getAs[Long]("n_vecs"), r.getAs[Long]("n_landed")))
+    val emb = Tables.embeddings(spark, sf)
+    val thr = emb.agg(expr("3*(max(vec_id)+1) div 4")).head().getLong(0)
+    val batch = graft.ops.Similarity.ivfAssign(emb, cells = 8,
+        buildFilter = col("vec_id") < thr)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("vec_id") >= thr, 1L).otherwise(0L)).as("n_landed"))
+      .orderBy("cell")
+      .collect().map(r => (r.getAs[Int]("cell").toLong,
+        r.getAs[Long]("n_vecs"), r.getAs[Long]("n_landed")))
+    assert(streamed.sameElements(batch),
+      "two-generation ingest fold diverged from the one-shot assignment")
+    // the landing shard actually flowed through the stream
+    assert(streamed.map(_._3).sum > 0, "no landed vectors counted")
+  }
 }
