@@ -2632,6 +2632,77 @@ object OlapQueries {
         .orderBy("arm")
     }),
 
+    // DIFFERENCE-IN-DIFFERENCES — the quasi-experiment member of the
+    // A/B family (readout/SRM/CUPED/SPRT all assume randomized arms;
+    // DiD is what ships when the "treatment" is a rollout with a
+    // start DATE, not an assignment): cohorts split by the sticky
+    // portable-hash bit, the intervention date is the span midpoint,
+    // and the estimate is (post_T−pre_T)−(post_C−pre_C) over per-event
+    // value cents — quantize-then-subtract, so every difference is
+    // integer arithmetic on half-up cents means. The identifying
+    // assumption gets its own column: per-arm PRE-period least-squares
+    // slope of the daily cents totals (exact rational n·Σxy−Σx·Σy over
+    // n·Σx²−(Σx)², sign-split half-away-from-zero ×10⁴) and the
+    // trend_gap between the arms — a reviewer reads the gap BEFORE
+    // believing did_c. One event scan feeds the cell aggregate and the
+    // daily series; everything after is arithmetic on ≤2-row tables.
+    "events_did" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val ev = Tables.events(s, dir)
+      val epochDay = datediff(to_date(col("ts")),
+        lit(java.sql.Date.valueOf("1970-01-01")))
+      // bounded driver scalars: the span's two endpoint days
+      val bounds = ev.agg(min(epochDay).as("lo"), max(epochDay).as("hi")).head()
+      val (lo, hi) = (bounds.getInt(0), bounds.getInt(1))
+      val cutRel = (hi - lo + 1) / 2 // days 0..cutRel-1 are "pre"
+      val base = ev.select(
+          when(pmod(call_function("graft_hash64",
+            col("user_id").cast("string"), lit(23L)), lit(2L)) === 0, "T")
+            .otherwise("C").as("arm"),
+          (epochDay - lit(lo)).as("x"),
+          Exact.cents(col("value")).as("c"))
+        .withColumn("period", when(col("x") < cutRel, "pre").otherwise("post"))
+        .localCheckpoint(false) // feeds the cell aggregate AND the trend series
+      val perArm = base.groupBy("arm").agg(
+          coalesce(sum(when(col("period") === "pre", 1L)), lit(0L)).as("n_pre"),
+          coalesce(sum(when(col("period") === "post", 1L)), lit(0L)).as("n_post"),
+          sum(when(col("period") === "pre", col("c"))).as("sc_pre"),
+          sum(when(col("period") === "post", col("c"))).as("sc_post"))
+        .withColumn("mean_pre_c", expr("(2*sc_pre + n_pre) div (2*nullif(n_pre, 0))"))
+        .withColumn("mean_post_c", expr("(2*sc_post + n_post) div (2*nullif(n_post, 0))"))
+        .withColumn("delta_c", expr("mean_post_c - mean_pre_c"))
+      val trend = base.filter(col("period") === "pre")
+        .groupBy("arm", "x").agg(sum("c").as("y"))
+        .groupBy("arm").agg(count(lit(1)).as("nd"),
+          sum(col("x").cast("long")).as("sx2"),
+          sum("y").as("sy2"),
+          sum(expr("CAST(x AS DECIMAL(38,0))*y")).as("sxy"),
+          sum(expr("CAST(x AS BIGINT)*x")).as("sxx"))
+        .withColumn("num", expr(
+          "CAST(nd AS DECIMAL(38,0))*sxy - CAST(sx2 AS DECIMAL(38,0))*sy2"))
+        .withColumn("den", expr(
+          "CAST(nd AS DECIMAL(38,0))*sxx - CAST(sx2 AS DECIMAL(38,0))*sx2"))
+        .withColumn("slope_pre_u4", expr(
+          """CAST(CASE WHEN den IS NULL OR den = 0 THEN NULL
+            | WHEN num < 0 THEN -((2*(-num)*10000 + den) div (2*den))
+            | ELSE ((2*num*10000 + den) div (2*den)) END AS BIGINT)""".stripMargin))
+      val joined = perArm
+        .join(trend.select(col("arm"), col("slope_pre_u4")), Seq("arm"), "left")
+        .localCheckpoint(false) // feeds the summary aggregate AND the emission
+      val st = joined.agg(
+        sum(when(col("arm") === "T", col("delta_c"))).as("d_t"),
+        sum(when(col("arm") === "C", col("delta_c"))).as("d_c"),
+        sum(when(col("arm") === "T", col("slope_pre_u4"))).as("sl_t"),
+        sum(when(col("arm") === "C", col("slope_pre_u4"))).as("sl_c"))
+      graft.ops.Scalars.withScalar(joined, col("arm"), st, col("d_t"))
+        .withColumn("did_c", expr("d_t - d_c"))
+        .withColumn("trend_gap_u4", expr("sl_t - sl_c"))
+        .select(col("arm"), col("n_pre"), col("n_post"),
+          col("mean_pre_c"), col("mean_post_c"), col("delta_c"),
+          col("slope_pre_u4"), col("did_c"), col("trend_gap_u4"))
+        .orderBy("arm")
+    }),
+
     // A/B EXPERIMENT READOUT — the product-analytics decision query:
     // users bucket deterministically by the portable hash's low bit
     // (the assignment a real experimentation system uses: sticky,
@@ -4275,6 +4346,65 @@ object OlapQueries {
          |  END AS adj_u4,
          |  g.theta_u6, g.var_reduction_u4
          |FROM arms, g ORDER BY arms.arm""".stripMargin,
+
+    // same sticky hash-bit cohorts (seed 23), same midpoint cut, same
+    // half-up cents means and sign-split slopes; every sum BIGINT-cast
+    // before emission (the HUGEINT doctrine)
+    "events_did" ->
+      s"""WITH b AS (SELECT min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS lo,
+         |             max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS hi
+         |           FROM events),
+         |du AS (SELECT DISTINCT user_id FROM events),
+         |tb AS (SELECT user_id, hex(encode(CAST(user_id AS VARCHAR))) AS hx,
+         |         octet_length(encode(CAST(user_id AS VARCHAR))) AS n
+         |       FROM du),
+         |h AS (SELECT user_id,
+         |        CASE WHEN ${ghashSql(fnvHx, "23")} % 2 = 0 THEN 'T' ELSE 'C' END AS arm
+         |      FROM tb),
+         |base AS (
+         |  SELECT h.arm, e2.x, e2.c,
+         |    CASE WHEN e2.x < (b.hi - b.lo + 1)//2 THEN 'pre' ELSE 'post' END AS period
+         |  FROM (SELECT user_id,
+         |          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |            - (SELECT lo FROM b) AS x,
+         |          CAST(round(value*100) AS BIGINT) AS c
+         |        FROM events) e2
+         |  JOIN h USING (user_id), b),
+         |pa AS (SELECT arm,
+         |        CAST(coalesce(sum(CASE WHEN period = 'pre' THEN 1 END), 0) AS BIGINT) AS n_pre,
+         |        CAST(coalesce(sum(CASE WHEN period = 'post' THEN 1 END), 0) AS BIGINT) AS n_post,
+         |        sum(CASE WHEN period = 'pre' THEN c END) AS sc_pre,
+         |        sum(CASE WHEN period = 'post' THEN c END) AS sc_post
+         |       FROM base GROUP BY 1),
+         |pm AS (SELECT arm, n_pre, n_post,
+         |        CAST((2*sc_pre + n_pre) // (2*nullif(n_pre, 0)) AS BIGINT) AS mean_pre_c,
+         |        CAST((2*sc_post + n_post) // (2*nullif(n_post, 0)) AS BIGINT) AS mean_post_c
+         |       FROM pa),
+         |pd AS (SELECT *, mean_post_c - mean_pre_c AS delta_c FROM pm),
+         |dy AS (SELECT arm, x, sum(c) AS y FROM base WHERE period = 'pre' GROUP BY 1, 2),
+         |tr AS (SELECT arm, count(*) AS nd, sum(x) AS sx2, sum(y) AS sy2,
+         |         sum(x*y) AS sxy, sum(x*x) AS sxx
+         |       FROM dy GROUP BY 1),
+         |sl AS (SELECT arm,
+         |        CAST(CASE WHEN nd*sxx - sx2*sx2 = 0 THEN NULL
+         |          WHEN nd*sxy - sx2*sy2 < 0
+         |          THEN -((2*(-(nd*sxy - sx2*sy2))*10000 + (nd*sxx - sx2*sx2))
+         |                 // (2*(nd*sxx - sx2*sx2)))
+         |          ELSE ((2*(nd*sxy - sx2*sy2)*10000 + (nd*sxx - sx2*sx2))
+         |                // (2*(nd*sxx - sx2*sx2)))
+         |        END AS BIGINT) AS slope_pre_u4
+         |       FROM tr),
+         |j AS (SELECT pd.*, sl.slope_pre_u4 FROM pd LEFT JOIN sl USING (arm)),
+         |st AS (SELECT sum(CASE WHEN arm = 'T' THEN delta_c END) AS d_t,
+         |              sum(CASE WHEN arm = 'C' THEN delta_c END) AS d_c,
+         |              sum(CASE WHEN arm = 'T' THEN slope_pre_u4 END) AS sl_t,
+         |              sum(CASE WHEN arm = 'C' THEN slope_pre_u4 END) AS sl_c
+         |       FROM j)
+         |SELECT j.arm, j.n_pre, j.n_post, j.mean_pre_c, j.mean_post_c,
+         |  CAST(j.delta_c AS BIGINT) AS delta_c, j.slope_pre_u4,
+         |  CAST(st.d_t - st.d_c AS BIGINT) AS did_c,
+         |  CAST(st.sl_t - st.sl_c AS BIGINT) AS trend_gap_u4
+         |FROM j, st ORDER BY arm""".stripMargin,
 
     // same low-bit assignment (unsigned low bit == signed pmod for the
     // power-of-two modulus), same 2×2 arithmetic; HUGEINT carries the

@@ -1815,6 +1815,30 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"adjustment shifted the overall mean: drift $drift over $n users")
   }
 
+  test("DiD: summary columns arm-invariant and derived from the per-arm rows") {
+    val rows = SparkEntry.queries("events_did")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("arm")).toSeq == Seq("C", "T"))
+    // the attached summary is identical on both rows
+    assert(rows.map(_.getAs[Long]("did_c")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("trend_gap_u4")).distinct.length == 1)
+    val byArm = rows.map(r => r.getAs[String]("arm") -> r).toMap
+    // did is exactly the quantize-then-subtract of the per-arm deltas
+    assert(rows.head.getAs[Long]("did_c") ==
+      byArm("T").getAs[Long]("delta_c") - byArm("C").getAs[Long]("delta_c"))
+    assert(rows.head.getAs[Long]("trend_gap_u4") ==
+      byArm("T").getAs[Long]("slope_pre_u4") - byArm("C").getAs[Long]("slope_pre_u4"))
+    // per-arm deltas reconcile with the period means
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta_c") ==
+        r.getAs[Long]("mean_post_c") - r.getAs[Long]("mean_pre_c"))
+      assert(r.getAs[Long]("n_pre") > 0 && r.getAs[Long]("n_post") > 0,
+        "midpoint cut left a period empty")
+    }
+    // both arms cover every event exactly once
+    assert(rows.map(r => r.getAs[Long]("n_pre") + r.getAs[Long]("n_post")).sum ==
+      Tables.events(spark, sf).count())
+  }
+
   test("DP release: noise replays the discrete-Laplace inverse CDF off the keyed hash") {
     val rows = SparkEntry.queries("dp_noisy_counts")(spark, sf).collect()
     assert(rows.nonEmpty)
