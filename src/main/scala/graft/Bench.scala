@@ -20,12 +20,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // The bench surface is the gated queries PLUS the non-gated
+    // diagnostics registry (the float-shape canaries stay exercised
+    // every round even though the driver gate no longer hashes them).
+    val benchQueries = SparkEntry.queries ++ SparkEntry.diagnostics
     // SPARK_GRAFT_ONLY=k1,k2 restricts warmup + timing to those keys —
     // the isolated-vs-in-suite profiling loop (r11 mm_phash_families
     // adjudication).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    // A typo'd SPARK_GRAFT_ONLY name would otherwise silently produce
+    // an empty run (total=0) — warn like Verify does (ADVICE r12).
+    only.foreach(_.diff(benchQueries.keySet).foreach(n =>
+      System.err.println(s"[bench] WARNING: unknown query name '$n' ignored")))
+    benchQueries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -42,7 +50,7 @@ object Bench {
 
     var times  = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    benchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()

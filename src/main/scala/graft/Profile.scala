@@ -78,7 +78,7 @@ object Profile {
       .withWatermark("ets", "1 hour")
     val joined = signups.join(errors,
       expr("user_id = euser AND ets >= sts AND ets < sts + interval 1 hour"))
-    val out = java.nio.file.Files.createTempDirectory("graft_profile_rjoin_")
+    val out = graft.sources.Scratch.dir("graft_profile_rjoin_")
     val q = joined.writeStream
       .format("parquet")
       .option("path", s"$out/data")

@@ -19,4 +19,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     MetricQueries.oracle ++ MetaQueries.oracle ++ OlapQueries.oracle ++
       PipelineQueries.oracle
+
+  /** Non-gated diagnostics (VERDICT r12 item 1): queries that probe the
+    * DRIVER gate environment itself and are expected to hash-diverge
+    * there by design (the `(div)/10^k.0` float-shape canaries). Run by
+    * Bench every round and replayable locally via
+    * `Verify --with-diagnostics` + tools/check_oracle.py (where they
+    * pass), but excluded from the driver's hash-gated surface. */
+  def diagnostics: Map[String, (SparkSession, String) => DataFrame] =
+    OlapQueries.diagnostics
+
+  /** Oracle SQL for [[diagnostics]] — local sweeps only. */
+  def diagnosticsOracle: Map[String, String] = OlapQueries.diagnosticsOracle
 }

@@ -15,7 +15,17 @@ object Verify {
     // over all oracles in seconds (VERDICT r11 item 2).
     val oracleOnly = only("--oracle-only")
     only -= "--oracle-only"
-    only.diff(SparkEntry.queries.keySet).foreach(n =>
+    // --with-diagnostics: also dump the non-gated diagnostics registry
+    // (the by-design-divergent float-shape canaries) so the local
+    // check_oracle sweep keeps exercising them every round. The driver
+    // passes exactly two args and never sees these keys.
+    val withDiag = only("--with-diagnostics")
+    only -= "--with-diagnostics"
+    val queries = if (withDiag) SparkEntry.queries ++ SparkEntry.diagnostics
+                  else SparkEntry.queries
+    val oracles = if (withDiag) SparkEntry.oracleSql ++ SparkEntry.diagnosticsOracle
+                  else SparkEntry.oracleSql
+    only.diff(queries.keySet).foreach(n =>
       System.err.println(s"[verify] WARNING: unknown query name '$n' ignored"))
     new java.io.File(outDir).mkdirs()
     if (!oracleOnly) {
@@ -27,7 +37,7 @@ object Verify {
           .config("spark.ui.enabled", "false"))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      SparkEntry.queries
+      queries
         .filter { case (name, _) => only.isEmpty || only(name) }
         .foreach { case (name, fn) =>
         // coalesce(1) only compacts the tiny verify output; never in engine code
@@ -62,7 +72,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracles
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -375,8 +375,7 @@ object Dedup {
                               n: Int = 3, k: Int = 128, bands: Int = 16,
                               minMatch10: Int = 1024, bucketCap: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
-    val store = java.nio.file.Files.createTempDirectory("graft_sig_store_")
-    store.toFile.deleteOnExit()
+    val store = graft.sources.Scratch.dir("graft_sig_store_")
     minhashSignatures(docs.filter(!isNew(col("doc_id"))), n, k)
       .write.parquet(s"$store/v0")
     minhashSignatures(docs.filter(isNew(col("doc_id"))), n, k)

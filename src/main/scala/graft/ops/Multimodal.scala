@@ -451,8 +451,7 @@ object Multimodal {
     * shard by doc_id. */
   def phashIncremental(docs: DataFrame, isNew: Column => Column): DataFrame = {
     val spark = docs.sparkSession
-    val store = java.nio.file.Files.createTempDirectory("graft_phash_store_")
-    store.toFile.deleteOnExit()
+    val store = graft.sources.Scratch.dir("graft_phash_store_")
     def sig(d: DataFrame) = phashBatch(d).toDF()
       .select("doc_id", "c0", "c1", "c2", "c3")
     sig(docs.filter(!isNew(col("doc_id")))).write.parquet(s"$store/v0")

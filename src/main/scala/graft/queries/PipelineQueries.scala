@@ -2823,8 +2823,7 @@ object PipelineQueries {
           concat(lit("X"), col("o_orderkey").cast("string"), lit(" corrupt")))
           .otherwise(concat_ws(",", col("o_orderkey"), col("o_custkey"),
             col("cents"))).as("value"))
-      val out = java.nio.file.Files.createTempDirectory("graft_csv_q_")
-      out.toFile.deleteOnExit()
+      val out = graft.sources.Scratch.dir("graft_csv_q_")
       lines.write.mode("overwrite").text(out.toString)
       val parsed = s.read
         .schema("o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT, _bad STRING")
@@ -2846,8 +2845,7 @@ object PipelineQueries {
       val agg = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-      val out = java.nio.file.Files.createTempDirectory("graft_csv_rt_")
-      out.toFile.deleteOnExit()
+      val out = graft.sources.Scratch.dir("graft_csv_rt_")
       agg.write.mode("overwrite").option("header", "true").csv(out.toString)
       s.read.option("header", "true")
         .schema("day DATE, event_type STRING, n BIGINT, sum_value DOUBLE")
@@ -2863,8 +2861,7 @@ object PipelineQueries {
       val agg = Tables.customer(s, dir)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 2).as("avg_bal"))
-      val out = java.nio.file.Files.createTempDirectory("graft_json_rt_")
-      out.toFile.deleteOnExit()
+      val out = graft.sources.Scratch.dir("graft_json_rt_")
       agg.write.mode("overwrite").json(out.toString)
       s.read.schema("c_mktsegment STRING, n BIGINT, avg_bal DOUBLE")
         .json(out.toString)
@@ -2879,8 +2876,7 @@ object PipelineQueries {
       val agg = Tables.orders(s, dir)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
-      val out = java.nio.file.Files.createTempDirectory("graft_orc_rt_")
-      out.toFile.deleteOnExit()
+      val out = graft.sources.Scratch.dir("graft_orc_rt_")
       agg.write.mode("overwrite").orc(out.toString)
       s.read.orc(out.toString).orderBy("o_orderpriority")
     }),
@@ -3133,8 +3129,7 @@ object PipelineQueries {
         .groupBy("source", "bucket").agg(max("rho").as("rho"))
       val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
       val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
-      val base = java.nio.file.Files.createTempDirectory("graft_hll_snap_")
-      base.toFile.deleteOnExit()
+      val base = graft.sources.Scratch.dir("graft_hll_snap_")
       state(docs.filter(col("doc_id") < mid)).write.parquet(s"$base/v1")
       s.read.parquet(s"$base/v1")
         .unionByName(state(docs.filter(col("doc_id") >= mid)))

@@ -248,8 +248,7 @@ object EventStreams {
     * Mergeability of max-rho state makes the two-pass result equal the
     * one-shot estimate over the full corpus — which is its oracle. */
   def sourceDistinctIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_hll_src_refresh")
-    base.toFile.deleteOnExit()
+    val base = graft.sources.Scratch.dir("graft_hll_src_refresh")
     val (stage, ckpt, delta) = (s"$base/stage", s"$base/ckpt", s"$base/delta")
     val raw = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
@@ -286,8 +285,7 @@ object EventStreams {
     * table emb_cell_drift's chi² reads at audit cadence; at 100 TB the
     * stream maintains it for free while shards land. */
   def ivfIngestOccupancy(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_ingest")
-    base.toFile.deleteOnExit()
+    val base = graft.sources.Scratch.dir("graft_ivf_ingest")
     val (stage, ckpt, delta) = (s"$base/stage", s"$base/ckpt", s"$base/delta")
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val thr = emb.agg(expr("3*(max(vec_id)+1) div 4").as("t")).head().getLong(0)
@@ -341,8 +339,7 @@ object EventStreams {
     * fold rewrites O(k) rows, never the corpus. */
   def bottomKIncremental(spark: SparkSession, sfDir: String,
                          k: Int = 100): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_bk_stream")
-    base.toFile.deleteOnExit()
+    val base = graft.sources.Scratch.dir("graft_bk_stream")
     val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
     graft.functions.GraftHash64.register(spark)
     val raw = graft.sources.Tables.documents(spark, sfDir)
@@ -399,8 +396,7 @@ object EventStreams {
     * column is deliberately absent here: exact Σcount² cannot stream
     * in bounded state — that asymmetry is what the sketch is FOR. */
   def amsF2Incremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_ams_stream")
-    base.toFile.deleteOnExit()
+    val base = graft.sources.Scratch.dir("graft_ams_stream")
     val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
     graft.functions.GraftHash64.register(spark)
     val raw = graft.sources.Tables.events(spark, sfDir)
@@ -471,8 +467,7 @@ object EventStreams {
     * the oracle. History is never re-read; each fold rewrites the
     * day-table, never the corpus. */
   def cusumIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_cusum_stream")
-    base.toFile.deleteOnExit()
+    val base = graft.sources.Scratch.dir("graft_cusum_stream")
     val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
     val raw = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), to_date(col("ts")).as("dt"))
@@ -528,8 +523,7 @@ object EventStreams {
     * counter fold. StreamingSpec pins the four streamed rules against
     * the batch dq_expectations rows. */
   def dqIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_dq_stream")
-    base.toFile.deleteOnExit()
+    val base = graft.sources.Scratch.dir("graft_dq_stream")
     val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
     val custkeys = graft.sources.Tables.customer(spark, sfDir)
       .select(col("c_custkey")).localCheckpoint(false)
@@ -617,8 +611,7 @@ object EventStreams {
     * hash-partitioned; the store append stays proportional to the
     * NEW keys in the landing, not the corpus. */
   def dqUniqueIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_dqu_stream")
-    base.toFile.deleteOnExit()
+    val base = graft.sources.Scratch.dir("graft_dqu_stream")
     val (stage, ckpt) = (s"$base/stage", s"$base/ckpt")
     val (keys, ctr) = (s"$base/keys", s"$base/ctr")
     val raw = graft.sources.Tables.events(spark, sfDir)
@@ -698,8 +691,7 @@ object EventStreams {
     * the (day, bucket) → max(rho) state is mergeable by construction
     * (StreamingSpec pins the two-pass == one-pass property). */
   def distinctUsersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_hll_refresh")
-    base.toFile.deleteOnExit()
+    val base = graft.sources.Scratch.dir("graft_hll_refresh")
     val (stage, ckpt, delta) =
       (s"$base/stage", s"$base/ckpt", s"$base/delta")
     val raw = spark.read.schema(eventsSchema(spark, sfDir))
@@ -730,8 +722,7 @@ object EventStreams {
     * StreamingSpec and the SQL oracle both pin that equivalence. */
   def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.Tables
-    val base = java.nio.file.Files.createTempDirectory("graft_cdc_apply")
-    base.toFile.deleteOnExit()
+    val base = graft.sources.Scratch.dir("graft_cdc_apply")
     val (stage, ckpt, dims) = (s"$base/stage", s"$base/ckpt", s"$base/dim")
     val o = Tables.orders(spark, sfDir)
     val current = o.select(col("o_orderkey"),
@@ -826,8 +817,7 @@ object EventStreams {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
 
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
-    out.toFile.deleteOnExit()
+    val out = graft.sources.Scratch.dir("graft_stream_dedup_")
     withStateParts(spark) {
       val q = doubled.writeStream
         .format("parquet")
@@ -969,8 +959,7 @@ object EventStreams {
     val joined = signups.join(errors,
       expr("user_id = euser AND ets >= sts AND ets < sts + interval 1 hour"))
 
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_rjoin_")
-    out.toFile.deleteOnExit()
+    val out = graft.sources.Scratch.dir("graft_stream_rjoin_")
     withStateParts(spark) {
       val q = joined.writeStream
         .format("parquet")
@@ -1030,8 +1019,7 @@ object EventStreams {
     // stage the event history in two time halves so AvailableNow runs
     // a real multi-batch state handoff (the distinctUsersIncremental
     // staging pattern, mtime-pinned like cdcApply)
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_life_")
-    base.toFile.deleteOnExit()
+    val base = graft.sources.Scratch.dir("graft_stream_life_")
     val raw = spark.read.schema(eventsSchema(spark, sfDir))
       .parquet(s"$sfDir/events.parquet")
       .select(col("user_id"),
@@ -1162,8 +1150,7 @@ object EventStreams {
 
     // stage the event history in two time halves (multi-batch state
     // handoff; mtime-pinned order, one file per half = one batch each)
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_mg_")
-    base.toFile.deleteOnExit()
+    val base = graft.sources.Scratch.dir("graft_stream_mg_")
     val raw = spark.read.schema(eventsSchema(spark, sfDir))
       .parquet(s"$sfDir/events.parquet")
       .select(pmod(col("user_id"), lit(shards)).cast("int").as("shard"),
@@ -1294,8 +1281,7 @@ object EventStreams {
     // (executor-side parquet writes), never driver memory; the
     // session_id assignment is then a normal batch window over the
     // sink files.
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_sessions_")
-    out.toFile.deleteOnExit()
+    val out = graft.sources.Scratch.dir("graft_stream_sessions_")
     withStateParts(spark) {
       val q = stream.writeStream
         .format("parquet")
@@ -1360,8 +1346,7 @@ object EventStreams {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
 
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_collapse_")
-    out.toFile.deleteOnExit()
+    val out = graft.sources.Scratch.dir("graft_stream_collapse_")
     withStateParts(spark) {
       val q = stream.writeStream
         .format("parquet")

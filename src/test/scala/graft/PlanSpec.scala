@@ -62,7 +62,8 @@ class PlanSpec extends AnyFunSuite {
     val exempt = Set("ann_bruteforce", "ann_recall", "emb_prefix_recall",
       "ann_plane_sweep", "ann_pq_recall", "ann_ivfpq_recall",
       "emb_matryoshka_recall", "ann_hnsw_recall", "ann_lifecycle_e2e")
-    for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
+    for ((name, fn) <- SparkEntry.queries ++ SparkEntry.diagnostics
+         if !exempt(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join:\n$p")
