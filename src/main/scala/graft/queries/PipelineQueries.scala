@@ -2133,6 +2133,39 @@ object PipelineQueries {
     "stream_ivf_ingest" -> ((s, dir) =>
       graft.streaming.EventStreams.ivfIngestOccupancy(s, dir)),
 
+    // the drift trigger wired ONTO the streamed occupancy store
+    // (VERDICT r12 item 7): stream_ivf_ingest maintains the per-cell
+    // (n_vecs, n_landed) counters continuously while shards land; THIS
+    // key closes the lifecycle loop at landing cadence by deriving the
+    // generations from that store — n_gen1 = n_vecs − n_landed,
+    // n_gen2 = n_landed — and computing emb_cell_drift's exact integer
+    // chi² plus ann_lifecycle_e2e's retrain decision at χ²₀.₉₉₉(df=7)
+    // (24.32 → 243200 u4) as arithmetic on the bounded 8-row state.
+    // ingest → drift → retrain is now fully streaming: no audit-cadence
+    // corpus rescan, just the counters the stream already keeps.
+    "stream_ivf_drift" -> ((s, dir) => {
+      val occ = graft.streaming.EventStreams.ivfIngestOccupancy(s, dir)
+        .select(col("cell"),
+          (col("n_vecs") - col("n_landed")).as("n_gen1"),
+          col("n_landed").as("n_gen2"))
+      val tot = occ.agg(sum("n_gen1").as("t1"), sum("n_gen2").as("t2"))
+      Scalars.withScalar(occ, col("cell"), tot, col("t1"))
+        .withColumn("num", expr(
+          "CAST(n_gen1 AS DECIMAL(38,0))*t2 - CAST(n_gen2 AS DECIMAL(38,0))*t1"))
+        .withColumn("chi2_cell_u4", expr(
+          """CAST((2*num*num*10000
+            |      + CAST(t1 AS DECIMAL(38,0))*t2*(n_gen1 + n_gen2))
+            |  div (2*CAST(t1 AS DECIMAL(38,0))*t2*(n_gen1 + n_gen2))
+            |  AS BIGINT)""".stripMargin))
+        .withColumn("chi2_total_u4", sum("chi2_cell_u4").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .withColumn("retrain",
+          when(col("chi2_total_u4") > 243200L, 1L).otherwise(0L))
+        .select(col("cell"), col("n_gen1"), col("n_gen2"),
+          col("chi2_cell_u4"), col("chi2_total_u4"), col("retrain"))
+        .orderBy("cell")
+    }),
+
     // streaming bottom-k sample maintenance: each staged generation
     // folds its local bottom-k into the persisted k-row store (union +
     // re-limit — O(k) rewrite, history never re-read); hash-min
@@ -3577,6 +3610,44 @@ object PipelineQueries {
        |  SELECT DISTINCT ids[x] AS id1, ids[y] AS id2
        |  FROM bk, unnest(range(1, len(ids)+1)) a(x), unnest(range(1, len(ids)+1)) c(y)
        |  WHERE x < y)""".stripMargin
+
+  /** Shared gen1-frozen 8-cell occupancy replay — the one-shot batch
+    * equivalent of the streamed (cell, n_vecs, n_landed) store. Used
+    * verbatim by stream_ivf_ingest and as stream_ivf_drift's CTE
+    * input. No trailing ORDER BY: callers add their own sort. */
+  private val ivfIngestOccSql =
+    """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |thr AS (SELECT 3*(max(vec_id)+1)//4 AS t FROM embeddings),
+      |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+      |eb AS (SELECT e.* FROM e, thr WHERE e.vec_id < thr.t),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+      |  FROM eb QUALIFY cell < 8),
+      |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+      |a0 AS (
+      |  SELECT eb.vec_id, eb.v, eb.nrm, sd.cell,
+      |    row_number() OVER (PARTITION BY eb.vec_id
+      |      ORDER BY list_sum(list_transform(range(1,65), i -> eb.v[i]*sd.c[i])) / (eb.nrm*sd.cn) DESC,
+      |               sd.cell DESC) AS rk
+      |  FROM eb CROSS JOIN sd QUALIFY rk = 1),
+      |m0 AS (
+      |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+      |  FROM a0, unnest(range(1, 65)) t(i)
+      |  GROUP BY cell, i),
+      |rc AS (
+      |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+      |         list(m ORDER BY pos) AS c
+      |  FROM m0 GROUP BY cell),
+      |rn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
+      |corp AS (
+      |  SELECT e.vec_id, rn.cell,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rn.c[i])) / (e.nrm*rn.cn) DESC,
+      |               rn.cell DESC) AS rk
+      |  FROM e CROSS JOIN rn QUALIFY rk = 1)
+      |SELECT corp.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(CASE WHEN corp.vec_id >= thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_landed
+      |FROM corp, thr GROUP BY 1""".stripMargin
 
   /** Independent replay of Dedup.tfidfCosine: same u3-quantized idf,
     * integer weights/dots/norms, and the cross-multiplied squared
@@ -6521,39 +6592,31 @@ object PipelineQueries {
     // gen1-frozen chain, full-corpus assignment, per-cell totals +
     // landed-generation counts (mergeable monotone counters make the
     // two-generation stream provably equal this)
-    "stream_ivf_ingest" ->
-      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |thr AS (SELECT 3*(max(vec_id)+1)//4 AS t FROM embeddings),
-         |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
-         |eb AS (SELECT e.* FROM e, thr WHERE e.vec_id < thr.t),
-         |seeds AS (
-         |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
-         |  FROM eb QUALIFY cell < 8),
-         |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
-         |a0 AS (
-         |  SELECT eb.vec_id, eb.v, eb.nrm, sd.cell,
-         |    row_number() OVER (PARTITION BY eb.vec_id
-         |      ORDER BY list_sum(list_transform(range(1,65), i -> eb.v[i]*sd.c[i])) / (eb.nrm*sd.cn) DESC,
-         |               sd.cell DESC) AS rk
-         |  FROM eb CROSS JOIN sd QUALIFY rk = 1),
-         |m0 AS (
-         |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
-         |  FROM a0, unnest(range(1, 65)) t(i)
-         |  GROUP BY cell, i),
-         |rc AS (
-         |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
-         |         list(m ORDER BY pos) AS c
-         |  FROM m0 GROUP BY cell),
-         |rn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
-         |corp AS (
-         |  SELECT e.vec_id, rn.cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rn.c[i])) / (e.nrm*rn.cn) DESC,
-         |               rn.cell DESC) AS rk
-         |  FROM e CROSS JOIN rn QUALIFY rk = 1)
-         |SELECT corp.cell, CAST(count(*) AS BIGINT) AS n_vecs,
-         |  CAST(sum(CASE WHEN corp.vec_id >= thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_landed
-         |FROM corp, thr GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_ivf_ingest" -> s"""$ivfIngestOccSql
+         |ORDER BY 1""".stripMargin,
+
+    // the drift trigger replayed FROM the streamed store's batch
+    // equivalent: derive the generations from (n_vecs, n_landed),
+    // then emb_cell_drift's exact integer chi2 identity and the
+    // ann_lifecycle_e2e retrain threshold (243200 u4 = chi2_.999 df=7)
+    "stream_ivf_drift" ->
+      s"""WITH occ0 AS ($ivfIngestOccSql),
+         |occ AS (SELECT cell, n_vecs - n_landed AS n_gen1,
+         |               n_landed AS n_gen2 FROM occ0),
+         |tt AS (SELECT sum(n_gen1) AS t1, sum(n_gen2) AS t2 FROM occ),
+         |ch AS (SELECT occ.cell, occ.n_gen1, occ.n_gen2,
+         |         CAST((2*(occ.n_gen1*tt.t2 - occ.n_gen2*tt.t1)
+         |                *(occ.n_gen1*tt.t2 - occ.n_gen2*tt.t1)*10000
+         |               + tt.t1*tt.t2*(occ.n_gen1 + occ.n_gen2))
+         |              // (2*tt.t1*tt.t2*(occ.n_gen1 + occ.n_gen2)) AS BIGINT)
+         |           AS chi2_cell_u4
+         |       FROM occ, tt),
+         |tot AS (SELECT CAST(sum(chi2_cell_u4) AS BIGINT) AS c FROM ch)
+         |SELECT ch.cell, CAST(ch.n_gen1 AS BIGINT) AS n_gen1,
+         |  CAST(ch.n_gen2 AS BIGINT) AS n_gen2, ch.chi2_cell_u4,
+         |  tot.c AS chi2_total_u4,
+         |  CAST(CASE WHEN tot.c > 243200 THEN 1 ELSE 0 END AS BIGINT) AS retrain
+         |FROM ch, tot ORDER BY cell""".stripMargin,
 
     // replays the full lifecycle: the emb_cell_drift 8-cell chain
     // (same seeds, one 6dp-mean refine, full-corpus assignment, exact

@@ -260,4 +260,26 @@ class StreamingSpec extends AnyFunSuite {
     // the landing shard actually flowed through the stream
     assert(streamed.map(_._3).sum > 0, "no landed vectors counted")
   }
+
+  test("streaming drift trigger equals the audit-cadence emb_cell_drift") {
+    // store-equality doctrine: stream_ivf_drift derives its generations
+    // from the streamed counters (n_gen1 = n_vecs - n_landed), so its
+    // per-cell chi2 must equal emb_cell_drift's one-shot corpus rescan,
+    // and the retrain flag must be exactly the 243200-u4 threshold test
+    // on the shared total.
+    val streamed = SparkEntry.queries("stream_ivf_drift")(spark, sf)
+      .collect().map(r => (r.getAs[Number]("cell").longValue,
+        r.getAs[Long]("n_gen1"), r.getAs[Long]("n_gen2"),
+        r.getAs[Long]("chi2_cell_u4"), r.getAs[Long]("chi2_total_u4"),
+        r.getAs[Long]("retrain")))
+    val audit = SparkEntry.queries("emb_cell_drift")(spark, sf)
+      .collect().map(r => (r.getAs[Number]("cell").longValue,
+        r.getAs[Long]("n_gen1"), r.getAs[Long]("n_gen2"),
+        r.getAs[Long]("chi2_cell_u4"), r.getAs[Long]("chi2_total_u4")))
+    assert(streamed.map(t => (t._1, t._2, t._3, t._4, t._5))
+        .sameElements(audit),
+      "landing-cadence drift diverged from the audit-cadence rescan")
+    assert(streamed.forall(t => t._6 == (if (t._5 > 243200L) 1L else 0L)),
+      "retrain flag is not the chi2 threshold test")
+  }
 }
