@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-level duplicate detection via DISTRIBUTED SUFFIX
+  * RANKS — the true substring dedup (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better": remove duplicate token
+  * spans of length ≥ L that appear more than once in the corpus) that
+  * `text_span_dedup`'s distinct-shingle heuristic approximates.
+  *
+  * Construction is Manber–Myers prefix doubling (1993) re-expressed as
+  * relational algebra, which is how a suffix structure scales past one
+  * machine: the corpus never concatenates into one in-memory string.
+  *
+  *   - level 0: token position table (doc_id, pos, tok) — one row per
+  *     corpus token, the same linear footprint as any tokenization;
+  *   - seed level: each position's seedLen-token gram (a per-doc window
+  *     `lead` concat) gets an id = MIN(gpos) over the positions sharing
+  *     the gram, where gpos is a unique per-position long — one
+  *     groupBy, exact, no ordering machinery (identity is all the
+  *     algorithm ever consumes; suffix dedup never needs the ranks to
+  *     be lexicographically ORDERED, so the classic dense re-rank is
+  *     replaced by the cheaper min-representative assignment);
+  *   - level 2k from level k: `r_2k(p) = id of (r_k(p), r_k(p+k))` —
+  *     an equi-join of the id table to itself shifted by k (co-keyed
+  *     on (doc_id, pos), so it shuffles compact longs, never text),
+  *     then each distinct pair gets id = MIN(gpos) of its group. By
+  *     induction `r_k(p) = r_k(q)` ⟺ the k-token prefixes of suffixes
+  *     p and q are equal.
+  *
+  * Doubling up to k = L (log₂(L/seedLen) rounds — 2 for L=16) yields
+  * exact L-prefix identity: for every position with ≥ L tokens left in
+  * its document, `r_L` equals another position's `r_L` iff the two
+  * L-token substrings are identical. Suffixes shorter than L compare
+  * against a −1 pad; they are filtered before the duplicate count, so
+  * the pad never reaches a result. No window in the whole construction
+  * is unpartitioned: the in-document shift is a (doc_id, pos) join, the
+  * id assignment is a plain keyed aggregation, and the coverage sweep
+  * below partitions by doc_id.
+  *
+  * Loop hygiene: the carried rank table is re-joined against itself
+  * every round, so each round crosses a [[PlanBarrier.cut]] — the
+  * lineage + statistics barrier that keeps per-round plan-build cost
+  * constant (the r12 geometric-stats fix; without it a self-join loop
+  * SQUARES the carried sizeInBytes estimate per round).
+  *
+  * 100 TB audit: the position table is ~the corpus token count; each
+  * doubling round is 2 shuffles of (long, long, long) rows plus one
+  * distinct over ≤ that many pairs — O(N log L) total shuffle volume
+  * of fixed-width rows, the accepted cost of exact substring dedup at
+  * corpus scale (Lee et al. build exactly this structure, single-node).
+  * `numBlocks` in the ranker scales with cluster size; the default 64
+  * suits local testing.
+  */
+object Suffix {
+
+  /** Token position table: (doc_id, pos, tok), pos 0-based in-document.
+    * Tokenization is the repo-standard Spark∩DuckDB subset
+    * ([[Dedup.tokens]]); docs with no tokens contribute no rows. */
+  def positions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(Dedup.tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+
+  /** Appends suffix rank `r` for prefix length `prefixLen` (a power of
+    * two ≥ seedLen): output (doc_id, pos, r) with `r` equal across two
+    * positions iff their prefixLen-token (end-padded) suffix prefixes
+    * are equal. The input should be cheap to recompute or checkpointed
+    * — it is read once.
+    *
+    * The doubling is SEEDED at seedLen (default 4) instead of single
+    * tokens: the seed gram is a per-doc window concat (`lead` chain —
+    * one doc-partitioned shuffle, no per-element lambda), which trades
+    * one bounded string shuffle for two whole doubling rounds (each a
+    * self-join + id aggregation + join back). Wider seeds shuffle more
+    * string bytes once; deeper doubling shuffles compact longs more
+    * times — the knob a 100 TB run tunes against its network.
+    * `concat_ws` skips the null leads past the doc end, so truncated
+    * grams compare exactly like end-padded sequences.
+    *
+    * gpos (the unique per-position long the min-representative ids
+    * live in) is `doc_id · (max_pos + 2) + pos + 1` with the max-pos
+    * scalar broadcast-attached — a documented 2⁶² bound on
+    * doc_id · max_doc_len; ANSI mode turns a violation into a loud
+    * overflow error, and a corpus with wider ids re-keys first. */
+  def suffixRanks(positions: DataFrame, prefixLen: Int,
+                  seedLen: Int = 4): DataFrame = {
+    require(seedLen >= 1 && prefixLen >= seedLen &&
+        (prefixLen & (prefixLen - 1)) == 0 && prefixLen % seedLen == 0,
+      s"need power-of-two prefixLen divisible by seedLen; " +
+        s"got prefixLen=$prefixLen seedLen=$seedLen")
+    val maxPos = positions.agg(max("pos").as("mx"))
+    // tokens are [a-z0-9]+ so the U+0001 separator can never occur inside one
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val gram = concat_ws("\u0001",
+      col("tok") +: (1 until seedLen).map(i => lead("tok", i).over(wDoc)): _*)
+    val seeded = Scalars.withScalar(positions, col("doc_id"), maxPos, col("mx"))
+      .withColumn("gpos",
+        col("doc_id") * (col("mx") + lit(2L)) + col("pos") + lit(1L))
+      .select(col("doc_id"), col("pos"), col("gpos"), gram.as("g"))
+    val seedIds = seeded.groupBy("g").agg(min("gpos").as("nr"))
+    var ranks = PlanBarrier.cut(
+      seeded.join(seedIds, "g")
+        .select(col("doc_id"), col("pos"), col("gpos"), col("nr").as("r")))
+    var k = seedLen
+    while (k < prefixLen) {
+      // r2(p) = r(p + k): the same table shifted left by k and re-keyed,
+      // so the lookup is a co-keyed equi-join; past-the-end pads to -1
+      // (gpos representatives are >= 1, so the pad can never collide)
+      val shifted = ranks.select(col("doc_id"),
+        (col("pos") - k).as("pos"), col("r").as("r2"))
+      val paired = PlanBarrier.cut(
+        ranks.join(shifted, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"), col("gpos"), col("r"),
+            coalesce(col("r2"), lit(-1L)).as("r2")))
+      val ids = paired.groupBy("r", "r2").agg(min("gpos").as("nr"))
+      val next = paired.join(ids, Seq("r", "r2"))
+        .select(col("doc_id"), col("pos"), col("gpos"), col("nr").as("r"))
+      // the carried table is self-joined next round; the final level is
+      // consumed once by the caller and needs no barrier
+      k *= 2
+      ranks = if (k < prefixLen) PlanBarrier.cut(next) else next
+    }
+    ranks.select("doc_id", "pos", "r")
+  }
+
+  /** Per-document duplicated-span statistics at span length L: a token
+    * position is DUPLICATED iff it lies inside some L-token substring
+    * that occurs at ≥ 2 corpus positions (any doc, including its own —
+    * a duplicated span of length ≥ L contains a duplicated L-gram over
+    * each of its positions, so L-gram identity ⟺ span coverage).
+    * Output per doc: n_tokens, n_dup_starts (duplicated L-gram start
+    * positions), dup_tokens (positions covered by any duplicated span)
+    * — the counts a Lee-et-al-style span remover thresholds on. */
+  def dupSpanStats(docs: DataFrame, spanLen: Int = 16): DataFrame = {
+    // one scan feeds the rank construction AND the coverage sweep
+    val pos = positions(docs).localCheckpoint(false)
+    val ranks = suffixRanks(pos, spanLen)
+    val lens = pos.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    // qualifying L-gram starts (>= spanLen tokens remain in-doc); their
+    // rank is the exact L-gram identity, so df >= 2 means duplicated
+    val starts = ranks.join(lens, "doc_id")
+      .filter(col("pos") + spanLen <= col("n_toks"))
+      .select("doc_id", "pos", "r")
+      .localCheckpoint(false) // feeds the rank-frequency count AND the flags
+    val dupRanks = starts.groupBy("r").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("r")
+    val flags = starts.join(dupRanks, Seq("r"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1).as("dup"))
+    // coverage: position p is covered iff a duplicated start exists in
+    // [p-L+1, p] — a per-doc running window max, never a global sort
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(spanLen - 1), 0)
+    val per = pos.select("doc_id", "pos")
+      .join(flags, Seq("doc_id", "pos"), "left")
+      .withColumn("d", coalesce(col("dup"), lit(0)))
+      .withColumn("covered", max(col("d")).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("d").cast("long").as("n_dup_starts"),
+        sum("covered").cast("long").as("dup_tokens"))
+    // token-less docs still appear, with zero counts, as in span_dedup
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+}

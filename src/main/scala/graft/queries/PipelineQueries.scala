@@ -2960,6 +2960,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // TRUE exact substring dedup (VERDICT r12 item 4; Lee et al. 2022):
+    // per-doc duplicated-span statistics at L=16 tokens computed from
+    // DISTRIBUTED SUFFIX RANKS — Manber–Myers prefix doubling as
+    // relational algebra (ops/Suffix.scala): 4 co-keyed self-joins give
+    // each position an id that is equal iff the 16-token substrings are
+    // equal (exact, not hashed), then rank frequency marks duplicated
+    // starts and a per-doc window sweep counts covered positions. The
+    // shingle heuristic text_span_dedup approximates this; THIS is the
+    // operator a Lee-et-al span remover actually thresholds on.
+    "dedup_substring" -> ((s, dir) =>
+      graft.ops.Suffix.dupSpanStats(Tables.documents(s, dir), spanLen = 16)
+        .orderBy("doc_id")),
+
     // Hash-min (bottom-k) sampling: the k docs with the smallest
     // portable hash form a uniform RNG-free sample that is MERGEABLE
     // (bottom-k of a union = bottom-k of each side's bottom-k) and
@@ -4827,6 +4840,37 @@ object PipelineQueries {
          |  round(n_dup*1.0/n_spans, 4) AS dup_frac
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // independent replay of the suffix-rank construction by direct
+    // L-gram materialization: the engine's rank identity (prefix
+    // doubling) ⟺ 16-token gram-string identity here; coverage is the
+    // same 15-preceding per-doc window max. chr(1) cannot occur in a
+    // token ([a-z0-9]+), so the join key is collision-free.
+    "dedup_substring" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |p AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+         |g AS (SELECT doc_id, i AS pos,
+         |        array_to_string(toks[i:i+15], chr(1)) AS gram
+         |      FROM p, unnest(range(1, n - 14)) t(i)),
+         |dft AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+         |st AS (SELECT g.doc_id, g.pos,
+         |         CASE WHEN dft.c >= 2 THEN 1 ELSE 0 END AS dup
+         |       FROM g JOIN dft ON g.gram = dft.gram),
+         |ap AS (SELECT doc_id, i AS pos FROM p, unnest(range(1, n + 1)) t(i)),
+         |cov AS (SELECT ap.doc_id, coalesce(st.dup, 0) AS dup,
+         |          max(coalesce(st.dup, 0)) OVER (PARTITION BY ap.doc_id
+         |            ORDER BY ap.pos ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+         |            AS covered
+         |        FROM ap LEFT JOIN st ON ap.doc_id = st.doc_id AND ap.pos = st.pos),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |          CAST(sum(dup) AS BIGINT) AS n_dup_starts,
+         |          CAST(sum(covered) AS BIGINT) AS dup_tokens
+         |        FROM cov GROUP BY 1)
+         |SELECT dd.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(agg.n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+         |  CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
+         |FROM documents dd LEFT JOIN agg ON dd.doc_id = agg.doc_id
+         |ORDER BY dd.doc_id""".stripMargin,
 
     "sample_bottomk" -> bottomKReplaySql,
 

@@ -33,6 +33,37 @@ class DedupSpec extends AnyFunSuite {
       s"containment diverged: missing=${ref.diff(got).take(3)} extra=${got.diff(ref).take(3)}")
   }
 
+  test("suffix-rank substring dedup equals the direct n-gram reference") {
+    // independent Scala replay of dedup_substring: materialize every
+    // 16-token gram as a string (what the prefix-doubling ranks encode
+    // without ever materializing), count corpus-wide, mark starts,
+    // sweep coverage — then compare the full per-doc stat rows
+    val L = 16
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq }
+    val gramCount = scala.collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, ts) <- toks; i <- 0 to ts.length - L)
+      gramCount.updateWith(ts.slice(i, i + L))(c => Some(c.getOrElse(0) + 1))
+    val ref = toks.map { case (id, ts) =>
+      val starts = (0 to ts.length - L)
+        .filter(i => gramCount(ts.slice(i, i + L)) >= 2)
+      val covered = starts.flatMap(i => i until i + L).toSet.size
+      (id, ts.length.toLong, starts.size.toLong, covered.toLong)
+    }.toSet
+    val got = SparkEntry.queries("dedup_substring")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == ref,
+      s"substring dedup diverged: missing=${ref.diff(got).take(3)} " +
+        s"extra=${got.diff(ref).take(3)}")
+    // the fixture genuinely exercises the operator
+    assert(ref.exists(_._3 > 0), "no duplicated spans in the fixture")
+  }
+
   test("tf-idf cosine join equals the quadratic capped-space reference") {
     // independent Scala replay: same u3 idf quantization (BigDecimal
     // HALF_UP, Spark's round), integer weights, BigInt cross-multiplied
