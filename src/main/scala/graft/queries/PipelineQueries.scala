@@ -1610,6 +1610,21 @@ object PipelineQueries {
         .withColumn("n_tokens", col("n_tokens").cast("bigint"))
         .orderBy("doc_id")),
 
+    // LEARNED quality filter, training audit (VERDICT r12 item 5; the
+    // DCLM/fastText pattern): full-batch integer perceptron over
+    // 64-bucket hashed bag-of-words, distilled from the rule-based
+    // filter chain's keep bit, five deterministic rounds — one audit
+    // row per round (n_misclassified before the update, weight l1 +
+    // bias after it). The oracle replays the ENTIRE optimization.
+    "quality_clf_train" -> ((s, dir) =>
+      graft.ops.QualityClf.train(Tables.documents(s, dir))._1),
+
+    // the trained gate applied corpus-wide, read out as the agreement
+    // matrix against its rule-based teacher — the go/no-go table before
+    // a learned filter replaces rules in the funnel
+    "quality_clf_score" -> ((s, dir) =>
+      graft.ops.QualityClf.scoreAgreement(Tables.documents(s, dir))),
+
     // FLESCH READABILITY HISTOGRAM — the curation signal text_quality's
     // length/punct ratios don't carry: sentence and syllable structure.
     // All three per-doc counts are single regexp_counts over one scan
@@ -3661,6 +3676,62 @@ object PipelineQueries {
       |SELECT corp.cell, CAST(count(*) AS BIGINT) AS n_vecs,
       |  CAST(sum(CASE WHEN corp.vec_id >= thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_landed
       |FROM corp, thr GROUP BY 1""".stripMargin
+
+  /** Replay prelude for the quality_clf_* pair: weak labels from the
+    * filter-chain rules, distinct-token portable hashes bucketed
+    * mod 256 (+ the bias bucket −1), then `rounds` UNROLLED full-batch
+    * perceptron updates at the halving step 2^(rounds−r) — w1 is the
+    * all-misclassified first round (margins under empty weights are 0),
+    * and each later round r is margins under w(r−1) → mis(r) → delta →
+    * w(r). Ends inside the WITH clause so callers append their own
+    * final CTEs/SELECT. */
+  private def qualityClfPrelude(rounds: Int): String = {
+    val head =
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |r0 AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(len(list_filter(toks, x ->
+         |      list_contains(['the','a','of','and','to','in','is'], x)))*1.0
+         |      / len(toks), 4) AS stopword_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, n_tokens, stopword_ratio, dup_ratio,
+         |    round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) AS quality_score
+         |  FROM r0),
+         |lbl AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN n_tokens < 20 OR dup_ratio > 0.6
+         |      OR stopword_ratio = 0.0 OR quality_score < 0.75
+         |    THEN -1 ELSE 1 END AS y
+         |  FROM q),
+         |tok AS (SELECT DISTINCT doc_id, s
+         |        FROM (SELECT doc_id, unnest(toks) AS s FROM t)),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM tok)),
+         |th AS (SELECT s, ${sx(ghashSql(fnvHx, "29"))} AS h FROM tb),
+         |fx AS MATERIALIZED (SELECT DISTINCT doc_id, ((h % 256) + 256) % 256 AS b
+         |       FROM tok JOIN th USING (s)
+         |       UNION ALL SELECT doc_id, -1 AS b FROM t),
+         |w1 AS MATERIALIZED (SELECT b, CAST(sum(y) * ${1L << (rounds - 1)} AS BIGINT) AS w
+         |       FROM fx JOIN lbl USING (doc_id) GROUP BY 1)""".stripMargin
+    val later = (2 to rounds).map { r =>
+      s"""m$r AS (SELECT l.doc_id, l.y, coalesce(sum(w.w), 0) AS marg
+         |      FROM lbl l JOIN fx USING (doc_id)
+         |      LEFT JOIN w${r - 1} w ON fx.b = w.b
+         |      GROUP BY 1, 2),
+         |mis$r AS MATERIALIZED (SELECT doc_id, y FROM m$r WHERE y * marg <= 0),
+         |d$r AS (SELECT b, sum(y) * ${1L << (rounds - r)} AS d
+         |        FROM fx JOIN mis$r USING (doc_id)
+         |        GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT coalesce(w${r - 1}.b, d$r.b) AS b,
+         |          CAST(coalesce(w${r - 1}.w, 0) + coalesce(d$r.d, 0) AS BIGINT) AS w
+         |        FROM w${r - 1} FULL OUTER JOIN d$r ON w${r - 1}.b = d$r.b)""".stripMargin
+    }
+    (head +: later).mkString(",\n")
+  }
 
   /** Independent replay of Dedup.tfidfCosine: same u3-quantized idf,
     * integer weights/dots/norms, and the cross-multiplied squared
@@ -7192,6 +7263,36 @@ object PipelineQueries {
          |  FROM q)
          |SELECT doc_id, CAST(reasons = '' AS BIGINT) AS keep, reasons
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // full replay of the 8-round halving-step integer perceptron:
+    // round 1 is all-misclassified by construction (zero margins),
+    // later rounds re-derive margins under the previous weights; every
+    // audit cell BIGINT-cast per UNION branch (the HUGEINT hazard)
+    "quality_clf_train" -> {
+      def row(r: Int, nMis: String) =
+        s"""SELECT CAST($r AS BIGINT) AS rnd,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $nMis) AS n_misclassified,
+           |  (SELECT CAST(coalesce(sum(CASE WHEN b >= 0 THEN abs(w) END), 0)
+           |     AS BIGINT) FROM w$r) AS w_l1,
+           |  (SELECT CAST(coalesce(sum(CASE WHEN b = -1 THEN w END), 0)
+           |     AS BIGINT) FROM w$r) AS bias""".stripMargin
+      s"""${qualityClfPrelude(8)}
+         |${(row(1, "lbl") +: (2 to 8).map(r => row(r, s"mis$r")))
+             .mkString("\nUNION ALL\n")}
+         |ORDER BY rnd""".stripMargin
+    },
+
+    // the trained gate scored corpus-wide against its teacher
+    "quality_clf_score" ->
+      s"""${qualityClfPrelude(8)},
+         |sc AS (SELECT l.doc_id, l.y, coalesce(sum(w.w), 0) AS marg
+         |       FROM lbl l JOIN fx USING (doc_id)
+         |       LEFT JOIN w8 w ON fx.b = w.b
+         |       GROUP BY 1, 2)
+         |SELECT CAST(CASE WHEN y = 1 THEN 1 ELSE 0 END AS BIGINT) AS rule_keep,
+         |  CAST(CASE WHEN marg > 0 THEN 1 ELSE 0 END AS BIGINT) AS clf_keep,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "sample_weighted" ->
       s"""WITH t AS (SELECT doc_id, len($toks) AS n_tokens FROM documents),

@@ -918,6 +918,50 @@ class TextSpec extends AnyFunSuite {
     assert(maxB > minB && got(maxB)._5 >= got(minB)._5)
   }
 
+  test("quality classifier: distributed perceptron equals the in-driver replay") {
+    // independent Scala replay of the 8-round halving-step full-batch
+    // perceptron from the SAME feature/label tables: the distributed
+    // loop's per-round audit numbers and the final weights must match
+    // the sequential reference exactly (integer updates are
+    // order-independent, so any divergence is a loop bug, not noise)
+    import graft.ops.QualityClf
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    val rounds = 8
+    val fx = QualityClf.features(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lb = QualityClf.labels(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = fx.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2) }
+    var w = Map.empty[Long, Long]
+    var refAudit = Vector.empty[(Long, Long, Long, Long)]
+    for (rnd <- 1 to rounds) {
+      val mis = byDoc.keys.filter { d =>
+        lb(d) * byDoc(d).map(b => w.getOrElse(b, 0L)).sum <= 0 }.toSeq
+      val step = 1L << (rounds - rnd)
+      for (d <- mis; b <- byDoc(d))
+        w = w.updated(b, w.getOrElse(b, 0L) + step * lb(d))
+      refAudit :+= ((rnd.toLong, mis.size.toLong,
+        w.collect { case (b, v) if b >= 0 => math.abs(v) }.sum,
+        w.getOrElse(-1L, 0L)))
+    }
+    val (auditDf, wDf) = QualityClf.train(docs)
+    val gotAudit = auditDf.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toVector
+    assert(gotAudit == refAudit,
+      s"audit diverged: got=$gotAudit ref=$refAudit")
+    val gotW = wDf.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._2 != 0L).toMap
+    assert(gotW == w.filter(_._2 != 0L), "final weights diverged")
+    // the learned gate must beat coin-flip agreement with its teacher
+    val m = QualityClf.scoreAgreement(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val agree = m.getOrElse((1L, 1L), 0L) + m.getOrElse((0L, 0L), 0L)
+    val total = m.values.sum
+    assert(total == lb.size, "matrix cells must cover every doc")
+    assert(agree * 100 > total * 55,
+      s"agreement ${agree * 100 / total}% is no better than chance")
+  }
+
   test("pack sweep: one cumsum serves all budgets; fill ≤ 1, splits shrink with budget") {
     val rows = SparkEntry.queries("seq_pack_sweep")(spark, SparkTestSession.sf)
       .collect().sortBy(_.getAs[Long]("max_tokens"))
