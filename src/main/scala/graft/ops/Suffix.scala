@@ -167,4 +167,39 @@ object Suffix {
         coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
+
+  /** Cross-SOURCE duplicated-span attribution at span length L — the
+    * "who shares spans with whom" table substring dedup feeds a
+    * licensing/contamination review (the substring analog of
+    * dedup_source_report): for every L-gram, per-source occurrence
+    * counts; a source PAIR (src_a ≤ src_b) shares the gram when both
+    * contain it (off-diagonal), or when one source contains it at ≥ 2
+    * positions (diagonal — within-source duplication, the boilerplate
+    * signal). Output: (src_a, src_b, n_shared_grams).
+    *
+    * Pair-space audit: the per-gram pair fan-out is bounded by the
+    * SOURCE cardinality (≤ s·(s+1)/2 rows per gram — 210 at s=20),
+    * never by corpus size; the only corpus-sized shuffles are the rank
+    * construction and one (rank, source) rollup. */
+  def dupSpanSources(docs: DataFrame, spanLen: Int = 16): DataFrame = {
+    val pos = positions(docs).localCheckpoint(false)
+    val ranks = suffixRanks(pos, spanLen)
+    val lens = pos.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val starts = ranks.join(lens, "doc_id")
+      .filter(col("pos") + spanLen <= col("n_toks"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("r", "source")
+    // one row per (gram identity, source): occurrence count within it
+    val srcOcc = starts.groupBy("r", "source")
+      .agg(count(lit(1)).as("cs"))
+      .localCheckpoint(false) // both sides of the bounded pair join
+    val a = srcOcc.select(col("r"), col("source").as("src_a"), col("cs"))
+    val b = srcOcc.select(col("r"), col("source").as("src_b"))
+    a.join(b, "r")
+      .filter(col("src_a") < col("src_b") ||
+        (col("src_a") === col("src_b") && col("cs") >= 2))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -1625,6 +1625,13 @@ object PipelineQueries {
     "quality_clf_score" -> ((s, dir) =>
       graft.ops.QualityClf.scoreAgreement(Tables.documents(s, dir))),
 
+    // the learned gate at LANDING cadence: model frozen at generation 1
+    // (the ann_ivf_append convention applied to the classifier), each
+    // arriving shard scored inside foreachBatch against the broadcast
+    // weight table, only the 4-cell agreement counters as state
+    "stream_quality_score" -> ((s, dir) =>
+      graft.streaming.EventStreams.qualityScoreIngest(s, dir)),
+
     // FLESCH READABILITY HISTOGRAM — the curation signal text_quality's
     // length/punct ratios don't carry: sentence and syllable structure.
     // All three per-doc counts are single regexp_counts over one scan
@@ -2975,6 +2982,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // cross-source duplicated-span attribution: the suffix-rank table
+    // rolled up to (gram, source) occurrence counts, then the bounded
+    // source-pair join (≤ s·(s+1)/2 rows per gram at s sources — pair
+    // space bounded by SOURCE cardinality, never corpus size); diagonal
+    // rows require within-source duplication (cs >= 2)
+    "dedup_substring_sources" -> ((s, dir) =>
+      graft.ops.Suffix.dupSpanSources(Tables.documents(s, dir), spanLen = 16)),
+
     // TRUE exact substring dedup (VERDICT r12 item 4; Lee et al. 2022):
     // per-doc duplicated-span statistics at L=16 tokens computed from
     // DISTRIBUTED SUFFIX RANKS — Manber–Myers prefix doubling as
@@ -3677,15 +3692,17 @@ object PipelineQueries {
       |  CAST(sum(CASE WHEN corp.vec_id >= thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_landed
       |FROM corp, thr GROUP BY 1""".stripMargin
 
-  /** Replay prelude for the quality_clf_* pair: weak labels from the
+  /** Replay prelude for the quality_clf_* family: weak labels from the
     * filter-chain rules, distinct-token portable hashes bucketed
     * mod 256 (+ the bias bucket −1), then `rounds` UNROLLED full-batch
     * perceptron updates at the halving step 2^(rounds−r) — w1 is the
     * all-misclassified first round (margins under empty weights are 0),
     * and each later round r is margins under w(r−1) → mis(r) → delta →
-    * w(r). Ends inside the WITH clause so callers append their own
-    * final CTEs/SELECT. */
-  private def qualityClfPrelude(rounds: Int): String = {
+    * w(r). `trainWhere` restricts the TRAINING rows (fxt/lblt) while
+    * fx/lbl stay corpus-wide for scoring — the frozen-gen1 stream
+    * replay uses it. Ends inside the WITH clause so callers append
+    * their own final CTEs/SELECT. */
+  private def qualityClfPrelude(rounds: Int, trainWhere: String = ""): String = {
     val head =
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
          |r0 AS (
@@ -3715,16 +3732,19 @@ object PipelineQueries {
          |fx AS MATERIALIZED (SELECT DISTINCT doc_id, ((h % 256) + 256) % 256 AS b
          |       FROM tok JOIN th USING (s)
          |       UNION ALL SELECT doc_id, -1 AS b FROM t),
+         |trn AS (SELECT doc_id FROM t $trainWhere),
+         |fxt AS MATERIALIZED (SELECT fx.* FROM fx JOIN trn USING (doc_id)),
+         |lblt AS MATERIALIZED (SELECT lbl.* FROM lbl JOIN trn USING (doc_id)),
          |w1 AS MATERIALIZED (SELECT b, CAST(sum(y) * ${1L << (rounds - 1)} AS BIGINT) AS w
-         |       FROM fx JOIN lbl USING (doc_id) GROUP BY 1)""".stripMargin
+         |       FROM fxt JOIN lblt USING (doc_id) GROUP BY 1)""".stripMargin
     val later = (2 to rounds).map { r =>
       s"""m$r AS (SELECT l.doc_id, l.y, coalesce(sum(w.w), 0) AS marg
-         |      FROM lbl l JOIN fx USING (doc_id)
-         |      LEFT JOIN w${r - 1} w ON fx.b = w.b
+         |      FROM lblt l JOIN fxt USING (doc_id)
+         |      LEFT JOIN w${r - 1} w ON fxt.b = w.b
          |      GROUP BY 1, 2),
          |mis$r AS MATERIALIZED (SELECT doc_id, y FROM m$r WHERE y * marg <= 0),
          |d$r AS (SELECT b, sum(y) * ${1L << (rounds - r)} AS d
-         |        FROM fx JOIN mis$r USING (doc_id)
+         |        FROM fxt JOIN mis$r USING (doc_id)
          |        GROUP BY 1),
          |w$r AS MATERIALIZED (SELECT coalesce(w${r - 1}.b, d$r.b) AS b,
          |          CAST(coalesce(w${r - 1}.w, 0) + coalesce(d$r.d, 0) AS BIGINT) AS w
@@ -4911,6 +4931,22 @@ object PipelineQueries {
          |  round(n_dup*1.0/n_spans, 4) AS dup_frac
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same direct-gram replay, rolled up per (gram, source) then the
+    // bounded source-pair join with the within-source diagonal rule
+    "dedup_substring_sources" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |p AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+         |g AS (SELECT doc_id, i AS pos,
+         |        array_to_string(toks[i:i+15], chr(1)) AS gram
+         |      FROM p, unnest(range(1, n - 14)) t(i)),
+         |gsrc AS (SELECT g.gram, d2.source, count(*) AS cs
+         |         FROM g JOIN documents d2 USING (doc_id) GROUP BY 1, 2)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_grams
+         |FROM gsrc a JOIN gsrc b ON a.gram = b.gram
+         |WHERE a.source < b.source OR (a.source = b.source AND a.cs >= 2)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // independent replay of the suffix-rank construction by direct
     // L-gram materialization: the engine's rank identity (prefix
@@ -7277,7 +7313,7 @@ object PipelineQueries {
            |  (SELECT CAST(coalesce(sum(CASE WHEN b = -1 THEN w END), 0)
            |     AS BIGINT) FROM w$r) AS bias""".stripMargin
       s"""${qualityClfPrelude(8)}
-         |${(row(1, "lbl") +: (2 to 8).map(r => row(r, s"mis$r")))
+         |${(row(1, "lblt") +: (2 to 8).map(r => row(r, s"mis$r")))
              .mkString("\nUNION ALL\n")}
          |ORDER BY rnd""".stripMargin
     },
@@ -7293,6 +7329,24 @@ object PipelineQueries {
          |  CAST(CASE WHEN marg > 0 THEN 1 ELSE 0 END AS BIGINT) AS clf_keep,
          |  CAST(count(*) AS BIGINT) AS n_docs
          |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // one-shot replay of the streamed fold: train on generation 1 only
+    // (trainWhere), score the FULL corpus under the frozen w8, roll up
+    // the agreement cells plus the landed-generation count
+    "stream_quality_score" ->
+      s"""${qualityClfPrelude(8,
+             "WHERE doc_id < (SELECT 3*(max(doc_id)+1)//4 FROM documents)")},
+         |thr AS (SELECT 3*(max(doc_id)+1)//4 AS t FROM documents),
+         |sc AS (SELECT l.doc_id, l.y, coalesce(sum(w.w), 0) AS marg
+         |       FROM lbl l JOIN fx USING (doc_id)
+         |       LEFT JOIN w8 w ON fx.b = w.b
+         |       GROUP BY 1, 2)
+         |SELECT CAST(CASE WHEN y = 1 THEN 1 ELSE 0 END AS BIGINT) AS rule_keep,
+         |  CAST(CASE WHEN marg > 0 THEN 1 ELSE 0 END AS BIGINT) AS clf_keep,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN sc.doc_id >= thr.t THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_landed
+         |FROM sc, thr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "sample_weighted" ->
       s"""WITH t AS (SELECT doc_id, len($toks) AS n_tokens FROM documents),

@@ -327,6 +327,75 @@ object EventStreams {
       .orderBy("cell")
   }
 
+  /** Streaming application of the LEARNED quality gate while shards
+    * land ([[graft.ops.QualityClf]] frozen at generation 1 — the
+    * frozen-model convention of [[ivfIngestOccupancy]] / ann_ivf_append
+    * applied to the classifier instead of the quantizer): the
+    * perceptron trains ONCE on the first three quarters of docs by
+    * doc_id; each landing batch is then scored against the broadcast
+    * ≤ buckets+1-row weight table INSIDE foreachBatch — per-doc margins
+    * are batch-local work (group the batch's feature pairs; per-doc
+    * aggregation state never enters the streaming state store), and
+    * only the ADDITIVE agreement counters (rule_keep × clf_keep cells,
+    * + the landed-generation count) fold into the persisted store.
+    * State is bounded at 4 rows however many shards land; each doc is
+    * staged exactly once, so the counter fold provably equals the
+    * one-shot batch scoring of the full corpus — which is its oracle. */
+  def qualityScoreIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.sources.Scratch.dir("graft_qclf_stream")
+    val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(false) // one scan feeds training + both stagings
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val w = graft.ops.QualityClf
+      .train(docs.filter(col("doc_id") < thr))._2
+      .localCheckpoint(false) // frozen gen1 model, reused by every batch
+    val stageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val marg = graft.ops.QualityClf.features(batch)
+            .join(broadcast(w), Seq("b"), "left")
+            .groupBy("doc_id")
+            .agg(sum(coalesce(col("w"), lit(0L))).as("marg"))
+          val local = graft.ops.QualityClf.labels(batch)
+            .join(marg, "doc_id")
+            .select(
+              when(col("y") === 1, 1L).otherwise(0L).as("rule_keep"),
+              when(col("marg") > 0, 1L).otherwise(0L).as("clf_keep"),
+              when(col("doc_id") >= thr, 1L).otherwise(0L).as("landed"))
+            .groupBy("rule_keep", "clf_keep")
+            .agg(count(lit(1)).as("n_docs"), sum("landed").as("n_landed"))
+          val prev = new java.io.File(store)
+          val merged =
+            if (prev.exists)
+              ss.read.parquet(store).unionByName(local)
+                .groupBy("rule_keep", "clf_keep")
+                .agg(sum("n_docs").as("n_docs"), sum("n_landed").as("n_landed"))
+            else local
+          val next = s"$store.next"
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
+          ss.read.parquet(next).write.mode("overwrite").parquet(store)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") < thr).write.parquet(s"$stage/gen1")
+    pass()
+    docs.filter(col("doc_id") >= thr).write.parquet(s"$stage/gen2")
+    pass()
+    spark.read.parquet(store).orderBy("rule_keep", "clf_keep")
+  }
+
   /** Streaming maintenance of the hash-min bottom-k sample: the
     * sample_bottomk reservoir kept fresh across landing generations
     * WITHOUT rescanning history. Each AvailableNow pass reads only

@@ -64,6 +64,35 @@ class DedupSpec extends AnyFunSuite {
     assert(ref.exists(_._3 > 0), "no duplicated spans in the fixture")
   }
 
+  test("substring source attribution equals the direct n-gram reference") {
+    // same direct materialization as the substring-dedup reference,
+    // rolled up to per-(gram, source) counts and the bounded pair join
+    val L = 16
+    val meta = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySrc = scala.collection.mutable.Map.empty[(Seq[String], String), Int]
+    for ((_, t, src) <- meta) {
+      val ts = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      for (i <- 0 to ts.length - L)
+        bySrc.updateWith((ts.slice(i, i + L), src))(c => Some(c.getOrElse(0) + 1))
+    }
+    val grams = bySrc.keys.groupBy(_._1)
+    val ref = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((g, ks) <- grams) {
+      val srcs = ks.map(_._2).toSeq.sorted
+      for (i <- srcs.indices; j <- i until srcs.length
+           if srcs(i) < srcs(j) || bySrc((g, srcs(i))) >= 2)
+        ref.updateWith((srcs(i), srcs(j)))(c => Some(c.getOrElse(0L) + 1L))
+    }
+    val got = SparkEntry.queries("dedup_substring_sources")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == ref.toMap,
+      s"source attribution diverged: missing=${ref.toMap.toSet.diff(got.toSet).take(3)} " +
+        s"extra=${got.toSet.diff(ref.toMap.toSet).take(3)}")
+    assert(ref.nonEmpty, "fixture has no shared spans across sources")
+  }
+
   test("tf-idf cosine join equals the quadratic capped-space reference") {
     // independent Scala replay: same u3 idf quantization (BigDecimal
     // HALF_UP, Spark's round), integer weights, BigInt cross-multiplied

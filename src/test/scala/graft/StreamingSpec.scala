@@ -261,6 +261,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum > 0, "no landed vectors counted")
   }
 
+  test("streaming quality scoring equals the one-shot gen1-frozen batch scoring") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4")).head().getLong(0)
+    val w = graft.ops.QualityClf.train(docs.filter(col("doc_id") < thr))._2
+    val marg = graft.ops.QualityClf.features(docs)
+      .join(broadcast(w), Seq("b"), "left")
+      .groupBy("doc_id").agg(sum(coalesce(col("w"), lit(0L))).as("marg"))
+    val batch = graft.ops.QualityClf.labels(docs).join(marg, "doc_id")
+      .select(when(col("y") === 1, 1L).otherwise(0L).as("rule_keep"),
+        when(col("marg") > 0, 1L).otherwise(0L).as("clf_keep"),
+        when(col("doc_id") >= thr, 1L).otherwise(0L).as("landed"))
+      .groupBy("rule_keep", "clf_keep")
+      .agg(count(lit(1)).as("n_docs"), sum("landed").as("n_landed"))
+      .orderBy("rule_keep", "clf_keep")
+      .collect().map(_.toString)
+    val streamed = graft.streaming.EventStreams.qualityScoreIngest(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "two-generation scoring fold diverged from the one-shot batch score")
+  }
+
   test("streaming drift trigger equals the audit-cadence emb_cell_drift") {
     // store-equality doctrine: stream_ivf_drift derives its generations
     // from the streamed counters (n_gen1 = n_vecs - n_landed), so its
