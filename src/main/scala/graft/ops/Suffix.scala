@@ -51,8 +51,6 @@ import org.apache.spark.sql.functions._
   * distinct over ≤ that many pairs — O(N log L) total shuffle volume
   * of fixed-width rows, the accepted cost of exact substring dedup at
   * corpus scale (Lee et al. build exactly this structure, single-node).
-  * `numBlocks` in the ranker scales with cluster size; the default 64
-  * suits local testing.
   */
 object Suffix {
 
@@ -166,6 +164,68 @@ object Suffix {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /** LANDING-CADENCE substring dedup — the incremental member of the
+    * substring family (the cadence [[Dedup.minhashStoreIncremental]]
+    * and the phash store set for their signature types): history docs
+    * reduce ONCE to a persisted store of DISTINCT L-gram portable
+    * hashes (8 bytes per distinct gram — ~12× smaller than storing the
+    * gram strings, and history raw text is never re-read when later
+    * shards land); an arriving shard computes its own gram hashes
+    * MAP-SIDE (a per-doc `lead` window + one hash call — no suffix
+    * construction for the shard) and one equi-join against the store
+    * marks every shard position whose L-token span already exists in
+    * the corpus. Like the other incremental signatures, identity is
+    * the 64-bit portable hash by contract (the batch operator
+    * [[dupSpanStats]] is the exact suffix-rank path); the oracle
+    * replays the hash bit-for-bit, so a collision would be caught, not
+    * absorbed.
+    *
+    * Output per SHARD doc: n_tokens, n_hist_dup_starts (L-gram starts
+    * found in history), hist_dup_tokens (positions covered by any
+    * history-duplicated span). */
+  def substringIncremental(docs: DataFrame, spanLen: Int = 16,
+                           seed: Long = 41L): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftHash64.register(spark)
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4")).head().getLong(0)
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val gram = concat_ws("\u0001",
+      col("tok") +: (1 until spanLen).map(i => lead("tok", i).over(wDoc)): _*)
+    // a position starts a full L-gram iff the (L-1)th lead exists —
+    // no doc-length join needed
+    val g = positions(docs)
+      .withColumn("full", lead("tok", spanLen - 1).over(wDoc).isNotNull)
+      .withColumn("h", call_function("graft_hash64", gram, lit(seed)))
+      .select("doc_id", "pos", "full", "h")
+      .localCheckpoint(false) // feeds the store build AND the shard scan
+    val storeDir = graft.sources.Scratch.dir("graft_substr_store_")
+    g.filter(col("doc_id") < thr && col("full"))
+      .select("h").distinct()
+      .write.parquet(s"$storeDir/v0")
+    val store = spark.read.parquet(s"$storeDir/v0")
+    val shard = g.filter(col("doc_id") >= thr)
+    val flags = shard.filter(col("full"))
+      .join(store, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1).as("dup"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(spanLen - 1), 0)
+    val per = shard.select("doc_id", "pos")
+      .join(flags, Seq("doc_id", "pos"), "left")
+      .withColumn("d", coalesce(col("dup"), lit(0)))
+      .withColumn("covered", max(col("d")).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("d").cast("long").as("n_hist_dup_starts"),
+        sum("covered").cast("long").as("hist_dup_tokens"))
+    docs.filter(col("doc_id") >= thr).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_hist_dup_starts"), lit(0L)).as("n_hist_dup_starts"),
+        coalesce(col("hist_dup_tokens"), lit(0L)).as("hist_dup_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Cross-SOURCE duplicated-span attribution at span length L — the

@@ -2982,6 +2982,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // landing-cadence substring dedup: history reduced ONCE to a
+    // persisted store of distinct L-gram portable hashes (8 B/gram,
+    // raw history never re-read); the arriving shard hashes its grams
+    // map-side and one equi-join marks spans that already exist in the
+    // corpus — the incremental member of the substring family
+    "dedup_substring_incremental" -> ((s, dir) =>
+      graft.ops.Suffix.substringIncremental(Tables.documents(s, dir),
+        spanLen = 16)),
+
     // cross-source duplicated-span attribution: the suffix-rank table
     // rolled up to (gram, source) occurrence counts, then the bounded
     // source-pair join (≤ s·(s+1)/2 rows per gram at s sources — pair
@@ -4931,6 +4940,48 @@ object PipelineQueries {
          |  round(n_dup*1.0/n_spans, 4) AS dup_frac
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // full-history replay of the incremental store: same gram strings,
+    // same portable hash bit-for-bit (a collision would mismatch, not
+    // be absorbed), same history-membership flags and coverage sweep
+    "dedup_substring_incremental" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |thr AS (SELECT 3*(max(doc_id)+1)//4 AS t FROM documents),
+         |p AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+         |g AS (SELECT doc_id, i AS pos,
+         |        array_to_string(toks[i:i+15], chr(1)) AS gram
+         |      FROM p, unnest(range(1, n - 14)) t(i)),
+         |tb AS (SELECT gram, hex(encode(gram)) AS hx,
+         |         octet_length(encode(gram)) AS n
+         |       FROM (SELECT DISTINCT gram FROM g)),
+         |th AS MATERIALIZED (SELECT gram, ${sx(ghashSql(fnvHx, "41"))} AS h
+         |      FROM tb),
+         |hist AS (SELECT DISTINCT th.h
+         |         FROM g JOIN th USING (gram), thr WHERE g.doc_id < thr.t),
+         |shg AS (SELECT g.doc_id, g.pos, th.h
+         |        FROM g JOIN th USING (gram), thr WHERE g.doc_id >= thr.t),
+         |st AS (SELECT shg.doc_id, shg.pos,
+         |         CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END AS dup
+         |       FROM shg LEFT JOIN hist ON shg.h = hist.h),
+         |ap AS (SELECT doc_id, i AS pos
+         |       FROM p, thr, unnest(range(1, n + 1)) t(i)
+         |       WHERE doc_id >= thr.t),
+         |cov AS (SELECT ap.doc_id, coalesce(st.dup, 0) AS dup,
+         |          max(coalesce(st.dup, 0)) OVER (PARTITION BY ap.doc_id
+         |            ORDER BY ap.pos ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+         |            AS covered
+         |        FROM ap LEFT JOIN st ON ap.doc_id = st.doc_id AND ap.pos = st.pos),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |          CAST(sum(dup) AS BIGINT) AS n_hist_dup_starts,
+         |          CAST(sum(covered) AS BIGINT) AS hist_dup_tokens
+         |        FROM cov GROUP BY 1)
+         |SELECT dd.doc_id,
+         |  CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(agg.n_hist_dup_starts, 0) AS BIGINT) AS n_hist_dup_starts,
+         |  CAST(coalesce(agg.hist_dup_tokens, 0) AS BIGINT) AS hist_dup_tokens
+         |FROM (SELECT doc_id FROM documents, thr WHERE doc_id >= thr.t) dd
+         |LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // same direct-gram replay, rolled up per (gram, source) then the
     // bounded source-pair join with the within-source diagonal rule

@@ -64,6 +64,38 @@ class DedupSpec extends AnyFunSuite {
     assert(ref.exists(_._3 > 0), "no duplicated spans in the fixture")
   }
 
+  test("incremental substring dedup equals the direct reference and bounds the batch stats") {
+    val L = 16
+    val meta = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val thr = 3 * (meta.map(_._1).max + 1) / 4
+    val toks = meta.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq }.toMap
+    val hist = (for ((id, ts) <- toks.iterator if id < thr;
+                     i <- 0 to ts.length - L) yield ts.slice(i, i + L)).toSet
+    val ref = toks.collect { case (id, ts) if id >= thr =>
+      val starts = (0 to ts.length - L)
+        .filter(i => hist(ts.slice(i, i + L)))
+      (id, ts.length.toLong, starts.size.toLong,
+        starts.flatMap(i => i until i + L).toSet.size.toLong)
+    }.toSet
+    val got = SparkEntry.queries("dedup_substring_incremental")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == ref,
+      s"incremental diverged: missing=${ref.diff(got.toSet).take(3)} " +
+        s"extra=${got.toSet.diff(ref).take(3)}")
+    // vs-history duplication can never exceed vs-corpus duplication
+    val batch = SparkEntry.queries("dedup_substring")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    got.foreach { case (id, n, _, histDup) =>
+      assert(batch(id)._1 == n, s"token count mismatch for doc $id")
+      assert(histDup <= batch(id)._2,
+        s"doc $id: history-dup coverage $histDup exceeds corpus-dup ${batch(id)._2}")
+    }
+  }
+
   test("substring source attribution equals the direct n-gram reference") {
     // same direct materialization as the substring-dedup reference,
     // rolled up to per-(gram, source) counts and the bounded pair join
