@@ -83,11 +83,21 @@ object Suffix {
     * doc_id · max_doc_len; ANSI mode turns a violation into a loud
     * overflow error, and a corpus with wider ids re-keys first. */
   def suffixRanks(positions: DataFrame, prefixLen: Int,
-                  seedLen: Int = 4): DataFrame = {
-    require(seedLen >= 1 && prefixLen >= seedLen &&
-        (prefixLen & (prefixLen - 1)) == 0 && prefixLen % seedLen == 0,
-      s"need power-of-two prefixLen divisible by seedLen; " +
-        s"got prefixLen=$prefixLen seedLen=$seedLen")
+                  seedLen: Int = 4): DataFrame =
+    suffixRankLevels(positions, Seq(prefixLen), seedLen)(prefixLen)
+
+  /** [[suffixRanks]] for SEVERAL prefix lengths from ONE doubling
+    * chain: the requested levels are snapshots the loop passes through
+    * anyway, so asking for L ∈ {8, 16, 32} costs one construction to
+    * 32 — the multi-L economy that makes the suffix structure beat
+    * per-L n-gram re-hashing when an operator sweeps span lengths. */
+  def suffixRankLevels(positions: DataFrame, levels: Seq[Int],
+                       seedLen: Int = 4): Map[Int, DataFrame] = {
+    val prefixLen = levels.max
+    require(levels.nonEmpty && seedLen >= 1 &&
+        levels.forall(l => l >= seedLen && (l & (l - 1)) == 0) &&
+        prefixLen % seedLen == 0,
+      s"need power-of-two levels >= seedLen; got $levels seedLen=$seedLen")
     val maxPos = positions.agg(max("pos").as("mx"))
     // tokens are [a-z0-9]+ so the U+0001 separator can never occur inside one
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -101,7 +111,12 @@ object Suffix {
     var ranks = PlanBarrier.cut(
       seeded.join(seedIds, "g")
         .select(col("doc_id"), col("pos"), col("gpos"), col("nr").as("r")))
+    var out = Map.empty[Int, DataFrame]
+    def snap(level: Int): Unit =
+      if (levels.contains(level))
+        out += level -> ranks.select("doc_id", "pos", "r")
     var k = seedLen
+    snap(k)
     while (k < prefixLen) {
       // r2(p) = r(p + k): the same table shifted left by k and re-keyed,
       // so the lookup is a co-keyed equi-join; past-the-end pads to -1
@@ -115,12 +130,14 @@ object Suffix {
       val ids = paired.groupBy("r", "r2").agg(min("gpos").as("nr"))
       val next = paired.join(ids, Seq("r", "r2"))
         .select(col("doc_id"), col("pos"), col("gpos"), col("nr").as("r"))
-      // the carried table is self-joined next round; the final level is
-      // consumed once by the caller and needs no barrier
+      // the carried table is self-joined next round (every intermediate
+      // level is therefore cut — snapshots included); the final level
+      // is consumed only by the caller and needs no barrier
       k *= 2
       ranks = if (k < prefixLen) PlanBarrier.cut(next) else next
+      snap(k)
     }
-    ranks.select("doc_id", "pos", "r")
+    out
   }
 
   /** Per-document duplicated-span statistics at span length L: a token
@@ -164,6 +181,45 @@ object Suffix {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /** Span-length SWEEP over the duplicated-substring statistics — the
+    * "which L to deploy" knob audit (the *_sweep family pattern): ONE
+    * doubling chain to max(levels) yields exact rank identity at every
+    * requested level, then each level rolls up corpus totals —
+    * (span_len, n_grams, n_dup_starts, dup_tokens). Shorter spans can
+    * only be MORE duplicated, so the rows must be monotone decreasing
+    * in every dup column as span_len grows (pinned in DedupSpec). */
+  def dupSpanSweep(docs: DataFrame,
+                   levels: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val pos = positions(docs).localCheckpoint(false)
+    val byLevel = suffixRankLevels(pos, levels)
+    val lens = pos.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+      .localCheckpoint(false) // read by every level's start filter
+    val perLevel = levels.sorted.map { l =>
+      val starts = byLevel(l).join(lens, "doc_id")
+        .filter(col("pos") + l <= col("n_toks"))
+        .select("doc_id", "pos", "r")
+        .localCheckpoint(false) // rank-frequency count AND the flags
+      val dupRanks = starts.groupBy("r").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("r")
+      val st = starts
+        .join(dupRanks.withColumn("dup", lit(1)), Seq("r"), "left")
+        .select(col("doc_id"), col("pos"), lit(1).as("is_start"),
+          coalesce(col("dup"), lit(0)).as("dup"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-(l - 1), 0)
+      pos.select("doc_id", "pos")
+        .join(st, Seq("doc_id", "pos"), "left")
+        .withColumn("d", coalesce(col("dup"), lit(0)))
+        .withColumn("covered", max(col("d")).over(w))
+        .agg(sum(coalesce(col("is_start"), lit(0))).cast("long").as("n_grams"),
+          sum("d").cast("long").as("n_dup_starts"),
+          sum("covered").cast("long").as("dup_tokens"))
+        .select(lit(l.toLong).as("span_len"), col("n_grams"),
+          col("n_dup_starts"), col("dup_tokens"))
+    }
+    perLevel.reduce(_ unionByName _)
   }
 
   /** LANDING-CADENCE substring dedup — the incremental member of the

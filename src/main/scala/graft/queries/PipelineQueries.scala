@@ -2982,6 +2982,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // span-length sweep over the duplicated-substring totals: ONE
+    // doubling chain to 32 yields exact identity at L = 8/16/32 (the
+    // multi-L economy per-L n-gram re-hashing can't match) — the
+    // "which L to deploy" knob audit of the *_sweep family
+    "dedup_substring_sweep" -> ((s, dir) =>
+      graft.ops.Suffix.dupSpanSweep(Tables.documents(s, dir))
+        .orderBy("span_len")),
+
     // landing-cadence substring dedup: history reduced ONCE to a
     // persisted store of distinct L-gram portable hashes (8 B/gram,
     // raw history never re-read); the arriving shard hashes its grams
@@ -4940,6 +4948,37 @@ object PipelineQueries {
          |  round(n_dup*1.0/n_spans, 4) AS dup_frac
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // per-L direct gram replay of the sweep (same CTE pattern as the
+    // dedup_substring oracle, one block per span length)
+    "dedup_substring_sweep" -> {
+      def block(l: Int) =
+        s"""g$l AS (SELECT doc_id, i AS pos,
+           |        array_to_string(toks[i:i+${l - 1}], chr(1)) AS gram
+           |      FROM p, unnest(range(1, n - ${l - 2})) t(i)),
+           |df$l AS (SELECT gram, count(*) AS c FROM g$l GROUP BY 1),
+           |st$l AS (SELECT g$l.doc_id, g$l.pos,
+           |         CASE WHEN df$l.c >= 2 THEN 1 ELSE 0 END AS dup
+           |       FROM g$l JOIN df$l ON g$l.gram = df$l.gram),
+           |cov$l AS (SELECT ap.doc_id, coalesce(s.dup, 0) AS dup,
+           |          CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END AS is_start,
+           |          max(coalesce(s.dup, 0)) OVER (PARTITION BY ap.doc_id
+           |            ORDER BY ap.pos ROWS BETWEEN ${l - 1} PRECEDING AND CURRENT ROW)
+           |            AS covered
+           |        FROM ap LEFT JOIN st$l s
+           |          ON ap.doc_id = s.doc_id AND ap.pos = s.pos),
+           |a$l AS (SELECT CAST($l AS BIGINT) AS span_len,
+           |          CAST(sum(is_start) AS BIGINT) AS n_grams,
+           |          CAST(sum(dup) AS BIGINT) AS n_dup_starts,
+           |          CAST(sum(covered) AS BIGINT) AS dup_tokens
+           |        FROM cov$l)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |p AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+         |ap AS (SELECT doc_id, i AS pos FROM p, unnest(range(1, n + 1)) t(i)),
+         |${Seq(8, 16, 32).map(block).mkString(",\n")}
+         |SELECT * FROM a8 UNION ALL SELECT * FROM a16 UNION ALL
+         |SELECT * FROM a32 ORDER BY span_len""".stripMargin
+    },
 
     // full-history replay of the incremental store: same gram strings,
     // same portable hash bit-for-bit (a collision would mismatch, not

@@ -64,6 +64,29 @@ class DedupSpec extends AnyFunSuite {
     assert(ref.exists(_._3 > 0), "no duplicated spans in the fixture")
   }
 
+  test("substring sweep: monotone in span length and consistent with the L=16 key") {
+    val rows = SparkEntry.queries("dedup_substring_sweep")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(8L, 16L, 32L))
+    // longer spans can only be LESS duplicated (a dup 32-gram start is
+    // a dup 16-gram start is a dup 8-gram start), and gram counts
+    // shrink with span length by definition
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3 && b._4 <= a._4,
+        s"sweep not monotone: $a then $b")
+    }
+    // the L=16 row must equal the per-doc key's corpus totals exactly
+    val per = SparkEntry.queries("dedup_substring")(spark, sf)
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(n_dup_starts)"), org.apache.spark.sql.functions.expr(
+        "sum(dup_tokens)")).head()
+    val l16 = rows.find(_._1 == 16L).get
+    assert((l16._3, l16._4) == (per.getLong(0), per.getLong(1)),
+      s"sweep L=16 ${(l16._3, l16._4)} != dedup_substring totals " +
+        s"${(per.getLong(0), per.getLong(1))}")
+  }
+
   test("incremental substring dedup equals the direct reference and bounds the batch stats") {
     val L = 16
     val meta = Tables.documents(spark, sf)
