@@ -241,20 +241,28 @@ object Suffix {
     * Output per SHARD doc: n_tokens, n_hist_dup_starts (L-gram starts
     * found in history), hist_dup_tokens (positions covered by any
     * history-duplicated span). */
-  def substringIncremental(docs: DataFrame, spanLen: Int = 16,
-                           seed: Long = 41L): DataFrame = {
-    val spark = docs.sparkSession
-    graft.functions.GraftHash64.register(spark)
-    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4")).head().getLong(0)
+  /** Map-side L-gram portable hashes per position: (doc_id, pos, full,
+    * h) where `full` marks positions with a complete L-gram (the
+    * (L-1)th lead exists — no doc-length join needed). One per-doc
+    * window + one hash call; the landing-path primitive shared by the
+    * incremental store and its streaming twin. */
+  def gramHashes(docs: DataFrame, spanLen: Int,
+                 seed: Long = 41L): DataFrame = {
+    graft.functions.GraftHash64.register(docs.sparkSession)
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val gram = concat_ws("\u0001",
       col("tok") +: (1 until spanLen).map(i => lead("tok", i).over(wDoc)): _*)
-    // a position starts a full L-gram iff the (L-1)th lead exists —
-    // no doc-length join needed
-    val g = positions(docs)
+    positions(docs)
       .withColumn("full", lead("tok", spanLen - 1).over(wDoc).isNotNull)
       .withColumn("h", call_function("graft_hash64", gram, lit(seed)))
       .select("doc_id", "pos", "full", "h")
+  }
+
+  def substringIncremental(docs: DataFrame, spanLen: Int = 16,
+                           seed: Long = 41L): DataFrame = {
+    val spark = docs.sparkSession
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4")).head().getLong(0)
+    val g = gramHashes(docs, spanLen, seed)
       .localCheckpoint(false) // feeds the store build AND the shard scan
     val storeDir = graft.sources.Scratch.dir("graft_substr_store_")
     g.filter(col("doc_id") < thr && col("full"))

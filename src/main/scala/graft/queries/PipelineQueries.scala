@@ -2982,6 +2982,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the substring gram-hash store maintained at STREAMING cadence
+    // (completing the batch → incremental → streaming triple): map-side
+    // gram hashes per landing batch, history = the store snapshot at
+    // pass start, per-source counters as the only folded state, O(Δ)
+    // anti-join store append
+    "stream_substring_ingest" -> ((s, dir) =>
+      graft.streaming.EventStreams.substringIngest(s, dir)),
+
     // span-length sweep over the duplicated-substring totals: ONE
     // doubling chain to 32 yields exact identity at L = 8/16/32 (the
     // multi-L economy per-L n-gram re-hashing can't match) — the
@@ -4948,6 +4956,32 @@ object PipelineQueries {
          |  round(n_dup*1.0/n_spans, 4) AS dup_frac
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // one-shot replay of the streamed gram-store fold: same gram
+    // strings, same portable hash, history = generation-1 grams,
+    // per-source totals + history-dup counts over the full corpus
+    "stream_substring_ingest" ->
+      s"""WITH d AS (SELECT doc_id, source, $toks AS toks FROM documents),
+         |thr AS (SELECT 3*(max(doc_id)+1)//4 AS t FROM documents),
+         |p AS (SELECT doc_id, source, toks, len(toks) AS n FROM d),
+         |g AS (SELECT doc_id, source, i AS pos,
+         |        array_to_string(toks[i:i+15], chr(1)) AS gram
+         |      FROM p, unnest(range(1, n - 14)) t(i)),
+         |tb AS (SELECT gram, hex(encode(gram)) AS hx,
+         |         octet_length(encode(gram)) AS n
+         |       FROM (SELECT DISTINCT gram FROM g)),
+         |th AS MATERIALIZED (SELECT gram, ${sx(ghashSql(fnvHx, "41"))} AS h
+         |      FROM tb),
+         |gh AS MATERIALIZED (SELECT g.doc_id, g.source, th.h
+         |      FROM g JOIN th USING (gram)),
+         |hist AS (SELECT DISTINCT gh.h FROM gh, thr WHERE gh.doc_id < thr.t),
+         |fl AS (SELECT gh.source, gh.doc_id,
+         |         CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END AS inh
+         |       FROM gh LEFT JOIN hist ON gh.h = hist.h)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN fl.doc_id >= (SELECT t FROM thr) AND inh = 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_hist_dup_starts
+         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-L direct gram replay of the sweep (same CTE pattern as the
     // dedup_substring oracle, one block per span length)

@@ -396,6 +396,85 @@ object EventStreams {
     spark.read.parquet(store).orderBy("rule_keep", "clf_keep")
   }
 
+  /** Streaming substring-dedup ingest — the gram-hash store of
+    * [[graft.ops.Suffix.substringIncremental]] maintained at landing
+    * cadence (completing the signature-store triple the minhash and
+    * phash families set: batch → incremental → streaming): each
+    * landing batch computes its L-gram portable hashes MAP-SIDE
+    * (per-doc lead window + one hash call), flags spans already in the
+    * store SNAPSHOT taken at pass start (snapshot semantics make the
+    * result independent of how the file source splits a generation
+    * into micro-batches — history is strictly PRIOR generations), and
+    * folds per-SOURCE (n_grams, n_hist_dup_starts) counters — bounded
+    * at the source cardinality. The store grows by an O(Δ) anti-join
+    * append of the batch's never-seen gram hashes; raw history is
+    * never re-read. Generation 1 lands against an empty store (zero
+    * history dups by construction), so the final counters equal the
+    * one-shot gen1-frozen replay — which is the oracle. */
+  def substringIngest(spark: SparkSession, sfDir: String,
+                      spanLen: Int = 16): DataFrame = {
+    val base = graft.sources.Scratch.dir("graft_substr_stream")
+    val (stage, ckpt) = (s"$base/stage", s"$base/ckpt")
+    val (grams, ctr) = (s"$base/grams", s"$base/ctr")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(false)
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val stageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def pass(): Unit = withStateParts(spark) {
+      // history = everything staged BEFORE this pass, frozen once
+      val snapshot =
+        if (new java.io.File(grams).exists)
+          spark.read.parquet(grams).distinct().localCheckpoint(false)
+        else spark.emptyDataFrame.withColumn("h", lit(0L)).select("h").limit(0)
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val g = graft.ops.Suffix.gramHashes(batch, spanLen)
+            .filter(col("full"))
+            .join(batch.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "h")
+            .localCheckpoint(false) // counters AND the store append
+          val hist = g.join(snapshot, Seq("h"), "left_semi")
+            .groupBy("source").agg(count(lit(1)).as("n_hist_dup_starts"))
+          val local = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+            .join(hist, Seq("source"), "left")
+            .select(col("source"), col("n_grams"),
+              coalesce(col("n_hist_dup_starts"), lit(0L)).as("n_hist_dup_starts"))
+          val prev = new java.io.File(ctr)
+          val merged =
+            if (prev.exists)
+              ss.read.parquet(ctr).unionByName(local)
+                .groupBy("source")
+                .agg(sum("n_grams").as("n_grams"),
+                  sum("n_hist_dup_starts").as("n_hist_dup_starts"))
+            else local
+          val next = s"$ctr.next"
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
+          ss.read.parquet(next).write.mode("overwrite").parquet(ctr)
+          // O(delta) store growth: only the batch's never-seen hashes
+          g.select("h").distinct()
+            .join(snapshot, Seq("h"), "left_anti")
+            .write.mode("append").parquet(grams)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") < thr).write.parquet(s"$stage/gen1")
+    pass()
+    docs.filter(col("doc_id") >= thr).write.parquet(s"$stage/gen2")
+    pass()
+    spark.read.parquet(ctr).orderBy("source")
+  }
+
   /** Streaming maintenance of the hash-min bottom-k sample: the
     * sample_bottomk reservoir kept fresh across landing generations
     * WITHOUT rescanning history. Each AvailableNow pass reads only

@@ -261,6 +261,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum > 0, "no landed vectors counted")
   }
 
+  test("streaming substring ingest equals the incremental store's per-source rollup") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStreams.substringIngest(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // history-dup starts: the batch incremental key's per-doc counts,
+    // rolled up by source, must equal the streamed counters exactly
+    val docs = Tables.documents(spark, sf)
+    val incr = SparkEntry.queries("dedup_substring_incremental")(spark, sf)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum("n_hist_dup_starts").as("nh"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    incr.foreach { case (src, nh) =>
+      assert(streamed(src)._2 == nh,
+        s"$src: streamed hist-dups ${streamed(src)._2} != batch $nh")
+    }
+    // gram totals: every qualifying L-gram of every doc, by source
+    val grams = graft.ops.Suffix.gramHashes(docs, 16).filter(col("full"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.view.mapValues(_._1).toMap == grams,
+      "per-source gram totals diverged from the one-shot computation")
+  }
+
   test("streaming quality scoring equals the one-shot gen1-frozen batch scoring") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
