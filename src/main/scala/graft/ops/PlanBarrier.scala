@@ -26,6 +26,15 @@ import org.apache.spark.sql.{DataFrame, GraftBarrier}
 object PlanBarrier {
 
   /** Lazy local checkpoint with statistics reset — the per-round
-    * barrier for iterative loops. */
+    * barrier for iterative loops.
+    *
+    * Caller contract (ADVICE r12): the returned leaf carries the
+    * DEFAULT (huge) size estimate, so a caller that joins a loop's
+    * FINAL result against a big table will not get a static broadcast
+    * of the result even when it is tiny — either add an explicit
+    * `broadcast(...)` hint (as Pca and QualityClf do) or rely on AQE's
+    * runtime conversion. Loop-INTERNAL joins are unaffected: the loop
+    * bodies here join on keys and aggregate, and AQE re-plans them from
+    * actual shuffle sizes. */
   def cut(df: DataFrame): DataFrame = GraftBarrier.localCheckpointStatsReset(df)
 }
