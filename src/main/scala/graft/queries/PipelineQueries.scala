@@ -1612,10 +1612,11 @@ object PipelineQueries {
 
     // LEARNED quality filter, training audit (VERDICT r12 item 5; the
     // DCLM/fastText pattern): full-batch integer perceptron over
-    // 64-bucket hashed bag-of-words, distilled from the rule-based
-    // filter chain's keep bit, five deterministic rounds — one audit
-    // row per round (n_misclassified before the update, weight l1 +
-    // bias after it). The oracle replays the ENTIRE optimization.
+    // 256-bucket hashed bag-of-words (QualityClf.train's defaults),
+    // distilled from the rule-based filter chain's keep bit, eight
+    // deterministic rounds — one audit row per round (n_misclassified
+    // before the update, weight l1 + bias after it). The oracle
+    // replays the ENTIRE optimization round by round.
     "quality_clf_train" -> ((s, dir) =>
       graft.ops.QualityClf.train(Tables.documents(s, dir))._1),
 
@@ -2171,14 +2172,22 @@ object PipelineQueries {
           (col("n_vecs") - col("n_landed")).as("n_gen1"),
           col("n_landed").as("n_gen2"))
       val tot = occ.agg(sum("n_gen1").as("t1"), sum("n_gen2").as("t2"))
+      // exactness bound: num ≤ N² and 2·num²·10⁴ must fit DECIMAL(38,0),
+      // so the identity is exact for corpus counts N < ~2.6·10⁸ per
+      // store snapshot (DuckDB promotes to HUGEINT; past the bound the
+      // engines would diverge — re-scale the counters first, as Suffix
+      // documents for gpos). A degenerate snapshot with an EMPTY
+      // generation (t1·t2·(n1+n2) = 0) has no chi² to test: emit 0
+      // rather than Spark-null/DuckDB-error.
       Scalars.withScalar(occ, col("cell"), tot, col("t1"))
         .withColumn("num", expr(
           "CAST(n_gen1 AS DECIMAL(38,0))*t2 - CAST(n_gen2 AS DECIMAL(38,0))*t1"))
         .withColumn("chi2_cell_u4", expr(
-          """CAST((2*num*num*10000
+          """CASE WHEN t1*t2*(n_gen1 + n_gen2) = 0 THEN 0L ELSE
+            |CAST((2*num*num*10000
             |      + CAST(t1 AS DECIMAL(38,0))*t2*(n_gen1 + n_gen2))
             |  div (2*CAST(t1 AS DECIMAL(38,0))*t2*(n_gen1 + n_gen2))
-            |  AS BIGINT)""".stripMargin))
+            |  AS BIGINT) END""".stripMargin))
         .withColumn("chi2_total_u4", sum("chi2_cell_u4").over(
           org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
         .withColumn("retrain",
@@ -6880,11 +6889,12 @@ object PipelineQueries {
          |               n_landed AS n_gen2 FROM occ0),
          |tt AS (SELECT sum(n_gen1) AS t1, sum(n_gen2) AS t2 FROM occ),
          |ch AS (SELECT occ.cell, occ.n_gen1, occ.n_gen2,
-         |         CAST((2*(occ.n_gen1*tt.t2 - occ.n_gen2*tt.t1)
+         |         CASE WHEN tt.t1*tt.t2*(occ.n_gen1 + occ.n_gen2) = 0 THEN 0
+         |         ELSE CAST((2*(occ.n_gen1*tt.t2 - occ.n_gen2*tt.t1)
          |                *(occ.n_gen1*tt.t2 - occ.n_gen2*tt.t1)*10000
          |               + tt.t1*tt.t2*(occ.n_gen1 + occ.n_gen2))
          |              // (2*tt.t1*tt.t2*(occ.n_gen1 + occ.n_gen2)) AS BIGINT)
-         |           AS chi2_cell_u4
+         |         END AS chi2_cell_u4
          |       FROM occ, tt),
          |tot AS (SELECT CAST(sum(chi2_cell_u4) AS BIGINT) AS c FROM ch)
          |SELECT ch.cell, CAST(ch.n_gen1 AS BIGINT) AS n_gen1,

@@ -460,14 +460,21 @@ class PlanSpec extends AnyFunSuite {
       s"README claims $opClaim operators; code has ${SparkEntry.queries.size}")
     val specClaim = "# (\\d+) specs".r
       .findFirstMatchIn(readme).map(_.group(1).toInt)
+    // trimmed-prefix match (ADVICE r13): a registration at non-standard
+    // indentation (nested block, refactored suite) must still count
     val testDir = java.nio.file.Paths.get("src/test/scala/graft")
-    val registered = java.nio.file.Files.list(testDir).toArray.toSeq
-      .map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.toString.endsWith(".scala"))
-      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        .linesIterator.count(l => l.startsWith("  test(") ||
-          l.startsWith("  property(")))
-      .sum
+    val stream = java.nio.file.Files.list(testDir)
+    val registered =
+      try stream.toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".scala"))
+        .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .linesIterator.count { l =>
+            val t = l.trim
+            t.startsWith("test(\"") || t.startsWith("property(\"")
+          })
+        .sum
+      finally stream.close()
     assert(specClaim.contains(registered),
       s"README claims $specClaim specs; src/test registers $registered")
     // every gated query has an oracle, and no oracle is orphaned —
