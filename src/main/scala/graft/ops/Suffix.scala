@@ -61,6 +61,57 @@ object Suffix {
     docs.select(col("doc_id"), posexplode(Dedup.tokens(col("text"))))
       .toDF("doc_id", "pos", "tok")
 
+  /** Standard levels every substring-family caller can share: one
+    * doubling chain to 32 serves L ∈ {8, 16, 32}. */
+  val standardLevels: Seq[Int] = Seq(8, 16, 32)
+
+  private final case class RankEntry(pos: DataFrame,
+                                     levels: Map[Int, DataFrame],
+                                     rddIds: Seq[Int])
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), RankEntry]
+
+  /** Process-wide memo of the rank construction per corpus (VERDICT r13
+    * item 4): Bench and Verify run each substring key as an independent
+    * query inside ONE session over the same parquet dir, so without
+    * sharing, the family rebuilds an identical rank table per key. The
+    * memo holds (positions, rank snapshot per [[standardLevels]] level)
+    * as SHARED localCheckpoints ([[SharedArtifacts.checkpoint]] — exempt
+    * from Bench's per-query block sweep) built at most once per
+    * (session, corpusKey); every consumer reads the SAME materialized
+    * tables, so results are byte-identical to a private rebuild (rank
+    * ids are deterministic min-gpos representatives — no run-order
+    * dependence). Liveness is checked against `sc.getPersistentRDDs`
+    * on every hit — an entry whose blocks were swept (or whose context
+    * died; applicationId keys that case) rebuilds instead of throwing.
+    * Memory bound: positions is one row per corpus token and each level
+    * one row per position — the footprint ONE key's construction
+    * already materializes, now paid once instead of per key. */
+  def corpusRanks(docs: DataFrame,
+                  corpusKey: String): (DataFrame, Map[Int, DataFrame]) =
+    synchronized {
+      val sc = docs.sparkSession.sparkContext
+      val key = (sc.applicationId, corpusKey)
+      memo.get(key) match {
+        case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
+          (e.pos, e.levels)
+        case _ =>
+          val (pos, posId) = SharedArtifacts.checkpoint(positions(docs))
+          val built = suffixRankLevels(pos, standardLevels)
+            .map { case (l, df) => l -> SharedArtifacts.checkpoint(df) }
+          // materialize EAGERLY, in level order, while the doubling
+          // chain's intermediate (private, PlanBarrier) checkpoints are
+          // still alive: the block sweep between Bench queries drops
+          // them, and a snapshot left lazy would later try to compute
+          // from dead parent blocks
+          built.toSeq.sortBy(_._1).foreach(_._2._1.count())
+          val lv = built.map { case (l, (df, _)) => l -> df }
+          memo(key) = RankEntry(pos, lv,
+            posId +: built.values.map(_._2).toSeq)
+          (pos, lv)
+      }
+    }
+
   /** Appends suffix rank `r` for prefix length `prefixLen` (a power of
     * two ≥ seedLen): output (doc_id, pos, r) with `r` equal across two
     * positions iff their prefixLen-token (end-padded) suffix prefixes
@@ -148,10 +199,18 @@ object Suffix {
     * Output per doc: n_tokens, n_dup_starts (duplicated L-gram start
     * positions), dup_tokens (positions covered by any duplicated span)
     * — the counts a Lee-et-al-style span remover thresholds on. */
-  def dupSpanStats(docs: DataFrame, spanLen: Int = 16): DataFrame = {
-    // one scan feeds the rank construction AND the coverage sweep
-    val pos = positions(docs).localCheckpoint(false)
-    val ranks = suffixRanks(pos, spanLen)
+  def dupSpanStats(docs: DataFrame, spanLen: Int = 16,
+                   pre: Option[(DataFrame, Map[Int, DataFrame])] = None)
+      : DataFrame = {
+    // one scan feeds the rank construction AND the coverage sweep;
+    // callers in the substring family pass the shared [[corpusRanks]]
+    // memo instead of rebuilding
+    val (pos, ranks) = pre match {
+      case Some((p, lv)) if lv.contains(spanLen) => (p, lv(spanLen))
+      case _ =>
+        val p = positions(docs).localCheckpoint(false)
+        (p, suffixRanks(p, spanLen))
+    }
     val lens = pos.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
     // qualifying L-gram starts (>= spanLen tokens remain in-doc); their
     // rank is the exact L-gram identity, so df >= 2 means duplicated
@@ -191,9 +250,15 @@ object Suffix {
     * only be MORE duplicated, so the rows must be monotone decreasing
     * in every dup column as span_len grows (pinned in DedupSpec). */
   def dupSpanSweep(docs: DataFrame,
-                   levels: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
-    val pos = positions(docs).localCheckpoint(false)
-    val byLevel = suffixRankLevels(pos, levels)
+                   levels: Seq[Int] = standardLevels,
+                   pre: Option[(DataFrame, Map[Int, DataFrame])] = None)
+      : DataFrame = {
+    val (pos, byLevel) = pre match {
+      case Some((p, lv)) if levels.forall(lv.contains) => (p, lv)
+      case _ =>
+        val p = positions(docs).localCheckpoint(false)
+        (p, suffixRankLevels(p, levels))
+    }
     val lens = pos.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
       .localCheckpoint(false) // read by every level's start filter
     val perLevel = levels.sorted.map { l =>
@@ -289,6 +354,8 @@ object Suffix {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_hist_dup_starts"), lit(0L)).as("n_hist_dup_starts"),
         coalesce(col("hist_dup_tokens"), lit(0L)).as("hist_dup_tokens"))
+      // presentation sort for the driver gate's deterministic hash —
+      // a production consumer drops it (per-doc rows need no order)
       .orderBy("doc_id")
   }
 
@@ -305,9 +372,15 @@ object Suffix {
     * SOURCE cardinality (≤ s·(s+1)/2 rows per gram — 210 at s=20),
     * never by corpus size; the only corpus-sized shuffles are the rank
     * construction and one (rank, source) rollup. */
-  def dupSpanSources(docs: DataFrame, spanLen: Int = 16): DataFrame = {
-    val pos = positions(docs).localCheckpoint(false)
-    val ranks = suffixRanks(pos, spanLen)
+  def dupSpanSources(docs: DataFrame, spanLen: Int = 16,
+                     pre: Option[(DataFrame, Map[Int, DataFrame])] = None)
+      : DataFrame = {
+    val (pos, ranks) = pre match {
+      case Some((p, lv)) if lv.contains(spanLen) => (p, lv(spanLen))
+      case _ =>
+        val p = positions(docs).localCheckpoint(false)
+        (p, suffixRanks(p, spanLen))
+    }
     val lens = pos.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
     val starts = ranks.join(lens, "doc_id")
       .filter(col("pos") + spanLen <= col("n_toks"))

@@ -3003,9 +3003,15 @@ object PipelineQueries {
     // doubling chain to 32 yields exact identity at L = 8/16/32 (the
     // multi-L economy per-L n-gram re-hashing can't match) — the
     // "which L to deploy" knob audit of the *_sweep family
-    "dedup_substring_sweep" -> ((s, dir) =>
-      graft.ops.Suffix.dupSpanSweep(Tables.documents(s, dir))
-        .orderBy("span_len")),
+    // the family shares ONE memoized rank construction per corpus
+    // (Suffix.corpusRanks — VERDICT r13 item 4: the three rank-based
+    // keys were each paying the full doubling chain)
+    "dedup_substring_sweep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Suffix.dupSpanSweep(docs,
+          pre = Some(graft.ops.Suffix.corpusRanks(docs, dir)))
+        .orderBy("span_len")
+    }),
 
     // landing-cadence substring dedup: history reduced ONCE to a
     // persisted store of distinct L-gram portable hashes (8 B/gram,
@@ -3021,8 +3027,11 @@ object PipelineQueries {
     // source-pair join (≤ s·(s+1)/2 rows per gram at s sources — pair
     // space bounded by SOURCE cardinality, never corpus size); diagonal
     // rows require within-source duplication (cs >= 2)
-    "dedup_substring_sources" -> ((s, dir) =>
-      graft.ops.Suffix.dupSpanSources(Tables.documents(s, dir), spanLen = 16)),
+    "dedup_substring_sources" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Suffix.dupSpanSources(docs, spanLen = 16,
+        pre = Some(graft.ops.Suffix.corpusRanks(docs, dir)))
+    }),
 
     // TRUE exact substring dedup (VERDICT r12 item 4; Lee et al. 2022):
     // per-doc duplicated-span statistics at L=16 tokens computed from
@@ -3033,9 +3042,15 @@ object PipelineQueries {
     // starts and a per-doc window sweep counts covered positions. The
     // shingle heuristic text_span_dedup approximates this; THIS is the
     // operator a Lee-et-al span remover actually thresholds on.
-    "dedup_substring" -> ((s, dir) =>
-      graft.ops.Suffix.dupSpanStats(Tables.documents(s, dir), spanLen = 16)
-        .orderBy("doc_id")),
+    // the trailing orderBy is PRESENTATION only (the driver gate's
+    // deterministic hash) — a production caller consumes dupSpanStats
+    // unordered (the emission-rounding doctrine applied to sorts)
+    "dedup_substring" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Suffix.dupSpanStats(docs, spanLen = 16,
+          pre = Some(graft.ops.Suffix.corpusRanks(docs, dir)))
+        .orderBy("doc_id")
+    }),
 
     // Hash-min (bottom-k) sampling: the k docs with the smallest
     // portable hash form a uniform RNG-free sample that is MERGEABLE

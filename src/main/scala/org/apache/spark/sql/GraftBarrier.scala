@@ -43,4 +43,15 @@ object GraftBarrier {
     rdd.localCheckpoint()
     cds.sparkSession.internalCreateDataFrame(rdd, cds.schema)
   }
+
+  /** [[localCheckpointStatsReset]] that also reports the persisted
+    * RDD's id — for long-lived SHARED artifacts (e.g. the suffix-rank
+    * memo) that a block-manager sweep must be able to exempt and a
+    * cache can liveness-check against `sc.getPersistentRDDs`. */
+  def localCheckpointTracked(df: Dataset[Row]): (DataFrame, Int) = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = cds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    (cds.sparkSession.internalCreateDataFrame(rdd, cds.schema), rdd.id)
+  }
 }
