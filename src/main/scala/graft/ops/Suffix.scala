@@ -242,6 +242,71 @@ object Suffix {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** The REMOVAL half of Lee et al. 2022 (VERDICT r13 item 2): per
+    * contaminated document, the maximal duplicated-run offsets
+    * [start_tok, end_tok) a span remover actually executes —
+    * [[dupSpanStats]] counts decide THAT a corpus needs substring
+    * dedup; THIS emits WHAT to cut.
+    *
+    * A duplicated L-gram START at position p covers tokens
+    * [p, p+L). Two starts whose gap is ≤ L cover contiguously, so
+    * maximal duplicated runs are ISLANDS over the per-doc dup-start
+    * sequence: a new island opens when pos − lag(pos) > L (the
+    * contamination_spans pattern, with the gap rule generalized from
+    * adjacent to within-L); the island's span is
+    * [min(pos), max(pos)+L). By construction the islands are exactly
+    * the maximal runs of covered positions, so per doc
+    * Σ span_tokens = dup_tokens (pinned in DedupSpec) and
+    * kept_tokens = n_tokens − dup_tokens is the post-cut length.
+    *
+    * Output: one row per island — (doc_id, span_idx 1-based by start,
+    * start_tok, end_tok exclusive, span_tokens, n_tokens,
+    * kept_tokens); clean docs emit no rows (nothing to cut). All
+    * windows are doc-partitioned; the plan adds ONE keyed aggregation
+    * and two per-doc windows on top of the shared rank construction —
+    * no new corpus-sized shuffle beyond the start flags it already
+    * computes. */
+  def dupSpans(docs: DataFrame, spanLen: Int = 16,
+               pre: Option[(DataFrame, Map[Int, DataFrame])] = None)
+      : DataFrame = {
+    val (pos, ranks) = pre match {
+      case Some((p, lv)) if lv.contains(spanLen) => (p, lv(spanLen))
+      case _ =>
+        val p = positions(docs).localCheckpoint(false)
+        (p, suffixRanks(p, spanLen))
+    }
+    val lens = pos.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val starts = ranks.join(lens, "doc_id")
+      .filter(col("pos") + spanLen <= col("n_tokens"))
+      .select("doc_id", "pos", "r")
+      .localCheckpoint(false) // rank-frequency count AND the dup flags
+    val dupRanks = starts.groupBy("r").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("r")
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val isl = starts.join(dupRanks, Seq("r"), "left_semi")
+      .select("doc_id", "pos")
+      .withColumn("prev", lag("pos", 1).over(wd))
+      .withColumn("nw",
+        when(col("prev").isNull || col("pos") - col("prev") > spanLen, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("nw").over(wd))
+    val spans = isl.groupBy("doc_id", "island")
+      .agg(min("pos").cast("long").as("start_tok"),
+        (max("pos") + spanLen).cast("long").as("end_tok"))
+    val wIdx = Window.partitionBy("doc_id").orderBy("start_tok")
+    val idx = spans
+      .withColumn("span_idx", row_number().over(wIdx).cast("long"))
+      .withColumn("span_tokens", col("end_tok") - col("start_tok"))
+      .localCheckpoint(false) // emitted rows AND the per-doc cut rollup
+    val cut = idx.groupBy("doc_id").agg(sum("span_tokens").as("cut_tokens"))
+    idx.join(lens, "doc_id").join(cut, "doc_id")
+      .select(col("doc_id"), col("span_idx"), col("start_tok"),
+        col("end_tok"), col("span_tokens"), col("n_tokens"),
+        (col("n_tokens") - col("cut_tokens")).as("kept_tokens"))
+      // presentation sort (driver-gate hash); production drops it
+      .orderBy("doc_id", "span_idx")
+  }
+
   /** Span-length SWEEP over the duplicated-substring statistics — the
     * "which L to deploy" knob audit (the *_sweep family pattern): ONE
     * doubling chain to max(levels) yields exact rank identity at every

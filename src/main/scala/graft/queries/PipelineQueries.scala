@@ -3052,6 +3052,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the REMOVAL half of Lee et al. (VERDICT r13 item 2): per doc, the
+    // maximal duplicated-run [start_tok, end_tok) offsets a span
+    // remover executes — islands over dup L-gram starts (new island
+    // when the gap exceeds L), span = [min, max+L); per-doc
+    // Σ span_tokens reconciles with dedup_substring's dup_tokens
+    // (DedupSpec pin) and kept_tokens is the post-cut doc length
+    "dedup_substring_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Suffix.dupSpans(docs, spanLen = 16,
+        pre = Some(graft.ops.Suffix.corpusRanks(docs, dir)))
+    }),
+
     // Hash-min (bottom-k) sampling: the k docs with the smallest
     // portable hash form a uniform RNG-free sample that is MERGEABLE
     // (bottom-k of a union = bottom-k of each side's bottom-k) and
@@ -5126,6 +5138,46 @@ object PipelineQueries {
          |  CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
          |FROM documents dd LEFT JOIN agg ON dd.doc_id = agg.doc_id
          |ORDER BY dd.doc_id""".stripMargin,
+
+    // span extraction replayed by direct L-gram materialization: same
+    // dup-start set as the dedup_substring oracle (0-based positions,
+    // the contamination_spans convention), islands split when the
+    // start gap exceeds 16, span = [min, max+16)
+    "dedup_substring_spans" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |p AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |        array_to_string(toks[i:i+15], chr(1)) AS gram
+         |      FROM p, unnest(range(1, n - 14)) t(i)),
+         |dft AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+         |ds AS (SELECT g.doc_id, g.pos
+         |       FROM g JOIN dft USING (gram) WHERE dft.c >= 2),
+         |isl AS (SELECT doc_id, pos,
+         |          CASE WHEN lag(pos) OVER w IS NULL
+         |                 OR pos - lag(pos) OVER w > 16
+         |          THEN 1 ELSE 0 END AS nw
+         |        FROM ds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl2 AS (SELECT doc_id, pos,
+         |           sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |         FROM isl),
+         |sp AS (SELECT doc_id, island, min(pos) AS start_tok,
+         |         max(pos) + 16 AS end_tok
+         |       FROM isl2 GROUP BY 1, 2),
+         |idx AS (SELECT doc_id, start_tok, end_tok,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+         |            AS span_idx,
+         |          end_tok - start_tok AS span_tokens
+         |        FROM sp),
+         |cut AS (SELECT doc_id, sum(span_tokens) AS cut_toks
+         |        FROM idx GROUP BY 1)
+         |SELECT idx.doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(end_tok AS BIGINT) AS end_tok,
+         |  CAST(span_tokens AS BIGINT) AS span_tokens,
+         |  CAST(p.n AS BIGINT) AS n_tokens,
+         |  CAST(p.n - cut.cut_toks AS BIGINT) AS kept_tokens
+         |FROM idx JOIN p USING (doc_id) JOIN cut USING (doc_id)
+         |ORDER BY doc_id, span_idx""".stripMargin,
 
     "sample_bottomk" -> bottomKReplaySql,
 

@@ -64,6 +64,45 @@ class DedupSpec extends AnyFunSuite {
     assert(ref.exists(_._3 > 0), "no duplicated spans in the fixture")
   }
 
+  test("substring spans: cut + kept reconciles with dedup_substring exactly") {
+    // the extraction key must be the removal EXECUTION of the counting
+    // key: per doc, the islands' total length equals dup_tokens and
+    // kept_tokens is n_tokens minus it; spans are in-bounds, ordered,
+    // non-touching (a gap <= L would have merged), and >= L long
+    val stats = SparkEntry.queries("dedup_substring")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val spans = SparkEntry.queries("dedup_substring_spans")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(spans.nonEmpty, "no duplicated spans in the fixture")
+    val byDoc = spans.groupBy(_._1)
+    for ((doc, rows) <- byDoc) {
+      val (nTok, dupTok) = stats(doc)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length).toSeq,
+        s"doc $doc span_idx not 1..n")
+      sorted.foreach { case (_, _, s, e, len, n, kept) =>
+        assert(s >= 0 && e <= nTok && len == e - s && len >= 16,
+          s"doc $doc span [$s,$e) out of bounds or short")
+        assert(n == nTok && kept == nTok - dupTok,
+          s"doc $doc n/kept mismatch")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 > a._4,
+          s"doc $doc spans touch/overlap: $a then $b (would have merged)")
+        case _ => ()
+      }
+      assert(sorted.map(_._5).sum == dupTok,
+        s"doc $doc span lengths ${sorted.map(_._5).sum} != dup_tokens $dupTok")
+    }
+    // every doc with dup coverage has spans; clean docs have none
+    val dupDocs = stats.collect { case (d, (_, dt)) if dt > 0 => d }.toSet
+    assert(byDoc.keySet == dupDocs,
+      s"span docs != dup docs: missing=${dupDocs.diff(byDoc.keySet).take(3)} " +
+        s"extra=${byDoc.keySet.diff(dupDocs).take(3)}")
+  }
+
   test("substring sweep: monotone in span length and consistent with the L=16 key") {
     val rows = SparkEntry.queries("dedup_substring_sweep")(spark, sf)
       .collect().sortBy(_.getLong(0))
