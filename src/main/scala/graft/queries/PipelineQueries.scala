@@ -444,6 +444,50 @@ object PipelineQueries {
       Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), threshold = 0.35)
         .orderBy("id1", "id2")),
 
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023 — VERDICT r13 item
+    // 3): embedding-level near-dup PRUNING blocked by the IVF coarse
+    // quantizer — the modern cross-lexical dedup modality. Vectors are
+    // cell-assigned by the SAME frozen quantizer ann_ivf searches
+    // (Similarity.ivfAssign, 16 cells, one Lloyd round); within each
+    // cell, pairs with cosine >= threshold form the semantic-duplicate
+    // graph; keep-one-per-family is the shared CC collapse
+    // (Cluster.dedupClusters — min-id root survives, the deterministic
+    // SemDeDup keep rule). In-cell blocking bounds the pair space at
+    // Σ_cell |cell|² (never corpus²) and is the documented
+    // approximation: a cross-cell near-dup pair is unseen by design
+    // (the quantizer IS the blocking). Output per cell: n_vecs,
+    // n_pairs (graph edges), n_pruned (non-root members a SemDeDup
+    // pass drops).
+    "dedup_semantic" -> ((s, dir) => {
+      val assigned = Similarity.ivfAssign(Tables.embeddings(s, dir),
+          cells = 16, lloydIters = 1)
+        .select("vec_id", "v", "nrm", "cell")
+        .localCheckpoint(false) // both pair-join sides AND the rollup
+      val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+        col("v").as("v1"), col("nrm").as("nrm1"))
+      val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+        col("v").as("v2"), col("nrm").as("nrm2"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("id1") < col("id2"))
+        .filter(Dedup.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))
+          >= 0.35)
+        .select("cell", "id1", "id2")
+        .localCheckpoint(false) // feeds the CC AND the per-cell counts
+      val roots = graft.ops.Cluster.dedupClusters(
+          assigned.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      val stats = assigned.join(roots, "vec_id")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("vec_id") === col("cluster_id"), 0L).otherwise(1L))
+            .as("n_pruned"))
+      stats.join(pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs")),
+          Seq("cell"), "left")
+        .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("n_pruned"))
+        .orderBy("cell")
+    }),
+
     // symmetric k-NN graph over the whole embedding table — the input
     // to graph clustering / agglomerative dedup. Reuses the LSH path
     // with EVERY vector as a probe: coarser buckets (4 planes → 16
@@ -5790,6 +5834,63 @@ object PipelineQueries {
          |       * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.35
          |ORDER BY id1, id2""".stripMargin
     },
+
+    // independent SemDeDup replay: the ann_ivf assignment prelude
+    // (same seed order, 6dp Lloyd means, dense re-rank, DESC-cell tie
+    // rule), in-cell pairs at cosine >= 0.35, recursive-CTE connected
+    // components with min-id roots, per-cell rollup
+    "dedup_semantic" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 16),
+        |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+        |a0 AS (
+        |  SELECT e.vec_id, e.v, e.nrm, sd.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*sd.c[i])) / (e.nrm*sd.cn) DESC,
+        |               sd.cell DESC) AS rk
+        |  FROM e CROSS JOIN sd QUALIFY rk = 1),
+        |r0 AS (
+        |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+        |  FROM a0, unnest(range(1, 65)) t(i)
+        |  GROUP BY cell, i),
+        |rc AS (
+        |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+        |         list(m ORDER BY pos) AS c
+        |  FROM r0 GROUP BY cell),
+        |rcn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
+        |corp AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, e.nrm, rcn.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rcn.c[i])) / (e.nrm*rcn.cn) DESC,
+        |               rcn.cell DESC) AS rk
+        |  FROM e CROSS JOIN rcn QUALIFY rk = 1),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.cell, a.vec_id AS id1, b.vec_id AS id2
+        |  FROM corp a JOIN corp b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))
+        |          / (a.nrm*b.nrm) >= 0.35),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM corp
+        |  UNION
+        |  SELECT ed.src, reach.r FROM edges ed JOIN reach ON ed.dst = reach.id),
+        |lab AS (SELECT id AS vec_id, min(r) AS root FROM reach GROUP BY 1),
+        |stats AS (
+        |  SELECT corp.cell, count(*) AS n_vecs,
+        |    sum(CASE WHEN lab.root = corp.vec_id THEN 0 ELSE 1 END) AS n_pruned
+        |  FROM corp JOIN lab USING (vec_id) GROUP BY 1),
+        |pc AS (SELECT cell, count(*) AS n_pairs FROM pairs GROUP BY 1)
+        |SELECT CAST(stats.cell AS BIGINT) AS cell,
+        |  CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(n_pruned AS BIGINT) AS n_pruned
+        |FROM stats LEFT JOIN pc USING (cell)
+        |ORDER BY cell""".stripMargin,
 
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

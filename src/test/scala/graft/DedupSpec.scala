@@ -64,6 +64,44 @@ class DedupSpec extends AnyFunSuite {
     assert(ref.exists(_._3 > 0), "no duplicated spans in the fixture")
   }
 
+  test("semantic dedup equals an independent in-cell union-find replay") {
+    // collect the engine's own cell assignment (pinned elsewhere via
+    // the ann_ivf oracle), then replay pairs + keep-one-per-family
+    // with a driver-side quadratic union-find per cell
+    val assigned = Similarity.ivfAssign(Tables.embeddings(spark, sf),
+        cells = 16, lloydIters = 1)
+      .select("vec_id", "v", "nrm", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+        r.getInt(3)))
+    val byCell = assigned.groupBy(_._4)
+    val parent = scala.collection.mutable.Map(
+      assigned.map(a => a._1 -> a._1).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    var nPairs = Map.empty[Int, Long].withDefaultValue(0L)
+    for ((cell, vs) <- byCell; i <- vs.indices; j <- i + 1 until vs.length) {
+      val (a, b) = (vs(i), vs(j))
+      val cos = a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3)
+      if (cos >= 0.35) {
+        nPairs += cell -> (nPairs(cell) + 1L)
+        val (ra, rb) = (find(a._1), find(b._1))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val ref = byCell.map { case (cell, vs) =>
+      (cell.toLong, vs.length.toLong, nPairs(cell),
+        vs.count(v => find(v._1) != v._1).toLong)
+    }.toSet
+    val got = SparkEntry.queries("dedup_semantic")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == ref,
+      s"semantic dedup diverged: missing=${ref.diff(got).take(3)} " +
+        s"extra=${got.diff(ref).take(3)}")
+    assert(ref.exists(_._4 > 0), "fixture prunes nothing — dead test")
+  }
+
   test("substring spans: cut + kept reconciles with dedup_substring exactly") {
     // the extraction key must be the removal EXECUTION of the counting
     // key: per doc, the islands' total length equals dup_tokens and
