@@ -1624,6 +1624,110 @@ object PipelineQueries {
         .orderBy("stage_idx")
     }),
 
+    // THE CAPSTONE, r14 edition (VERDICT r13 item 1): the funnel now
+    // consumes what r13 built. Two stages join the v1 chain — TRUE
+    // substring dedup (stage 2: Suffix.dupSpanStats over the
+    // exact-dedup survivors; a doc dominated by duplicated spans —
+    // coverage > 20%, i.e. 5·dup_tokens > n_tokens — is dropped, the
+    // Lee-et-al doc-level deploy rule; it runs BEFORE the family
+    // collapse because that is where substring duplication lives —
+    // measured: after near-dedup this corpus has ZERO duplicated
+    // 16-grams left, and the FineWeb/RefinedWeb order is
+    // substring-level first, fuzzy doc-level after) and the LEARNED
+    // quality gate run ALONGSIDE the rule gate (stage 4 survivors
+    // still follow the rule — the conservative deploy — while the
+    // frozen full-corpus quality_clf perceptron scores the same
+    // population and the 4 rule×clf agreement cells are emitted as
+    // audit rows 8..11, always present even when empty). Stage
+    // accounting schema is v1's (stage_idx, stage, n_docs, sum_chars),
+    // stage_idx BIGINT.
+    "pipeline_e2e_v2" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+        .localCheckpoint(false)
+      def acct(idx: Int, name: String, d: DataFrame, chars: Column): DataFrame =
+        d.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(chars).cast("bigint"), lit(0L)).as("sum_chars"))
+          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("sum_chars"))
+      val s1 = docs.groupBy(Dedup.normText(col("text")).as("norm"))
+        .agg(min("doc_id").as("doc_id"))
+        .join(docs, "doc_id").select("doc_id", "text", "source")
+        .localCheckpoint(false)
+      // stage 2: substring-span accounting over the exact-dedup
+      // survivors (the suffix construction runs on THIS corpus, as a
+      // scheduled run would — no memo: not the full-corpus key)
+      val sub = graft.ops.Suffix.dupSpanStats(s1.select("doc_id", "text"),
+        spanLen = 16)
+      val s2 = s1.join(sub.filter(col("dup_tokens") * 5 <= col("n_tokens"))
+          .select("doc_id"), "doc_id")
+        .localCheckpoint(false)
+      // stage 3: near-dup family collapse over the substring survivors
+      val clusters = Cluster.dedupClusters(s2,
+          Dedup.ngramJaccard(s2, n = 3, threshold = 0.8, maxDF = 50))
+        .localCheckpoint(false)
+      val s3 = s2.join(clusters.filter(col("doc_id") === col("cluster_id"))
+          .select("doc_id"), "doc_id")
+        .localCheckpoint(false)
+      // stage 4: rule gate; the frozen learned gate scores the SAME
+      // population for the agreement audit
+      val q = TextAnalysis.quality(s3.select("doc_id", "text"))
+        .join(s3.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(false) // gate filter AND the agreement rollup
+      val s4 = q.filter(col("quality_score") >= 0.5)
+        .localCheckpoint(false)
+      val (_, wts) = graft.ops.QualityClf.train(
+        Tables.documents(s, dir).select("doc_id", "text"))
+      val marg = graft.ops.QualityClf.features(s3.select("doc_id", "text"))
+        .join(broadcast(wts), Seq("b"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("w"), lit(0L))).as("marg"))
+      val agree = q.join(marg, "doc_id")
+        .select(when(col("quality_score") >= 0.5, 1L).otherwise(0L).as("rk"),
+          when(col("marg") > 0, 1L).otherwise(0L).as("ck"), col("n_chars"))
+        .groupBy("rk", "ck")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("bigint").as("sum_chars"))
+      val agreeRows = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
+        .toDF("rk", "ck")
+        .join(agree, Seq("rk", "ck"), "left")
+        .select((lit(8L) + col("rk") * 2 + col("ck")).as("stage_idx"),
+          concat(lit("gate_rule"), col("rk"), lit("_clf"), col("ck"))
+            .as("stage"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
+      // stages 5-7: v1's budget window, decontamination, family split
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val s5 = s4.select(col("doc_id"), col("source"), col("n_chars"),
+          coalesce(sum("n_chars").over(w), lit(0L)).as("prior"))
+        .filter(col("prior") < 25000L)
+        .localCheckpoint(false)
+      val flagged = graft.ops.Contamination.check(
+          s5.select("doc_id").join(docs, "doc_id").select("doc_id", "text"),
+          docs.filter(col("doc_id") < 25).select("doc_id", "text"),
+          n = 3, threshold = 0.5)
+        .filter(col("contaminated") === 1).select("doc_id")
+      val s6 = s5.join(flagged, Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
+      val bucket = shiftrightunsigned(call_function("graft_hash64",
+        col("cluster_id").cast("string"), lit(7L)), 52)
+      val s7 = s6.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+        .filter(bucket < 3277)
+      acct(0, "raw", docs, length(col("text")))
+        .unionByName(acct(1, "exact_dedup", s1, length(col("text"))))
+        .unionByName(acct(2, "substring_dedup", s2, length(col("text"))))
+        .unionByName(acct(3, "near_dedup", s3, length(col("text"))))
+        .unionByName(acct(4, "quality", s4, col("n_chars")))
+        .unionByName(acct(5, "budget", s5, col("n_chars")))
+        .unionByName(acct(6, "decontam", s6, col("n_chars")))
+        .unionByName(acct(7, "split_train", s7, col("n_chars")))
+        .unionByName(agreeRows)
+        .orderBy("stage_idx")
+    }),
+
     // deterministic stratified sample: the k smallest doc_ids per
     // language, via the shared two-phase top-k (see graft.ops.TopK for
     // the hot-partition rationale and the superset invariant)
@@ -7021,6 +7125,142 @@ object PipelineQueries {
          |  UNION ALL SELECT 6, 'split_train', count(*),
          |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM d6)
          |SELECT stage_idx, stage, n_docs, sum_chars FROM st ORDER BY stage_idx""".stripMargin,
+
+    // the r14 capstone replayed end to end: the quality_clf training
+    // prelude (full-corpus frozen weights + per-doc quality + corpus
+    // toks in t/q/fx) comes first, then the v1 funnel CTEs (f-prefixed
+    // to dodge the prelude's d2..d8/w/q names) with the substring stage
+    // spliced between exact dedup and the family collapse, and the 4
+    // agreement cells derived from q × the frozen-w8 margins over the
+    // stage-3 survivors
+    "pipeline_e2e_v2" ->
+      s"""${qualityClfPrelude(8).replaceFirst("^WITH ", "WITH RECURSIVE\n")},
+         |fs1 AS (SELECT min(doc_id) AS doc_id
+         |       FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |             FROM documents)
+         |       GROUP BY norm),
+         |fd1 AS MATERIALIZED (SELECT d.doc_id, d.text, d.source
+         |       FROM documents d JOIN fs1 USING (doc_id)),
+         |fp2 AS (SELECT t.doc_id, t.toks, len(t.toks) AS n
+         |        FROM t JOIN fd1 USING (doc_id)),
+         |fg2 AS (SELECT doc_id, i AS pos,
+         |        array_to_string(toks[i:i+15], chr(1)) AS gram
+         |      FROM fp2, unnest(range(1, n - 14)) x(i)),
+         |fdft AS (SELECT gram, count(*) AS c FROM fg2 GROUP BY 1),
+         |fss AS (SELECT fg2.doc_id, fg2.pos,
+         |         CASE WHEN fdft.c >= 2 THEN 1 ELSE 0 END AS dup
+         |       FROM fg2 JOIN fdft USING (gram)),
+         |fap AS (SELECT doc_id, i AS pos FROM fp2, unnest(range(1, n + 1)) x(i)),
+         |fcov AS (SELECT fap.doc_id, coalesce(fss.dup, 0) AS dup,
+         |          max(coalesce(fss.dup, 0)) OVER (PARTITION BY fap.doc_id
+         |            ORDER BY fap.pos ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+         |            AS covered
+         |        FROM fap LEFT JOIN fss
+         |          ON fap.doc_id = fss.doc_id AND fap.pos = fss.pos),
+         |fsub AS (SELECT doc_id, count(*) AS n_toks,
+         |           sum(covered) AS dup_toks
+         |         FROM fcov GROUP BY 1),
+         |fd2 AS MATERIALIZED (SELECT fd1.* FROM fd1 LEFT JOIN fsub USING (doc_id)
+         |        WHERE coalesce(5*fsub.dup_toks <= fsub.n_toks, TRUE)),
+         |fsh AS (SELECT t.doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM t JOIN fd2 USING (doc_id)),
+         |fex AS (SELECT doc_id, unnest(sh) AS s FROM fsh),
+         |fkeep AS (SELECT s FROM fex GROUP BY s HAVING count(*) <= 50),
+         |fcx AS (SELECT doc_id, fex.s FROM fex JOIN fkeep ON fex.s = fkeep.s),
+         |fsizes AS (SELECT doc_id, count(*) AS n FROM fcx GROUP BY 1),
+         |fpairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM fcx a JOIN fcx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |fgood AS (
+         |  SELECT id1, id2 FROM fpairs
+         |  JOIN fsizes z1 ON id1 = z1.doc_id
+         |  JOIN fsizes z2 ON id2 = z2.doc_id
+         |  WHERE shared*1.0/(z1.n + z2.n - shared) >= 0.8),
+         |fedges AS (SELECT id1 AS src, id2 AS dst FROM fgood
+         |          UNION ALL SELECT id2, id1 FROM fgood),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM fd2
+         |  UNION
+         |  SELECT e.src, reach.r FROM fedges e JOIN reach ON e.dst = reach.id),
+         |flab AS MATERIALIZED (SELECT id AS doc_id, min(r) AS cluster_id
+         |        FROM reach GROUP BY 1),
+         |fd3 AS MATERIALIZED (SELECT fd2.* FROM fd2 JOIN flab USING (doc_id)
+         |        WHERE doc_id = cluster_id),
+         |fnc AS (SELECT doc_id, length(text) AS n_chars FROM documents),
+         |fd4 AS MATERIALIZED (
+         |  SELECT fd3.doc_id, fd3.source, fnc.n_chars, q.quality_score AS qs
+         |  FROM fd3 JOIN q USING (doc_id) JOIN fnc USING (doc_id)
+         |  WHERE q.quality_score >= 0.5),
+         |fmg AS (SELECT fx.doc_id, coalesce(sum(w8.w), 0) AS marg
+         |        FROM fx JOIN fd3 USING (doc_id) LEFT JOIN w8 ON fx.b = w8.b
+         |        GROUP BY 1),
+         |fagg AS (SELECT CASE WHEN q.quality_score >= 0.5 THEN 1 ELSE 0 END AS rk,
+         |           CASE WHEN fmg.marg > 0 THEN 1 ELSE 0 END AS ck,
+         |           count(*) AS n_docs,
+         |           CAST(sum(fnc.n_chars) AS BIGINT) AS sum_chars
+         |         FROM fd3 JOIN q USING (doc_id) JOIN fmg USING (doc_id)
+         |         JOIN fnc USING (doc_id)
+         |         GROUP BY 1, 2),
+         |fcells AS (SELECT * FROM (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(rk, ck)),
+         |fagr AS (SELECT CAST(8 + c.rk*2 + c.ck AS BIGINT) AS stage_idx,
+         |           'gate_rule' || CAST(c.rk AS VARCHAR) || '_clf'
+         |             || CAST(c.ck AS VARCHAR) AS stage,
+         |           CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+         |           CAST(coalesce(a.sum_chars, 0) AS BIGINT) AS sum_chars
+         |         FROM fcells c LEFT JOIN fagg a ON c.rk = a.rk AND c.ck = a.ck),
+         |fw AS (
+         |  SELECT doc_id, source, n_chars,
+         |    coalesce(sum(n_chars) OVER (PARTITION BY source
+         |      ORDER BY qs DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM fd4),
+         |fsel AS MATERIALIZED (SELECT doc_id, source, n_chars FROM fw WHERE prior < 25000),
+         |fcsh AS (SELECT t.doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM t JOIN fsel USING (doc_id)),
+         |fbsh AS (SELECT doc_id AS bench_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM t WHERE doc_id < 25),
+         |fcpx AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM fcsh),
+         |fbpx AS (SELECT bench_id, unnest(sh) AS s FROM fbsh),
+         |fcont AS (
+         |  SELECT doc_id FROM (
+         |    SELECT fcpx.doc_id, fbpx.bench_id, any_value(fcpx.n_sh) AS n_sh,
+         |      count(*) AS shared
+         |    FROM fcpx JOIN fbpx USING (s) GROUP BY 1, 2)
+         |  WHERE shared*1.0/n_sh >= 0.5 GROUP BY 1),
+         |fd5 AS (SELECT * FROM fsel WHERE doc_id NOT IN (SELECT doc_id FROM fcont)),
+         |fsh6 AS (SELECT fd5.doc_id, fd5.n_chars, flab.cluster_id,
+         |    hex(encode(CAST(flab.cluster_id AS VARCHAR))) AS hx,
+         |    octet_length(encode(CAST(flab.cluster_id AS VARCHAR))) AS n
+         |  FROM fd5 JOIN flab USING (doc_id)),
+         |fd6 AS (SELECT doc_id, n_chars FROM (
+         |    SELECT doc_id, n_chars, ${ghashSql(fnvHx, "7")} AS hu FROM fsh6)
+         |  WHERE hu // 4503599627370496 < 3277),
+         |fstg AS (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+         |    count(*) AS n_docs,
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars
+         |  FROM documents
+         |  UNION ALL SELECT 1, 'exact_dedup', count(*),
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM fd1
+         |  UNION ALL SELECT 2, 'substring_dedup', count(*),
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM fd2
+         |  UNION ALL SELECT 3, 'near_dedup', count(*),
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM fd3
+         |  UNION ALL SELECT 4, 'quality', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd4
+         |  UNION ALL SELECT 5, 'budget', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fsel
+         |  UNION ALL SELECT 6, 'decontam', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd5
+         |  UNION ALL SELECT 7, 'split_train', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd6
+         |  UNION ALL SELECT stage_idx, stage, n_docs, sum_chars FROM fagr)
+         |SELECT stage_idx, stage, n_docs, sum_chars
+         |FROM fstg ORDER BY stage_idx""".stripMargin,
 
     // independent IVF re-derivation: same multiplicative-hash seed
     // order, seeded argmax assignment (ties -> higher cell, matching

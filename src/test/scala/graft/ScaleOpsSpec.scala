@@ -290,6 +290,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(decon._3 < budget._3, "decontam stage removed nothing")
   }
 
+  test("pipeline funnel v2: monotone stages, biting dedup stages, consistent agreement cells") {
+    val rows = SparkEntry.queries("pipeline_e2e_v2")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("raw", "exact_dedup", "substring_dedup", "near_dedup", "quality",
+        "budget", "decontam", "split_train",
+        "gate_rule0_clf0", "gate_rule0_clf1", "gate_rule1_clf0",
+        "gate_rule1_clf1"))
+    assert(rows.head._3 == Tables.documents(spark, sf).count())
+    // funnel stages 0..7 only remove documents (and chars)
+    rows.take(8).sliding(2).foreach { case Array((_, a, na, ca), (_, b, nb, cb)) =>
+      assert(nb <= na && cb <= ca, s"stage $b grew vs $a: $nb>$na or $cb>$ca")
+    }
+    // the r14 stage must BITE on this corpus (it runs before the family
+    // collapse precisely because that is where substring duplication
+    // lives — a dead stage here means the order regressed)
+    assert(rows(2)._3 < rows(1)._3, "substring_dedup stage removed nothing")
+    assert(rows.last._3 >= 0 && rows(7)._3 >= 1)
+    // the 4 agreement cells partition the gate's input population
+    // (stage-3 survivors): counts and chars must sum exactly
+    val cells = rows.drop(8)
+    assert(cells.map(_._3).sum == rows(3)._3,
+      s"agreement cells ${cells.map(_._3).sum} != near_dedup ${rows(3)._3}")
+    assert(cells.map(_._4).sum == rows(3)._4,
+      "agreement cell chars don't sum to the gate population")
+    // rule-keeps among the cells must equal the quality stage survivors
+    assert(cells.filter(_._2.startsWith("gate_rule1")).map(_._3).sum == rows(4)._3,
+      "rule1 cells don't reproduce the quality stage count")
+  }
+
   test("hnsw layered search is deterministic, well-formed, and beats its single-bucketing failure mode") {
     import graft.ops.Hnsw
     def run() = Hnsw.topK(Tables.embeddings(spark, sf), col("vec_id") < 10, k = 5)
