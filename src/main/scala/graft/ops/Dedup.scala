@@ -107,14 +107,27 @@ object Dedup {
     * linear in corpus size, never all-pairs.
     * Output: id1, id2, shared, jaccard (unrounded — the integer-ratio division is bit-identical cross-engine). */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                   maxDF: Int = 50): DataFrame = {
+                   maxDF: Int = 50): DataFrame =
+    jaccardPairsFromPostings(postings(docs, n), threshold, maxDF)
+
+  /** [[ngramJaccard]] over an ALREADY-MATERIALIZED posting list
+    * (doc_id, s) — the store-fed entry point: the streaming funnel's
+    * shingle store holds 64-bit shingle hashes instead of strings
+    * (identity-by-portable-hash is the signature-store contract), and
+    * the pair logic is identical for either `s` type. Same DF cap,
+    * same capped-space jaccard. */
+  def jaccardPairsFromPostings(post: DataFrame, threshold: Double = 0.8,
+                               maxDF: Int = 50): DataFrame = {
     // the bucket table feeds BOTH the pair counts and the per-doc sizes;
     // localCheckpoint materializes it once (executor-local blocks, freed
     // on GC) instead of re-executing the explode+groupBy chain per
     // consumer — the standard staging move for a shared dedup
     // intermediate; at open scale this is where the buckets would be
     // written to storage between stages
-    val buckets = cappedBuckets(docs, n, maxDF).localCheckpoint(false)
+    val buckets = post
+      .groupBy("s").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDF)
+      .localCheckpoint(false)
     val pairs = bucketPairs(buckets)
       .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
     val sizes = buckets

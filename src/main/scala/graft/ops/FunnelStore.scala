@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The ingest funnel re-based on COMPACT PER-DOC STORES — the engine of
+  * the landing-cadence capstone (`stream_pipeline_e2e`).
+  *
+  * A continuously-built corpus cannot re-read raw text every time a
+  * shard lands, but the funnel's decisions are GLOBAL: a landing
+  * generation can retro-affect history (a new doc bridges two near-dup
+  * families and evicts a former root; a new doc's grams push a history
+  * doc's duplicated-span coverage over the drop line; a new
+  * high-quality doc displaces a budget selection). Bounded per-source
+  * counters therefore cannot reproduce the one-shot funnel — what CAN
+  * is the standard lakehouse shape: raw text is parsed EXACTLY ONCE at
+  * landing into four append-only integer/hash stores
+  * ([[extract]] — doc meta, shingle hashes, gram hashes, classifier
+  * features; each O(tokens) rows of fixed-width columns, appended
+  * O(Δ) per shard), and every landing generation re-derives the funnel
+  * accounting from the stores ([[funnel]]) — compact-store compute,
+  * never raw-text re-reads. This is how FineWeb-style pipelines
+  * actually schedule global stages across snapshots.
+  *
+  * Identity contract: norm text and shingles live in the stores as
+  * 64-bit portable hashes (the signature-store convention of
+  * dedup_substring_incremental / the minhash store); the oracle is the
+  * one-shot funnel's EXACT-string replay, so a hash collision would
+  * surface as a driver-gate mismatch, never be silently absorbed.
+  *
+  * [[funnel]] over the complete stores provably equals
+  * `pipeline_e2e_v2` (StreamingSpec pins row-set equality): every
+  * stage consumes the same per-doc facts the batch funnel derives from
+  * text, and every decision rule is shared code
+  * ([[Dedup.jaccardPairsFromPostings]], [[Cluster.dedupClusters]],
+  * [[QualityClf.trainOnFeatures]]) or the same column expressions.
+  */
+object FunnelStore {
+
+  final case class Stores(meta: DataFrame, shingles: DataFrame,
+                          grams: DataFrame, feat: DataFrame)
+
+  /** Map-side per-landing-batch extraction: everything the funnel will
+    * ever need from this shard's raw text.
+    *   - meta: (doc_id, source, n_chars, n_tokens, quality_score, y,
+    *     norm_h) — per-doc scalars (quality/label formulas are per-doc,
+    *     so landing-time values equal batch values);
+    *   - shingles: (doc_id, s) distinct 3-gram shingle hashes — serves
+    *     BOTH the near-dup pair space and decontamination;
+    *   - grams: (doc_id, pos, h) full 16-gram hashes — the substring
+    *     store with positions, so coverage can be re-derived as new
+    *     corpus grams raise history docs' duplication;
+    *   - feat: (doc_id, b) hashed bag-of-words buckets (+ bias row). */
+  def extract(batch: DataFrame, spanLen: Int = 16): Stores = {
+    graft.functions.GraftHash64.register(batch.sparkSession)
+    val q = TextAnalysis.quality(batch.select("doc_id", "text"))
+    val meta = batch
+      .select(col("doc_id"), col("source"),
+        call_function("graft_hash64", Dedup.normText(col("text")), lit(11L))
+          .as("norm_h"))
+      .join(q.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"), col("quality_score")),
+        "doc_id")
+      .join(QualityClf.labels(batch.select("doc_id", "text")), "doc_id")
+    val shingles = Dedup.shingleSets(batch.select("doc_id", "text"), 3)
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
+      .select(col("doc_id"),
+        call_function("graft_hash64", col("sh"), lit(13L)).as("s"))
+    val grams = Suffix.gramHashes(batch.select("doc_id", "text"), spanLen)
+      .filter(col("full")).select("doc_id", "pos", "h")
+    val feat = QualityClf.features(batch.select("doc_id", "text"))
+    Stores(meta, shingles, grams, feat)
+  }
+
+  /** The full funnel accounting (pipeline_e2e_v2's 12 rows) derived
+    * from the stores alone. Stage semantics are the batch capstone's:
+    * exact dedup (min-id per norm hash) → substring dedup (drop docs
+    * with >20% duplicated-span coverage; coverage re-derived from the
+    * gram store via the dupSpans island identity — Σ islands
+    * (max−min+L), so no per-position table is ever stored) → near-dup
+    * family collapse (hashed-posting jaccard pairs + CC roots) → rule
+    * quality gate with the frozen store-trained classifier's agreement
+    * cells → per-source budget → decontamination (store shingles vs
+    * the bench docs' store shingles) → leakage-safe family split. */
+  def funnel(st: Stores, spanLen: Int = 16): DataFrame = {
+    val spark = st.meta.sparkSession
+    import spark.implicits._
+    graft.functions.GraftHash64.register(spark)
+    val meta = st.meta.localCheckpoint(false)
+    def acct(idx: Int, name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_chars").cast("bigint"), lit(0L)).as("sum_chars"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("sum_chars"))
+    val s1 = meta.groupBy("norm_h").agg(min("doc_id").as("doc_id"))
+      .join(meta, "doc_id")
+      .localCheckpoint(false)
+    // substring stage: corpus-wide gram df over the SURVIVOR doc set,
+    // dup coverage via the island identity, >20% coverage dropped
+    val g1 = st.grams.join(s1.select("doc_id"), "doc_id")
+      .localCheckpoint(false) // df count AND the dup-start flags
+    val dupH = g1.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val dup = g1.join(dupH, Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+      .withColumn("prev", lag("pos", 1).over(wd))
+      .withColumn("nw",
+        when(col("prev").isNull || col("pos") - col("prev") > spanLen, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("nw").over(wd))
+      .groupBy("doc_id", "island")
+      .agg((max("pos") - min("pos") + spanLen).cast("long").as("len"))
+      .groupBy("doc_id").agg(sum("len").as("dup_tokens"))
+    val s2 = s1.join(dup, Seq("doc_id"), "left")
+      .filter(coalesce(col("dup_tokens"), lit(0L)) * 5 <= col("n_tokens"))
+      .drop("dup_tokens")
+      .localCheckpoint(false)
+    // near-dup collapse over the substring survivors, pairs from the
+    // hashed shingle store
+    val pairs = Dedup.jaccardPairsFromPostings(
+      st.shingles.join(s2.select("doc_id"), "doc_id"))
+      .select("id1", "id2")
+    val clusters = Cluster.dedupClusters(s2.select("doc_id"), pairs)
+      .localCheckpoint(false)
+    val s3 = s2.join(clusters.filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id"), "doc_id")
+      .localCheckpoint(false)
+    // frozen classifier trained from the FULL feature store (the batch
+    // capstone trains on the full corpus), agreement over s3
+    val (_, wts) = QualityClf.trainOnFeatures(st.feat,
+      meta.select("doc_id", "y"))
+    val marg = st.feat.join(s3.select("doc_id"), "doc_id")
+      .join(broadcast(wts), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("w"), lit(0L))).as("marg"))
+    val agree = s3.join(marg, "doc_id")
+      .select(when(col("quality_score") >= 0.5, 1L).otherwise(0L).as("rk"),
+        when(col("marg") > 0, 1L).otherwise(0L).as("ck"), col("n_chars"))
+      .groupBy("rk", "ck")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("bigint").as("sum_chars"))
+    val agreeRows = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
+      .toDF("rk", "ck")
+      .join(agree, Seq("rk", "ck"), "left")
+      .select((lit(8L) + col("rk") * 2 + col("ck")).as("stage_idx"),
+        concat(lit("gate_rule"), col("rk"), lit("_clf"), col("ck"))
+          .as("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
+    val s4 = s3.filter(col("quality_score") >= 0.5).localCheckpoint(false)
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s5 = s4.select(col("doc_id"), col("source"), col("n_chars"),
+        coalesce(sum("n_chars").over(w), lit(0L)).as("prior"))
+      .filter(col("prior") < 25000L)
+      .localCheckpoint(false)
+    // decontamination from the shingle store: containment of each
+    // selected doc against the bench docs (doc_id < 25), any >= 0.5
+    val bench = st.shingles
+      .join(meta.filter(col("doc_id") < 25).select("doc_id"), "doc_id")
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val cs = st.shingles.join(s5.select("doc_id"), "doc_id")
+      .localCheckpoint(false) // sizes AND the shared-shingle join
+    val nsh = cs.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val flagged = cs.join(broadcast(bench), "s")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .join(nsh, "doc_id")
+      .filter(col("shared").cast("double") / col("n_sh") >= 0.5)
+      .select("doc_id").distinct()
+    val s6 = s5.join(flagged, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    val bucket = shiftrightunsigned(call_function("graft_hash64",
+      col("cluster_id").cast("string"), lit(7L)), 52)
+    val s7 = s6.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+      .filter(bucket < 3277)
+    acct(0, "raw", meta)
+      .unionByName(acct(1, "exact_dedup", s1))
+      .unionByName(acct(2, "substring_dedup", s2))
+      .unionByName(acct(3, "near_dedup", s3))
+      .unionByName(acct(4, "quality", s4))
+      .unionByName(acct(5, "budget", s5))
+      .unionByName(acct(6, "decontam", s6))
+      .unionByName(acct(7, "split_train", s7))
+      .unionByName(agreeRows)
+      .orderBy("stage_idx")
+  }
+}

@@ -61,11 +61,19 @@ object QualityClf {
     * n_misclassified BEFORE the round's update, w_l1 and bias AFTER
     * it); weights is the final (b, w) table the score query applies. */
   def train(docs: DataFrame, rounds: Int = 8,
-            buckets: Int = 256): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
+            buckets: Int = 256): (DataFrame, DataFrame) =
+    trainOnFeatures(features(docs, buckets), labels(docs), rounds)
+
+  /** [[train]] over ALREADY-EXTRACTED feature/label tables — the
+    * store-fed entry point (the streaming funnel trains from its
+    * per-doc (doc_id, b) feature store and (doc_id, y) labels without
+    * re-reading text). `fx`/`lb` are materialized here; pass them raw. */
+  def trainOnFeatures(fx0: DataFrame, lb0: DataFrame,
+                      rounds: Int = 8): (DataFrame, DataFrame) = {
+    val spark = fx0.sparkSession
     import spark.implicits._
-    val fx = features(docs, buckets).localCheckpoint(false)
-    val lb = labels(docs).localCheckpoint(false)
+    val fx = fx0.localCheckpoint(false)
+    val lb = lb0.localCheckpoint(false)
     var w: DataFrame = Seq.empty[(Long, Long)].toDF("b", "w")
     var audit = Vector.empty[DataFrame]
     for (rnd <- 1 to rounds) {

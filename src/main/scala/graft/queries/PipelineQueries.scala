@@ -3147,6 +3147,16 @@ object PipelineQueries {
     "stream_substring_ingest" -> ((s, dir) =>
       graft.streaming.EventStreams.substringIngest(s, dir)),
 
+    // the CAPSTONE at landing cadence (VERDICT r13 item 5): raw text
+    // parsed once per landing generation into four append-only
+    // integer/hash stores, the funnel accounting re-derived from the
+    // stores after each generation (global decisions — family
+    // bridging, retro substring coverage, budget displacement — cannot
+    // fold into bounded counters); the final fold equals the one-shot
+    // pipeline_e2e_v2 exactly (StreamingSpec pin + shared oracle)
+    "stream_pipeline_e2e" -> ((s, dir) =>
+      graft.streaming.EventStreams.pipelineIngest(s, dir)),
+
     // span-length sweep over the duplicated-substring totals: ONE
     // doubling chain to 32 yields exact identity at L = 8/16/32 (the
     // multi-L economy per-L n-gram re-hashing can't match) — the
@@ -3961,6 +3971,138 @@ object PipelineQueries {
     }
     (head +: later).mkString(",\n")
   }
+
+  /** The pipeline_e2e_v2 replay, shared VERBATIM with its
+    * landing-cadence twin stream_pipeline_e2e (the funnel-scope
+    * stream==batch convergence contract). */
+  private lazy val pipelineV2Sql: String =
+    s"""${qualityClfPrelude(8).replaceFirst("^WITH ", "WITH RECURSIVE\n")},
+         |fs1 AS (SELECT min(doc_id) AS doc_id
+         |       FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |             FROM documents)
+         |       GROUP BY norm),
+         |fd1 AS MATERIALIZED (SELECT d.doc_id, d.text, d.source
+         |       FROM documents d JOIN fs1 USING (doc_id)),
+         |fp2 AS (SELECT t.doc_id, t.toks, len(t.toks) AS n
+         |        FROM t JOIN fd1 USING (doc_id)),
+         |fg2 AS (SELECT doc_id, i AS pos,
+         |        array_to_string(toks[i:i+15], chr(1)) AS gram
+         |      FROM fp2, unnest(range(1, n - 14)) x(i)),
+         |fdft AS (SELECT gram, count(*) AS c FROM fg2 GROUP BY 1),
+         |fss AS (SELECT fg2.doc_id, fg2.pos,
+         |         CASE WHEN fdft.c >= 2 THEN 1 ELSE 0 END AS dup
+         |       FROM fg2 JOIN fdft USING (gram)),
+         |fap AS (SELECT doc_id, i AS pos FROM fp2, unnest(range(1, n + 1)) x(i)),
+         |fcov AS (SELECT fap.doc_id, coalesce(fss.dup, 0) AS dup,
+         |          max(coalesce(fss.dup, 0)) OVER (PARTITION BY fap.doc_id
+         |            ORDER BY fap.pos ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+         |            AS covered
+         |        FROM fap LEFT JOIN fss
+         |          ON fap.doc_id = fss.doc_id AND fap.pos = fss.pos),
+         |fsub AS (SELECT doc_id, count(*) AS n_toks,
+         |           sum(covered) AS dup_toks
+         |         FROM fcov GROUP BY 1),
+         |fd2 AS MATERIALIZED (SELECT fd1.* FROM fd1 LEFT JOIN fsub USING (doc_id)
+         |        WHERE coalesce(5*fsub.dup_toks <= fsub.n_toks, TRUE)),
+         |fsh AS (SELECT t.doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM t JOIN fd2 USING (doc_id)),
+         |fex AS (SELECT doc_id, unnest(sh) AS s FROM fsh),
+         |fkeep AS (SELECT s FROM fex GROUP BY s HAVING count(*) <= 50),
+         |fcx AS (SELECT doc_id, fex.s FROM fex JOIN fkeep ON fex.s = fkeep.s),
+         |fsizes AS (SELECT doc_id, count(*) AS n FROM fcx GROUP BY 1),
+         |fpairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM fcx a JOIN fcx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |fgood AS (
+         |  SELECT id1, id2 FROM fpairs
+         |  JOIN fsizes z1 ON id1 = z1.doc_id
+         |  JOIN fsizes z2 ON id2 = z2.doc_id
+         |  WHERE shared*1.0/(z1.n + z2.n - shared) >= 0.8),
+         |fedges AS (SELECT id1 AS src, id2 AS dst FROM fgood
+         |          UNION ALL SELECT id2, id1 FROM fgood),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM fd2
+         |  UNION
+         |  SELECT e.src, reach.r FROM fedges e JOIN reach ON e.dst = reach.id),
+         |flab AS MATERIALIZED (SELECT id AS doc_id, min(r) AS cluster_id
+         |        FROM reach GROUP BY 1),
+         |fd3 AS MATERIALIZED (SELECT fd2.* FROM fd2 JOIN flab USING (doc_id)
+         |        WHERE doc_id = cluster_id),
+         |fnc AS (SELECT doc_id, length(text) AS n_chars FROM documents),
+         |fd4 AS MATERIALIZED (
+         |  SELECT fd3.doc_id, fd3.source, fnc.n_chars, q.quality_score AS qs
+         |  FROM fd3 JOIN q USING (doc_id) JOIN fnc USING (doc_id)
+         |  WHERE q.quality_score >= 0.5),
+         |fmg AS (SELECT fx.doc_id, coalesce(sum(w8.w), 0) AS marg
+         |        FROM fx JOIN fd3 USING (doc_id) LEFT JOIN w8 ON fx.b = w8.b
+         |        GROUP BY 1),
+         |fagg AS (SELECT CASE WHEN q.quality_score >= 0.5 THEN 1 ELSE 0 END AS rk,
+         |           CASE WHEN fmg.marg > 0 THEN 1 ELSE 0 END AS ck,
+         |           count(*) AS n_docs,
+         |           CAST(sum(fnc.n_chars) AS BIGINT) AS sum_chars
+         |         FROM fd3 JOIN q USING (doc_id) JOIN fmg USING (doc_id)
+         |         JOIN fnc USING (doc_id)
+         |         GROUP BY 1, 2),
+         |fcells AS (SELECT * FROM (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(rk, ck)),
+         |fagr AS (SELECT CAST(8 + c.rk*2 + c.ck AS BIGINT) AS stage_idx,
+         |           'gate_rule' || CAST(c.rk AS VARCHAR) || '_clf'
+         |             || CAST(c.ck AS VARCHAR) AS stage,
+         |           CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+         |           CAST(coalesce(a.sum_chars, 0) AS BIGINT) AS sum_chars
+         |         FROM fcells c LEFT JOIN fagg a ON c.rk = a.rk AND c.ck = a.ck),
+         |fw AS (
+         |  SELECT doc_id, source, n_chars,
+         |    coalesce(sum(n_chars) OVER (PARTITION BY source
+         |      ORDER BY qs DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM fd4),
+         |fsel AS MATERIALIZED (SELECT doc_id, source, n_chars FROM fw WHERE prior < 25000),
+         |fcsh AS (SELECT t.doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM t JOIN fsel USING (doc_id)),
+         |fbsh AS (SELECT doc_id AS bench_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+         |  FROM t WHERE doc_id < 25),
+         |fcpx AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM fcsh),
+         |fbpx AS (SELECT bench_id, unnest(sh) AS s FROM fbsh),
+         |fcont AS (
+         |  SELECT doc_id FROM (
+         |    SELECT fcpx.doc_id, fbpx.bench_id, any_value(fcpx.n_sh) AS n_sh,
+         |      count(*) AS shared
+         |    FROM fcpx JOIN fbpx USING (s) GROUP BY 1, 2)
+         |  WHERE shared*1.0/n_sh >= 0.5 GROUP BY 1),
+         |fd5 AS (SELECT * FROM fsel WHERE doc_id NOT IN (SELECT doc_id FROM fcont)),
+         |fsh6 AS (SELECT fd5.doc_id, fd5.n_chars, flab.cluster_id,
+         |    hex(encode(CAST(flab.cluster_id AS VARCHAR))) AS hx,
+         |    octet_length(encode(CAST(flab.cluster_id AS VARCHAR))) AS n
+         |  FROM fd5 JOIN flab USING (doc_id)),
+         |fd6 AS (SELECT doc_id, n_chars FROM (
+         |    SELECT doc_id, n_chars, ${ghashSql(fnvHx, "7")} AS hu FROM fsh6)
+         |  WHERE hu // 4503599627370496 < 3277),
+         |fstg AS (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+         |    count(*) AS n_docs,
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars
+         |  FROM documents
+         |  UNION ALL SELECT 1, 'exact_dedup', count(*),
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM fd1
+         |  UNION ALL SELECT 2, 'substring_dedup', count(*),
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM fd2
+         |  UNION ALL SELECT 3, 'near_dedup', count(*),
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM fd3
+         |  UNION ALL SELECT 4, 'quality', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd4
+         |  UNION ALL SELECT 5, 'budget', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fsel
+         |  UNION ALL SELECT 6, 'decontam', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd5
+         |  UNION ALL SELECT 7, 'split_train', count(*),
+         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd6
+         |  UNION ALL SELECT stage_idx, stage, n_docs, sum_chars FROM fagr)
+         |SELECT stage_idx, stage, n_docs, sum_chars
+         |FROM fstg ORDER BY stage_idx""".stripMargin
 
   /** Independent replay of Dedup.tfidfCosine: same u3-quantized idf,
     * integer weights/dots/norms, and the cross-multiplied squared
@@ -7133,134 +7275,13 @@ object PipelineQueries {
     // spliced between exact dedup and the family collapse, and the 4
     // agreement cells derived from q × the frozen-w8 margins over the
     // stage-3 survivors
-    "pipeline_e2e_v2" ->
-      s"""${qualityClfPrelude(8).replaceFirst("^WITH ", "WITH RECURSIVE\n")},
-         |fs1 AS (SELECT min(doc_id) AS doc_id
-         |       FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-         |             FROM documents)
-         |       GROUP BY norm),
-         |fd1 AS MATERIALIZED (SELECT d.doc_id, d.text, d.source
-         |       FROM documents d JOIN fs1 USING (doc_id)),
-         |fp2 AS (SELECT t.doc_id, t.toks, len(t.toks) AS n
-         |        FROM t JOIN fd1 USING (doc_id)),
-         |fg2 AS (SELECT doc_id, i AS pos,
-         |        array_to_string(toks[i:i+15], chr(1)) AS gram
-         |      FROM fp2, unnest(range(1, n - 14)) x(i)),
-         |fdft AS (SELECT gram, count(*) AS c FROM fg2 GROUP BY 1),
-         |fss AS (SELECT fg2.doc_id, fg2.pos,
-         |         CASE WHEN fdft.c >= 2 THEN 1 ELSE 0 END AS dup
-         |       FROM fg2 JOIN fdft USING (gram)),
-         |fap AS (SELECT doc_id, i AS pos FROM fp2, unnest(range(1, n + 1)) x(i)),
-         |fcov AS (SELECT fap.doc_id, coalesce(fss.dup, 0) AS dup,
-         |          max(coalesce(fss.dup, 0)) OVER (PARTITION BY fap.doc_id
-         |            ORDER BY fap.pos ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
-         |            AS covered
-         |        FROM fap LEFT JOIN fss
-         |          ON fap.doc_id = fss.doc_id AND fap.pos = fss.pos),
-         |fsub AS (SELECT doc_id, count(*) AS n_toks,
-         |           sum(covered) AS dup_toks
-         |         FROM fcov GROUP BY 1),
-         |fd2 AS MATERIALIZED (SELECT fd1.* FROM fd1 LEFT JOIN fsub USING (doc_id)
-         |        WHERE coalesce(5*fsub.dup_toks <= fsub.n_toks, TRUE)),
-         |fsh AS (SELECT t.doc_id,
-         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
-         |  FROM t JOIN fd2 USING (doc_id)),
-         |fex AS (SELECT doc_id, unnest(sh) AS s FROM fsh),
-         |fkeep AS (SELECT s FROM fex GROUP BY s HAVING count(*) <= 50),
-         |fcx AS (SELECT doc_id, fex.s FROM fex JOIN fkeep ON fex.s = fkeep.s),
-         |fsizes AS (SELECT doc_id, count(*) AS n FROM fcx GROUP BY 1),
-         |fpairs AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
-         |  FROM fcx a JOIN fcx b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |fgood AS (
-         |  SELECT id1, id2 FROM fpairs
-         |  JOIN fsizes z1 ON id1 = z1.doc_id
-         |  JOIN fsizes z2 ON id2 = z2.doc_id
-         |  WHERE shared*1.0/(z1.n + z2.n - shared) >= 0.8),
-         |fedges AS (SELECT id1 AS src, id2 AS dst FROM fgood
-         |          UNION ALL SELECT id2, id1 FROM fgood),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM fd2
-         |  UNION
-         |  SELECT e.src, reach.r FROM fedges e JOIN reach ON e.dst = reach.id),
-         |flab AS MATERIALIZED (SELECT id AS doc_id, min(r) AS cluster_id
-         |        FROM reach GROUP BY 1),
-         |fd3 AS MATERIALIZED (SELECT fd2.* FROM fd2 JOIN flab USING (doc_id)
-         |        WHERE doc_id = cluster_id),
-         |fnc AS (SELECT doc_id, length(text) AS n_chars FROM documents),
-         |fd4 AS MATERIALIZED (
-         |  SELECT fd3.doc_id, fd3.source, fnc.n_chars, q.quality_score AS qs
-         |  FROM fd3 JOIN q USING (doc_id) JOIN fnc USING (doc_id)
-         |  WHERE q.quality_score >= 0.5),
-         |fmg AS (SELECT fx.doc_id, coalesce(sum(w8.w), 0) AS marg
-         |        FROM fx JOIN fd3 USING (doc_id) LEFT JOIN w8 ON fx.b = w8.b
-         |        GROUP BY 1),
-         |fagg AS (SELECT CASE WHEN q.quality_score >= 0.5 THEN 1 ELSE 0 END AS rk,
-         |           CASE WHEN fmg.marg > 0 THEN 1 ELSE 0 END AS ck,
-         |           count(*) AS n_docs,
-         |           CAST(sum(fnc.n_chars) AS BIGINT) AS sum_chars
-         |         FROM fd3 JOIN q USING (doc_id) JOIN fmg USING (doc_id)
-         |         JOIN fnc USING (doc_id)
-         |         GROUP BY 1, 2),
-         |fcells AS (SELECT * FROM (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(rk, ck)),
-         |fagr AS (SELECT CAST(8 + c.rk*2 + c.ck AS BIGINT) AS stage_idx,
-         |           'gate_rule' || CAST(c.rk AS VARCHAR) || '_clf'
-         |             || CAST(c.ck AS VARCHAR) AS stage,
-         |           CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
-         |           CAST(coalesce(a.sum_chars, 0) AS BIGINT) AS sum_chars
-         |         FROM fcells c LEFT JOIN fagg a ON c.rk = a.rk AND c.ck = a.ck),
-         |fw AS (
-         |  SELECT doc_id, source, n_chars,
-         |    coalesce(sum(n_chars) OVER (PARTITION BY source
-         |      ORDER BY qs DESC, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
-         |  FROM fd4),
-         |fsel AS MATERIALIZED (SELECT doc_id, source, n_chars FROM fw WHERE prior < 25000),
-         |fcsh AS (SELECT t.doc_id,
-         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
-         |  FROM t JOIN fsel USING (doc_id)),
-         |fbsh AS (SELECT doc_id AS bench_id,
-         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
-         |  FROM t WHERE doc_id < 25),
-         |fcpx AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM fcsh),
-         |fbpx AS (SELECT bench_id, unnest(sh) AS s FROM fbsh),
-         |fcont AS (
-         |  SELECT doc_id FROM (
-         |    SELECT fcpx.doc_id, fbpx.bench_id, any_value(fcpx.n_sh) AS n_sh,
-         |      count(*) AS shared
-         |    FROM fcpx JOIN fbpx USING (s) GROUP BY 1, 2)
-         |  WHERE shared*1.0/n_sh >= 0.5 GROUP BY 1),
-         |fd5 AS (SELECT * FROM fsel WHERE doc_id NOT IN (SELECT doc_id FROM fcont)),
-         |fsh6 AS (SELECT fd5.doc_id, fd5.n_chars, flab.cluster_id,
-         |    hex(encode(CAST(flab.cluster_id AS VARCHAR))) AS hx,
-         |    octet_length(encode(CAST(flab.cluster_id AS VARCHAR))) AS n
-         |  FROM fd5 JOIN flab USING (doc_id)),
-         |fd6 AS (SELECT doc_id, n_chars FROM (
-         |    SELECT doc_id, n_chars, ${ghashSql(fnvHx, "7")} AS hu FROM fsh6)
-         |  WHERE hu // 4503599627370496 < 3277),
-         |fstg AS (
-         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
-         |    count(*) AS n_docs,
-         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars
-         |  FROM documents
-         |  UNION ALL SELECT 1, 'exact_dedup', count(*),
-         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM fd1
-         |  UNION ALL SELECT 2, 'substring_dedup', count(*),
-         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM fd2
-         |  UNION ALL SELECT 3, 'near_dedup', count(*),
-         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM fd3
-         |  UNION ALL SELECT 4, 'quality', count(*),
-         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd4
-         |  UNION ALL SELECT 5, 'budget', count(*),
-         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fsel
-         |  UNION ALL SELECT 6, 'decontam', count(*),
-         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd5
-         |  UNION ALL SELECT 7, 'split_train', count(*),
-         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd6
-         |  UNION ALL SELECT stage_idx, stage, n_docs, sum_chars FROM fagr)
-         |SELECT stage_idx, stage, n_docs, sum_chars
-         |FROM fstg ORDER BY stage_idx""".stripMargin,
+    "pipeline_e2e_v2" -> pipelineV2Sql,
+
+    // the landing-cadence twin re-derives the funnel from its append-
+    // only stores and must converge to the one-shot batch capstone —
+    // same oracle verbatim (the stream_contamination doctrine at
+    // funnel scope)
+    "stream_pipeline_e2e" -> pipelineV2Sql,
 
     // independent IVF re-derivation: same multiplicative-hash seed
     // order, seeded argmax assignment (ties -> higher cell, matching

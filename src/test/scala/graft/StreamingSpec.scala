@@ -285,6 +285,22 @@ class StreamingSpec extends AnyFunSuite {
       "per-source gram totals diverged from the one-shot computation")
   }
 
+  test("streaming funnel's final fold equals the one-shot pipeline_e2e_v2 exactly") {
+    // the funnel-scope store-equality doctrine: after both generations
+    // land, the store-derived accounting must be ROW-IDENTICAL to the
+    // batch capstone — same survivors at every stage, same agreement
+    // cells (global retro-effects like family bridging and coverage
+    // growth included; bounded counters could not reproduce these)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamed = rows(SparkEntry.queries("stream_pipeline_e2e")(spark, sf))
+    val oneShot  = rows(SparkEntry.queries("pipeline_e2e_v2")(spark, sf))
+    assert(streamed == oneShot,
+      s"funnel diverged: streamOnly=${streamed.diff(oneShot).take(4)} " +
+        s"batchOnly=${oneShot.diff(streamed).take(4)}")
+  }
+
   test("streaming quality scoring equals the one-shot gen1-frozen batch scoring") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
