@@ -307,6 +307,61 @@ object Suffix {
       .orderBy("doc_id", "span_idx")
   }
 
+  /** EXECUTES the span removal [[dupSpans]] plans: per document, the
+    * post-cut text itself — kept tokens are the positions NOT covered
+    * by any duplicated span (the complement of dupSpanStats'
+    * dup_tokens coverage), re-joined in position order. Emitting the
+    * full rewritten corpus through the driver gate would hash megabytes
+    * of text, so the key emits the reconstruction's FINGERPRINT:
+    * (doc_id, n_tokens, kept_tokens, kept_md5) where kept_md5 is md5
+    * of the space-joined kept tokens — the oracle reconstructs the
+    * same string independently in DuckDB, so the hash pins the actual
+    * rewrite byte-for-byte, not just its length. Token-less and
+    * fully-duplicated docs emit md5('') with kept_tokens 0.
+    *
+    * Plan: the dupSpanStats coverage sweep plus one per-doc ordered
+    * collect of the surviving tokens — the collect is per-DOC (bounded
+    * by document length), never global. */
+  def applySpanRemoval(docs: DataFrame, spanLen: Int = 16,
+                       pre: Option[(DataFrame, Map[Int, DataFrame])] = None)
+      : DataFrame = {
+    val (pos, ranks) = pre match {
+      case Some((p, lv)) if lv.contains(spanLen) => (p, lv(spanLen))
+      case _ =>
+        val p = positions(docs).localCheckpoint(false)
+        (p, suffixRanks(p, spanLen))
+    }
+    val lens = pos.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val starts = ranks.join(lens, "doc_id")
+      .filter(col("pos") + spanLen <= col("n_tokens"))
+      .select("doc_id", "pos", "r")
+      .localCheckpoint(false) // rank-frequency count AND the dup flags
+    val dupRanks = starts.groupBy("r").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("r")
+    val flags = starts.join(dupRanks, Seq("r"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1).as("dup"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(spanLen - 1), 0)
+    val kept = pos
+      .join(flags, Seq("doc_id", "pos"), "left")
+      .withColumn("covered", max(coalesce(col("dup"), lit(0))).over(w))
+      .filter(col("covered") === 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok")), " ")).as("kept_md5"))
+    docs.select("doc_id")
+      .join(lens, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      // presentation sort (driver-gate hash); production drops it
+      .orderBy("doc_id")
+  }
+
   /** Span-length SWEEP over the duplicated-substring statistics — the
     * "which L to deploy" knob audit (the *_sweep family pattern): ONE
     * doubling chain to max(levels) yields exact rank identity at every

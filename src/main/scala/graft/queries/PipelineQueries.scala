@@ -458,6 +458,43 @@ object PipelineQueries {
     // (the quantizer IS the blocking). Output per cell: n_vecs,
     // n_pairs (graph edges), n_pruned (non-root members a SemDeDup
     // pass drops).
+    // the SemDeDup deploy knob: the pruning curve over the cosine
+    // threshold — ONE assignment and ONE in-cell pair-cosine pass at
+    // the loosest threshold, then each threshold filters the shared
+    // pair table and runs its own keep-one-per-family collapse;
+    // (thr_u2, n_pairs, n_pruned) per row, provably monotone
+    // non-increasing as the threshold tightens (DedupSpec pin)
+    "dedup_semantic_sweep" -> ((s, dir) => {
+      val thresholds = Seq(30L, 35L, 40L)
+      val assigned = Similarity.ivfAssign(Tables.embeddings(s, dir),
+          cells = 16, lloydIters = 1)
+        .select("vec_id", "v", "nrm", "cell")
+        .localCheckpoint(false)
+      val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+        col("v").as("v1"), col("nrm").as("nrm1"))
+      val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+        col("v").as("v2"), col("nrm").as("nrm2"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("cos",
+          Dedup.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
+        .filter(col("cos") >= 0.30)
+        .select("id1", "id2", "cos")
+        .localCheckpoint(false) // filtered per threshold, 3 consumers
+      val ids = assigned.select("vec_id").localCheckpoint(false)
+      thresholds.map { t =>
+        val p = pairs.filter(col("cos") >= t.toDouble / 100.0)
+          .select("id1", "id2")
+        val roots = graft.ops.Cluster.dedupClusters(
+          ids.select(col("vec_id").as("doc_id")), p)
+        graft.ops.Scalars.withScalar(
+            p.agg(count(lit(1)).as("n_pairs")), col("n_pairs"),
+            roots.agg(sum(when(col("doc_id") === col("cluster_id"), 0L)
+              .otherwise(1L)).as("n_pruned")), col("n_pruned"))
+          .select(lit(t).as("thr_u2"), col("n_pairs"), col("n_pruned"))
+      }.reduce(_ unionByName _).orderBy("thr_u2")
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       val assigned = Similarity.ivfAssign(Tables.embeddings(s, dir),
           cells = 16, lloydIters = 1)
@@ -3222,6 +3259,16 @@ object PipelineQueries {
         pre = Some(graft.ops.Suffix.corpusRanks(docs, dir)))
     }),
 
+    // ...and the removal EXECUTED: the post-cut text per doc, emitted
+    // as its md5 fingerprint (hashing the rewrite byte-for-byte against
+    // the oracle's independent DuckDB reconstruction) plus kept-token
+    // counts — offsets say WHAT to cut, this proves the cut output
+    "dedup_substring_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Suffix.applySpanRemoval(docs, spanLen = 16,
+        pre = Some(graft.ops.Suffix.corpusRanks(docs, dir)))
+    }),
+
     // Hash-min (bottom-k) sampling: the k docs with the smallest
     // portable hash form a uniform RNG-free sample that is MERGEABLE
     // (bottom-k of a union = bottom-k of each side's bottom-k) and
@@ -5429,6 +5476,41 @@ object PipelineQueries {
          |FROM documents dd LEFT JOIN agg ON dd.doc_id = agg.doc_id
          |ORDER BY dd.doc_id""".stripMargin,
 
+    // the removal EXECUTED, replayed independently: same dup-start set
+    // and coverage window as the dedup_substring oracle, then the kept
+    // tokens (covered = 0) re-joined in position order and md5'd —
+    // DuckDB rebuilds the post-cut string from its own tokenization,
+    // so the hash pins the engine's rewrite byte-for-byte
+    "dedup_substring_apply" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |p AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+         |g AS (SELECT doc_id, i AS pos,
+         |        array_to_string(toks[i:i+15], chr(1)) AS gram
+         |      FROM p, unnest(range(1, n - 14)) t(i)),
+         |dft AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+         |st AS (SELECT g.doc_id, g.pos,
+         |         CASE WHEN dft.c >= 2 THEN 1 ELSE 0 END AS dup
+         |       FROM g JOIN dft ON g.gram = dft.gram),
+         |ap AS (SELECT doc_id, i AS pos FROM p, unnest(range(1, n + 1)) t(i)),
+         |cov AS (SELECT ap.doc_id, ap.pos,
+         |          max(coalesce(st.dup, 0)) OVER (PARTITION BY ap.doc_id
+         |            ORDER BY ap.pos ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+         |            AS covered
+         |        FROM ap LEFT JOIN st ON ap.doc_id = st.doc_id AND ap.pos = st.pos),
+         |keptpos AS (SELECT doc_id, pos FROM cov WHERE covered = 0),
+         |ktext AS (SELECT k.doc_id, count(*) AS kept_tokens,
+         |            md5(string_agg(p.toks[k.pos], ' ' ORDER BY k.pos))
+         |              AS kept_md5
+         |          FROM keptpos k JOIN p USING (doc_id) GROUP BY 1)
+         |SELECT dd.doc_id,
+         |  CAST(coalesce(pp.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(ktext.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  coalesce(ktext.kept_md5, md5('')) AS kept_md5
+         |FROM documents dd
+         |LEFT JOIN p pp ON dd.doc_id = pp.doc_id
+         |LEFT JOIN ktext ON dd.doc_id = ktext.doc_id
+         |ORDER BY dd.doc_id""".stripMargin,
+
     // span extraction replayed by direct L-gram materialization: same
     // dup-start set as the dedup_substring oracle (0-based positions,
     // the contamination_spans convention), islands split when the
@@ -6079,6 +6161,64 @@ object PipelineQueries {
          |    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
          |       * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.35
          |ORDER BY id1, id2""".stripMargin
+    },
+
+    // the pruning curve: same assignment prelude, pairs kept at the
+    // loosest threshold with their cosines, one recursive CC per
+    // threshold over the filtered edge set
+    "dedup_semantic_sweep" -> {
+      def reachBlock(t: Int) =
+        s"""ed$t AS (SELECT id1 AS src, id2 AS dst FROM pairs WHERE cos >= 0.$t
+           |        UNION ALL SELECT id2, id1 FROM pairs WHERE cos >= 0.$t),
+           |reach$t(id, r) AS (
+           |  SELECT vec_id, vec_id FROM corp
+           |  UNION
+           |  SELECT e.src, reach$t.r FROM ed$t e JOIN reach$t ON e.dst = reach$t.id),
+           |agg$t AS (
+           |  SELECT CAST($t AS BIGINT) AS thr_u2,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM pairs WHERE cos >= 0.$t)
+           |      AS n_pairs,
+           |    CAST(sum(CASE WHEN root = id THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS n_pruned
+           |  FROM (SELECT id, min(r) AS root FROM reach$t GROUP BY 1))""".stripMargin
+      s"""WITH RECURSIVE
+        |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 16),
+        |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+        |a0 AS (
+        |  SELECT e.vec_id, e.v, e.nrm, sd.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*sd.c[i])) / (e.nrm*sd.cn) DESC,
+        |               sd.cell DESC) AS rk
+        |  FROM e CROSS JOIN sd QUALIFY rk = 1),
+        |r0 AS (
+        |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+        |  FROM a0, unnest(range(1, 65)) t(i)
+        |  GROUP BY cell, i),
+        |rc AS (
+        |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+        |         list(m ORDER BY pos) AS c
+        |  FROM r0 GROUP BY cell),
+        |rcn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
+        |corp AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, e.nrm, rcn.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rcn.c[i])) / (e.nrm*rcn.cn) DESC,
+        |               rcn.cell DESC) AS rk
+        |  FROM e CROSS JOIN rcn QUALIFY rk = 1),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))
+        |      / (a.nrm*b.nrm) AS cos
+        |  FROM corp a JOIN corp b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))
+        |          / (a.nrm*b.nrm) >= 0.30),
+        |${Seq(30, 35, 40).map(reachBlock).mkString(",\n")}
+        |SELECT * FROM agg30 UNION ALL SELECT * FROM agg35
+        |UNION ALL SELECT * FROM agg40 ORDER BY thr_u2""".stripMargin
     },
 
     // independent SemDeDup replay: the ann_ivf assignment prelude

@@ -102,6 +102,58 @@ class DedupSpec extends AnyFunSuite {
     assert(ref.exists(_._4 > 0), "fixture prunes nothing — dead test")
   }
 
+  test("substring apply: the rewritten text equals a driver-side reconstruction") {
+    // independent Scala replay of the whole removal: tokenize, count
+    // every 16-gram corpus-wide, mark covered positions, rejoin the
+    // survivors — md5 must match the engine's distributed rewrite
+    val L = 16
+    val toks = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val gramCount = scala.collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, ts) <- toks; i <- 0 to ts.length - L)
+      gramCount.updateWith(ts.slice(i, i + L))(c => Some(c.getOrElse(0) + 1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ref = toks.map { case (id, ts) =>
+      val covered = (0 to ts.length - L)
+        .filter(i => gramCount(ts.slice(i, i + L)) >= 2)
+        .flatMap(i => i until i + L).toSet
+      val kept = ts.indices.filterNot(covered).map(ts)
+      (id, ts.length.toLong, kept.size.toLong, md5hex(kept.mkString(" ")))
+    }.toSet
+    val got = SparkEntry.queries("dedup_substring_apply")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == ref,
+      s"apply diverged: missing=${ref.diff(got).take(2)} extra=${got.diff(ref).take(2)}")
+    // the rewrite must actually cut something on this fixture
+    assert(ref.exists(t => t._3 < t._2), "apply removed nothing — dead test")
+  }
+
+  test("semantic sweep: monotone in threshold and consistent with the 0.35 key") {
+    val rows = SparkEntry.queries("dedup_semantic_sweep")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(30L, 35L, 40L))
+    // a tighter threshold can only keep fewer pairs and prune fewer
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"sweep not monotone: $a then $b")
+    }
+    // the 0.35 row must equal the per-cell key's corpus totals exactly
+    val per = SparkEntry.queries("dedup_semantic")(spark, sf)
+      .agg(org.apache.spark.sql.functions.expr("sum(n_pairs)"),
+        org.apache.spark.sql.functions.expr("sum(n_pruned)")).head()
+    val t35 = rows.find(_._1 == 35L).get
+    assert((t35._2, t35._3) == (per.getLong(0), per.getLong(1)),
+      s"sweep 0.35 ${(t35._2, t35._3)} != dedup_semantic totals " +
+        s"${(per.getLong(0), per.getLong(1))}")
+  }
+
   test("substring spans: cut + kept reconciles with dedup_substring exactly") {
     // the extraction key must be the removal EXECUTION of the counting
     // key: per doc, the islands' total length equals dup_tokens and
