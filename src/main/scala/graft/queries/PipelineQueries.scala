@@ -3184,6 +3184,16 @@ object PipelineQueries {
     "stream_substring_ingest" -> ((s, dir) =>
       graft.streaming.EventStreams.substringIngest(s, dir)),
 
+    // semantic dedup at LANDING cadence (the signature-store triple's
+    // streaming member with the VECTOR store as the store): gen1-frozen
+    // 16-cell quantizer assigns landing vectors map-side, one in-cell
+    // equi-join against the store snapshot flags history near-dups at
+    // cosine >= 0.35, additive per-cell counters fold, store grows by
+    // O(Δ) appends — snapshot semantics make the flags exactly
+    // gen2-vs-gen1, which is the oracle
+    "stream_semantic_ingest" -> ((s, dir) =>
+      graft.streaming.EventStreams.semanticIngest(s, dir)),
+
     // the CAPSTONE at landing cadence (VERDICT r13 item 5): raw text
     // parsed once per landing generation into four append-only
     // integer/hash stores, the funnel accounting re-derived from the
@@ -6162,6 +6172,55 @@ object PipelineQueries {
          |       * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.35
          |ORDER BY id1, id2""".stripMargin
     },
+
+    // one-shot replay of the streamed vector-store fold: gen1-trained
+    // 16-cell quantizer (ivf prelude with the thr buildWhere), full
+    // assignment, per-cell totals plus landed vectors with an in-cell
+    // gen1 neighbor at cosine >= 0.35 (snapshot semantics = exactly
+    // gen2-vs-gen1)
+    "stream_semantic_ingest" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |thr AS (SELECT 3*(max(vec_id)+1)//4 AS t FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+        |eb AS (SELECT e.* FROM e, thr WHERE e.vec_id < thr.t),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+        |  FROM eb QUALIFY cell < 16),
+        |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+        |a0 AS (
+        |  SELECT eb.vec_id, eb.v, eb.nrm, sd.cell,
+        |    row_number() OVER (PARTITION BY eb.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> eb.v[i]*sd.c[i])) / (eb.nrm*sd.cn) DESC,
+        |               sd.cell DESC) AS rk
+        |  FROM eb CROSS JOIN sd QUALIFY rk = 1),
+        |r0 AS (
+        |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+        |  FROM a0, unnest(range(1, 65)) t(i)
+        |  GROUP BY cell, i),
+        |rc AS (
+        |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+        |         list(m ORDER BY pos) AS c
+        |  FROM r0 GROUP BY cell),
+        |rcn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
+        |corp AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, e.nrm, rcn.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rcn.c[i])) / (e.nrm*rcn.cn) DESC,
+        |               rcn.cell DESC) AS rk
+        |  FROM e CROSS JOIN rcn QUALIFY rk = 1),
+        |occ AS (SELECT cell, count(*) AS n_vecs FROM corp GROUP BY 1),
+        |hits AS (
+        |  SELECT b.cell, count(DISTINCT b.vec_id) AS nh
+        |  FROM corp b JOIN corp a ON a.cell = b.cell, thr
+        |  WHERE b.vec_id >= thr.t AND a.vec_id < thr.t
+        |    AND list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))
+        |          / (a.nrm*b.nrm) >= 0.35
+        |  GROUP BY 1)
+        |SELECT CAST(occ.cell AS BIGINT) AS cell,
+        |  CAST(occ.n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(coalesce(hits.nh, 0) AS BIGINT) AS n_hist_dup_vecs
+        |FROM occ LEFT JOIN hits USING (cell)
+        |ORDER BY cell""".stripMargin,
 
     // the pruning curve: same assignment prelude, pairs kept at the
     // loosest threshold with their cosines, one recursive CC per

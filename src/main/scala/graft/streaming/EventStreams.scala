@@ -327,6 +327,94 @@ object EventStreams {
       .orderBy("cell")
   }
 
+  /** SEMANTIC dedup at landing cadence — dedup_semantic's incremental
+    * member (the signature-store pattern with the VECTOR STORE as the
+    * store): the 16-cell coarse quantizer freezes at generation 1 (the
+    * ann_ivf_append convention), each landing vector is cell-assigned
+    * MAP-SIDE against the literal centroid matrix (no join, no
+    * shuffle of raw vectors for assignment), and one in-cell equi-join
+    * against the store SNAPSHOT taken at pass start flags landed
+    * vectors with a history neighbor at cosine ≥ threshold — snapshot
+    * semantics make the result independent of micro-batch splits
+    * (history = strictly prior generations; gen1 lands against the
+    * empty store, so the flags are exactly gen2-vs-gen1). Only the
+    * additive per-cell counters (n_vecs, n_hist_dup_vecs) fold; the
+    * store grows by an O(Δ) append of the batch's vectors. */
+  def semanticIngest(spark: SparkSession, sfDir: String,
+                     threshold: Double = 0.35): DataFrame = {
+    val base = graft.sources.Scratch.dir("graft_sem_ingest")
+    val (stage, ckpt) = (s"$base/stage", s"$base/ckpt")
+    val (store, ctr) = (s"$base/store", s"$base/ctr")
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val thr = emb.agg(expr("3*(max(vec_id)+1) div 4").as("t")).head().getLong(0)
+    val cellCol = graft.ops.Similarity.frozenCellExpr(emb, cells = 16,
+      buildFilter = col("vec_id") < thr)(col("v"), col("nrm"))
+    val raw = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.ops.Dedup.dot(col("v"), col("v"))))
+      .localCheckpoint(false) // one scan feeds both staged generations
+    val stageSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType)))
+    def pass(): Unit = withStateParts(spark) {
+      // history = everything staged BEFORE this pass, frozen once
+      val snapshot =
+        if (new java.io.File(store).exists)
+          spark.read.parquet(store)
+            .select(col("cell"), col("v").as("hv"), col("nrm").as("hn"))
+            .localCheckpoint(false)
+        else spark.range(0).select(col("id").cast("int").as("cell"),
+          lit(null).cast("array<double>").as("hv"),
+          lit(null).cast("double").as("hn"))
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .withColumn("cell", cellCol)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch0: DataFrame, _: Long) =>
+          val ss = batch0.sparkSession
+          val batch = batch0.localCheckpoint(false) // counters AND store
+          val hits = batch.join(snapshot, Seq("cell"))
+            .filter(graft.ops.Dedup.dot(col("v"), col("hv"))
+              / (col("nrm") * col("hn")) >= threshold)
+            .select("cell", "vec_id").distinct()
+            .groupBy("cell").agg(count(lit(1)).as("n_hist_dup_vecs"))
+          val local = batch.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+            .join(hits, Seq("cell"), "left")
+            .select(col("cell"), col("n_vecs"),
+              coalesce(col("n_hist_dup_vecs"), lit(0L)).as("n_hist_dup_vecs"))
+          val prev = new java.io.File(ctr)
+          val merged =
+            if (prev.exists)
+              ss.read.parquet(ctr).unionByName(local)
+                .groupBy("cell")
+                .agg(sum("n_vecs").as("n_vecs"),
+                  sum("n_hist_dup_vecs").as("n_hist_dup_vecs"))
+            else local
+          val next = s"$ctr.next"
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
+          ss.read.parquet(next).write.mode("overwrite").parquet(ctr)
+          // O(delta) store growth: the batch's vectors with their cells
+          batch.select("vec_id", "cell", "v", "nrm")
+            .write.mode("append").parquet(store)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    raw.filter(col("vec_id") < thr).write.parquet(s"$stage/gen1")
+    pass()
+    raw.filter(col("vec_id") >= thr).write.parquet(s"$stage/gen2")
+    pass()
+    spark.read.parquet(ctr)
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("n_hist_dup_vecs"))
+      .orderBy("cell")
+  }
+
   /** Streaming application of the LEARNED quality gate while shards
     * land ([[graft.ops.QualityClf]] frozen at generation 1 — the
     * frozen-model convention of [[ivfIngestOccupancy]] / ann_ivf_append

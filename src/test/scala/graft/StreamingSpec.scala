@@ -285,6 +285,34 @@ class StreamingSpec extends AnyFunSuite {
       "per-source gram totals diverged from the one-shot computation")
   }
 
+  test("streaming semantic ingest equals the one-shot gen1-frozen batch flags") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val thr = emb.agg(expr("3*(max(vec_id)+1) div 4")).head().getLong(0)
+    val assigned = graft.ops.Similarity.ivfAssign(emb, cells = 16,
+        buildFilter = col("vec_id") < thr)
+      .select("vec_id", "v", "nrm", "cell").localCheckpoint(false)
+    val gen1 = assigned.filter(col("vec_id") < thr)
+      .select(col("cell"), col("v").as("hv"), col("nrm").as("hn"))
+    val hits = assigned.filter(col("vec_id") >= thr)
+      .join(gen1, Seq("cell"))
+      .filter(graft.ops.Dedup.dot(col("v"), col("hv"))
+        / (col("nrm") * col("hn")) >= 0.35)
+      .select("cell", "vec_id").distinct()
+      .groupBy("cell").agg(count(lit(1)).as("nh"))
+    val batch = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .join(hits, Seq("cell"), "left")
+      .select(col("cell").cast("long"), col("n_vecs"),
+        coalesce(col("nh"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = SparkEntry.queries("stream_semantic_ingest")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"semantic ingest diverged: streamOnly=${streamed.diff(batch).take(3)} " +
+        s"batchOnly=${batch.diff(streamed).take(3)}")
+    assert(batch.exists(_._3 > 0), "no history near-dups in fixture — dead test")
+  }
+
   test("streaming funnel's final fold equals the one-shot pipeline_e2e_v2 exactly") {
     // the funnel-scope store-equality doctrine: after both generations
     // land, the store-derived accounting must be ROW-IDENTICAL to the
