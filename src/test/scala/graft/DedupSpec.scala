@@ -64,6 +64,24 @@ class DedupSpec extends AnyFunSuite {
     assert(ref.exists(_._3 > 0), "no duplicated spans in the fixture")
   }
 
+  test("corpusRanks memoizes per corpus and matches a private construction") {
+    // the r14 perf claim, pinned structurally: a second call must return
+    // the SAME materialized tables (no rebuild), and the shared level
+    // must be byte-identical to a private suffixRanks construction
+    val docs = Tables.documents(spark, sf)
+    val a = graft.ops.Suffix.corpusRanks(docs, sf)
+    val b = graft.ops.Suffix.corpusRanks(docs, sf)
+    assert(a._1 eq b._1, "positions rebuilt — memo missed")
+    graft.ops.Suffix.standardLevels.foreach(l =>
+      assert(a._2(l) eq b._2(l), s"level $l rebuilt — memo missed"))
+    val memoed = a._2(16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fresh = graft.ops.Suffix.suffixRanks(
+        graft.ops.Suffix.positions(docs), 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(memoed == fresh, "memoized L=16 ranks diverge from a fresh build")
+  }
+
   test("semantic dedup equals an independent in-cell union-find replay") {
     // collect the engine's own cell assignment (pinned elsewhere via
     // the ann_ivf oracle), then replay pairs + keep-one-per-family
