@@ -3184,6 +3184,14 @@ object PipelineQueries {
     "stream_substring_ingest" -> ((s, dir) =>
       graft.streaming.EventStreams.substringIngest(s, dir)),
 
+    // perceptual-hash dedup at LANDING cadence (the multimodal
+    // family's streaming column): landing batches decode + aHash
+    // map-side, the radius-3 pigeonhole join flags batch images with a
+    // history near-dup against the signature-store snapshot, additive
+    // per-source counters fold, store grows by 32-byte/img appends
+    "stream_phash_ingest" -> ((s, dir) =>
+      graft.streaming.EventStreams.phashIngest(s, dir)),
+
     // semantic dedup at LANDING cadence (the signature-store triple's
     // streaming member with the VECTOR store as the store): gen1-frozen
     // 16-cell quantizer assigns landing vectors map-side, one in-cell
@@ -8360,6 +8368,57 @@ object PipelineQueries {
         |         JOIN c d ON pr.id2 = d.doc_id)
         |SELECT id1, id2, CAST(ham AS INT) AS hamming
         |FROM j WHERE ham <= 3 ORDER BY id1, id2""".stripMargin,
+
+    // one-shot replay of the streamed signature-store fold: same
+    // analytic phash prelude, candidates restricted to gen2-vs-gen1
+    // (snapshot semantics = strictly prior generations), distinct
+    // landed docs with a hamming<=3 history match rolled up by source
+    "stream_phash_ingest" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |   4 + (octet_length(encode(text)) % 13) AS w,
+        |   2 + (doc_id % 7) AS h
+        | FROM documents),
+        |q AS (SELECT doc_id, w*h*3 AS n,
+        |  list_sum(list_transform(range(0, w*h*3),
+        |    k -> (doc_id*7 + k*13) % 256)) AS s
+        | FROM p),
+        |b AS (SELECT doc_id, n, s,
+        |  list_transform(range(0, 64), i -> CASE
+        |    WHEN ((doc_id*7 + ((i*n)//64)*13) % 256) * n > s
+        |    THEN 1 ELSE 0 END) AS bits
+        | FROM q),
+        |c AS (SELECT doc_id,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+1]  * (CAST(1 AS BIGINT) << t))) AS c0,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+17] * (CAST(1 AS BIGINT) << t))) AS c1,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+33] * (CAST(1 AS BIGINT) << t))) AS c2,
+        |  list_sum(list_transform(range(0, 16),
+        |    t -> bits[t+49] * (CAST(1 AS BIGINT) << t))) AS c3
+        | FROM b),
+        |u AS (
+        |  SELECT doc_id, 0 AS ci, c0 AS cv FROM c
+        |  UNION ALL SELECT doc_id, 1, c1 FROM c
+        |  UNION ALL SELECT doc_id, 2, c2 FROM c
+        |  UNION ALL SELECT doc_id, 3, c3 FROM c),
+        |thr AS (SELECT 3*(max(doc_id)+1)//4 AS t FROM documents),
+        |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+        |  FROM u l JOIN u r ON l.ci = r.ci AND l.cv = r.cv CROSS JOIN thr
+        |  WHERE l.doc_id < thr.t AND r.doc_id >= thr.t),
+        |hit AS (SELECT DISTINCT id2
+        |  FROM cand JOIN c a ON cand.id1 = a.doc_id
+        |            JOIN c d ON cand.id2 = d.doc_id
+        |  WHERE bit_count(xor(a.c0, d.c0)) + bit_count(xor(a.c1, d.c1))
+        |      + bit_count(xor(a.c2, d.c2)) + bit_count(xor(a.c3, d.c3)) <= 3),
+        |hs AS (SELECT dd.source, count(*) AS nh
+        |       FROM hit JOIN documents dd ON hit.id2 = dd.doc_id GROUP BY 1),
+        |tot AS (SELECT source, count(*) AS n_imgs FROM documents GROUP BY 1)
+        |SELECT tot.source, CAST(tot.n_imgs AS BIGINT) AS n_imgs,
+        |  CAST(coalesce(hs.nh, 0) AS BIGINT) AS n_hist_dup_imgs
+        |FROM tot LEFT JOIN hs USING (source)
+        |ORDER BY source""".stripMargin,
 
     // same pair derivation, restricted to pairs touching the landed
     // shard (doc_id >= the 3/4 boundary, matching ann_ivf_append's

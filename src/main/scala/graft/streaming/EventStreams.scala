@@ -415,6 +415,94 @@ object EventStreams {
       .orderBy("cell")
   }
 
+  /** Perceptual-hash dedup at LANDING cadence — mm_phash_incremental's
+    * streaming member (completing the multimodal family's batch →
+    * incremental → streaming column): each landing batch decodes and
+    * aHashes ONLY its own images map-side (the typed mapPartitions
+    * codec — 32 bytes of signature per image leave the scan), flags
+    * batch images with a radius-3 history near-dup via the 4-chunk
+    * pigeonhole equi-join against the signature-store SNAPSHOT taken
+    * at pass start, and folds additive per-source (n_imgs,
+    * n_hist_dup_imgs) counters. The store grows by an O(Δ) signature
+    * append; history raw media is never re-read, and snapshot
+    * semantics make the flags exactly gen2-vs-gen1 regardless of
+    * micro-batch splits. */
+  def phashIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.sources.Scratch.dir("graft_phash_stream")
+    val (stage, ckpt) = (s"$base/stage", s"$base/ckpt")
+    val (store, ctr) = (s"$base/store", s"$base/ctr")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(false)
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val stageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def chunks(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("ci", "cv")))
+    def pass(): Unit = withStateParts(spark) {
+      // history = everything staged BEFORE this pass, frozen once
+      val snapshot =
+        if (new java.io.File(store).exists)
+          chunks(spark.read.parquet(store))
+            .select(col("ci"), col("cv"), col("c0").as("h0"),
+              col("c1").as("h1"), col("c2").as("h2"), col("c3").as("h3"))
+            .localCheckpoint(false)
+        else spark.range(0).select(col("id").cast("int").as("ci"),
+          lit(0L).as("cv"), lit(0L).as("h0"), lit(0L).as("h1"),
+          lit(0L).as("h2"), lit(0L).as("h3"))
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch0: DataFrame, _: Long) =>
+          val ss = batch0.sparkSession
+          val sigs = graft.ops.Multimodal.phashBatch(batch0).toDF()
+            .select("doc_id", "c0", "c1", "c2", "c3")
+            .join(batch0.select("doc_id", "source"), "doc_id")
+            .localCheckpoint(false) // counters AND the store append
+          val ham = (0 to 3).map(j =>
+            bit_count(col(s"c$j").bitwiseXOR(col(s"h$j"))).cast("int"))
+            .reduce(_ + _)
+          val hits = chunks(sigs).join(snapshot, Seq("ci", "cv"))
+            .filter(ham <= 3)
+            .select("doc_id").distinct()
+            .join(sigs.select("doc_id", "source"), "doc_id")
+            .groupBy("source").agg(count(lit(1)).as("n_hist_dup_imgs"))
+          val local = sigs.groupBy("source").agg(count(lit(1)).as("n_imgs"))
+            .join(hits, Seq("source"), "left")
+            .select(col("source"), col("n_imgs"),
+              coalesce(col("n_hist_dup_imgs"), lit(0L)).as("n_hist_dup_imgs"))
+          val prev = new java.io.File(ctr)
+          val merged =
+            if (prev.exists)
+              ss.read.parquet(ctr).unionByName(local)
+                .groupBy("source")
+                .agg(sum("n_imgs").as("n_imgs"),
+                  sum("n_hist_dup_imgs").as("n_hist_dup_imgs"))
+            else local
+          val next = s"$ctr.next"
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
+          ss.read.parquet(next).write.mode("overwrite").parquet(ctr)
+          // O(delta) store growth: the batch's 32-byte signatures
+          sigs.select("doc_id", "c0", "c1", "c2", "c3")
+            .write.mode("append").parquet(store)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") < thr).write.parquet(s"$stage/gen1")
+    pass()
+    docs.filter(col("doc_id") >= thr).write.parquet(s"$stage/gen2")
+    pass()
+    spark.read.parquet(ctr).orderBy("source")
+  }
+
   /** Streaming application of the LEARNED quality gate while shards
     * land ([[graft.ops.QualityClf]] frozen at generation 1 — the
     * frozen-model convention of [[ivfIngestOccupancy]] / ann_ivf_append

@@ -285,6 +285,38 @@ class StreamingSpec extends AnyFunSuite {
       "per-source gram totals diverged from the one-shot computation")
   }
 
+  test("streaming phash ingest equals the one-shot gen2-vs-gen1 batch flags") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4")).head().getLong(0)
+    val sigs = graft.ops.Multimodal.phashBatch(docs).toDF()
+      .select("doc_id", "c0", "c1", "c2", "c3").localCheckpoint(false)
+    def chunks(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("ci", "cv")))
+    val hist = chunks(sigs.filter(col("doc_id") < thr))
+      .select(col("ci"), col("cv"), col("c0").as("h0"), col("c1").as("h1"),
+        col("c2").as("h2"), col("c3").as("h3"))
+    val ham = (0 to 3).map(j =>
+      bit_count(col(s"c$j").bitwiseXOR(col(s"h$j"))).cast("int")).reduce(_ + _)
+    val flagged = chunks(sigs.filter(col("doc_id") >= thr))
+      .join(hist, Seq("ci", "cv")).filter(ham <= 3)
+      .select("doc_id").distinct()
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("nh"))
+    val batch = docs.groupBy("source").agg(count(lit(1)).as("n_imgs"))
+      .join(flagged, Seq("source"), "left")
+      .select(col("source"), col("n_imgs"), coalesce(col("nh"), lit(0L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = SparkEntry.queries("stream_phash_ingest")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"phash ingest diverged: streamOnly=${streamed.diff(batch).take(3)} " +
+        s"batchOnly=${batch.diff(streamed).take(3)}")
+    assert(batch.exists(_._3 > 0), "no history phash dups in fixture — dead test")
+  }
+
   test("streaming semantic ingest equals the one-shot gen1-frozen batch flags") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
