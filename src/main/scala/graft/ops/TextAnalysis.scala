@@ -231,6 +231,66 @@ object TextAnalysis {
         round(avg("nll"), 4).as("avg_nll"))
   }
 
+  /** PII regexes, restricted to the Spark∩DuckDB (Java∩RE2) subset —
+    * ASCII classes, bounded repeats, `\b` word boundaries; no
+    * lookaround (RE2 has none). Shared verbatim by the engine and the
+    * SQL oracle, so the two redactions are byte-identical. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** The deterministic PII injection (the mm_* fake-payload doctrine:
+    * the synthetic corpus carries no digits at all, so the PII a real
+    * web crawl would contain is synthesized from doc_id — plumbing
+    * real, payload fake, identical expression in the oracle). ~1/3 of
+    * docs get an email, ~1/5 an IPv4, ~1/7 a phone number; the
+    * divisors are coprime so every presence combination occurs. */
+  def piiAugmented(docs: DataFrame): Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(id % 3 === 0, concat(lit(" contact u"), id.cast("string"),
+        lit("@example.com now"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" node 10."), (id % 256).cast("string"),
+        lit(".0."), (id % 100).cast("string"), lit(" up"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" call +1-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"), lit(" today")))
+        .otherwise(lit("")))
+  }
+
+  /** PII scrub audit — the redaction stage every public-web training
+    * corpus runs before anything else sees the text (emails, IPv4s,
+    * phone numbers → fixed placeholder tokens). Per source: hit counts
+    * by kind, docs touched, char mass removed, and `n_residual` — the
+    * re-scan of the REDACTED text, which the gated result proves is
+    * zero (redaction is verified inside the query, not just asserted
+    * in a spec). Pure per-row regex map (codegen'd, zero shuffle)
+    * + one |sources|-row rollup: the shape survives 100 TB unchanged,
+    * since no corpus-scale state ever crosses a shuffle. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val aug = piiAugmented(docs)
+    val clean = regexp_replace(regexp_replace(regexp_replace(aug,
+      lit(PiiEmailRe), lit("<EMAIL>")),
+      lit(PiiIpRe), lit("<IP>")),
+      lit(PiiPhoneRe), lit("<PHONE>"))
+    docs
+      .select(col("source"),
+        regexp_count(aug, lit(PiiEmailRe)).cast("bigint").as("e"),
+        regexp_count(aug, lit(PiiIpRe)).cast("bigint").as("i"),
+        regexp_count(aug, lit(PiiPhoneRe)).cast("bigint").as("p"),
+        (length(aug) - length(clean)).cast("bigint").as("cut"),
+        (regexp_count(clean, lit(PiiEmailRe)) +
+          regexp_count(clean, lit(PiiIpRe)) +
+          regexp_count(clean, lit(PiiPhoneRe))).cast("bigint").as("resid"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("i") + col("p") > 0, 1L).otherwise(0L))
+          .as("n_docs_pii"),
+        sum("e").as("n_email"), sum("i").as("n_ip"), sum("p").as("n_phone"),
+        sum("cut").as("chars_cut"), sum("resid").as("n_residual"))
+      .withColumn("clean_rate",
+        round(lit(1.0) - col("n_docs_pii") / col("n_docs"), 4))
+  }
+
   /** Winnowing fingerprint via the custom codegen expression
     * [[graft.functions.RollingHash]] (window = 16 bytes), plus an exact
     * full-text md5 for exact-dup grouping at fixed width (md5 rather

@@ -3617,6 +3617,70 @@ object PipelineQueries {
           "quota_chars", "share_u4")
         .orderBy("source", "q_bucket")
     }),
+
+    // PII SCRUB AUDIT — the redaction stage that runs before anything
+    // else in a public-web ingest (emails / IPv4s / phone numbers →
+    // placeholder tokens). Regexes from the Java∩RE2 subset, PII
+    // injected deterministically from doc_id (the mm_* fake-payload
+    // doctrine — the synthetic corpus has no digits), and n_residual
+    // re-scans the redacted text INSIDE the gated result (must be 0).
+    // Per-row codegen'd regex map + a |sources|-row rollup.
+    "text_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(Tables.documents(s, dir)).orderBy("source")),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // likelihood ratio toward the labeled-English target slice, top-20%
+    // selection by (rounded score, doc_id) through the sampled-boundary
+    // global rank — per-source selection audit. The corpus reduces once
+    // to integer (doc, bucket) counts; the 64-row ratio table
+    // broadcasts, so scoring is map-side.
+    "corpus_dsir" -> ((s, dir) =>
+      graft.ops.Select.dsir(Tables.documents(s, dir)).orderBy("source")),
+
+    // DoReMi-style domain mixture reweighting: 3 multiplicative-weight
+    // rounds on per-domain excess loss KL(p_d ‖ q_t) against the
+    // CURRENT mixture q_t over Laplace-smoothed hashed-unigram domain
+    // models — the corpus reduces once to a domains×buckets grid and
+    // every round is grid-sized algebra across PlanBarrier.cut.
+    "corpus_doremi" -> ((s, dir) =>
+      graft.ops.Select.doremi(Tables.documents(s, dir)).orderBy("source")),
+
+    // DSIR scoring at LANDING cadence (corpus_dsir's frozen-model
+    // streaming member): gen-1-frozen 64-row ratio table broadcast to
+    // every landing batch, per-doc scores quantized to exact integer
+    // u4 = round(logw·10⁴) so only ADDITIVE per-source counters fold;
+    // the selection stand-in is the fixed threshold logw >= 0 (a rank
+    // needs the whole corpus, a threshold doesn't)
+    "stream_dsir_ingest" -> ((s, dir) =>
+      graft.streaming.EventStreams.dsirIngest(s, dir)),
+
+    // SOFT dedup (SoftDeDup, Xue et al. 2024): instead of REMOVING
+    // near-dups, down-weight documents by their duplicated-mass
+    // "commonness" — the mean document frequency of the doc's distinct
+    // 8-token grams — and emit sampling weight ∝ 1/commonness. All
+    // integer math: comm_u4 and weight_u4 via the half-up
+    // (2·10⁴·a + b) div (2b) pattern, so the key is EXACT (no float
+    // anywhere). Same plan shape as text_span_dedup: one exploded gram
+    // table (checkpointed), gram-keyed df, co-keyed join back, doc fold.
+    "dedup_soft_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ex = Dedup.shingleSets(docs, 8)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .localCheckpoint(false) // feeds the df count and the join back
+      val dft = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      val per = ex.join(dft, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum("df").as("sum_df"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("sum_df"), lit(0L)).as("sum_df"),
+          when(col("n_grams") > 0,
+            expr("(2*10000*sum_df + n_grams) div (2*n_grams)")).as("comm_u4"),
+          when(col("n_grams") > 0,
+            expr("(2*10000*n_grams + sum_df) div (2*sum_df)")).as("weight_u4"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** BPE init state shared by vocab_bpe_learn/vocab_bpe_apply: the
@@ -8851,6 +8915,197 @@ object PipelineQueries {
          |  CAST((2*1000000*w + w_tot) // (2*w_tot) AS BIGINT) AS quota_chars,
          |  CAST((2*10000*w + w_tot) // (2*w_tot) AS BIGINT) AS share_u4
          |FROM w CROSS JOIN tt ORDER BY source, q_bucket""".stripMargin,
+
+    // same injection expression, same three regexes (single-quoted so
+    // the backslashes reach RE2 verbatim), same email→ip→phone
+    // redaction order; DuckDB's regexp_replace needs the explicit 'g'
+    "text_pii_scrub" -> {
+      import graft.ops.TextAnalysis.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
+      s"""WITH a AS (
+         |  SELECT source, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact u'
+         |         || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' node 10.'
+         |         || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         |         || CAST(doc_id % 100 AS VARCHAR) || ' up' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'
+         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         || ' today' ELSE '' END AS t
+         |  FROM documents),
+         |c AS (SELECT source, t,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$PiiEmailRe', '<EMAIL>', 'g'),
+         |      '$PiiIpRe', '<IP>', 'g'),
+         |      '$PiiPhoneRe', '<PHONE>', 'g') AS cl
+         |  FROM a),
+         |m AS (SELECT source,
+         |    CAST(len(regexp_extract_all(t, '$PiiEmailRe')) AS BIGINT) AS e,
+         |    CAST(len(regexp_extract_all(t, '$PiiIpRe')) AS BIGINT) AS i,
+         |    CAST(len(regexp_extract_all(t, '$PiiPhoneRe')) AS BIGINT) AS p,
+         |    CAST(length(t) - length(cl) AS BIGINT) AS cut,
+         |    CAST(len(regexp_extract_all(cl, '$PiiEmailRe'))
+         |       + len(regexp_extract_all(cl, '$PiiIpRe'))
+         |       + len(regexp_extract_all(cl, '$PiiPhoneRe')) AS BIGINT) AS resid
+         |  FROM c)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_pii,
+         |  CAST(sum(e) AS BIGINT) AS n_email, CAST(sum(i) AS BIGINT) AS n_ip,
+         |  CAST(sum(p) AS BIGINT) AS n_phone,
+         |  CAST(sum(cut) AS BIGINT) AS chars_cut,
+         |  CAST(sum(resid) AS BIGINT) AS n_residual,
+         |  round(1.0 - sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END)*1.0
+         |    / count(*), 4) AS clean_rate
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // full replay: same seed-37 bucket hash, same Laplace (+1/+64)
+    // smoothing, same ln(target)−ln(raw) composition, same
+    // (rounded score DESC, doc_id) selection order, k = N // 5.
+    // Aggregates over token counts CAST per the HUGEINT hazard.
+    "corpus_dsir" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS s FROM t),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM tk)),
+         |th AS (SELECT s, ((${sx(ghashSql(fnvHx, "37"))} % 64) + 64) % 64 AS b
+         |       FROM tb),
+         |dc AS MATERIALIZED (
+         |  SELECT tk.doc_id, th.b, count(*) AS c
+         |  FROM tk JOIN th USING (s) GROUP BY 1, 2),
+         |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM dc GROUP BY 1),
+         |tgt AS (SELECT dc.b, CAST(sum(c) AS BIGINT) AS ct
+         |        FROM dc JOIN documents d USING (doc_id)
+         |        WHERE d.lang = 'en' GROUP BY 1),
+         |lr0 AS (SELECT raw.b, coalesce(tgt.ct, 0) AS ct, raw.cr
+         |        FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |              CAST(sum(cr) AS BIGINT) AS nr FROM lr0),
+         |lr AS (SELECT b, ln((ct + 1) * 1.0 / (nt + 64))
+         |               - ln((cr + 1) * 1.0 / (nr + 64)) AS lr
+         |       FROM lr0 CROSS JOIN tt),
+         |sc AS (SELECT dc.doc_id, round(sum(dc.c * lr.lr), 4) AS m4
+         |       FROM dc JOIN lr USING (b) GROUP BY 1),
+         |r AS (SELECT doc_id, m4,
+         |        row_number() OVER (ORDER BY m4 DESC, doc_id) AS rnk FROM sc),
+         |kk AS (SELECT count(*) // 5 AS k FROM documents),
+         |j AS (SELECT d.source, r.m4,
+         |        CASE WHEN r.rnk <= kk.k THEN 1 ELSE 0 END AS sel
+         |      FROM r JOIN documents d USING (doc_id) CROSS JOIN kk)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(sel) AS BIGINT) AS n_sel,
+         |  round(sum(sel) * 1.0 / count(*), 4) AS sel_rate,
+         |  round(avg(m4), 4) AS avg_logw,
+         |  round(avg(CASE WHEN sel = 1 THEN m4 END), 4) AS avg_logw_sel
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // unrolled 3-round replay: same seed-41 hash, same dense
+    // domains×64 Laplace grid (Σ_b p = 1 exactly), same
+    // mixture → KL → w·exp(KL) → 0.98-renormalize + 0.02-uniform step
+    "corpus_doremi" -> {
+      def rnd(r: Int): String = {
+        val pw = if (r == 1) "w0" else s"w${r - 1}"
+        s"""q$r AS (SELECT p.b, sum($pw.w * p.p) AS q
+           |        FROM p JOIN $pw USING (source) GROUP BY 1),
+           |e$r AS (SELECT p.source, sum(p.p * ln(p.p / q$r.q)) AS eps
+           |        FROM p JOIN q$r USING (b) GROUP BY 1),
+           |u$r AS (SELECT $pw.source, $pw.w * exp(e$r.eps) AS u, e$r.eps
+           |        FROM $pw JOIN e$r USING (source)),
+           |w$r AS MATERIALIZED (SELECT source,
+           |          (u / (SELECT sum(u) FROM u$r)) * (1.0 - 1.0 / 50)
+           |          + 1.0 / (50 * (SELECT d FROM ndom)) AS w, eps
+           |        FROM u$r)""".stripMargin
+      }
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+         |tk AS (SELECT source, unnest(toks) AS s FROM t),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM tk)),
+         |th AS (SELECT s, ((${sx(ghashSql(fnvHx, "41"))} % 64) + 64) % 64 AS b
+         |       FROM tb),
+         |cnt AS MATERIALIZED (
+         |  SELECT tk.source, th.b, count(*) AS c
+         |  FROM tk JOIN th USING (s) GROUP BY 1, 2),
+         |dom AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |ndom AS (SELECT count(*) AS d FROM dom),
+         |ntk AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_toks
+         |        FROM cnt GROUP BY 1),
+         |grid AS (SELECT dom.source, g.b
+         |         FROM dom, (SELECT unnest(range(0, 64)) AS b) g),
+         |p AS MATERIALIZED (
+         |  SELECT g.source, g.b,
+         |    (coalesce(c.c, 0) + 1) * 1.0 / (ntk.n_toks + 64) AS p
+         |  FROM grid g
+         |  LEFT JOIN cnt c ON g.source = c.source AND g.b = c.b
+         |  JOIN ntk ON g.source = ntk.source),
+         |w0 AS (SELECT source, 1.0 / (SELECT d FROM ndom) AS w FROM dom),
+         |${(1 to 3).map(rnd).mkString(",\n")}
+         |SELECT dom.source, dom.n_docs, ntk.n_toks,
+         |  round(w3.eps, 4) AS excess_loss, round(w3.w, 6) AS weight
+         |FROM dom JOIN ntk USING (source) JOIN w3 USING (source)
+         |ORDER BY source""".stripMargin
+    },
+
+    // one-shot replay of the streamed fold: ratio table from gen 1
+    // only (doc_id < 3(max+1)/4; target = its labeled-English slice),
+    // the FULL corpus scored under it, integer u4 quantization, fixed
+    // logw >= 0 selection, per-source rollup
+    "stream_dsir_ingest" ->
+      s"""WITH thr AS (SELECT 3*(max(doc_id)+1)//4 AS t FROM documents),
+         |t AS (SELECT doc_id, source, lang, $toks AS toks FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS s FROM t),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM tk)),
+         |th AS (SELECT s, ((${sx(ghashSql(fnvHx, "37"))} % 64) + 64) % 64 AS b
+         |       FROM tb),
+         |dc AS MATERIALIZED (
+         |  SELECT tk.doc_id, th.b, count(*) AS c
+         |  FROM tk JOIN th USING (s) GROUP BY 1, 2),
+         |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr
+         |        FROM dc JOIN t USING (doc_id) CROSS JOIN thr
+         |        WHERE t.doc_id < thr.t GROUP BY 1),
+         |tgt AS (SELECT dc.b, CAST(sum(c) AS BIGINT) AS ct
+         |        FROM dc JOIN t USING (doc_id) CROSS JOIN thr
+         |        WHERE t.doc_id < thr.t AND t.lang = 'en' GROUP BY 1),
+         |lr0 AS (SELECT raw.b, coalesce(tgt.ct, 0) AS ct, raw.cr
+         |        FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |              CAST(sum(cr) AS BIGINT) AS nr FROM lr0),
+         |lr AS (SELECT b, ln((ct + 1) * 1.0 / (nt + 64))
+         |               - ln((cr + 1) * 1.0 / (nr + 64)) AS lr
+         |       FROM lr0 CROSS JOIN tt),
+         |sc AS (SELECT dc.doc_id,
+         |         CAST(round(sum(dc.c * lr.lr) * 10000) AS BIGINT) AS u4
+         |       FROM dc JOIN lr USING (b) GROUP BY 1),
+         |j AS (SELECT d.source, d.doc_id, sc.u4
+         |      FROM sc JOIN documents d USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id >= (SELECT t FROM thr) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_landed,
+         |  CAST(sum(CASE WHEN u4 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+         |  CAST(sum(u4) AS BIGINT) AS sum_u4,
+         |  round(sum(u4) / (count(*) * 10000.0), 4) AS avg_logw
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // same distinct 8-gram extraction as text_span_dedup, same df join,
+    // same half-up integer u4 composition — nonnegative operands so
+    // DuckDB // (floor) equals Spark div (truncate)
+    "dedup_soft_weights" ->
+      s"""WITH docs8 AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM docs8),
+         |dft AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+         |per AS (SELECT ex.doc_id, count(*) AS n_grams,
+         |          CAST(sum(df) AS BIGINT) AS sum_df
+         |        FROM ex JOIN dft ON ex.g = dft.g GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(sum_df, 0) AS BIGINT) AS sum_df,
+         |  CAST((2*10000*sum_df + n_grams) // (2*n_grams) AS BIGINT) AS comm_u4,
+         |  CAST((2*10000*n_grams + sum_df) // (2*sum_df) AS BIGINT) AS weight_u4
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }
 

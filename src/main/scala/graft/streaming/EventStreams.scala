@@ -572,6 +572,86 @@ object EventStreams {
     spark.read.parquet(store).orderBy("rule_keep", "clf_keep")
   }
 
+  /** DSIR scoring while shards land — [[graft.ops.Select.dsir]]'s
+    * frozen-model streaming member (the [[qualityScoreIngest]]
+    * convention applied to the importance-resampling ratio table): the
+    * 64-bucket log-likelihood-ratio table is built ONCE from
+    * generation 1 (target = gen 1's labeled-English slice, raw = all
+    * of gen 1) and broadcast to every landing batch; per-doc scores
+    * are batch-local work (explode → bucket → one batch-keyed agg),
+    * quantized to the exact integer u4 = round(logw·10⁴) so the
+    * per-source fold is integer-ADDITIVE — no float ever enters the
+    * persisted store. A bucket absent from the frozen table
+    * contributes 0 (the frozen-model convention; gen 1 covers all 64
+    * here). The streaming stand-in for the batch key's global-rank
+    * budget is the FIXED threshold logw ≥ 0 (more target-like than
+    * raw): a rank needs the whole corpus, a threshold doesn't — the
+    * trade a landing cadence accepts. Each doc is staged exactly once,
+    * so the fold provably equals one-shot scoring of the full corpus
+    * under the gen-1 table — which is the oracle. */
+  def dsirIngest(spark: SparkSession, sfDir: String,
+                 buckets: Int = 64, seed: Long = 37L): DataFrame = {
+    val base = graft.sources.Scratch.dir("graft_dsir_stream")
+    val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .localCheckpoint(false) // one scan feeds the model + both stagings
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val gen1 = docs.filter(col("doc_id") < thr)
+    val lr = graft.ops.Select.ratioFromCounts(
+        graft.ops.Select.docBucketCounts(gen1, buckets, seed),
+        gen1.filter(expr("lang = 'en'")).select("doc_id"), buckets)
+      .localCheckpoint(false) // frozen gen-1 model, reused by every batch
+    val stageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch0: DataFrame, _: Long) =>
+          val ss = batch0.sparkSession
+          val batch = batch0.localCheckpoint(false) // scored + joined back
+          val u4 = graft.ops.Select.docBucketCounts(batch, buckets, seed)
+            .join(broadcast(lr), "b")
+            .groupBy("doc_id")
+            .agg(round(sum(col("c") * col("lr")) * 10000).cast("bigint").as("u4"))
+          val local = batch.select("doc_id", "source").join(u4, "doc_id")
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(when(col("doc_id") >= thr, 1L).otherwise(0L)).as("n_landed"),
+              sum(when(col("u4") >= 0, 1L).otherwise(0L)).as("n_sel"),
+              sum("u4").as("sum_u4"))
+          val prev = new java.io.File(store)
+          val merged =
+            if (prev.exists)
+              ss.read.parquet(store).unionByName(local)
+                .groupBy("source")
+                .agg(sum("n_docs").as("n_docs"), sum("n_landed").as("n_landed"),
+                  sum("n_sel").as("n_sel"), sum("sum_u4").as("sum_u4"))
+            else local
+          val next = s"$store.next"
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
+          ss.read.parquet(next).write.mode("overwrite").parquet(store)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") < thr).drop("lang").write.parquet(s"$stage/gen1")
+    pass()
+    docs.filter(col("doc_id") >= thr).drop("lang").write.parquet(s"$stage/gen2")
+    pass()
+    spark.read.parquet(store)
+      .withColumn("avg_logw",
+        round(col("sum_u4") / (col("n_docs") * 10000.0), 4))
+      .select("source", "n_docs", "n_landed", "n_sel", "sum_u4", "avg_logw")
+      .orderBy("source")
+  }
+
   /** Streaming substring-dedup ingest — the gram-hash store of
     * [[graft.ops.Suffix.substringIncremental]] maintained at landing
     * cadence (completing the signature-store triple the minhash and

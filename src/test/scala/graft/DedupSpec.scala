@@ -672,4 +672,31 @@ class DedupSpec extends AnyFunSuite {
       .select(levenshtein(col("a"), col("b"))).head().getInt(0)
     assert(d > a.length / 3, s"reorder edit distance $d should be large")
   }
+
+  test("soft dedup weights: neutral for all-unique docs, exact inverse of commonness") {
+    val rows = SparkEntry.queries("dedup_soft_weights")(spark, SparkTestSession.sf)
+      .collect()
+    // gram accounting must agree with text_span_dedup's (same extraction)
+    val spans = SparkEntry.queries("text_span_dedup")(spark, SparkTestSession.sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_spans")).toMap
+    assert(rows.nonEmpty)
+    var sawDup = false
+    rows.foreach { r =>
+      val (n, s) = (r.getAs[Long]("n_grams"), r.getAs[Long]("sum_df"))
+      assert(n == spans(r.getAs[Long]("doc_id")))
+      if (n > 0) {
+        val comm = r.getAs[Long]("comm_u4")
+        val w = r.getAs[Long]("weight_u4")
+        assert(comm >= 10000L, "mean df below 1 is impossible")
+        assert(w <= 10000L, "weight above neutral is impossible")
+        // a doc whose grams appear nowhere else is EXACTLY neutral
+        if (s == n) { assert(comm == 10000L && w == 10000L) }
+        else { sawDup = true; assert(comm > 10000L && w < 10000L) }
+        // weight is the inverse of commonness up to half-up slack
+        assert(math.abs(comm * w - 100000000L) <= comm + w,
+          s"comm_u4=$comm weight_u4=$w not inverse")
+      }
+    }
+    assert(sawDup, "corpus should contain at least one duplicated gram")
+  }
 }

@@ -2150,4 +2150,39 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(rs.head.getAs[Long]("mad8") == mad8)
     }
   }
+
+  test("dsir: budget is honored exactly and selection is target-shifted") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.ops.Select.dsir(docs).collect()
+    val nDocs = docs.count()
+    val nSel = out.map(_.getAs[Long]("n_sel")).sum
+    // the rank threshold selects EXACTLY floor(N/5) docs — a budget,
+    // not a per-source rate
+    assert(nSel == nDocs / 5, s"selected $nSel of $nDocs")
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // importance resampling toward the English slice must score the
+    // selected set higher than the corpus mean, in every source that
+    // selected anything
+    out.filter(_.getAs[Long]("n_sel") > 0).foreach { r =>
+      assert(r.getAs[Double]("avg_logw_sel") >= r.getAs[Double]("avg_logw"),
+        s"source ${r.getAs[String]("source")}: selected mean below corpus mean")
+    }
+  }
+
+  test("doremi: weights are a smoothed distribution and upweight high-excess domains") {
+    val out = graft.ops.Select.doremi(Tables.documents(spark, sf)).collect()
+    val d = out.length.toDouble
+    val wSum = out.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-3, s"weights sum to $wSum")
+    // smoothing floor: every weight ≥ δ/D with δ = 1/50
+    out.foreach(r => assert(r.getAs[Double]("weight") >= 1.0 / (50 * d) - 1e-9))
+    // excess loss is a KL — nonnegative
+    out.foreach(r => assert(r.getAs[Double]("excess_loss") >= -1e-9))
+    // monotone coupling: the domain with the max final excess loss
+    // must not carry the minimum weight
+    val byEps = out.sortBy(_.getAs[Double]("excess_loss"))
+    assert(byEps.last.getAs[Double]("weight") >=
+      byEps.head.getAs[Double]("weight"),
+      "max-excess domain ended below min-excess domain")
+  }
 }

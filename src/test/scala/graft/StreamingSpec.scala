@@ -383,6 +383,35 @@ class StreamingSpec extends AnyFunSuite {
       "two-generation scoring fold diverged from the one-shot batch score")
   }
 
+  test("streaming DSIR scoring equals the one-shot gen1-frozen batch scoring") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "text")
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4")).head().getLong(0)
+    val gen1 = docs.filter(col("doc_id") < thr)
+    // one-shot: the same gen-1-frozen ratio table scoring the full corpus
+    val lr = graft.ops.Select.ratioFromCounts(
+      graft.ops.Select.docBucketCounts(gen1, 64, 37L),
+      gen1.filter(expr("lang = 'en'")).select("doc_id"), 64)
+    val u4 = graft.ops.Select.docBucketCounts(docs, 64, 37L)
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * col("lr")) * 10000).cast("bigint").as("u4"))
+    val batch = docs.select("doc_id", "source").join(u4, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") >= thr, 1L).otherwise(0L)).as("n_landed"),
+        sum(when(col("u4") >= 0, 1L).otherwise(0L)).as("n_sel"),
+        sum("u4").as("sum_u4"))
+      .withColumn("avg_logw",
+        round(col("sum_u4") / (col("n_docs") * 10000.0), 4))
+      .orderBy("source").collect().map(_.toString)
+    val streamed = graft.streaming.EventStreams.dsirIngest(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "two-generation DSIR fold diverged from the one-shot batch score")
+  }
+
   test("streaming drift trigger equals the audit-cadence emb_cell_drift") {
     // store-equality doctrine: stream_ivf_drift derives its generations
     // from the streamed counters (n_gen1 = n_vecs - n_landed), so its

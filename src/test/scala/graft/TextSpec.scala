@@ -975,4 +975,24 @@ class TextSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_docs_split") <= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("piiScrub: injected hits reconcile exactly and redaction leaves zero residual") {
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val t = TextAnalysis.piiScrub(Tables.documents(spark, sf))
+      .agg(sum("n_docs").as("n"), sum("n_email").as("e"), sum("n_ip").as("i"),
+        sum("n_phone").as("p"), sum("n_residual").as("r"),
+        min("chars_cut").as("minCut"))
+      .head()
+    // exactly one injected hit per matching divisor — the regexes
+    // must find each injection ONCE and nothing else
+    assert(t.getAs[Long]("n") == ids.length)
+    assert(t.getAs[Long]("e") == ids.count(_ % 3 == 0))
+    assert(t.getAs[Long]("i") == ids.count(_ % 5 == 0))
+    assert(t.getAs[Long]("p") == ids.count(_ % 7 == 0))
+    // redaction is total: re-scanning the cleaned text finds nothing,
+    // and every replacement strictly shrinks the text
+    assert(t.getAs[Long]("r") == 0L)
+    assert(t.getAs[Long]("minCut") >= 0L)
+  }
 }
