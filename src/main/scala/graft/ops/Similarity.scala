@@ -202,6 +202,26 @@ object Similarity {
       nearestCell(col("v"), col("nrm"), ivfCentroids(e, cells, lloydIters, buildFilter)))
   }
 
+  /** [[ivfAssign]] plus the quantized own-centroid cosine — the
+    * prototypicality signal D4-style pruning ranks on. Quantization
+    * follows the [[ivfSilhouette]] doctrine: per-row float work only,
+    * half-up ×10⁴ BEFORE anything aggregates or ranks, so downstream
+    * order is integer-deterministic. Element 1 of the desc-sorted sims
+    * array is exactly nearestCell's max-tie choice, so `cell` equals
+    * [[ivfAssign]]'s. Returns (vec_id, v, nrm, cell, cos_u4). */
+  def ivfAssignWithSim(emb: DataFrame, cells: Int = 16,
+                       lloydIters: Int = 1): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+    val cs = ivfCentroids(e, cells, lloydIters, lit(true))
+    val sims = reverse(array_sort(centroidSims(col("v"), col("nrm"), cs)))
+    e.select(col("vec_id"), col("v"), col("nrm"),
+      element_at(sims, 1).getField("idx").cast("long").as("cell"),
+      round(element_at(sims, 1).getField("sim") * 10000).cast("bigint")
+        .as("cos_u4"))
+  }
+
   /** Simplified silhouette (Kaufman–Rousseeuw's centroid variant) of
     * the IVF coarse quantizer: per vector, a = cosine distance to its
     * OWN centroid (the nearest by construction) and b = distance to

@@ -3681,6 +3681,60 @@ object PipelineQueries {
             expr("(2*10000*n_grams + sum_df) div (2*sum_df)")).as("weight_u4"))
         .orderBy("doc_id")
     }),
+
+    // D4 pruning (Tirumala et al. 2023): SemDeDup first (in-cell
+    // cosine >= 0.35 families, min-id root survives), then drop the
+    // most PROTOTYPICAL tenth of each cell's survivors — the vectors
+    // closest to their own centroid carry the least marginal
+    // information. Prototypicality ranks on the half-up ×10⁴ cosine
+    // (the ivfSilhouette quantization doctrine) with a vec_id tiebreak,
+    // so the cut is integer-deterministic; the rank window is
+    // cell-bounded, never global. Per cell: n_vecs, n_semdup_pruned,
+    // n_surv, n_proto_pruned, n_kept.
+    "emb_d4_prune" -> ((s, dir) => {
+      val assigned = Similarity.ivfAssignWithSim(Tables.embeddings(s, dir),
+          cells = 16, lloydIters = 1)
+        .localCheckpoint(false) // pair sides + survivor rank + rollup
+      val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+        col("v").as("v1"), col("nrm").as("nrm1"))
+      val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+        col("v").as("v2"), col("nrm").as("nrm2"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("id1") < col("id2"))
+        .filter(Dedup.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))
+          >= 0.35)
+        .select("cell", "id1", "id2")
+      val roots = Cluster.dedupClusters(
+          assigned.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      val surv = assigned.join(roots, "vec_id")
+        .withColumn("is_root",
+          (col("vec_id") === col("cluster_id")).cast("int"))
+        .localCheckpoint(false) // feeds the rollup AND the survivor rank
+      val ns = surv.filter(col("is_root") === 1)
+        .groupBy("cell").agg(count(lit(1)).as("n_surv"))
+      val w = Window.partitionBy("cell")
+        .orderBy(col("cos_u4").desc, col("vec_id"))
+      val proto = surv.filter(col("is_root") === 1)
+        .withColumn("r", row_number().over(w))
+        .join(broadcast(ns), "cell")
+        .groupBy("cell")
+        .agg(sum((col("r") <= expr("n_surv div 10")).cast("long"))
+          .as("n_proto_pruned"))
+      surv.groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("is_root") === 1, 0L).otherwise(1L))
+            .as("n_semdup_pruned"))
+        .join(broadcast(ns), Seq("cell"), "left")
+        .join(broadcast(proto), Seq("cell"), "left")
+        .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+          col("n_semdup_pruned"),
+          coalesce(col("n_surv"), lit(0L)).as("n_surv"),
+          coalesce(col("n_proto_pruned"), lit(0L)).as("n_proto_pruned"),
+          (coalesce(col("n_surv"), lit(0L)) -
+            coalesce(col("n_proto_pruned"), lit(0L))).as("n_kept"))
+        .orderBy("cell")
+    }),
   )
 
   /** BPE init state shared by vocab_bpe_learn/vocab_bpe_apply: the
@@ -9106,6 +9160,77 @@ object PipelineQueries {
          |  CAST((2*10000*n_grams + sum_df) // (2*sum_df) AS BIGINT) AS weight_u4
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // dedup_semantic's replay (same assignment prelude, pairs, CC)
+    // extended with the D4 half: survivors re-scored against their own
+    // centroid (same ×10⁴ half-up quantization), per-cell rank with the
+    // vec_id tiebreak, drop r <= n_surv // 10
+    "emb_d4_prune" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 16),
+        |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
+        |a0 AS (
+        |  SELECT e.vec_id, e.v, e.nrm, sd.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*sd.c[i])) / (e.nrm*sd.cn) DESC,
+        |               sd.cell DESC) AS rk
+        |  FROM e CROSS JOIN sd QUALIFY rk = 1),
+        |r0 AS (
+        |  SELECT cell, i AS pos, round(avg(v[i]), 6) AS m
+        |  FROM a0, unnest(range(1, 65)) t(i)
+        |  GROUP BY cell, i),
+        |rc AS (
+        |  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell,
+        |         list(m ORDER BY pos) AS c
+        |  FROM r0 GROUP BY cell),
+        |rcn AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM rc),
+        |corp AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, e.nrm, rcn.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1,65), i -> e.v[i]*rcn.c[i])) / (e.nrm*rcn.cn) DESC,
+        |               rcn.cell DESC) AS rk
+        |  FROM e CROSS JOIN rcn QUALIFY rk = 1),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.cell, a.vec_id AS id1, b.vec_id AS id2
+        |  FROM corp a JOIN corp b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i]))
+        |          / (a.nrm*b.nrm) >= 0.35),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM corp
+        |  UNION
+        |  SELECT ed.src, reach.r FROM edges ed JOIN reach ON ed.dst = reach.id),
+        |lab AS (SELECT id AS vec_id, min(r) AS root FROM reach GROUP BY 1),
+        |surv AS (SELECT corp.cell, corp.vec_id, corp.v, corp.nrm
+        |         FROM corp JOIN lab USING (vec_id) WHERE lab.root = corp.vec_id),
+        |scx AS (SELECT surv.cell, surv.vec_id,
+        |    CAST(round(list_sum(list_transform(range(1,65), i -> surv.v[i]*rcn.c[i]))
+        |      / (surv.nrm*rcn.cn) * 10000) AS BIGINT) AS cu4
+        |  FROM surv JOIN rcn USING (cell)),
+        |rnk AS (SELECT cell, vec_id, cu4,
+        |    row_number() OVER (PARTITION BY cell ORDER BY cu4 DESC, vec_id) AS r,
+        |    count(*) OVER (PARTITION BY cell) AS ns
+        |  FROM scx),
+        |pr AS (SELECT cell, any_value(ns) AS n_surv,
+        |    sum(CASE WHEN r <= ns // 10 THEN 1 ELSE 0 END) AS n_proto
+        |  FROM rnk GROUP BY cell),
+        |stats AS (
+        |  SELECT corp.cell, count(*) AS n_vecs,
+        |    sum(CASE WHEN lab.root = corp.vec_id THEN 0 ELSE 1 END) AS n_semdup
+        |  FROM corp JOIN lab USING (vec_id) GROUP BY 1)
+        |SELECT CAST(stats.cell AS BIGINT) AS cell,
+        |  CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(n_semdup AS BIGINT) AS n_semdup_pruned,
+        |  CAST(coalesce(pr.n_surv, 0) AS BIGINT) AS n_surv,
+        |  CAST(coalesce(pr.n_proto, 0) AS BIGINT) AS n_proto_pruned,
+        |  CAST(coalesce(pr.n_surv, 0) - coalesce(pr.n_proto, 0) AS BIGINT) AS n_kept
+        |FROM stats LEFT JOIN pr ON stats.cell = pr.cell
+        |ORDER BY cell""".stripMargin,
   )
 }
 

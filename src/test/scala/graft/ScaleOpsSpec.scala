@@ -2185,4 +2185,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       byEps.head.getAs[Double]("weight"),
       "max-excess domain ended below min-excess domain")
   }
+
+  test("d4 prune: stage accounting is exact and the SemDeDup half matches dedup_semantic") {
+    val d4 = SparkEntry.queries("emb_d4_prune")(spark, sf).collect()
+    val sem = SparkEntry.queries("dedup_semantic")(spark, sf)
+      .collect().map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_pruned"))).toMap
+    assert(d4.nonEmpty)
+    d4.foreach { r =>
+      val (nv, nsd) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_semdup_pruned"))
+      val (ns, np, nk) = (r.getAs[Long]("n_surv"),
+        r.getAs[Long]("n_proto_pruned"), r.getAs[Long]("n_kept"))
+      // the three stages partition every cell exactly
+      assert(nsd + ns == nv, s"cell ${r.getAs[Long]("cell")}: stages don't partition")
+      assert(np == ns / 10, "prototype cut must be exactly the survivor tenth")
+      assert(nk == ns - np)
+      // the SemDeDup half IS dedup_semantic — same assignment, same CC
+      val (snv, snp) = sem(r.getAs[Long]("cell"))
+      assert(snv == nv && snp == nsd, "SemDeDup half diverged from dedup_semantic")
+    }
+  }
 }
