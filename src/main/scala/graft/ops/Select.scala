@@ -84,15 +84,7 @@ object Select {
            targetFilter: String = "lang = 'en'",
            selNum: Int = 1, selDen: Int = 5): DataFrame = {
     val d = docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
-    val dc = docBucketCounts(d, buckets, seed)
-      .localCheckpoint(false) // feeds raw totals, target totals, scoring
-    val tgtIds = d.filter(expr(targetFilter)).select("doc_id")
-    val lrw = ratioFromCounts(dc, tgtIds, buckets)
-    // map-side scoring: the ratio table broadcasts, one doc-keyed re-agg
-    val scored = dc.join(broadcast(lrw), "b")
-      .groupBy("doc_id")
-      .agg(round(sum(col("c") * col("lr")), 4).as("m4"))
-    val ranked = Rank.globalRankByRange(scored, "m4", "doc_id", numBlocks = 8)
+    val ranked = dsirRanked(d, buckets, seed, targetFilter)
     val tot = d.agg(count(lit(1)).as("n_total"))
     val sel = Scalars.withScalar(ranked, col("doc_id"), tot, col("n_total"))
       .withColumn("selected",
@@ -105,6 +97,24 @@ object Select {
         round(avg(when(col("selected") === 1, col("m4"))), 4).as("avg_logw_sel"))
       .withColumn("sel_rate", round(col("n_sel") / col("n_docs"), 4))
       .select("source", "n_docs", "n_sel", "sel_rate", "avg_logw", "avg_logw_sel")
+  }
+
+  /** The shared DSIR scoring + rank: (doc_id, m4, rnk) with m4 the
+    * round-4 log likelihood ratio and rnk the global (m4 DESC, doc_id)
+    * rank via the sampled-boundary [[Rank.globalRankByRange]] — ONE
+    * scoring pass serves every budget a sweep asks for. */
+  private[graft] def dsirRanked(docs: DataFrame, buckets: Int = 64,
+                                seed: Long = 37L,
+                                targetFilter: String = "lang = 'en'"): DataFrame = {
+    val dc = docBucketCounts(docs, buckets, seed)
+      .localCheckpoint(false) // feeds raw totals, target totals, scoring
+    val tgtIds = docs.filter(expr(targetFilter)).select("doc_id")
+    val lrw = ratioFromCounts(dc, tgtIds, buckets)
+    // map-side scoring: the ratio table broadcasts, one doc-keyed re-agg
+    val scored = dc.join(broadcast(lrw), "b")
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * col("lr")), 4).as("m4"))
+    Rank.globalRankByRange(scored, "m4", "doc_id", numBlocks = 8)
   }
 
   /** DoReMi-style domain reweighting: `rounds` multiplicative-weight
@@ -127,16 +137,34 @@ object Select {
     * and weight (final, round-6) — ordered by source. */
   def doremi(docs: DataFrame, buckets: Int = 64, seed: Long = 41L,
              rounds: Int = 3, deltaDen: Long = 50L): DataFrame = {
+    val counts = domainBucketCounts(docs, buckets, seed)
+    val perDom = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(false) // the domain list anchors the dense grid
+    doremiFromCounts(counts, perDom, buckets, rounds, deltaDen)
+  }
+
+  /** Per-domain hashed-unigram bucket counts (source, b, c) — the ONLY
+    * corpus-scale reduction DoReMi needs; integer and additive, so a
+    * landing-cadence ingest can fold it across batches and re-run the
+    * grid algebra from the folded store ([[doremiFromCounts]]). */
+  private[graft] def domainBucketCounts(docs: DataFrame, buckets: Int,
+                                        seed: Long): DataFrame = {
     GraftHash64OrRegister(docs)
-    val tok = docs
+    docs
       .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
       .select(col("source"),
         pmod(call_function("graft_hash64", col("tok"), lit(seed)),
           lit(buckets.toLong)).as("b"))
-    val counts = tok.groupBy("source", "b").agg(count(lit(1)).as("c"))
-    val perDom = docs.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint(false) // the domain list anchors the dense grid
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** The grid-sized DoReMi iteration given the folded integer counts:
+    * see [[doremi]] for semantics. `counts` = (source, b, c),
+    * `perDom` = (source, n_docs). */
+  private[graft] def doremiFromCounts(counts: DataFrame, perDom: DataFrame,
+                                      buckets: Int, rounds: Int,
+                                      deltaDen: Long): DataFrame = {
     // densify via a per-row generator, not a cross join (PlanSpec bans
     // nested-loop shapes globally): 20 rows × `buckets` explode
     val grid = perDom.select(col("source"),

@@ -3654,6 +3654,40 @@ object PipelineQueries {
     "stream_dsir_ingest" -> ((s, dir) =>
       graft.streaming.EventStreams.dsirIngest(s, dir)),
 
+    // DoReMi at LANDING cadence: the only corpus-scale state is the
+    // ADDITIVE integer (source, bucket) count grid + per-source doc
+    // counts, folded per batch; the mixture algebra re-runs from the
+    // folded store after the last generation — integer folds are
+    // exact, so this IS corpus_doremi (shared oracle + spec pin)
+    "stream_doremi_ingest" -> ((s, dir) =>
+      graft.streaming.EventStreams.doremiIngest(s, dir)),
+
+    // the DSIR deploy knob: budget sweep (10/20/40%) over ONE scoring
+    // pass and ONE global rank — each budget row filters the shared
+    // checkpointed rank table; target capture audits how much of the
+    // labeled-English slice each budget recovers
+    "corpus_dsir_sweep" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select("doc_id", "source", "lang", "text")
+      val ranked = graft.ops.Select.dsirRanked(d)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(false) // one scoring pass serves all budgets
+      val tot = ranked.agg(count(lit(1)).as("n_total"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      val wt = Scalars.withScalar(ranked, col("doc_id"), tot, col("n_total"))
+      Seq(10L, 20L, 40L).map { f =>
+        wt.filter(col("rnk") <= expr(s"($f * n_total) div 100"))
+          .agg(count(lit(1)).as("n_sel"),
+            coalesce(sum(when(col("lang") === "en", 1L).otherwise(0L)),
+              lit(0L)).as("n_sel_target"),
+            max("n_en").as("n_en"),
+            round(avg("m4"), 4).as("avg_logw_sel"))
+          .select(lit(f).as("frac_pct"), col("n_sel"), col("n_sel_target"),
+            round(col("n_sel_target") / col("n_en"), 4).as("target_capture"),
+            col("avg_logw_sel"))
+      }.reduce(_ unionByName _).orderBy("frac_pct")
+    }),
+
     // SOFT dedup (SoftDeDup, Xue et al. 2024): instead of REMOVING
     // near-dups, down-weight documents by their duplicated-mass
     // "commonness" — the mean document frequency of the doc's distinct
@@ -9056,7 +9090,20 @@ object PipelineQueries {
     // unrolled 3-round replay: same seed-41 hash, same dense
     // domains×64 Laplace grid (Σ_b p = 1 exactly), same
     // mixture → KL → w·exp(KL) → 0.98-renormalize + 0.02-uniform step
-    "corpus_doremi" -> {
+    "corpus_doremi" -> doremiSql,
+
+    // the landing-cadence fold is the ADDITIVE integer (source, bucket)
+    // count store; the grid algebra re-runs from the folded store after
+    // the last generation, so the result IS corpus_doremi — the
+    // stream==batch convergence contract (the stream_pipeline_e2e
+    // doctrine), hence the oracle verbatim
+    "stream_doremi_ingest" -> doremiSql,
+  ) ++ oracleTail
+
+  /** corpus_doremi's full DuckDB replay, shared verbatim with
+    * stream_doremi_ingest (the streamed fold is exact-integer, so the
+    * two keys provably emit identical rows — StreamingSpec pins it). */
+  private lazy val doremiSql: String = {
       def rnd(r: Int): String = {
         val pw = if (r == 1) "w0" else s"w${r - 1}"
         s"""q$r AS (SELECT p.b, sum($pw.w * p.p) AS q
@@ -9097,7 +9144,10 @@ object PipelineQueries {
          |  round(w3.eps, 4) AS excess_loss, round(w3.w, 6) AS weight
          |FROM dom JOIN ntk USING (source) JOIN w3 USING (source)
          |ORDER BY source""".stripMargin
-    },
+  }
+
+  /** Oracle entries registered after the [[doremiSql]] extraction. */
+  private lazy val oracleTail: Map[String, String] = Map(
 
     // one-shot replay of the streamed fold: ratio table from gen 1
     // only (doc_id < 3(max+1)/4; target = its labeled-English slice),
@@ -9160,6 +9210,48 @@ object PipelineQueries {
          |  CAST((2*10000*n_grams + sum_df) // (2*sum_df) AS BIGINT) AS weight_u4
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // corpus_dsir's scoring CTEs + one shared rank; each budget row is
+    // a non-equi join against the fraction list, k = (f·N) // 100
+    "corpus_dsir_sweep" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS s FROM t),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM tk)),
+         |th AS (SELECT s, ((${sx(ghashSql(fnvHx, "37"))} % 64) + 64) % 64 AS b
+         |       FROM tb),
+         |dc AS MATERIALIZED (
+         |  SELECT tk.doc_id, th.b, count(*) AS c
+         |  FROM tk JOIN th USING (s) GROUP BY 1, 2),
+         |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM dc GROUP BY 1),
+         |tgt AS (SELECT dc.b, CAST(sum(c) AS BIGINT) AS ct
+         |        FROM dc JOIN documents d USING (doc_id)
+         |        WHERE d.lang = 'en' GROUP BY 1),
+         |lr0 AS (SELECT raw.b, coalesce(tgt.ct, 0) AS ct, raw.cr
+         |        FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |              CAST(sum(cr) AS BIGINT) AS nr FROM lr0),
+         |lr AS (SELECT b, ln((ct + 1) * 1.0 / (nt + 64))
+         |               - ln((cr + 1) * 1.0 / (nr + 64)) AS lr
+         |       FROM lr0 CROSS JOIN tt),
+         |sc AS (SELECT dc.doc_id, round(sum(dc.c * lr.lr), 4) AS m4
+         |       FROM dc JOIN lr USING (b) GROUP BY 1),
+         |r AS (SELECT doc_id, m4,
+         |        row_number() OVER (ORDER BY m4 DESC, doc_id) AS rnk FROM sc),
+         |fr AS (SELECT unnest([10, 20, 40]) AS f),
+         |tot AS (SELECT count(*) AS n,
+         |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+         |        FROM documents),
+         |j AS (SELECT fr.f, r.m4, d.lang, tot.n_en
+         |      FROM r JOIN documents d USING (doc_id)
+         |      CROSS JOIN tot JOIN fr ON r.rnk <= (fr.f * tot.n) // 100)
+         |SELECT CAST(f AS BIGINT) AS frac_pct, count(*) AS n_sel,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sel_target,
+         |  round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+         |    / any_value(n_en), 4) AS target_capture,
+         |  round(avg(m4), 4) AS avg_logw_sel
+         |FROM j GROUP BY f ORDER BY frac_pct""".stripMargin,
 
     // dedup_semantic's replay (same assignment prelude, pairs, CC)
     // extended with the D4 half: survivors re-scored against their own

@@ -652,6 +652,77 @@ object EventStreams {
       .orderBy("source")
   }
 
+  /** DoReMi at LANDING cadence — the mixture-reweighting twin of
+    * [[dsirIngest]], and the purest instance of the store-fold
+    * doctrine: DoReMi's ONLY corpus-scale reduction is the integer
+    * (source, bucket) token-count grid plus per-source doc counts,
+    * both ADDITIVE, so each landing batch folds its map-side counts
+    * into the persisted store and the grid algebra
+    * ([[graft.ops.Select.doremiFromCounts]] — mixture → KL →
+    * multiplicative weights) re-runs from the folded store after the
+    * last generation. Integer folds are exact, so the result IS
+    * corpus_doremi row for row — the stream==batch convergence
+    * contract (oracle = corpus_doremi's SQL verbatim; StreamingSpec
+    * pins the equality engine-side too). */
+  def doremiIngest(spark: SparkSession, sfDir: String, buckets: Int = 64,
+                   seed: Long = 41L, rounds: Int = 3,
+                   deltaDen: Long = 50L): DataFrame = {
+    val base = graft.sources.Scratch.dir("graft_doremi_stream")
+    val (stage, ckpt) = (s"$base/stage", s"$base/ckpt")
+    val (cntStore, domStore) = (s"$base/cnt", s"$base/dom")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(false) // one scan feeds both stagings
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val stageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def fold(ss: SparkSession, path: String, local: DataFrame,
+             keys: Seq[String], sums: Seq[String]): Unit = {
+      val prev = new java.io.File(path)
+      val merged =
+        if (prev.exists)
+          ss.read.parquet(path).unionByName(local)
+            .groupBy(keys.map(col): _*)
+            .agg(sum(sums.head).as(sums.head),
+              sums.tail.map(c => sum(c).as(c)): _*)
+        else local
+      val next = s"$path.next"
+      merged.coalesce(1).write.mode("overwrite").parquet(next)
+      ss.read.parquet(next).write.mode("overwrite").parquet(path)
+    }
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch0: DataFrame, _: Long) =>
+          val ss = batch0.sparkSession
+          val batch = batch0.localCheckpoint(false) // counts + doc fold
+          fold(ss, cntStore,
+            graft.ops.Select.domainBucketCounts(batch, buckets, seed),
+            Seq("source", "b"), Seq("c"))
+          fold(ss, domStore,
+            batch.groupBy("source").agg(count(lit(1)).as("n_docs")),
+            Seq("source"), Seq("n_docs"))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") < thr).write.parquet(s"$stage/gen1")
+    pass()
+    docs.filter(col("doc_id") >= thr).write.parquet(s"$stage/gen2")
+    pass()
+    graft.ops.Select.doremiFromCounts(
+        spark.read.parquet(cntStore),
+        spark.read.parquet(domStore).localCheckpoint(false),
+        buckets, rounds, deltaDen)
+      .orderBy("source")
+  }
+
   /** Streaming substring-dedup ingest — the gram-hash store of
     * [[graft.ops.Suffix.substringIncremental]] maintained at landing
     * cadence (completing the signature-store triple the minhash and

@@ -2186,6 +2186,25 @@ class ScaleOpsSpec extends AnyFunSuite {
       "max-excess domain ended below min-excess domain")
   }
 
+  test("dsir sweep: exact budgets, monotone capture, top-k mean non-increasing") {
+    val rows = SparkEntry.queries("corpus_dsir_sweep")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("frac_pct"))
+    assert(rows.map(_.getAs[Long]("frac_pct")).toSeq == Seq(10L, 20L, 40L))
+    val n = Tables.documents(spark, sf).count()
+    rows.foreach(r => assert(r.getAs[Long]("n_sel") ==
+      r.getAs[Long]("frac_pct") * n / 100, "budget must land exactly"))
+    // widening the budget can only add lower-ranked docs: capture grows,
+    // the selected mean never rises
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_sel_target") <= b.getAs[Long]("n_sel_target"))
+      assert(a.getAs[Double]("avg_logw_sel") >= b.getAs[Double]("avg_logw_sel"))
+    }
+    // the 20% row is corpus_dsir's budget: selected totals must agree
+    val dsirSel = SparkEntry.queries("corpus_dsir")(spark, sf)
+      .collect().map(_.getAs[Long]("n_sel")).sum
+    assert(rows(1).getAs[Long]("n_sel") == dsirSel)
+  }
+
   test("d4 prune: stage accounting is exact and the SemDeDup half matches dedup_semantic") {
     val d4 = SparkEntry.queries("emb_d4_prune")(spark, sf).collect()
     val sem = SparkEntry.queries("dedup_semantic")(spark, sf)

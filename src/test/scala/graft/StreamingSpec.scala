@@ -412,6 +412,17 @@ class StreamingSpec extends AnyFunSuite {
       "two-generation DSIR fold diverged from the one-shot batch score")
   }
 
+  test("streaming DoReMi count fold lands exactly on corpus_doremi") {
+    // the store is integer-additive (token-bucket counts + doc counts),
+    // so the re-run grid algebra must equal the one-shot key row for row
+    val streamed = graft.streaming.EventStreams.doremiIngest(spark, sf)
+      .collect().map(_.toString)
+    val batch = SparkEntry.queries("corpus_doremi")(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "folded-store DoReMi diverged from the one-shot mixture")
+  }
+
   test("streaming drift trigger equals the audit-cadence emb_cell_drift") {
     // store-equality doctrine: stream_ivf_drift derives its generations
     // from the streamed counters (n_gen1 = n_vecs - n_landed), so its
