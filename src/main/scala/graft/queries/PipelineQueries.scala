@@ -1765,6 +1765,117 @@ object PipelineQueries {
         .orderBy("stage_idx")
     }),
 
+    // the capstone funnel v3 (r14): v2 plus the selection layer the
+    // round added — a PII QUARANTINE stage first (docs with any
+    // email/IPv4/phone match are routed out of the training funnel —
+    // the drop policy, not in-place redaction, so every downstream
+    // stage still sees verbatim text; on this corpus the quarantine is
+    // provably empty, which the stage row asserts through the gate),
+    // and a DSIR SELECTION stage between the quality gate and the
+    // per-source budget: the ratio table trains on the quality
+    // survivors themselves (target = their labeled-English slice) and
+    // keeps the top half by (round-4 score, doc_id) global rank — the
+    // budget then competes over target-shifted docs. Stage indices:
+    // 0 raw, 1 pii_scrub, 2 exact, 3 substring, 4 near, 5 quality,
+    // 6 dsir_select, 7 budget, 8 decontam, 9 split_train,
+    // 10-13 rule×clf gate agreement.
+    "pipeline_e2e_v3" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      import s.implicits._
+      import graft.ops.TextAnalysis.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "text", "source", "lang")
+        .localCheckpoint(false)
+      def acct(idx: Int, name: String, d: DataFrame, chars: Column): DataFrame =
+        d.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(chars).cast("bigint"), lit(0L)).as("sum_chars"))
+          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("sum_chars"))
+      val s0 = docs.filter(
+          regexp_count(col("text"), lit(PiiEmailRe)) +
+            regexp_count(col("text"), lit(PiiIpRe)) +
+            regexp_count(col("text"), lit(PiiPhoneRe)) === 0)
+        .localCheckpoint(false)
+      val s1 = s0.groupBy(Dedup.normText(col("text")).as("norm"))
+        .agg(min("doc_id").as("doc_id"))
+        .join(s0, "doc_id").select("doc_id", "text", "source")
+        .localCheckpoint(false)
+      val sub = graft.ops.Suffix.dupSpanStats(s1.select("doc_id", "text"),
+        spanLen = 16)
+      val s2 = s1.join(sub.filter(col("dup_tokens") * 5 <= col("n_tokens"))
+          .select("doc_id"), "doc_id")
+        .localCheckpoint(false)
+      val clusters = Cluster.dedupClusters(s2,
+          Dedup.ngramJaccard(s2, n = 3, threshold = 0.8, maxDF = 50))
+        .localCheckpoint(false)
+      val s3 = s2.join(clusters.filter(col("doc_id") === col("cluster_id"))
+          .select("doc_id"), "doc_id")
+        .localCheckpoint(false)
+      val q = TextAnalysis.quality(s3.select("doc_id", "text"))
+        .join(s3.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(false) // gate filter AND the agreement rollup
+      val s4 = q.filter(col("quality_score") >= 0.5)
+        .localCheckpoint(false) // feeds the DSIR train AND the join back
+      val ranked = graft.ops.Select.dsirRanked(
+        s4.select("doc_id").join(docs, "doc_id")
+          .select("doc_id", "lang", "text"))
+      val nS4 = s4.agg(count(lit(1)).as("n_s4"))
+      val s45 = Scalars.withScalar(ranked, col("doc_id"), nS4, col("n_s4"))
+        .filter(col("rnk") <= expr("n_s4 div 2")).select("doc_id")
+        .join(s4, "doc_id")
+        .localCheckpoint(false)
+      val (_, wts) = graft.ops.QualityClf.train(
+        Tables.documents(s, dir).select("doc_id", "text"))
+      val marg = graft.ops.QualityClf.features(s3.select("doc_id", "text"))
+        .join(broadcast(wts), Seq("b"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("w"), lit(0L))).as("marg"))
+      val agree = q.join(marg, "doc_id")
+        .select(when(col("quality_score") >= 0.5, 1L).otherwise(0L).as("rk"),
+          when(col("marg") > 0, 1L).otherwise(0L).as("ck"), col("n_chars"))
+        .groupBy("rk", "ck")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("bigint").as("sum_chars"))
+      val agreeRows = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
+        .toDF("rk", "ck")
+        .join(agree, Seq("rk", "ck"), "left")
+        .select((lit(10L) + col("rk") * 2 + col("ck")).as("stage_idx"),
+          concat(lit("gate_rule"), col("rk"), lit("_clf"), col("ck"))
+            .as("stage"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val s5 = s45.select(col("doc_id"), col("source"), col("n_chars"),
+          coalesce(sum("n_chars").over(w), lit(0L)).as("prior"))
+        .filter(col("prior") < 25000L)
+        .localCheckpoint(false)
+      val flagged = graft.ops.Contamination.check(
+          s5.select("doc_id").join(docs, "doc_id").select("doc_id", "text"),
+          docs.filter(col("doc_id") < 25).select("doc_id", "text"),
+          n = 3, threshold = 0.5)
+        .filter(col("contaminated") === 1).select("doc_id")
+      val s6 = s5.join(flagged, Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
+      val bucket = shiftrightunsigned(call_function("graft_hash64",
+        col("cluster_id").cast("string"), lit(7L)), 52)
+      val s7 = s6.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+        .filter(bucket < 3277)
+      acct(0, "raw", docs, length(col("text")))
+        .unionByName(acct(1, "pii_scrub", s0, length(col("text"))))
+        .unionByName(acct(2, "exact_dedup", s1, length(col("text"))))
+        .unionByName(acct(3, "substring_dedup", s2, length(col("text"))))
+        .unionByName(acct(4, "near_dedup", s3, length(col("text"))))
+        .unionByName(acct(5, "quality", s4, col("n_chars")))
+        .unionByName(acct(6, "dsir_select", s45, col("n_chars")))
+        .unionByName(acct(7, "budget", s5, col("n_chars")))
+        .unionByName(acct(8, "decontam", s6, col("n_chars")))
+        .unionByName(acct(9, "split_train", s7, col("n_chars")))
+        .unionByName(agreeRows)
+        .orderBy("stage_idx")
+    }),
+
     // deterministic stratified sample: the k smallest doc_ids per
     // language, via the shared two-phase top-k (see graft.ops.TopK for
     // the hot-partition rationale and the superset invariant)
@@ -4320,6 +4431,93 @@ object PipelineQueries {
          |  UNION ALL SELECT stage_idx, stage, n_docs, sum_chars FROM fagr)
          |SELECT stage_idx, stage, n_docs, sum_chars
          |FROM fstg ORDER BY stage_idx""".stripMargin
+
+  /** One-occurrence guarded replace: the v3 funnel oracle is derived
+    * from [[pipelineV2Sql]] by documented surgical inserts, and each
+    * anchor must exist EXACTLY once or the derivation fails loudly
+    * (a v2 edit that moves an anchor breaks the build, not the hash). */
+  private def replacedOnce(s: String, from: String, to: String): String = {
+    val first = s.indexOf(from)
+    require(first >= 0 && s.indexOf(from, first + 1) < 0,
+      s"pipelineV3Sql anchor not unique: <$from>")
+    s.substring(0, first) + to + s.substring(first + from.length)
+  }
+
+  /** pipeline_e2e_v3's replay = [[pipelineV2Sql]] + (a) the PII
+    * quarantine CTE p1 gating the exact-dedup base, (b) the DSIR
+    * selection CTEs between the quality gate and the budget window
+    * (ratio table trained on the quality survivors, target = their
+    * labeled-English slice, keep the top half by (round-4 score,
+    * doc_id)), and (c) the renumbered stage rows (0 raw, 1 pii_scrub,
+    * 2-5 the dedup/quality chain, 6 dsir_select, 7-9 budget →
+    * decontam → split, 10-13 gate agreement). */
+  private lazy val pipelineV3Sql: String = {
+    import graft.ops.TextAnalysis.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
+    val piiSum = Seq(PiiEmailRe, PiiIpRe, PiiPhoneRe)
+      .map(re => s"len(regexp_extract_all(text, '$re'))").mkString("\n     + ")
+    val dsirCtes =
+      s"""dtk AS (SELECT t.doc_id, unnest(t.toks) AS s
+         |        FROM t JOIN fd4 USING (doc_id)),
+         |dtb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |        FROM (SELECT DISTINCT s FROM dtk)),
+         |dth AS (SELECT s, ((${DuckHash.sx(DuckHash.ghashSql(DuckHash.fnvHx, "37"))} % 64) + 64) % 64 AS b
+         |        FROM dtb),
+         |ddc AS MATERIALIZED (
+         |  SELECT dtk.doc_id, dth.b, count(*) AS c
+         |  FROM dtk JOIN dth USING (s) GROUP BY 1, 2),
+         |draw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM ddc GROUP BY 1),
+         |dtgt AS (SELECT ddc.b, CAST(sum(c) AS BIGINT) AS ct
+         |         FROM ddc JOIN documents d USING (doc_id)
+         |         WHERE d.lang = 'en' GROUP BY 1),
+         |dlr0 AS (SELECT draw.b, coalesce(dtgt.ct, 0) AS ct, draw.cr
+         |         FROM draw LEFT JOIN dtgt ON draw.b = dtgt.b),
+         |dtt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |               CAST(sum(cr) AS BIGINT) AS nr FROM dlr0),
+         |dlr AS (SELECT b, ln((ct + 1) * 1.0 / (nt + 64))
+         |                - ln((cr + 1) * 1.0 / (nr + 64)) AS lr
+         |        FROM dlr0 CROSS JOIN dtt),
+         |dsc AS (SELECT ddc.doc_id, round(sum(ddc.c * dlr.lr), 4) AS m4
+         |        FROM ddc JOIN dlr USING (b) GROUP BY 1),
+         |drk AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY m4 DESC, doc_id) AS rnk
+         |        FROM dsc),
+         |dk AS (SELECT count(*) // 2 AS k FROM fd4),
+         |fd45 AS MATERIALIZED (
+         |  SELECT fd4.* FROM fd4 JOIN drk USING (doc_id) CROSS JOIN dk
+         |  WHERE drk.rnk <= dk.k),
+         |fw AS (""".stripMargin
+    var sql = pipelineV2Sql
+    sql = replacedOnce(sql, "fs1 AS (SELECT min(doc_id) AS doc_id",
+      s"""p1 AS MATERIALIZED (SELECT doc_id FROM documents
+         |  WHERE $piiSum = 0),
+         |fs1 AS (SELECT min(doc_id) AS doc_id""".stripMargin)
+    sql = replacedOnce(sql, "FROM documents)\n       GROUP BY norm)",
+      "FROM documents JOIN p1 USING (doc_id))\n       GROUP BY norm)")
+    // rebase the budget window BEFORE inserting the DSIR CTEs — the
+    // inserted dk CTE also ends in "FROM fd4)" and would break the
+    // one-occurrence guarantee the other way round
+    sql = replacedOnce(sql, "FROM fd4),\n", "FROM fd45),\n")
+    sql = replacedOnce(sql, "fw AS (", dsirCtes)
+    sql = replacedOnce(sql, "CAST(8 + c.rk*2 + c.ck AS BIGINT)",
+      "CAST(10 + c.rk*2 + c.ck AS BIGINT)")
+    // stage-row renumbering, descending so indices never collide
+    sql = replacedOnce(sql, "UNION ALL SELECT 7, 'split_train'",
+      "UNION ALL SELECT 9, 'split_train'")
+    sql = replacedOnce(sql, "UNION ALL SELECT 6, 'decontam'",
+      "UNION ALL SELECT 8, 'decontam'")
+    sql = replacedOnce(sql, "UNION ALL SELECT 5, 'budget'",
+      "UNION ALL SELECT 7, 'budget'")
+    sql = replacedOnce(sql,
+      "UNION ALL SELECT 4, 'quality', count(*),\n    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd4",
+      "UNION ALL SELECT 5, 'quality', count(*),\n    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd4\n  UNION ALL SELECT 6, 'dsir_select', count(*),\n    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd45")
+    sql = replacedOnce(sql, "UNION ALL SELECT 3, 'near_dedup'",
+      "UNION ALL SELECT 4, 'near_dedup'")
+    sql = replacedOnce(sql, "UNION ALL SELECT 2, 'substring_dedup'",
+      "UNION ALL SELECT 3, 'substring_dedup'")
+    sql = replacedOnce(sql, "UNION ALL SELECT 1, 'exact_dedup'",
+      "UNION ALL SELECT 1, 'pii_scrub', count(*),\n    CAST(coalesce(sum(length(text)), 0) AS BIGINT)\n    FROM documents JOIN p1 USING (doc_id)\n  UNION ALL SELECT 2, 'exact_dedup'")
+    sql
+  }
 
   /** Independent replay of Dedup.tfidfCosine: same u3-quantized idf,
     * integer weights/dots/norms, and the cross-multiplied squared
@@ -7635,6 +7833,12 @@ object PipelineQueries {
     // agreement cells derived from q × the frozen-w8 margins over the
     // stage-3 survivors
     "pipeline_e2e_v2" -> pipelineV2Sql,
+
+    // v2's replay + the PII quarantine gate, the DSIR selection CTEs
+    // and the renumbered stage rows — derived surgically from
+    // pipelineV2Sql with one-occurrence anchor checks (see
+    // pipelineV3Sql), so the two funnels cannot silently drift apart
+    "pipeline_e2e_v3" -> pipelineV3Sql,
 
     // the landing-cadence twin re-derives the funnel from its append-
     // only stores and must converge to the one-shot batch capstone —

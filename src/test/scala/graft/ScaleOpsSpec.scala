@@ -2205,6 +2205,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n_sel") == dsirSel)
   }
 
+  test("capstone v3: empty quarantine preserves v2's chain, DSIR halves the gate") {
+    def rows(k: String) = SparkEntry.queries(k)(spark, sf).collect()
+      .map(r => r.getAs[Long]("stage_idx") ->
+        ((r.getAs[String]("stage"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("sum_chars")))).toMap
+    val v3 = rows("pipeline_e2e_v3")
+    val v2 = rows("pipeline_e2e_v2")
+    // this corpus carries no PII, so the quarantine must drop nothing —
+    // and then the whole dedup/quality chain must equal v2 stage for stage
+    assert(v3(1L)._2 == v3(0L)._2 && v3(1L)._3 == v3(0L)._3,
+      "quarantine dropped docs on a PII-free corpus")
+    for ((a, b) <- Seq(2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L)) {
+      assert(v3(a)._2 == v2(b)._2 && v3(a)._3 == v2(b)._3,
+        s"v3 stage $a (${v3(a)._1}) diverged from v2 stage $b (${v2(b)._1})")
+    }
+    // DSIR keeps exactly the top half of the gate survivors
+    assert(v3(6L)._2 == v3(5L)._2 / 2, "dsir_select is not the exact half")
+    // the funnel stays monotone through budget → decontam → split
+    assert(v3(7L)._2 <= v3(6L)._2 && v3(8L)._2 <= v3(7L)._2
+      && v3(9L)._2 <= v3(8L)._2)
+    // the four rule×clf agreement cells partition the near-dedup set
+    assert((10L to 13L).map(v3(_)._2).sum == v3(4L)._2)
+  }
+
   test("d4 prune: stage accounting is exact and the SemDeDup half matches dedup_semantic") {
     val d4 = SparkEntry.queries("emb_d4_prune")(spark, sf).collect()
     val sem = SparkEntry.queries("dedup_semantic")(spark, sf)
