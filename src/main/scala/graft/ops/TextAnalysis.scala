@@ -266,7 +266,16 @@ object TextAnalysis {
     * in a spec). Pure per-row regex map (codegen'd, zero shuffle)
     * + one |sources|-row rollup: the shape survives 100 TB unchanged,
     * since no corpus-scale state ever crosses a shuffle. */
-  def piiScrub(docs: DataFrame): DataFrame = {
+  def piiScrub(docs: DataFrame): DataFrame =
+    piiCounters(docs)
+      .withColumn("clean_rate",
+        round(lit(1.0) - col("n_docs_pii") / col("n_docs"), 4))
+
+  /** The additive-integer core of [[piiScrub]]: per-source counters
+    * only, no derived ratio — so a landing-cadence ingest can fold
+    * batch outputs by plain sums (stream_pii_ingest) and re-derive
+    * clean_rate at emission. */
+  def piiCounters(docs: DataFrame): DataFrame = {
     val aug = piiAugmented(docs)
     val clean = regexp_replace(regexp_replace(regexp_replace(aug,
       lit(PiiEmailRe), lit("<EMAIL>")),
@@ -287,8 +296,6 @@ object TextAnalysis {
           .as("n_docs_pii"),
         sum("e").as("n_email"), sum("i").as("n_ip"), sum("p").as("n_phone"),
         sum("cut").as("chars_cut"), sum("resid").as("n_residual"))
-      .withColumn("clean_rate",
-        round(lit(1.0) - col("n_docs_pii") / col("n_docs"), 4))
   }
 
   /** Winnowing fingerprint via the custom codegen expression

@@ -3799,6 +3799,13 @@ object PipelineQueries {
       }.reduce(_ unionByName _).orderBy("frac_pct")
     }),
 
+    // PII counters at LANDING cadence: per-batch map-side regex
+    // detect/redact/residual counters fold additively per source;
+    // clean_rate re-derived at emission — the fold equals the one-shot
+    // text_pii_scrub (shared oracle + StreamingSpec pin)
+    "stream_pii_ingest" -> ((s, dir) =>
+      graft.streaming.EventStreams.piiIngest(s, dir)),
+
     // SOFT dedup (SoftDeDup, Xue et al. 2024): instead of REMOVING
     // near-dups, down-weight documents by their duplicated-mass
     // "commonness" — the mean document frequency of the doc's distinct
@@ -9211,7 +9218,18 @@ object PipelineQueries {
     // same injection expression, same three regexes (single-quoted so
     // the backslashes reach RE2 verbatim), same email→ip→phone
     // redaction order; DuckDB's regexp_replace needs the explicit 'g'
-    "text_pii_scrub" -> {
+    "text_pii_scrub" -> piiScrubSql,
+
+    // every emitted column is an additive integer except the derived
+    // clean_rate, so the landing-cadence fold equals the one-shot key
+    // row for row — shared oracle (the stream==batch contract)
+    "stream_pii_ingest" -> piiScrubSql,
+  ) ++ oracleMid ++ oracleTail
+
+  /** text_pii_scrub's full replay, shared verbatim with
+    * stream_pii_ingest (additive integer counters ⇒ the landing fold
+    * equals the one-shot key; StreamingSpec pins it engine-side). */
+  private lazy val piiScrubSql: String = {
       import graft.ops.TextAnalysis.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
       s"""WITH a AS (
          |  SELECT source, text
@@ -9249,7 +9267,10 @@ object PipelineQueries {
          |  round(1.0 - sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END)*1.0
          |    / count(*), 4) AS clean_rate
          |FROM m GROUP BY source ORDER BY source""".stripMargin
-    },
+  }
+
+  /** Oracle entries registered after the [[piiScrubSql]] extraction. */
+  private lazy val oracleMid: Map[String, String] = Map(
 
     // full replay: same seed-37 bucket hash, same Laplace (+1/+64)
     // smoothing, same ln(target)−ln(raw) composition, same
@@ -9302,7 +9323,7 @@ object PipelineQueries {
     // stream==batch convergence contract (the stream_pipeline_e2e
     // doctrine), hence the oracle verbatim
     "stream_doremi_ingest" -> doremiSql,
-  ) ++ oracleTail
+  )
 
   /** corpus_doremi's full DuckDB replay, shared verbatim with
     * stream_doremi_ingest (the streamed fold is exact-integer, so the

@@ -652,6 +652,65 @@ object EventStreams {
       .orderBy("source")
   }
 
+  /** PII scrub counters at LANDING cadence — text_pii_scrub's
+    * streaming member: every emitted column of the batch key is an
+    * additive integer except the derived clean_rate, so each landing
+    * batch computes its per-source counters MAP-SIDE
+    * ([[graft.ops.TextAnalysis.piiCounters]] — regex detect + redact +
+    * residual re-scan, all per-row) and folds them into the persisted
+    * store by plain sums; clean_rate is re-derived at emission. Each
+    * doc staged exactly once ⇒ the fold equals the one-shot key row
+    * for row (shared oracle + StreamingSpec pin). The PII injection
+    * rides doc_id, so landing order cannot change any counter. */
+  def piiIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.sources.Scratch.dir("graft_pii_stream")
+    val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(false) // one scan feeds both stagings
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val stageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val sums = Seq("n_docs", "n_docs_pii", "n_email", "n_ip", "n_phone",
+      "chars_cut", "n_residual")
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val local = graft.ops.TextAnalysis.piiCounters(batch)
+          val prev = new java.io.File(store)
+          val merged =
+            if (prev.exists)
+              ss.read.parquet(store).unionByName(local)
+                .groupBy("source")
+                .agg(sum(sums.head).as(sums.head),
+                  sums.tail.map(c => sum(c).as(c)): _*)
+            else local
+          val next = s"$store.next"
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
+          ss.read.parquet(next).write.mode("overwrite").parquet(store)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") < thr).write.parquet(s"$stage/gen1")
+    pass()
+    docs.filter(col("doc_id") >= thr).write.parquet(s"$stage/gen2")
+    pass()
+    spark.read.parquet(store)
+      .withColumn("clean_rate",
+        round(lit(1.0) - col("n_docs_pii") / col("n_docs"), 4))
+      .select((Seq("source") ++ sums ++ Seq("clean_rate")).map(col): _*)
+      .orderBy("source")
+  }
+
   /** DoReMi at LANDING cadence — the mixture-reweighting twin of
     * [[dsirIngest]], and the purest instance of the store-fold
     * doctrine: DoReMi's ONLY corpus-scale reduction is the integer

@@ -412,6 +412,15 @@ class StreamingSpec extends AnyFunSuite {
       "two-generation DSIR fold diverged from the one-shot batch score")
   }
 
+  test("streaming PII counter fold lands exactly on text_pii_scrub") {
+    val streamed = graft.streaming.EventStreams.piiIngest(spark, sf)
+      .collect().map(_.toString)
+    val batch = SparkEntry.queries("text_pii_scrub")(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "additive PII fold diverged from the one-shot scrub audit")
+  }
+
   test("streaming DoReMi count fold lands exactly on corpus_doremi") {
     // the store is integer-additive (token-bucket counts + doc counts),
     // so the re-run grid algebra must equal the one-shot key row for row
