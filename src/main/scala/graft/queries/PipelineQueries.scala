@@ -3799,6 +3799,28 @@ object PipelineQueries {
       }.reduce(_ unionByName _).orderBy("frac_pct")
     }),
 
+    // CURRICULUM ORDER PLAN: rank every doc by (quality u4 DESC,
+    // doc_id) through the sampled-boundary global rank (no single-task
+    // sort) and cut into 8 equal-count shards — easy/clean data first,
+    // the ordering a curriculum-training schedule consumes. Per shard:
+    // docs, token mass, and the quality envelope, which is monotone by
+    // construction (shard i's min qu4 >= shard i+1's max qu4 — spec
+    // pin). Same rank-then-bucket shape as text_len_deciles.
+    "corpus_curriculum" -> ((s, dir) => {
+      val q = TextAnalysis.quality(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+          round(col("quality_score") * 10000).cast("bigint").as("qu4"))
+      val ranked = graft.ops.Rank.globalRankByRange(q, "qu4", "doc_id",
+        numBlocks = 8)
+      val tot = q.agg(count(lit(1)).as("n_total"))
+      graft.ops.Scalars.withScalar(ranked, col("doc_id"), tot, col("n_total"))
+        .withColumn("shard", expr("((rnk - 1) * 8) div n_total"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          min("qu4").as("min_qu4"), max("qu4").as("max_qu4"))
+        .orderBy("shard")
+    }),
+
     // PII counters at LANDING cadence: per-batch map-side regex
     // detect/redact/residual counters fold additively per source;
     // clean_rate re-derived at emission — the fold equals the one-shot
@@ -9435,6 +9457,30 @@ object PipelineQueries {
          |  CAST((2*10000*n_grams + sum_df) // (2*sum_df) AS BIGINT) AS weight_u4
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // corpus_quality_mix's qu4 derivation + one global rank + the
+    // equal-count shard cut ((rnk−1)·8 // N — the text_len_deciles
+    // bucket formula)
+    "corpus_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |r AS (SELECT doc_id, len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t),
+         |sc AS (SELECT doc_id, n_tokens,
+         |    CAST(round(round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) * 10000)
+         |      AS BIGINT) AS qu4
+         |  FROM r),
+         |rk AS (SELECT doc_id, n_tokens, qu4,
+         |    row_number() OVER (ORDER BY qu4 DESC, doc_id) AS rnk FROM sc),
+         |n AS (SELECT count(*) AS n_total FROM sc)
+         |SELECT CAST(((rnk - 1) * 8) // n_total AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(min(qu4) AS BIGINT) AS min_qu4,
+         |  CAST(max(qu4) AS BIGINT) AS max_qu4
+         |FROM rk CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // corpus_dsir's scoring CTEs + one shared rank; each budget row is
     // a non-equi join against the fraction list, k = (f·N) // 100

@@ -2205,6 +2205,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n_sel") == dsirSel)
   }
 
+  test("curriculum: equal-count shards with a monotone quality envelope") {
+    val rows = SparkEntry.queries("corpus_curriculum")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("shard"))
+    assert(rows.map(_.getAs[Long]("shard")).toSeq == (0L to 7L))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n, "shards must partition")
+    // equal-count cut: every shard within one doc of n/8
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("n_docs") - n / 8) <= 1))
+    rows.foreach(r => assert(r.getAs[Long]("min_qu4") <= r.getAs[Long]("max_qu4")))
+    // rank-desc order makes the envelope monotone across shards
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("min_qu4") >= b.getAs[Long]("max_qu4"),
+        s"shard ${a.getAs[Long]("shard")}→${b.getAs[Long]("shard")} envelope overlap")
+    }
+  }
+
   test("capstone v3: empty quarantine preserves v2's chain, DSIR halves the gate") {
     def rows(k: String) = SparkEntry.queries(k)(spark, sf).collect()
       .map(r => r.getAs[Long]("stage_idx") ->
