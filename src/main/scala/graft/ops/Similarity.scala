@@ -202,6 +202,32 @@ object Similarity {
       nearestCell(col("v"), col("nrm"), ivfCentroids(e, cells, lloydIters, buildFilter)))
   }
 
+  /** The SemDeDup/D4 blocking dial DERIVED from corpus size (VERDICT
+    * r14 item 1): cells = max(4, ⌊√n⌋), n = the build-set row count.
+    * This is the repo's own `ann_ivf_cells_sweep` sizing doctrine made
+    * binding for the semantic-dedup family: with cells ≈ √n the
+    * expected per-cell population is ≈ √n, so the in-cell pair space
+    * Σ|cell|² stays ≈ n^1.5 (never the fixed-dial n²/16 that made a
+    * pinned cells=16 the dominant shuffle at a 100× scale-up), while
+    * the driver-side centroid matrix stays a bounded √n×dim pull
+    * (31623×64 doubles at n=10⁹ — trivial). SemDeDup itself runs ~10⁵
+    * clusters at web scale, i.e. exactly this regime.
+    *
+    * Engine parity: the DuckDB oracles re-derive the identical dial as
+    * `GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT))`. Both
+    * engines take IEEE-754 correctly-rounded sqrt of an exact integer
+    * double, so ⌊√n⌋ agrees everywhere for n < 2^52 (the nearest
+    * double to √n deviates by ~1e-16·√n, far below the ~1/(2√n) gap
+    * to the next integer). The count() is one driver scalar — the
+    * bounded-pull doctrine, same class as emb_cell_drift's thr.
+    * Floor of 4 keeps tiny fixtures seedable (needs n ≥ cells, and
+    * ⌊√n⌋ ≤ n for n ≥ 4); a corpus under 4 vectors is below the
+    * operator's domain. */
+  def semCells(emb: DataFrame, buildFilter: Column = lit(true)): Int = {
+    val n = emb.filter(buildFilter).count()
+    math.max(4L, math.sqrt(n.toDouble).toLong).toInt
+  }
+
   /** [[ivfAssign]] plus the quantized own-centroid cosine — the
     * prototypicality signal D4-style pruning ranks on. Quantization
     * follows the [[ivfSilhouette]] doctrine: per-row float work only,

@@ -448,7 +448,8 @@ object PipelineQueries {
     // 3): embedding-level near-dup PRUNING blocked by the IVF coarse
     // quantizer — the modern cross-lexical dedup modality. Vectors are
     // cell-assigned by the SAME frozen quantizer ann_ivf searches
-    // (Similarity.ivfAssign, 16 cells, one Lloyd round); within each
+    // (Similarity.ivfAssign, cells = Similarity.semCells — the ⌊√n⌋
+    // dial derived from corpus size, one Lloyd round); within each
     // cell, pairs with cosine >= threshold form the semantic-duplicate
     // graph; keep-one-per-family is the shared CC collapse
     // (Cluster.dedupClusters — min-id root survives, the deterministic
@@ -466,8 +467,9 @@ object PipelineQueries {
     // non-increasing as the threshold tightens (DedupSpec pin)
     "dedup_semantic_sweep" -> ((s, dir) => {
       val thresholds = Seq(30L, 35L, 40L)
-      val assigned = Similarity.ivfAssign(Tables.embeddings(s, dir),
-          cells = 16, lloydIters = 1)
+      val emb = Tables.embeddings(s, dir)
+      val assigned = Similarity.ivfAssign(emb,
+          cells = Similarity.semCells(emb), lloydIters = 1)
         .select("vec_id", "v", "nrm", "cell")
         .localCheckpoint(false)
       val a = assigned.select(col("cell"), col("vec_id").as("id1"),
@@ -496,8 +498,9 @@ object PipelineQueries {
     }),
 
     "dedup_semantic" -> ((s, dir) => {
-      val assigned = Similarity.ivfAssign(Tables.embeddings(s, dir),
-          cells = 16, lloydIters = 1)
+      val emb = Tables.embeddings(s, dir)
+      val assigned = Similarity.ivfAssign(emb,
+          cells = Similarity.semCells(emb), lloydIters = 1)
         .select("vec_id", "v", "nrm", "cell")
         .localCheckpoint(false) // both pair-join sides AND the rollup
       val a = assigned.select(col("cell"), col("vec_id").as("id1"),
@@ -3866,8 +3869,9 @@ object PipelineQueries {
     // cell-bounded, never global. Per cell: n_vecs, n_semdup_pruned,
     // n_surv, n_proto_pruned, n_kept.
     "emb_d4_prune" -> ((s, dir) => {
-      val assigned = Similarity.ivfAssignWithSim(Tables.embeddings(s, dir),
-          cells = 16, lloydIters = 1)
+      val emb = Tables.embeddings(s, dir)
+      val assigned = Similarity.ivfAssignWithSim(emb,
+          cells = Similarity.semCells(emb), lloydIters = 1)
         .localCheckpoint(false) // pair sides + survivor rank + rollup
       val a = assigned.select(col("cell"), col("vec_id").as("id1"),
         col("v").as("v1"), col("nrm").as("nrm1"))
@@ -6561,7 +6565,8 @@ object PipelineQueries {
     },
 
     // one-shot replay of the streamed vector-store fold: gen1-trained
-    // 16-cell quantizer (ivf prelude with the thr buildWhere), full
+    // quantizer at the DERIVED ⌊√n_gen1⌋ dial (ivf prelude with the
+    // thr buildWhere + the nc CTE replaying Similarity.semCells), full
     // assignment, per-cell totals plus landed vectors with an in-cell
     // gen1 neighbor at cosine >= 0.35 (snapshot semantics = exactly
     // gen2-vs-gen1)
@@ -6570,9 +6575,10 @@ object PipelineQueries {
         |thr AS (SELECT 3*(max(vec_id)+1)//4 AS t FROM embeddings),
         |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
         |eb AS (SELECT e.* FROM e, thr WHERE e.vec_id < thr.t),
+        |nc AS (SELECT GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM eb),
         |seeds AS (
         |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
-        |  FROM eb QUALIFY cell < 16),
+        |  FROM eb, nc QUALIFY cell < nc.k),
         |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
         |a0 AS (
         |  SELECT eb.vec_id, eb.v, eb.nrm, sd.cell,
@@ -6630,9 +6636,10 @@ object PipelineQueries {
       s"""WITH RECURSIVE
         |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+        |nc AS (SELECT GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM e),
         |seeds AS (
         |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < 16),
+        |  FROM e, nc QUALIFY cell < nc.k),
         |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
         |a0 AS (
         |  SELECT e.vec_id, e.v, e.nrm, sd.cell,
@@ -6675,9 +6682,10 @@ object PipelineQueries {
       """WITH RECURSIVE
         |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+        |nc AS (SELECT GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM e),
         |seeds AS (
         |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < 16),
+        |  FROM e, nc QUALIFY cell < nc.k),
         |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
         |a0 AS (
         |  SELECT e.vec_id, e.v, e.nrm, sd.cell,
@@ -9532,9 +9540,10 @@ object PipelineQueries {
       """WITH RECURSIVE
         |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+        |nc AS (SELECT GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM e),
         |seeds AS (
         |  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < 16),
+        |  FROM e, nc QUALIFY cell < nc.k),
         |sd AS (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM seeds),
         |a0 AS (
         |  SELECT e.vec_id, e.v, e.nrm, sd.cell,

@@ -329,8 +329,12 @@ object EventStreams {
 
   /** SEMANTIC dedup at landing cadence — dedup_semantic's incremental
     * member (the signature-store pattern with the VECTOR STORE as the
-    * store): the 16-cell coarse quantizer freezes at generation 1 (the
-    * ann_ivf_append convention), each landing vector is cell-assigned
+    * store): the coarse quantizer freezes at generation 1 (the
+    * ann_ivf_append convention) with the cell count DERIVED from the
+    * build-set size (Similarity.semCells, cells = max(4, ⌊√n_gen1⌋) —
+    * the r15 scale dial; corpus growth past the frozen dial is exactly
+    * what emb_cell_drift / stream_ivf_drift trigger a re-train for),
+    * each landing vector is cell-assigned
     * MAP-SIDE against the literal centroid matrix (no join, no
     * shuffle of raw vectors for assignment), and one in-cell equi-join
     * against the store SNAPSHOT taken at pass start flags landed
@@ -347,7 +351,8 @@ object EventStreams {
     val (store, ctr) = (s"$base/store", s"$base/ctr")
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val thr = emb.agg(expr("3*(max(vec_id)+1) div 4").as("t")).head().getLong(0)
-    val cellCol = graft.ops.Similarity.frozenCellExpr(emb, cells = 16,
+    val cellCol = graft.ops.Similarity.frozenCellExpr(emb,
+      cells = graft.ops.Similarity.semCells(emb, col("vec_id") < thr),
       buildFilter = col("vec_id") < thr)(col("v"), col("nrm"))
     val raw = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -86,8 +86,9 @@ class DedupSpec extends AnyFunSuite {
     // collect the engine's own cell assignment (pinned elsewhere via
     // the ann_ivf oracle), then replay pairs + keep-one-per-family
     // with a driver-side quadratic union-find per cell
-    val assigned = Similarity.ivfAssign(Tables.embeddings(spark, sf),
-        cells = 16, lloydIters = 1)
+    val embT = Tables.embeddings(spark, sf)
+    val assigned = Similarity.ivfAssign(embT,
+        cells = Similarity.semCells(embT), lloydIters = 1)
       .select("vec_id", "v", "nrm", "cell").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
         r.getInt(3)))

@@ -2264,4 +2264,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(snv == nv && snp == nsd, "SemDeDup half diverged from dedup_semantic")
     }
   }
+
+  test("semCells dial: grows with corpus size and bounds the in-cell pair space") {
+    // VERDICT r14 item 1 — the SemDeDup blocking dial must scale with
+    // the corpus, and the resulting pair space must stay ~n^1.5 (the
+    // balanced-cells regime), never the fixed-dial n²/16
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    // the dial is exactly the clamped floor-sqrt of the corpus count
+    assert(Similarity.semCells(emb) ==
+      math.max(4L, math.sqrt(n.toDouble).toLong).toInt)
+    // monotone in corpus size: a quarter-corpus slice derives a
+    // smaller dial (sf fixtures share n across 0.001/0.01, so the
+    // cross-scale comparison is sliced from the same table)
+    val quarter = col("vec_id") < n / 4
+    assert(Similarity.semCells(emb, quarter) < Similarity.semCells(emb))
+    assert(Similarity.semCells(emb, quarter) ==
+      math.max(4L, math.sqrt((n / 4).toDouble).toLong).toInt)
+    // pair-space bound: Σ|cell|² ≤ C·n^1.5 for a modest constant —
+    // the quantity the in-cell join actually pays. C = 8 tolerates
+    // real cluster skew while still failing a collapsed-dial regime
+    // (cells=16 at this n would already sit near n²/16 = 2·n^1.5)
+    val occ = Similarity.ivfAssign(emb, cells = Similarity.semCells(emb),
+        lloydIters = 1)
+      .groupBy("cell").agg(count(lit(1)).as("m"))
+      .select(sum(col("m") * col("m")).as("p")).head().getLong(0)
+    assert(occ <= 8L * math.pow(n.toDouble, 1.5).toLong,
+      s"pair space $occ exceeds 8·n^1.5 = ${8L * math.pow(n.toDouble, 1.5).toLong}")
+    // and the dial is partition-layout invariant: the assignment is a
+    // deterministic expression over frozen fixed-point centroids, so
+    // repartitioning the input cannot move a vector between cells
+    val a1 = Similarity.ivfAssign(emb, cells = Similarity.semCells(emb))
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val a2 = Similarity.ivfAssign(emb.repartition(7), cells = Similarity.semCells(emb))
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a1 == a2, "cell assignment changed under repartition")
+  }
 }

@@ -321,7 +321,8 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
     val thr = emb.agg(expr("3*(max(vec_id)+1) div 4")).head().getLong(0)
-    val assigned = graft.ops.Similarity.ivfAssign(emb, cells = 16,
+    val assigned = graft.ops.Similarity.ivfAssign(emb,
+        cells = graft.ops.Similarity.semCells(emb, col("vec_id") < thr),
         buildFilter = col("vec_id") < thr)
       .select("vec_id", "v", "nrm", "cell").localCheckpoint(false)
     val gen1 = assigned.filter(col("vec_id") < thr)
