@@ -41,6 +41,24 @@ object FunnelStore {
   final case class Stores(meta: DataFrame, shingles: DataFrame,
                           grams: DataFrame, feat: DataFrame)
 
+  /** The per-batch-FOLDED counters (VERDICT r14 item 2): the funnel
+    * stages whose state is additive or keyed-mergeable do not need the
+    * per-landing re-derivation at all —
+    *   - `raw`: (source, n_docs, sum_chars) landing totals, folded by
+    *     plain sums (the stream_pii_ingest pattern);
+    *   - `winners`: the exact-dedup presence store (norm_h, doc_id) —
+    *     min-id per norm hash, folded per batch by union + keyed min
+    *     (min is mergeable, so the store equals the one-shot
+    *     `GROUP BY norm_h` over everything ever landed regardless of
+    *     how history was sharded).
+    * [[funnel]] consumes these for stage 0 and the exact-dedup
+    * survivor set, so each landing generation re-derives only the
+    * GLOBAL stages (substring coverage, CC family collapse, the
+    * frozen-classifier gate, budget, decontamination, split) — on
+    * 100 TB the per-landing bill for the foldable stages drops from
+    * O(store) to O(Δ). */
+  final case class Folded(raw: DataFrame, winners: DataFrame)
+
   /** Map-side per-landing-batch extraction: everything the funnel will
     * ever need from this shard's raw text.
     *   - meta: (doc_id, source, n_chars, n_tokens, quality_score, y,
@@ -82,8 +100,15 @@ object FunnelStore {
     * family collapse (hashed-posting jaccard pairs + CC roots) → rule
     * quality gate with the frozen store-trained classifier's agreement
     * cells → per-source budget → decontamination (store shingles vs
-    * the bench docs' store shingles) → leakage-safe family split. */
-  def funnel(st: Stores, spanLen: Int = 16): DataFrame = {
+    * the bench docs' store shingles) → leakage-safe family split.
+    *
+    * With `folded` (the landing-cadence caller), stage 0 reads the
+    * additive raw counters and the exact-dedup survivor set comes from
+    * the per-batch-maintained winner store instead of a corpus-wide
+    * `GROUP BY norm_h` — see [[Folded]]. Results are identical by the
+    * fold-merge argument there; StreamingSpec pins it. */
+  def funnel(st: Stores, spanLen: Int = 16,
+             folded: Option[Folded] = None): DataFrame = {
     val spark = st.meta.sparkSession
     import spark.implicits._
     graft.functions.GraftHash64.register(spark)
@@ -93,9 +118,21 @@ object FunnelStore {
           coalesce(sum("n_chars").cast("bigint"), lit(0L)).as("sum_chars"))
         .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
           col("n_docs"), col("sum_chars"))
-    val s1 = meta.groupBy("norm_h").agg(min("doc_id").as("doc_id"))
-      .join(meta, "doc_id")
-      .localCheckpoint(false)
+    val rawRow = folded match {
+      case Some(f) =>
+        f.raw.agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(sum("sum_chars").cast("bigint"), lit(0L)).as("sum_chars"))
+          .select(lit(0L).as("stage_idx"), lit("raw").as("stage"),
+            col("n_docs"), col("sum_chars"))
+      case None => acct(0, "raw", meta)
+    }
+    val s1 = (folded match {
+      case Some(f) =>
+        meta.join(f.winners.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None =>
+        meta.groupBy("norm_h").agg(min("doc_id").as("doc_id"))
+          .join(meta, "doc_id")
+    }).localCheckpoint(false)
     // substring stage: corpus-wide gram df over the SURVIVOR doc set,
     // dup coverage via the island identity, >20% coverage dropped
     val g1 = st.grams.join(s1.select("doc_id"), "doc_id")
@@ -176,7 +213,7 @@ object FunnelStore {
       col("cluster_id").cast("string"), lit(7L)), 52)
     val s7 = s6.join(clusters.select("doc_id", "cluster_id"), "doc_id")
       .filter(bucket < 3277)
-    acct(0, "raw", meta)
+    rawRow
       .unionByName(acct(1, "exact_dedup", s1))
       .unionByName(acct(2, "substring_dedup", s2))
       .unionByName(acct(3, "near_dedup", s3))

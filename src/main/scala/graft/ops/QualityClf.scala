@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** LEARNED quality classifier — the model-based corpus filter stage of
@@ -28,11 +28,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the corpus-sized tables are the (doc_id, bucket)
   * feature pairs and the (doc_id, y) labels — compact longs, shuffled
-  * a fixed `rounds`× few times. The model is a ≤ buckets+1-row table
-  * that BROADCAST-joins into every margin computation; no weight state
-  * ever shuffles with the corpus, and no driver collect exists
-  * anywhere in the loop (the carried weight table crosses a
-  * [[PlanBarrier.cut]] per round like every iterative operator here).
+  * a fixed `rounds`× few times. The model is ≤ buckets+1 integer rows
+  * by construction, so it rides the bounded-pull doctrine (the IVF
+  * centroid-matrix class): each round is ONE distributed reduction
+  * whose bounded result is pulled to the driver, and the carried
+  * weights re-enter the next round's plan as a literal map — no
+  * weight state ever shuffles with the corpus, and nothing
+  * corpus-sized is ever collected.
   */
 object QualityClf {
 
@@ -67,42 +69,59 @@ object QualityClf {
   /** [[train]] over ALREADY-EXTRACTED feature/label tables — the
     * store-fed entry point (the streaming funnel trains from its
     * per-doc (doc_id, b) feature store and (doc_id, y) labels without
-    * re-reading text). `fx`/`lb` are materialized here; pass them raw. */
+    * re-reading text). `fx`/`lb` are materialized here; pass them raw.
+    *
+    * Execution shape (r15): the model is ≤ buckets+1 integer rows by
+    * construction, so it rides the IVF-centroid bounded-pull doctrine
+    * — each round runs ONE distributed reduction (margin → mis-doc
+    * filter → per-bucket update sums, all fused into a single job by
+    * laziness) whose ≤ buckets+1-row result is pulled to the driver,
+    * and the carried weights re-enter the next round's plan as a
+    * LITERAL map (`try_element_at` — codegen'd, no join, no broadcast
+    * exchange, no per-round barrier job). The corpus-sized
+    * (doc_id, b) / (doc_id, y) tables stay distributed and are scanned
+    * from one cached checkpoint; n_misclassified falls out of the same
+    * reduction as the count of the always-on bias bucket's rows (every
+    * doc carries exactly one b = −1 row), so the audit costs no extra
+    * pass. Versus the earlier weight-table full_outer-join chain this
+    * cuts ~3 jobs + 1 barrier per round to 1 job, with identical
+    * integer results (the update is the same commutative sum). */
   def trainOnFeatures(fx0: DataFrame, lb0: DataFrame,
                       rounds: Int = 8): (DataFrame, DataFrame) = {
     val spark = fx0.sparkSession
     import spark.implicits._
     val fx = fx0.localCheckpoint(false)
     val lb = lb0.localCheckpoint(false)
-    var w: DataFrame = Seq.empty[(Long, Long)].toDF("b", "w")
-    var audit = Vector.empty[DataFrame]
+    var w = Map.empty[Long, Long]
+    var audit = Vector.empty[(Long, Long, Long, Long)]
     for (rnd <- 1 to rounds) {
       // margins under the PREVIOUS round's weights (round 1: all zero)
-      val marg = fx.join(broadcast(w), Seq("b"), "left")
-        .groupBy("doc_id")
-        .agg(sum(coalesce(col("w"), lit(0L))).as("marg"))
+      val wmap: Column =
+        if (w.isEmpty) lit(null).cast("map<bigint,bigint>")
+        else map(w.toSeq.sortBy(_._1)
+          .flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
+      val marg = fx
+        .withColumn("wv", coalesce(try_element_at(wmap, col("b")), lit(0L)))
+        .groupBy("doc_id").agg(sum("wv").as("marg"))
       val mis = lb.join(marg, "doc_id")
         .filter(col("y") * col("marg") <= 0)
         .select("doc_id", "y")
-        .localCheckpoint(false) // feeds the count AND the update
+      // the round's single action: per-bucket update sums + row counts
+      // (≤ buckets+1 rows — bounded by construction, never corpus-sized)
       val delta = fx.join(mis, "doc_id")
         .groupBy("b")
-        .agg((sum("y") * lit(1L << (rounds - rnd))).as("d"))
-      w = PlanBarrier.cut(
-        w.join(delta, Seq("b"), "full_outer")
-          .select(col("b"),
-            (coalesce(col("w"), lit(0L)) + coalesce(col("d"), lit(0L)))
-              .as("w")))
-      val nm = mis.agg(count(lit(1)).as("n_misclassified"))
-      val ws = w.agg(
-        sum(when(col("b") >= 0, abs(col("w"))).otherwise(0L)).as("w_l1"),
-        sum(when(col("b") === -1, col("w")).otherwise(0L)).as("bias"))
-      audit :+= Scalars.withScalar(nm, col("n_misclassified"), ws, col("w_l1"))
-        .select(lit(rnd.toLong).as("rnd"), col("n_misclassified"),
-          coalesce(col("w_l1"), lit(0L)).as("w_l1"),
-          coalesce(col("bias"), lit(0L)).as("bias"))
+        .agg(sum("y").as("d"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nMis = delta.collectFirst { case (-1L, _, n) => n }.getOrElse(0L)
+      val step = 1L << (rounds - rnd)
+      w = delta.foldLeft(w) { case (acc, (b, d, _)) =>
+        acc + (b -> (acc.getOrElse(b, 0L) + d * step))
+      }
+      val wl1 = w.iterator.collect { case (b, v) if b >= 0 => math.abs(v) }.sum
+      audit :+= ((rnd.toLong, nMis, wl1, w.getOrElse(-1L, 0L)))
     }
-    (audit.reduce(_ unionByName _).orderBy("rnd"), w)
+    (audit.toDF("rnd", "n_misclassified", "w_l1", "bias").orderBy("rnd"),
+      w.toSeq.sortBy(_._1).toDF("b", "w"))
   }
 
   /** Agreement matrix of the trained classifier against its rule-based

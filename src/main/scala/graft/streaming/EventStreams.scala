@@ -876,20 +876,26 @@ object EventStreams {
     * accounting is re-derived from the stores alone
     * ([[graft.ops.FunnelStore.funnel]]).
     *
-    * Why re-derive instead of folding counters: the funnel's decisions
-    * are GLOBAL — a landing shard can bridge two near-dup families and
-    * evict a former root, raise a history doc's duplicated-span
-    * coverage over the drop line, or displace a budget selection — so
-    * no bounded per-key state can reproduce the one-shot result. The
-    * stores make the re-derivation compact-integer work (the lakehouse
-    * shape global pipeline stages actually run on); the final fold
-    * provably equals the one-shot pipeline_e2e_v2 (StreamingSpec pins
-    * row-set equality; the oracle is the batch funnel's replay
-    * verbatim). */
+    * Why re-derive (most of it) instead of folding counters: the
+    * funnel's decisions are GLOBAL — a landing shard can bridge two
+    * near-dup families and evict a former root, raise a history doc's
+    * duplicated-span coverage over the drop line, or displace a budget
+    * selection — so no bounded per-key state can reproduce the
+    * one-shot result for THOSE stages. The stages that ARE additive or
+    * keyed-mergeable do fold per batch (r15, VERDICT r14 item 2 —
+    * [[graft.ops.FunnelStore.Folded]]): raw landing counters fold by
+    * plain sums and the exact-dedup presence store folds by keyed
+    * min-id merge, so each generation's re-derivation covers only the
+    * global stages. The stores make that re-derivation compact-integer
+    * work (the lakehouse shape global pipeline stages actually run
+    * on); the final fold provably equals the one-shot pipeline_e2e_v2
+    * (StreamingSpec pins row-set equality; the oracle is the batch
+    * funnel's replay verbatim). */
   def pipelineIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val base = graft.sources.Scratch.dir("graft_pipe_stream")
     val (stage, ckpt) = (s"$base/stage", s"$base/ckpt")
     val dirs = Seq("meta", "shingles", "grams", "feat").map(n => s"$base/$n")
+    val (rawDir, exactDir) = (s"$base/rawctr", s"$base/exact")
     val acctDir = s"$base/acct"
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
@@ -905,28 +911,66 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch0: DataFrame, _: Long) =>
+          val ss = batch0.sparkSession
+          // one cached copy of the landing text feeds all four extracts
+          val batch = batch0.localCheckpoint(false)
           val st = graft.ops.FunnelStore.extract(batch)
-          Seq(st.meta, st.shingles, st.grams, st.feat).zip(dirs).foreach {
-            case (df, dir) => df.write.mode("append").parquet(dir)
+          val meta = st.meta.localCheckpoint(false) // store + both folds
+          // compact appends: a landing shard writes a few well-sized
+          // files per store, not one file per shuffle partition — the
+          // small-files discipline layout_compaction_plan audits
+          Seq(meta, st.shingles, st.grams, st.feat).zip(dirs).foreach {
+            case (df, dir) => df.coalesce(4).write.mode("append").parquet(dir)
           }
+          // VERDICT r14 item 2 — the foldable stages fold PER BATCH
+          // (FunnelStore.Folded): additive raw landing counters ...
+          val localRaw = meta.groupBy("source")
+            .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          val prevRaw = new java.io.File(rawDir)
+          val mergedRaw =
+            if (prevRaw.exists)
+              ss.read.parquet(rawDir).unionByName(localRaw)
+                .groupBy("source")
+                .agg(sum("n_docs").as("n_docs"),
+                  sum("sum_chars").as("sum_chars"))
+            else localRaw
+          val nextRaw = s"$rawDir.next"
+          mergedRaw.coalesce(1).write.mode("overwrite").parquet(nextRaw)
+          ss.read.parquet(nextRaw).write.mode("overwrite").parquet(rawDir)
+          // ... and the exact-dedup presence store — keyed min-id
+          // merge, so the winner set equals the one-shot GROUP BY
+          // norm_h over everything ever landed
+          val localW = meta.groupBy("norm_h").agg(min("doc_id").as("doc_id"))
+          val prevW = new java.io.File(exactDir)
+          val mergedW =
+            if (prevW.exists)
+              ss.read.parquet(exactDir).unionByName(localW)
+                .groupBy("norm_h").agg(min("doc_id").as("doc_id"))
+            else localW
+          val nextW = s"$exactDir.next"
+          mergedW.coalesce(4).write.mode("overwrite").parquet(nextW)
+          ss.read.parquet(nextW).write.mode("overwrite").parquet(exactDir)
           ()
         }
         .start()
       q.awaitTermination()
     }
-    // landing-cadence accounting: the funnel re-derived from the
-    // stores after every generation (a production run would publish
-    // this as the corpus snapshot's audit table)
+    // landing-cadence accounting: the GLOBAL funnel stages re-derived
+    // from the stores after every generation (a production run would
+    // publish this as the corpus snapshot's audit table); the foldable
+    // stages arrive pre-folded from the per-batch counter stores
     def fold(): Unit = {
       val Seq(meta, sh, gr, fx) = dirs.map(spark.read.parquet(_))
       graft.ops.FunnelStore
-        .funnel(graft.ops.FunnelStore.Stores(meta, sh, gr, fx))
+        .funnel(graft.ops.FunnelStore.Stores(meta, sh, gr, fx),
+          folded = Some(graft.ops.FunnelStore.Folded(
+            spark.read.parquet(rawDir), spark.read.parquet(exactDir))))
         .write.mode("overwrite").parquet(acctDir)
     }
-    docs.filter(col("doc_id") < thr).write.parquet(s"$stage/gen1")
+    docs.filter(col("doc_id") < thr).coalesce(4).write.parquet(s"$stage/gen1")
     pass(); fold()
-    docs.filter(col("doc_id") >= thr).write.parquet(s"$stage/gen2")
+    docs.filter(col("doc_id") >= thr).coalesce(4).write.parquet(s"$stage/gen2")
     pass(); fold()
     spark.read.parquet(acctDir).orderBy("stage_idx")
   }
