@@ -26,13 +26,33 @@ import org.apache.spark.sql.functions._
   */
 object Select {
 
-  /** Per-doc hashed-unigram bucket counts: (doc_id, b, c) with
-    * b = portable-hash(token, seed) mod buckets, c = occurrence count
-    * (DSIR uses counts, not presence — repetition shifts the ratio). */
-  private[graft] def docBucketCounts(docs: DataFrame, buckets: Int, seed: Long): DataFrame = {
+  /** Per-doc hashed n-GRAM bucket counts: (doc_id, b, c) with
+    * b = portable-hash(gram, seed) mod buckets, c = occurrence count
+    * (DSIR uses counts, not presence — repetition shifts the ratio).
+    * `ngram` = 1 is the unigram feature space; `ngram` = 2 is the
+    * paper's actual choice (Xie et al. hash n-grams, not words) —
+    * consecutive-token grams are built PER ROW by an array transform
+    * (space-joined, the shingle convention) so the feature change
+    * costs zero extra shuffles: the same single token-explode
+    * reduction, just over a different gram stream. A document shorter
+    * than `ngram` tokens contributes no counts (and both engines drop
+    * it from the scored set identically — the inner-join convention). */
+  private[graft] def docBucketCounts(docs: DataFrame, buckets: Int,
+                                     seed: Long, ngram: Int = 1): DataFrame = {
+    require(ngram >= 1 && ngram <= 4, s"ngram out of range: $ngram")
     GraftHash64OrRegister(docs)
+    val gramStream =
+      if (ngram == 1) explode(Dedup.tokens(col("text")))
+      else {
+        val joined = (1 until ngram)
+          .foldLeft("t")((acc, j) => s"concat($acc, ' ', tks[i + $j])")
+        explode(expr(
+          s"transform(slice(tks, 1, greatest(size(tks) - ${ngram - 1}, 0)), " +
+            s"(t, i) -> $joined)"))
+      }
     docs
-      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .withColumn("tks", Dedup.tokens(col("text")))
+      .select(col("doc_id"), gramStream.as("tok"))
       .select(col("doc_id"),
         pmod(call_function("graft_hash64", col("tok"), lit(seed)),
           lit(buckets.toLong)).as("b"))
@@ -82,9 +102,9 @@ object Select {
     * (the emb_label_confusion doctrine). */
   def dsir(docs: DataFrame, buckets: Int = 64, seed: Long = 37L,
            targetFilter: String = "lang = 'en'",
-           selNum: Int = 1, selDen: Int = 5): DataFrame = {
+           selNum: Int = 1, selDen: Int = 5, ngram: Int = 1): DataFrame = {
     val d = docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
-    val ranked = dsirRanked(d, buckets, seed, targetFilter)
+    val ranked = dsirRanked(d, buckets, seed, targetFilter, ngram = ngram)
     val tot = d.agg(count(lit(1)).as("n_total"))
     val sel = Scalars.withScalar(ranked, col("doc_id"), tot, col("n_total"))
       .withColumn("selected",
@@ -105,8 +125,9 @@ object Select {
     * scoring pass serves every budget a sweep asks for. */
   private[graft] def dsirRanked(docs: DataFrame, buckets: Int = 64,
                                 seed: Long = 37L,
-                                targetFilter: String = "lang = 'en'"): DataFrame = {
-    val dc = docBucketCounts(docs, buckets, seed)
+                                targetFilter: String = "lang = 'en'",
+                                ngram: Int = 1): DataFrame = {
+    val dc = docBucketCounts(docs, buckets, seed, ngram)
       .localCheckpoint(false) // feeds raw totals, target totals, scoring
     val tgtIds = docs.filter(expr(targetFilter)).select("doc_id")
     val lrw = ratioFromCounts(dc, tgtIds, buckets)

@@ -3802,6 +3802,19 @@ object PipelineQueries {
       }.reduce(_ unionByName _).orderBy("frac_pct")
     }),
 
+    // DSIR over hashed BIGRAM features (VERDICT r14 item 3 — the
+    // paper's actual feature space: Xie et al. hash n-grams, not
+    // words): same seed-37 buckets, same Laplace ratio, same top-20%
+    // (rounded score, doc_id) selection through the SHARED dsirRanked
+    // machinery — only the gram stream changes (per-row token-pair
+    // concat, zero extra shuffles). A doc shorter than 2 tokens
+    // contributes no counts and drops from the scored set in BOTH
+    // engines (the inner-join convention, documented at
+    // Select.docBucketCounts).
+    "corpus_dsir_2gram" -> ((s, dir) =>
+      graft.ops.Select.dsir(Tables.documents(s, dir), ngram = 2)
+        .orderBy("source")),
+
     // CURRICULUM ORDER PLAN: rank every doc by (quality u4 DESC,
     // doc_id) through the sampled-boundary global rank (no single-task
     // sort) and cut into 8 equal-count shards — easy/clean data first,
@@ -9301,6 +9314,50 @@ object PipelineQueries {
 
   /** Oracle entries registered after the [[piiScrubSql]] extraction. */
   private lazy val oracleMid: Map[String, String] = Map(
+
+    // the bigram-feature DSIR replay: identical to corpus_dsir's
+    // except the gram stream — consecutive token pairs space-joined
+    // (toks[i] || ' ' || toks[i+1], 1-based like Spark's transform
+    // over the sliced array), then the same seed-37 hash, Laplace
+    // ratio, and (rounded score DESC, doc_id) top-20% selection
+    "corpus_dsir_2gram" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |tk AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> toks[i] || ' ' || toks[i+1])) AS s
+         |       FROM t),
+         |tb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS n
+         |       FROM (SELECT DISTINCT s FROM tk)),
+         |th AS (SELECT s, ((${sx(ghashSql(fnvHx, "37"))} % 64) + 64) % 64 AS b
+         |       FROM tb),
+         |dc AS MATERIALIZED (
+         |  SELECT tk.doc_id, th.b, count(*) AS c
+         |  FROM tk JOIN th USING (s) GROUP BY 1, 2),
+         |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM dc GROUP BY 1),
+         |tgt AS (SELECT dc.b, CAST(sum(c) AS BIGINT) AS ct
+         |        FROM dc JOIN documents d USING (doc_id)
+         |        WHERE d.lang = 'en' GROUP BY 1),
+         |lr0 AS (SELECT raw.b, coalesce(tgt.ct, 0) AS ct, raw.cr
+         |        FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |              CAST(sum(cr) AS BIGINT) AS nr FROM lr0),
+         |lr AS (SELECT b, ln((ct + 1) * 1.0 / (nt + 64))
+         |               - ln((cr + 1) * 1.0 / (nr + 64)) AS lr
+         |       FROM lr0 CROSS JOIN tt),
+         |sc AS (SELECT dc.doc_id, round(sum(dc.c * lr.lr), 4) AS m4
+         |       FROM dc JOIN lr USING (b) GROUP BY 1),
+         |r AS (SELECT doc_id, m4,
+         |        row_number() OVER (ORDER BY m4 DESC, doc_id) AS rnk FROM sc),
+         |kk AS (SELECT count(*) // 5 AS k FROM documents),
+         |j AS (SELECT d.source, r.m4,
+         |        CASE WHEN r.rnk <= kk.k THEN 1 ELSE 0 END AS sel
+         |      FROM r JOIN documents d USING (doc_id) CROSS JOIN kk)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(sel) AS BIGINT) AS n_sel,
+         |  round(sum(sel) * 1.0 / count(*), 4) AS sel_rate,
+         |  round(avg(m4), 4) AS avg_logw,
+         |  round(avg(CASE WHEN sel = 1 THEN m4 END), 4) AS avg_logw_sel
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // full replay: same seed-37 bucket hash, same Laplace (+1/+64)
     // smoothing, same ln(target)−ln(raw) composition, same

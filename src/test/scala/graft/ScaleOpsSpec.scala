@@ -2169,6 +2169,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir 2-gram: same budget contract, genuinely different feature space") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.ops.Select.dsir(docs, ngram = 2).collect()
+    val nDocs = docs.count()
+    // the budget contract carries over unchanged: exactly floor(N/5)
+    assert(out.map(_.getAs[Long]("n_sel")).sum == nDocs / 5)
+    // no doc short enough to drop from the bigram scored set on this
+    // corpus — the audit covers every doc, like the unigram key
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // target shift holds under the bigram model too
+    out.filter(_.getAs[Long]("n_sel") > 0).foreach { r =>
+      assert(r.getAs[Double]("avg_logw_sel") >= r.getAs[Double]("avg_logw"))
+    }
+    // and the feature space is genuinely different: the bigram scores
+    // are not a rescaling of the unigram scores (some rank must flip)
+    val r1 = graft.ops.Select.dsirRanked(
+        docs.select("doc_id", "source", "lang", "text"))
+      .select("doc_id", "rnk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r2 = graft.ops.Select.dsirRanked(
+        docs.select("doc_id", "source", "lang", "text"), ngram = 2)
+      .select("doc_id", "rnk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.keySet == r2.keySet)
+    assert(r1.exists { case (d, k) => r2(d) != k },
+      "bigram ranking identical to unigram — feature change is dead")
+  }
+
   test("doremi: weights are a smoothed distribution and upweight high-excess domains") {
     val out = graft.ops.Select.doremi(Tables.documents(spark, sf)).collect()
     val d = out.length.toDouble
