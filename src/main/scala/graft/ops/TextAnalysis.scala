@@ -238,6 +238,61 @@ object TextAnalysis {
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiIpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PiiPhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+  /** Card CANDIDATE class (r15): a bare 16-digit run. A candidate is
+    * PII only if it passes the Luhn check — the checksum gate every
+    * real card detector applies, because bare digit-run regexes flood
+    * redaction with order ids and timestamps. Spark validates with the
+    * built-in codegen'd `luhn_check`; the oracle replays the mod-10
+    * sum digit by digit ([[luhnCheckDigitSql]]'s fixed-position form),
+    * and the injection plants BOTH a valid and an invalid candidate so
+    * the gate's two sides are hash-checked, not just spec-asserted. */
+  val PiiCardRe  = "\\b\\d{16}\\b"
+
+  /** The 15-digit card body synthesized from doc_id ('4' + 14-digit
+    * zero-padded id residue), as SQL shared by both engines modulo the
+    * string-type keyword (`STRING` in Spark, `VARCHAR` in DuckDB). */
+  def cardBase15Sql(strT: String): String =
+    s"'4' || lpad(CAST(doc_id % 100000000 AS $strT), 14, '0')"
+
+  /** Luhn check digit of a 15-digit string expression, as a shared SQL
+    * fragment: with the check digit appended at position 16, positions
+    * 1,3,…,15 (from the left) sit at even offsets from the right and
+    * double (2d − 9 when 2d > 9); the digit closes the sum to 0 mod
+    * 10. Pure fixed-position substring arithmetic — identical in both
+    * engines, no regex, no float. */
+  def luhnCheckDigitSql(s15: String): String = {
+    val terms = (1 to 15).map { i =>
+      val d = s"CAST(substring($s15, $i, 1) AS INT)"
+      if (i % 2 == 1) s"(2*$d - CASE WHEN $d >= 5 THEN 9 ELSE 0 END)" else d
+    }
+    s"((10 - (${terms.mkString(" + ")}) % 10) % 10)"
+  }
+
+  /** Luhn VALIDITY of a 16-digit string expression (the check-digit
+    * identity rearranged): true iff the full mod-10 sum lands on 0.
+    * Spark uses the built-in `luhn_check` instead; this fragment is
+    * the oracle's replay (and they agree by construction on 16-digit
+    * inputs). */
+  def luhnValid16Sql(s16: String): String = {
+    val terms = (1 to 16).map { i =>
+      val d = s"CAST(substring($s16, $i, 1) AS INT)"
+      if (i % 2 == 1) s"(2*$d - CASE WHEN $d >= 5 THEN 9 ELSE 0 END)" else d
+    }
+    s"(((${terms.mkString(" + ")}) % 10) = 0)"
+  }
+
+  /** The injected Luhn-VALID card: body + its check digit. */
+  def cardValidSql(strT: String): String = {
+    val b = s"(${cardBase15Sql(strT)})"
+    s"$b || CAST(${luhnCheckDigitSql(b)} AS $strT)"
+  }
+
+  /** The injected Luhn-INVALID candidate: same body, check digit
+    * shifted by 5 mod 10 — guaranteed to fail the gate. */
+  def cardInvalidSql(strT: String): String = {
+    val b = s"(${cardBase15Sql(strT)})"
+    s"$b || CAST((${luhnCheckDigitSql(b)} + 5) % 10 AS $strT)"
+  }
 
   /** The deterministic PII injection (the mm_* fake-payload doctrine:
     * the synthetic corpus carries no digits at all, so the PII a real
@@ -254,7 +309,15 @@ object TextAnalysis {
         lit(".0."), (id % 100).cast("string"), lit(" up"))).otherwise(lit("")),
       when(id % 7 === 0, concat(lit(" call +1-555-"),
         lpad((id % 10000).cast("string"), 4, "0"), lit(" today")))
-        .otherwise(lit("")))
+        .otherwise(lit("")),
+      // r15: one Luhn-VALID card (~1/11 of docs) and one Luhn-INVALID
+      // 16-digit candidate (~1/13) — coprime with 3/5/7, so every
+      // class combination occurs AND the Luhn gate's reject side is
+      // exercised inside the hash-checked result
+      when(id % 11 === 0, concat(lit(" card "),
+        expr(cardValidSql("STRING")), lit(" on file"))).otherwise(lit("")),
+      when(id % 13 === 0, concat(lit(" ref "),
+        expr(cardInvalidSql("STRING")), lit(" noted"))).otherwise(lit("")))
   }
 
   /** PII scrub audit — the redaction stage every public-web training
@@ -271,32 +334,65 @@ object TextAnalysis {
       .withColumn("clean_rate",
         round(lit(1.0) - col("n_docs_pii") / col("n_docs"), 4))
 
+  /** The shared per-doc PII projection: detection counts per class
+    * (card candidates Luhn-gated — `card` counts valid ones, `card_rej`
+    * the rejected candidates left in place), the redacted text `red`
+    * (email → ip → phone regex replaces, then every Luhn-valid card
+    * candidate string-replaced with `<CARD>` — the candidate list is
+    * ≤ a few entries per doc, extracted once and folded with
+    * `aggregate`), chars cut, and the residual re-scan of `red` (valid
+    * cards only — a rejected candidate is NOT PII by the gate's own
+    * verdict and legitimately survives). All per-row codegen'd work;
+    * [[piiCounters]] rolls it up per source and `text_pii_apply`
+    * emits it per doc. */
+  private[graft] def piiPerDoc(docs: DataFrame): DataFrame = {
+    val aug = piiAugmented(docs)
+    val cl3 = regexp_replace(regexp_replace(regexp_replace(aug,
+      lit(PiiEmailRe), lit("<EMAIL>")),
+      lit(PiiIpRe), lit("<IP>")),
+      lit(PiiPhoneRe), lit("<PHONE>"))
+    val luhnOk = (c: Column) => call_function("luhn_check", c)
+    def valids(c: Column): Column =
+      filter(regexp_extract_all(c, lit(PiiCardRe), lit(0)), luhnOk)
+    docs
+      .select(col("doc_id"), col("source"),
+        regexp_count(aug, lit(PiiEmailRe)).cast("bigint").as("e"),
+        regexp_count(aug, lit(PiiIpRe)).cast("bigint").as("i"),
+        regexp_count(aug, lit(PiiPhoneRe)).cast("bigint").as("p"),
+        length(aug).cast("bigint").as("len_aug"),
+        regexp_extract_all(cl3, lit(PiiCardRe), lit(0)).as("cands"),
+        cl3.as("cl3"))
+      .select(col("doc_id"), col("source"), col("e"), col("i"), col("p"),
+        col("len_aug"),
+        size(filter(col("cands"), luhnOk)).cast("bigint").as("card"),
+        (size(col("cands")) - size(filter(col("cands"), luhnOk)))
+          .cast("bigint").as("card_rej"),
+        aggregate(filter(col("cands"), luhnOk), col("cl3"),
+          (acc, c) => call_function("replace", acc, c, lit("<CARD>")))
+          .as("red"))
+      .select(col("doc_id"), col("source"), col("e"), col("i"), col("p"),
+        col("card"), col("card_rej"),
+        (col("len_aug") - length(col("red"))).cast("bigint").as("cut"),
+        (regexp_count(col("red"), lit(PiiEmailRe)) +
+          regexp_count(col("red"), lit(PiiIpRe)) +
+          regexp_count(col("red"), lit(PiiPhoneRe)) +
+          size(valids(col("red")))).cast("bigint").as("resid"),
+        col("red"))
+  }
+
   /** The additive-integer core of [[piiScrub]]: per-source counters
     * only, no derived ratio — so a landing-cadence ingest can fold
     * batch outputs by plain sums (stream_pii_ingest) and re-derive
     * clean_rate at emission. */
-  def piiCounters(docs: DataFrame): DataFrame = {
-    val aug = piiAugmented(docs)
-    val clean = regexp_replace(regexp_replace(regexp_replace(aug,
-      lit(PiiEmailRe), lit("<EMAIL>")),
-      lit(PiiIpRe), lit("<IP>")),
-      lit(PiiPhoneRe), lit("<PHONE>"))
-    docs
-      .select(col("source"),
-        regexp_count(aug, lit(PiiEmailRe)).cast("bigint").as("e"),
-        regexp_count(aug, lit(PiiIpRe)).cast("bigint").as("i"),
-        regexp_count(aug, lit(PiiPhoneRe)).cast("bigint").as("p"),
-        (length(aug) - length(clean)).cast("bigint").as("cut"),
-        (regexp_count(clean, lit(PiiEmailRe)) +
-          regexp_count(clean, lit(PiiIpRe)) +
-          regexp_count(clean, lit(PiiPhoneRe))).cast("bigint").as("resid"))
+  def piiCounters(docs: DataFrame): DataFrame =
+    piiPerDoc(docs)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("e") + col("i") + col("p") > 0, 1L).otherwise(0L))
-          .as("n_docs_pii"),
+        sum(when(col("e") + col("i") + col("p") + col("card") > 0, 1L)
+          .otherwise(0L)).as("n_docs_pii"),
         sum("e").as("n_email"), sum("i").as("n_ip"), sum("p").as("n_phone"),
+        sum("card").as("n_card"), sum("card_rej").as("n_card_reject"),
         sum("cut").as("chars_cut"), sum("resid").as("n_residual"))
-  }
 
   /** Winnowing fingerprint via the custom codegen expression
     * [[graft.functions.RollingHash]] (window = 16 bytes), plus an exact

@@ -3742,6 +3742,23 @@ object PipelineQueries {
     "text_pii_scrub" -> ((s, dir) =>
       TextAnalysis.piiScrub(Tables.documents(s, dir)).orderBy("source")),
 
+    // PII scrub APPLIED (VERDICT r14 item 4): the redacted corpus is
+    // the actual product — per doc, the class hit counts (cards
+    // Luhn-gated: n_card redacted, n_card_reject candidates the
+    // checksum cleared to stay), chars cut, the residual re-scan, and
+    // red_md5 fingerprinting the redacted text so the oracle pins the
+    // rewrite byte-for-byte (the dedup_substring_apply convention).
+    // Spark gates candidates with the built-in codegen'd luhn_check;
+    // the oracle replays the mod-10 sum digit by digit.
+    "text_pii_apply" -> ((s, dir) =>
+      TextAnalysis.piiPerDoc(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"),
+          col("e").as("n_email"), col("i").as("n_ip"), col("p").as("n_phone"),
+          col("card").as("n_card"), col("card_rej").as("n_card_reject"),
+          col("cut").as("chars_cut"), col("resid").as("n_residual"),
+          md5(col("red")).as("red_md5"))
+        .orderBy("doc_id")),
+
     // DSIR importance resampling (Xie et al. 2023): hashed-unigram
     // likelihood ratio toward the labeled-English target slice, top-20%
     // selection by (rounded score, doc_id) through the sampled-boundary
@@ -9272,10 +9289,21 @@ object PipelineQueries {
   /** text_pii_scrub's full replay, shared verbatim with
     * stream_pii_ingest (additive integer counters ⇒ the landing fold
     * equals the one-shot key; StreamingSpec pins it engine-side). */
-  private lazy val piiScrubSql: String = {
-      import graft.ops.TextAnalysis.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
-      s"""WITH a AS (
-         |  SELECT source, text
+  /** The shared per-doc PII replay CTE chain (aug → 3-class regex
+    * redaction → Luhn-gated card redaction → per-doc counters `m`):
+    * the prefix of BOTH piiScrubSql (per-source rollup) and the
+    * text_pii_apply oracle (per-doc emission). The Luhn gate replays
+    * digit by digit via TextAnalysis.luhnValid16Sql inside a
+    * list_filter lambda; list_reduce folds the ≤2 valid candidates
+    * into replace() calls (all columns are projection-derived, never
+    * join-delivered — the documented list_reduce hazard). Margins are
+    * left INTACT here — the consuming template stripMargins exactly
+    * once (a second pass would eat the leading `||` concat bars). */
+  private lazy val piiPerDocSql: String = {
+      import graft.ops.TextAnalysis.{PiiEmailRe, PiiIpRe, PiiPhoneRe, PiiCardRe}
+      import graft.ops.TextAnalysis.{cardValidSql, cardInvalidSql, luhnValid16Sql}
+      s"""a AS (
+         |  SELECT doc_id, source, text
          |    || CASE WHEN doc_id % 3 = 0 THEN ' contact u'
          |         || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
          |    || CASE WHEN doc_id % 5 = 0 THEN ' node 10.'
@@ -9283,37 +9311,71 @@ object PipelineQueries {
          |         || CAST(doc_id % 100 AS VARCHAR) || ' up' ELSE '' END
          |    || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'
          |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-         |         || ' today' ELSE '' END AS t
+         |         || ' today' ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' card '
+         |         || ${cardValidSql("VARCHAR")} || ' on file' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN ' ref '
+         |         || ${cardInvalidSql("VARCHAR")} || ' noted' ELSE '' END AS t
          |  FROM documents),
-         |c AS (SELECT source, t,
+         |c AS (SELECT doc_id, source, t,
          |    regexp_replace(regexp_replace(regexp_replace(t,
          |      '$PiiEmailRe', '<EMAIL>', 'g'),
          |      '$PiiIpRe', '<IP>', 'g'),
          |      '$PiiPhoneRe', '<PHONE>', 'g') AS cl
          |  FROM a),
-         |m AS (SELECT source,
+         |v AS (SELECT doc_id, source, t, cl,
+         |    regexp_extract_all(cl, '$PiiCardRe') AS cands,
+         |    list_filter(regexp_extract_all(cl, '$PiiCardRe'),
+         |      x -> ${luhnValid16Sql("x")}) AS vc
+         |  FROM c),
+         |r AS (SELECT doc_id, source, t, cands, vc,
+         |    list_reduce(list_prepend(cl, vc),
+         |      (acc, cd) -> replace(acc, cd, '<CARD>')) AS red
+         |  FROM v),
+         |m AS (SELECT doc_id, source,
          |    CAST(len(regexp_extract_all(t, '$PiiEmailRe')) AS BIGINT) AS e,
          |    CAST(len(regexp_extract_all(t, '$PiiIpRe')) AS BIGINT) AS i,
          |    CAST(len(regexp_extract_all(t, '$PiiPhoneRe')) AS BIGINT) AS p,
-         |    CAST(length(t) - length(cl) AS BIGINT) AS cut,
-         |    CAST(len(regexp_extract_all(cl, '$PiiEmailRe'))
-         |       + len(regexp_extract_all(cl, '$PiiIpRe'))
-         |       + len(regexp_extract_all(cl, '$PiiPhoneRe')) AS BIGINT) AS resid
-         |  FROM c)
+         |    CAST(len(vc) AS BIGINT) AS card,
+         |    CAST(len(cands) - len(vc) AS BIGINT) AS card_rej,
+         |    CAST(length(t) - length(red) AS BIGINT) AS cut,
+         |    CAST(len(regexp_extract_all(red, '$PiiEmailRe'))
+         |       + len(regexp_extract_all(red, '$PiiIpRe'))
+         |       + len(regexp_extract_all(red, '$PiiPhoneRe'))
+         |       + len(list_filter(regexp_extract_all(red, '$PiiCardRe'),
+         |           x -> ${luhnValid16Sql("x")})) AS BIGINT) AS resid,
+         |    md5(red) AS red_md5
+         |  FROM r)"""
+  }
+
+  private lazy val piiScrubSql: String =
+      s"""WITH $piiPerDocSql
          |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_docs_pii,
+         |  CAST(sum(CASE WHEN e + i + p + card > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_pii,
          |  CAST(sum(e) AS BIGINT) AS n_email, CAST(sum(i) AS BIGINT) AS n_ip,
          |  CAST(sum(p) AS BIGINT) AS n_phone,
+         |  CAST(sum(card) AS BIGINT) AS n_card,
+         |  CAST(sum(card_rej) AS BIGINT) AS n_card_reject,
          |  CAST(sum(cut) AS BIGINT) AS chars_cut,
          |  CAST(sum(resid) AS BIGINT) AS n_residual,
-         |  round(1.0 - sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END)*1.0
+         |  round(1.0 - sum(CASE WHEN e + i + p + card > 0 THEN 1 ELSE 0 END)*1.0
          |    / count(*), 4) AS clean_rate
          |FROM m GROUP BY source ORDER BY source""".stripMargin
-  }
 
   /** Oracle entries registered after the [[piiScrubSql]] extraction. */
   private lazy val oracleMid: Map[String, String] = Map(
+
+    // the per-doc emission of the same replay chain — red_md5 pins the
+    // actual redacted bytes, so engine and oracle must agree on every
+    // replacement INCLUDING which candidates the Luhn gate cleared
+    "text_pii_apply" ->
+      s"""WITH $piiPerDocSql
+         |SELECT doc_id, source,
+         |  e AS n_email, i AS n_ip, p AS n_phone,
+         |  card AS n_card, card_rej AS n_card_reject,
+         |  cut AS chars_cut, resid AS n_residual, red_md5
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     // the bigram-feature DSIR replay: identical to corpus_dsir's
     // except the gram stream — consecutive token pairs space-joined

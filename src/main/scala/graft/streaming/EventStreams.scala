@@ -678,7 +678,7 @@ object EventStreams {
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("text", StringType)))
     val sums = Seq("n_docs", "n_docs_pii", "n_email", "n_ip", "n_phone",
-      "chars_cut", "n_residual")
+      "n_card", "n_card_reject", "chars_cut", "n_residual")
     def pass(): Unit = withStateParts(spark) {
       val q = spark.readStream.schema(stageSchema)
         .option("recursiveFileLookup", "true").parquet(stage)

@@ -981,7 +981,8 @@ class TextSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     val t = TextAnalysis.piiScrub(Tables.documents(spark, sf))
       .agg(sum("n_docs").as("n"), sum("n_email").as("e"), sum("n_ip").as("i"),
-        sum("n_phone").as("p"), sum("n_residual").as("r"),
+        sum("n_phone").as("p"), sum("n_card").as("c"),
+        sum("n_card_reject").as("cr"), sum("n_residual").as("r"),
         min("chars_cut").as("minCut"))
       .head()
     // exactly one injected hit per matching divisor — the regexes
@@ -990,9 +991,56 @@ class TextSpec extends AnyFunSuite {
     assert(t.getAs[Long]("e") == ids.count(_ % 3 == 0))
     assert(t.getAs[Long]("i") == ids.count(_ % 5 == 0))
     assert(t.getAs[Long]("p") == ids.count(_ % 7 == 0))
+    // the Luhn gate: every %11 injection carries a valid check digit
+    // and is redacted; every %13 injection fails the checksum and is
+    // deliberately LEFT IN PLACE (a rejected candidate is not PII)
+    assert(t.getAs[Long]("c") == ids.count(_ % 11 == 0))
+    assert(t.getAs[Long]("cr") == ids.count(_ % 13 == 0))
     // redaction is total: re-scanning the cleaned text finds nothing,
     // and every replacement strictly shrinks the text
     assert(t.getAs[Long]("r") == 0L)
     assert(t.getAs[Long]("minCut") >= 0L)
+  }
+
+  test("piiApply: the per-doc rewrite matches a driver-side Luhn replay") {
+    import TextAnalysis._
+    // independent Scala replay of injection + redaction for a sample
+    // of docs, md5 included — pins the rewrite byte-for-byte
+    def luhnSum(digits: String): Int = digits.reverse.zipWithIndex.map {
+      case (ch, k) =>
+        val d = ch - '0'
+        if (k % 2 == 1) { val x = 2 * d; if (x > 9) x - 9 else x } else d
+    }.sum
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = SparkEntry.queries("text_pii_apply")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.take(200).foreach { case (id, text) =>
+      val base15 = "4" + ("%014d".format(id % 100000000L))
+      val ck = (10 - luhnSum(base15 + "0") % 10) % 10
+      val aug = text +
+        (if (id % 3 == 0) s" contact u$id@example.com now" else "") +
+        (if (id % 5 == 0) s" node 10.${id % 256}.0.${id % 100} up" else "") +
+        (if (id % 7 == 0) f" call +1-555-${id % 10000}%04d today" else "") +
+        (if (id % 11 == 0) s" card $base15$ck on file" else "") +
+        (if (id % 13 == 0) s" ref $base15${(ck + 5) % 10} noted" else "")
+      var red = aug.replaceAll(PiiEmailRe, "<EMAIL>")
+        .replaceAll(PiiIpRe, "<IP>").replaceAll(PiiPhoneRe, "<PHONE>")
+      val cands = PiiCardRe.r.findAllIn(red).toList
+      cands.filter(c => luhnSum(c) % 10 == 0)
+        .foreach(c => red = red.replace(c, "<CARD>"))
+      val row = rows(id)
+      assert(row.getAs[String]("red_md5") == md5hex(red),
+        s"doc $id rewrite diverged")
+      assert(row.getAs[Long]("n_card") ==
+        cands.count(c => luhnSum(c) % 10 == 0).toLong)
+      assert(row.getAs[Long]("chars_cut") == (aug.length - red.length).toLong)
+      assert(row.getAs[Long]("n_residual") == 0L)
+    }
+    // the gate's two sides both occur in the fixture
+    assert(docs.exists(_._1 % 11 == 0) && docs.exists(_._1 % 13 == 0))
   }
 }
