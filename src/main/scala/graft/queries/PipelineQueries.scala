@@ -1879,6 +1879,99 @@ object PipelineQueries {
         .orderBy("stage_idx")
     }),
 
+    // the capstone funnel v4 (r15, VERDICT r14 item 5): WEIGHT-AWARE
+    // selection — SoftDeDup's down-weight-instead-of-remove philosophy
+    // wired into the budget stage, run SIDE BY SIDE with v2's hard
+    // family collapse so the audit table shows exactly what the policy
+    // choice costs. Shared prefix: raw → exact dedup → substring dedup
+    // (rows 0-2, v2 verbatim). HARD branch (rows 3-5): near-dup family
+    // collapse → rule quality gate → char-budget window ordered by
+    // quality. SOFT branch (rows 6-7): NO collapse — every substring
+    // survivor keeps its dedup_soft_weights sampling weight (1/mean
+    // gram DF over the SAME survivor population, half-up u4; gram-free
+    // docs are neutral 10⁴), the rule gate runs on the uncollapsed
+    // set, and the budget window orders by the INTEGER priority
+    // qu4 × weight_u4 (quality × 1/commonness — exact in both
+    // engines, no float boundary) with a doc_id tiebreak. Row 8:
+    // the overlap of the two selected sets — the head-to-head readout.
+    "pipeline_e2e_v4" -> ((s, dir) => {
+      graft.functions.GraftHash64.register(s)
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+        .localCheckpoint(false)
+      def acct(idx: Int, name: String, d: DataFrame, chars: Column): DataFrame =
+        d.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(chars).cast("bigint"), lit(0L)).as("sum_chars"))
+          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("sum_chars"))
+      val s1 = docs.groupBy(Dedup.normText(col("text")).as("norm"))
+        .agg(min("doc_id").as("doc_id"))
+        .join(docs, "doc_id").select("doc_id", "text", "source")
+        .localCheckpoint(false)
+      val sub = graft.ops.Suffix.dupSpanStats(s1.select("doc_id", "text"),
+        spanLen = 16)
+      val s2 = s1.join(sub.filter(col("dup_tokens") * 5 <= col("n_tokens"))
+          .select("doc_id"), "doc_id")
+        .localCheckpoint(false) // both branches consume the survivors
+      // per-doc quality over the SHARED substring survivors — the hard
+      // branch filters it post-collapse, the soft branch directly
+      val q = TextAnalysis.quality(s2.select("doc_id", "text"))
+        .join(s2.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(false)
+      // HARD: v2's family collapse + rule gate + quality-ordered budget
+      val clusters = Cluster.dedupClusters(s2,
+          Dedup.ngramJaccard(s2, n = 3, threshold = 0.8, maxDF = 50))
+      val s3h = s2.join(clusters.filter(col("doc_id") === col("cluster_id"))
+          .select("doc_id"), "doc_id")
+        .localCheckpoint(false)
+      val s4h = q.join(s3h.select("doc_id"), "doc_id")
+        .filter(col("quality_score") >= 0.5)
+        .localCheckpoint(false)
+      val wh = Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val s5h = s4h.select(col("doc_id"), col("source"), col("n_chars"),
+          coalesce(sum("n_chars").over(wh), lit(0L)).as("prior"))
+        .filter(col("prior") < 25000L)
+        .localCheckpoint(false) // budget row AND the overlap join
+      // SOFT: the dedup_soft_weights algebra over the same survivors
+      val ex = Dedup.shingleSets(s2.select("doc_id", "text"), 8)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .localCheckpoint(false)
+      val dft = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      val per = ex.join(dft, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum("df").as("sum_df"))
+      val swt = s2.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("n_grams"), lit(0L)) > 0,
+            expr("(2*10000*n_grams + sum_df) div (2*sum_df)"))
+            .otherwise(lit(10000L)).as("weight_u4"))
+      val s4s = q.filter(col("quality_score") >= 0.5)
+        .withColumn("qu4",
+          round(col("quality_score") * 10000).cast("bigint"))
+        .join(swt, "doc_id")
+        .withColumn("prio", col("qu4") * col("weight_u4"))
+        .localCheckpoint(false)
+      val ws = Window.partitionBy("source")
+        .orderBy(col("prio").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val s5s = s4s.select(col("doc_id"), col("source"), col("n_chars"),
+          coalesce(sum("n_chars").over(ws), lit(0L)).as("prior"))
+        .filter(col("prior") < 25000L)
+        .localCheckpoint(false) // budget row AND the overlap join
+      val overlap = s5s.join(s5h.select("doc_id"), "doc_id")
+      acct(0, "raw", docs, length(col("text")))
+        .unionByName(acct(1, "exact_dedup", s1, length(col("text"))))
+        .unionByName(acct(2, "substring_dedup", s2, length(col("text"))))
+        .unionByName(acct(3, "hard_near_dedup", s3h, length(col("text"))))
+        .unionByName(acct(4, "hard_quality", s4h, col("n_chars")))
+        .unionByName(acct(5, "hard_budget", s5h, col("n_chars")))
+        .unionByName(acct(6, "soft_quality", s4s, col("n_chars")))
+        .unionByName(acct(7, "soft_budget", s5s, col("n_chars")))
+        .unionByName(acct(8, "overlap_budget", overlap, col("n_chars")))
+        .orderBy("stage_idx")
+    }),
+
     // deterministic stratified sample: the k smallest doc_ids per
     // language, via the shared two-phase top-k (see graft.ops.TopK for
     // the hot-partition rationale and the superset invariant)
@@ -4579,6 +4672,61 @@ object PipelineQueries {
       "UNION ALL SELECT 3, 'substring_dedup'")
     sql = replacedOnce(sql, "UNION ALL SELECT 1, 'exact_dedup'",
       "UNION ALL SELECT 1, 'pii_scrub', count(*),\n    CAST(coalesce(sum(length(text)), 0) AS BIGINT)\n    FROM documents JOIN p1 USING (doc_id)\n  UNION ALL SELECT 2, 'exact_dedup'")
+    sql
+  }
+
+  /** pipeline_e2e_v4's replay = [[pipelineV2Sql]] + the SOFT branch
+    * CTEs (the dedup_soft_weights 8-gram DF algebra over the shared
+    * substring survivors, the uncollapsed rule gate, and the
+    * qu4 × weight_u4 integer-priority budget window), with the stage
+    * tail rewritten to the side-by-side audit: rows 3-5 renamed to the
+    * hard_* branch, rows 6-7 the soft branch, row 8 the overlap of the
+    * two selected sets. Unreferenced v2 CTEs (decontam/split/agreement
+    * chain) stay defined but unexecuted. Same one-occurrence anchor
+    * guards as [[pipelineV3Sql]]. */
+  private lazy val pipelineV4Sql: String = {
+    val softCtes =
+      s"""ssh AS (SELECT t.doc_id,
+         |    list_distinct([array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)]) AS sh
+         |  FROM t JOIN fd2 USING (doc_id)),
+         |sexx AS (SELECT doc_id, unnest(sh) AS s FROM ssh),
+         |sdf AS (SELECT s, count(*) AS df FROM sexx GROUP BY 1),
+         |sper AS (SELECT doc_id, count(*) AS n_grams,
+         |           CAST(sum(df) AS BIGINT) AS sum_df
+         |         FROM sexx JOIN sdf USING (s) GROUP BY 1),
+         |swt AS (SELECT fd2.doc_id,
+         |          CASE WHEN coalesce(sper.n_grams, 0) > 0
+         |            THEN (2*10000*sper.n_grams + sper.sum_df) // (2*sper.sum_df)
+         |            ELSE 10000 END AS weight_u4
+         |        FROM fd2 LEFT JOIN sper USING (doc_id)),
+         |sq4 AS MATERIALIZED (
+         |  SELECT fd2.doc_id, fd2.source, fnc.n_chars,
+         |    CAST(round(q.quality_score*10000) AS BIGINT) * swt.weight_u4 AS prio
+         |  FROM fd2 JOIN q USING (doc_id) JOIN fnc USING (doc_id)
+         |  JOIN swt USING (doc_id)
+         |  WHERE q.quality_score >= 0.5),
+         |ssw AS (SELECT doc_id, source, n_chars,
+         |    coalesce(sum(n_chars) OVER (PARTITION BY source
+         |      ORDER BY prio DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM sq4),
+         |ssel AS MATERIALIZED (
+         |  SELECT doc_id, source, n_chars FROM ssw WHERE prior < 25000),
+         |sov AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |          CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sc
+         |        FROM ssel WHERE doc_id IN (SELECT doc_id FROM fsel)),
+         |fcsh AS (SELECT t.doc_id,""".stripMargin
+    var sql = pipelineV2Sql
+    sql = replacedOnce(sql, "fcsh AS (SELECT t.doc_id,", softCtes)
+    sql = replacedOnce(sql, "UNION ALL SELECT 3, 'near_dedup'",
+      "UNION ALL SELECT 3, 'hard_near_dedup'")
+    sql = replacedOnce(sql, "UNION ALL SELECT 4, 'quality'",
+      "UNION ALL SELECT 4, 'hard_quality'")
+    sql = replacedOnce(sql, "UNION ALL SELECT 5, 'budget'",
+      "UNION ALL SELECT 5, 'hard_budget'")
+    sql = replacedOnce(sql,
+      "UNION ALL SELECT 6, 'decontam', count(*),\n    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd5\n  UNION ALL SELECT 7, 'split_train', count(*),\n    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM fd6\n  UNION ALL SELECT stage_idx, stage, n_docs, sum_chars FROM fagr)",
+      "UNION ALL SELECT 6, 'soft_quality', count(*),\n    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM sq4\n  UNION ALL SELECT 7, 'soft_budget', count(*),\n    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM ssel\n  UNION ALL SELECT 8, 'overlap_budget', n, sc FROM sov)")
     sql
   }
 
@@ -7906,6 +8054,11 @@ object PipelineQueries {
     // pipelineV2Sql with one-occurrence anchor checks (see
     // pipelineV3Sql), so the two funnels cannot silently drift apart
     "pipeline_e2e_v3" -> pipelineV3Sql,
+
+    // v2's replay + the SoftDeDup branch CTEs and the side-by-side
+    // stage tail (hard_* rows vs soft_* rows vs overlap) — derived
+    // surgically from pipelineV2Sql like v3, same anchor guards
+    "pipeline_e2e_v4" -> pipelineV4Sql,
 
     // the landing-cadence twin re-derives the funnel from its append-
     // only stores and must converge to the one-shot batch capstone —

@@ -2273,6 +2273,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert((10L to 13L).map(v3(_)._2).sum == v3(4L)._2)
   }
 
+  test("pipeline v4: hard and soft branches audit coherently side by side") {
+    val v4 = SparkEntry.queries("pipeline_e2e_v4")(spark, sf).collect()
+      .map(r => r.getAs[Long]("stage_idx") ->
+        (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    assert(v4.keySet == (0L to 8L).toSet)
+    assert(v4(3L)._1 == "hard_near_dedup" && v4(6L)._1 == "soft_quality")
+    // shared prefix is monotone
+    assert(v4(1L)._2 <= v4(0L)._2 && v4(2L)._2 <= v4(1L)._2)
+    // hard branch: collapse ⊆ survivors, gate ⊆ collapse, budget ⊆ gate
+    assert(v4(3L)._2 <= v4(2L)._2 && v4(4L)._2 <= v4(3L)._2
+      && v4(5L)._2 <= v4(4L)._2)
+    // soft branch gates the UNCOLLAPSED survivor set, so it can never
+    // pass fewer docs than the hard gate (roots ⊆ survivors)
+    assert(v4(6L)._2 >= v4(4L)._2 && v4(6L)._2 <= v4(2L)._2)
+    assert(v4(7L)._2 <= v4(6L)._2)
+    // the overlap row is an intersection of the two selected sets
+    assert(v4(8L)._2 <= math.min(v4(5L)._2, v4(7L)._2))
+  }
+
   test("d4 prune: stage accounting is exact and the SemDeDup half matches dedup_semantic") {
     val d4 = SparkEntry.queries("emb_d4_prune")(spark, sf).collect()
     val sem = SparkEntry.queries("dedup_semantic")(spark, sf)
