@@ -3947,6 +3947,45 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // TOKEN-MASS curriculum (r15, VERDICT r14 item 6): training
+    // schedulers consume equal TOKEN budgets, not equal doc counts —
+    // same (quality u4 DESC, doc_id) ordering as corpus_curriculum,
+    // but the 8 shards cut on the PREFIX-SUMMED token column: shard =
+    // (tokens_before · 8) div total_tokens, so each shard carries
+    // ~equal token mass (within one document of exact). The prefix sum
+    // in rank order is the seq_pack two-level cumsum keyed on rnk
+    // (rnk is a unique dense positive integer — blocks from floor
+    // division, only the per-block offset table crosses an
+    // unpartitioned window). Envelope stays monotone by construction
+    // (the ordering is unchanged; only the cut moves).
+    "corpus_curriculum_tokens" -> ((s, dir) => {
+      val q = TextAnalysis.quality(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+          round(col("quality_score") * 10000).cast("bigint").as("qu4"))
+      val ranked = graft.ops.Rank.globalRankByRange(q, "qu4", "doc_id",
+          numBlocks = 8)
+        .withColumn("blk", expr("(rnk - 1) div 1024L"))
+        .localCheckpoint(false) // within-block cumsum AND block offsets
+      val wIn = Window.partitionBy("blk").orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBlk = Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranked.groupBy("blk").agg(sum("n_tokens").as("blk_sum"))
+        .withColumn("blk_off", coalesce(sum("blk_sum").over(wBlk), lit(0L)))
+        .select("blk", "blk_off")
+      val cum = ranked.withColumn("cum_in", sum("n_tokens").over(wIn))
+        .join(broadcast(offsets), "blk")
+        .withColumn("cum_before",
+          col("blk_off") + col("cum_in") - col("n_tokens"))
+      val tot = cum.agg(sum("n_tokens").as("tot_tokens"))
+      graft.ops.Scalars.withScalar(cum, col("doc_id"), tot, col("tot_tokens"))
+        .withColumn("shard", expr("(cum_before * 8) div tot_tokens"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          min("qu4").as("min_qu4"), max("qu4").as("max_qu4"))
+        .orderBy("shard")
+    }),
+
     // PII counters at LANDING cadence: per-batch map-side regex
     // detect/redact/residual counters fold additively per source;
     // clean_rate re-derived at emission — the fold equals the one-shot
@@ -9761,6 +9800,34 @@ object PipelineQueries {
          |  CAST(min(qu4) AS BIGINT) AS min_qu4,
          |  CAST(max(qu4) AS BIGINT) AS max_qu4
          |FROM rk CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the token-mass cut: same qu4 ordering, the shard boundary moves
+    // to the prefix-summed token column — the oracle computes the
+    // global cumsum with the single window the engine decomposes
+    "corpus_curriculum_tokens" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |r AS (SELECT doc_id, len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t),
+         |sc AS (SELECT doc_id, n_tokens,
+         |    CAST(round(round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) * 10000)
+         |      AS BIGINT) AS qu4
+         |  FROM r),
+         |rk AS (SELECT doc_id, n_tokens, qu4,
+         |    row_number() OVER (ORDER BY qu4 DESC, doc_id) AS rnk FROM sc),
+         |c AS (SELECT doc_id, n_tokens, qu4,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY rnk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM rk),
+         |n AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM sc)
+         |SELECT CAST((cb * 8) // tot AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(min(qu4) AS BIGINT) AS min_qu4,
+         |  CAST(max(qu4) AS BIGINT) AS max_qu4
+         |FROM c CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // corpus_dsir's scoring CTEs + one shared rank; each budget row is
     // a non-equi join against the fraction list, k = (f·N) // 100

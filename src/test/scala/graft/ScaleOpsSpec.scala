@@ -2249,6 +2249,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token curriculum: equal token-mass shards, same monotone envelope") {
+    val rows = SparkEntry.queries("corpus_curriculum_tokens")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("shard"))
+    val docs = Tables.documents(spark, sf)
+    val tok = graft.ops.TextAnalysis.quality(docs)
+      .select(col("n_tokens").cast("bigint"))
+      .collect().map(_.getLong(0))
+    val tot = tok.sum
+    // shards partition the corpus and the token mass exactly
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == tot)
+    // the cut is on token mass: every shard within one document's
+    // tokens of the exact tot/8 target (the straddling-doc slack)
+    val maxDoc = tok.max
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("sum_tokens") - tot / 8) <= maxDoc + 8,
+        s"shard ${r.getAs[Long]("shard")} mass ${r.getAs[Long]("sum_tokens")} " +
+          s"far from ${tot / 8}")
+    }
+    // ordering is corpus_curriculum's, so the envelope stays monotone
+    rows.foreach(r =>
+      assert(r.getAs[Long]("min_qu4") <= r.getAs[Long]("max_qu4")))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("min_qu4") >= b.getAs[Long]("max_qu4"),
+        s"token-shard ${a.getAs[Long]("shard")} envelope overlap")
+    }
+    // and the token cut genuinely differs from the equal-count cut
+    val byCount = SparkEntry.queries("corpus_curriculum")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("shard")).map(_.getAs[Long]("n_docs"))
+    assert(rows.map(_.getAs[Long]("n_docs")).toSeq != byCount.toSeq,
+      "token-mass shards coincide with equal-count shards — dead variant")
+  }
+
   test("capstone v3: empty quarantine preserves v2's chain, DSIR halves the gate") {
     def rows(k: String) = SparkEntry.queries(k)(spark, sf).collect()
       .map(r => r.getAs[Long]("stage_idx") ->
