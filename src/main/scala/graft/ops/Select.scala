@@ -201,15 +201,27 @@ object Select {
     val nDom = perDom.count() // bounded driver pull: |domains| is tiny
     var w = perDom.select(col("source"),
       (lit(1.0) / nDom.toDouble).as("w"), lit(0.0).as("eps"))
+    // ADVICE r14: every float SUM in the loop quantizes its terms to
+    // fixed-point integers first (q/z at 1e12, KL terms at 1e9 — far
+    // below the round-4/round-6 emission precision), so the summed
+    // value is an exact integer independent of Spark's accumulation
+    // order and DuckDB's — the per-row u4/u6 doctrine applied to the
+    // multiplicative-weight iterate. The remaining cross-engine float
+    // surface is per-row ln/exp ulp, the same class every
+    // float-emitting key already carries.
     for (_ <- 1 to rounds) {
       val q = p.join(w.select("source", "w"), "source")
-        .groupBy("b").agg(sum(col("w") * col("p")).as("q"))
+        .groupBy("b")
+        .agg((sum(expr("CAST(round(w * p * 1e12) AS BIGINT)")) / lit(1e12))
+          .as("q"))
       val eps = p.join(q, "b")
         .groupBy("source")
-        .agg(sum(col("p") * log(col("p") / col("q"))).as("eps"))
+        .agg((sum(expr("CAST(round(p * ln(p / q) * 1e9) AS BIGINT)"))
+          / lit(1e9)).as("eps"))
       val u = w.select("source", "w").join(eps, "source")
         .withColumn("u", col("w") * exp(col("eps")))
-      val z = u.agg(sum("u").as("z"))
+      val z = u.agg((sum(expr("CAST(round(u * 1e12) AS BIGINT)")) / lit(1e12))
+        .as("z"))
       w = PlanBarrier.cut(
         Scalars.withScalar(u, col("source"), z, col("z"))
           .withColumn("w",

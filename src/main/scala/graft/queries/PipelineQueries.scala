@@ -3889,7 +3889,12 @@ object PipelineQueries {
     // the DSIR deploy knob: budget sweep (10/20/40%) over ONE scoring
     // pass and ONE global rank — each budget row filters the shared
     // checkpointed rank table; target capture audits how much of the
-    // labeled-English slice each budget recovers
+    // labeled-English slice each budget recovers.
+    // Domain assumption (ADVICE r14): the corpus must have >= 10 docs
+    // so the smallest budget (10%) selects at least one — below that,
+    // the Spark side would emit a null-shaped row where the oracle's
+    // inner join emits none. Every fixture is >= 500 docs; a caller
+    // sweeping a micro-corpus should drop the 10% point instead.
     "corpus_dsir_sweep" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select("doc_id", "source", "lang", "text")
@@ -9670,16 +9675,23 @@ object PipelineQueries {
     * stream_doremi_ingest (the streamed fold is exact-integer, so the
     * two keys provably emit identical rows — StreamingSpec pins it). */
   private lazy val doremiSql: String = {
+      // r15 (ADVICE r14): the three float sums quantize their terms to
+      // fixed-point integers before summation (q/z at 1e12, KL terms
+      // at 1e9) so the totals are accumulation-order-proof in both
+      // engines — mirrors Select.doremiFromCounts exactly
       def rnd(r: Int): String = {
         val pw = if (r == 1) "w0" else s"w${r - 1}"
-        s"""q$r AS (SELECT p.b, sum($pw.w * p.p) AS q
+        s"""q$r AS (SELECT p.b,
+           |          sum(CAST(round($pw.w * p.p * 1e12) AS BIGINT)) / 1e12 AS q
            |        FROM p JOIN $pw USING (source) GROUP BY 1),
-           |e$r AS (SELECT p.source, sum(p.p * ln(p.p / q$r.q)) AS eps
+           |e$r AS (SELECT p.source,
+           |          sum(CAST(round(p.p * ln(p.p / q$r.q) * 1e9) AS BIGINT)) / 1e9 AS eps
            |        FROM p JOIN q$r USING (b) GROUP BY 1),
            |u$r AS (SELECT $pw.source, $pw.w * exp(e$r.eps) AS u, e$r.eps
            |        FROM $pw JOIN e$r USING (source)),
            |w$r AS MATERIALIZED (SELECT source,
-           |          (u / (SELECT sum(u) FROM u$r)) * (1.0 - 1.0 / 50)
+           |          (u / ((SELECT sum(CAST(round(u * 1e12) AS BIGINT))
+           |                 FROM u$r) / 1e12)) * (1.0 - 1.0 / 50)
            |          + 1.0 / (50 * (SELECT d FROM ndom)) AS w, eps
            |        FROM u$r)""".stripMargin
       }
@@ -9746,8 +9758,8 @@ object PipelineQueries {
          |sc AS (SELECT dc.doc_id,
          |         CAST(round(sum(dc.c * lr.lr) * 10000) AS BIGINT) AS u4
          |       FROM dc JOIN lr USING (b) GROUP BY 1),
-         |j AS (SELECT d.source, d.doc_id, sc.u4
-         |      FROM sc JOIN documents d USING (doc_id))
+         |j AS (SELECT d.source, d.doc_id, coalesce(sc.u4, 0) AS u4
+         |      FROM documents d LEFT JOIN sc USING (doc_id))
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN doc_id >= (SELECT t FROM thr) THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_landed,

@@ -624,7 +624,13 @@ object EventStreams {
             .join(broadcast(lr), "b")
             .groupBy("doc_id")
             .agg(round(sum(col("c") * col("lr")) * 10000).cast("bigint").as("u4"))
-          val local = batch.select("doc_id", "source").join(u4, "doc_id")
+          // ADVICE r14: LEFT join back so a doc whose every bucket is
+          // absent from the frozen gen-1 table (or that has no tokens)
+          // still lands in n_docs with score 0 — the documented
+          // absent-bucket-contributes-0 convention made total
+          val local = batch.select("doc_id", "source")
+            .join(u4, Seq("doc_id"), "left")
+            .withColumn("u4", coalesce(col("u4"), lit(0L)))
             .groupBy("source")
             .agg(count(lit(1)).as("n_docs"),
               sum(when(col("doc_id") >= thr, 1L).otherwise(0L)).as("n_landed"),
