@@ -3886,6 +3886,17 @@ object PipelineQueries {
     "stream_doremi_ingest" -> ((s, dir) =>
       graft.streaming.EventStreams.doremiIngest(s, dir)),
 
+    // SoftDeDup at LANDING cadence (r15 — completes the family's
+    // streaming column): the per-doc distinct-8-gram POSTING table is
+    // append-only, so each batch appends O(Δ) (doc_id, gram-hash)
+    // rows and the DF → commonness → 1/commonness algebra re-runs
+    // from the folded store after the last generation (weights change
+    // RETROACTIVELY as landings raise gram DFs — the reason they
+    // re-derive instead of folding per doc). Result IS
+    // dedup_soft_weights row for row (shared oracle + spec pin)
+    "stream_soft_weights" -> ((s, dir) =>
+      graft.streaming.EventStreams.softWeightsIngest(s, dir)),
+
     // the DSIR deploy knob: budget sweep (10/20/40%) over ONE scoring
     // pass and ONE global rank — each budget row filters the shared
     // checkpointed rank table; target capture audits how much of the
@@ -9496,6 +9507,28 @@ object PipelineQueries {
     * join-delivered — the documented list_reduce hazard). Margins are
     * left INTACT here — the consuming template stripMargins exactly
     * once (a second pass would eat the leading `||` concat bars). */
+  /** dedup_soft_weights' full DuckDB replay, shared verbatim with
+    * stream_soft_weights (the posting-store fold re-runs the same
+    * DF algebra, so the two keys provably emit identical rows —
+    * StreamingSpec pins it engine-side too). */
+  private lazy val softWeightsSql: String =
+    s"""WITH docs8 AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)]) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM docs8),
+         |dft AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+         |per AS (SELECT ex.doc_id, count(*) AS n_grams,
+         |          CAST(sum(df) AS BIGINT) AS sum_df
+         |        FROM ex JOIN dft ON ex.g = dft.g GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(sum_df, 0) AS BIGINT) AS sum_df,
+         |  CAST((2*10000*sum_df + n_grams) // (2*n_grams) AS BIGINT) AS comm_u4,
+         |  CAST((2*10000*n_grams + sum_df) // (2*sum_df) AS BIGINT) AS weight_u4
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
   private lazy val piiPerDocSql: String = {
       import graft.ops.TextAnalysis.{PiiEmailRe, PiiIpRe, PiiPhoneRe, PiiCardRe}
       import graft.ops.TextAnalysis.{cardValidSql, cardInvalidSql, luhnValid16Sql}
@@ -9771,23 +9804,14 @@ object PipelineQueries {
     // same distinct 8-gram extraction as text_span_dedup, same df join,
     // same half-up integer u4 composition — nonnegative operands so
     // DuckDB // (floor) equals Spark div (truncate)
-    "dedup_soft_weights" ->
-      s"""WITH docs8 AS (
-         |  SELECT doc_id, list_distinct(
-         |    [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)]) AS sh
-         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
-         |ex AS (SELECT doc_id, unnest(sh) AS g FROM docs8),
-         |dft AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
-         |per AS (SELECT ex.doc_id, count(*) AS n_grams,
-         |          CAST(sum(df) AS BIGINT) AS sum_df
-         |        FROM ex JOIN dft ON ex.g = dft.g GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
-         |  CAST(coalesce(sum_df, 0) AS BIGINT) AS sum_df,
-         |  CAST((2*10000*sum_df + n_grams) // (2*n_grams) AS BIGINT) AS comm_u4,
-         |  CAST((2*10000*n_grams + sum_df) // (2*sum_df) AS BIGINT) AS weight_u4
-         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_soft_weights" -> softWeightsSql,
+
+    // the landing-cadence posting-store fold re-derives the identical
+    // algebra from the folded store — the stream==batch convergence
+    // contract, hence the oracle verbatim (string grams: a 64-bit
+    // store-hash collision mismatches here, never absorbs)
+    "stream_soft_weights" -> softWeightsSql,
+
 
     // corpus_quality_mix's qu4 derivation + one global rank + the
     // equal-count shard cut ((rnk−1)·8 // N — the text_len_deciles

@@ -793,6 +793,76 @@ object EventStreams {
       .orderBy("source")
   }
 
+  /** SOFT-dedup weights at LANDING cadence — dedup_soft_weights'
+    * streaming member, and with [[doremiIngest]] the purest instance
+    * of the store-fold doctrine: SoftDeDup's ONLY corpus-scale state
+    * is the per-doc distinct-8-gram POSTING table, which is
+    * append-only by construction (a landing batch's postings never
+    * rewrite history's — unlike the funnel, there is no survivor set
+    * to re-derive), so each batch appends its (doc_id, gram-hash)
+    * rows O(Δ) plus a doc-id row, and the whole weight algebra
+    * (gram DF → per-doc mean commonness → 1/commonness weight)
+    * re-runs from the folded store after the last generation. Per-doc
+    * weights DO change retroactively as new landings raise gram DFs —
+    * exactly why the weights must re-derive from the store rather
+    * than fold per doc, and exactly what this key demonstrates. Gram
+    * identity is the 64-bit portable hash (the signature-store
+    * contract: the shared oracle replays STRING grams, so a collision
+    * mismatches, never absorbs). Result == dedup_soft_weights row for
+    * row (oracle shared verbatim + the StreamingSpec engine-side
+    * pin). */
+  def softWeightsIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.sources.Scratch.dir("graft_softw_stream")
+    val (stage, ckpt) = (s"$base/stage", s"$base/ckpt")
+    val (postStore, docStore) = (s"$base/post", s"$base/docs")
+    graft.functions.GraftHash64.register(spark)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(false) // one scan feeds both stagings
+    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val stageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch0: DataFrame, _: Long) =>
+          val batch = batch0.localCheckpoint(false) // postings + doc list
+          graft.ops.Dedup.shingleSets(batch, 8)
+            .select(col("doc_id"), explode(col("sh")).as("g"))
+            .select(col("doc_id"),
+              call_function("graft_hash64", col("g"), lit(31L)).as("gh"))
+            .coalesce(4).write.mode("append").parquet(postStore)
+          batch.select("doc_id").coalesce(1)
+            .write.mode("append").parquet(docStore)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") < thr).coalesce(4).write.parquet(s"$stage/gen1")
+    pass()
+    docs.filter(col("doc_id") >= thr).coalesce(4).write.parquet(s"$stage/gen2")
+    pass()
+    val post = spark.read.parquet(postStore).localCheckpoint(false)
+    val dft = post.groupBy("gh").agg(count(lit(1)).as("df"))
+    val per = post.join(dft, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("df").as("sum_df"))
+    spark.read.parquet(docStore).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_df"), lit(0L)).as("sum_df"),
+        when(col("n_grams") > 0,
+          expr("(2*10000*sum_df + n_grams) div (2*n_grams)")).as("comm_u4"),
+        when(col("n_grams") > 0,
+          expr("(2*10000*n_grams + sum_df) div (2*sum_df)")).as("weight_u4"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming substring-dedup ingest — the gram-hash store of
     * [[graft.ops.Suffix.substringIncremental]] maintained at landing
     * cadence (completing the signature-store triple the minhash and

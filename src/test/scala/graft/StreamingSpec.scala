@@ -422,6 +422,18 @@ class StreamingSpec extends AnyFunSuite {
       "additive PII fold diverged from the one-shot scrub audit")
   }
 
+  test("streaming soft-weight posting fold lands exactly on dedup_soft_weights") {
+    // the posting store is append-only; weights re-derive from the
+    // folded store, so they must equal the one-shot key row for row —
+    // including the retroactive DF raises gen2 applies to gen1 docs
+    val streamed = graft.streaming.EventStreams.softWeightsIngest(spark, sf)
+      .collect().map(_.toString)
+    val batch = SparkEntry.queries("dedup_soft_weights")(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "posting-store fold diverged from the one-shot soft weights")
+  }
+
   test("streaming DoReMi count fold lands exactly on corpus_doremi") {
     // the store is integer-additive (token-bucket counts + doc counts),
     // so the re-run grid algebra must equal the one-shot key row for row
