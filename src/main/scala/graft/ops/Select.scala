@@ -109,14 +109,26 @@ object Select {
     val sel = Scalars.withScalar(ranked, col("doc_id"), tot, col("n_total"))
       .withColumn("selected",
         (col("rnk") <= expr(s"($selNum * n_total) div $selDen")).cast("int"))
+    // the emitted averages derive from EXACT integer u4 sums (u4 =
+    // m4·10⁴ — m4 carries ≤4 decimals, so the per-row scaling is
+    // exact), never from a float avg() whose accumulation order can
+    // flip a round-4 boundary between runs (caught live at sf0.1 —
+    // the ADVICE r14 float-sum class). One integer-exact division at
+    // emission; negative sums round identically in both engines
+    // (half away from zero).
     d.select("doc_id", "source").join(sel, "doc_id")
+      .withColumn("u4", expr("CAST(round(m4 * 10000) AS BIGINT)"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("selected").cast("bigint").as("n_sel"),
-        round(avg("m4"), 4).as("avg_logw"),
-        round(avg(when(col("selected") === 1, col("m4"))), 4).as("avg_logw_sel"))
+        sum("u4").as("su"),
+        sum(when(col("selected") === 1, col("u4"))).as("sus"))
       .withColumn("sel_rate", round(col("n_sel") / col("n_docs"), 4))
-      .select("source", "n_docs", "n_sel", "sel_rate", "avg_logw", "avg_logw_sel")
+      .withColumn("avg_logw", round(col("su") / (col("n_docs") * 10000.0), 4))
+      .withColumn("avg_logw_sel",
+        round(col("sus") / (col("n_sel") * 10000.0), 4))
+      .select("source", "n_docs", "n_sel", "sel_rate", "avg_logw",
+        "avg_logw_sel")
   }
 
   /** The shared DSIR scoring + rank: (doc_id, m4, rnk) with m4 the

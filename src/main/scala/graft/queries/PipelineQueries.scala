@@ -3921,7 +3921,9 @@ object PipelineQueries {
             coalesce(sum(when(col("lang") === "en", 1L).otherwise(0L)),
               lit(0L)).as("n_sel_target"),
             max("n_en").as("n_en"),
-            round(avg("m4"), 4).as("avg_logw_sel"))
+            // integer-u4 sum, never a float avg (the dsir doctrine)
+            round(sum(expr("CAST(round(m4 * 10000) AS BIGINT)"))
+              / (count(lit(1)) * 10000.0), 4).as("avg_logw_sel"))
           .select(lit(f).as("frac_pct"), col("n_sel"), col("n_sel_target"),
             round(col("n_sel_target") / col("n_en"), 4).as("target_capture"),
             col("avg_logw_sel"))
@@ -9641,14 +9643,15 @@ object PipelineQueries {
          |r AS (SELECT doc_id, m4,
          |        row_number() OVER (ORDER BY m4 DESC, doc_id) AS rnk FROM sc),
          |kk AS (SELECT count(*) // 5 AS k FROM documents),
-         |j AS (SELECT d.source, r.m4,
+         |j AS (SELECT d.source, CAST(round(r.m4 * 10000) AS BIGINT) AS u4,
          |        CASE WHEN r.rnk <= kk.k THEN 1 ELSE 0 END AS sel
          |      FROM r JOIN documents d USING (doc_id) CROSS JOIN kk)
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(sel) AS BIGINT) AS n_sel,
          |  round(sum(sel) * 1.0 / count(*), 4) AS sel_rate,
-         |  round(avg(m4), 4) AS avg_logw,
-         |  round(avg(CASE WHEN sel = 1 THEN m4 END), 4) AS avg_logw_sel
+         |  round(sum(u4) * 1.0 / (count(*) * 10000.0), 4) AS avg_logw,
+         |  round(sum(CASE WHEN sel = 1 THEN u4 END) * 1.0
+         |    / (sum(sel) * 10000.0), 4) AS avg_logw_sel
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // full replay: same seed-37 bucket hash, same Laplace (+1/+64)
@@ -9681,14 +9684,15 @@ object PipelineQueries {
          |r AS (SELECT doc_id, m4,
          |        row_number() OVER (ORDER BY m4 DESC, doc_id) AS rnk FROM sc),
          |kk AS (SELECT count(*) // 5 AS k FROM documents),
-         |j AS (SELECT d.source, r.m4,
+         |j AS (SELECT d.source, CAST(round(r.m4 * 10000) AS BIGINT) AS u4,
          |        CASE WHEN r.rnk <= kk.k THEN 1 ELSE 0 END AS sel
          |      FROM r JOIN documents d USING (doc_id) CROSS JOIN kk)
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(sel) AS BIGINT) AS n_sel,
          |  round(sum(sel) * 1.0 / count(*), 4) AS sel_rate,
-         |  round(avg(m4), 4) AS avg_logw,
-         |  round(avg(CASE WHEN sel = 1 THEN m4 END), 4) AS avg_logw_sel
+         |  round(sum(u4) * 1.0 / (count(*) * 10000.0), 4) AS avg_logw,
+         |  round(sum(CASE WHEN sel = 1 THEN u4 END) * 1.0
+         |    / (sum(sel) * 10000.0), 4) AS avg_logw_sel
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // unrolled 3-round replay: same seed-41 hash, same dense
@@ -9904,7 +9908,8 @@ object PipelineQueries {
          |    AS n_sel_target,
          |  round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
          |    / any_value(n_en), 4) AS target_capture,
-         |  round(avg(m4), 4) AS avg_logw_sel
+         |  round(sum(CAST(round(m4 * 10000) AS BIGINT)) * 1.0
+         |    / (count(*) * 10000.0), 4) AS avg_logw_sel
          |FROM j GROUP BY f ORDER BY frac_pct""".stripMargin,
 
     // dedup_semantic's replay (same assignment prelude, pairs, CC)
