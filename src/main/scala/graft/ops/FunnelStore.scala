@@ -187,11 +187,13 @@ object FunnelStore {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
     val s4 = s3.filter(col("quality_score") >= 0.5).localCheckpoint(false)
-    val w = Window.partitionBy("source")
-      .orderBy(col("quality_score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val s5 = s4.select(col("doc_id"), col("source"), col("n_chars"),
-        coalesce(sum("n_chars").over(w), lit(0L)).as("prior"))
+    // budget prior via the (source, blk) two-level cumsum — a plain
+    // partitionBy("source") window is one task per source at scale
+    val s5 = Rank.perGroupRunningSum(
+        s4.select("doc_id", "source", "n_chars", "quality_score"),
+        "source", "n_chars",
+        Seq(col("quality_score").desc, col("doc_id")))
+      .select("doc_id", "source", "n_chars", "prior")
       .filter(col("prior") < 25000L)
       .localCheckpoint(false)
     // decontamination from the shingle store: containment of each

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,67 @@ object Rank {
       .join(broadcast(offsets), "__pid")
       .withColumn("rnk", col("blk_off") + col("rnk_in"))
       .drop("__pid", "rnk_in", "blk_off")
+  }
+
+  /** Appends `prior` = the EXCLUSIVE running sum of `valueCol` within
+    * each `groupCol` partition under `orderCols` — identical by
+    * construction to `sum(value) OVER (PARTITION BY group ORDER BY …
+    * ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)` (null → 0) —
+    * WITHOUT that form's one-task-per-group sort.
+    *
+    * `Window.partitionBy(source)` makes each source ONE task: at
+    * corpus scale with tens of sources, every task sorts
+    * corpus/|sources| rows — the single-hot-partition class. Instead
+    * the same (blk, offset) decomposition as the token-mass curriculum
+    * cumsum, keyed by (group, block):
+    *
+    *   1. rows range-partition on (groupCol ASC, orderCols…) with
+    *      SAMPLED bounds — blocks stay ~n/numBlocks regardless of how
+    *      skewed the per-group populations are, and a group's rows
+    *      occupy a contiguous ascending run of partition ids;
+    *   2. the exclusive cumsum runs WITHIN each (group, block) —
+    *      distributed, bounded tasks;
+    *   3. each (group, block) inherits the sum of the group's earlier
+    *      blocks from a broadcast offset table of ≤ |groups|·numBlocks
+    *      rows — the only group-partitioned window runs over THAT
+    *      table, never the raw rows.
+    *
+    * Result is boundary-independent (the prior sum depends only on the
+    * total order, not where the cuts land), so the sampled bounds only
+    * affect balance. `__pid` is referenced twice (offsets + the summed
+    * side) and MUST come from one physical evaluation — hence the
+    * eager localCheckpoint, same pin as [[globalRankByRange]].
+    *
+    * `orderCols` must totally order rows within a group (include a
+    * unique tie-break) or the prior sums are nondeterministic. At
+    * 100 TB raise `numBlocks` so blocks fit an executor's sort buffer.
+    */
+  def perGroupRunningSum(df: DataFrame, groupCol: String, valueCol: String,
+                         orderCols: Seq[Column], numBlocks: Int = 32,
+                         priorName: String = "prior"): DataFrame = {
+    require(!df.columns.contains("__pid"),
+      "__pid is reserved by perGroupRunningSum")
+    val parted = df
+      .repartitionByRange(numBlocks, (col(groupCol).asc +: orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // eager: pin ONE partition numbering for both consumers
+    val wIn = Window.partitionBy(col(groupCol), col("__pid"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per (group, block) — the only group-wide window runs
+    // over this bounded table, never the raw rows
+    val wBlk = Window.partitionBy(groupCol).orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col(groupCol), col("__pid"))
+      .agg(sum(col(valueCol)).cast("bigint").as("__blk_sum"))
+      .withColumn("__blk_off", coalesce(sum("__blk_sum").over(wBlk), lit(0L)))
+      .select(col(groupCol), col("__pid"), col("__blk_off"))
+    parted
+      .withColumn("__prior_in",
+        coalesce(sum(col(valueCol)).over(wIn).cast("bigint"), lit(0L)))
+      .join(broadcast(offsets), Seq(groupCol, "__pid"))
+      .withColumn(priorName, col("__blk_off") + col("__prior_in"))
+      .drop("__pid", "__prior_in", "__blk_off")
   }
 
   /** Appends `run_max` = max(valueCol) over all rows with orderCol ≤

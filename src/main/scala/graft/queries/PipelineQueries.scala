@@ -1570,19 +1570,19 @@ object PipelineQueries {
 
     // TOKEN-BUDGET SELECTION: per source, take the highest-quality docs
     // until a char budget is exhausted (the doc that crosses the line
-    // is kept — greedy prefix). The running total is a window over the
-    // per-source quality order, so the plan is one quality projection +
-    // one source-partitioned window — no global sort, no driver loop.
+    // is kept — greedy prefix). The per-source exclusive running sum
+    // goes through Rank.perGroupRunningSum — the (source, blk)
+    // two-level cumsum — because a Window.partitionBy("source") is ONE
+    // task per source over the whole candidate table at corpus scale.
     "corpus_select_budget" -> ((s, dir) => {
       val budget = 25000L
       val d = Tables.documents(s, dir)
       val q = TextAnalysis.quality(d)
         .join(d.select("doc_id", "source"), "doc_id")
-      val w = Window.partitionBy("source")
-        .orderBy(col("quality_score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      q.select(col("source"), col("n_chars"),
-          coalesce(sum("n_chars").over(w), lit(0L)).as("prior"))
+      graft.ops.Rank.perGroupRunningSum(
+          q.select("doc_id", "source", "n_chars", "quality_score"),
+          "source", "n_chars",
+          Seq(col("quality_score").desc, col("doc_id")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("prior") < budget, 1L).otherwise(0L)).as("n_selected"),
@@ -1627,11 +1627,13 @@ object PipelineQueries {
         .join(s2.select("doc_id", "source"), "doc_id")
         .filter(col("quality_score") >= 0.5)
         .localCheckpoint(false)
-      val w = Window.partitionBy("source")
-        .orderBy(col("quality_score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val s4 = s3.select(col("doc_id"), col("source"), col("n_chars"),
-          coalesce(sum("n_chars").over(w), lit(0L)).as("prior"))
+      // budget prior via the (source, blk) two-level cumsum — a plain
+      // partitionBy("source") window is one task per source at scale
+      val s4 = graft.ops.Rank.perGroupRunningSum(
+          s3.select("doc_id", "source", "n_chars", "quality_score"),
+          "source", "n_chars",
+          Seq(col("quality_score").desc, col("doc_id")))
+        .select("doc_id", "source", "n_chars", "prior")
         .filter(col("prior") < 25000L)
         .localCheckpoint(false)
       // stage 5: eval decontamination — the selected docs are shingle-
@@ -1737,12 +1739,13 @@ object PipelineQueries {
             .as("stage"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"),
           coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
-      // stages 5-7: v1's budget window, decontamination, family split
-      val w = Window.partitionBy("source")
-        .orderBy(col("quality_score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val s5 = s4.select(col("doc_id"), col("source"), col("n_chars"),
-          coalesce(sum("n_chars").over(w), lit(0L)).as("prior"))
+      // stages 5-7: v1's budget selection (the (source, blk) two-level
+      // cumsum — see corpus_select_budget), decontamination, family split
+      val s5 = graft.ops.Rank.perGroupRunningSum(
+          s4.select("doc_id", "source", "n_chars", "quality_score"),
+          "source", "n_chars",
+          Seq(col("quality_score").desc, col("doc_id")))
+        .select("doc_id", "source", "n_chars", "prior")
         .filter(col("prior") < 25000L)
         .localCheckpoint(false)
       val flagged = graft.ops.Contamination.check(
@@ -1847,11 +1850,11 @@ object PipelineQueries {
             .as("stage"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"),
           coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
-      val w = Window.partitionBy("source")
-        .orderBy(col("quality_score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val s5 = s45.select(col("doc_id"), col("source"), col("n_chars"),
-          coalesce(sum("n_chars").over(w), lit(0L)).as("prior"))
+      val s5 = graft.ops.Rank.perGroupRunningSum(
+          s45.select("doc_id", "source", "n_chars", "quality_score"),
+          "source", "n_chars",
+          Seq(col("quality_score").desc, col("doc_id")))
+        .select("doc_id", "source", "n_chars", "prior")
         .filter(col("prior") < 25000L)
         .localCheckpoint(false)
       val flagged = graft.ops.Contamination.check(
@@ -1926,11 +1929,11 @@ object PipelineQueries {
       val s4h = q.join(s3h.select("doc_id"), "doc_id")
         .filter(col("quality_score") >= 0.5)
         .localCheckpoint(false)
-      val wh = Window.partitionBy("source")
-        .orderBy(col("quality_score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val s5h = s4h.select(col("doc_id"), col("source"), col("n_chars"),
-          coalesce(sum("n_chars").over(wh), lit(0L)).as("prior"))
+      val s5h = graft.ops.Rank.perGroupRunningSum(
+          s4h.select("doc_id", "source", "n_chars", "quality_score"),
+          "source", "n_chars",
+          Seq(col("quality_score").desc, col("doc_id")))
+        .select("doc_id", "source", "n_chars", "prior")
         .filter(col("prior") < 25000L)
         .localCheckpoint(false) // budget row AND the overlap join
       // SOFT: the dedup_soft_weights algebra over the same survivors
@@ -1952,11 +1955,11 @@ object PipelineQueries {
         .join(swt, "doc_id")
         .withColumn("prio", col("qu4") * col("weight_u4"))
         .localCheckpoint(false)
-      val ws = Window.partitionBy("source")
-        .orderBy(col("prio").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val s5s = s4s.select(col("doc_id"), col("source"), col("n_chars"),
-          coalesce(sum("n_chars").over(ws), lit(0L)).as("prior"))
+      val s5s = graft.ops.Rank.perGroupRunningSum(
+          s4s.select("doc_id", "source", "n_chars", "prio"),
+          "source", "n_chars",
+          Seq(col("prio").desc, col("doc_id")))
+        .select("doc_id", "source", "n_chars", "prior")
         .filter(col("prior") < 25000L)
         .localCheckpoint(false) // budget row AND the overlap join
       val overlap = s5s.join(s5h.select("doc_id"), "doc_id")
@@ -3165,22 +3168,26 @@ object PipelineQueries {
     // budget, membership decided by deterministic hash order (smallest
     // graft_hash64 first — an unbiased, replayable coin) — the corpus
     // rebalancing step that stops one crawl from dominating the mix.
-    // The rank window partitions per source (bounded), the report is
-    // one source-keyed aggregation.
+    // Per-source population is corpus-sized (only the OUTPUT is
+    // bounded), so the kept set goes through TopK.perGroup — the
+    // rank-limit-pushdown shape (WindowGroupLimit prunes map-side) —
+    // not a raw per-source row_number over all documents; the totals
+    // are a plain source-keyed aggregation with no window at all.
     "sample_source_quota" -> ((s, dir) => {
       graft.functions.GraftHash64.register(s)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("h"), col("doc_id"))
-      Tables.documents(s, dir)
+      val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("n_chars"),
           call_function("graft_hash64", col("doc_id").cast("string"),
             lit(11L)).as("h"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("kept", (col("rn") <= 40).cast("bigint"))
+      val tot = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val kept = graft.ops.TopK.perGroup(d, groupCols = Seq(col("source")),
+          orderCols = Seq(col("h"), col("doc_id")), k = 40)
         .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
-          sum(when(col("kept") === 1, col("n_chars")).otherwise(0L))
-            .as("kept_chars"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").cast("bigint").as("kept_chars"))
+      // every non-empty source keeps >= 1 doc, so the join is total
+      tot.join(kept, "source")
+        .select("source", "n_docs", "n_kept", "kept_chars")
         .orderBy("source")
     }),
 

@@ -2380,4 +2380,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(a1 == a2, "cell assignment changed under repartition")
   }
+
+  test("perGroupRunningSum equals the single-window form across partition counts") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed per-group populations on purpose: one giant group (the
+    // hot-partition case the decomposition exists for), several small
+    val rows = (1L to 4000L).map { i =>
+      val g = if (i % 10 < 7) "web" else if (i % 10 < 9) "books" else "code"
+      // quality with heavy ties so the tie-break column matters
+      (i, g, (i * 2654435761L % 97).toDouble / 97.0, (i % 53 + 1).toInt)
+    }
+    val df = rows.toDF("doc_id", "source", "quality_score", "n_chars")
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df
+      .withColumn("prior", coalesce(sum("n_chars").over(w), lit(0L)))
+      .select("doc_id", "prior")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (p <- Seq(1, 7, 32)) {
+      val got = graft.ops.Rank.perGroupRunningSum(df.repartition(p),
+          "source", "n_chars",
+          Seq(col("quality_score").desc, col("doc_id")))
+        .select("doc_id", "prior")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"decomposed prior diverged at $p partitions")
+    }
+    // the decomposition must also survive a numBlocks that exceeds the
+    // group count AND one that undershoots it (everything in one block)
+    for (nb <- Seq(1, 5, 256)) {
+      val got = graft.ops.Rank.perGroupRunningSum(df, "source", "n_chars",
+          Seq(col("quality_score").desc, col("doc_id")), numBlocks = nb)
+        .select("doc_id", "prior")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"decomposed prior diverged at numBlocks=$nb")
+    }
+  }
 }
