@@ -74,6 +74,69 @@ object EventStreams {
     * width. */
   val StateParts = 8
 
+  /** ADDITIVE counter stores at landing cadence, written as a per-batch
+    * LEDGER instead of a read-modify-write fold. The old fold read the
+    * whole store, re-aggregated history + batch, and did two parquet
+    * round trips (`.next` then overwrite) EVERY batch; it was also not
+    * crash-atomic under foreachBatch's at-least-once contract — a
+    * retried batch re-folded its partials and double-counted. The
+    * ledger writes the batch's keyed partial sums to `$path/b<batchId>`
+    * with mode=overwrite: a retried batch overwrites ITS OWN entry
+    * (idempotent, exactly-once effect), history is never re-read at
+    * landing, and the fold happens ONCE at emission. Ledger entries are
+    * one tiny keyed row-set per batch; a long-running deployment folds
+    * old entries into a compacted base on a maintenance cadence — the
+    * emission read stays |batches|·|keys|, never corpus-sized. Only for
+    * stores NO later batch reads back; mid-stream-consumed state (the
+    * append-only posting/signature stores) keeps its existing shape. */
+  private def ledgerAppend(local: DataFrame, path: String,
+                           batchId: Long): Unit =
+    // materialize the keyed partial ONCE (it is a bounded aggregate —
+    // |keys| rows) so the write job doesn't re-execute the whole
+    // per-batch plan a second time
+    local.localCheckpoint()
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/b$batchId")
+
+  /** Fold a [[ledgerAppend]] store: sum every `sums` column per `keys`.
+    * Emission-time only. */
+  private def ledgerSums(ss: SparkSession, path: String, keys: Seq[String],
+                         sums: Seq[String]): DataFrame =
+    ss.read.option("recursiveFileLookup", "true").parquet(path)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(sums.head).as(sums.head),
+        sums.tail.map(c => sum(c).as(c)): _*)
+
+  /** The landing-generation split point: docs below the threshold land
+    * in generation 1, the rest in generation 2 (3/4 : 1/4). Reads ONE
+    * pruned column off the source scan. */
+  private def genThreshold(docs0: DataFrame): Long =
+    docs0.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+
+  /** One-scan two-generation staging: writes both landing generations
+    * in a SINGLE corpus scan partitioned by generation; [[promoteGen]]
+    * then renames each generation into the watched stage dir just
+    * before its pass — the arrival simulation. Replaces the
+    * localCheckpoint-the-whole-corpus + two-filtered-writes shape,
+    * which pinned the full corpus text in executor memory (a
+    * non-starter at 100 TB) and paid the cache scan twice. */
+  private def stageGens(docs0: DataFrame, thr: Long, stage: String): Unit = {
+    // many small landing files, not one giant one: the micro-batch's
+    // map parallelism is bounded by file/row-group splits, and real
+    // landing zones arrive as many objects anyway
+    docs0.withColumn("__gen", when(col("doc_id") < thr, 1).otherwise(2))
+      .write.option("maxRecordsPerFile", 2048)
+      .partitionBy("__gen").parquet(s"$stage.parts")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+  }
+
+  /** Make generation `gen` visible to the file-source stream (local
+    * rename; a distributed deployment promotes via its committer). */
+  private def promoteGen(stage: String, gen: Int): Unit = {
+    val ok = new java.io.File(s"$stage.parts/__gen=$gen")
+      .renameTo(new java.io.File(s"$stage/gen$gen"))
+    require(ok, s"failed to promote generation $gen into $stage")
+  }
+
   /** Runs `body` (which must start AND drain its streaming query —
     * all entry points here are synchronous AvailableNow runs) with
     * shuffle partitions scoped to [[StateParts]]; the session's batch
@@ -600,8 +663,7 @@ object EventStreams {
     val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .localCheckpoint(false) // one scan feeds the model + both stagings
-    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val thr = genThreshold(docs)
     val gen1 = docs.filter(col("doc_id") < thr)
     val lr = graft.ops.Select.ratioFromCounts(
         graft.ops.Select.docBucketCounts(gen1, buckets, seed),
@@ -617,8 +679,7 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch0: DataFrame, _: Long) =>
-          val ss = batch0.sparkSession
+        .foreachBatch { (batch0: DataFrame, bid: Long) =>
           val batch = batch0.localCheckpoint(false) // scored + joined back
           val u4 = graft.ops.Select.docBucketCounts(batch, buckets, seed)
             .join(broadcast(lr), "b")
@@ -636,27 +697,16 @@ object EventStreams {
               sum(when(col("doc_id") >= thr, 1L).otherwise(0L)).as("n_landed"),
               sum(when(col("u4") >= 0, 1L).otherwise(0L)).as("n_sel"),
               sum("u4").as("sum_u4"))
-          val prev = new java.io.File(store)
-          val merged =
-            if (prev.exists)
-              ss.read.parquet(store).unionByName(local)
-                .groupBy("source")
-                .agg(sum("n_docs").as("n_docs"), sum("n_landed").as("n_landed"),
-                  sum("n_sel").as("n_sel"), sum("sum_u4").as("sum_u4"))
-            else local
-          val next = s"$store.next"
-          merged.coalesce(1).write.mode("overwrite").parquet(next)
-          ss.read.parquet(next).write.mode("overwrite").parquet(store)
-          ()
+          ledgerAppend(local, store, bid)
         }
         .start()
       q.awaitTermination()
     }
-    docs.filter(col("doc_id") < thr).drop("lang").write.parquet(s"$stage/gen1")
-    pass()
-    docs.filter(col("doc_id") >= thr).drop("lang").write.parquet(s"$stage/gen2")
-    pass()
-    spark.read.parquet(store)
+    stageGens(docs.drop("lang"), thr, stage)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    ledgerSums(spark, store, Seq("source"),
+        Seq("n_docs", "n_landed", "n_sel", "sum_u4"))
       .withColumn("avg_logw",
         round(col("sum_u4") / (col("n_docs") * 10000.0), 4))
       .select("source", "n_docs", "n_landed", "n_sel", "sum_u4", "avg_logw")
@@ -678,8 +728,7 @@ object EventStreams {
     val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
-      .localCheckpoint(false) // one scan feeds both stagings
-    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val thr = genThreshold(docs)
     val stageSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("text", StringType)))
@@ -692,30 +741,18 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val ss = batch.sparkSession
-          val local = graft.ops.TextAnalysis.piiCounters(batch)
-          val prev = new java.io.File(store)
-          val merged =
-            if (prev.exists)
-              ss.read.parquet(store).unionByName(local)
-                .groupBy("source")
-                .agg(sum(sums.head).as(sums.head),
-                  sums.tail.map(c => sum(c).as(c)): _*)
-            else local
-          val next = s"$store.next"
-          merged.coalesce(1).write.mode("overwrite").parquet(next)
-          ss.read.parquet(next).write.mode("overwrite").parquet(store)
-          ()
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          // per-batch partials land as an idempotent ledger entry —
+          // a retried batch overwrites its own, never double-counts
+          ledgerAppend(graft.ops.TextAnalysis.piiCounters(batch), store, bid)
         }
         .start()
       q.awaitTermination()
     }
-    docs.filter(col("doc_id") < thr).write.parquet(s"$stage/gen1")
-    pass()
-    docs.filter(col("doc_id") >= thr).write.parquet(s"$stage/gen2")
-    pass()
-    spark.read.parquet(store)
+    stageGens(docs, thr, stage)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    ledgerSums(spark, store, Seq("source"), sums)
       .withColumn("clean_rate",
         round(lit(1.0) - col("n_docs_pii") / col("n_docs"), 4))
       .select((Seq("source") ++ sums ++ Seq("clean_rate")).map(col): _*)
@@ -742,25 +779,10 @@ object EventStreams {
     val (cntStore, domStore) = (s"$base/cnt", s"$base/dom")
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
-      .localCheckpoint(false) // one scan feeds both stagings
-    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val thr = genThreshold(docs)
     val stageSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("text", StringType)))
-    def fold(ss: SparkSession, path: String, local: DataFrame,
-             keys: Seq[String], sums: Seq[String]): Unit = {
-      val prev = new java.io.File(path)
-      val merged =
-        if (prev.exists)
-          ss.read.parquet(path).unionByName(local)
-            .groupBy(keys.map(col): _*)
-            .agg(sum(sums.head).as(sums.head),
-              sums.tail.map(c => sum(c).as(c)): _*)
-        else local
-      val next = s"$path.next"
-      merged.coalesce(1).write.mode("overwrite").parquet(next)
-      ss.read.parquet(next).write.mode("overwrite").parquet(path)
-    }
     def pass(): Unit = withStateParts(spark) {
       val q = spark.readStream.schema(stageSchema)
         .option("recursiveFileLookup", "true").parquet(stage)
@@ -768,27 +790,25 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch0: DataFrame, _: Long) =>
-          val ss = batch0.sparkSession
+        .foreachBatch { (batch0: DataFrame, bid: Long) =>
           val batch = batch0.localCheckpoint(false) // counts + doc fold
-          fold(ss, cntStore,
+          ledgerAppend(
             graft.ops.Select.domainBucketCounts(batch, buckets, seed),
-            Seq("source", "b"), Seq("c"))
-          fold(ss, domStore,
+            cntStore, bid)
+          ledgerAppend(
             batch.groupBy("source").agg(count(lit(1)).as("n_docs")),
-            Seq("source"), Seq("n_docs"))
-          ()
+            domStore, bid)
         }
         .start()
       q.awaitTermination()
     }
-    docs.filter(col("doc_id") < thr).write.parquet(s"$stage/gen1")
-    pass()
-    docs.filter(col("doc_id") >= thr).write.parquet(s"$stage/gen2")
-    pass()
+    stageGens(docs, thr, stage)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
     graft.ops.Select.doremiFromCounts(
-        spark.read.parquet(cntStore),
-        spark.read.parquet(domStore).localCheckpoint(false),
+        ledgerSums(spark, cntStore, Seq("source", "b"), Seq("c")),
+        ledgerSums(spark, domStore, Seq("source"), Seq("n_docs"))
+          .localCheckpoint(false),
         buckets, rounds, deltaDen)
       .orderBy("source")
   }
