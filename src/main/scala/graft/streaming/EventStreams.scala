@@ -89,13 +89,13 @@ object EventStreams {
     * emission read stays |batches|·|keys|, never corpus-sized. Only for
     * stores NO later batch reads back; mid-stream-consumed state (the
     * append-only posting/signature stores) keeps its existing shape. */
-  private def ledgerAppend(local: DataFrame, path: String,
-                           batchId: Long): Unit =
+  private def ledgerAppend(local: DataFrame, path: String, batchId: Long,
+                           files: Int = 1): Unit =
     // materialize the keyed partial ONCE (it is a bounded aggregate —
     // |keys| rows) so the write job doesn't re-execute the whole
     // per-batch plan a second time
     local.localCheckpoint()
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/b$batchId")
+      .coalesce(files).write.mode("overwrite").parquet(s"$path/b$batchId")
 
   /** Fold a [[ledgerAppend]] store: sum every `sums` column per `keys`.
     * Emission-time only. */
@@ -109,8 +109,8 @@ object EventStreams {
   /** The landing-generation split point: docs below the threshold land
     * in generation 1, the rest in generation 2 (3/4 : 1/4). Reads ONE
     * pruned column off the source scan. */
-  private def genThreshold(docs0: DataFrame): Long =
-    docs0.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+  private def genThreshold(docs0: DataFrame, key: String = "doc_id"): Long =
+    docs0.agg(expr(s"3*(max($key)+1) div 4").as("t")).head().getLong(0)
 
   /** One-scan two-generation staging: writes both landing generations
     * in a SINGLE corpus scan partitioned by generation; [[promoteGen]]
@@ -119,12 +119,17 @@ object EventStreams {
     * localCheckpoint-the-whole-corpus + two-filtered-writes shape,
     * which pinned the full corpus text in executor memory (a
     * non-starter at 100 TB) and paid the cache scan twice. */
-  private def stageGens(docs0: DataFrame, thr: Long, stage: String): Unit = {
-    // many small landing files, not one giant one: the micro-batch's
-    // map parallelism is bounded by file/row-group splits, and real
-    // landing zones arrive as many objects anyway
-    docs0.withColumn("__gen", when(col("doc_id") < thr, 1).otherwise(2))
-      .write.option("maxRecordsPerFile", 2048)
+  private def stageGens(docs0: DataFrame, thr: Long, stage: String,
+                        key: String = "doc_id",
+                        recordsPerFile: Long = 2048L): Unit = {
+    // several landing files, not one giant one: the micro-batch's map
+    // parallelism is bounded by file/row-group splits, and real landing
+    // zones arrive as many objects anyway. Size by ROW WEIGHT — the
+    // default suits text-heavy documents; narrow row-heavy tables
+    // (events, orders) pass a larger figure so the file count stays
+    // O(10), not O(100) (file-source listing is per-file work).
+    docs0.withColumn("__gen", when(col(key) < thr, 1).otherwise(2))
+      .write.option("maxRecordsPerFile", recordsPerFile)
       .partitionBy("__gen").parquet(s"$stage.parts")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
   }
@@ -316,14 +321,14 @@ object EventStreams {
     val raw = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         md5(col("text").cast("binary")).as("k"))
-      .localCheckpoint(false) // one text scan feeds bounds + both gens
     val bounds = raw.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
     val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
-    raw.filter(col("doc_id") < mid).select("source", "k")
-      .write.parquet(s"$stage/gen1")
+    // one text scan stages both generations; the stream's narrower
+    // schema prunes the staged doc_id column at read time
+    stageGens(raw, mid, stage)
+    promoteGen(stage, 1)
     hllSourceRefreshPass(spark, stage, ckpt, delta)
-    raw.filter(col("doc_id") >= mid).select("source", "k")
-      .write.parquet(s"$stage/gen2")
+    promoteGen(stage, 2)
     hllSourceRefreshPass(spark, stage, ckpt, delta)
     graft.ops.HllSketch.estimate(
         spark.read.parquet(delta).groupBy("source", "bucket")
@@ -358,7 +363,6 @@ object EventStreams {
     val raw = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft.ops.Dedup.dot(col("v"), col("v"))))
-      .localCheckpoint(false) // one scan feeds both staged generations
     val stageSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("v", ArrayType(DoubleType)),
@@ -381,10 +385,9 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    raw.filter(col("vec_id") < thr).write.parquet(s"$stage/gen1")
-    pass()
-    raw.filter(col("vec_id") >= thr).write.parquet(s"$stage/gen2")
-    pass()
+    stageGens(raw, thr, stage, key = "vec_id")
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
     spark.read.parquet(delta).groupBy("cell")
       .agg(max("n_vecs").as("n_vecs"), max("n_landed").as("n_landed"))
       .orderBy("cell")
@@ -420,7 +423,6 @@ object EventStreams {
     val raw = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft.ops.Dedup.dot(col("v"), col("v"))))
-      .localCheckpoint(false) // one scan feeds both staged generations
     val stageSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("v", ArrayType(DoubleType)),
@@ -442,8 +444,7 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch0: DataFrame, _: Long) =>
-          val ss = batch0.sparkSession
+        .foreachBatch { (batch0: DataFrame, bid: Long) =>
           val batch = batch0.localCheckpoint(false) // counters AND store
           val hits = batch.join(snapshot, Seq("cell"))
             .filter(graft.ops.Dedup.dot(col("v"), col("hv"))
@@ -454,17 +455,7 @@ object EventStreams {
             .join(hits, Seq("cell"), "left")
             .select(col("cell"), col("n_vecs"),
               coalesce(col("n_hist_dup_vecs"), lit(0L)).as("n_hist_dup_vecs"))
-          val prev = new java.io.File(ctr)
-          val merged =
-            if (prev.exists)
-              ss.read.parquet(ctr).unionByName(local)
-                .groupBy("cell")
-                .agg(sum("n_vecs").as("n_vecs"),
-                  sum("n_hist_dup_vecs").as("n_hist_dup_vecs"))
-            else local
-          val next = s"$ctr.next"
-          merged.coalesce(1).write.mode("overwrite").parquet(next)
-          ss.read.parquet(next).write.mode("overwrite").parquet(ctr)
+          ledgerAppend(local, ctr, bid)
           // O(delta) store growth: the batch's vectors with their cells
           batch.select("vec_id", "cell", "v", "nrm")
             .write.mode("append").parquet(store)
@@ -473,11 +464,10 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    raw.filter(col("vec_id") < thr).write.parquet(s"$stage/gen1")
-    pass()
-    raw.filter(col("vec_id") >= thr).write.parquet(s"$stage/gen2")
-    pass()
-    spark.read.parquet(ctr)
+    stageGens(raw, thr, stage, key = "vec_id")
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    ledgerSums(spark, ctr, Seq("cell"), Seq("n_vecs", "n_hist_dup_vecs"))
       .select(col("cell").cast("long").as("cell"), col("n_vecs"),
         col("n_hist_dup_vecs"))
       .orderBy("cell")
@@ -501,8 +491,7 @@ object EventStreams {
     val (store, ctr) = (s"$base/store", s"$base/ctr")
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
-      .localCheckpoint(false)
-    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val thr = genThreshold(docs)
     val stageSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("text", StringType)))
@@ -527,8 +516,7 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch0: DataFrame, _: Long) =>
-          val ss = batch0.sparkSession
+        .foreachBatch { (batch0: DataFrame, bid: Long) =>
           val sigs = graft.ops.Multimodal.phashBatch(batch0).toDF()
             .select("doc_id", "c0", "c1", "c2", "c3")
             .join(batch0.select("doc_id", "source"), "doc_id")
@@ -545,17 +533,7 @@ object EventStreams {
             .join(hits, Seq("source"), "left")
             .select(col("source"), col("n_imgs"),
               coalesce(col("n_hist_dup_imgs"), lit(0L)).as("n_hist_dup_imgs"))
-          val prev = new java.io.File(ctr)
-          val merged =
-            if (prev.exists)
-              ss.read.parquet(ctr).unionByName(local)
-                .groupBy("source")
-                .agg(sum("n_imgs").as("n_imgs"),
-                  sum("n_hist_dup_imgs").as("n_hist_dup_imgs"))
-            else local
-          val next = s"$ctr.next"
-          merged.coalesce(1).write.mode("overwrite").parquet(next)
-          ss.read.parquet(next).write.mode("overwrite").parquet(ctr)
+          ledgerAppend(local, ctr, bid)
           // O(delta) store growth: the batch's 32-byte signatures
           sigs.select("doc_id", "c0", "c1", "c2", "c3")
             .write.mode("append").parquet(store)
@@ -564,11 +542,11 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    docs.filter(col("doc_id") < thr).write.parquet(s"$stage/gen1")
-    pass()
-    docs.filter(col("doc_id") >= thr).write.parquet(s"$stage/gen2")
-    pass()
-    spark.read.parquet(ctr).orderBy("source")
+    stageGens(docs, thr, stage)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    ledgerSums(spark, ctr, Seq("source"), Seq("n_imgs", "n_hist_dup_imgs"))
+      .orderBy("source")
   }
 
   /** Streaming application of the LEARNED quality gate while shards
@@ -590,8 +568,7 @@ object EventStreams {
     val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .localCheckpoint(false) // one scan feeds training + both stagings
-    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val thr = genThreshold(docs)
     val w = graft.ops.QualityClf
       .train(docs.filter(col("doc_id") < thr))._2
       .localCheckpoint(false) // frozen gen1 model, reused by every batch
@@ -604,8 +581,7 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val ss = batch.sparkSession
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val marg = graft.ops.QualityClf.features(batch)
             .join(broadcast(w), Seq("b"), "left")
             .groupBy("doc_id")
@@ -618,26 +594,17 @@ object EventStreams {
               when(col("doc_id") >= thr, 1L).otherwise(0L).as("landed"))
             .groupBy("rule_keep", "clf_keep")
             .agg(count(lit(1)).as("n_docs"), sum("landed").as("n_landed"))
-          val prev = new java.io.File(store)
-          val merged =
-            if (prev.exists)
-              ss.read.parquet(store).unionByName(local)
-                .groupBy("rule_keep", "clf_keep")
-                .agg(sum("n_docs").as("n_docs"), sum("n_landed").as("n_landed"))
-            else local
-          val next = s"$store.next"
-          merged.coalesce(1).write.mode("overwrite").parquet(next)
-          ss.read.parquet(next).write.mode("overwrite").parquet(store)
-          ()
+          ledgerAppend(local, store, bid)
         }
         .start()
       q.awaitTermination()
     }
-    docs.filter(col("doc_id") < thr).write.parquet(s"$stage/gen1")
-    pass()
-    docs.filter(col("doc_id") >= thr).write.parquet(s"$stage/gen2")
-    pass()
-    spark.read.parquet(store).orderBy("rule_keep", "clf_keep")
+    stageGens(docs, thr, stage)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    ledgerSums(spark, store, Seq("rule_keep", "clf_keep"),
+        Seq("n_docs", "n_landed"))
+      .orderBy("rule_keep", "clf_keep")
   }
 
   /** DSIR scoring while shards land — [[graft.ops.Select.dsir]]'s
@@ -838,8 +805,7 @@ object EventStreams {
     graft.functions.GraftHash64.register(spark)
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .localCheckpoint(false) // one scan feeds both stagings
-    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val thr = genThreshold(docs)
     val stageSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     def pass(): Unit = withStateParts(spark) {
@@ -863,10 +829,9 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    docs.filter(col("doc_id") < thr).coalesce(4).write.parquet(s"$stage/gen1")
-    pass()
-    docs.filter(col("doc_id") >= thr).coalesce(4).write.parquet(s"$stage/gen2")
-    pass()
+    stageGens(docs, thr, stage)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
     val post = spark.read.parquet(postStore).localCheckpoint(false)
     val dft = post.groupBy("gh").agg(count(lit(1)).as("df"))
     val per = post.join(dft, "gh")
@@ -905,8 +870,7 @@ object EventStreams {
     val (grams, ctr) = (s"$base/grams", s"$base/ctr")
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
-      .localCheckpoint(false)
-    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val thr = genThreshold(docs)
     val stageSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("text", StringType)))
@@ -922,8 +886,7 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val ss = batch.sparkSession
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val g = graft.ops.Suffix.gramHashes(batch, spanLen)
             .filter(col("full"))
             .join(batch.select("doc_id", "source"), "doc_id")
@@ -935,17 +898,7 @@ object EventStreams {
             .join(hist, Seq("source"), "left")
             .select(col("source"), col("n_grams"),
               coalesce(col("n_hist_dup_starts"), lit(0L)).as("n_hist_dup_starts"))
-          val prev = new java.io.File(ctr)
-          val merged =
-            if (prev.exists)
-              ss.read.parquet(ctr).unionByName(local)
-                .groupBy("source")
-                .agg(sum("n_grams").as("n_grams"),
-                  sum("n_hist_dup_starts").as("n_hist_dup_starts"))
-            else local
-          val next = s"$ctr.next"
-          merged.coalesce(1).write.mode("overwrite").parquet(next)
-          ss.read.parquet(next).write.mode("overwrite").parquet(ctr)
+          ledgerAppend(local, ctr, bid)
           // O(delta) store growth: only the batch's never-seen hashes
           g.select("h").distinct()
             .join(snapshot, Seq("h"), "left_anti")
@@ -955,11 +908,11 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    docs.filter(col("doc_id") < thr).write.parquet(s"$stage/gen1")
-    pass()
-    docs.filter(col("doc_id") >= thr).write.parquet(s"$stage/gen2")
-    pass()
-    spark.read.parquet(ctr).orderBy("source")
+    stageGens(docs, thr, stage)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    ledgerSums(spark, ctr, Seq("source"), Seq("n_grams", "n_hist_dup_starts"))
+      .orderBy("source")
   }
 
   /** The CAPSTONE FUNNEL at landing cadence — pipeline_e2e_v2's twin
@@ -995,8 +948,7 @@ object EventStreams {
     val acctDir = s"$base/acct"
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
-      .localCheckpoint(false)
-    val thr = docs.agg(expr("3*(max(doc_id)+1) div 4").as("t")).head().getLong(0)
+    val thr = genThreshold(docs)
     val stageSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("text", StringType)))
@@ -1007,8 +959,7 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch0: DataFrame, _: Long) =>
-          val ss = batch0.sparkSession
+        .foreachBatch { (batch0: DataFrame, bid: Long) =>
           // one cached copy of the landing text feeds all four extracts
           val batch = batch0.localCheckpoint(false)
           val st = graft.ops.FunnelStore.extract(batch)
@@ -1020,34 +971,20 @@ object EventStreams {
             case (df, dir) => df.coalesce(4).write.mode("append").parquet(dir)
           }
           // VERDICT r14 item 2 — the foldable stages fold PER BATCH
-          // (FunnelStore.Folded): additive raw landing counters ...
-          val localRaw = meta.groupBy("source")
-            .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-          val prevRaw = new java.io.File(rawDir)
-          val mergedRaw =
-            if (prevRaw.exists)
-              ss.read.parquet(rawDir).unionByName(localRaw)
-                .groupBy("source")
-                .agg(sum("n_docs").as("n_docs"),
-                  sum("sum_chars").as("sum_chars"))
-            else localRaw
-          val nextRaw = s"$rawDir.next"
-          mergedRaw.coalesce(1).write.mode("overwrite").parquet(nextRaw)
-          ss.read.parquet(nextRaw).write.mode("overwrite").parquet(rawDir)
-          // ... and the exact-dedup presence store — keyed min-id
-          // merge, so the winner set equals the one-shot GROUP BY
-          // norm_h over everything ever landed
-          val localW = meta.groupBy("norm_h").agg(min("doc_id").as("doc_id"))
-          val prevW = new java.io.File(exactDir)
-          val mergedW =
-            if (prevW.exists)
-              ss.read.parquet(exactDir).unionByName(localW)
-                .groupBy("norm_h").agg(min("doc_id").as("doc_id"))
-            else localW
-          val nextW = s"$exactDir.next"
-          mergedW.coalesce(4).write.mode("overwrite").parquet(nextW)
-          ss.read.parquet(nextW).write.mode("overwrite").parquet(exactDir)
-          ()
+          // (FunnelStore.Folded): additive raw landing counters land
+          // as idempotent ledger entries (a retried batch overwrites
+          // its own — no double count under at-least-once) ...
+          ledgerAppend(meta.groupBy("source")
+              .agg(count(lit(1)).as("n_docs"),
+                sum("n_chars").as("sum_chars")),
+            rawDir, bid)
+          // ... and the exact-dedup presence store: min is
+          // associative+commutative, so per-batch keyed minima ledger
+          // the same way and the generation-cadence merge equals the
+          // one-shot GROUP BY norm_h — the old shape REWROTE the whole
+          // corpus-sized winner store every batch
+          ledgerAppend(meta.groupBy("norm_h").agg(min("doc_id").as("doc_id")),
+            exactDir, bid, files = 4)
         }
         .start()
       q.awaitTermination()
@@ -1061,13 +998,15 @@ object EventStreams {
       graft.ops.FunnelStore
         .funnel(graft.ops.FunnelStore.Stores(meta, sh, gr, fx),
           folded = Some(graft.ops.FunnelStore.Folded(
-            spark.read.parquet(rawDir), spark.read.parquet(exactDir))))
+            ledgerSums(spark, rawDir, Seq("source"),
+              Seq("n_docs", "sum_chars")),
+            spark.read.option("recursiveFileLookup", "true").parquet(exactDir)
+              .groupBy("norm_h").agg(min("doc_id").as("doc_id")))))
         .write.mode("overwrite").parquet(acctDir)
     }
-    docs.filter(col("doc_id") < thr).coalesce(4).write.parquet(s"$stage/gen1")
-    pass(); fold()
-    docs.filter(col("doc_id") >= thr).coalesce(4).write.parquet(s"$stage/gen2")
-    pass(); fold()
+    stageGens(docs, thr, stage)
+    promoteGen(stage, 1); pass(); fold()
+    promoteGen(stage, 2); pass(); fold()
     spark.read.parquet(acctDir).orderBy("stage_idx")
   }
 
@@ -1090,7 +1029,6 @@ object EventStreams {
       .select(col("doc_id"), col("n_chars"),
         call_function("graft_hash64", col("doc_id").cast("string"), lit(13L))
           .as("h"))
-      .localCheckpoint(false) // one scan feeds bounds + both gens
     val bounds = raw.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
     val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
     val stageSchema = StructType(Seq(
@@ -1103,30 +1041,21 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val ss = batch.sparkSession
-          val local = batch.orderBy(col("h").asc, col("doc_id")).limit(k)
-          val prev = new java.io.File(store)
-          val merged =
-            if (prev.exists)
-              ss.read.parquet(store).unionByName(local)
-                .orderBy(col("h").asc, col("doc_id")).limit(k)
-            else local
-          // the store is read above and overwritten below — stage the
-          // new k rows first so the fold never reads its own output
-          val next = s"$store.next"
-          merged.coalesce(1).write.mode("overwrite").parquet(next)
-          ss.read.parquet(next).write.mode("overwrite").parquet(store)
-          ()
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          // hash-min bottom-k is mergeable: each batch ledgers its own
+          // local k rows; the emission re-limit over |batches|·k rows
+          // equals the one-shot bottom-k (idempotent under retry)
+          ledgerAppend(batch.orderBy(col("h").asc, col("doc_id")).limit(k),
+            store, bid)
         }
         .start()
       q.awaitTermination()
     }
-    raw.filter(col("doc_id") < mid).write.parquet(s"$stage/gen1")
-    pass()
-    raw.filter(col("doc_id") >= mid).write.parquet(s"$stage/gen2")
-    pass()
-    spark.read.parquet(store).orderBy(col("h").asc, col("doc_id"))
+    stageGens(raw, mid, stage)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    spark.read.option("recursiveFileLookup", "true").parquet(store)
+      .orderBy(col("h").asc, col("doc_id")).limit(k)
   }
 
   /** Streaming maintenance of the AMS F2 sketch — the linear-sketch
@@ -1145,7 +1074,6 @@ object EventStreams {
     graft.functions.GraftHash64.register(spark)
     val raw = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id").cast("string").as("k"))
-      .localCheckpoint(false)
     val bounds = raw.agg(min("event_id").as("lo"), max("event_id").as("hi")).head()
     val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
     val stageSchema = StructType(Seq(
@@ -1157,7 +1085,7 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val ss = batch.sparkSession
           graft.functions.GraftHash64.register(ss)
           def sign(j: Int) = lit(1L) - lit(2L) *
@@ -1170,26 +1098,17 @@ object EventStreams {
               posexplode(array((0 until 8).map(j => col(s"x$j")): _*))
                 .as(Seq("est_id", "x")))
             .select(col("est_id").cast("long").as("est_id"), col("x"), col("n"))
-          val prev = new java.io.File(store)
-          val merged =
-            if (prev.exists)
-              ss.read.parquet(store).unionByName(local)
-                .groupBy("est_id")
-                .agg(sum("x").as("x"), sum("n").as("n")) // linearity: add
-            else local
-          val next = s"$store.next"
-          merged.coalesce(1).write.mode("overwrite").parquet(next)
-          ss.read.parquet(next).write.mode("overwrite").parquet(store)
-          ()
+          // the sketch is LINEAR: per-batch states ledger and add at
+          // emission (idempotent under retry)
+          ledgerAppend(local, store, bid)
         }
         .start()
       q.awaitTermination()
     }
-    raw.filter(col("event_id") < mid).write.parquet(s"$stage/gen1")
-    pass()
-    raw.filter(col("event_id") >= mid).write.parquet(s"$stage/gen2")
-    pass()
-    spark.read.parquet(store)
+    stageGens(raw, mid, stage, key = "event_id", recordsPerFile = 65536L)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    ledgerSums(spark, store, Seq("est_id"), Seq("x", "n"))
       .withColumn("x_sq", expr("x*x"))
       .withColumn("est_f2", expr("(2*sum(x_sq) OVER () + 8) div 16"))
       .select(col("est_id"), col("x"), col("x_sq"), col("est_f2"),
@@ -1215,7 +1134,6 @@ object EventStreams {
     val (stage, ckpt, store) = (s"$base/stage", s"$base/ckpt", s"$base/store")
     val raw = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), to_date(col("ts")).as("dt"))
-      .localCheckpoint(false) // one scan feeds bounds + both gens
     val bounds = raw.agg(min("event_id").as("lo"), max("event_id").as("hi")).head()
     val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
     val stageSchema = StructType(Seq(
@@ -1228,30 +1146,20 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val ss = batch.sparkSession
-          val local = batch.groupBy("event_type", "dt")
-            .agg(count(lit(1)).as("y"))
-          val prev = new java.io.File(store)
-          val merged =
-            if (prev.exists)
-              ss.read.parquet(store).unionByName(local)
-                .groupBy("event_type", "dt")
-                .agg(sum("y").as("y")) // counts are additive state
-            else local
-          val next = s"$store.next"
-          merged.coalesce(1).write.mode("overwrite").parquet(next)
-          ss.read.parquet(next).write.mode("overwrite").parquet(store)
-          ()
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          // daily counts are additive state: ledger per batch, sum at
+          // read time (idempotent under retry)
+          ledgerAppend(batch.groupBy("event_type", "dt")
+            .agg(count(lit(1)).as("y")), store, bid)
         }
         .start()
       q.awaitTermination()
     }
-    raw.filter(col("event_id") < mid).write.parquet(s"$stage/gen1")
-    pass()
-    raw.filter(col("event_id") >= mid).write.parquet(s"$stage/gen2")
-    pass()
-    graft.ops.Cusum.fromDaily(spark.read.parquet(store))
+    stageGens(raw, mid, stage, key = "event_id", recordsPerFile = 65536L)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    graft.ops.Cusum.fromDaily(
+      ledgerSums(spark, store, Seq("event_type", "dt"), Seq("y")))
   }
 
   /** Streaming data-quality gate — dq_expectations' ADDITIVE rules on
@@ -1278,7 +1186,6 @@ object EventStreams {
       when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
         col("o_orderdate") >= lit("2003-01-01").cast("timestamp"), 1L)
         .otherwise(0L).as("v_date"))
-      .localCheckpoint(false)
     val bounds = raw.agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi")).head()
     val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
     val stageSchema = StructType(Seq(
@@ -1292,8 +1199,7 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val ss = batch.sparkSession
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val fk = batch.join(custkeys,
             batch("o_custkey") === custkeys("c_custkey"),
             "left_anti").agg(count(lit(1)).as("v_fk"))
@@ -1302,27 +1208,16 @@ object EventStreams {
             sum("v_date").as("v_date"))
           val local = graft.ops.Scalars.withScalar(
             counters, col("n"), fk, col("v_fk"))
-          val prev = new java.io.File(store)
-          val merged =
-            if (prev.exists)
-              ss.read.parquet(store).unionByName(local)
-                .agg(sum("n").as("n"), sum("v_null").as("v_null"),
-                  sum("v_price").as("v_price"), sum("v_date").as("v_date"),
-                  sum("v_fk").as("v_fk"))
-            else local
-          val next = s"$store.next"
-          merged.coalesce(1).write.mode("overwrite").parquet(next)
-          ss.read.parquet(next).write.mode("overwrite").parquet(store)
-          ()
+          ledgerAppend(local, store, bid)
         }
         .start()
       q.awaitTermination()
     }
-    raw.filter(col("o_orderkey") < mid).write.parquet(s"$stage/gen1")
-    pass()
-    raw.filter(col("o_orderkey") >= mid).write.parquet(s"$stage/gen2")
-    pass()
-    spark.read.parquet(store)
+    stageGens(raw, mid, stage, key = "o_orderkey", recordsPerFile = 65536L)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    ledgerSums(spark, store, Seq(),
+        Seq("n", "v_null", "v_price", "v_date", "v_fk"))
       .select(posexplode(array(
         struct(lit("orderkey_not_null").as("rule"), col("v_null").as("v")),
         struct(lit("totalprice_positive").as("rule"), col("v_price").as("v")),
@@ -1360,7 +1255,6 @@ object EventStreams {
     val (keys, ctr) = (s"$base/keys", s"$base/ctr")
     val raw = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"))
-      .localCheckpoint(false)
     val bounds = raw.agg(min("event_id").as("lo"), max("event_id").as("hi")).head()
     val mid = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
     val stageSchema = StructType(Seq(
@@ -1372,7 +1266,7 @@ object EventStreams {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val ss = batch.sparkSession
           val bk = batch.select(col("user_id")).distinct()
           // first-seen keys: anti-join the presence store, MATERIALIZED
@@ -1388,26 +1282,15 @@ object EventStreams {
               col("n"),
               newKeys.agg(count(lit(1)).as("nu")), col("nu"))
             .select(col("n"), (col("n") - col("d")).as("intra"), col("nu"))
-          val prev = new java.io.File(ctr)
-          val merged =
-            if (prev.exists)
-              ss.read.parquet(ctr).unionByName(local)
-                .agg(sum("n").as("n"), sum("intra").as("intra"),
-                  sum("nu").as("nu"))
-            else local
-          val next = s"$ctr.next"
-          merged.coalesce(1).write.mode("overwrite").parquet(next)
-          ss.read.parquet(next).write.mode("overwrite").parquet(ctr)
-          ()
+          ledgerAppend(local, ctr, bid)
         }
         .start()
       q.awaitTermination()
     }
-    raw.filter(col("event_id") < mid).write.parquet(s"$stage/gen1")
-    pass()
-    raw.filter(col("event_id") >= mid).write.parquet(s"$stage/gen2")
-    pass()
-    spark.read.parquet(ctr)
+    stageGens(raw, mid, stage, key = "event_id", recordsPerFile = 65536L)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    ledgerSums(spark, ctr, Seq(), Seq("n", "intra", "nu"))
       .select(lit("user_id_unique").as("rule"),
         col("n").as("n_checked"), col("nu").as("n_unique"),
         (col("n") - col("nu")).as("n_violations"),
