@@ -1604,17 +1604,14 @@ object PipelineQueries {
     // run's audit log.
     "pipeline_e2e" -> ((s, dir) => {
       graft.functions.GraftHash64.register(s)
-      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
-        .localCheckpoint(false)
+      // raw + exact-dedup stages from the shared capstone prelude
+      // (one build serves pipeline_e2e/v2/v4 — see CapstonePrelude)
+      val (docs, s1) = CapstonePrelude.base(s, dir)
       def acct(idx: Int, name: String, d: DataFrame, chars: Column): DataFrame =
         d.agg(count(lit(1)).as("n_docs"),
             coalesce(sum(chars).cast("bigint"), lit(0L)).as("sum_chars"))
           .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("sum_chars"))
-      val s1 = docs.groupBy(Dedup.normText(col("text")).as("norm"))
-        .agg(min("doc_id").as("doc_id"))
-        .join(docs, "doc_id").select("doc_id", "text", "source")
-        .localCheckpoint(false)
       // the family table is reused by BOTH stage 2 (root filter) and
       // stage 6 (family-root split hash) — checkpoint once
       val clusters = Cluster.dedupClusters(s1,
@@ -1686,25 +1683,14 @@ object PipelineQueries {
     "pipeline_e2e_v2" -> ((s, dir) => {
       graft.functions.GraftHash64.register(s)
       import s.implicits._
-      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
-        .localCheckpoint(false)
+      // raw → exact dedup → substring survivors from the shared
+      // capstone prelude (one build serves pipeline_e2e/v2/v4)
+      val (docs, s1, s2) = CapstonePrelude.withSubstring(s, dir)
       def acct(idx: Int, name: String, d: DataFrame, chars: Column): DataFrame =
         d.agg(count(lit(1)).as("n_docs"),
             coalesce(sum(chars).cast("bigint"), lit(0L)).as("sum_chars"))
           .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("sum_chars"))
-      val s1 = docs.groupBy(Dedup.normText(col("text")).as("norm"))
-        .agg(min("doc_id").as("doc_id"))
-        .join(docs, "doc_id").select("doc_id", "text", "source")
-        .localCheckpoint(false)
-      // stage 2: substring-span accounting over the exact-dedup
-      // survivors (the suffix construction runs on THIS corpus, as a
-      // scheduled run would — no memo: not the full-corpus key)
-      val sub = graft.ops.Suffix.dupSpanStats(s1.select("doc_id", "text"),
-        spanLen = 16)
-      val s2 = s1.join(sub.filter(col("dup_tokens") * 5 <= col("n_tokens"))
-          .select("doc_id"), "doc_id")
-        .localCheckpoint(false)
       // stage 3: near-dup family collapse over the substring survivors
       val clusters = Cluster.dedupClusters(s2,
           Dedup.ngramJaccard(s2, n = 3, threshold = 0.8, maxDF = 50))
@@ -1899,22 +1885,14 @@ object PipelineQueries {
     // the overlap of the two selected sets — the head-to-head readout.
     "pipeline_e2e_v4" -> ((s, dir) => {
       graft.functions.GraftHash64.register(s)
-      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
-        .localCheckpoint(false)
+      // shared prelude: raw → exact dedup → substring survivors (both
+      // branches consume the survivors)
+      val (docs, s1, s2) = CapstonePrelude.withSubstring(s, dir)
       def acct(idx: Int, name: String, d: DataFrame, chars: Column): DataFrame =
         d.agg(count(lit(1)).as("n_docs"),
             coalesce(sum(chars).cast("bigint"), lit(0L)).as("sum_chars"))
           .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("sum_chars"))
-      val s1 = docs.groupBy(Dedup.normText(col("text")).as("norm"))
-        .agg(min("doc_id").as("doc_id"))
-        .join(docs, "doc_id").select("doc_id", "text", "source")
-        .localCheckpoint(false)
-      val sub = graft.ops.Suffix.dupSpanStats(s1.select("doc_id", "text"),
-        spanLen = 16)
-      val s2 = s1.join(sub.filter(col("dup_tokens") * 5 <= col("n_tokens"))
-          .select("doc_id"), "doc_id")
-        .localCheckpoint(false) // both branches consume the survivors
       // per-doc quality over the SHARED substring survivors — the hard
       // branch filters it post-collapse, the soft branch directly
       val q = TextAnalysis.quality(s2.select("doc_id", "text"))
