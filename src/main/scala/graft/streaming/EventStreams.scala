@@ -992,16 +992,39 @@ object EventStreams {
     // landing-cadence accounting: the GLOBAL funnel stages re-derived
     // from the stores after every generation (a production run would
     // publish this as the corpus snapshot's audit table); the foldable
-    // stages arrive pre-folded from the per-batch counter stores
+    // stages arrive pre-folded — raw counters and the exact-dedup
+    // winner set from their batch ledgers, and the substring coverage
+    // from the per-generation increment (VERDICT r15 item 5:
+    // FunnelStore.coverageIncrement — history grams reduce ONCE; each
+    // generation pays only its delta plus the affected-doc sweep)
+    val (winSnap, covSnap, dupLedger) =
+      (s"$base/winsnap", s"$base/covsnap", s"$base/dupledger")
+    var gen = 0
     def fold(): Unit = {
+      gen += 1
       val Seq(meta, sh, gr, fx) = dirs.map(spark.read.parquet(_))
+      val winners = spark.read.option("recursiveFileLookup", "true")
+        .parquet(exactDir)
+        .groupBy("norm_h").agg(min("doc_id").as("doc_id"))
+        .localCheckpoint(false) // increment + funnel + snapshot write
+      val prev = Option.when(gen > 1)(gen - 1)
+      val (dupAdd, newCov) = graft.ops.FunnelStore.coverageIncrement(
+        gr, winners,
+        prev.map(g => spark.read.parquet(s"$winSnap/g$g")),
+        prev.map(g => spark.read.parquet(s"$covSnap/g$g")),
+        prev.map(_ => spark.read.option("recursiveFileLookup", "true")
+          .parquet(dupLedger)))
+      dupAdd.coalesce(4).write.mode("overwrite").parquet(s"$dupLedger/g$gen")
+      newCov.coalesce(4).write.mode("overwrite").parquet(s"$covSnap/g$gen")
+      winners.select("doc_id").coalesce(4)
+        .write.mode("overwrite").parquet(s"$winSnap/g$gen")
       graft.ops.FunnelStore
         .funnel(graft.ops.FunnelStore.Stores(meta, sh, gr, fx),
           folded = Some(graft.ops.FunnelStore.Folded(
             ledgerSums(spark, rawDir, Seq("source"),
               Seq("n_docs", "sum_chars")),
-            spark.read.option("recursiveFileLookup", "true").parquet(exactDir)
-              .groupBy("norm_h").agg(min("doc_id").as("doc_id")))))
+            winners,
+            Some(spark.read.parquet(s"$covSnap/g$gen")))))
         .write.mode("overwrite").parquet(acctDir)
     }
     stageGens(docs, thr, stage)
