@@ -29,9 +29,19 @@ object Pack {
 
   /** Per-doc bin assignment: doc_id, n_tokens, cum_before, bin. */
   def sequencePack(docs: DataFrame, maxTokens: Long = 2048L,
-                   blockSize: Long = 1024L): DataFrame = {
-    val t = docs.select(col("doc_id"),
-        size(Dedup.tokens(col("text"))).cast("bigint").as("n_tokens"))
+                   blockSize: Long = 1024L): DataFrame =
+    packCounts(docs.select(col("doc_id"),
+      size(Dedup.tokens(col("text"))).cast("bigint").as("n_tokens")),
+      maxTokens, blockSize)
+
+  /** [[sequencePack]] on PRE-COUNTED per-doc token masses — the entry
+    * point for tokenizer-faithful packing, where `n_tokens` comes from
+    * a learned segmentation (vocab_bpe_apply's symbol counts) instead
+    * of the whitespace count. Input: (doc_id, n_tokens). */
+  def packCounts(counts: DataFrame, maxTokens: Long = 2048L,
+                 blockSize: Long = 1024L): DataFrame = {
+    val t = counts.select(col("doc_id"),
+        col("n_tokens").cast("bigint").as("n_tokens"))
       .withColumn("blk", expr(s"doc_id div ${blockSize}L"))
     val wIn = Window.partitionBy("blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

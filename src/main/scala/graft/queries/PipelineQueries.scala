@@ -3056,6 +3056,39 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // TOKENIZER-FAITHFUL packing (VERDICT r15 item 7): seq_pack's bin
+    // assignment on the LEARNED segmentation's symbol counts instead
+    // of whitespace tokens — the packing numbers a real trainer sees.
+    // Same machinery end to end: the 5-round learned merge table
+    // (vocab_bpe_apply's argmax sequence), the vocab-bounded
+    // (token → n_syms) broadcast onto one corpus scan, a per-doc
+    // symbol-mass fold, then Pack.packCounts' two-level prefix sum
+    // (no single-task window). Docs whose every token fell out of the
+    // vocab join keep mass 0 via the left join (none on this corpus —
+    // the vocab is built FROM the corpus — but the shape is total).
+    "seq_pack_bpe" -> ((s, dir) => {
+      var words = bpeVocab(s, dir).localCheckpoint(false)
+      (1 to 5).foreach { _ =>
+        val (bx, by, _) = bpeBestPair(words)
+        words = words.withColumn("s", bpeMergeExpr(bx, by))
+          .localCheckpoint(false)
+      }
+      val seg = words.select(col("tok"),
+        size(split(trim(col("s")), " ")).cast("bigint").as("n_syms"))
+      val perDoc = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .join(broadcast(seg), Seq("tok"))
+        .groupBy("doc_id").agg(sum("n_syms").as("n_bpe"))
+      val counts = Tables.documents(s, dir).select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bpe"), lit(0L)).as("n_tokens"))
+      graft.ops.Pack.packCounts(counts, maxTokens = 2048L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_bpe_tokens"))
+        .orderBy("bin")
+    }),
+
     // Zipf audit: log-log slope of token frequency vs frequency rank
     // (natural corpora sit near −1; synthetic/templated ones don't) —
     // the distribution sanity check before trusting token statistics.
@@ -3986,6 +4019,56 @@ object PipelineQueries {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
           min("qu4").as("min_qu4"), max("qu4").as("max_qu4"))
+        .orderBy("shard")
+    }),
+
+    // CURRICULUM → PACKING handoff e2e (VERDICT r15 item 6): the
+    // composed path a training-data scheduler actually runs — rank by
+    // (quality u4 DESC, doc_id), cut 8 equal-token-mass shards on the
+    // prefix-summed token column (corpus_curriculum_tokens verbatim),
+    // then WITHIN each shard pack the curriculum order into
+    // 2048-token sequences: bins restart at each shard's first token
+    // offset (an 8-row broadcast), so bin = (cum_before − shard_off)
+    // div 2048. BOTH prefix sums are the two-level decomposition —
+    // the global one blocks on rnk, the within-shard one is pure
+    // arithmetic on the already-computed global cumsum (no second
+    // window at all). Per shard: docs, token mass, sequence count,
+    // and the half-up u4 fill factor (sum_tokens / (n_seqs·2048)) —
+    // the padding-waste number a trainer budgets against.
+    "corpus_pack_e2e" -> ((s, dir) => {
+      val q = TextAnalysis.quality(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+          round(col("quality_score") * 10000).cast("bigint").as("qu4"))
+      val ranked = graft.ops.Rank.globalRankByRange(q, "qu4", "doc_id",
+          numBlocks = 8)
+        .withColumn("blk", expr("(rnk - 1) div 1024L"))
+        .localCheckpoint(false) // within-block cumsum AND block offsets
+      val wIn = Window.partitionBy("blk").orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBlk = Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranked.groupBy("blk").agg(sum("n_tokens").as("blk_sum"))
+        .withColumn("blk_off", coalesce(sum("blk_sum").over(wBlk), lit(0L)))
+        .select("blk", "blk_off")
+      val cum = ranked.withColumn("cum_in", sum("n_tokens").over(wIn))
+        .join(broadcast(offsets), "blk")
+        .withColumn("cum_before",
+          col("blk_off") + col("cum_in") - col("n_tokens"))
+      val tot = cum.agg(sum("n_tokens").as("tot_tokens"))
+      val sharded = graft.ops.Scalars
+        .withScalar(cum, col("doc_id"), tot, col("tot_tokens"))
+        .withColumn("shard", expr("(cum_before * 8) div tot_tokens"))
+        .localCheckpoint(false) // shard starts AND the bin assignment
+      val starts = sharded.groupBy("shard")
+        .agg(min("cum_before").as("shard_off"))
+      sharded.join(broadcast(starts), "shard")
+        .withColumn("bin", expr("(cum_before - shard_off) div 2048L"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          (max("bin") + 1).cast("bigint").as("n_seqs"),
+          min("qu4").as("min_qu4"), max("qu4").as("max_qu4"))
+        .withColumn("fill_u4",
+          expr("(2*10000L*sum_tokens + n_seqs*2048L) div (2*n_seqs*2048L)"))
         .orderBy("shard")
     }),
 
@@ -7610,6 +7693,47 @@ object PipelineQueries {
          |FROM ag ORDER BY source""".stripMargin
     },
 
+    // vocab_bpe_apply's 5 unrolled merge stages + segmentation, then a
+    // per-doc symbol-mass fold and seq_pack's single-window cumsum —
+    // the tokenizer-faithful packing replay
+    "seq_pack_bpe" -> {
+      def stage(i: Int): String = {
+        val prev = s"w${i - 1}"
+        s"""p$i AS (
+           |  SELECT p.x AS x, p.y AS y, sum(cnt) AS pc
+           |  FROM (SELECT cnt, unnest(list_transform(range(1, len(sy)),
+           |          j -> {'x': sy[j], 'y': sy[j+1]})) AS p
+           |        FROM (SELECT cnt, string_split(trim(s), ' ') AS sy
+           |              FROM $prev))
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT x, y FROM p$i ORDER BY pc DESC, x, y LIMIT 1),
+           |w$i AS (SELECT tok, cnt,
+           |    replace(replace(s, ' '||x||' '||y||' ', ' '||x||y||' '),
+           |            ' '||x||' '||y||' ', ' '||x||y||' ') AS s
+           |  FROM $prev CROSS JOIN b$i)""".stripMargin
+      }
+      s"""WITH w0 AS (
+         |  SELECT tok, cnt, ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS s
+         |  FROM (SELECT tok, count(*) AS cnt
+         |        FROM (SELECT unnest($toks) AS tok FROM documents)
+         |        GROUP BY tok)),
+         |${(1 to 5).map(stage).mkString(",\n")},
+         |seg AS (SELECT tok, len(string_split(trim(s), ' ')) AS n_syms FROM w5),
+         |tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |pd AS (SELECT tk.doc_id, sum(seg.n_syms) AS n_bpe
+         |       FROM tk JOIN seg USING (tok) GROUP BY 1),
+         |cnts AS (SELECT d.doc_id, coalesce(pd.n_bpe, 0) AS n_tokens
+         |         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+         |c AS (SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM cnts)
+         |SELECT CAST(cb // 2048 AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // grid replay: same four seeded hashes, % 256 bucketing (power-of-
     // two modulus, so signed pmod and unsigned % agree bit-for-bit)
     // deterministic tie-break: count desc, then user_id asc — exactly
@@ -9853,6 +9977,45 @@ object PipelineQueries {
          |  CAST(min(qu4) AS BIGINT) AS min_qu4,
          |  CAST(max(qu4) AS BIGINT) AS max_qu4
          |FROM c CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // corpus_curriculum_tokens' rank + single-window cumsum CTEs, then
+    // the within-shard bin restart and the half-up u4 fill factor —
+    // the oracle's one global window vs the engine's two-level cumsum
+    "corpus_pack_e2e" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |r AS (SELECT doc_id, len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t),
+         |sc AS (SELECT doc_id, n_tokens,
+         |    CAST(round(round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) * 10000)
+         |      AS BIGINT) AS qu4
+         |  FROM r),
+         |rk AS (SELECT doc_id, n_tokens, qu4,
+         |    row_number() OVER (ORDER BY qu4 DESC, doc_id) AS rnk FROM sc),
+         |c AS (SELECT doc_id, n_tokens, qu4,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY rnk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM rk),
+         |n AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM sc),
+         |sh AS (SELECT doc_id, n_tokens, qu4, cb,
+         |    CAST((cb * 8) // tot AS BIGINT) AS shard
+         |  FROM c CROSS JOIN n),
+         |st AS (SELECT shard, min(cb) AS shard_off FROM sh GROUP BY 1),
+         |b AS (SELECT sh.*, CAST((cb - shard_off) // 2048 AS BIGINT) AS bin
+         |      FROM sh JOIN st USING (shard)),
+         |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |        CAST(max(bin) + 1 AS BIGINT) AS n_seqs,
+         |        CAST(min(qu4) AS BIGINT) AS min_qu4,
+         |        CAST(max(qu4) AS BIGINT) AS max_qu4
+         |      FROM b GROUP BY 1)
+         |SELECT shard, n_docs, sum_tokens, n_seqs, min_qu4, max_qu4,
+         |  CAST((2*10000*sum_tokens + n_seqs*2048) // (2*n_seqs*2048)
+         |    AS BIGINT) AS fill_u4
+         |FROM g ORDER BY shard""".stripMargin,
 
     // corpus_dsir's scoring CTEs + one shared rank; each budget row is
     // a non-equi join against the fraction list, k = (f·N) // 100

@@ -2282,6 +2282,46 @@ class ScaleOpsSpec extends AnyFunSuite {
       "token-mass shards coincide with equal-count shards — dead variant")
   }
 
+  test("pack e2e: within-shard bins reconcile with the token curriculum") {
+    val packed = SparkEntry.queries("corpus_pack_e2e")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("shard"))
+    val shards = SparkEntry.queries("corpus_curriculum_tokens")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("shard"))
+    // the shard cut IS corpus_curriculum_tokens' (same rank, same
+    // prefix sum, same 8-way cut) — doc/token/envelope agree per shard
+    packed.zip(shards).foreach { case (p, c) =>
+      assert(p.getAs[Long]("n_docs") == c.getAs[Long]("n_docs"))
+      assert(p.getAs[Long]("sum_tokens") == c.getAs[Long]("sum_tokens"))
+      assert(p.getAs[Long]("min_qu4") == c.getAs[Long]("min_qu4"))
+      assert(p.getAs[Long]("max_qu4") == c.getAs[Long]("max_qu4"))
+    }
+    packed.foreach { p =>
+      val (seqs, toks) = (p.getAs[Long]("n_seqs"), p.getAs[Long]("sum_tokens"))
+      // a bin opens only when the running mass crosses 2048, so the
+      // sequence count brackets the token mass (straddle slack: each
+      // bin's LAST doc may overflow the budget)
+      assert(seqs >= toks / 2048L, s"shard ${p.getAs[Long]("shard")}: " +
+        s"$seqs bins cannot hold $toks tokens")
+      assert(seqs <= toks / 2048L + 1 + p.getAs[Long]("n_docs"),
+        s"shard ${p.getAs[Long]("shard")}: too many bins")
+      assert(p.getAs[Long]("fill_u4") > 0L)
+    }
+  }
+
+  test("BPE packing: symbol mass reconciles with vocab_bpe_apply") {
+    val bins = SparkEntry.queries("seq_pack_bpe")(spark, sf).collect()
+    val apply = SparkEntry.queries("vocab_bpe_apply")(spark, sf).collect()
+    // total packed symbol mass == the apply key's corpus symbol count
+    assert(bins.map(_.getAs[Long]("n_bpe_tokens")).sum ==
+      apply.map(_.getAs[Long]("n_syms")).sum,
+      "packed BPE mass diverged from the segmentation audit")
+    assert(bins.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count(), "bins must partition the corpus")
+    // merges strictly compress: fewer BPE bins than character mass bins
+    assert(bins.map(_.getAs[Long]("n_bpe_tokens")).sum <
+      apply.map(_.getAs[Long]("n_chars")).sum)
+  }
+
   test("capstone v3: empty quarantine preserves v2's chain, DSIR halves the gate") {
     def rows(k: String) = SparkEntry.queries(k)(spark, sf).collect()
       .map(r => r.getAs[Long]("stage_idx") ->
