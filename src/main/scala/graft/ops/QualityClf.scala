@@ -92,6 +92,19 @@ object QualityClf {
     import spark.implicits._
     val fx = fx0.localCheckpoint(false)
     val lb = lb0.localCheckpoint(false)
+    // CONTRACT (ADVICE r15): n_misclassified is derived from the
+    // b = −1 bias rows inside the per-round delta reduction, so a
+    // feature table missing its bias rows would silently report 0.
+    // Validate once: exactly one bias row per labeled doc.
+    locally {
+      val Array(biasRows, nDocs) = fx.filter(col("b") === -1L)
+        .agg(count(lit(1)), count_distinct(col("doc_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val nLb = lb.select("doc_id").distinct().count()
+      require(biasRows == nDocs && nDocs >= nLb,
+        s"trainOnFeatures: expected one b=-1 bias row per doc " +
+          s"($biasRows bias rows, $nDocs docs with bias, $nLb labeled)")
+    }
     var w = Map.empty[Long, Long]
     var audit = Vector.empty[(Long, Long, Long, Long)]
     for (rnd <- 1 to rounds) {

@@ -344,7 +344,20 @@ object TextAnalysis {
     * cards only — a rejected candidate is NOT PII by the gate's own
     * verdict and legitimately survives). All per-row codegen'd work;
     * [[piiCounters]] rolls it up per source and `text_pii_apply`
-    * emits it per doc. */
+    * emits it per doc.
+    *
+    * Card redaction SEMANTICS (ADVICE r15, deliberate): each
+    * Luhn-valid candidate is removed by a plain substring replace-all,
+    * which ALSO rewrites occurrences of those 16 digits embedded in
+    * longer digit runs that the boundary-delimited candidate
+    * extraction excluded. That is the intended convention — once a
+    * digit string is known to be a valid PAN, every occurrence is
+    * sensitive regardless of its neighbors (a PAN glued to a suffix
+    * is still that PAN) — and the oracle replays the same
+    * replace-all, so the convention is hash-gated, not incidental.
+    * A policy wanting match-anchored redaction instead would swap the
+    * fold for a position-anchored regexp_replace of the delimited
+    * match; `cut`/`resid` accounting would follow it unchanged. */
   private[graft] def piiPerDoc(docs: DataFrame): DataFrame = {
     val aug = piiAugmented(docs)
     val cl3 = regexp_replace(regexp_replace(regexp_replace(aug,
