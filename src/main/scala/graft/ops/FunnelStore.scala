@@ -109,13 +109,15 @@ object FunnelStore {
       .localCheckpoint(false) // old-count restriction AND the crossing test
     val dupAdd = ((prevWinners, prevDup) match {
       case (Some(pw), Some(pd)) =>
-        val oldc = grams.join(pw.select("doc_id"), "doc_id")
-          .join(dc.select("h"), Seq("h"), "left_semi")
-          .groupBy("h").agg(count(lit(1)).as("oc"))
-        dc.join(pd.select("h"), Seq("h"), "left_anti")
-          .join(oldc, Seq("h"), "left")
-          .filter(coalesce(col("oc"), lit(0L)) + col("dc") >= 2)
-          .select("h")
+        // for h ∉ prior dup set the old count is 0 or 1 (≥2 would BE in
+        // the set), so the crossing test needs no old-count aggregation:
+        // dc ≥ 2 crosses outright; dc == 1 crosses iff the gram occurs
+        // at all among prior winners — pure membership, one semi-join
+        val fresh = dc.join(pd.select("h"), Seq("h"), "left_anti")
+        fresh.filter(col("dc") >= 2).select("h")
+          .unionByName(fresh.filter(col("dc") === 1).select("h")
+            .join(grams.join(pw.select("doc_id"), "doc_id").select("h"),
+              Seq("h"), "left_semi"))
       case _ => dc.filter(col("dc") >= 2).select("h")
     }).localCheckpoint(false) // ledger entry, affected docs, dup flags
     val affected = (prevWinners match {
