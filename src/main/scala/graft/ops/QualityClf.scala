@@ -142,8 +142,13 @@ object QualityClf {
     * whether the learned gate reproduces, tightens, or loosens the
     * rules before anyone swaps it into the filter funnel. */
   def scoreAgreement(docs: DataFrame, rounds: Int = 8,
-                     buckets: Int = 256): DataFrame = {
-    val (_, w) = train(docs, rounds, buckets)
+                     buckets: Int = 256): DataFrame =
+    scoreAgreementWith(docs, train(docs, rounds, buckets)._2, buckets)
+
+  /** [[scoreAgreement]] against an ALREADY-TRAINED weight table — the
+    * entry point for callers sharing one frozen model across keys. */
+  def scoreAgreementWith(docs: DataFrame, w: DataFrame,
+                         buckets: Int = 256): DataFrame = {
     val fx = features(docs, buckets)
     val sc = fx.join(broadcast(w), Seq("b"), "left")
       .groupBy("doc_id")

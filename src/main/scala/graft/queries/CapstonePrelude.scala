@@ -57,6 +57,37 @@ private[queries] object CapstonePrelude {
       }
     }
 
+  private final case class ClfEntry(audit: DataFrame, w: DataFrame,
+                                    rddIds: Seq[Int])
+  private val clfMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), ClfEntry]
+
+  /** The frozen FULL-CORPUS quality classifier (train audit, weight
+    * table) — quality_clf_train, quality_clf_score, pipeline_e2e_v2
+    * and _v3 all make the identical `QualityClf.train(documents)`
+    * call, which costs ~8 corpus reductions. Results are bounded by
+    * construction (8 audit rows, ≤ buckets+1 weights), so the memo
+    * shares two tiny checkpoints; determinism is the trainer's own
+    * contract (fixed rounds, integer updates, halving schedule). */
+  def clfFull(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val sc = s.sparkContext
+      val key = (sc.applicationId, dir)
+      clfMemo.get(key) match {
+        case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
+          (e.audit, e.w)
+        case _ =>
+          val (audit0, w0) = graft.ops.QualityClf.train(
+            Tables.documents(s, dir).select("doc_id", "text"))
+          val (audit, aId) = SharedArtifacts.checkpoint(audit0)
+          audit.count()
+          val (w, wId) = SharedArtifacts.checkpoint(w0)
+          w.count()
+          clfMemo(key) = ClfEntry(audit, w, Seq(aId, wId))
+          (audit, w)
+      }
+    }
+
   /** [[base]] plus the substring-survivor stage (built at most once
     * per corpus, on first demand from v2/v4). */
   def withSubstring(s: SparkSession,

@@ -1705,8 +1705,7 @@ object PipelineQueries {
         .localCheckpoint(false) // gate filter AND the agreement rollup
       val s4 = q.filter(col("quality_score") >= 0.5)
         .localCheckpoint(false)
-      val (_, wts) = graft.ops.QualityClf.train(
-        Tables.documents(s, dir).select("doc_id", "text"))
+      val wts = CapstonePrelude.clfFull(s, dir)._2
       val marg = graft.ops.QualityClf.features(s3.select("doc_id", "text"))
         .join(broadcast(wts), Seq("b"), "left")
         .groupBy("doc_id")
@@ -1816,8 +1815,7 @@ object PipelineQueries {
         .filter(col("rnk") <= expr("n_s4 div 2")).select("doc_id")
         .join(s4, "doc_id")
         .localCheckpoint(false)
-      val (_, wts) = graft.ops.QualityClf.train(
-        Tables.documents(s, dir).select("doc_id", "text"))
+      val wts = CapstonePrelude.clfFull(s, dir)._2
       val marg = graft.ops.QualityClf.features(s3.select("doc_id", "text"))
         .join(broadcast(wts), Seq("b"), "left")
         .groupBy("doc_id")
@@ -1991,13 +1989,14 @@ object PipelineQueries {
     // before the update, weight l1 + bias after it). The oracle
     // replays the ENTIRE optimization round by round.
     "quality_clf_train" -> ((s, dir) =>
-      graft.ops.QualityClf.train(Tables.documents(s, dir))._1),
+      CapstonePrelude.clfFull(s, dir)._1),
 
     // the trained gate applied corpus-wide, read out as the agreement
     // matrix against its rule-based teacher — the go/no-go table before
     // a learned filter replaces rules in the funnel
     "quality_clf_score" -> ((s, dir) =>
-      graft.ops.QualityClf.scoreAgreement(Tables.documents(s, dir))),
+      graft.ops.QualityClf.scoreAgreementWith(Tables.documents(s, dir),
+        CapstonePrelude.clfFull(s, dir)._2)),
 
     // the learned gate at LANDING cadence: model frozen at generation 1
     // (the ann_ivf_append convention applied to the classifier), each
