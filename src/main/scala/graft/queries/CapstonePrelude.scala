@@ -57,6 +57,32 @@ private[queries] object CapstonePrelude {
       }
     }
 
+  private final case class ClEntry(cl: DataFrame, rddIds: Seq[Int])
+  private val clMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), ClEntry]
+
+  /** Near-dup family table (doc_id, cluster_id) over [[withSubstring]]'s
+    * survivors — the identical `Cluster.dedupClusters(ngramJaccard(s2))`
+    * call made by pipeline_e2e_v2, _v4's hard branch, and _v3's
+    * empty-quarantine fast path. */
+  def clusters(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val sc = s.sparkContext
+      val key = (sc.applicationId, dir)
+      clMemo.get(key) match {
+        case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
+          e.cl
+        case _ =>
+          val (_, _, s2) = withSubstring(s, dir)
+          val (cl, id) = SharedArtifacts.checkpoint(
+            graft.ops.Cluster.dedupClusters(s2,
+              Dedup.ngramJaccard(s2, n = 3, threshold = 0.8, maxDF = 50)))
+          cl.count()
+          clMemo(key) = ClEntry(cl, Seq(id))
+          cl
+      }
+    }
+
   private final case class ClfEntry(audit: DataFrame, w: DataFrame,
                                     rddIds: Seq[Int])
   private val clfMemo = scala.collection.concurrent.TrieMap

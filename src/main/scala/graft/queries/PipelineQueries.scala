@@ -1692,9 +1692,8 @@ object PipelineQueries {
           .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("sum_chars"))
       // stage 3: near-dup family collapse over the substring survivors
-      val clusters = Cluster.dedupClusters(s2,
-          Dedup.ngramJaccard(s2, n = 3, threshold = 0.8, maxDF = 50))
-        .localCheckpoint(false)
+      // (shared artifact — v2/v4/v3-fast-path make the identical call)
+      val clusters = CapstonePrelude.clusters(s, dir)
       val s3 = s2.join(clusters.filter(col("doc_id") === col("cluster_id"))
           .select("doc_id"), "doc_id")
         .localCheckpoint(false)
@@ -1787,18 +1786,29 @@ object PipelineQueries {
             regexp_count(col("text"), lit(PiiIpRe)) +
             regexp_count(col("text"), lit(PiiPhoneRe)) === 0)
         .localCheckpoint(false)
-      val s1 = s0.groupBy(Dedup.normText(col("text")).as("norm"))
-        .agg(min("doc_id").as("doc_id"))
-        .join(s0, "doc_id").select("doc_id", "text", "source")
-        .localCheckpoint(false)
-      val sub = graft.ops.Suffix.dupSpanStats(s1.select("doc_id", "text"),
-        spanLen = 16)
-      val s2 = s1.join(sub.filter(col("dup_tokens") * 5 <= col("n_tokens"))
-          .select("doc_id"), "doc_id")
-        .localCheckpoint(false)
-      val clusters = Cluster.dedupClusters(s2,
-          Dedup.ngramJaccard(s2, n = 3, threshold = 0.8, maxDF = 50))
-        .localCheckpoint(false)
+      // quarantine emptiness is one bounded count; when NOTHING drops,
+      // the dedup chain downstream is BY CONSTRUCTION v2's over the
+      // same corpus (ScaleOpsSpec pins v3 stages 2-4 == v2 stages 1-3),
+      // so the shared prelude/cluster artifacts substitute for a
+      // private rebuild — adaptive reuse, exact by the emptiness check
+      val (s1, s2, clusters) =
+        if (s0.count() == docs.count()) {
+          val (_, ps1, ps2) = CapstonePrelude.withSubstring(s, dir)
+          (ps1, ps2, CapstonePrelude.clusters(s, dir))
+        } else {
+          val p1 = s0.groupBy(Dedup.normText(col("text")).as("norm"))
+            .agg(min("doc_id").as("doc_id"))
+            .join(s0, "doc_id").select("doc_id", "text", "source")
+            .localCheckpoint(false)
+          val sub = graft.ops.Suffix.dupSpanStats(p1.select("doc_id", "text"),
+            spanLen = 16)
+          val p2 = p1.join(sub.filter(col("dup_tokens") * 5 <= col("n_tokens"))
+              .select("doc_id"), "doc_id")
+            .localCheckpoint(false)
+          (p1, p2, Cluster.dedupClusters(p2,
+              Dedup.ngramJaccard(p2, n = 3, threshold = 0.8, maxDF = 50))
+            .localCheckpoint(false))
+        }
       val s3 = s2.join(clusters.filter(col("doc_id") === col("cluster_id"))
           .select("doc_id"), "doc_id")
         .localCheckpoint(false)
@@ -1896,9 +1906,9 @@ object PipelineQueries {
       val q = TextAnalysis.quality(s2.select("doc_id", "text"))
         .join(s2.select("doc_id", "source"), "doc_id")
         .localCheckpoint(false)
-      // HARD: v2's family collapse + rule gate + quality-ordered budget
-      val clusters = Cluster.dedupClusters(s2,
-          Dedup.ngramJaccard(s2, n = 3, threshold = 0.8, maxDF = 50))
+      // HARD: v2's family collapse (the shared artifact) + rule gate +
+      // quality-ordered budget
+      val clusters = CapstonePrelude.clusters(s, dir)
       val s3h = s2.join(clusters.filter(col("doc_id") === col("cluster_id"))
           .select("doc_id"), "doc_id")
         .localCheckpoint(false)
