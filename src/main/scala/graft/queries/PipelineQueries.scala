@@ -32,8 +32,7 @@ object PipelineQueries {
       Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id")),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir), n = 3, threshold = 0.8, maxDF = 50)
-        .orderBy("id1", "id2")),
+      CorpusArtifacts.nearDupPairs(s, dir).orderBy("id1", "id2")),
 
     // asymmetric variant: shared/min(|A|,|B|) ≥ 0.9 — the short doc
     // quoted inside a big boilerplate wrapper that Jaccard dilutes
@@ -258,7 +257,7 @@ object PipelineQueries {
     // (doc_id, source), never text.
     "dedup_source_report" -> ((s, dir) => {
       val docs  = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50)
+      val pairs = CorpusArtifacts.nearDupPairs(s, dir)
       val src   = docs.select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), "id1")
@@ -282,11 +281,8 @@ object PipelineQueries {
 
     // near-dup pairs are not transitive — collapse pair families to one
     // canonical keeper via iterative connected components
-    "dedup_cluster" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Cluster.dedupClusters(docs, Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50))
-        .orderBy("doc_id")
-    }),
+    "dedup_cluster" -> ((s, dir) =>
+      CorpusArtifacts.nearDupClusters(s, dir).orderBy("doc_id")),
 
     // EFFECTIVE TOKEN COUNT after family collapse, per source — the
     // number an LM data planner actually budgets with: raw token mass
@@ -297,8 +293,7 @@ object PipelineQueries {
     // converged labels + one source-keyed aggregation.
     "dedup_effective_tokens" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val lab = Cluster.dedupClusters(docs,
-        Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50))
+      val lab = CorpusArtifacts.nearDupClusters(s, dir)
       docs.select(col("doc_id"), col("source"),
           size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
         .join(lab, "doc_id")
@@ -321,9 +316,7 @@ object PipelineQueries {
     // the number that decides whether dedup is worth a rewrite pass.
     // Two tiny aggregations over the converged labels.
     "dedup_family_sizes" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Cluster.dedupClusters(docs,
-          Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50))
+      CorpusArtifacts.nearDupClusters(s, dir)
         .groupBy("cluster_id").agg(count(lit(1)).as("family_size"))
         .groupBy("family_size")
         .agg(count(lit(1)).as("n_families"))
@@ -344,8 +337,7 @@ object PipelineQueries {
     // are pure-integer ×10⁴ (pair counts are integers by construction).
     "dedup_cluster_purity" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val cont = Cluster.dedupClusters(docs,
-          Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50))
+      val cont = CorpusArtifacts.nearDupClusters(s, dir)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy("cluster_id", "source").agg(count(lit(1)).as("n_fl"))
         .localCheckpoint(false) // contingency feeds all three rollups
@@ -1538,10 +1530,8 @@ object PipelineQueries {
     // (doc → split) map twice on doc ids — no new pair space.
     "split_leakage" -> ((s, dir) => {
       graft.functions.GraftHash64.register(s)
-      val docs  = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.8, maxDF = 50)
-        .select("id1", "id2").localCheckpoint(false)
-      val clusters = Cluster.dedupClusters(docs, pairs).localCheckpoint(false)
+      val pairs = CorpusArtifacts.nearDupPairs(s, dir).select("id1", "id2")
+      val clusters = CorpusArtifacts.nearDupClusters(s, dir)
       def splitOf(c: Column): Column = {
         val b = shiftrightunsigned(
           call_function("graft_hash64", c.cast("string"), lit(7L)), 52)
@@ -2670,8 +2660,7 @@ object PipelineQueries {
     // co-keyed join + one groupBy per round over the once-checkpointed
     // adjacency (Graph.scala scale notes).
     "graph_pagerank" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccard(Tables.documents(s, dir), n = 3,
-        threshold = 0.8, maxDF = 50).select("id1", "id2")
+      val pairs = CorpusArtifacts.nearDupPairs(s, dir).select("id1", "id2")
       graft.ops.Graph.pagerank(pairs, damping = 0.85, iters = 3)
         .select(col("id").as("doc_id"), round(col("r"), 6).as("pr_rank"))
         .orderBy("doc_id")
