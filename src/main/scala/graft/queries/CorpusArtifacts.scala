@@ -25,6 +25,39 @@ private[queries] object CorpusArtifacts {
   private val clMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), Entry]
 
+  private final case class HnswEntry(ix: graft.ops.Hnsw.Index,
+                                     rddIds: Seq[Int])
+  private val hnswMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), HnswEntry]
+
+  /** The full-corpus layered-graph ANN index — `Hnsw.build(embeddings,
+    * m = 6)` is made identically by ann_hnsw, ann_hnsw_recall and
+    * ann_hnsw_beam_sweep (the persisted-index posture: build once,
+    * search at any beam width). Every member table is re-anchored as a
+    * sweep-exempt shared checkpoint, materialized in dependency order
+    * (node table first — the adjacencies' private lineage roots
+    * there). ann_hnsw_append is NOT a consumer: its frozen-history
+    * graph + shard attachment is the operator's own story. */
+  def hnswIndex(s: SparkSession, dir: String): graft.ops.Hnsw.Index =
+    synchronized {
+      val sc = s.sparkContext
+      val key = (sc.applicationId, dir)
+      hnswMemo.get(key) match {
+        case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
+          e.ix
+        case _ =>
+          val ix0 = graft.ops.Hnsw.build(Tables.embeddings(s, dir), m = 6,
+            materializeUppers = true)
+          val parts = Seq(ix0.e, ix0.adj2, ix0.adj1, ix0.adj0)
+            .map(SharedArtifacts.checkpoint)
+          parts.foreach(_._1.count()) // eager, dependency order
+          val ix = graft.ops.Hnsw.Index(parts(0)._1, parts(1)._1,
+            parts(2)._1, parts(3)._1, ix0.entry)
+          hnswMemo(key) = HnswEntry(ix, parts.map(_._2))
+          ix
+      }
+    }
+
   /** Verified near-dup pairs over the full documents table —
     * `Dedup.ngramJaccard(documents, n = 3, threshold = 0.8, maxDF = 50)`,
     * full output columns. */

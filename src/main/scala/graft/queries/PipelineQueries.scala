@@ -1339,7 +1339,8 @@ object PipelineQueries {
     // why true insertion-order HNSW cannot be built deterministically
     // on a partitioned engine and what this keeps instead.
     "ann_hnsw" -> ((s, dir) =>
-      graft.ops.Hnsw.topK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+      graft.ops.Hnsw.search(CorpusArtifacts.hnswIndex(s, dir),
+          col("vec_id") < 10, k = 5)
         .orderBy("probe_id", "rank")),
 
     // the index-trust measurement for the layered graph path
@@ -1347,8 +1348,8 @@ object PipelineQueries {
       val brute = Similarity.bruteForceTopK(
           Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .select(col("probe_id"), col("neighbor_id"))
-      val hw = graft.ops.Hnsw.topK(
-          Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+      val hw = graft.ops.Hnsw.search(CorpusArtifacts.hnswIndex(s, dir),
+          col("vec_id") < 10, k = 5)
         .select(col("probe_id").as("hp"), col("neighbor_id").as("hn"))
       brute.join(hw,
           col("probe_id") === col("hp") && col("neighbor_id") === col("hn"),
@@ -1366,7 +1367,7 @@ object PipelineQueries {
     // truth is computed once and checkpoint-shared too.
     "ann_hnsw_beam_sweep" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val ix = graft.ops.Hnsw.build(emb, materializeUppers = true)
+      val ix = CorpusArtifacts.hnswIndex(s, dir)
       val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
         .select(col("probe_id"), col("neighbor_id"))
         .localCheckpoint(false) // shared ground truth across the sweep
