@@ -210,7 +210,24 @@ object FunnelStore {
     val spark = st.meta.sparkSession
     import spark.implicits._
     graft.functions.GraftHash64.register(spark)
+    // stage-level dev timing: set GRAFT_FUNNEL_PROBE=1 to print each
+    // stage's forced materialization time (zero cost when unset) — the
+    // profiling loop that attributed the fold bill to the CC collapse
+    // and the store-fed training, i.e. the per-generation audit itself
+    def probeT[A](n: String)(b: => A): A =
+      if (sys.env.contains("GRAFT_FUNNEL_PROBE")) {
+        val t0 = System.nanoTime(); val r = b
+        System.err.println(f"FUNNELSTAGE $n ${(System.nanoTime()-t0)/1e9}%.2f")
+        r
+      } else b
+    def probe(n: String, d: DataFrame): Unit =
+      if (sys.env.contains("GRAFT_FUNNEL_PROBE")) {
+        val t0 = System.nanoTime()
+        val c = d.count()
+        System.err.println(f"FUNNELSTAGE $n ${(System.nanoTime()-t0)/1e9}%.2f rows=$c")
+      }
     val meta = st.meta.localCheckpoint(false)
+    probe("meta", meta)
     def acct(idx: Int, name: String, d: DataFrame): DataFrame =
       d.agg(count(lit(1)).as("n_docs"),
           coalesce(sum("n_chars").cast("bigint"), lit(0L)).as("sum_chars"))
@@ -255,24 +272,28 @@ object FunnelStore {
       .filter(coalesce(col("dup_tokens"), lit(0L)) * 5 <= col("n_tokens"))
       .drop("dup_tokens")
       .localCheckpoint(false)
+    probe("s1", s1); probe("s2", s2)
     // near-dup collapse over the substring survivors, pairs from the
     // hashed shingle store
-    val pairs = Dedup.jaccardPairsFromPostings(
+    val pairs = probeT("pairs")(Dedup.jaccardPairsFromPostings(
       st.shingles.join(s2.select("doc_id"), "doc_id"))
-      .select("id1", "id2")
-    val clusters = Cluster.dedupClusters(s2.select("doc_id"), pairs)
-      .localCheckpoint(false)
+      .select("id1", "id2"))
+    val clusters = probeT("cc")(Cluster.dedupClusters(s2.select("doc_id"), pairs)
+      .localCheckpoint(false))
+    probe("clusters", clusters)
     val s3 = s2.join(clusters.filter(col("doc_id") === col("cluster_id"))
         .select("doc_id"), "doc_id")
       .localCheckpoint(false)
+    probe("s3", s3)
     // frozen classifier trained from the FULL feature store (the batch
     // capstone trains on the full corpus), agreement over s3
-    val (_, wts) = QualityClf.trainOnFeatures(st.feat,
-      meta.select("doc_id", "y"))
+    val wts = probeT("train")(QualityClf.trainOnFeatures(st.feat,
+      meta.select("doc_id", "y"))._2)
     val marg = st.feat.join(s3.select("doc_id"), "doc_id")
       .join(broadcast(wts), Seq("b"), "left")
       .groupBy("doc_id")
       .agg(sum(coalesce(col("w"), lit(0L))).as("marg"))
+    probe("marg", marg)
     val agree = s3.join(marg, "doc_id")
       .select(when(col("quality_score") >= 0.5, 1L).otherwise(0L).as("rk"),
         when(col("marg") > 0, 1L).otherwise(0L).as("ck"), col("n_chars"))
@@ -288,15 +309,17 @@ object FunnelStore {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
     val s4 = s3.filter(col("quality_score") >= 0.5).localCheckpoint(false)
+    probe("s4", s4)
     // budget prior via the (source, blk) two-level cumsum — a plain
     // partitionBy("source") window is one task per source at scale
-    val s5 = Rank.perGroupRunningSum(
+    val s5 = probeT("rank")(Rank.perGroupRunningSum(
         s4.select("doc_id", "source", "n_chars", "quality_score"),
         "source", "n_chars",
         Seq(col("quality_score").desc, col("doc_id")))
       .select("doc_id", "source", "n_chars", "prior")
       .filter(col("prior") < 25000L)
-      .localCheckpoint(false)
+      .localCheckpoint(false))
+    probe("s5", s5)
     // decontamination from the shingle store: containment of each
     // selected doc against the bench docs (doc_id < 25), any >= 0.5
     val bench = st.shingles
@@ -312,11 +335,15 @@ object FunnelStore {
       .select("doc_id").distinct()
     val s6 = s5.join(flagged, Seq("doc_id"), "left_anti")
       .localCheckpoint(false)
+    probe("cs", cs); probe("s6", s6)
     val bucket = shiftrightunsigned(call_function("graft_hash64",
       col("cluster_id").cast("string"), lit(7L)), 52)
     val s7 = s6.join(clusters.select("doc_id", "cluster_id"), "doc_id")
       .filter(bucket < 3277)
-    rawRow
+    probe("s7", s7.localCheckpoint(false))
+    probe("agreeRows", agreeRows.localCheckpoint(false))
+    probe("rawRow", rawRow.localCheckpoint(false))
+    val out = rawRow
       .unionByName(acct(1, "exact_dedup", s1))
       .unionByName(acct(2, "substring_dedup", s2))
       .unionByName(acct(3, "near_dedup", s3))
@@ -326,5 +353,7 @@ object FunnelStore {
       .unionByName(acct(7, "split_train", s7))
       .unionByName(agreeRows)
       .orderBy("stage_idx")
+    probe("FINAL", out)
+    out
   }
 }

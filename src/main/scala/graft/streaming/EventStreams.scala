@@ -1000,7 +1000,11 @@ object EventStreams {
     val (winSnap, covSnap, dupLedger) =
       (s"$base/winsnap", s"$base/covsnap", s"$base/dupledger")
     var gen = 0
-    def fold(): Unit = {
+    // the fold works compact integer/hash stores, not raw text — the
+    // same state-volume-sized width the passes use (32-wide exchanges
+    // across the funnel's ~30 small aggregate stages are pure task
+    // overhead at this store size)
+    def fold(): Unit = withStateParts(spark) {
       gen += 1
       val Seq(meta, sh, gr, fx) = dirs.map(spark.read.parquet(_))
       val winners = spark.read.option("recursiveFileLookup", "true")
