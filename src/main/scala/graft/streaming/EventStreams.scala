@@ -1296,13 +1296,21 @@ object EventStreams {
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val ss = batch.sparkSession
           val bk = batch.select(col("user_id")).distinct()
-          // first-seen keys: anti-join the presence store, MATERIALIZED
-          // before the append below mutates the store they were
-          // decided against
-          val newKeys = (if (new java.io.File(keys).exists)
-              bk.join(ss.read.parquet(keys), Seq("user_id"), "left_anti")
+          // first-seen keys, exactly-once: the presence store is ALSO
+          // batch-keyed (the ledger convention) — the anti-join reads
+          // only STRICTLY-PRIOR batches' entries (a retried batch's own
+          // failed-attempt entry is excluded, so it re-decides against
+          // the same history and overwrites its own entry), and the
+          // decision set is MATERIALIZED before the write
+          val priorDirs = Option(new java.io.File(keys).listFiles())
+            .map(_.collect {
+              case f if f.isDirectory && f.getName != s"b$bid" => f.getPath
+            }).getOrElse(Array.empty[String])
+          val newKeys = (if (priorDirs.nonEmpty)
+              bk.join(ss.read.parquet(priorDirs.toIndexedSeq: _*),
+                Seq("user_id"), "left_anti")
             else bk).localCheckpoint(false)
-          newKeys.write.mode("append").parquet(keys)
+          newKeys.coalesce(1).write.mode("overwrite").parquet(s"$keys/b$bid")
           val local = graft.ops.Scalars.withScalar(
               batch.agg(count(lit(1)).as("n"),
                 count_distinct(col("user_id")).as("d")),
