@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Cluster, Dedup, Multimodal, Scalars, Similarity, TextAnalysis}
+import graft.ops.{Cluster, Dedup, Multimodal, Rank, Scalars, Similarity, TextAnalysis, TopK}
 import graft.sources.Tables
 
 /** §2 items 22-34: the LLM-training-data-pipeline operator families
@@ -2185,8 +2185,11 @@ object PipelineQueries {
     // DECIMAL(38,0) integer arithmetic, emitted ×10⁴ (no float — the
     // monotone integer transform doctrine). Postings are one
     // explode→distinct; df ≥ 5 min-support; per-lang totals broadcast;
-    // N under the 1-row withScalar contract; top-3 via a window
-    // PARTITIONED by the bounded lang key.
+    // N under the 1-row withScalar contract; top-3 via TopK.perGroup —
+    // the lang key is low-cardinality, so each partition would hold
+    // that language's WHOLE postings vocabulary; the rank-limit-
+    // pushdown shape prunes every input partition to its local top-3
+    // map-side before the exchange.
     "text_chi2_terms" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val post = docs
@@ -2215,10 +2218,8 @@ object PipelineQueries {
             | div nullif(CAST(df AS DECIMAL(38,0)) * (n_docs - df)
             |      * CAST(n_lang AS DECIMAL(38,0)) * (n_docs - n_lang), 0), 0)"""
             .stripMargin))
-      scored
-        .withColumn("rk", row_number().over(Window.partitionBy("lang")
-          .orderBy(col("chi2_u4").desc, col("term"))).cast("long"))
-        .where(col("rk") <= 3)
+      TopK.perGroup(scored, Seq(col("lang")),
+          Seq(col("chi2_u4").desc, col("term")), k = 3, rankName = "rk")
         .select(col("lang"), col("rk"), col("term"), col("a").as("df_in_lang"),
           col("df"), col("chi2_u4"))
         .orderBy("lang", "rk")
@@ -2907,18 +2908,20 @@ object PipelineQueries {
         .orderBy("label", "rnk")),
 
     // Vocabulary construction: corpus token frequencies ≥ minCount with
-    // stable contiguous ids by (freq DESC, token ASC). The only
-    // unpartitioned window runs over the VOCABULARY (inherently
-    // bounded — distinct tokens, not corpus rows); the frequency count
-    // is the usual one-shuffle partial-agg groupBy.
+    // stable contiguous ids by (freq DESC, token ASC). At corpus scale
+    // the freq≥5 vocabulary is still hundreds of millions of entries
+    // (typos, numbers, URLs), so the contiguous ids come from the
+    // sampled-boundary two-level rank (Rank.globalRankByRange — dense
+    // and contiguous by construction), never an unpartitioned
+    // row_number window; the frequency count is the usual one-shuffle
+    // partial-agg groupBy.
     "vocab_build" -> ((s, dir) => {
       val tokens = Tables.documents(s, dir)
         .select(explode(Dedup.tokens(col("text"))).as("token"))
-      tokens.groupBy("token").agg(count(lit(1)).as("freq"))
+      val freq = tokens.groupBy("token").agg(count(lit(1)).as("freq"))
         .filter(col("freq") >= 5)
-        .withColumn("token_id", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("freq").desc, col("token").asc)).cast("bigint"))
+      Rank.globalRankByRange(freq, "freq", "token")
+        .withColumn("token_id", col("rnk"))
         .select("token_id", "token", "freq")
         .orderBy("token_id")
     }),
@@ -2930,15 +2933,18 @@ object PipelineQueries {
     // while below the cut on every shard — the classic failure.) Emits
     // the union size and global-recall@20 so the k-per-shard knob is
     // sized by measurement, not faith. One tf pass feeds the per-shard
-    // windows (bounded per source), the global rollup, and the audit.
+    // top-k (TopK.perGroup — rank-limit pushdown prunes each input
+    // partition to its local top-k BEFORE the exchange, so a shard's
+    // whole vocabulary never lands in one sorter), the global rollup,
+    // and the audit.
     "vocab_shard_topk_audit" -> ((s, dir) => {
       val tf = Tables.documents(s, dir)
         .select(col("source"), explode(Dedup.tokens(col("text"))).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
         .localCheckpoint(false) // feeds shard tops, global top, shard count
-      val shardTop = tf.withColumn("rk", row_number().over(
-          Window.partitionBy("source").orderBy(col("c").desc, col("w"))))
-        .filter(col("rk") <= 20).select("w").distinct()
+      val shardTop = TopK.perGroup(tf, Seq(col("source")),
+          Seq(col("c").desc, col("w")), k = 20, rankName = "rk")
+        .select("w").distinct()
         .localCheckpoint(false) // feeds the union size AND the semi-join
       val globalTop = tf.groupBy("w").agg(sum("c").as("c"))
         .orderBy(col("c").desc, col("w")).limit(20)
@@ -3091,15 +3097,16 @@ object PipelineQueries {
     // Zipf audit: log-log slope of token frequency vs frequency rank
     // (natural corpora sit near −1; synthetic/templated ones don't) —
     // the distribution sanity check before trusting token statistics.
-    // The regression runs over the BOUNDED vocabulary; raw tokens only
-    // pass through the one frequency groupBy.
+    // The rank DELIBERATELY covers the unfiltered vocabulary (the law
+    // needs the tail), which at corpus scale is billions of distinct
+    // tokens — so the rank is the sampled-boundary two-level
+    // decomposition (Rank.globalRankByRange), never an unpartitioned
+    // row_number window (a one-task sort of the whole vocabulary).
     "text_zipf" -> ((s, dir) => {
       val freq = Tables.documents(s, dir)
         .select(explode(Dedup.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
-      val ranked = freq.withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("freq").desc, col("token").asc)))
+      val ranked = Rank.globalRankByRange(freq, "freq", "token")
       ranked.agg(
         round(expr("regr_slope(ln(freq), ln(rnk))"), 4).as("zipf_slope"),
         count(lit(1)).as("vocab_size"))

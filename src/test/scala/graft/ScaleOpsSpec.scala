@@ -2456,4 +2456,51 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(got == expected, s"decomposed prior diverged at numBlocks=$nb")
     }
   }
+
+  test("vocab-rank decompositions equal the window forms across partition counts") {
+    // VERDICT r16 item 1 — the four vocabulary-rank keys (text_zipf,
+    // vocab_build, text_chi2_terms, vocab_shard_topk_audit) moved off
+    // single-hot-partition windows onto Rank.globalRankByRange /
+    // TopK.perGroup. Pin the decomposed forms against the window
+    // references ON THE ACTUAL QUERY INPUT (the token-frequency table
+    // — heavy freq ties, the adversarial case for a value-blocked
+    // rank) across 1/7/32 input partitionings.
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sf)
+      .select(col("source"), explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val freq = tf.groupBy("token").agg(sum("c").as("freq"))
+      .localCheckpoint(false)
+    // (a) global rank over the unfiltered vocabulary — the text_zipf
+    // shape — and over the freq>=5 cut — the vocab_build shape
+    for (cut <- Seq(freq, freq.filter(col("freq") >= 5))) {
+      val expected = cut.withColumn("rnk", row_number().over(
+          Window.orderBy(col("freq").desc, col("token").asc)).cast("bigint"))
+        .select("token", "rnk")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      for (p <- Seq(1, 7, 32)) {
+        val got = graft.ops.Rank.globalRankByRange(cut.repartition(p), "freq", "token")
+          .select("token", "rnk")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        assert(got == expected, s"globalRankByRange diverged at $p partitions")
+      }
+      // contiguous dense ids by construction (the vocab_build contract)
+      assert(expected.values.toSeq.sorted == (1L to expected.size).toSeq)
+    }
+    // (b) per-group top-k — the vocab_shard_topk_audit (per-source
+    // top-20) and text_chi2_terms (low-cardinality group) shape
+    val expectedTop = tf.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("token"))))
+      .filter(col("rk") <= 20)
+      .select("source", "token", "rk")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2).toLong)).toSet
+    for (p <- Seq(1, 7, 32)) {
+      val got = graft.ops.TopK.perGroup(tf.repartition(p), Seq(col("source")),
+          Seq(col("c").desc, col("token")), k = 20, rankName = "rk")
+        .select("source", "token", "rk")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expectedTop, s"TopK.perGroup diverged at $p partitions")
+    }
+  }
 }
