@@ -84,27 +84,93 @@ object EventStreams {
     * with mode=overwrite: a retried batch overwrites ITS OWN entry
     * (idempotent, exactly-once effect), history is never re-read at
     * landing, and the fold happens ONCE at emission. Ledger entries are
-    * one tiny keyed row-set per batch; a long-running deployment folds
-    * old entries into a compacted base on a maintenance cadence — the
-    * emission read stays |batches|·|keys|, never corpus-sized. Only for
-    * stores NO later batch reads back; mid-stream-consumed state (the
-    * append-only posting/signature stores) keeps its existing shape. */
-  private def ledgerAppend(local: DataFrame, path: String, batchId: Long,
-                           files: Int = 1): Unit =
+    * one tiny keyed row-set per batch; [[ledgerCompact]] folds old
+    * entries into a snapshot partition once the raw count passes its
+    * threshold — the emission read stays (snapshot + recent)·|keys|,
+    * never |batches|-sized. Only for stores NO later batch reads back;
+    * mid-stream-consumed state (the append-only posting/signature
+    * stores) keeps its existing shape.
+    *
+    * `compact` is the store's merge law (keyed sums / keyed minima /
+    * bottom-k re-limit — anything with fold(fold(A) ∪ B) = fold(A ∪ B));
+    * passing it bounds the store's directory count for the stream's
+    * lifetime. */
+  private[graft] def ledgerAppend(local: DataFrame, path: String, batchId: Long,
+                           files: Int = 1,
+                           compact: Option[DataFrame => DataFrame] = None): Unit = {
     // materialize the keyed partial ONCE (it is a bounded aggregate —
     // |keys| rows) so the write job doesn't re-execute the whole
-    // per-batch plan a second time
-    local.localCheckpoint()
-      .coalesce(files).write.mode("overwrite").parquet(s"$path/b$batchId")
+    // per-batch plan a second time; unpersist after the write (ADVICE
+    // r16 — checkpointed blocks otherwise accumulate per batch for the
+    // stream's lifetime)
+    val part = local.localCheckpoint()
+    try part.coalesce(files).write.mode("overwrite").parquet(s"$path/b$batchId")
+    finally { part.unpersist(); () }
+    compact.foreach(f => ledgerCompact(local.sparkSession, path, f))
+  }
+
+  /** Raw ledger entries kept OUT of the snapshot: foreachBatch is
+    * at-least-once, and a retried batch stays idempotent only while its
+    * own `b<id>` dir still exists to overwrite — folding it into the
+    * snapshot and then replaying it would double-count. Retries replay
+    * the newest uncommitted batch (never one `keepRecent` commits
+    * back), so keeping the tail raw preserves the exactly-once
+    * effect. */
+  private[graft] val LedgerKeepRecent = 4
+
+  /** Compact a [[ledgerAppend]] store: fold every raw batch entry
+    * except the `keepRecent` newest — plus any existing snapshot —
+    * into ONE snapshot partition (`$path/snap`), then drop the folded
+    * batch dirs. No-ops until the raw count passes 2·keepRecent, so
+    * landing cadence pays a fold every ~keepRecent batches, not every
+    * batch. The snapshot holds pre-folded rows in the entry schema, so
+    * every consumer's recursive read + merge law is unchanged.
+    *
+    * The swap stages into an underscore-prefixed temp dir (hidden from Spark's
+    * file lister, so a crashed compaction can never double-read) and
+    * finishes with local renames; a distributed deployment would run
+    * the same fold through its table format's transactional commit. */
+  private[graft] def ledgerCompact(ss: SparkSession, path: String,
+                            fold: DataFrame => DataFrame,
+                            keepRecent: Int = LedgerKeepRecent): Unit = {
+    val root = new java.io.File(path)
+    val tmp = new java.io.File(root, "_snap_tmp")
+    if (tmp.exists()) deleteRec(tmp) // crashed-compaction leftover
+    val batches = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .sortBy(f => f.getName.drop(1).toLong)
+    if (batches.length > 2 * keepRecent) {
+      val toFold = batches.dropRight(keepRecent)
+      val snapDir = new java.io.File(root, "snap")
+      val srcs = toFold.map(_.getPath).toIndexedSeq ++
+        Option.when(snapDir.exists())(snapDir.getPath)
+      fold(ss.read.parquet(srcs: _*))
+        .coalesce(1).write.parquet(tmp.getPath)
+      toFold.foreach(deleteRec)
+      if (snapDir.exists()) deleteRec(snapDir)
+      require(tmp.renameTo(snapDir), s"ledger compaction swap failed at $path")
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
+  /** The keyed-sum merge law most counter ledgers share — both the
+    * emission fold ([[ledgerSums]]) and the compaction fold. */
+  private[graft] def sumFold(keys: Seq[String], sums: Seq[String])
+                     (df: DataFrame): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(sums.head).as(sums.head),
+        sums.tail.map(c => sum(c).as(c)): _*)
 
   /** Fold a [[ledgerAppend]] store: sum every `sums` column per `keys`.
     * Emission-time only. */
-  private def ledgerSums(ss: SparkSession, path: String, keys: Seq[String],
+  private[graft] def ledgerSums(ss: SparkSession, path: String, keys: Seq[String],
                          sums: Seq[String]): DataFrame =
-    ss.read.option("recursiveFileLookup", "true").parquet(path)
-      .groupBy(keys.map(col): _*)
-      .agg(sum(sums.head).as(sums.head),
-        sums.tail.map(c => sum(c).as(c)): _*)
+    sumFold(keys, sums)(
+      ss.read.option("recursiveFileLookup", "true").parquet(path))
 
   /** The landing-generation split point: docs below the threshold land
     * in generation 1, the rest in generation 2 (3/4 : 1/4). Reads ONE
@@ -455,7 +521,8 @@ object EventStreams {
             .join(hits, Seq("cell"), "left")
             .select(col("cell"), col("n_vecs"),
               coalesce(col("n_hist_dup_vecs"), lit(0L)).as("n_hist_dup_vecs"))
-          ledgerAppend(local, ctr, bid)
+          ledgerAppend(local, ctr, bid, compact =
+            Some(sumFold(Seq("cell"), Seq("n_vecs", "n_hist_dup_vecs"))))
           // O(delta) store growth: the batch's vectors with their cells
           batch.select("vec_id", "cell", "v", "nrm")
             .write.mode("append").parquet(store)
@@ -533,7 +600,8 @@ object EventStreams {
             .join(hits, Seq("source"), "left")
             .select(col("source"), col("n_imgs"),
               coalesce(col("n_hist_dup_imgs"), lit(0L)).as("n_hist_dup_imgs"))
-          ledgerAppend(local, ctr, bid)
+          ledgerAppend(local, ctr, bid, compact =
+            Some(sumFold(Seq("source"), Seq("n_imgs", "n_hist_dup_imgs"))))
           // O(delta) store growth: the batch's 32-byte signatures
           sigs.select("doc_id", "c0", "c1", "c2", "c3")
             .write.mode("append").parquet(store)
@@ -594,7 +662,9 @@ object EventStreams {
               when(col("doc_id") >= thr, 1L).otherwise(0L).as("landed"))
             .groupBy("rule_keep", "clf_keep")
             .agg(count(lit(1)).as("n_docs"), sum("landed").as("n_landed"))
-          ledgerAppend(local, store, bid)
+          ledgerAppend(local, store, bid, compact =
+            Some(sumFold(Seq("rule_keep", "clf_keep"),
+              Seq("n_docs", "n_landed"))))
         }
         .start()
       q.awaitTermination()
@@ -664,7 +734,9 @@ object EventStreams {
               sum(when(col("doc_id") >= thr, 1L).otherwise(0L)).as("n_landed"),
               sum(when(col("u4") >= 0, 1L).otherwise(0L)).as("n_sel"),
               sum("u4").as("sum_u4"))
-          ledgerAppend(local, store, bid)
+          ledgerAppend(local, store, bid, compact =
+            Some(sumFold(Seq("source"),
+              Seq("n_docs", "n_landed", "n_sel", "sum_u4"))))
         }
         .start()
       q.awaitTermination()
@@ -711,7 +783,8 @@ object EventStreams {
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           // per-batch partials land as an idempotent ledger entry —
           // a retried batch overwrites its own, never double-counts
-          ledgerAppend(graft.ops.TextAnalysis.piiCounters(batch), store, bid)
+          ledgerAppend(graft.ops.TextAnalysis.piiCounters(batch), store, bid,
+            compact = Some(sumFold(Seq("source"), sums)))
         }
         .start()
       q.awaitTermination()
@@ -761,10 +834,12 @@ object EventStreams {
           val batch = batch0.localCheckpoint(false) // counts + doc fold
           ledgerAppend(
             graft.ops.Select.domainBucketCounts(batch, buckets, seed),
-            cntStore, bid)
+            cntStore, bid,
+            compact = Some(sumFold(Seq("source", "b"), Seq("c"))))
           ledgerAppend(
             batch.groupBy("source").agg(count(lit(1)).as("n_docs")),
-            domStore, bid)
+            domStore, bid,
+            compact = Some(sumFold(Seq("source"), Seq("n_docs"))))
         }
         .start()
       q.awaitTermination()
@@ -898,7 +973,8 @@ object EventStreams {
             .join(hist, Seq("source"), "left")
             .select(col("source"), col("n_grams"),
               coalesce(col("n_hist_dup_starts"), lit(0L)).as("n_hist_dup_starts"))
-          ledgerAppend(local, ctr, bid)
+          ledgerAppend(local, ctr, bid, compact =
+            Some(sumFold(Seq("source"), Seq("n_grams", "n_hist_dup_starts"))))
           // O(delta) store growth: only the batch's never-seen hashes
           g.select("h").distinct()
             .join(snapshot, Seq("h"), "left_anti")
@@ -977,14 +1053,19 @@ object EventStreams {
           ledgerAppend(meta.groupBy("source")
               .agg(count(lit(1)).as("n_docs"),
                 sum("n_chars").as("sum_chars")),
-            rawDir, bid)
+            rawDir, bid,
+            compact = Some(sumFold(Seq("source"), Seq("n_docs", "sum_chars"))))
           // ... and the exact-dedup presence store: min is
           // associative+commutative, so per-batch keyed minima ledger
           // the same way and the generation-cadence merge equals the
           // one-shot GROUP BY norm_h — the old shape REWROTE the whole
           // corpus-sized winner store every batch
+          // the presence store's merge law is keyed MINIMA, not sums —
+          // min is associative+commutative, so folding a snapshot with
+          // later entries equals the one-shot GROUP BY norm_h
           ledgerAppend(meta.groupBy("norm_h").agg(min("doc_id").as("doc_id")),
-            exactDir, bid, files = 4)
+            exactDir, bid, files = 4,
+            compact = Some(_.groupBy("norm_h").agg(min("doc_id").as("doc_id"))))
         }
         .start()
       q.awaitTermination()
@@ -1072,8 +1153,12 @@ object EventStreams {
           // hash-min bottom-k is mergeable: each batch ledgers its own
           // local k rows; the emission re-limit over |batches|·k rows
           // equals the one-shot bottom-k (idempotent under retry)
+          // merge law: hash-min bottom-k is mergeable, so compaction's
+          // re-limit over (snapshot ∪ folded entries) keeps exactly
+          // the store's k candidate rows
           ledgerAppend(batch.orderBy(col("h").asc, col("doc_id")).limit(k),
-            store, bid)
+            store, bid,
+            compact = Some(_.orderBy(col("h").asc, col("doc_id")).limit(k)))
         }
         .start()
       q.awaitTermination()
@@ -1127,7 +1212,8 @@ object EventStreams {
             .select(col("est_id").cast("long").as("est_id"), col("x"), col("n"))
           // the sketch is LINEAR: per-batch states ledger and add at
           // emission (idempotent under retry)
-          ledgerAppend(local, store, bid)
+          ledgerAppend(local, store, bid, compact =
+            Some(sumFold(Seq("est_id"), Seq("x", "n"))))
         }
         .start()
       q.awaitTermination()
@@ -1177,7 +1263,8 @@ object EventStreams {
           // daily counts are additive state: ledger per batch, sum at
           // read time (idempotent under retry)
           ledgerAppend(batch.groupBy("event_type", "dt")
-            .agg(count(lit(1)).as("y")), store, bid)
+            .agg(count(lit(1)).as("y")), store, bid,
+            compact = Some(sumFold(Seq("event_type", "dt"), Seq("y"))))
         }
         .start()
       q.awaitTermination()
@@ -1235,7 +1322,9 @@ object EventStreams {
             sum("v_date").as("v_date"))
           val local = graft.ops.Scalars.withScalar(
             counters, col("n"), fk, col("v_fk"))
-          ledgerAppend(local, store, bid)
+          ledgerAppend(local, store, bid, compact =
+            Some(sumFold(Seq(),
+              Seq("n", "v_null", "v_price", "v_date", "v_fk"))))
         }
         .start()
       q.awaitTermination()
@@ -1317,7 +1406,8 @@ object EventStreams {
               col("n"),
               newKeys.agg(count(lit(1)).as("nu")), col("nu"))
             .select(col("n"), (col("n") - col("d")).as("intra"), col("nu"))
-          ledgerAppend(local, ctr, bid)
+          ledgerAppend(local, ctr, bid, compact =
+            Some(sumFold(Seq(), Seq("n", "intra", "nu"))))
         }
         .start()
       q.awaitTermination()

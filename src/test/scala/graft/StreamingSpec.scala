@@ -466,4 +466,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall(t => t._6 == (if (t._5 > 243200L) 1L else 0L)),
       "retrain flag is not the chi2 threshold test")
   }
+
+  test("ledger compaction: compacted == uncompacted == one-shot, dirs bounded") {
+    // VERDICT r16 item 2 — at landing cadence (thousands of
+    // micro-batches) an uncompacted ledger's emission fold is a
+    // small-files listing problem growing with HISTORY; compaction
+    // must fold old entries into one snapshot without changing any
+    // fold result, while keeping the newest entries raw so a retried
+    // batch stays idempotent (it overwrites its own still-raw dir).
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val base = graft.sources.Scratch.dir("graft_ledger_spec")
+    val (cPath, uPath) = (s"$base/compacted", s"$base/plain")
+    val keep = EventStreams.LedgerKeepRecent
+    val nBatches = 3 * keep // enough appends to trigger >= 1 compaction
+    def entry(bid: Long) = Seq(
+      ("web", 10L + bid), ("books", 2L * bid), ("code", 7L))
+      .toDF("source", "n_docs")
+    for (bid <- 0L until nBatches) {
+      EventStreams.ledgerAppend(entry(bid), cPath, bid,
+        compact = Some(EventStreams.sumFold(Seq("source"), Seq("n_docs"))))
+      EventStreams.ledgerAppend(entry(bid), uPath, bid)
+    }
+    def sums(path: String) =
+      EventStreams.ledgerSums(spark, path, Seq("source"), Seq("n_docs"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val oneShot = (0L until nBatches).map(entry).reduce(_ unionByName _)
+      .groupBy("source").agg(sum("n_docs").as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sums(cPath) == oneShot, "compacted fold diverged from one-shot")
+    assert(sums(uPath) == oneShot, "uncompacted fold diverged from one-shot")
+    // directory bound: raw entries never exceed the compaction
+    // threshold, and a snapshot exists once the threshold was crossed
+    val names = new java.io.File(cPath).listFiles().map(_.getName)
+    val raw = names.count(_.matches("b\\d+"))
+    assert(raw <= 2 * keep, s"raw ledger dirs unbounded: $raw")
+    assert(names.contains("snap"), "no snapshot after crossing the threshold")
+    assert(new java.io.File(uPath).listFiles()
+      .count(_.getName.matches("b\\d+")) == nBatches)
+    // retry idempotency: a recent (still-raw) batch replayed with the
+    // same content overwrites its own entry — fold unchanged
+    val lastBid = nBatches - 1L
+    EventStreams.ledgerAppend(entry(lastBid), cPath, lastBid,
+      compact = Some(EventStreams.sumFold(Seq("source"), Seq("n_docs"))))
+    assert(sums(cPath) == oneShot, "retried batch double-counted")
+    // a non-sum merge law compacts too: keyed minima (the exact-dedup
+    // presence store's law) — snapshot ∪ fresh equals one-shot min
+    val mPath = s"$base/minstore"
+    def mEntry(bid: Long) = Seq(("h1", 100L - bid), ("h2", bid + 50L))
+      .toDF("norm_h", "doc_id")
+    val minFold = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("norm_h").agg(min("doc_id").as("doc_id"))
+    for (bid <- 0L until nBatches)
+      EventStreams.ledgerAppend(mEntry(bid), mPath, bid, compact = Some(minFold))
+    val gotMin = minFold(spark.read.option("recursiveFileLookup", "true")
+        .parquet(mPath))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(gotMin == Map("h1" -> (100L - (nBatches - 1)), "h2" -> 50L))
+  }
 }
