@@ -97,6 +97,19 @@ object FunnelStore {
                         prevCov: Option[DataFrame],
                         prevDup: Option[DataFrame],
                         spanLen: Int = 16): (DataFrame, DataFrame) = {
+    // the whole increment algebra rests on the winner set being
+    // APPEND-ONLY; a caller landing smaller ids would evict a prior
+    // winner whose grams then silently stay in the counts (ADVICE r16
+    // — fail loudly on the violated precondition instead). One
+    // presence-store-sized anti-join per GENERATION fold, `isEmpty`
+    // short-circuits at the first violation row.
+    prevWinners.foreach { pw =>
+      require(pw.select("doc_id")
+          .join(winners.select("doc_id"), Seq("doc_id"), "left_anti")
+          .isEmpty,
+        "coverageIncrement precondition violated: a prior winner was " +
+          "evicted (winner set must be append-only)")
+    }
     val deltaW = prevWinners match {
       case Some(pw) =>
         winners.select("doc_id")

@@ -92,19 +92,20 @@ object QualityClf {
     import spark.implicits._
     val fx = fx0.localCheckpoint(false)
     val lb = lb0.localCheckpoint(false)
-    // CONTRACT (ADVICE r15): n_misclassified is derived from the
-    // b = −1 bias rows inside the per-round delta reduction, so a
-    // feature table missing its bias rows would silently report 0.
-    // Validate once: exactly one bias row per labeled doc.
-    locally {
-      val Array(biasRows, nDocs) = fx.filter(col("b") === -1L)
-        .agg(count(lit(1)), count_distinct(col("doc_id")))
-        .head().toSeq.map(_.asInstanceOf[Long]).toArray
-      val nLb = lb.select("doc_id").distinct().count()
-      require(biasRows == nDocs && nDocs >= nLb,
-        s"trainOnFeatures: expected one b=-1 bias row per doc " +
-          s"($biasRows bias rows, $nDocs docs with bias, $nLb labeled)")
-    }
+    // CONTRACT (ADVICE r15, tightened per ADVICE r16): n_misclassified
+    // is derived from the b = −1 bias rows inside the per-round delta
+    // reduction, so a LABELED doc missing its bias row (or carrying
+    // duplicates) would silently corrupt the audit. The audit only
+    // touches labeled docs, so validate exactly that slice with ONE
+    // action — labeled ids joined to per-doc bias-row counts; anything
+    // but nb == 1 fails loudly. (The old two-action count comparison
+    // also missed labeled-without-bias masked by unlabeled-with-bias.)
+    require(lb.select("doc_id")
+        .join(fx.filter(col("b") === -1L).groupBy("doc_id")
+          .agg(count(lit(1)).as("nb")), Seq("doc_id"), "left")
+        .filter(col("nb").isNull || col("nb") =!= 1L)
+        .isEmpty,
+      "trainOnFeatures: a labeled doc lacks exactly one b=-1 bias row")
     var w = Map.empty[Long, Long]
     var audit = Vector.empty[(Long, Long, Long, Long)]
     for (rnd <- 1 to rounds) {

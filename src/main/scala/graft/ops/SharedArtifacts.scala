@@ -29,4 +29,22 @@ object SharedArtifacts {
 
   /** True if `rddId` belongs to a registered shared artifact. */
   def isProtected(rddId: Int): Boolean = ids.contains(rddId)
+
+  /** Cheap content fingerprint of a corpus dir — the (path, size,
+    * mtime) digest of every data file under it. Memo keys fold this in
+    * (ADVICE r16) so regenerating the parquet corpus IN-PLACE within
+    * one application invalidates the memo instead of silently serving
+    * the previous corpus's artifacts. Listing-only (no data read); a
+    * distributed deployment keys on its table format's snapshot id
+    * instead. */
+  def corpusFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      Iterator(f) ++ Option(f.listFiles()).iterator.flatMap(_.iterator.flatMap(walk))
+    val digest = walk(new java.io.File(dir))
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .toSeq.sorted.mkString("|")
+    java.lang.Long.toHexString(
+      digest.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
+  }
 }

@@ -39,7 +39,8 @@ private[queries] object CapstonePrelude {
   def base(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     synchronized {
       val sc = s.sparkContext
-      val key = (sc.applicationId, dir)
+      val key = (sc.applicationId,
+        dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       memo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
           (e.docs, e.s1)
@@ -68,7 +69,8 @@ private[queries] object CapstonePrelude {
   def clusters(s: SparkSession, dir: String): DataFrame =
     synchronized {
       val sc = s.sparkContext
-      val key = (sc.applicationId, dir)
+      val key = (sc.applicationId,
+        dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       clMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
           e.cl
@@ -98,7 +100,8 @@ private[queries] object CapstonePrelude {
   def clfFull(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     synchronized {
       val sc = s.sparkContext
-      val key = (sc.applicationId, dir)
+      val key = (sc.applicationId,
+        dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       clfMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
           (e.audit, e.w)
@@ -121,7 +124,8 @@ private[queries] object CapstonePrelude {
     synchronized {
       val (docs, s1) = base(s, dir)
       val sc = s.sparkContext
-      val key = (sc.applicationId, dir)
+      val key = (sc.applicationId,
+        dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       subMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
           (docs, s1, e.s2)

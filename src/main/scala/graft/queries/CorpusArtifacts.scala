@@ -41,7 +41,8 @@ private[queries] object CorpusArtifacts {
   def hnswIndex(s: SparkSession, dir: String): graft.ops.Hnsw.Index =
     synchronized {
       val sc = s.sparkContext
-      val key = (sc.applicationId, dir)
+      val key = (sc.applicationId,
+        dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       hnswMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
           e.ix
@@ -64,7 +65,8 @@ private[queries] object CorpusArtifacts {
   def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     synchronized {
       val sc = s.sparkContext
-      val key = (sc.applicationId, dir)
+      val key = (sc.applicationId,
+        dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       pairMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
           e.df
@@ -83,7 +85,8 @@ private[queries] object CorpusArtifacts {
   def nearDupClusters(s: SparkSession, dir: String): DataFrame =
     synchronized {
       val sc = s.sparkContext
-      val key = (sc.applicationId, dir)
+      val key = (sc.applicationId,
+        dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       clMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
           e.df

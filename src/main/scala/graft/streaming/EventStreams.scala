@@ -201,11 +201,17 @@ object EventStreams {
   }
 
   /** Make generation `gen` visible to the file-source stream (local
-    * rename; a distributed deployment promotes via its committer). */
+    * rename; a distributed deployment promotes via its committer).
+    * `partitionBy("__gen")` writes NO directory for an empty
+    * generation (a degenerate threshold or tiny corpus), so a missing
+    * source dir promotes as an empty pass, not a failure (ADVICE
+    * r16). */
   private def promoteGen(stage: String, gen: Int): Unit = {
-    val ok = new java.io.File(s"$stage.parts/__gen=$gen")
-      .renameTo(new java.io.File(s"$stage/gen$gen"))
-    require(ok, s"failed to promote generation $gen into $stage")
+    val src = new java.io.File(s"$stage.parts/__gen=$gen")
+    val dst = new java.io.File(s"$stage/gen$gen")
+    if (src.exists()) require(src.renameTo(dst),
+      s"failed to promote generation $gen into $stage")
+    else { java.nio.file.Files.createDirectories(dst.toPath); () }
   }
 
   /** Runs `body` (which must start AND drain its streaming query —
