@@ -377,6 +377,105 @@ object Multimodal {
       maxs(0), maxs(1), maxs(2), mins(0), mins(1), mins(2))
   }
 
+  final case class BmpOut(doc_id: Long, width: Int, height: Int,
+                          row_stride: Int, n_bytes: Long, pix_sum: Long,
+                          b_sum: Long, g_sum: Long, r_sum: Long,
+                          top_row_sum: Long)
+
+  /** Third HONEST container decode — uncompressed BI_RGB BMP, a
+    * genuinely different walk from the RIFF chunk tour and the ASCII
+    * PPM header: little-endian BITMAPFILEHEADER/BITMAPINFOHEADER
+    * structs, BGR byte order, rows stored BOTTOM-UP, and each row
+    * padded to a 4-byte boundary. The fixture BMPs are real containers
+    * built by [[buildBmp]] from deterministic parameters
+    * (w = 3 + len%11 — every stride-pad residue 0..3 occurs,
+    * h = 1 + doc_id%5, payload byte k (padding excluded, stored
+    * order) = (doc_id·11 + k·19) % 256), so the DuckDB oracle replays
+    * the decoded fields analytically: folding a padding byte shifts
+    * the BGR channel phase (b/g/r sums diverge), and mis-ordering the
+    * bottom-up rows diverges top_row_sum — the logical TOP row is the
+    * LAST stored one. Pure per-row work in the typed codec contract;
+    * no shuffle. */
+  def bmpDecodeBatch(docs: DataFrame): org.apache.spark.sql.Dataset[BmpOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("len"))
+      .as[(Long, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, len) => parseBmp(id, buildBmp(id, len)) }
+      }
+  }
+
+  /** Builds a valid 24-bit BI_RGB BMP: 14-byte file header, 40-byte
+    * info header, bottom-up rows padded to 4 bytes with zeros. */
+  private[graft] def buildBmp(docId: Long, textLen: Int): Array[Byte] = {
+    val w = 3 + textLen % 11
+    val h = 1 + (docId % 5).toInt
+    val rowRaw = w * 3
+    val stride = (rowRaw + 3) & ~3
+    val imgSize = stride * h
+    val bb = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putShort(0).putShort(0).putInt(54) // reserved ×2, pixel-data offset
+    bb.putInt(40).putInt(w).putInt(h) // biSize, width, height (bottom-up)
+      .putShort(1).putShort(24) // planes, bits per pixel
+      .putInt(0).putInt(imgSize) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // ppm ×2, palette ×2
+    var k = 0; var row = 0
+    while (row < h) {
+      var i = 0
+      while (i < rowRaw) {
+        bb.put(((docId * 11 + k * 19) % 256).toByte); k += 1; i += 1
+      }
+      var p = rowRaw
+      while (p < stride) { bb.put(0.toByte); p += 1 }
+      row += 1
+    }
+    bb.array()
+  }
+
+  /** Strict struct walk: validates both headers (magic, file size,
+    * data offset, biSize, planes, 24 bpp, BI_RGB, positive height),
+    * then folds each stored row's w·3 payload bytes — skipping the
+    * stride padding — into total/per-channel sums, and the LAST stored
+    * row (the logical top, bottom-up order) into top_row_sum.
+    * Malformed input throws — per-record isolation belongs to the
+    * caller, exactly like a real codec binding. */
+  private[graft] def parseBmp(docId: Long, bytes: Array[Byte]): BmpOut = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && bb.get() == 'B' && bb.get() == 'M',
+      s"doc $docId: not a BMP container")
+    require(bb.getInt == bytes.length, s"doc $docId: bad BMP file size")
+    bb.getInt // reserved
+    val dataOff = bb.getInt
+    require(bb.getInt == 40, s"doc $docId: not a BITMAPINFOHEADER")
+    val w = bb.getInt; val h = bb.getInt
+    require(w > 0 && h > 0, s"doc $docId: top-down or empty BMP unsupported")
+    require(bb.getShort == 1, s"doc $docId: bad plane count")
+    require(bb.getShort == 24, s"doc $docId: not 24-bit")
+    require(bb.getInt == 0, s"doc $docId: not BI_RGB (uncompressed)")
+    val rowRaw = w * 3
+    val stride = (rowRaw + 3) & ~3
+    require(bytes.length - dataOff == stride * h,
+      s"doc $docId: payload ${bytes.length - dataOff} != ${stride * h}")
+    var n = 0L; var sum = 0L; var topSum = 0L
+    val ch = new Array[Long](3)
+    var row = 0
+    while (row < h) {
+      val base = dataOff + row * stride
+      var i = 0
+      while (i < rowRaw) {
+        val v = bytes(base + i) & 0xff
+        n += 1; sum += v; ch(i % 3) += v
+        if (row == h - 1) topSum += v // last stored row = logical top
+        i += 1
+      }
+      row += 1
+    }
+    BmpOut(docId, w, h, stride, n, sum, ch(0), ch(1), ch(2), topSum)
+  }
+
   final case class PhashOut(doc_id: Long, width: Int, height: Int,
                             mean_u8: Int, c0: Long, c1: Long, c2: Long,
                             c3: Long, nbits: Int)

@@ -2424,6 +2424,15 @@ object PipelineQueries {
       Multimodal.ppmDecodeBatch(Tables.documents(s, dir)).toDF()
         .orderBy("doc_id")),
 
+    // third honest codec — uncompressed BI_RGB BMP: little-endian
+    // struct headers, BGR order, bottom-up rows, 4-byte row padding;
+    // the analytic oracle diverges if the walk folds a padding byte
+    // (channel phase shifts) or mis-orders the bottom-up rows
+    // (top_row_sum)
+    "mm_bmp_decode" -> ((s, dir) =>
+      Multimodal.bmpDecodeBatch(Tables.documents(s, dir)).toDF()
+        .orderBy("doc_id")),
+
     // perceptual average-hash over the honest P6 decode: 64 strided
     // payload samples thresholded at the image mean (integer
     // cross-multiplication, no float divide), shipped as four 16-bit
@@ -9041,6 +9050,35 @@ object PipelineQueries {
         |    k -> (doc_id*7 + k*13) % 256)) AS BIGINT) AS pix_sum,
         |  CAST(list_max(list_transform(range(0, w*h*3),
         |    k -> (doc_id*7 + k*13) % 256)) AS INT) AS pix_max
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // analytic replay of the BMP fixture parameters: payload byte k
+    // (padding EXCLUDED, stored bottom-up order) = (id*11 + k*19)%256,
+    // channel = k mod 3 (row bytes ≡ 0 mod 3, so the phase is global),
+    // logical top row = the LAST stored w*3 bytes — a padding or
+    // row-order bug in the engine's struct walk diverges here
+    "mm_bmp_decode" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |   3 + (octet_length(encode(text)) % 11) AS w,
+        |   1 + (doc_id % 5) AS h
+        | FROM documents)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(((w*3 + 3) // 4) * 4 AS INT) AS row_stride,
+        |  CAST(w*h*3 AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(0, w*h*3),
+        |    k -> (doc_id*11 + k*19) % 256)) AS BIGINT) AS pix_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h*3), k ->
+        |    CASE WHEN k % 3 = 0 THEN (doc_id*11 + k*19) % 256 ELSE 0 END))
+        |    AS BIGINT) AS b_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h*3), k ->
+        |    CASE WHEN k % 3 = 1 THEN (doc_id*11 + k*19) % 256 ELSE 0 END))
+        |    AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h*3), k ->
+        |    CASE WHEN k % 3 = 2 THEN (doc_id*11 + k*19) % 256 ELSE 0 END))
+        |    AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(range((h-1)*w*3, h*w*3),
+        |    k -> (doc_id*11 + k*19) % 256)) AS BIGINT) AS top_row_sum
         |FROM p ORDER BY doc_id""".stripMargin,
 
     // analytic aHash replay: same fixture formulas, bit i = sampled

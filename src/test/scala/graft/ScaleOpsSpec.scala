@@ -189,6 +189,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP parser walks the structs, skips row padding, inverts bottom-up order") {
+    val bmp = Multimodal.buildBmp(7L, 100)
+    val direct = Multimodal.parseBmp(7L, bmp)
+    val w = 3 + 100 % 11; val h = 1 + (7 % 5)
+    assert(direct.width == w && direct.height == h)
+    assert(direct.row_stride == ((w * 3 + 3) / 4) * 4)
+    assert(direct.n_bytes == w.toLong * h * 3,
+      "fold must exclude the stride padding bytes")
+    // analytic replay, channel phase and top-row window included
+    def byte(k: Int): Int = ((7L * 11 + k * 19) % 256).toInt
+    val np = w * h * 3
+    val vals = (0 until np).map(byte)
+    assert(direct.pix_sum == vals.map(_.toLong).sum)
+    for (c <- 0 until 3) {
+      val want = vals.zipWithIndex.collect { case (v, k) if k % 3 == c => v.toLong }.sum
+      val got = c match {
+        case 0 => direct.b_sum; case 1 => direct.g_sum; case _ => direct.r_sum
+      }
+      assert(got == want, s"channel $c sum diverged — padding folded into the phase?")
+    }
+    assert(direct.top_row_sum ==
+      ((h - 1) * w * 3 until np).map(byte(_).toLong).sum,
+      "logical top row must be the LAST stored row (bottom-up)")
+    // every pad residue 0..3 occurs across the w dial, and padded rows
+    // really carry pad bytes the parser must skip
+    assert((0 until 11).map(l => (3 + l % 11) * 3 % 4).toSet == Set(0, 1, 2, 3))
+    // malformed inputs throw instead of returning garbage
+    assertThrows[IllegalArgumentException] {
+      Multimodal.parseBmp(7L, "JUNKJUNKJUNKJUNK".getBytes) // wrong magic
+    }
+    assertThrows[IllegalArgumentException] {
+      Multimodal.parseBmp(7L, bmp.dropRight(1)) // truncated payload
+    }
+    val notRgb = bmp.clone() // flip biCompression to BI_RLE8
+    java.nio.ByteBuffer.wrap(notRgb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(30, 1)
+    assertThrows[IllegalArgumentException] { Multimodal.parseBmp(7L, notRgb) }
+  }
+
   test("phash bit i samples byte (i*n) div 64, thresholded strictly above the mean") {
     for (id <- Seq(0L, 7L, 123L); len <- Seq(0, 100, 499)) {
       val out = Multimodal.phash(id, Multimodal.buildPpm(id, len))
