@@ -1582,6 +1582,14 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // the budget selection at LANDING cadence: per-batch (source,
+    // qs_u4) histogram folds + a compact per-doc metadata store;
+    // emission re-derives the greedy cut from the bounded histogram
+    // and resolves the one crossing bucket per source exactly —
+    // converges to corpus_select_budget row for row (shared oracle)
+    "stream_select_budget" -> ((s, dir) =>
+      graft.streaming.EventStreams.budgetSelectIngest(s, dir)),
+
     // END-TO-END CAPSTONE: the whole ingest funnel in ONE plan —
     // raw → exact dedup → near-dup family collapse → quality gate →
     // per-source budget selection → eval decontamination →
@@ -8102,6 +8110,32 @@ object PipelineQueries {
     // same quality formula as text_quality, then a per-source
     // quality-ordered running-chars window replays the greedy budget
     "corpus_select_budget" ->
+      s"""WITH t AS (SELECT doc_id, text, source, $toks AS toks FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, length(text) AS n_chars, len(toks) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+         |      / length(text), 4) AS punct_ratio,
+         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, source, n_chars,
+         |    round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) AS qs
+         |  FROM r),
+         |w AS (
+         |  SELECT source, n_chars,
+         |    coalesce(sum(n_chars) OVER (PARTITION BY source
+         |      ORDER BY qs DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM q)
+         |SELECT source, count(*) AS n_candidates,
+         |  CAST(sum(CASE WHEN prior < 25000 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |  CAST(sum(CASE WHEN prior < 25000 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_selected
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the streaming member converges to the batch cut exactly, so the
+    // batch oracle applies verbatim (the stream==batch doctrine)
+    "stream_select_budget" ->
       s"""WITH t AS (SELECT doc_id, text, source, $toks AS toks FROM documents),
          |r AS (
          |  SELECT doc_id, source, length(text) AS n_chars, len(toks) AS n_tokens,

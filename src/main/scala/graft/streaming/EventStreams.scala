@@ -805,6 +805,118 @@ object EventStreams {
       .orderBy("source")
   }
 
+  /** Token-budget selection at LANDING cadence — corpus_select_budget's
+    * streaming member (VERDICT r16 item 7): the greedy per-source
+    * quality-prefix cut re-derived from FOLDED stores instead of a
+    * per-generation corpus recompute.
+    *
+    * The insight that makes the cut foldable: quality_score is
+    * round(·, 4), so scores live on the BOUNDED integer dial
+    * u4 ∈ [0, 10000] (round is injective and order-preserving onto
+    * it). Each landing batch therefore scores only its own docs
+    * (map-side) and folds TWO stores:
+    *   - the (source, qs_u4) → (n_docs, sum_chars) histogram — an
+    *     additive ledger (+compaction), ≤ |sources|·10001 rows of
+    *     state no matter the corpus;
+    *   - a compact per-doc quality-metadata table (doc_id, source,
+    *     qs_u4, n_chars — ~24 bytes/doc, never the text), O(Δ)
+    *     appends — the store a scoring pipeline persists anyway.
+    *
+    * Emission re-derives the cut WITHOUT rescanning the corpus: the
+    * per-source exclusive bucket prefix is a window over the bounded
+    * histogram; buckets with prefix+sum ≤ budget are fully selected by
+    * algebra; the single crossing bucket per source (prefix < budget <
+    * prefix+sum) is resolved EXACTLY by pulling just its docs from the
+    * metadata store (broadcast semi-join on ≤ |sources| bucket keys,
+    * then a TopK.perGroup prune to the ≤ budget docs that can still
+    * have prior < budget — each selected doc costs ≥ 1 char — so the
+    * within-bucket cumsum window runs over ≤ budget rows per source,
+    * a dial, not the corpus). Identical by construction to the batch
+    * key's (qs DESC, doc_id) running sum; the shared oracle and the
+    * StreamingSpec pin hold it to that row for row. */
+  def budgetSelectIngest(spark: SparkSession, sfDir: String,
+                         budget: Long = 25000L): DataFrame = {
+    val base = graft.sources.Scratch.dir("graft_budget_stream")
+    val (stage, ckpt) = (s"$base/stage", s"$base/ckpt")
+    val (histDir, metaDir) = (s"$base/hist", s"$base/meta")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val thr = genThreshold(docs)
+    val stageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val scored = graft.ops.TextAnalysis.quality(batch)
+            .join(batch.select("doc_id", "source"), "doc_id")
+            .select(col("doc_id"), col("source"),
+              round(col("quality_score") * 10000).cast("long").as("qs_u4"),
+              col("n_chars").cast("long").as("n_chars"))
+            .localCheckpoint(false) // histogram fold AND metadata append
+          ledgerAppend(scored.groupBy("source", "qs_u4")
+              .agg(count(lit(1)).as("n_docs"),
+                sum("n_chars").as("sum_chars")),
+            histDir, bid,
+            compact = Some(sumFold(Seq("source", "qs_u4"),
+              Seq("n_docs", "sum_chars"))))
+          scored.coalesce(4).write.mode("append").parquet(metaDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    stageGens(docs, thr, stage)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    val W = org.apache.spark.sql.expressions.Window
+    val hist = ledgerSums(spark, histDir, Seq("source", "qs_u4"),
+        Seq("n_docs", "sum_chars"))
+      .localCheckpoint(false) // prefix window, boundary pick, rollup
+    // per-source exclusive prefix over the BOUNDED histogram (≤
+    // |sources|·10001 rows — the dial-bounded-window doctrine)
+    val pref = hist.withColumn("p", coalesce(
+        sum("sum_chars").over(W.partitionBy("source")
+          .orderBy(col("qs_u4").desc)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(false) // full-bucket rollup AND boundary key
+    // prefix+sum ≤ budget ⇒ even the bucket's LAST doc has prior <
+    // budget ⇒ fully selected, by algebra alone
+    val fullAgg = pref.filter(col("p") + col("sum_chars") <= budget)
+      .groupBy("source").agg(sum("n_docs").as("fn"),
+        sum("sum_chars").as("fchars"))
+    // the one crossing bucket per source: prefix < budget < prefix+sum
+    val boundary = pref
+      .filter(col("p") < budget && col("p") + col("sum_chars") > budget)
+      .select("source", "qs_u4", "p")
+    val bDocs = spark.read.parquet(metaDir)
+      .join(broadcast(boundary), Seq("source", "qs_u4"))
+    // prune before the cumsum: a selected doc costs ≥ 1 char, so only
+    // the budget smallest doc_ids can still land under the line
+    val bSel = graft.ops.TopK.perGroup(bDocs, Seq(col("source")),
+        Seq(col("doc_id").asc), k = budget.toInt)
+      .withColumn("prior", col("p") + coalesce(
+        sum("n_chars").over(W.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prior") < budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("bn"), sum("n_chars").as("bchars"))
+    hist.groupBy("source").agg(sum("n_docs").as("n_candidates"))
+      .join(fullAgg, Seq("source"), "left")
+      .join(bSel, Seq("source"), "left")
+      .select(col("source"), col("n_candidates"),
+        (coalesce(col("fn"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+          .as("n_selected"),
+        (coalesce(col("fchars"), lit(0L)) + coalesce(col("bchars"), lit(0L)))
+          .as("chars_selected"))
+      .orderBy("source")
+  }
+
   /** DoReMi at LANDING cadence — the mixture-reweighting twin of
     * [[dsirIngest]], and the purest instance of the store-fold
     * doctrine: DoReMi's ONLY corpus-scale reduction is the integer

@@ -467,6 +467,19 @@ class StreamingSpec extends AnyFunSuite {
       "retrain flag is not the chi2 threshold test")
   }
 
+  test("streaming budget selection equals the batch greedy cut row for row") {
+    // stream==batch doctrine for the selection layer (VERDICT r16 item
+    // 7): the folded (source, qs_u4) histogram + boundary-bucket
+    // resolution must reproduce corpus_select_budget's per-source
+    // (qs DESC, doc_id) running-sum cut exactly
+    val streamed = SparkEntry.queries("stream_select_budget")(spark, sf)
+      .collect().map(_.toString)
+    val batch = SparkEntry.queries("corpus_select_budget")(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "folded-store budget cut diverged from the one-shot greedy prefix")
+  }
+
   test("ledger compaction: compacted == uncompacted == one-shot, dirs bounded") {
     // VERDICT r16 item 2 — at landing cadence (thousands of
     // micro-batches) an uncompacted ledger's emission fold is a
