@@ -57,12 +57,20 @@ object FunnelStore {
     *     gram store.
     * [[funnel]] consumes these for stage 0, the exact-dedup survivor
     * set, and the substring-survivor filter, so each landing
-    * generation re-derives only the remaining GLOBAL stages (CC family
-    * collapse, the frozen-classifier gate, budget, decontamination,
-    * split) — on 100 TB the per-landing bill for the foldable stages
-    * drops from O(store) to O(Δ). */
+    * generation re-derives only the remaining GLOBAL stages (the
+    * frozen-classifier gate, budget, decontamination, split) — on
+    * 100 TB the per-landing bill for the foldable stages drops from
+    * O(store) to O(Δ). `clusters` (VERDICT r16 item 3) lets the
+    * caller hand in an incrementally maintained family table
+    * ([[Cluster.incrementalClusters]] over its pair/cluster
+    * snapshots); the funnel then skips its own pair generation + CC
+    * entirely. The caller owns the equality obligation (the
+    * incremental table must equal the one-shot
+    * `dedupClusters(s2, pairsFromPostings(shingles(s2)))` — pinned in
+    * ClusterSpec/StreamingSpec). */
   final case class Folded(raw: DataFrame, winners: DataFrame,
-                          coverage: Option[DataFrame] = None)
+                          coverage: Option[DataFrame] = None,
+                          clusters: Option[DataFrame] = None)
 
   /** One generation's increment of the substring-coverage state — the
     * dedup_substring_incremental shape (history reduces ONCE) applied
@@ -286,13 +294,17 @@ object FunnelStore {
       .drop("dup_tokens")
       .localCheckpoint(false)
     probe("s1", s1); probe("s2", s2)
-    // near-dup collapse over the substring survivors, pairs from the
-    // hashed shingle store
-    val pairs = probeT("pairs")(Dedup.jaccardPairsFromPostings(
-      st.shingles.join(s2.select("doc_id"), "doc_id"))
-      .select("id1", "id2"))
-    val clusters = probeT("cc")(Cluster.dedupClusters(s2.select("doc_id"), pairs)
-      .localCheckpoint(false))
+    // near-dup collapse over the substring survivors — from the
+    // caller's incrementally maintained family table when folded
+    // carries one, else pairs from the hashed shingle store + CC
+    val clusters = folded.flatMap(_.clusters).map(_.localCheckpoint(false))
+      .getOrElse {
+        val pairs = probeT("pairs")(Dedup.jaccardPairsFromPostings(
+          st.shingles.join(s2.select("doc_id"), "doc_id"))
+          .select("id1", "id2"))
+        probeT("cc")(Cluster.dedupClusters(s2.select("doc_id"), pairs)
+          .localCheckpoint(false))
+      }
     probe("clusters", clusters)
     val s3 = s2.join(clusters.filter(col("doc_id") === col("cluster_id"))
         .select("doc_id"), "doc_id")

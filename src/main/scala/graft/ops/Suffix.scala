@@ -94,7 +94,7 @@ object Suffix {
       val key = (sc.applicationId, corpusKey)
       memo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
-          (e.pos, e.levels)
+          SharedArtifacts.noteHit(); (e.pos, e.levels)
         case _ =>
           val (pos, posId) = SharedArtifacts.checkpoint(positions(docs))
           val built = suffixRankLevels(pos, standardLevels)

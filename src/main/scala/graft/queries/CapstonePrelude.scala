@@ -43,7 +43,7 @@ private[queries] object CapstonePrelude {
         dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       memo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
-          (e.docs, e.s1)
+          SharedArtifacts.noteHit(); (e.docs, e.s1)
         case _ =>
           val (docs, dId) = SharedArtifacts.checkpoint(
             Tables.documents(s, dir).select("doc_id", "text", "source"))
@@ -73,7 +73,7 @@ private[queries] object CapstonePrelude {
         dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       clMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
-          e.cl
+          SharedArtifacts.noteHit(); e.cl
         case _ =>
           val (_, _, s2) = withSubstring(s, dir)
           val (cl, id) = SharedArtifacts.checkpoint(
@@ -104,7 +104,7 @@ private[queries] object CapstonePrelude {
         dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       clfMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
-          (e.audit, e.w)
+          SharedArtifacts.noteHit(); (e.audit, e.w)
         case _ =>
           val (audit0, w0) = graft.ops.QualityClf.train(
             Tables.documents(s, dir).select("doc_id", "text"))
@@ -128,7 +128,7 @@ private[queries] object CapstonePrelude {
         dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       subMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
-          (docs, s1, e.s2)
+          SharedArtifacts.noteHit(); (docs, s1, e.s2)
         case _ =>
           val sub = graft.ops.Suffix.dupSpanStats(
             s1.select("doc_id", "text"), spanLen = 16)

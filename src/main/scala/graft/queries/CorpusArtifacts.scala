@@ -45,7 +45,7 @@ private[queries] object CorpusArtifacts {
         dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       hnswMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
-          e.ix
+          SharedArtifacts.noteHit(); e.ix
         case _ =>
           val ix0 = graft.ops.Hnsw.build(Tables.embeddings(s, dir), m = 6,
             materializeUppers = true)
@@ -69,7 +69,7 @@ private[queries] object CorpusArtifacts {
         dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       pairMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
-          e.df
+          SharedArtifacts.noteHit(); e.df
         case _ =>
           val (df, id) = SharedArtifacts.checkpoint(
             Dedup.ngramJaccard(Tables.documents(s, dir),
@@ -89,7 +89,7 @@ private[queries] object CorpusArtifacts {
         dir + "@" + SharedArtifacts.corpusFingerprint(dir))
       clMemo.get(key) match {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
-          e.df
+          SharedArtifacts.noteHit(); e.df
         case _ =>
           val (df, id) = SharedArtifacts.checkpoint(
             Cluster.dedupClusters(Tables.documents(s, dir),

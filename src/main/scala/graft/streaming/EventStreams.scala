@@ -1198,41 +1198,93 @@ object EventStreams {
     // generation pays only its delta plus the affected-doc sweep)
     val (winSnap, covSnap, dupLedger) =
       (s"$base/winsnap", s"$base/covsnap", s"$base/dupledger")
+    val (pairSnap, clusSnap) = (s"$base/pairsnap", s"$base/clussnap")
     var gen = 0
     // the fold works compact integer/hash stores, not raw text — the
     // same state-volume-sized width the passes use (32-wide exchanges
     // across the funnel's ~30 small aggregate stages are pure task
     // overhead at this store size)
+    def foldProbe[A](n: String)(b: => A): A =
+      if (sys.env.contains("GRAFT_FUNNEL_PROBE")) {
+        val t0 = System.nanoTime(); val r = b
+        System.err.println(f"FOLDSTAGE $n ${(System.nanoTime() - t0) / 1e9}%.2f")
+        r
+      } else b
     def fold(): Unit = withStateParts(spark) {
       gen += 1
       val Seq(meta, sh, gr, fx) = dirs.map(spark.read.parquet(_))
-      val winners = spark.read.option("recursiveFileLookup", "true")
+      val winners = foldProbe("winners")(spark.read
+        .option("recursiveFileLookup", "true")
         .parquet(exactDir)
         .groupBy("norm_h").agg(min("doc_id").as("doc_id"))
-        .localCheckpoint(false) // increment + funnel + snapshot write
+        .localCheckpoint(false)) // increment + funnel + snapshot write
       val prev = Option.when(gen > 1)(gen - 1)
-      val (dupAdd, newCov) = graft.ops.FunnelStore.coverageIncrement(
-        gr, winners,
-        prev.map(g => spark.read.parquet(s"$winSnap/g$g")),
-        prev.map(g => spark.read.parquet(s"$covSnap/g$g")),
-        prev.map(_ => spark.read.option("recursiveFileLookup", "true")
-          .parquet(dupLedger)))
-      dupAdd.coalesce(4).write.mode("overwrite").parquet(s"$dupLedger/g$gen")
-      newCov.coalesce(4).write.mode("overwrite").parquet(s"$covSnap/g$gen")
-      winners.select("doc_id").coalesce(4)
-        .write.mode("overwrite").parquet(s"$winSnap/g$gen")
+      val (dupAdd, newCov) = foldProbe("covinc")(
+        graft.ops.FunnelStore.coverageIncrement(
+          gr, winners,
+          prev.map(g => spark.read.parquet(s"$winSnap/g$g")),
+          prev.map(g => spark.read.parquet(s"$covSnap/g$g")),
+          prev.map(_ => spark.read.option("recursiveFileLookup", "true")
+            .parquet(dupLedger))))
+      foldProbe("covwrite") {
+        dupAdd.coalesce(4).write.mode("overwrite").parquet(s"$dupLedger/g$gen")
+        newCov.coalesce(4).write.mode("overwrite").parquet(s"$covSnap/g$gen")
+        winners.select("doc_id").coalesce(4)
+          .write.mode("overwrite").parquet(s"$winSnap/g$gen")
+      }
+      // INCREMENTAL family collapse (VERDICT r16 item 3): recompute the
+      // substring-survivor set and its pair table (pairs must be
+      // re-derived in full — the DF cap is over the CURRENT survivor
+      // postings, and a doc leaving s2 can shrink a bucket under the
+      // cap, admitting old-old pairs no delta restriction would find),
+      // then re-run CC only on the families the landing shard touched;
+      // untouched families read from the previous generation's
+      // snapshot (Cluster.incrementalClusters). Same survivor formula
+      // as the funnel's s1→s2 chain, so the handed-in table is the
+      // funnel's own.
+      val cov = spark.read.parquet(s"$covSnap/g$gen")
+      val s2docs = meta.select("doc_id", "n_tokens")
+        .join(winners.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(cov, Seq("doc_id"), "left")
+        .filter(coalesce(col("dup_tokens"), lit(0L)) * 5 <= col("n_tokens"))
+        .select("doc_id")
+        .localCheckpoint(false) // pair postings AND both CC branches
+      val pairs = foldProbe("pairs")(graft.ops.Dedup.jaccardPairsFromPostings(
+          sh.join(s2docs, "doc_id"))
+        .select("id1", "id2")
+        .localCheckpoint(false)) // CC input AND the pair snapshot write
+      val clusters = foldProbe("cc")((prev match {
+        case None => graft.ops.Cluster.dedupClusters(s2docs, pairs)
+        case Some(g0) => graft.ops.Cluster.incrementalClusters(
+          s2docs, pairs,
+          spark.read.parquet(s"$clusSnap/g$g0"),
+          spark.read.parquet(s"$pairSnap/g$g0"))
+      }).localCheckpoint(false)) // funnel consumer AND the snapshot write
+      foldProbe("snapwrite") {
+        pairs.coalesce(4).write.mode("overwrite").parquet(s"$pairSnap/g$gen")
+        clusters.coalesce(4).write.mode("overwrite").parquet(s"$clusSnap/g$gen")
+      }
       graft.ops.FunnelStore
         .funnel(graft.ops.FunnelStore.Stores(meta, sh, gr, fx),
           folded = Some(graft.ops.FunnelStore.Folded(
             ledgerSums(spark, rawDir, Seq("source"),
               Seq("n_docs", "sum_chars")),
             winners,
-            Some(spark.read.parquet(s"$covSnap/g$gen")))))
+            Some(cov),
+            clusters = Some(clusters))))
         .write.mode("overwrite").parquet(acctDir)
     }
-    stageGens(docs, thr, stage)
-    promoteGen(stage, 1); pass(); fold()
-    promoteGen(stage, 2); pass(); fold()
+    // same env-gated dev probe as FunnelStore.funnel: attribute the
+    // key's wall time to stage/landing/fold phases
+    def phase[A](n: String)(b: => A): A =
+      if (sys.env.contains("GRAFT_FUNNEL_PROBE")) {
+        val t0 = System.nanoTime(); val r = b
+        System.err.println(f"PIPEPHASE $n ${(System.nanoTime() - t0) / 1e9}%.2f")
+        r
+      } else b
+    phase("stage")(stageGens(docs, thr, stage))
+    promoteGen(stage, 1); phase("pass1")(pass()); phase("fold1")(fold())
+    promoteGen(stage, 2); phase("pass2")(pass()); phase("fold2")(fold())
     spark.read.parquet(acctDir).orderBy("stage_idx")
   }
 
