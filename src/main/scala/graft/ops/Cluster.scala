@@ -124,15 +124,16 @@ object Cluster {
     val ps = pairs.select("id1", "id2").localCheckpoint(false)
     val leftDocs = prevClusters.select("doc_id")
       .join(cur, Seq("doc_id"), "left_anti")
-    val addedPairs = ps.join(prevPairs.select("id1", "id2"),
-      Seq("id1", "id2"), "left_anti")
-    val removedPairs = prevPairs.select("id1", "id2")
-      .join(ps, Seq("id1", "id2"), "left_anti")
+    // added ∪ removed pairs in ONE full-outer pass — a pair on exactly
+    // one side of the diff is a delta edge; its endpoints are touched
+    val pairDiff = ps.withColumn("in_cur", lit(1))
+      .join(prevPairs.select("id1", "id2").withColumn("in_prev", lit(1)),
+        Seq("id1", "id2"), "full_outer")
+      .filter(col("in_cur").isNull || col("in_prev").isNull)
+      .select("id1", "id2")
     val touchedDocs = leftDocs
-      .unionByName(addedPairs.select(col("id1").as("doc_id")))
-      .unionByName(addedPairs.select(col("id2").as("doc_id")))
-      .unionByName(removedPairs.select(col("id1").as("doc_id")))
-      .unionByName(removedPairs.select(col("id2").as("doc_id")))
+      .unionByName(pairDiff.select(col("id1").as("doc_id")))
+      .unionByName(pairDiff.select(col("id2").as("doc_id")))
       .distinct()
     val touchedFam = prevClusters
       .join(touchedDocs, Seq("doc_id"), "left_semi")
@@ -150,9 +151,11 @@ object Cluster {
     val rePairs = ps
       .join(reVerts.select(col("doc_id").as("id1")), Seq("id1"), "left_semi")
       .join(reVerts.select(col("doc_id").as("id2")), Seq("id2"), "left_semi")
+    // no survivor filter needed: an exited doc is in leftDocs, so its
+    // family is touched — every untouched family's members all survive
     val keep = prevClusters
       .join(touchedFam, Seq("cluster_id"), "left_anti")
-      .join(cur, Seq("doc_id"), "left_semi")
+      .select("doc_id", "cluster_id") // USING join fronts the key
     keep.unionByName(dedupClusters(reVerts, rePairs))
   }
 }
