@@ -1590,6 +1590,14 @@ object PipelineQueries {
     "stream_select_budget" -> ((s, dir) =>
       graft.streaming.EventStreams.budgetSelectIngest(s, dir)),
 
+    // the curriculum shard plan at LANDING cadence: per-batch global
+    // qu4 histogram folds + the per-doc metadata store; emission
+    // re-derives the equal-count shard cut by bucket-span algebra and
+    // resolves only the ≤ 7 boundary-straddling buckets per doc —
+    // converges to corpus_curriculum row for row (shared oracle)
+    "stream_curriculum_ingest" -> ((s, dir) =>
+      graft.streaming.EventStreams.curriculumIngest(s, dir)),
+
     // END-TO-END CAPSTONE: the whole ingest funnel in ONE plan —
     // raw → exact dedup → near-dup family collapse → quality gate →
     // per-source budget selection → eval decontamination →
@@ -9700,6 +9708,30 @@ object PipelineQueries {
     * stream_soft_weights (the posting-store fold re-runs the same
     * DF algebra, so the two keys provably emit identical rows —
     * StreamingSpec pins it engine-side too). */
+  // corpus_curriculum's full shard plan, shared verbatim with its
+  // landing-cadence member stream_curriculum_ingest (stream==batch
+  // convergence doctrine, as softWeightsSql below)
+  private lazy val curriculumSql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+       |r AS (SELECT doc_id, len(toks) AS n_tokens,
+       |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+       |      / length(text), 4) AS punct_ratio,
+       |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+       |  FROM t),
+       |sc AS (SELECT doc_id, n_tokens,
+       |    CAST(round(round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+       |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) * 10000)
+       |      AS BIGINT) AS qu4
+       |  FROM r),
+       |rk AS (SELECT doc_id, n_tokens, qu4,
+       |    row_number() OVER (ORDER BY qu4 DESC, doc_id) AS rnk FROM sc),
+       |n AS (SELECT count(*) AS n_total FROM sc)
+       |SELECT CAST(((rnk - 1) * 8) // n_total AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(min(qu4) AS BIGINT) AS min_qu4,
+       |  CAST(max(qu4) AS BIGINT) AS max_qu4
+       |FROM rk CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin
+
   private lazy val softWeightsSql: String =
     s"""WITH docs8 AS (
          |  SELECT doc_id, list_distinct(
@@ -10007,26 +10039,12 @@ object PipelineQueries {
     // corpus_quality_mix's qu4 derivation + one global rank + the
     // equal-count shard cut ((rnk−1)·8 // N — the text_len_deciles
     // bucket formula)
-    "corpus_curriculum" ->
-      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
-         |r AS (SELECT doc_id, len(toks) AS n_tokens,
-         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
-         |      / length(text), 4) AS punct_ratio,
-         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
-         |  FROM t),
-         |sc AS (SELECT doc_id, n_tokens,
-         |    CAST(round(round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
-         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) * 10000)
-         |      AS BIGINT) AS qu4
-         |  FROM r),
-         |rk AS (SELECT doc_id, n_tokens, qu4,
-         |    row_number() OVER (ORDER BY qu4 DESC, doc_id) AS rnk FROM sc),
-         |n AS (SELECT count(*) AS n_total FROM sc)
-         |SELECT CAST(((rnk - 1) * 8) // n_total AS BIGINT) AS shard,
-         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-         |  CAST(min(qu4) AS BIGINT) AS min_qu4,
-         |  CAST(max(qu4) AS BIGINT) AS max_qu4
-         |FROM rk CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_curriculum" -> curriculumSql,
+
+    // the landing-cadence histogram-fold re-derivation converges to
+    // the batch shard plan row for row — stream==batch doctrine,
+    // oracle verbatim
+    "stream_curriculum_ingest" -> curriculumSql,
 
     // the token-mass cut: same qu4 ordering, the shard boundary moves
     // to the prefix-summed token column — the oracle computes the

@@ -121,10 +121,14 @@ object EventStreams {
   /** Compact a [[ledgerAppend]] store: fold every raw batch entry
     * except the `keepRecent` newest — plus any existing snapshot —
     * into ONE snapshot partition (`$path/snap`), then drop the folded
-    * batch dirs. No-ops until the raw count passes 2·keepRecent, so
-    * landing cadence pays a fold every ~keepRecent batches, not every
-    * batch. The snapshot holds pre-folded rows in the entry schema, so
-    * every consumer's recursive read + merge law is unchanged.
+    * batch dirs. No-ops until the raw count passes 4·keepRecent, so
+    * landing cadence pays a fold every ~3·keepRecent batches, not every
+    * batch (the emission read stays bounded by snap + 4·keepRecent tiny
+    * dirs either way; the wider trigger just amortizes the fold jobs —
+    * r17: the 2·keepRecent trigger cost the short-run streaming keys
+    * 2-4 extra fold jobs each for no bound improvement). The snapshot
+    * holds pre-folded rows in the entry schema, so every consumer's
+    * recursive read + merge law is unchanged.
     *
     * The swap stages into an underscore-prefixed temp dir (hidden from Spark's
     * file lister, so a crashed compaction can never double-read) and
@@ -139,7 +143,7 @@ object EventStreams {
     val batches = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
       .sortBy(f => f.getName.drop(1).toLong)
-    if (batches.length > 2 * keepRecent) {
+    if (batches.length > 4 * keepRecent) {
       val toFold = batches.dropRight(keepRecent)
       val snapDir = new java.io.File(root, "snap")
       val srcs = toFold.map(_.getPath).toIndexedSeq ++
@@ -915,6 +919,115 @@ object EventStreams {
         (coalesce(col("fchars"), lit(0L)) + coalesce(col("bchars"), lit(0L)))
           .as("chars_selected"))
       .orderBy("source")
+  }
+
+  /** Curriculum shard plan at LANDING cadence — corpus_curriculum's
+    * streaming member (completing the selection layer's streaming
+    * column alongside [[budgetSelectIngest]]): the (quality DESC,
+    * doc_id) global rank cut into `nShards` equal-count shards,
+    * re-derived from FOLDED stores instead of a per-generation corpus
+    * recompute.
+    *
+    * Same bounded-dial insight as the budget member: quality_score is
+    * round(·, 4), so scores live on qu4 ∈ [0, 10000] and each landing
+    * batch folds a qu4 → (n_docs, sum_tokens) histogram ledger
+    * (+compaction; ≤ 10001 rows of state) plus a compact per-doc
+    * (doc_id, qu4, n_tokens) metadata append (~24 B/doc, never text).
+    *
+    * Emission re-derives the shard plan WITHOUT rescanning the corpus:
+    * a qu4 bucket occupies the contiguous 0-based rank span
+    * [p, p + n_docs) where p is the bucket's exclusive doc-count
+    * prefix (one window over the bounded histogram). A bucket whose
+    * span lands inside one shard contributes (n_docs, sum_tokens,
+    * qu4) to that shard by pure algebra; only the ≤ nShards−1 buckets
+    * STRADDLING a shard boundary need per-doc resolution — their docs
+    * come from the metadata store (broadcast semi-join on the bucket
+    * keys) and get within-bucket ranks from the two-level
+    * [[graft.ops.Rank.perGroupRunningSum]] (count rank over doc_id —
+    * no single-task sort even in the degenerate all-one-quality
+    * corpus, where one bucket IS the corpus). Identical by
+    * construction to the batch key's rank-then-bucket plan; the shared
+    * oracle and a StreamingSpec pin hold it row for row. */
+  def curriculumIngest(spark: SparkSession, sfDir: String,
+                       nShards: Int = 8): DataFrame = {
+    val base = graft.sources.Scratch.dir("graft_curr_stream")
+    val (stage, ckpt) = (s"$base/stage", s"$base/ckpt")
+    val (histDir, metaDir) = (s"$base/hist", s"$base/meta")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val thr = genThreshold(docs)
+    val stageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val scored = graft.ops.TextAnalysis.quality(batch)
+            .select(col("doc_id"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              round(col("quality_score") * 10000).cast("long").as("qu4"))
+            .localCheckpoint(false) // histogram fold AND metadata append
+          ledgerAppend(scored.groupBy("qu4")
+              .agg(count(lit(1)).as("n_docs"),
+                sum("n_tokens").as("sum_tokens")),
+            histDir, bid,
+            compact = Some(sumFold(Seq("qu4"),
+              Seq("n_docs", "sum_tokens"))))
+          scored.coalesce(4).write.mode("append").parquet(metaDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    stageGens(docs, thr, stage)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    val W = org.apache.spark.sql.expressions.Window
+    val hist = ledgerSums(spark, histDir, Seq("qu4"),
+        Seq("n_docs", "sum_tokens"))
+      .localCheckpoint(false) // prefix window AND the total
+    val tot = hist.agg(sum("n_docs").cast("long").as("n_total"))
+    // exclusive doc-count prefix over the BOUNDED dial (≤ 10001 rows —
+    // the dial-bounded-window doctrine)
+    val pref = graft.ops.Scalars.withScalar(
+        hist.withColumn("p", coalesce(
+          sum("n_docs").over(W.orderBy(col("qu4").desc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L))),
+        col("qu4"), tot, col("n_total"))
+      .withColumn("s_first", expr(s"(p * $nShards) div n_total"))
+      .withColumn("s_last",
+        expr(s"((p + n_docs - 1) * $nShards) div n_total"))
+      .localCheckpoint(false) // whole-bucket algebra AND crossing keys
+    val whole = pref.filter(col("s_first") === col("s_last"))
+      .groupBy(col("s_first").as("shard"))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_tokens").as("sum_tokens"),
+        min("qu4").as("min_qu4"), max("qu4").as("max_qu4"))
+    val crossKeys = pref.filter(col("s_first") =!= col("s_last"))
+      .select("qu4", "p") // ≤ nShards − 1 rows
+    val cDocs = spark.read.parquet(metaDir)
+      .join(broadcast(crossKeys), "qu4")
+    // within-bucket 0-based count rank by doc_id, decomposed (the
+    // degenerate single-bucket corpus must not single-task sort)
+    val ranked = graft.ops.Rank.perGroupRunningSum(
+      cDocs.withColumn("one", lit(1L)), "qu4", "one",
+      Seq(col("doc_id").asc), priorName = "rk0")
+    val crossAgg = graft.ops.Scalars.withScalar(
+        ranked, col("doc_id"), tot, col("n_total"))
+      .withColumn("shard", expr(s"((p + rk0) * $nShards) div n_total"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("qu4").as("min_qu4"), max("qu4").as("max_qu4"))
+    whole.unionByName(crossAgg)
+      .groupBy("shard")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("sum_tokens").cast("long").as("sum_tokens"),
+        min("min_qu4").as("min_qu4"), max("max_qu4").as("max_qu4"))
+      .orderBy("shard")
   }
 
   /** DoReMi at LANDING cadence — the mixture-reweighting twin of

@@ -480,6 +480,21 @@ class StreamingSpec extends AnyFunSuite {
       "folded-store budget cut diverged from the one-shot greedy prefix")
   }
 
+  test("streaming curriculum equals the batch shard plan row for row") {
+    // stream==batch doctrine for the selection layer's second member:
+    // the folded qu4 histogram (whole buckets by rank-span algebra,
+    // boundary-straddling buckets resolved per doc through the
+    // two-level count rank) must reproduce corpus_curriculum's
+    // rank-then-bucket shard table exactly — n_docs, token mass, AND
+    // the monotone quality envelope
+    val streamed = SparkEntry.queries("stream_curriculum_ingest")(spark, sf)
+      .collect().map(_.toString)
+    val batch = SparkEntry.queries("corpus_curriculum")(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "folded-store shard plan diverged from the one-shot global rank")
+  }
+
   test("ledger compaction: compacted == uncompacted == one-shot, dirs bounded") {
     // VERDICT r16 item 2 — at landing cadence (thousands of
     // micro-batches) an uncompacted ledger's emission fold is a
@@ -492,7 +507,7 @@ class StreamingSpec extends AnyFunSuite {
     val base = graft.sources.Scratch.dir("graft_ledger_spec")
     val (cPath, uPath) = (s"$base/compacted", s"$base/plain")
     val keep = EventStreams.LedgerKeepRecent
-    val nBatches = 3 * keep // enough appends to trigger >= 1 compaction
+    val nBatches = 5 * keep // enough appends to trigger >= 1 compaction
     def entry(bid: Long) = Seq(
       ("web", 10L + bid), ("books", 2L * bid), ("code", 7L))
       .toDF("source", "n_docs")
@@ -513,7 +528,7 @@ class StreamingSpec extends AnyFunSuite {
     // threshold, and a snapshot exists once the threshold was crossed
     val names = new java.io.File(cPath).listFiles().map(_.getName)
     val raw = names.count(_.matches("b\\d+"))
-    assert(raw <= 2 * keep, s"raw ledger dirs unbounded: $raw")
+    assert(raw <= 4 * keep, s"raw ledger dirs unbounded: $raw")
     assert(names.contains("snap"), "no snapshot after crossing the threshold")
     assert(new java.io.File(uPath).listFiles()
       .count(_.getName.matches("b\\d+")) == nBatches)
