@@ -1598,6 +1598,13 @@ object PipelineQueries {
     "stream_curriculum_ingest" -> ((s, dir) =>
       graft.streaming.EventStreams.curriculumIngest(s, dir)),
 
+    // the token-mass cut at LANDING cadence: same folded stores, the
+    // emission cut moves to the bucket TOKEN spans; boundary buckets
+    // resolve per doc through the two-level token prefix — converges
+    // to corpus_curriculum_tokens row for row (shared oracle)
+    "stream_curriculum_tokens" -> ((s, dir) =>
+      graft.streaming.EventStreams.curriculumTokensIngest(s, dir)),
+
     // END-TO-END CAPSTONE: the whole ingest funnel in ONE plan —
     // raw → exact dedup → near-dup family collapse → quality gate →
     // per-source budget selection → eval decontamination →
@@ -9732,6 +9739,33 @@ object PipelineQueries {
        |  CAST(max(qu4) AS BIGINT) AS max_qu4
        |FROM rk CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // corpus_curriculum_tokens' token-mass shard plan, shared verbatim
+  // with its landing-cadence member stream_curriculum_tokens
+  private lazy val curriculumTokensSql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+       |r AS (SELECT doc_id, len(toks) AS n_tokens,
+       |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+       |      / length(text), 4) AS punct_ratio,
+       |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
+       |  FROM t),
+       |sc AS (SELECT doc_id, n_tokens,
+       |    CAST(round(round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
+       |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) * 10000)
+       |      AS BIGINT) AS qu4
+       |  FROM r),
+       |rk AS (SELECT doc_id, n_tokens, qu4,
+       |    row_number() OVER (ORDER BY qu4 DESC, doc_id) AS rnk FROM sc),
+       |c AS (SELECT doc_id, n_tokens, qu4,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY rnk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM rk),
+       |n AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM sc)
+       |SELECT CAST((cb * 8) // tot AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(min(qu4) AS BIGINT) AS min_qu4,
+       |  CAST(max(qu4) AS BIGINT) AS max_qu4
+       |FROM c CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin
+
   private lazy val softWeightsSql: String =
     s"""WITH docs8 AS (
          |  SELECT doc_id, list_distinct(
@@ -10049,30 +10083,13 @@ object PipelineQueries {
     // the token-mass cut: same qu4 ordering, the shard boundary moves
     // to the prefix-summed token column — the oracle computes the
     // global cumsum with the single window the engine decomposes
-    "corpus_curriculum_tokens" ->
-      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
-         |r AS (SELECT doc_id, len(toks) AS n_tokens,
-         |    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
-         |      / length(text), 4) AS punct_ratio,
-         |    round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_ratio
-         |  FROM t),
-         |sc AS (SELECT doc_id, n_tokens,
-         |    CAST(round(round(greatest(0.0, 1.0 - punct_ratio - dup_ratio*0.4
-         |      - CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 4) * 10000)
-         |      AS BIGINT) AS qu4
-         |  FROM r),
-         |rk AS (SELECT doc_id, n_tokens, qu4,
-         |    row_number() OVER (ORDER BY qu4 DESC, doc_id) AS rnk FROM sc),
-         |c AS (SELECT doc_id, n_tokens, qu4,
-         |    coalesce(sum(n_tokens) OVER (ORDER BY rnk
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-         |  FROM rk),
-         |n AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM sc)
-         |SELECT CAST((cb * 8) // tot AS BIGINT) AS shard,
-         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-         |  CAST(min(qu4) AS BIGINT) AS min_qu4,
-         |  CAST(max(qu4) AS BIGINT) AS max_qu4
-         |FROM c CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_curriculum_tokens" -> curriculumTokensSql,
+
+    // the landing-cadence token-mass member: the folded histogram's
+    // token-span algebra + per-doc boundary resolution converges to
+    // the batch cut row for row — stream==batch doctrine, oracle
+    // verbatim
+    "stream_curriculum_tokens" -> curriculumTokensSql,
 
     // corpus_curriculum_tokens' rank + single-window cumsum CTEs, then
     // the within-shard bin restart and the half-up u4 fill factor —

@@ -1030,6 +1030,104 @@ object EventStreams {
       .orderBy("shard")
   }
 
+  /** TOKEN-MASS curriculum at LANDING cadence —
+    * corpus_curriculum_tokens' streaming member, completing the
+    * selection layer's streaming column (budget / equal-count
+    * curriculum / equal-token curriculum). Same two folded stores as
+    * [[curriculumIngest]]; only the emission cut moves: a qu4 bucket
+    * occupies the contiguous TOKEN span [tp, tp + sum_tokens) where tp
+    * is its exclusive token prefix, a doc's shard is
+    * (cum_before · nShards) div total_tokens, and a bucket whose whole
+    * span (endpoint INCLUSIVE — a trailing zero-token doc's cum_before
+    * can equal tp + sum_tokens, so the conservative test keeps it on
+    * the per-doc path) lands in one shard contributes by algebra.
+    * Boundary-straddling buckets resolve per doc with the two-level
+    * [[graft.ops.Rank.perGroupRunningSum]] on n_tokens (the prior IS
+    * the within-bucket token prefix), so cum_before = tp + prior
+    * reproduces the batch key's global cumsum exactly — no single-task
+    * sort even in the one-bucket corpus. Shared oracle + StreamingSpec
+    * pin hold it to corpus_curriculum_tokens row for row. */
+  def curriculumTokensIngest(spark: SparkSession, sfDir: String,
+                             nShards: Int = 8): DataFrame = {
+    val base = graft.sources.Scratch.dir("graft_currtok_stream")
+    val (stage, ckpt) = (s"$base/stage", s"$base/ckpt")
+    val (histDir, metaDir) = (s"$base/hist", s"$base/meta")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val thr = genThreshold(docs)
+    val stageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def pass(): Unit = withStateParts(spark) {
+      val q = spark.readStream.schema(stageSchema)
+        .option("recursiveFileLookup", "true").parquet(stage)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val scored = graft.ops.TextAnalysis.quality(batch)
+            .select(col("doc_id"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              round(col("quality_score") * 10000).cast("long").as("qu4"))
+            .localCheckpoint(false) // histogram fold AND metadata append
+          ledgerAppend(scored.groupBy("qu4")
+              .agg(count(lit(1)).as("n_docs"),
+                sum("n_tokens").as("sum_tokens")),
+            histDir, bid,
+            compact = Some(sumFold(Seq("qu4"),
+              Seq("n_docs", "sum_tokens"))))
+          scored.coalesce(4).write.mode("append").parquet(metaDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    stageGens(docs, thr, stage)
+    promoteGen(stage, 1); pass()
+    promoteGen(stage, 2); pass()
+    val W = org.apache.spark.sql.expressions.Window
+    val hist = ledgerSums(spark, histDir, Seq("qu4"),
+        Seq("n_docs", "sum_tokens"))
+      .localCheckpoint(false) // prefix window AND the total
+    val tot = hist.agg(sum("sum_tokens").cast("long").as("tot_tokens"))
+    // exclusive TOKEN prefix over the BOUNDED dial (≤ 10001 rows)
+    val pref = graft.ops.Scalars.withScalar(
+        hist.withColumn("tp", coalesce(
+          sum("sum_tokens").over(W.orderBy(col("qu4").desc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L))),
+        col("qu4"), tot, col("tot_tokens"))
+      .withColumn("s_first", expr(s"(tp * $nShards) div tot_tokens"))
+      .withColumn("s_last",
+        expr(s"((tp + sum_tokens) * $nShards) div tot_tokens"))
+      .localCheckpoint(false) // whole-bucket algebra AND crossing keys
+    val whole = pref.filter(col("s_first") === col("s_last"))
+      .groupBy(col("s_first").as("shard"))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_tokens").as("sum_tokens"),
+        min("qu4").as("min_qu4"), max("qu4").as("max_qu4"))
+    val crossKeys = pref.filter(col("s_first") =!= col("s_last"))
+      .select("qu4", "tp") // ≤ nShards + a few boundary-tangent rows
+    val cDocs = spark.read.parquet(metaDir)
+      .join(broadcast(crossKeys), "qu4")
+    // within-bucket exclusive token prefix by doc_id, decomposed
+    val ranked = graft.ops.Rank.perGroupRunningSum(
+      cDocs, "qu4", "n_tokens", Seq(col("doc_id").asc),
+      priorName = "tprior")
+    val crossAgg = graft.ops.Scalars.withScalar(
+        ranked, col("doc_id"), tot, col("tot_tokens"))
+      .withColumn("shard",
+        expr(s"((tp + tprior) * $nShards) div tot_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("qu4").as("min_qu4"), max("qu4").as("max_qu4"))
+    whole.unionByName(crossAgg)
+      .groupBy("shard")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("sum_tokens").cast("long").as("sum_tokens"),
+        min("min_qu4").as("min_qu4"), max("max_qu4").as("max_qu4"))
+      .orderBy("shard")
+  }
+
   /** DoReMi at LANDING cadence — the mixture-reweighting twin of
     * [[dsirIngest]], and the purest instance of the store-fold
     * doctrine: DoReMi's ONLY corpus-scale reduction is the integer

@@ -495,6 +495,20 @@ class StreamingSpec extends AnyFunSuite {
       "folded-store shard plan diverged from the one-shot global rank")
   }
 
+  test("streaming token-mass curriculum equals the batch cut row for row") {
+    // the selection layer's third streaming member: the same folded
+    // histogram, the cut moved to bucket TOKEN spans — whole buckets
+    // by span algebra (endpoint inclusive, so a trailing zero-token
+    // doc can never straddle silently), boundary buckets per doc via
+    // the two-level token prefix
+    val streamed = SparkEntry.queries("stream_curriculum_tokens")(spark, sf)
+      .collect().map(_.toString)
+    val batch = SparkEntry.queries("corpus_curriculum_tokens")(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "folded-store token cut diverged from the one-shot global cumsum")
+  }
+
   test("ledger compaction: compacted == uncompacted == one-shot, dirs bounded") {
     // VERDICT r16 item 2 — at landing cadence (thousands of
     // micro-batches) an uncompacted ledger's emission fold is a
