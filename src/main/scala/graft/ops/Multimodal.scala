@@ -534,11 +534,16 @@ object Multimodal {
     * buckets on the synthetic corpus stay ≤ ~2·10⁻² of the corpus
     * (max 81 of 5000 docs at sf0.1, candidate volume ~2·10⁵), so the
     * join is skew-safe without salting. */
-  def phashPairs(docs: DataFrame): DataFrame = {
-    val h = phashBatch(docs).toDF()
-      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"))
-    phashChunkPairs(h, rightFilter = lit(true))
-  }
+  def phashPairs(docs: DataFrame): DataFrame =
+    phashPairsFromSigs(phashBatch(docs).toDF()
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3")))
+
+  /** [[phashPairs]] over an ALREADY-COMPUTED signature table (doc_id,
+    * c0..c3) — the store-fed entry point, so the family's keys share
+    * one decode+hash pass (the CorpusArtifacts memo) instead of
+    * re-walking every image container per key. */
+  def phashPairsFromSigs(sigs: DataFrame): DataFrame =
+    phashChunkPairs(sigs, rightFilter = lit(true))
 
   /** Incremental perceptual-hash dedup — the phash STORE cadence: the
     * old corpus's 4-chunk signatures (32 bytes/doc) persist in a
@@ -548,13 +553,19 @@ object Multimodal {
     * is the SHARD's chunks, so old-old pairs never become candidates
     * and history's raw media is never re-read. `isNew` marks the
     * shard by doc_id. */
-  def phashIncremental(docs: DataFrame, isNew: Column => Column): DataFrame = {
-    val spark = docs.sparkSession
+  def phashIncremental(docs: DataFrame, isNew: Column => Column): DataFrame =
+    phashIncrementalFromSigs(phashBatch(docs).toDF()
+      .select("doc_id", "c0", "c1", "c2", "c3"), isNew)
+
+  /** [[phashIncremental]] over an already-computed signature table —
+    * the hash is per-row, so slicing a shared table by the shard
+    * predicate is byte-identical to hashing each slice separately. */
+  def phashIncrementalFromSigs(sigs: DataFrame,
+                               isNew: Column => Column): DataFrame = {
+    val spark = sigs.sparkSession
     val store = graft.sources.Scratch.dir("graft_phash_store_")
-    def sig(d: DataFrame) = phashBatch(d).toDF()
-      .select("doc_id", "c0", "c1", "c2", "c3")
-    sig(docs.filter(!isNew(col("doc_id")))).write.parquet(s"$store/v0")
-    sig(docs.filter(isNew(col("doc_id")))).write.parquet(s"$store/v1")
+    sigs.filter(!isNew(col("doc_id"))).write.parquet(s"$store/v0")
+    sigs.filter(isNew(col("doc_id"))).write.parquet(s"$store/v1")
     phashChunkPairs(spark.read.parquet(s"$store/v0", s"$store/v1"),
       rightFilter = isNew(col("doc_id")))
   }

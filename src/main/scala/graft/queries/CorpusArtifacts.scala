@@ -99,4 +99,107 @@ private[queries] object CorpusArtifacts {
           df
       }
     }
+
+  /** Generic one-table memo body shared by the r17 artifact additions:
+    * build → sweep-exempt checkpoint → eager materialize → serve, with
+    * the standard liveness re-check. */
+  private def memoized(memo: scala.collection.concurrent.TrieMap[(String, String), Entry],
+                       s: SparkSession, dir: String)
+                      (build: => DataFrame): DataFrame =
+    synchronized {
+      val sc = s.sparkContext
+      val key = (sc.applicationId,
+        dir + "@" + SharedArtifacts.corpusFingerprint(dir))
+      memo.get(key) match {
+        case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
+          SharedArtifacts.noteHit(); e.df
+        case _ =>
+          val (df, id) = SharedArtifacts.checkpoint(build)
+          df.count()
+          memo(key) = Entry(df, Seq(id))
+          df
+      }
+    }
+
+  private val phashSigMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Entry]
+  private val phashPairMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Entry]
+  private val semAsgMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Entry]
+  private val semPairMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Entry]
+  private val semRootMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Entry]
+
+  /** The full-corpus perceptual-hash signature table —
+    * `Multimodal.phashBatch(documents)` with every output column. Four
+    * keys (mm_phash, mm_phash_dedup, mm_phash_families,
+    * mm_phash_incremental) each re-ran the identical image decode +
+    * aHash walk over the whole corpus; the hash is per-row
+    * deterministic, so one shared pass is byte-identical per consumer
+    * (r17 — the decode is the family's dominant per-key cost). */
+  def phashSigs(s: SparkSession, dir: String): DataFrame =
+    memoized(phashSigMemo, s, dir)(
+      graft.ops.Multimodal.phashBatch(Tables.documents(s, dir)).toDF())
+
+  /** Verified radius-3 pigeonhole pairs over [[phashSigs]] — shared by
+    * mm_phash_dedup (emits them) and mm_phash_families (CC over them):
+    * the byte-identical `Multimodal.phashPairs(documents)` output. */
+  def phashNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(phashPairMemo, s, dir)(
+      graft.ops.Multimodal.phashPairsFromSigs(phashSigs(s, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("c0"),
+          org.apache.spark.sql.functions.col("c1"),
+          org.apache.spark.sql.functions.col("c2"),
+          org.apache.spark.sql.functions.col("c3"))))
+
+  /** The semantic-dedup coarse assignment — `Similarity.ivfAssignWithSim`
+    * on the √n-cell dial (vec_id, v, nrm, cell, cos_u4). `cell` equals
+    * `ivfAssign`'s choice by the documented max-tie identity, so
+    * dedup_semantic / dedup_semantic_sweep (which only need
+    * vec_id/v/nrm/cell) and emb_d4_prune (which also ranks on cos_u4)
+    * all read this one table; three keys each re-trained the identical
+    * quantizer and re-assigned the identical corpus before r17. */
+  def semAssigned(s: SparkSession, dir: String): DataFrame =
+    memoized(semAsgMemo, s, dir) {
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.Similarity.ivfAssignWithSim(emb,
+        cells = graft.ops.Similarity.semCells(emb), lloydIters = 1)
+    }
+
+  /** In-cell near-dup candidate pairs over [[semAssigned]] at the
+    * LOOSEST threshold any consumer uses (cos ≥ 0.30): (cell, id1,
+    * id2, cos). Consumers filter `cos >= t` — the stored cosine is the
+    * same double expression each key computed inline, so the filtered
+    * row-set is byte-identical per threshold. */
+  def semPairs30(s: SparkSession, dir: String): DataFrame =
+    memoized(semPairMemo, s, dir) {
+      import org.apache.spark.sql.functions._
+      val assigned = semAssigned(s, dir)
+      val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+        col("v").as("v1"), col("nrm").as("nrm1"))
+      val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+        col("v").as("v2"), col("nrm").as("nrm2"))
+      a.join(b, Seq("cell"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("cos",
+          Dedup.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
+        .filter(col("cos") >= 0.30)
+        .select(col("cell"), col("id1"), col("id2"), col("cos"))
+    }
+
+  /** Converged CC roots at the family's canonical 0.35 threshold —
+    * (doc_id, cluster_id) over [[semPairs30]] filtered to cos ≥ 0.35.
+    * Shared by dedup_semantic, dedup_semantic_sweep's middle rung and
+    * emb_d4_prune (all three ran the identical collapse). */
+  def semRoots35(s: SparkSession, dir: String): DataFrame =
+    memoized(semRootMemo, s, dir) {
+      import org.apache.spark.sql.functions._
+      Cluster.dedupClusters(
+        semAssigned(s, dir).select(col("vec_id").as("doc_id")),
+        semPairs30(s, dir).filter(col("cos") >= 0.35)
+          .select("id1", "id2"))
+    }
 }

@@ -459,28 +459,19 @@ object PipelineQueries {
     // non-increasing as the threshold tightens (DedupSpec pin)
     "dedup_semantic_sweep" -> ((s, dir) => {
       val thresholds = Seq(30L, 35L, 40L)
-      val emb = Tables.embeddings(s, dir)
-      val assigned = Similarity.ivfAssign(emb,
-          cells = Similarity.semCells(emb), lloydIters = 1)
-        .select("vec_id", "v", "nrm", "cell")
-        .localCheckpoint(false)
-      val a = assigned.select(col("cell"), col("vec_id").as("id1"),
-        col("v").as("v1"), col("nrm").as("nrm1"))
-      val b = assigned.select(col("cell"), col("vec_id").as("id2"),
-        col("v").as("v2"), col("nrm").as("nrm2"))
-      val pairs = a.join(b, Seq("cell"))
-        .filter(col("id1") < col("id2"))
-        .withColumn("cos",
-          Dedup.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
-        .filter(col("cos") >= 0.30)
-        .select("id1", "id2", "cos")
-        .localCheckpoint(false) // filtered per threshold, 3 consumers
-      val ids = assigned.select("vec_id").localCheckpoint(false)
+      // shared family artifacts (r17): one quantizer train + assignment
+      // + in-cell pair pass at the loosest threshold serves this key,
+      // dedup_semantic and emb_d4_prune; the 0.35 rung's CC roots are
+      // the family's canonical collapse, also shared
+      val pairs = CorpusArtifacts.semPairs30(s, dir)
+      val ids = CorpusArtifacts.semAssigned(s, dir).select("vec_id")
       thresholds.map { t =>
         val p = pairs.filter(col("cos") >= t.toDouble / 100.0)
           .select("id1", "id2")
-        val roots = graft.ops.Cluster.dedupClusters(
-          ids.select(col("vec_id").as("doc_id")), p)
+        val roots =
+          if (t == 35L) CorpusArtifacts.semRoots35(s, dir)
+          else graft.ops.Cluster.dedupClusters(
+            ids.select(col("vec_id").as("doc_id")), p)
         graft.ops.Scalars.withScalar(
             p.agg(count(lit(1)).as("n_pairs")), col("n_pairs"),
             roots.agg(sum(when(col("doc_id") === col("cluster_id"), 0L)
@@ -490,23 +481,11 @@ object PipelineQueries {
     }),
 
     "dedup_semantic" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val assigned = Similarity.ivfAssign(emb,
-          cells = Similarity.semCells(emb), lloydIters = 1)
-        .select("vec_id", "v", "nrm", "cell")
-        .localCheckpoint(false) // both pair-join sides AND the rollup
-      val a = assigned.select(col("cell"), col("vec_id").as("id1"),
-        col("v").as("v1"), col("nrm").as("nrm1"))
-      val b = assigned.select(col("cell"), col("vec_id").as("id2"),
-        col("v").as("v2"), col("nrm").as("nrm2"))
-      val pairs = a.join(b, Seq("cell"))
-        .filter(col("id1") < col("id2"))
-        .filter(Dedup.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))
-          >= 0.35)
+      val assigned = CorpusArtifacts.semAssigned(s, dir)
+      val pairs = CorpusArtifacts.semPairs30(s, dir)
+        .filter(col("cos") >= 0.35)
         .select("cell", "id1", "id2")
-        .localCheckpoint(false) // feeds the CC AND the per-cell counts
-      val roots = graft.ops.Cluster.dedupClusters(
-          assigned.select(col("vec_id").as("doc_id")), pairs)
+      val roots = CorpusArtifacts.semRoots35(s, dir)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
       val stats = assigned.join(roots, "vec_id")
         .groupBy("cell")
@@ -2461,14 +2440,13 @@ object PipelineQueries {
     // cross-multiplication, no float divide), shipped as four 16-bit
     // chunk columns for the pigeonhole pairing below
     "mm_phash" -> ((s, dir) =>
-      Multimodal.phashBatch(Tables.documents(s, dir)).toDF()
-        .orderBy("doc_id")),
+      CorpusArtifacts.phashSigs(s, dir).orderBy("doc_id")),
 
     // image near-dup pairs at hamming ≤ 3: chunk-blocked equi-join
     // (the simhashPairs shape in the image domain), hamming scored per
     // 16-bit chunk so both engines stay in non-negative integers
     "mm_phash_dedup" -> ((s, dir) =>
-      Multimodal.phashPairs(Tables.documents(s, dir))
+      CorpusArtifacts.phashNearDupPairs(s, dir)
         .orderBy("id1", "id2")),
 
     // image duplicate FAMILIES: connected components over the
@@ -2477,7 +2455,7 @@ object PipelineQueries {
     // histogram — the multimodal sibling of dedup_family_sizes
     "mm_phash_families" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Cluster.dedupClusters(docs, Multimodal.phashPairs(docs))
+      Cluster.dedupClusters(docs, CorpusArtifacts.phashNearDupPairs(s, dir))
         .groupBy("cluster_id").agg(count(lit(1)).as("family_size"))
         .groupBy("family_size").agg(count(lit(1)).as("n_families"))
         .select(col("family_size"), col("n_families"),
@@ -2492,7 +2470,10 @@ object PipelineQueries {
     "mm_phash_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val thr = 3 * (docs.agg(max("doc_id")).head().getLong(0) + 1) / 4
-      Multimodal.phashIncremental(docs, _ >= thr)
+      Multimodal.phashIncrementalFromSigs(
+          CorpusArtifacts.phashSigs(s, dir)
+            .select("doc_id", "c0", "c1", "c2", "c3"),
+          _ >= thr)
         .orderBy("id1", "id2")
     }),
 
@@ -4155,21 +4136,11 @@ object PipelineQueries {
     // cell-bounded, never global. Per cell: n_vecs, n_semdup_pruned,
     // n_surv, n_proto_pruned, n_kept.
     "emb_d4_prune" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val assigned = Similarity.ivfAssignWithSim(emb,
-          cells = Similarity.semCells(emb), lloydIters = 1)
-        .localCheckpoint(false) // pair sides + survivor rank + rollup
-      val a = assigned.select(col("cell"), col("vec_id").as("id1"),
-        col("v").as("v1"), col("nrm").as("nrm1"))
-      val b = assigned.select(col("cell"), col("vec_id").as("id2"),
-        col("v").as("v2"), col("nrm").as("nrm2"))
-      val pairs = a.join(b, Seq("cell"))
-        .filter(col("id1") < col("id2"))
-        .filter(Dedup.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))
-          >= 0.35)
-        .select("cell", "id1", "id2")
-      val roots = Cluster.dedupClusters(
-          assigned.select(col("vec_id").as("doc_id")), pairs)
+      // shared family artifacts (r17): assignment (with the cos_u4
+      // prototypicality column this key ranks on) and the 0.35 CC
+      // roots are the same tables dedup_semantic collapses on
+      val assigned = CorpusArtifacts.semAssigned(s, dir)
+      val roots = CorpusArtifacts.semRoots35(s, dir)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
       val surv = assigned.join(roots, "vec_id")
         .withColumn("is_root",

@@ -71,6 +71,28 @@ class ClusterSpec extends AnyFunSuite {
       s"chain must collapse to component 0, got ${comps.length} components")
   }
 
+  test("local-forest contraction: labels are partitioning-invariant (1/7/32)") {
+    // r17: connectedComponents contracts each edge partition with
+    // union-find before the iterate; the emitted forest depends on the
+    // partitioning, but the fixpoint (per-component min labels) must
+    // not. Pin equality across 1, 7 and 32 edge partitions on a graph
+    // that mixes chains, a clique, duplicate/reversed edges and
+    // singletons.
+    val nodes = ((0L to 40L) ++ Seq(100L, 101L, 200L)).toDF("id")
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 100L), (7L, 3L), (40L, 0L))
+    val edges = (chain ++ extra).toDF("id1", "id2")
+    val expected = Cluster.connectedComponents(nodes, edges.coalesce(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (p <- Seq(7, 32)) {
+      val got = Cluster.connectedComponents(nodes, edges.repartition(p))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"labels diverged at $p edge partitions")
+    }
+    assert(expected(40L) == 0L && expected(101L) == 100L
+      && expected(200L) == 200L)
+  }
+
   test("dedup clusters are the transitive closure of near-dup pairs at sf0.001") {
     val docs  = Tables.documents(spark, sf)
     val pairs = Dedup.ngramJaccard(docs)
