@@ -227,7 +227,8 @@ object FunnelStore {
     * `GROUP BY norm_h` — see [[Folded]]. Results are identical by the
     * fold-merge argument there; StreamingSpec pins it. */
   def funnel(st: Stores, spanLen: Int = 16,
-             folded: Option[Folded] = None): DataFrame = {
+             folded: Option[Folded] = None,
+             trained: Option[DataFrame] = None): DataFrame = {
     val spark = st.meta.sparkSession
     import spark.implicits._
     graft.functions.GraftHash64.register(spark)
@@ -311,9 +312,14 @@ object FunnelStore {
       .localCheckpoint(false)
     probe("s3", s3)
     // frozen classifier trained from the FULL feature store (the batch
-    // capstone trains on the full corpus), agreement over s3
-    val wts = probeT("train")(QualityClf.trainOnFeatures(st.feat,
-      meta.select("doc_id", "y"))._2)
+    // capstone trains on the full corpus), agreement over s3. `trained`
+    // lets a landing-cadence caller train CONCURRENTLY with the
+    // coverage/pair/CC chain (guide §2.6 — the training reads only the
+    // stores, so it is independent of every other fold stage); the
+    // trainer is integer-deterministic, so an injected weight table is
+    // byte-identical to the inline train.
+    val wts = trained.getOrElse(probeT("train")(
+      QualityClf.trainOnFeatures(st.feat, meta.select("doc_id", "y"))._2))
     val marg = st.feat.join(s3.select("doc_id"), "doc_id")
       .join(broadcast(wts), Seq("b"), "left")
       .groupBy("doc_id")

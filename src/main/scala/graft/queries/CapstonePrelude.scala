@@ -130,8 +130,21 @@ private[queries] object CapstonePrelude {
         case Some(e) if e.rddIds.forall(sc.getPersistentRDDs.contains) =>
           SharedArtifacts.noteHit(); (docs, s1, e.s2)
         case _ =>
+          // r17: reuse the FULL-corpus suffix ranks (the corpusRanks
+          // memo the dedup_substring family already builds) RESTRICTED
+          // to the exact-dedup survivors, instead of constructing a
+          // private doubling chain over s1. Rank equality is textual
+          // identity — independent of which corpus built the ranks —
+          // so the duplicate-frequency counts over s1's positions are
+          // byte-identical to an s1-private construction, and the
+          // restriction is one co-keyed semi-join per table.
+          val (pos, lv) = graft.ops.Suffix.corpusRanks(
+            Tables.documents(s, dir), dir)
+          val ids = s1.select("doc_id")
+          val pre = (pos.join(ids, "doc_id"),
+            Map(16 -> lv(16).join(ids, "doc_id")))
           val sub = graft.ops.Suffix.dupSpanStats(
-            s1.select("doc_id", "text"), spanLen = 16)
+            s1.select("doc_id", "text"), spanLen = 16, pre = Some(pre))
           val (s2, s2Id) = SharedArtifacts.checkpoint(
             s1.join(sub.filter(col("dup_tokens") * 5 <= col("n_tokens"))
               .select("doc_id"), "doc_id"))

@@ -1793,8 +1793,18 @@ object PipelineQueries {
             .agg(min("doc_id").as("doc_id"))
             .join(s0, "doc_id").select("doc_id", "text", "source")
             .localCheckpoint(false)
+          // r17: p1 is a row-subset of the raw corpus (quarantine drops
+          // docs, never edits text), so the full-corpus suffix ranks
+          // restricted to p1's ids give the identical duplicate
+          // frequencies as a p1-private construction (rank equality is
+          // textual identity) — the CapstonePrelude.withSubstring move
+          val (rPos, rLv) = graft.ops.Suffix.corpusRanks(
+            Tables.documents(s, dir), dir)
+          val p1ids = p1.select("doc_id")
           val sub = graft.ops.Suffix.dupSpanStats(p1.select("doc_id", "text"),
-            spanLen = 16)
+            spanLen = 16,
+            pre = Some((rPos.join(p1ids, "doc_id"),
+              Map(16 -> rLv(16).join(p1ids, "doc_id")))))
           val p2 = p1.join(sub.filter(col("dup_tokens") * 5 <= col("n_tokens"))
               .select("doc_id"), "doc_id")
             .localCheckpoint(false)

@@ -1365,36 +1365,51 @@ object EventStreams {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch0: DataFrame, bid: Long) =>
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
           // one cached copy of the landing text feeds all four extracts
           val batch = batch0.localCheckpoint(false)
           val st = graft.ops.FunnelStore.extract(batch)
           val meta = st.meta.localCheckpoint(false) // store + both folds
           // compact appends: a landing shard writes a few well-sized
           // files per store, not one file per shuffle partition — the
-          // small-files discipline layout_compaction_plan audits
-          Seq(meta, st.shingles, st.grams, st.feat).zip(dirs).foreach {
-            case (df, dir) => df.coalesce(4).write.mode("append").parquet(dir)
-          }
-          // VERDICT r14 item 2 — the foldable stages fold PER BATCH
-          // (FunnelStore.Folded): additive raw landing counters land
-          // as idempotent ledger entries (a retried batch overwrites
-          // its own — no double count under at-least-once) ...
-          ledgerAppend(meta.groupBy("source")
-              .agg(count(lit(1)).as("n_docs"),
-                sum("n_chars").as("sum_chars")),
-            rawDir, bid,
-            compact = Some(sumFold(Seq("source"), Seq("n_docs", "sum_chars"))))
-          // ... and the exact-dedup presence store: min is
-          // associative+commutative, so per-batch keyed minima ledger
-          // the same way and the generation-cadence merge equals the
-          // one-shot GROUP BY norm_h — the old shape REWROTE the whole
-          // corpus-sized winner store every batch
-          // the presence store's merge law is keyed MINIMA, not sums —
-          // min is associative+commutative, so folding a snapshot with
-          // later entries equals the one-shot GROUP BY norm_h
-          ledgerAppend(meta.groupBy("norm_h").agg(min("doc_id").as("doc_id")),
-            exactDir, bid, files = 4,
-            compact = Some(_.groupBy("norm_h").agg(min("doc_id").as("doc_id"))))
+          // small-files discipline layout_compaction_plan audits.
+          // The four store writes and the two ledger folds are mutually
+          // independent, so they run as concurrent driver-submitted
+          // jobs (guide §2.6 — later jobs back-fill the tail of earlier
+          // ones); results are unchanged, only the serialization goes.
+          val writes =
+            Seq(meta, st.shingles, st.grams, st.feat).zip(dirs).map {
+              case (df, dir) => Future {
+                df.coalesce(4).write.mode("append").parquet(dir)
+              }
+            } ++ Seq(
+              // VERDICT r14 item 2 — the foldable stages fold PER BATCH
+              // (FunnelStore.Folded): additive raw landing counters land
+              // as idempotent ledger entries (a retried batch overwrites
+              // its own — no double count under at-least-once) ...
+              Future {
+                ledgerAppend(meta.groupBy("source")
+                    .agg(count(lit(1)).as("n_docs"),
+                      sum("n_chars").as("sum_chars")),
+                  rawDir, bid,
+                  compact = Some(sumFold(Seq("source"),
+                    Seq("n_docs", "sum_chars"))))
+              },
+              // ... and the exact-dedup presence store: min is
+              // associative+commutative, so per-batch keyed minima
+              // ledger the same way and the generation-cadence merge
+              // equals the one-shot GROUP BY norm_h — the old shape
+              // REWROTE the whole corpus-sized winner store every batch
+              Future {
+                ledgerAppend(meta.groupBy("norm_h")
+                    .agg(min("doc_id").as("doc_id")),
+                  exactDir, bid, files = 4,
+                  compact = Some(
+                    _.groupBy("norm_h").agg(min("doc_id").as("doc_id"))))
+              })
+          writes.foreach(Await.result(_, Duration.Inf))
         }
         .start()
       q.awaitTermination()
@@ -1422,8 +1437,20 @@ object EventStreams {
         r
       } else b
     def fold(): Unit = withStateParts(spark) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       gen += 1
       val Seq(meta, sh, gr, fx) = dirs.map(spark.read.parquet(_))
+      // the frozen classifier trains from the feature store + labels
+      // ONLY — independent of the whole coverage/pair/CC chain, so it
+      // overlaps it as a concurrent driver job (guide §2.6); the
+      // trainer is integer-deterministic, so the injected weights are
+      // byte-identical to an inline train inside the funnel
+      val trainF = Future {
+        graft.ops.QualityClf.trainOnFeatures(fx,
+          meta.select("doc_id", "y"))._2
+      }
       val winners = foldProbe("winners")(spark.read
         .option("recursiveFileLookup", "true")
         .parquet(exactDir)
@@ -1437,12 +1464,19 @@ object EventStreams {
           prev.map(g => spark.read.parquet(s"$covSnap/g$g")),
           prev.map(_ => spark.read.option("recursiveFileLookup", "true")
             .parquet(dupLedger))))
-      foldProbe("covwrite") {
+      // one materialization of the new coverage serves the snapshot
+      // write, the survivor filter and the funnel — the old shape wrote
+      // it to parquet and read it straight back, a same-fold I/O round
+      // trip the next consumer had to WAIT on; the snapshot writes
+      // themselves are for the NEXT generation only, so they proceed
+      // concurrently with this fold's compute
+      val cov = newCov.localCheckpoint(false)
+      val covWriteF = Future(foldProbe("covwrite") {
         dupAdd.coalesce(4).write.mode("overwrite").parquet(s"$dupLedger/g$gen")
-        newCov.coalesce(4).write.mode("overwrite").parquet(s"$covSnap/g$gen")
+        cov.coalesce(4).write.mode("overwrite").parquet(s"$covSnap/g$gen")
         winners.select("doc_id").coalesce(4)
           .write.mode("overwrite").parquet(s"$winSnap/g$gen")
-      }
+      })
       // INCREMENTAL family collapse (VERDICT r16 item 3): recompute the
       // substring-survivor set and its pair table (pairs must be
       // re-derived in full — the DF cap is over the CURRENT survivor
@@ -1453,7 +1487,6 @@ object EventStreams {
       // snapshot (Cluster.incrementalClusters). Same survivor formula
       // as the funnel's s1→s2 chain, so the handed-in table is the
       // funnel's own.
-      val cov = spark.read.parquet(s"$covSnap/g$gen")
       val s2docs = meta.select("doc_id", "n_tokens")
         .join(winners.select("doc_id"), Seq("doc_id"), "left_semi")
         .join(cov, Seq("doc_id"), "left")
@@ -1471,10 +1504,11 @@ object EventStreams {
           spark.read.parquet(s"$clusSnap/g$g0"),
           spark.read.parquet(s"$pairSnap/g$g0"))
       }).localCheckpoint(false)) // funnel consumer AND the snapshot write
-      foldProbe("snapwrite") {
+      // next-generation state only — overlaps the funnel's own jobs
+      val snapWriteF = Future(foldProbe("snapwrite") {
         pairs.coalesce(4).write.mode("overwrite").parquet(s"$pairSnap/g$gen")
         clusters.coalesce(4).write.mode("overwrite").parquet(s"$clusSnap/g$gen")
-      }
+      })
       graft.ops.FunnelStore
         .funnel(graft.ops.FunnelStore.Stores(meta, sh, gr, fx),
           folded = Some(graft.ops.FunnelStore.Folded(
@@ -1482,8 +1516,12 @@ object EventStreams {
               Seq("n_docs", "sum_chars")),
             winners,
             Some(cov),
-            clusters = Some(clusters))))
+            clusters = Some(clusters))),
+          trained = Some(Await.result(trainF, Duration.Inf)))
         .write.mode("overwrite").parquet(acctDir)
+      Await.result(covWriteF, Duration.Inf)
+      Await.result(snapWriteF, Duration.Inf)
+      ()
     }
     // same env-gated dev probe as FunnelStore.funnel: attribute the
     // key's wall time to stage/landing/fold phases
