@@ -82,26 +82,32 @@ object Hnsw {
         .select(col("vec_id"), col("v"), col("nrm"),
           col("b0"), col("b1"), col("b2"))
       // cosine is symmetric: generate each UNORDERED pair once
-      // (src < dst canonical), score it once, then EXPLODE the scored
-      // row into both directions inside the same operator tree — a
-      // flip-union would reference the join subtree twice and Catalyst
-      // would execute it twice (only Exchanges dedupe), while the
-      // 2-element Generate keeps the pair join + dot product at
-      // exactly one evaluation per unordered pair
-      val pairs = (0 to 2).map { i =>
-        nl.select(col("vec_id").as("src"), col(s"b$i").as("bk"))
-          .join(nl.select(col("vec_id").as("dst"), col(s"b$i").as("bk")), "bk")
+      // (src < dst canonical) and score it AT THE BUCKET JOIN, where
+      // both vectors are already co-located — the old shape built the
+      // bare pair list, distinct'd it, then re-attached the two
+      // 64-double vectors through two more joins, i.e. it shuffled
+      // vector payloads with full pair multiplicity (guide §2.3:
+      // shuffle keys and metadata, not payloads). Scoring inline costs
+      // at most one extra dot product per duplicated (multi-bucketing)
+      // pair — cheap codegen arithmetic — while the distinct now
+      // dedupes 24-byte (src, dst, c) rows; the same pair always scores
+      // to the identical double, so distinct-then-score and
+      // score-then-distinct are byte-equal. The scored row is then
+      // EXPLODED into both directions inside the same operator tree —
+      // a flip-union would reference the join subtree twice and
+      // Catalyst would execute it twice (only Exchanges dedupe), while
+      // the 2-element Generate keeps it at one evaluation per pair.
+      val cosIn = Dedup.dot(col("av"), col("bv")) / (col("an") * col("bn"))
+      val scored = (0 to 2).map { i =>
+        nl.select(col("vec_id").as("src"), col(s"b$i").as("bk"),
+            col("v").as("av"), col("nrm").as("an"))
+          .join(nl.select(col("vec_id").as("dst"), col(s"b$i").as("bk"),
+            col("v").as("bv"), col("nrm").as("bn")), "bk")
           .filter(col("src") < col("dst"))
-          .select("src", "dst")
+          .select(col("src"), col("dst"), cosIn.as("c"))
       }.reduce(_.unionByName(_)).distinct()
-      val cos = Dedup.dot(col("av"), col("bv")) / (col("an") * col("bn"))
       val w = Window.partitionBy("src").orderBy(col("c").desc, col("dst"))
-      pairs
-        .join(nl.select(col("vec_id").as("src"), col("v").as("av"),
-          col("nrm").as("an")), "src")
-        .join(nl.select(col("vec_id").as("dst"), col("v").as("bv"),
-          col("nrm").as("bn")), "dst")
-        .select(col("src"), col("dst"), cos.as("c")) // score ONCE, then flip
+      scored
         .select(explode(array(
           struct(col("src"), col("dst"), col("c")),
           struct(col("dst").as("src"), col("src").as("dst"), col("c"))))

@@ -64,7 +64,12 @@ object QualityClf {
     * it); weights is the final (b, w) table the score query applies. */
   def train(docs: DataFrame, rounds: Int = 8,
             buckets: Int = 256): (DataFrame, DataFrame) =
-    trainOnFeatures(features(docs, buckets), labels(docs), rounds)
+    // features() unions exactly one bias row per doc BY CONSTRUCTION,
+    // so the store-integrity check is provably satisfied — skip its
+    // corpus-wide action here (r17; the check guards STORE-fed callers,
+    // where the feature table's provenance is outside this file)
+    trainOnFeatures(features(docs, buckets), labels(docs), rounds,
+      validate = false)
 
   /** [[train]] over ALREADY-EXTRACTED feature/label tables — the
     * store-fed entry point (the streaming funnel trains from its
@@ -87,7 +92,8 @@ object QualityClf {
     * cuts ~3 jobs + 1 barrier per round to 1 job, with identical
     * integer results (the update is the same commutative sum). */
   def trainOnFeatures(fx0: DataFrame, lb0: DataFrame,
-                      rounds: Int = 8): (DataFrame, DataFrame) = {
+                      rounds: Int = 8,
+                      validate: Boolean = true): (DataFrame, DataFrame) = {
     val spark = fx0.sparkSession
     import spark.implicits._
     val fx = fx0.localCheckpoint(false)
@@ -100,7 +106,10 @@ object QualityClf {
     // action — labeled ids joined to per-doc bias-row counts; anything
     // but nb == 1 fails loudly. (The old two-action count comparison
     // also missed labeled-without-bias masked by unlabeled-with-bias.)
-    require(lb.select("doc_id")
+    // `validate = false` is reserved for callers that BUILT the feature
+    // table with [[features]] in the same expression (bias rows hold by
+    // construction) — store-fed callers keep the check.
+    if (validate) require(lb.select("doc_id")
         .join(fx.filter(col("b") === -1L).groupBy("doc_id")
           .agg(count(lit(1)).as("nb")), Seq("doc_id"), "left")
         .filter(col("nb").isNull || col("nb") =!= 1L)

@@ -3202,7 +3202,17 @@ object OlapQueries {
           .select(lit(name).as("layout"),
             expr("((rnk - 1) * 16) div n_tot").as("bucket"),
             col("ck"), col("dayidx"))
-      files("d", "hilbert").unionByName(files("z", "zorder"))
+      // the two curve-rank passes are independent and each contains an
+      // eager (driver-blocking) checkpoint pin — build them as
+      // concurrent driver jobs (guide §2.6) and union the results
+      val built = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fs = Seq(Future(files("d", "hilbert")), Future(files("z", "zorder")))
+        fs.map(Await.result(_, Duration.Inf))
+      }
+      built.reduce(_ unionByName _)
         .groupBy("layout", "bucket")
         .agg(count(lit(1)).as("n_rows"),
           min("ck").as("ck_min"), max("ck").as("ck_max"),
